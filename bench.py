@@ -1,0 +1,70 @@
+"""Headline benchmark — one JSON line for the driver (BENCH_r{N}.json).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/
+sf0.1) on local[$SPARK_GRAFT_CPUS] and prints:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is materialized with a cheap full-evaluation action
+(``df.foreach`` would serialize to Python; ``count`` after an agg is
+fully evaluated JVM-side). Timings include plan + execution, not session
+startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from connor_fun_streamproducer_spark import registry
+from connor_fun_streamproducer_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship REF pipeline + the heaviest EXT/LLM ops.
+HEADLINE = [
+    "agg_window_count",
+    "enrich_region",
+    "agg_hash",
+    "join_sortmerge",
+    "topk_per_group",
+    "win_frame",
+    "dedup_near_minhash",
+    "sim_search_topk",
+]
+
+
+def main() -> None:
+    registry._ensure_loaded()
+    spark = get_spark("cfsp-bench")
+    keys = [k for k in HEADLINE if k in registry.OPS]
+    # Warm the JVM + parquet footer cache with a trivial action.
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for key in keys:
+        fn = registry.OPS[key].fn
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[key] = round(time.perf_counter() - t0, 3)
+        print(f"# {key}: {timings[key]:.3f}s rows={n}", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Operator registry — the single source of truth for SURVEY.md §2 coverage.
+
+Every implemented op key registers here with:
+
+- ``fn``:       ``(spark, sf_dir) -> DataFrame`` — the PySpark implementation,
+                surfaced verbatim through ``__spark_entry__.queries()``.
+- ``oracle``:   DuckDB ANSI-SQL string computing the same result on the same
+                parquet tables (views pre-registered by the driver), surfaced
+                through ``__spark_entry__.oracle_sql()``. ``None`` for
+                genuinely non-SQL-expressible ops (custom stateful streaming,
+                approximate sketches) → driver records a rows-only check.
+- ``tags``:     free-form labels ("ref", "ext", "streaming", "llm", ...).
+
+Conventions that keep the oracle hash-compare honest (driver sorts columns
+by name, hashes values order-insensitively):
+
+1. Every computed/aggregate column is explicitly aliased, identically on
+   both sides.
+2. Every floating-point aggregate is ``round(x, 4)`` on both sides —
+   summation order differs between engines (and between Spark runs), so raw
+   doubles would differ in the last ulps.
+3. Integer-typed aggregates are cast to BIGINT on the DuckDB side where
+   DuckDB widens to HUGEINT (e.g. ``sum`` of INTEGER).
+4. Top-k queries always use a composite, total-order sort key so ties are
+   deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Op:
+    key: str
+    fn: QueryFn
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+OPS: dict[str, Op] = {}
+
+
+def op(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> Callable[[QueryFn], QueryFn]:
+    """Register an operator implementation under a SURVEY §2 op key."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if key in OPS:
+            raise ValueError(f"duplicate op key {key!r}")
+        OPS[key] = Op(key=key, fn=fn, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {k: o.fn for k, o in OPS.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {k: o.oracle for k, o in OPS.items() if o.oracle is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every operator module so its @op decorators run."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Imports are side-effectful (decorator registration); keep the list
+    # explicit so coverage is auditable.
+    from connor_fun_streamproducer_spark.operators import (  # noqa: F401
+        aggregates,
+        joins,
+        relational,
+        setops,
+        windows,
+    )
+    from connor_fun_streamproducer_spark.functions import (  # noqa: F401
+        arrays,
+        dates,
+        json_fns,
+        maps,
+        math_fns,
+        strings,
+    )
+    from connor_fun_streamproducer_spark.sources import batch as _sources_batch  # noqa: F401
+    from connor_fun_streamproducer_spark.streaming import (  # noqa: F401
+        pipeline,
+        stateful,
+        windows as stream_windows,
+    )
+    from connor_fun_streamproducer_spark.llm import (  # noqa: F401
+        dedup,
+        multimodal,
+        similarity,
+        text,
+    )
+    from connor_fun_streamproducer_spark.operators import udfs  # noqa: F401
+
+    _LOADED = True
