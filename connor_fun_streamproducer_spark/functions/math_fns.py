@@ -1,1 +1,55 @@
-"""Placeholder — ops land here per SURVEY.md §7 build order."""
+"""Math function family (fn_math).
+
+All JVM-side built-ins inside whole-stage codegen. Engine deltas handled
+in the oracle: DuckDB floor/ceil return DOUBLE (Spark returns BIGINT →
+cast), DuckDB ln == Spark log (natural).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.registry import op
+
+
+@op(
+    "fn_math",
+    oracle="""
+    SELECT event_id,
+           round(abs(value - 100), 4)                       AS abs_dev,
+           CAST(floor(value) AS BIGINT)                     AS value_floor,
+           CAST(ceil(value) AS BIGINT)                      AS value_ceil,
+           round(ln(value + 1), 4)                          AS log1p_value,
+           round(sqrt(value), 4)                            AS sqrt_value,
+           round(pow(value, 2), 4)                          AS value_sq,
+           CAST(event_id % 7 AS BIGINT)                     AS id_mod7,
+           CAST(sign(value - 100) AS DOUBLE)                AS dev_sign,
+           round(value / nullif(CAST(event_id % 5 AS DOUBLE), 0), 4) AS safe_div
+    FROM events
+    """,
+    tags=("ext", "fn"),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/floor/ceil/log/sqrt/pow/pmod/sign + NULLIF-guarded division.
+
+    ``value`` is strictly positive in the fixture, so ln/sqrt are total;
+    pmod on non-negative ids equals %. safe_div is the division-by-zero
+    idiom (NULL, not error/Inf) — id%5==0 rows yield NULL on both engines.
+    """
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.round(F.abs(F.col("value") - 100), 4).alias("abs_dev"),
+        F.floor("value").alias("value_floor"),
+        F.ceil("value").alias("value_ceil"),
+        F.round(F.log(F.col("value") + 1), 4).alias("log1p_value"),
+        F.round(F.sqrt("value"), 4).alias("sqrt_value"),
+        F.round(F.pow("value", F.lit(2)), 4).alias("value_sq"),
+        F.pmod(F.col("event_id"), F.lit(7)).cast("bigint").alias("id_mod7"),
+        F.signum(F.col("value") - 100).alias("dev_sign"),
+        F.round(
+            F.col("value") / F.nullif((F.col("event_id") % 5).cast("double"), F.lit(0.0)), 4
+        ).alias("safe_div"),
+    )

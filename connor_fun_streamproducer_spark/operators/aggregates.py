@@ -1,1 +1,242 @@
-"""Placeholder — ops land here per SURVEY.md §7 build order."""
+"""Aggregation operators.
+
+The reference's single aggregation is a per-region tumbling count held in
+an atomic array (/root/reference/regionSpout.go:77,154,109-111) — i.e. a
+hand-rolled partial aggregate merged by one reader. Spark's HashAggregate
+generalizes exactly that: partial (map-side) aggregation per task, one
+shuffle on the group key, final merge — which is why every op here scales:
+the shuffle carries one row per (task × group), not per input row.
+
+Float discipline: every floating aggregate is rounded to 4 decimals here
+AND in the oracle SQL — cross-engine (and cross-run) summation order makes
+raw doubles differ in the last ulps (registry.py conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connor_fun_streamproducer_spark.catalog import load, register_views
+from connor_fun_streamproducer_spark.registry import op
+
+
+@op(
+    "agg_hash",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                        AS sum_qty,
+           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("ext", "agg"),
+)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical multi-aggregate group-by.
+
+    Eight aggregates over two low-cardinality keys — the partial/final
+    HashAggregate pair reduces 100 TB of lineitem to a handful of rows
+    before the only exchange.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@op(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey)            AS n_customers,
+           round(sum(DISTINCT o_totalprice), 4) AS sum_distinct_price,
+           count(*)                             AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("ext", "agg"),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation (expand-based rewrite under the hood).
+
+    Each DISTINCT spec multiplies the shuffled data (Expand operator) —
+    the 100 TB guidance is to prefer approx_count_distinct unless exact
+    cardinality is contractual; both forms are provided (see agg_approx).
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum_distinct(F.col("o_totalprice")), 4).alias("sum_distinct_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@op("agg_approx", tags=("ext", "agg", "approx"))
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct + quantiles — the 100 TB cardinality tools.
+
+    HyperLogLog++ (`approx_count_distinct`) and KLL-style quantile sketches
+    (`percentile_approx`) are mergeable, so they aggregate in one pass with
+    bounded memory. No DuckDB oracle: sketch internals differ between
+    engines by design → driver records the rows-only check; the exact
+    counterparts are oracle-checked in agg_distinct/agg_percentile.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("price_quantiles"),
+    )
+
+
+@op(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("ext", "agg"),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (sorts per group — the non-scalable
+    exact twin of percentile_approx, kept for oracle-checked correctness)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@op(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '(all)')   AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           count(*)                           AS n,
+           round(sum(o_totalprice), 4)        AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("ext", "agg"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: by-status, by-priority, and grand total in one pass.
+
+    Catalyst's Expand replicates each input row once per grouping set
+    before a single HashAggregate — one shuffle for all three aggregation
+    levels. Group keys are coalesced to '(all)' on both sides (no real
+    NULLs in these columns) so the subtotal marker hashes identically.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '(all)')   AS status,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               count(*)                           AS n,
+               round(sum(o_totalprice), 4)        AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@op(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(r_name, '(all)') AS region_name,
+           coalesce(n_name, '(all)') AS nation_name,
+           count(*)                  AS n_customers,
+           round(sum(c_acctbal), 4)  AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("ext", "agg"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy (nation, region, grand)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 4).alias("total_balance"))
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation_name"),
+            "n_customers",
+            "total_balance",
+        )
+    )
+
+
+@op(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '(all)')   AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           count(*)                           AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("ext", "agg"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all four grouping combinations of (status, priority)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@op(
+    "agg_collect",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("ext", "agg"),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregate: collect_set → sorted → joined to a string.
+
+    The string form keeps the oracle hash representation-independent
+    (array formatting differs across engines). collect_* aggregates are
+    unbounded-state per group — at 100 TB, bound group cardinality first.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority"))).alias("priorities"),
+        F.count("*").alias("n"),
+    )

@@ -1,1 +1,230 @@
-"""Placeholder — ops land here per SURVEY.md §7 build order."""
+"""Join operators — every strategy the engine supports, each plan-audited.
+
+The reference performs no in-process joins; its one "enrichment" is region
+identity threaded through a closure (/root/reference/regionSpout.go:94,
+128-130) with containment evaluated by the upstream service. The EXT tier
+(SURVEY.md §2.2) mandates the full join surface. Strategy selection is
+Catalyst's job; we pin strategies with hints only where the choice is part
+of the operator's contract (broadcast for dims, sort-merge for fact-fact),
+because at 100 TB the difference between a broadcast and a shuffle of the
+fact table is the whole game.
+
+Scale notes per operator live in each docstring; tests/test_plans.py
+asserts the physical plan (BroadcastHashJoin vs SortMergeJoin vs
+BroadcastNestedLoopJoin) actually chosen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.registry import op
+
+
+@op(
+    "join_broadcast",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation_name, r.r_name AS region_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    tags=("ext", "join"),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim equi join chain: customer ⋈ nation ⋈ region.
+
+    The batch form of the reference's region enrichment (regionSpout.go's
+    25-row location dim). Both dims are broadcast — zero shuffle of the
+    customer side, so the plan cost is O(scan) no matter how large
+    customer grows.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation_name"), F.col("r_name").alias("region_name"))
+    )
+
+
+@op(
+    "join_sortmerge",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus <> 'P'
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+    tags=("ext", "join"),
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi join: orders ⋈ lineitem, sort-merge pinned.
+
+    Fact-fact joins at 100 TB must shuffle both sides on the key; sort-merge
+    spills gracefully and AQE splits skewed orderkeys. The aggregation
+    after the join reuses the join's hash partitioning on o_orderkey — no
+    second exchange (checked in test_plans).
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("o_orderstatus") != "P")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@op(
+    "join_shuffle_hash",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name,
+           round(sum(l.l_quantity), 4) AS total_qty
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    tags=("ext", "join"),
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join with the shuffle-hash strategy pinned.
+
+    Shuffle-hash beats sort-merge when one side is much smaller per
+    partition (build side fits in memory) — no sort of the big side. The
+    hint documents intent; AQE may still convert to broadcast when the
+    build side is tiny, which is the right call and allowed.
+    """
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        s.hint("shuffle_hash")
+        .join(li, s.s_suppkey == li.l_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+    )
+
+
+# Price-tier dim used by the theta join — same inline rows on both sides.
+_TIERS = [("budget", 0.0, 999.99), ("mid", 1000.0, 49999.99), ("premium", 50000.0, 1e18)]
+_TIERS_SQL = (
+    "(VALUES " + ", ".join(f"('{n}', {lo!r}, {hi!r})" for n, lo, hi in _TIERS) + ") AS t(tier, lo, hi)"
+)
+
+
+@op(
+    "join_theta_range",
+    oracle=f"""
+    SELECT t.tier, count(*) AS n_orders, round(avg(o.o_totalprice), 4) AS avg_price
+    FROM orders o
+    JOIN {_TIERS_SQL} ON o.o_totalprice >= t.lo AND o.o_totalprice <= t.hi
+    GROUP BY t.tier
+    """,
+    tags=("ext", "join"),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: order price vs an inline tier table.
+
+    Same shape as the bbox-containment join (streaming/pipeline.py) —
+    BroadcastNestedLoopJoin against a tiny broadcast side. At 100 TB the
+    fact side streams through without a shuffle; with a large band table
+    the scale path is bucketizing the range key into an equi-join key.
+    """
+    o = load(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(_TIERS, schema="tier string, lo double, hi double")
+    cond = (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") <= F.col("hi"))
+    return (
+        o.join(F.broadcast(tiers), cond)
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_orders"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+@op(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+    tags=("ext", "join"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via left-semi join: customers with a >100k order.
+
+    Semi joins never duplicate the left side and ship only the join key of
+    the right — at scale, far cheaper than join+distinct.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@op(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("ext", "join"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left-anti join: customers with no 1-URGENT order
+    (predicated right side, so the result is non-empty at every SF)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@op(
+    "join_asof",
+    oracle="""
+    SELECT event_id, user_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+    FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+    tags=("ext", "join"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's latest earlier order.
+
+    Spark has no native as-of operator (SURVEY.md §7.3); the composition is
+    equi-join on the entity key + time predicate + row_number()==1 with a
+    total-order tie-break. One shuffle on the entity key; at 100 TB the
+    scale path is range-bucketing the time axis so each task only sees a
+    bounded slice of order history per key.
+    """
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    joined = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
+    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").alias("asof_orderdate"),
+        )
+    )

@@ -1,1 +1,125 @@
-"""Placeholder — ops land here per SURVEY.md §7 build order."""
+"""Batch sources & sinks: parquet / json / csv scans, parquet write-read.
+
+The reference's only "scan" is reading locations.json whole into memory
+(/root/reference/regionSpout.go:169-184). Engine-side, every format goes
+through the DataSource V2 scan machinery: columnar parquet with predicate
+pushdown + column pruning; schema'd (never inferred) JSON/CSV.
+
+JSON/CSV round-trips materialize under ``.scratch/`` inside the repo
+(regenerated per call, gitignored) because the driver fixtures are
+parquet-only; the oracle reads the original parquet — so the comparison
+proves the format encode/decode is lossless.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.registry import op
+
+_SCRATCH = "/root/repo/.scratch"
+
+_EVENT_SUBSET_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _scratch_dir(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_SCRATCH, tag, name)
+
+
+@op(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_partkey, round(l_extendedprice, 4) AS price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    tags=("ext", "source"),
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar parquet scan with pushed filter + pruned columns.
+
+    The physical plan must show PushedFilters on l_shipdate and a
+    4-column ReadSchema (asserted in tests/test_plans.py) — at 100 TB
+    this is the difference between scanning 4 columns of one year and
+    scanning everything.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") >= "1997-01-01")
+        .select("l_orderkey", "l_partkey", F.round("l_extendedprice", 4).alias("price"))
+    )
+
+
+@op(
+    "scan_json",
+    oracle="SELECT event_id, event_type, round(value, 4) AS value FROM events",
+    tags=("ext", "source"),
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON lines scan with an explicit schema (inference forbidden).
+
+    Writes the events subset as JSON once per call, reads it back
+    schema'd; matching the parquet-backed oracle proves the round-trip.
+    """
+    path = _scratch_dir(sf_dir, "events_json")
+    src = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src.write.mode("overwrite").json(path)
+    back = spark.read.schema(_EVENT_SUBSET_SCHEMA).json(path)
+    return back.select("event_id", "event_type", F.round("value", 4).alias("value"))
+
+
+@op(
+    "scan_csv",
+    oracle="SELECT event_id, event_type, round(value, 4) AS value FROM events",
+    tags=("ext", "source"),
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with header + explicit schema (no inferSchema pass)."""
+    path = _scratch_dir(sf_dir, "events_csv")
+    src = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema(_EVENT_SUBSET_SCHEMA).option("header", "true").csv(path)
+    return back.select("event_id", "event_type", F.round("value", 4).alias("value"))
+
+
+@op(
+    "sink_parquet",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("ext", "sink"),
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an aggregate to partitioned parquet, read it back.
+
+    partitionBy on the group key — the layout a 100 TB consumer would
+    partition-prune on. The read-back equals the oracle's direct
+    aggregation, proving the sink round-trip.
+    """
+    path = _scratch_dir(sf_dir, "orders_agg_parquet")
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+    )
+    agg.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    # partitionBy turns the key into a partition column (string-typed on
+    # read); restore the original column order and type.
+    return back.select(
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"), "n", "total"
+    )
