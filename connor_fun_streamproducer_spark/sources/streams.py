@@ -1,0 +1,121 @@
+"""Streaming sources & sinks.
+
+The reference's source is a long-poll HTTPS filtered stream fanned out one
+goroutine per region (/root/reference/regionSpout.go:126-148); its sink is
+a fire-and-forget Kafka produce (regionSpout.go:158-160). Spark equivalents:
+
+- ``events_stream``  — file source over the driver's events.parquet with an
+  explicit schema (the deterministic stand-in for the tweet stream; same
+  rows as the batch table, so streaming results are oracle-checkable).
+- ``rate_stream``    — synthetic load source for liveness/monitor tests.
+- ``kafka_source`` / ``kafka_sink`` — the production path, config-complete
+  but unexercised here (no broker, and the spark-sql-kafka connector jar
+  is not bundled with the pip distribution); checkpointed, so delivery is
+  at-least-once vs the reference's at-most-once.
+- ``run_to_memory``  — drive a streaming DataFrame to completion against
+  the in-memory sink (processAllAvailable) and return the result table:
+  the harness that makes streaming semantics testable and hashable.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from connor_fun_streamproducer_spark.catalog import table_path
+
+# events.parquet physical schema under nanosAsLong (see catalog.py): ts is
+# a nanosecond BIGINT; the stream converts it to a proper event-time column.
+EVENTS_PHYSICAL_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, path: str | None = None, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The events table as an unbounded stream with a real event-time column.
+
+    ``max_files_per_trigger`` is the admission-pacing knob — the engine
+    form of the reference's 30 s stagger (regionSpout.go:98): it bounds
+    how much source data each micro-batch admits.
+    """
+    reader = spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if path is None:
+        # The fixture is a single file; the streaming file source demands a
+        # directory, so scan sf_dir with a glob pinned to events.parquet.
+        sdf = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    else:
+        sdf = reader.parquet(path)
+    return sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic (timestamp, value) stream — dev/liveness source."""
+    return (
+        spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    )
+
+
+def kafka_source(spark: SparkSession, bootstrap_servers: str, topics: str) -> DataFrame:
+    """Kafka source (production path; requires the kafka connector jar).
+
+    The reference consumed Twitter and produced Kafka; this engine's
+    deployment inverts it — downstream jobs read the per-region topics the
+    pipeline writes. Not runnable in this environment (no broker/jar);
+    the call is config-complete and raises cleanly at stream start.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+
+
+def kafka_sink(df: DataFrame, bootstrap_servers: str, checkpoint_dir: str):
+    """Kafka sink for a (key, value[, topic]) frame; checkpointed.
+
+    vs the reference: regionSpout produces with a nil delivery channel
+    (at-most-once, errors unobserved, regionSpout.go:158-160); Spark's
+    checkpointed sink retries from the WAL — at-least-once. The ``topic``
+    column (streaming/pipeline.serialized_sink_frame) does the per-region
+    routing the reference did via topic-name string building.
+    """
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def run_to_memory(sdf: DataFrame, output_mode: str = "append", name: str | None = None) -> DataFrame:
+    """Run a streaming frame to completion into the memory sink.
+
+    Synchronous: processAllAvailable drains every pending micro-batch
+    (including watermark-only no-data batches) before the query stops, so
+    the returned table is the deterministic final state — what makes the
+    streaming ops below hash-comparable to a SQL oracle.
+    """
+    spark = sdf.sparkSession
+    qname = name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = sdf.writeStream.outputMode(output_mode).format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(qname)

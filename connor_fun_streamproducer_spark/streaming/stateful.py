@@ -1,1 +1,184 @@
-"""Placeholder — ops land here per SURVEY.md §7 build order."""
+"""Custom keyed streaming state — the reference's monitor made real.
+
+The reference keeps one atomic counter per region, bumped per record
+(/root/reference/regionSpout.go:154), read-and-reset by a monitor loop
+every 30 s (regionSpout.go:102-111), with a stubbed restart policy
+(regionSpout.go:113-115). That is exactly a keyed state machine over a
+stream: per-interval delta + running total per key.
+
+Engine form: ``applyInPandasWithState`` — Spark's arbitrary-stateful
+operator. The events fixture is re-laid-out one micro-batch per week
+(week-partitioned parquet + maxFilesPerTrigger=1), so each batch plays the
+role of one monitor interval. Per batch and key the function emits
+(delta, running total, intervals seen) and updates state — the
+read-and-reset semantics, with the totals the reference threw away.
+
+The op stays oracle-checkable because the final aggregation over all
+emissions is batch-order-independent: max(running total) == total count,
+max(intervals seen) == distinct active weeks.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.registry import op
+
+_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("batch_n", T.LongType()),
+        T.StructField("cum_n", T.LongType()),
+        T.StructField("batches_seen", T.LongType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("cum", T.LongType()), T.StructField("batches", T.LongType())]
+)
+
+# Streaming schema for the day-partitioned copy (ts already microseconds
+# because the copy is written by Spark itself; day is the partition column).
+_DAY_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("day", T.StringType()),
+    ]
+)
+
+
+def _counter_machine(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-key interval counter: delta per batch, running total in state.
+
+    regionSpout's loop, one key at a time: `n` is what its 30 s printout
+    showed before the reset; `cum`/`batches` is the history it discarded.
+    """
+    n = sum(len(p) for p in pdfs)
+    cum, batches = state.get if state.exists else (0, 0)
+    cum, batches = cum + n, batches + 1
+    state.update((cum, batches))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "batch_n": [n], "cum_n": [cum], "batches_seen": [batches]}
+    )
+
+
+def day_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as one parquet file per week (micro-batch fixture).
+
+    repartition("day") puts each week in exactly one task, so partitionBy
+    writes exactly one file per week directory — with maxFilesPerTrigger=1
+    the stream then replays one week per micro-batch.
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/root/repo/.scratch", tag, "events_by_day")
+    (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("day"))
+        .repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    return path
+
+
+@op(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id,
+           count(*)                                       AS n_events,
+           CAST(count(DISTINCT date_trunc('week', ts)) AS BIGINT) AS n_periods
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("ref", "streaming", "stateful"),
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-with-reset state machine over weekly micro-batches.
+
+    Every batch emits (delta, running total, intervals) per user via
+    applyInPandasWithState; the final reduction (max per key) is
+    batch-order-independent and equals plain aggregates — which is what
+    the oracle checks, while the streaming run itself proves cross-batch
+    state survival.
+    """
+    src = day_partitioned_events(spark, sf_dir)
+    sdf = (
+        spark.readStream.schema(_DAY_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    emitted = sdf.groupBy("user_id").applyInPandasWithState(
+        _counter_machine,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    from connor_fun_streamproducer_spark.sources.streams import run_to_memory
+
+    table = run_to_memory(emitted, output_mode="append")
+    return table.groupBy("user_id").agg(
+        F.max("cum_n").alias("n_events"), F.max("batches_seen").alias("n_periods")
+    )
+
+
+@op(
+    "join_stream_stream",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 MINUTE
+    """,
+    tags=("ext", "streaming", "join"),
+)
+def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks within 1 minute after a purchase.
+
+    Both sides are watermarked and the join condition is time-bounded —
+    the two requirements that let Spark evict join state instead of
+    buffering both streams forever. Inner-join emissions are exactly the
+    matched pairs, so the drained result equals the SQL join.
+    """
+    from connor_fun_streamproducer_spark.sources.streams import events_stream, run_to_memory
+
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withColumnRenamed("ts", "p_ts")
+        .withColumnRenamed("event_id", "purchase_id")
+        .withWatermark("p_ts", "10 minutes")
+        .select("purchase_id", "user_id", "p_ts")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withColumnRenamed("ts", "c_ts")
+        .withColumnRenamed("event_id", "click_id")
+        .withColumnRenamed("user_id", "c_user_id")
+        .withWatermark("c_ts", "10 minutes")
+        .select("click_id", "c_user_id", "c_ts")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 MINUTE")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id")
+    return run_to_memory(joined, output_mode="append")

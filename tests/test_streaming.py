@@ -1,0 +1,180 @@
+"""Streaming semantics the SQL oracle can't express (SURVEY.md §5.2 layer 2):
+watermark late-data drops across micro-batches, dedup-within-watermark,
+checkpoint restart, and the stall-detection listener.
+
+Each test builds a tiny deterministic file-source stream (one parquet file
+per intended micro-batch via maxFilesPerTrigger=1) and asserts exact window
+contents — the event-time contract the reference only eyeballed via its
+30 s printout (regionSpout.go:106-110).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from connor_fun_streamproducer_spark.streaming.health import StreamHealthMonitor, restart_query
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, schema="event_id long, ts timestamp, user_id long").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def _ts(s: str):
+    from datetime import datetime
+
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture
+def scratch(tmp_path):
+    return str(tmp_path / f"stream_{uuid.uuid4().hex[:8]}")
+
+
+def test_watermark_drops_late_rows(spark, scratch):
+    """A row older than (max event time − watermark delay − window) must be
+    dropped once the watermark has advanced past its window."""
+    src = scratch + "/src"
+    # Batch 1: two windows of data, advancing the watermark to 10:30-5min.
+    _write_batch(
+        spark,
+        src,
+        [
+            Row(event_id=1, ts=_ts("2024-01-01 10:00:05"), user_id=1),
+            Row(event_id=2, ts=_ts("2024-01-01 10:00:10"), user_id=1),
+            Row(event_id=3, ts=_ts("2024-01-01 10:30:00"), user_id=1),
+        ],
+    )
+    sdf = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        sdf.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    # Batch 2: one on-time row and one late row for the long-closed 10:00 window.
+    _write_batch(
+        spark,
+        src,
+        [
+            Row(event_id=4, ts=_ts("2024-01-01 10:31:00"), user_id=1),
+            Row(event_id=5, ts=_ts("2024-01-01 10:00:20"), user_id=1),  # late → dropped
+        ],
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    out = {r["w"]["start"].isoformat(): r["n"] for r in spark.table(name).collect()}
+    # The 10:00 window was finalized with exactly 2 rows — the late event_id=5
+    # never reappears (no duplicate/updated emission for that window).
+    assert out.get("2024-01-01T10:00:00") == 2, out
+
+
+def test_dedup_within_watermark(spark, scratch):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark window
+    are suppressed; the state for old keys is evicted (bounded memory)."""
+    src = scratch + "/src"
+    _write_batch(
+        spark,
+        src,
+        [
+            Row(event_id=1, ts=_ts("2024-01-01 10:00:00"), user_id=1),
+            Row(event_id=1, ts=_ts("2024-01-01 10:00:01"), user_id=1),  # dup, suppressed
+            Row(event_id=2, ts=_ts("2024-01-01 10:00:02"), user_id=1),
+        ],
+    )
+    sdf = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = sdf.withWatermark("ts", "1 minute").dropDuplicatesWithinWatermark(["event_id"])
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    ids = sorted(r.event_id for r in spark.table(name).collect())
+    assert ids == [1, 2], ids
+
+
+def test_checkpoint_restart_resumes_offsets(spark, scratch):
+    """Restart-from-checkpoint (the reference's empty stub, regionSpout.go:
+    113-115): a restarted query must not re-emit already-committed data."""
+    src, ckpt, out = scratch + "/src", scratch + "/ckpt", scratch + "/out"
+    _write_batch(spark, src, [Row(event_id=1, ts=_ts("2024-01-01 10:00:00"), user_id=1)])
+
+    def start():
+        sdf = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .parquet(src)
+        )
+        return (
+            sdf.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    assert spark.read.parquet(out).count() == 1
+
+    # Restart from the same checkpoint; add one more row: the old offset is
+    # committed, so the restarted query appends only the NEW row (the file
+    # sink's _spark_metadata log guarantees exactly-once output files).
+    q2 = restart_query(q, start)
+    _write_batch(spark, src, [Row(event_id=2, ts=_ts("2024-01-01 10:01:00"), user_id=1)])
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+    ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2], f"checkpoint restart broke exactly-once output: {ids}"
+
+
+def test_health_monitor_detects_stall(spark, scratch):
+    """The listener must flag a query after N consecutive empty triggers —
+    the reference's zero-count stall check (regionSpout.go:113-115), real."""
+    src = scratch + "/src"
+    _write_batch(spark, src, [Row(event_id=1, ts=_ts("2024-01-01 10:00:00"), user_id=1)])
+    stalls: list[str] = []
+    mon = StreamHealthMonitor(stall_after=2, on_stall=stalls.append)
+    spark.streams.addListener(mon)
+    try:
+        sdf = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .parquet(src)
+        )
+        q = (
+            sdf.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"hm_{uuid.uuid4().hex[:8]}")
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        # Let it drain the one file, then idle through several empty triggers.
+        deadline = time.time() + 30
+        while time.time() < deadline and not stalls:
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.streams.removeListener(mon)
+    assert stalls, "no stall detected"
+    st = mon.state[stalls[0]]
+    assert st.stalled and st.consecutive_zero >= 2
+    assert st.total_rows == 1
