@@ -1,1 +1,297 @@
-"""Placeholder — ops land here per SURVEY.md §7 build order."""
+"""Deduplication operators over the ``documents`` table.
+
+Five strategies, ordered by cost/recall trade-off at 100 TB:
+
+- exact (hash-groupBy)        — one shuffle on a 32-byte digest.
+- n-gram Jaccard w/ blocking  — exact pairwise similarity, but only inside
+                                cheap blocks; the verify stage of any LSH.
+- MinHash + LSH banding       — candidate generation in O(n·bands) instead
+                                of O(n²); probabilistic recall.
+- SimHash + band prune        — 64-bit fingerprints, hamming-≤k search via
+                                16-bit band exact-match pruning.
+- embedding cosine            — semantic near-dup via the similarity tier.
+
+Everything is built-in DataFrame ops (explode/groupBy/join/min/xxhash64) —
+no Python in any hot path; the probabilistic ops are rows-only for the
+driver (engine-specific hash functions can't be replicated in the oracle)
+with their quality pinned by tests/test_llm.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.registry import op
+
+# --- shared token helpers (JVM-side) -------------------------------------
+
+def _tokens(col: str = "text"):
+    """Whitespace tokens."""
+    return F.split(F.col(col), " ")
+
+
+def _distinct_tokens(col: str = "text"):
+    return F.array_distinct(_tokens(col))
+
+
+@op(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text)  AS text_hash,
+           min(doc_id)   AS keeper_doc_id,
+           count(*)      AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: sha2 digest → groupBy → keep the lowest doc_id.
+
+    The digest, not the text, is the shuffle key — at 100 TB the exchange
+    carries 32 bytes per row instead of whole documents, and the groupBy
+    combines map-side. dropDuplicates is the one-liner form; this shape
+    additionally reports cluster sizes.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2("text", 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@op(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+               AS jaccard
+    FROM toks a
+    JOIN toks b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) > 0.8
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup with blocking on (lang, length bucket).
+
+    The blocked self-join is the honest quadratic verify step — made
+    scale-safe by only pairing inside blocks (the same trick records-
+    linkage calls blocking, and what LSH automates adaptively). Equi-join
+    on the block key → normal shuffle join, no cross join anywhere.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("int").alias("len_bucket"),
+        _distinct_tokens().alias("toks"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - F.size(
+        F.array_intersect(F.col("a.toks"), F.col("b.toks"))
+    )
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac > 0.8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+JACCARD_THRESHOLD = 0.8
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_15): min over tokens of xxhash64(seed k, token).
+
+    One explode + one groupBy with 16 min() aggregates — partial
+    aggregation makes the shuffle carry 16 longs per doc regardless of
+    document size. xxhash64 is Spark-native (JVM, codegen'd).
+    """
+    tok = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(k), F.col("tok"))).alias(f"mh_{k}") for k in range(N_HASHES)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+@op("dedup_near_minhash", tags=("llm", "dedup", "approx"))
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding + exact-Jaccard verification.
+
+    Pipeline: shingle → 16 minhashes → 4 bands of 4 (banded via
+    xxhash64 of the band's minhashes) → candidates = pairs sharing any
+    band bucket (equi-join on (band, bucket) — the only pairing step, so
+    cost is per-bucket, never O(n²)) → verify candidates with exact token
+    Jaccard > 0.8. Rows-only for the driver (xxhash64 has no DuckDB twin);
+    recall/precision vs the exact op is pinned in tests/test_llm.py.
+    """
+    d = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(d)
+    # Band hash: one 64-bit value per (doc, band).
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col(f"mh_{b * 4 + r}") for r in range(4)]).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact verification of the candidate set only.
+    toks = d.select("doc_id", _distinct_tokens().alias("toks"))
+    verified = (
+        cand.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
+        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = F.size("toks_a") + F.size("toks_b") - F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter / union
+    return verified.filter(jac > JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+@op("dedup_simhash", tags=("llm", "dedup", "approx"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints + banded hamming-distance search.
+
+    Per doc: each token hashes to 64 bits; bit b of the fingerprint is the
+    sign of Σ_tokens (±1 per token's bit b) — built as 64 conditional-sum
+    aggregates, all codegen'd. Near-dups: hamming(f_a, f_b) ≤ 6, searched
+    by exact-matching any of four 16-bit bands (a distance-≤3 pair must
+    agree on ≥1 band; ≤6 needs 7 bands strictly — band count is the
+    recall/cost dial, pinned in tests). Output: (doc_a, doc_b, hamming).
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    fp = sums.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(0) for b in range(63)],
+            F.lit(0).cast("long"),
+        ).alias("fingerprint"),  # bit 63 left clear: keeps the value in signed-long range
+    )
+    bands = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("fingerprint", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "fingerprint", "bb.band", "bb.chunk")
+    pairs = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.fingerprint").alias("fp_a"),
+            F.col("y.fingerprint").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@op("dedup_embedding", tags=("llm", "dedup", "approx"))
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup: cosine above threshold within label blocks.
+
+    Reuses the similarity tier's JVM cosine kernel; blocking on `label`
+    stands in for the coarse quantizer an IVF index would provide. The
+    threshold is corpus-calibrated: the fixture embeddings are unclustered
+    random vectors (intra-label max cosine ≈ 0.47), so production's 0.95
+    would select nothing — 0.30 keeps the operator's output non-trivial
+    while the shape (block → kernel → threshold) is unchanged. Driver
+    check is rows-only (threshold-sensitive at the 4th decimal); the
+    kernel itself is oracle-proven in sim_search_topk.
+    """
+    from connor_fun_streamproducer_spark.llm.similarity import cosine_expr
+
+    e = load(spark, sf_dir, "embeddings")
+    x = e.alias("x")
+    y = e.alias("y")
+    sim = cosine_expr(F.col("x.embedding"), F.col("y.embedding"))
+    return (
+        x.join(
+            y,
+            (F.col("x.label") == F.col("y.label")) & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") > 0.30)
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )

@@ -1,1 +1,172 @@
-"""Placeholder — ops land here per SURVEY.md §7 build order."""
+"""Similarity search over ``embeddings.embedding`` (ARRAY<FLOAT>, 64-d).
+
+Two paths (SURVEY.md §2.2):
+
+- ``sim_search_topk``  — brute-force exact top-k: broadcast the query set,
+  score every (query, candidate) with a JVM cosine kernel, keep top-k per
+  query. The 100 TB baseline: one pass over the corpus, no shuffle of the
+  corpus side, O(|queries| · dim) work per row.
+- ``sim_search_lsh``   — random-hyperplane LSH: 16 signed projections →
+  16-bit bucket; candidates share a bucket in any of 4 hyperplane groups;
+  exact re-rank of candidates only. The scale path when |queries| is
+  large: pairing is per-bucket (equi-join), never corpus × queries.
+
+The cosine kernel is pure ``zip_with``/``aggregate`` (whole-stage codegen,
+float→double widened elementwise) — no Python, no UDF. The Pandas-UDF
+variant was considered and rejected: the kernel is memory-bound, and
+Arrow transfer would dominate at 64 dims.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.registry import op
+
+K = 5
+N_QUERIES = 10  # query set: vec_id < 10
+
+
+def _dbl(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, elementwise left-to-right (oracle-parity order)."""
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_dbl(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+@op(
+    "sim_search_topk",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+                   AS sim
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS sim
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(sim, 6) DESC, neighbor_id) <= {K}
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k for a broadcast query set.
+
+    Plan shape: corpus scan → BroadcastNestedLoopJoin against the tiny
+    query set → codegen'd cosine → per-query top-k window. Ranking ties
+    are broken on (round(sim,6), neighbor_id) so both engines order
+    identically despite last-ulp float drift.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine_expr(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(F.round("sim", 6)), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+def _hyperplanes(dim: int = 64, n: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (fixed seed → reproducible runs)."""
+    rng = np.random.default_rng(seed)
+    return [[float(v) for v in rng.standard_normal(dim)] for _ in range(n)]
+
+
+@op("sim_search_lsh", tags=("llm", "similarity", "approx"))
+def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: random-hyperplane LSH bucketing + exact re-rank.
+
+    16 hyperplanes → four 4-bit sign-buckets per vector; query and
+    candidate pair up when any group's bucket matches (equi-join on
+    (group, bucket)); candidates are re-ranked with the exact kernel and
+    top-k'd. Recall vs the exact op is pinned in tests/test_llm.py.
+    Rows-only for the driver: bucket membership depends on the generated
+    hyperplanes, which the SQL oracle can't regenerate.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    # sign bit per plane, packed 4 planes → one 4-bit bucket per group
+    def bucket(group: int) -> Column:
+        bits = []
+        for r in range(4):
+            p = planes[group * 4 + r]
+            proj = F.aggregate(
+                F.zip_with(
+                    _dbl(F.col("embedding")),
+                    F.array(*[F.lit(v) for v in p]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj > 0, F.lit(1 << r)).otherwise(F.lit(0)))
+        return sum(bits[1:], bits[0])
+
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(g).alias("grp"), bucket(g).alias("bucket"))
+                    for g in range(4)
+                ]
+            )
+        ).alias("gb"),
+    ).select("vec_id", "embedding", "gb.grp", "gb.bucket")
+
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "grp", "bucket"
+    )
+    cand = (
+        bucketed.alias("c")
+        .join(
+            F.broadcast(q).alias("qq"),
+            (F.col("c.grp") == F.col("qq.grp"))
+            & (F.col("c.bucket") == F.col("qq.bucket"))
+            & (F.col("c.vec_id") != F.col("qq.query_id")),
+        )
+        .select(
+            F.col("qq.query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.col("qq.q_emb"),
+            F.col("c.embedding").alias("c_emb"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("sim", cosine_expr(F.col("q_emb"), F.col("c_emb")))
+    w = Window.partitionBy("query_id").orderBy(F.desc(F.round("sim", 6)), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )

@@ -1,1 +1,177 @@
-"""Placeholder — ops land here per SURVEY.md §7 build order."""
+"""Text analysis operators over ``documents`` — connor.fun's downstream
+purpose (per-region text scoring), supplied engine-side.
+
+All four ops are pure built-in expressions (split/filter/aggregate/
+regexp) — language ID and quality scoring run inside whole-stage codegen,
+which is what makes them viable as a pre-filter pass over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.registry import op
+
+# Tiny marker-word lists for the n-gram/stopword language heuristic.
+# (Deterministic toy lists — the fixture corpus is synthetic; the operator
+# contract is the scoring machinery, not lexicon quality.)
+_MARKERS = {
+    "en": ("the", "and", "of", "fast"),
+    "de": ("der", "und", "von", "schnell"),
+    "fr": ("le", "et", "de", "vite"),
+}
+_STOPWORDS = ("the", "a", "of", "and", "in", "to")
+
+
+def _toks():
+    return F.split(F.col("text"), " ")
+
+
+def _marker_count(lang: str):
+    markers = list(_MARKERS[lang])
+    return F.size(F.filter(_toks(), lambda t: t.isin(markers)))
+
+
+@op(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER)                AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+           floor(CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 10000) / 10000        AS avg_token_len,
+           floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 10000) / 10000        AS ttr
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, type-token ratio, average token length.
+
+    Whitespace tokenization plus a BPE-ish proxy (chars/token) — the cheap
+    token-budget estimator a corpus pipeline runs before real tokenizers.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(_toks())
+    n_dis = F.size(F.array_distinct(_toks()))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        (F.floor(F.length("text").cast("double") / n_tok * 10000) / 10000).alias("avg_token_len"),
+        (F.floor(n_dis.cast("double") / n_tok * 10000) / 10000).alias("ttr"),
+    )
+
+
+@op(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[^a-z ]')) AS INTEGER) AS n_nonalpha,
+           floor(CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 10000) / 10000     AS stopword_ratio,
+           floor(least(CAST(length(text) AS DOUBLE) / 500, 1.0)
+                 * (0.5 + 0.5 * CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS DOUBLE)
+                       / len(string_split(text, ' '))) * 10000) / 10000  AS quality_score
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length + stopword-ratio composite.
+
+    The Gopher/C4-style cheap quality gate: documents that are too short
+    or stopword-free score low. Formula mirrored exactly in the
+    oracle; ratio outputs use floor-truncation at 4 decimals instead of
+    round() — identical doubles floor identically on every engine, while
+    round() tie-handling is implementation-defined (HALF_UP on exact
+    binary vs scaled-multiply half-away).
+    """
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(_toks())
+    stop_ratio = (
+        F.size(F.filter(_toks(), lambda t: t.isin(list(_STOPWORDS)))).cast("double") / n_tok
+    )
+    length_term = F.least(F.length("text").cast("double") / 500, F.lit(1.0))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[^a-z ]"), 0)).alias("n_nonalpha"),
+        (F.floor(stop_ratio * 10000) / 10000).alias("stopword_ratio"),
+        (F.floor(length_term * (0.5 + 0.5 * stop_ratio) * 10000) / 10000).alias("quality_score"),
+    )
+
+
+@op(
+    "text_langid",
+    oracle="""
+    WITH scores AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'and', 'of', 'fast')))     AS s_en,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('der', 'und', 'von', 'schnell'))) AS s_de,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('le', 'et', 'de', 'vite')))       AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS guessed_lang,
+           CAST(greatest(s_en, s_de, s_fr) AS INTEGER) AS marker_hits
+    FROM scores
+    """,
+    tags=("llm", "text"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker counts.
+
+    Deterministic tie-break (en > de > fr) mirrored on both sides. On a
+    real corpus the marker lists become n-gram profiles; the operator
+    shape (k scores + argmax, one pass) is unchanged.
+    """
+    d = load(spark, sf_dir, "documents")
+    s_en, s_de, s_fr = _marker_count("en"), _marker_count("de"), _marker_count("fr")
+    guess = (
+        F.when((s_en >= s_de) & (s_en >= s_fr), F.lit("en"))
+        .when(s_de >= s_fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        guess.alias("guessed_lang"),
+        F.greatest(s_en, s_de, s_fr).alias("marker_hits"),
+    )
+
+
+@op(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_sum(list_transform(string_split(text, ' '),
+                    (t, i) -> i * (ascii(t) * 100 + length(t)))) % 1000000007
+               AS fingerprint
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint (position-weighted token hash).
+
+    Σ_i i · (ascii(tok_i[0])·100 + len(tok_i)) mod p — swapping two
+    distinct tokens changes the value, so it detects reorderings that
+    bag-of-words hashes miss, at one arithmetic op per token. Both engines
+    use 1-based positions (Spark's indexed transform is 0-based → i+1).
+    """
+    d = load(spark, sf_dir, "documents")
+    weighted = F.transform(
+        _toks(), lambda t, i: (i + 1).cast("bigint") * (F.ascii(t) * 100 + F.length(t))
+    )
+    fp = F.aggregate(weighted, F.lit(0).cast("bigint"), lambda acc, x: acc + x) % 1000000007
+    return d.select("doc_id", fp.alias("fingerprint"))

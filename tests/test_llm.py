@@ -1,0 +1,99 @@
+"""Quality pins for the probabilistic LLM-tier ops (rows-only in the
+driver contract): MinHash-LSH and hyperplane-LSH recall against their
+exact counterparts, SimHash self-consistency, and the multimodal decode
+stub. Deterministic given fixed data + fixed hash params, so exact
+assertions are safe."""
+
+from __future__ import annotations
+
+import pytest
+
+from connor_fun_streamproducer_spark import registry
+from tests.conftest import SF_DIR
+
+registry._ensure_loaded()
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """Every verified MinHash pair is a true near-dup (precision == 1 by
+    construction — the verify stage recomputes exact Jaccard); recall is
+    measured against UNBLOCKED brute-force Jaccard (the blocked exact op
+    deliberately skips cross-block pairs, so it is not the ground truth)."""
+    from pyspark.sql import functions as F
+
+    from connor_fun_streamproducer_spark.catalog import load
+
+    d = load(spark, SF_DIR, "documents")
+    toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
+    union = (
+        F.size("a.toks") + F.size("b.toks") - F.size(F.array_intersect("a.toks", "b.toks"))
+    )
+    brute = _pairs(
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter / union > 0.8)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    lsh = _pairs(registry.OPS["dedup_near_minhash"].fn(spark, SF_DIR))
+    assert lsh <= brute, f"false positives survived verification: {sorted(lsh - brute)[:5]}"
+    if brute:
+        recall = len(lsh & brute) / len(brute)
+        assert recall >= 0.5, f"LSH recall collapsed: {recall:.2f} ({len(brute)} true pairs)"
+
+
+def test_simhash_near_duplicates_of_identical_docs(spark):
+    """Identical token sets ⇒ identical fingerprints ⇒ hamming 0; the op
+    must at minimum report every exact-duplicate text pair."""
+    from connor_fun_streamproducer_spark.catalog import load
+
+    d = load(spark, SF_DIR, "documents")
+    dup_texts = (
+        d.groupBy("text").count().filter("count > 1").count()
+    )
+    simhash = registry.OPS["dedup_simhash"].fn(spark, SF_DIR)
+    zero_dist = simhash.filter("hamming = 0").count()
+    # Fixture may have no exact dups at this SF; the invariant is one-way.
+    assert zero_dist >= dup_texts, (dup_texts, zero_dist)
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    """Hyperplane-LSH top-k must recover a solid fraction of the exact
+    top-k neighborhood (16 planes / 4 groups on 64-d random data)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry.OPS["sim_search_topk"].fn(spark, SF_DIR).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry.OPS["sim_search_lsh"].fn(spark, SF_DIR).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.3, f"ANN recall collapsed: {recall:.2f}"
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from connor_fun_streamproducer_spark.llm.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_dedup_exact_detects_planted_duplicates(spark):
+    """Plant duplicate texts and assert the hash-groupBy clusters them."""
+    from pyspark.sql import functions as F
+
+    from connor_fun_streamproducer_spark.catalog import load
+
+    d = load(spark, SF_DIR, "documents").limit(20)
+    planted = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 100000))
+    clusters = (
+        planted.select(F.sha2("text", 256).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.count("*").alias("n"))
+    )
+    assert clusters.filter("n >= 2").count() == 20
