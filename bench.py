@@ -31,11 +31,17 @@ HEADLINE = [
     "enrich_region",
     "agg_hash",
     "join_sortmerge",
+    "join_asof",
     "topk_per_group",
     "win_frame",
+    "dedup_exact",
     "dedup_near_minhash",
     "sim_search_topk",
+    "text_quality",
+    "stream_tumbling",
 ]
+
+WARMUP = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
 
 
 def main() -> None:
@@ -48,6 +54,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for key in keys:
         fn = registry.OPS[key].fn
+        if WARMUP:
+            # One untimed run to absorb codegen/classload costs (one-time
+            # per JVM in production; this container's Janino compile is
+            # pathologically slow and would otherwise dominate).
+            fn(spark, SF_DIR).count()
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         n = df.count()

@@ -143,21 +143,9 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return tok.groupBy("doc_id").agg(*aggs)
 
 
-@op("dedup_near_minhash", tags=("llm", "dedup", "approx"))
-def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding + exact-Jaccard verification.
-
-    Pipeline: shingle → 16 minhashes → 4 bands of 4 (banded via
-    xxhash64 of the band's minhashes) → candidates = pairs sharing any
-    band bucket (equi-join on (band, bucket) — the only pairing step, so
-    cost is per-bucket, never O(n²)) → verify candidates with exact token
-    Jaccard > 0.8. Rows-only for the driver (xxhash64 has no DuckDB twin);
-    recall/precision vs the exact op is pinned in tests/test_llm.py.
-    """
-    d = load(spark, sf_dir, "documents")
-    sig = minhash_signatures(d)
-    # Band hash: one 64-bit value per (doc, band).
-    bands = sig.select(
+def lsh_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket): one 64-bit bucket per band of 4 minhashes."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -171,28 +159,50 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+@op("dedup_near_minhash", tags=("llm", "dedup", "approx"))
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding + keeper assignment + exact verification.
+
+    Pipeline: shingle → 16 minhashes → 4 bands of 4 → per (band, bucket)
+    the smallest doc_id becomes the bucket keeper → per doc, candidate
+    keeper = min over its bands → verify (doc, keeper) with exact token
+    Jaccard > 0.8. Output: one row per detected duplicate (doc_id,
+    keeper_doc_id, jaccard).
+
+    Keeper assignment instead of all-pairs emission is the scale
+    decision: this corpus is massively self-similar (a single band bucket
+    can hold >50% of documents), so in-bucket pairing is Θ(bucket²) —
+    measured 52 s at sf0.1 and hopeless at 100 TB — while keeper
+    assignment is two linear shuffles (groupBy bucket, groupBy doc) and
+    |docs| verifications. The cost: one LSH pass clusters via a single
+    hop (doc → bucket-min), the standard multi-pass heuristic; recall is
+    pinned in tests/test_llm.py. Rows-only for the driver (xxhash64 has
+    no DuckDB twin).
+    """
+    d = load(spark, sf_dir, "documents")
+    bands = lsh_bands(minhash_signatures(d))
+    bucket_min = bands.groupBy("band", "bucket").agg(F.min("doc_id").alias("bucket_keeper"))
     cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+        bands.join(bucket_min, ["band", "bucket"])
+        .groupBy("doc_id")
+        .agg(F.min("bucket_keeper").alias("keeper_doc_id"))
+        .filter(F.col("keeper_doc_id") < F.col("doc_id"))
     )
-    # Exact verification of the candidate set only.
+    # No broadcast hint: toks scales with the corpus, so the verify joins
+    # must stay plain equi-joins on doc_id (AQE converts them to broadcast
+    # when the candidate set happens to be small).
     toks = d.select("doc_id", _distinct_tokens().alias("toks"))
-    verified = (
-        cand.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
-        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
-    )
-    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-    union = F.size("toks_a") + F.size("toks_b") - F.size(F.array_intersect("toks_a", "toks_b"))
+    verified = cand.join(
+        toks.withColumnRenamed("doc_id", "keeper_doc_id").withColumnRenamed("toks", "toks_k"),
+        "keeper_doc_id",
+    ).join(toks, "doc_id")
+    inter = F.size(F.array_intersect("toks", "toks_k")).cast("double")
+    union = F.size("toks") + F.size("toks_k") - F.size(F.array_intersect("toks", "toks_k"))
     jac = inter / union
     return verified.filter(jac > JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+        "doc_id", "keeper_doc_id", F.round(jac, 4).alias("jaccard")
     )
 
 

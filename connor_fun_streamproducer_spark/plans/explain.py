@@ -1,0 +1,54 @@
+"""Physical-plan inspection helpers.
+
+"Correct but with the wrong plan" is a failure mode at 100 TB: a dim join
+that falls back to sort-merge shuffles the fact table; a scan that loses
+its pushed filter reads a year of data for a day's query. These helpers
+let tests assert the plan, not just the rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The formatted physical plan (AQE initial plan for batch frames)."""
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Plan after an action, with AQE's runtime decisions materialized."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def assert_in_plan(df: DataFrame, *needles: str, executed: bool = False) -> str:
+    plan = executed_plan(df) if executed else formatted_plan(df)
+    for needle in needles:
+        assert needle in plan, f"expected {needle!r} in plan:\n{plan}"
+    return plan
+
+
+def assert_not_in_plan(df: DataFrame, *needles: str, executed: bool = False) -> str:
+    plan = executed_plan(df) if executed else formatted_plan(df)
+    for needle in needles:
+        assert needle not in plan, f"unexpected {needle!r} in plan:\n{plan}"
+    return plan
+
+
+def count_in_plan(df: DataFrame, needle: str, executed: bool = False) -> int:
+    """Count distinct operator instances named ``needle``.
+
+    Formatted plans print each operator twice (tree + "(N) Op" detail
+    header); counting the numbered detail headers counts each instance
+    exactly once.
+    """
+    import re
+
+    plan = executed_plan(df) if executed else formatted_plan(df)
+    n = len(re.findall(rf"^\(\d+\) {re.escape(needle)}\b", plan, flags=re.MULTILINE))
+    if n == 0 and needle in plan:  # executed plans have no detail headers
+        return plan.count(needle)
+    return n

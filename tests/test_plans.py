@@ -1,0 +1,110 @@
+"""Physical-plan audits (SURVEY.md §4 / the 100 TB posture).
+
+Every assertion here encodes a scale requirement: broadcast where a dim is
+small, pushdown/pruning at the scan, partial aggregation before the
+exchange, no shuffle where none is needed. Rows being right is necessary;
+these make the plans right.
+"""
+
+from __future__ import annotations
+
+from connor_fun_streamproducer_spark import registry
+from connor_fun_streamproducer_spark.plans.explain import (
+    assert_in_plan,
+    assert_not_in_plan,
+    count_in_plan,
+    formatted_plan,
+)
+from tests.conftest import SF_DIR
+
+registry._ensure_loaded()
+
+
+def _q(key, spark):
+    return registry.OPS[key].fn(spark, SF_DIR)
+
+
+def test_join_broadcast_is_broadcast(spark):
+    """Dim joins must be BroadcastHashJoin — zero shuffle of the fact side."""
+    plan = assert_in_plan(_q("join_broadcast", spark), "BroadcastHashJoin")
+    assert "SortMergeJoin" not in plan
+
+
+def test_enrich_region_is_broadcast_nested_loop(spark):
+    """The bbox theta-join must broadcast the ≤25-row locations dim."""
+    assert_in_plan(_q("enrich_region", spark), "BroadcastNestedLoopJoin")
+
+
+def test_scan_parquet_pushdown_and_pruning(spark):
+    """Filter reaches the parquet reader; scan reads only needed columns."""
+    plan = formatted_plan(_q("scan_parquet", spark))
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan, plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_comment" not in read_schema and "l_quantity" not in read_schema
+
+
+def test_filter_pred_pushdown(spark):
+    plan = formatted_plan(_q("filter_pred", spark))
+    assert "PushedFilters: [" in plan
+    assert "In(o_orderstatus" in plan, plan
+
+
+def test_agg_hash_partial_aggregation(spark):
+    """TPC-H Q1 must partial-aggregate before its single exchange."""
+    df = _q("agg_hash", spark)
+    assert count_in_plan(df, "HashAggregate") >= 2  # partial + final
+    assert count_in_plan(df, "Exchange") == 1
+
+
+def test_sortmerge_join_reuses_partitioning_for_agg(spark):
+    """groupBy on the join key must not add a second exchange on that key."""
+    df = _q("join_sortmerge", spark)
+    # one exchange per join side; the post-join aggregation reuses the
+    # join's hash partitioning on o_orderkey.
+    assert count_in_plan(df, "Exchange") == 2, formatted_plan(df)
+    assert_in_plan(df, "SortMergeJoin")
+
+
+def test_sort_within_partitions_no_exchange(spark):
+    assert_not_in_plan(_q("sort_within", spark), "Exchange")
+
+
+def test_limit_topk_is_take_ordered(spark):
+    """ORDER BY + LIMIT compiles to TakeOrderedAndProject, not a full sort."""
+    assert_in_plan(_q("limit_topk", spark), "TakeOrderedAndProject")
+
+
+def test_union_all_no_shuffle(spark):
+    assert_not_in_plan(_q("set_union_all", spark), "Exchange")
+
+
+def test_semi_anti_joins(spark):
+    assert_in_plan(_q("join_semi", spark), "LeftSemi")
+    assert_in_plan(_q("join_anti", spark), "LeftAnti")
+
+
+def test_sim_search_broadcasts_queries_not_corpus(spark):
+    """The query set broadcasts; the corpus side must stay streamed."""
+    plan = formatted_plan(_q("sim_search_topk", spark))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_window_ops_single_exchange(spark):
+    """Both windows in win_rank share one partitioning → one exchange."""
+    assert count_in_plan(_q("win_rank", spark), "Exchange") == 1
+
+
+def test_dedup_exact_partial_agg_on_digest(spark):
+    """The shuffle key is the 32-byte digest, never the document text."""
+    df = _q("dedup_exact", spark)
+    plan = formatted_plan(df)
+    exch = [l for l in plan.splitlines() if "Exchange" in l or "hashpartitioning" in l]
+    assert any("text_hash" in l for l in exch) or "text_hash" in plan
+    assert count_in_plan(df, "HashAggregate") >= 2
+
+
+def test_no_cartesian_anywhere_in_dedup_minhash(spark):
+    """LSH candidate pairing must be an equi-join on (band, bucket)."""
+    assert_not_in_plan(_q("dedup_near_minhash", spark), "CartesianProduct")

@@ -1,0 +1,85 @@
+"""Property-based algebraic invariants (SURVEY.md §5.2 layer 3).
+
+Each property is checked over hypothesis-generated parameters against the
+real engine. Example counts are small (Spark jobs per example) but the
+invariants are exact, not statistical.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from connor_fun_streamproducer_spark.catalog import load
+from tests.conftest import SF_DIR
+
+_settings = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(threshold=st.floats(min_value=0.0, max_value=300000.0, allow_nan=False))
+@_settings
+def test_filter_commutes_with_projection(spark, threshold):
+    o = load(spark, SF_DIR, "orders")
+    a = o.filter(F.col("o_totalprice") > threshold).select("o_orderkey", "o_totalprice")
+    b = o.select("o_orderkey", "o_totalprice").filter(F.col("o_totalprice") > threshold)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+@given(status=st.sampled_from(["O", "F", "P"]), prio=st.sampled_from(["1-URGENT", "3-MEDIUM"]))
+@_settings
+def test_union_count_is_sum_of_counts(spark, status, prio):
+    o = load(spark, SF_DIR, "orders")
+    x = o.filter(F.col("o_orderstatus") == status)
+    y = o.filter(F.col("o_orderpriority") == prio)
+    assert x.unionByName(y).count() == x.count() + y.count()
+
+
+@given(seed=st.integers(min_value=0, max_value=10))
+@_settings
+def test_dedup_idempotent(spark, seed):
+    d = load(spark, SF_DIR, "documents")
+    doubled = d.unionByName(d).withColumn("salt", F.lit(seed))
+    once = doubled.dropDuplicates(["doc_id"])
+    twice = once.dropDuplicates(["doc_id"])
+    assert once.count() == twice.count() == d.count()
+
+
+def test_window_counts_sum_to_enriched_total(spark):
+    """Tumbling-window per-region counts must partition the enriched rows."""
+    from connor_fun_streamproducer_spark.streaming.pipeline import (
+        agg_window_count,
+        enrich_region,
+    )
+
+    total = enrich_region(spark, SF_DIR).count()
+    windowed = agg_window_count(spark, SF_DIR)
+    assert windowed.agg(F.sum("n_events")).collect()[0][0] == total
+
+
+@given(k=st.integers(min_value=1, max_value=10))
+@_settings
+def test_topk_per_group_bounded_and_subset(spark, k):
+    from pyspark.sql.window import Window
+
+    o = load(spark, SF_DIR, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    topk = o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    sizes = topk.groupBy("o_custkey").count()
+    assert sizes.filter(F.col("count") > k).count() == 0
+    # top-1 of top-k equals top-1 overall
+    top1 = o.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    assert topk.filter("rn = 1").count() == top1.count()
+
+
+def test_set_algebra_partition(spark):
+    """A = (A∩B) ⊎ (A∖B) in bag semantics."""
+    o = load(spark, SF_DIR, "orders")
+    a = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    assert a.count() == a.intersectAll(b).count() + a.exceptAll(b).count()
