@@ -240,3 +240,53 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority"))).alias("priorities"),
         F.count("*").alias("n"),
     )
+
+
+@op(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("ext", "agg"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority × status (explicit value list).
+
+    Passing the pivot values explicitly skips the extra distinct-values
+    job — mandatory at 100 TB (implicit pivot scans the data twice and
+    caps at spark.sql.pivotMaxValues).
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+@op(
+    "agg_unpivot",
+    oracle="""
+    SELECT o_orderpriority AS priority, o_orderstatus AS status, count(*) AS n
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F', 'P')
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "agg"),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide pivot back to (priority, status, n) rows —
+    the pivot↔unpivot round-trip proves both directions lossless (zero
+    rows survive only when a (priority,status) pair never occurs; those
+    are refiltered out to match the direct group-by)."""
+    wide = agg_pivot(spark, sf_dir)
+    return (
+        wide.unpivot("priority", ["O", "F", "P"], "status", "n")
+        .filter(F.col("n") > 0)
+    )

@@ -95,6 +95,7 @@ def _ensure_loaded() -> None:
         strings,
     )
     from connor_fun_streamproducer_spark.sources import batch as _sources_batch  # noqa: F401
+    from connor_fun_streamproducer_spark.sources import config_scan as _config_scan  # noqa: F401
     from connor_fun_streamproducer_spark.streaming import (  # noqa: F401
         pipeline,
         stateful,

@@ -119,3 +119,15 @@ def run_to_memory(sdf: DataFrame, output_mode: str = "append", name: str | None 
         q.stop()
         q.awaitTermination()
     return spark.table(qname)
+
+
+def socket_source(spark: SparkSession, host: str = "localhost", port: int = 9999) -> DataFrame:
+    """Socket text source (dev tool — the quickest stand-in for the
+    reference's long-poll HTTP stream when demoing locally; not
+    fault-tolerant, never for production)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )

@@ -243,3 +243,20 @@ def serialized_sink_frame(enriched: DataFrame) -> DataFrame:
         F.to_json(F.struct([c for c in enriched.columns])).alias("value"),
         F.concat(F.lit("raw-tweets-"), F.col("region_id")).alias("topic"),
     )
+
+
+@op("sink_kafka", tags=("ref", "sink"))
+def sink_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka sink frame: (key, value, topic) per enriched event.
+
+    regionSpout.go:151-163 made real: value = the full enriched record as
+    JSON (the intended rawTweet envelope, regionSpout.go:46-51, which the
+    reference declared but never used), key = region (broker-side
+    partition affinity), topic = per-region routing. This exact frame
+    feeds ``sources.streams.kafka_sink`` in production; rows-only here
+    (JSON text formatting is engine-specific) — route_by_key and
+    proj_serialize oracle-check the routing and serialization logic.
+    """
+    events = with_coords(load(spark, sf_dir, "events"))
+    enriched = enrich(events, locations_df(spark))
+    return serialized_sink_frame(enriched.select("event_id", "ts", "region_id", "lon", "lat"))
