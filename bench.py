@@ -59,10 +59,14 @@ def main() -> None:
             # per JVM in production; this container's Janino compile is
             # pathologically slow and would otherwise dominate).
             fn(spark, SF_DIR).count()
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[key] = round(time.perf_counter() - t0, 3)
+        best, n = None, 0
+        for _ in range(2):  # min-of-2: the shared host is noisy (3× swings)
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[key] = round(best, 3)
         print(f"# {key}: {timings[key]:.3f}s rows={n}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -271,3 +271,98 @@ def src_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark_q.stop()
         spark_q.awaitTermination()
     return spark.table("rate_probe")
+
+
+@op(
+    "sink_foreachbatch",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("ext", "sink", "streaming"),
+)
+def sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: arbitrary batch logic per micro-batch epoch.
+
+    The escape hatch for sinks Spark lacks natively (JDBC upserts, MERGE,
+    multi-sink fanout): each micro-batch arrives as a normal DataFrame
+    plus an epoch id for idempotent writes. Here every epoch overwrites
+    its own parquet subdirectory (exactly-once via epoch-keyed paths);
+    reading the union back equals the oracle's direct aggregation.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    out_dir = _os.path.join("/root/repo/.scratch", tag, "foreachbatch_out")
+    _shutil.rmtree(out_dir, ignore_errors=True)
+
+    sdf = events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(_os.path.join(out_dir, f"epoch={epoch_id}"))
+
+    q = sdf.writeStream.foreachBatch(write_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    back = spark.read.option("basePath", out_dir).parquet(out_dir + "/epoch=*")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+
+
+@op("stream_late_policy", tags=("ext", "streaming"))
+def stream_late_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-mode policy demo: the same watermarked aggregation in update
+    mode — emits in-progress window revisions every batch (vs append's
+    finalized-only, stream_watermark). The memory table holds one revision
+    per (window, batch-with-change); the op returns the latest revision
+    per window, which in a drained stream equals the true final counts.
+    Rows-only: revision multiplicity is batch-boundary-dependent.
+    """
+    from pyspark.sql.window import Window as W
+
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 seconds").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_memory(agg, output_mode="update")
+    latest = W.partitionBy("w", "event_type").orderBy(F.desc("n"))
+    return (
+        out.withColumn("rn", F.row_number().over(latest))
+        .filter("rn = 1")
+        .select("event_type", F.col("w.start").alias("window_start"), "n")
+    )
+
+
+@op("stream_health_monitor", tags=("ref", "streaming"))
+def stream_health_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's monitor printout as a queryable frame: run a
+    monitored streaming query and report per-query listener state
+    (progress count, rows seen, stall flag). Reference:
+    regionSpout.go:102-117 (printout + stub restart). Rows-only: progress
+    cadence is wall-clock-dependent; exact stall semantics are pinned in
+    tests/test_streaming.py.
+    """
+    from connor_fun_streamproducer_spark.streaming.health import StreamHealthMonitor
+
+    mon = StreamHealthMonitor(stall_after=3)
+    spark.streams.addListener(mon)
+    try:
+        sdf = events_stream(spark, sf_dir).groupBy("event_type").count()
+        run_to_memory(sdf, output_mode="complete")
+    finally:
+        spark.streams.removeListener(mon)
+    rows = [
+        (qid, st.progress_count, st.total_rows, st.stalled)
+        for qid, st in mon.state.items()
+    ]
+    return spark.createDataFrame(
+        rows, schema="query_id string, n_progress long, rows_seen long, stalled boolean"
+    )
