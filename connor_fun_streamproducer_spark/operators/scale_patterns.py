@@ -1,0 +1,159 @@
+"""Scale-pattern operators: the techniques that keep 100 TB plans alive.
+
+Three patterns the SCALE.md analysis calls for, implemented as first-class
+oracle-checked operators rather than doc prose:
+
+- salted two-phase aggregation (hot-key skew)
+- bucketed co-located join (shuffle elimination by layout)
+- iterative min-propagation clustering (transitive closure of near-dup
+  edges — the multi-hop upgrade of dedup_near_minhash's single hop)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.registry import op
+
+N_SALT = 8
+
+
+@op(
+    "agg_skew_salted",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("ext", "agg", "scale"),
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a hot-keyed column.
+
+    event_type has 5 values — at 100 TB each key's partition would be
+    ~20 TB on one reducer. Phase 1 groups by (key, salt) spreading each
+    hot key over N_SALT reducers; phase 2 merges the per-salt partials.
+    sum/count re-aggregate losslessly (sum of sums, sum of counts) — the
+    same partial/final split HashAggregate does within a task, applied
+    across reducers. The salt is a deterministic function of the row
+    (event_id % N), not rand(), so results are reproducible.
+    """
+    e = load(spark, sf_dir, "events")
+    salted = e.withColumn("salt", (F.col("event_id") % N_SALT).cast("int"))
+    phase1 = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("pt")
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("pt"), 4).alias("total")
+    )
+
+
+@op(
+    "join_bucketed",
+    oracle="""
+    SELECT l_orderkey, count(*) AS n_items, round(sum(l_quantity), 4) AS qty,
+           max(o_orderstatus) AS status
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l_orderkey
+    """,
+    tags=("ext", "join", "scale"),
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via bucketed layout.
+
+    Both sides are written bucketed by the join key into the session
+    warehouse; the join then needs NO exchange on either side (bucket i
+    joins bucket i locally — asserted in tests/test_plans.py). This is the
+    layout decision that amortizes one shuffle at write time across every
+    downstream join at 100 TB. (Bucket metadata lives in the session
+    catalog; production uses a persistent metastore.)
+    """
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    n_buckets = 8
+    names = {}
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bkt_{tag}_{t}"
+        names[t] = name
+        if not spark.catalog.tableExists(name):
+            # The in-memory catalog forgets tables between sessions but the
+            # warehouse directory survives — clear any stale location.
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+            (
+                load(spark, sf_dir, t)
+                .write.bucketBy(n_buckets, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+    o = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
+    # merge hint: at fixture scale Catalyst would broadcast the small
+    # orders side; the point of this op is the co-located bucket join,
+    # which is what the planner picks unhinted once both sides are big.
+    return (
+        li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("qty"),
+            F.max("o_orderstatus").alias("status"),
+        )
+    )
+
+
+@op("dedup_minhash_cluster", tags=("llm", "dedup", "approx", "scale"))
+def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: iterative min-label propagation.
+
+    dedup_near_minhash assigns each doc its bucket-minimum in one hop;
+    chains (A~B~C where A,C never share a bucket) need the closure. Each
+    round: cluster label ← min(label) over every bucket the doc shares;
+    repeat until fixpoint (label-sum stable). Converges in O(log(chain))
+    rounds — each round is the same two linear shuffles as the single-hop
+    op, so the 100 TB cost is rounds × linear. Output: (doc_id,
+    cluster_id) for docs in multi-doc clusters. Rows-only (xxhash64
+    buckets have no DuckDB twin); convergence is asserted in
+    tests/test_llm.py.
+    """
+    from connor_fun_streamproducer_spark.llm.dedup import lsh_bands, minhash_signatures
+
+    d = load(spark, sf_dir, "documents")
+    bands = lsh_bands(minhash_signatures(d)).select(
+        "doc_id", F.concat_ws(":", "band", "bucket").alias("bkey")
+    )
+    bands.cache()
+    labels = bands.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
+    prev_sum = None
+    for _ in range(10):  # fixpoint bound; log2(longest chain) rounds in practice
+        bucket_min = (
+            bands.join(labels, "doc_id")
+            .groupBy("bkey")
+            .agg(F.min("label").alias("bmin"))
+        )
+        labels = (
+            bands.join(bucket_min, "bkey")
+            .groupBy("doc_id")
+            .agg(F.min("bmin").alias("label"))
+        )
+        labels.cache()
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("label").agg(F.count("*").alias("sz"))
+    out = (
+        labels.join(sizes, "label")
+        .filter(F.col("sz") > 1)
+        .select("doc_id", F.col("label").alias("cluster_id"))
+    )
+    bands.unpersist()
+    return out

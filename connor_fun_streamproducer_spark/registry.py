@@ -107,6 +107,6 @@ def _ensure_loaded() -> None:
         similarity,
         text,
     )
-    from connor_fun_streamproducer_spark.operators import udfs  # noqa: F401
+    from connor_fun_streamproducer_spark.operators import scale_patterns, udfs  # noqa: F401
 
     _LOADED = True

@@ -64,6 +64,10 @@ def get_spark(app_name: str = "connor_fun_spark", cpus: str | None = None) -> Sp
         # init in this container; JVM case mapping is semantically
         # identical for ASCII data and matches DuckDB's upper/lower.
         .config("spark.sql.icu.caseMappings.enabled", "false")
+        # Managed tables (bucketed-join layouts) land in scratch, not the
+        # repo root; the in-memory catalog forgets them between sessions,
+        # so writers must clean stale locations (operators/scale_patterns).
+        .config("spark.sql.warehouse.dir", "/root/repo/.scratch/spark-warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

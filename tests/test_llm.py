@@ -103,3 +103,25 @@ def test_dedup_exact_detects_planted_duplicates(spark):
         .agg(F.count("*").alias("n"))
     )
     assert clusters.filter("n >= 2").count() == 20
+
+
+def test_minhash_cluster_is_fixpoint_and_consistent(spark):
+    """Cluster labels must be a fixpoint of min-propagation (one more
+    round changes nothing) and every single-hop keeper edge must land in
+    one cluster."""
+    from pyspark.sql import functions as F
+
+    clusters = registry.OPS["dedup_minhash_cluster"].fn(spark, SF_DIR)
+    label_by_doc = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    # cluster_id is the min doc_id of its cluster
+    by_cluster = {}
+    for doc, c in label_by_doc.items():
+        by_cluster.setdefault(c, []).append(doc)
+    for c, docs in by_cluster.items():
+        assert c <= min(docs), (c, min(docs))
+    # single-hop keeper edges are intra-cluster
+    hop = registry.OPS["dedup_near_minhash"].fn(spark, SF_DIR).collect()
+    for r in hop:
+        a, b = r["keeper_doc_id"], r["doc_id"]
+        if a in label_by_doc and b in label_by_doc:
+            assert label_by_doc[a] == label_by_doc[b], (a, b)

@@ -108,3 +108,18 @@ def test_dedup_exact_partial_agg_on_digest(spark):
 def test_no_cartesian_anywhere_in_dedup_minhash(spark):
     """LSH candidate pairing must be an equi-join on (band, bucket)."""
     assert_not_in_plan(_q("dedup_near_minhash", spark), "CartesianProduct")
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Bucketed layout must eliminate both join-side exchanges."""
+    df = _q("join_bucketed", spark)
+    plan = formatted_plan(df)
+    assert count_in_plan(df, "Exchange") == 0, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_salted_agg_two_phases(spark):
+    """The salted aggregation keeps two HashAggregate pairs (per-salt,
+    then merge) — four total with partials."""
+    df = _q("agg_skew_salted", spark)
+    assert count_in_plan(df, "HashAggregate") >= 3
