@@ -28,11 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
     The flagship is the reference's core question — per-region event counts
     per 30-second tumbling window (regionSpout.go:102-117) — computed via
-    broadcast bbox enrichment + event-time windowed aggregation.
+    broadcast bbox enrichment + event-time windowed aggregation. Routed
+    through the registry so the driver's session gets the required confs
+    (UTC, nanos-parquet handling) pinned first.
     """
-    from connor_fun_streamproducer_spark.streaming.pipeline import agg_window_count
-
-    return agg_window_count(spark, "/root/testdata/sf0.001")
+    _registry._ensure_loaded()
+    return _registry.OPS["agg_window_count"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

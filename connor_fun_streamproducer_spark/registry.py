@@ -46,15 +46,47 @@ class Op:
 
 OPS: dict[str, Op] = {}
 
+# Session confs every op depends on, applied at call time because the
+# DRIVER owns the SparkSession it hands us (it won't have session.py's
+# configs): nanos parquet readability, UTC determinism for event-time
+# buckets vs the DuckDB oracle, and AQE. All are runtime-settable SQLConfs.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.icu.caseMappings.enabled": "false",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # unknown/static conf on some Spark build — op may still work
+
 
 def op(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> Callable[[QueryFn], QueryFn]:
-    """Register an operator implementation under a SURVEY §2 op key."""
+    """Register an operator implementation under a SURVEY §2 op key.
+
+    The registered callable is wrapped to pin the required session confs
+    first — the driver contract passes us an arbitrary SparkSession.
+    """
+    import functools
 
     def deco(fn: QueryFn) -> QueryFn:
         if key in OPS:
             raise ValueError(f"duplicate op key {key!r}")
-        OPS[key] = Op(key=key, fn=fn, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or "")
-        return fn
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        OPS[key] = Op(key=key, fn=wrapped, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or "")
+        return wrapped
 
     return deco
 
