@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_near_minhash",
     "sim_search_topk",
+    "sim_search_ivf",
     "text_quality",
     "stream_tumbling",
 ]

@@ -10,6 +10,14 @@ Two paths (SURVEY.md §2.2):
   16-bit bucket; candidates share a bucket in any of 4 hyperplane groups;
   exact re-rank of candidates only. The scale path when |queries| is
   large: pairing is per-bucket (equi-join), never corpus × queries.
+- ``sim_search_ivf``   — IVF-style coarse quantization: a tiny codebook of
+  normalized centroids (stride-sampled from the corpus; k-means offline in
+  production), every vector assigned to its nearest cell (argmax over a
+  codegen'd dot-product array — the inverted-file key), queries probe
+  their ``N_PROBE`` nearest cells, and only same-cell candidates are
+  re-ranked exactly. At 100 TB the cell id is a partition/bucket column:
+  the probe join is an equi-join that prunes the corpus scan to
+  nprobe/ncells of the data.
 
 The cosine kernel is pure ``zip_with``/``aggregate`` (whole-stage codegen,
 float→double widened elementwise) — no Python, no UDF. The Pandas-UDF
@@ -86,6 +94,100 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", cosine_expr(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(F.round("sim", 6)), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+N_CELLS = 8  # coarse codebook size; production: O(sqrt(corpus)) k-means cells
+N_PROBE = 2  # cells probed per query (recall/cost dial)
+
+
+def _codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Deterministic coarse codebook: stride-sample ``N_CELLS`` corpus
+    vectors (excluding the query set) and L2-normalize them, so nearest
+    cell by dot product == nearest by cosine. Tiny driver collect
+    (N_CELLS × dim floats); at scale the codebook comes from an offline
+    k-means pass and is still just a broadcast literal here."""
+    e = load(spark, sf_dir, "embeddings")
+    rows = (
+        e.filter((F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 59 == 0))
+        .orderBy("vec_id")
+        .limit(N_CELLS)
+        .collect()
+    )
+    cents = []
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        n = float(np.linalg.norm(v))
+        cents.append([float(x) for x in (v / n if n > 0 else v)])
+    return cents
+
+
+def _cell_sims(cents: list[list[float]]) -> Column:
+    """ARRAY<STRUCT<sim,cell>> of dot products against every centroid —
+    whole-stage-codegen'd; struct ordering makes array_max an argmax."""
+    sims = []
+    for i, c in enumerate(cents):
+        d = F.aggregate(
+            F.zip_with(
+                _dbl(F.col("embedding")),
+                F.array(*[F.lit(v) for v in c]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sims.append(F.struct(d.alias("sim"), F.lit(i).alias("cell")))
+    return F.array(*sims)
+
+
+@op("sim_search_ivf", tags=("llm", "similarity", "approx", "scale"))
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF coarse quantization + exact re-rank.
+
+    Corpus side: one pass computes each vector's nearest-centroid cell
+    (argmax of N_CELLS dot products, all inside codegen) — the inverted
+    file. Query side: each query probes its N_PROBE nearest cells. The
+    candidate set is the equi-join on cell id — never corpus × queries —
+    then the exact cosine kernel re-ranks and a window keeps top-k.
+
+    At 100 TB: write the corpus partitioned/bucketed by ``cell`` so the
+    probe join partition-prunes to nprobe/N_CELLS of the data and needs no
+    shuffle. Rows-only for the driver (the sampled codebook is not
+    SQL-expressible); recall vs ``sim_search_topk`` is pinned in
+    tests/test_llm.py.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cents = _codebook(spark, sf_dir)
+
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.array_max(_cell_sims(cents)).getField("cell").alias("cell"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(
+            F.transform(
+                F.slice(F.sort_array(_cell_sims(cents), asc=False), 1, N_PROBE),
+                lambda s: s.getField("cell"),
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        corpus.alias("c")
+        .join(
+            F.broadcast(q).alias("qq"),
+            (F.col("c.cell") == F.col("qq.cell"))
+            & (F.col("c.neighbor_id") != F.col("qq.query_id")),
+        )
+        .withColumn("sim", cosine_expr(F.col("qq.q_emb"), F.col("c.c_emb")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc(F.round("sim", 6)), F.asc("neighbor_id"))
     return (

@@ -82,6 +82,27 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"ANN recall collapsed: {recall:.2f}"
 
 
+def test_ivf_ann_recall_and_structure(spark):
+    """IVF probe must recover part of the exact top-k, stay k-bounded per
+    query, and report sims that agree with the exact kernel."""
+    exact_rows = registry.OPS["sim_search_topk"].fn(spark, SF_DIR).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    exact_sim = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact_rows}
+    ivf_rows = registry.OPS["sim_search_ivf"].fn(spark, SF_DIR).collect()
+    ann = {(r["query_id"], r["neighbor_id"]) for r in ivf_rows}
+    # nprobe=2 of 8 cells on random 64-d data: recall is modest by design,
+    # but must be non-degenerate.
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.15, f"IVF recall collapsed: {recall:.2f}"
+    per_q: dict = {}
+    for r in ivf_rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+        if (r["query_id"], r["neighbor_id"]) in exact_sim:
+            assert abs(r["sim"] - exact_sim[(r["query_id"], r["neighbor_id"])]) < 1e-9
+    assert all(len(v) <= 5 for v in per_q.values())
+
+
 def test_multimodal_decode_stub_raises(spark):
     from connor_fun_streamproducer_spark.llm.multimodal import decode_image
 
