@@ -31,6 +31,8 @@ HEADLINE = [
     "enrich_region",
     "agg_hash",
     "join_sortmerge",
+    "pipeline_local_supplier_volume",
+    "pipeline_shipping_priority",
     "join_asof",
     "topk_per_group",
     "win_frame",

@@ -114,6 +114,7 @@ def _ensure_loaded() -> None:
     from connor_fun_streamproducer_spark.operators import (  # noqa: F401
         aggregates,
         joins,
+        pipelines,
         relational,
         setops,
         windows,

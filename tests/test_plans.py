@@ -123,3 +123,28 @@ def test_salted_agg_two_phases(spark):
     then merge) — four total with partials."""
     df = _q("agg_skew_salted", spark)
     assert count_in_plan(df, "HashAggregate") >= 3
+
+
+def test_pipeline_shipping_priority_plan(spark):
+    """Q3 shape: customer broadcast, one fact shuffle pair, top-k heap."""
+    df = _q("pipeline_shipping_priority", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # date filters reach the scans
+    assert "LessThan(o_orderdate" in plan, plan
+    assert "GreaterThan(l_shipdate" in plan, plan
+
+
+def test_pipeline_local_supplier_volume_all_dims_broadcast(spark):
+    """Q5 shape: every dim broadcast; only orders⋈lineitem may shuffle."""
+    df = _q("pipeline_local_supplier_volume", spark)
+    assert count_in_plan(df, "BroadcastHashJoin") >= 4
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_pipeline_returned_items_topk_heap(spark):
+    df = _q("pipeline_returned_items", spark)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan, plan
