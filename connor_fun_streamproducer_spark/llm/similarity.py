@@ -107,12 +107,18 @@ N_CELLS = 8  # coarse codebook size; production: O(sqrt(corpus)) k-means cells
 N_PROBE = 2  # cells probed per query (recall/cost dial)
 
 
+_CODEBOOK_CACHE: dict[str, list[list[float]]] = {}
+
+
 def _codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     """Deterministic coarse codebook: stride-sample ``N_CELLS`` corpus
     vectors (excluding the query set) and L2-normalize them, so nearest
     cell by dot product == nearest by cosine. Tiny driver collect
-    (N_CELLS × dim floats); at scale the codebook comes from an offline
-    k-means pass and is still just a broadcast literal here."""
+    (N_CELLS × dim floats), cached per corpus — exactly how a production
+    pipeline treats its offline k-means codebook (train once, broadcast
+    everywhere)."""
+    if sf_dir in _CODEBOOK_CACHE:
+        return _CODEBOOK_CACHE[sf_dir]
     e = load(spark, sf_dir, "embeddings")
     rows = (
         e.filter((F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 59 == 0))
@@ -125,6 +131,7 @@ def _codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         v = np.asarray(r["embedding"], dtype=np.float64)
         n = float(np.linalg.norm(v))
         cents.append([float(x) for x in (v / n if n > 0 else v)])
+    _CODEBOOK_CACHE[sf_dir] = cents
     return cents
 
 

