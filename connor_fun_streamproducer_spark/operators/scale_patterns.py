@@ -157,3 +157,70 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands.unpersist()
     return out
+
+
+@op(
+    "rollup_time_hierarchy",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(*) AS n, sum(value) AS total
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
+           CAST(sum(n) AS BIGINT) AS n,
+           round(sum(total), 4) AS total
+    FROM daily
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "agg", "scale"),
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup: monthly aggregates computed FROM the
+    daily pre-aggregate, not from raw events.
+
+    The hypertable/continuous-aggregate pattern: at 100 TB the daily
+    rollup is a materialized table refreshed incrementally per
+    micro-batch or partition; every coarser granularity (month, quarter)
+    re-aggregates the rollup — input is |days × keys| rows, not |events|.
+    Only works for decomposable aggregates (sum-of-sums, sum-of-counts;
+    avg = sum/count at the end; HLL union for distincts — see
+    agg_sketch_merge). The oracle computes the same two-level cascade.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    return (
+        daily.groupBy("event_type", F.date_trunc("month", "day").alias("month"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("total"), 4).alias("total"),
+        )
+    )
+
+
+@op("agg_sketch_merge", tags=("ext", "agg", "approx", "scale"))
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches: per-day user sketches unioned to a
+    per-type total — distinct counting that composes like a sum.
+
+    Exact count(DISTINCT) cannot be rolled up (distinct is not
+    decomposable); Datasketches HLL is: phase 1 builds one sketch per
+    (event_type, day) — at 100 TB these live in the daily rollup table —
+    phase 2 `hll_union_agg` merges them per type and estimates. The
+    estimate is deterministic for fixed input but implementation-specific,
+    so the driver check is rows-only; tests pin the estimate within 5% of
+    the exact distinct count.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+        .select("event_type", "approx_users")
+    )

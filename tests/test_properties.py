@@ -83,3 +83,45 @@ def test_set_algebra_partition(spark):
     a = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
     b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     assert a.count() == a.intersectAll(b).count() + a.exceptAll(b).count()
+
+
+def test_hll_sketch_estimate_close_to_exact(spark):
+    """Merged per-day HLL sketches must estimate per-type distinct users
+    within 5% of exact (64-dim default lgK) — the decomposable-distinct
+    invariant the 100 TB rollup path relies on."""
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in registry.OPS["agg_sketch_merge"].fn(spark, SF_DIR).collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert abs(est[t] - n) / n <= 0.05, (t, est[t], n)
+
+
+def test_rollup_hierarchy_equals_direct_aggregation(spark):
+    """Month-from-daily must equal month-from-raw (decomposability)."""
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    rolled = {
+        (r["event_type"], r["month"]): (r["n"], r["total"])
+        for r in registry.OPS["rollup_time_hierarchy"].fn(spark, SF_DIR).collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    direct = {
+        (r["event_type"], r["month"]): (r["n"], r["total"])
+        for r in ev.groupBy("event_type", F.date_trunc("month", "ts").alias("month"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .collect()
+    }
+    assert rolled == direct
