@@ -13,16 +13,17 @@ Two paths (SURVEY.md §2.2):
 - ``sim_search_ivf``   — IVF-style coarse quantization: a tiny codebook of
   normalized centroids (stride-sampled from the corpus; k-means offline in
   production), every vector assigned to its nearest cell (argmax over a
-  codegen'd dot-product array — the inverted-file key), queries probe
+  JVM-evaluated dot-product array — the inverted-file key), queries probe
   their ``N_PROBE`` nearest cells, and only same-cell candidates are
   re-ranked exactly. At 100 TB the cell id is a partition/bucket column:
   the probe join is an equi-join that prunes the corpus scan to
   nprobe/ncells of the data.
 
-The cosine kernel is pure ``zip_with``/``aggregate`` (whole-stage codegen,
-float→double widened elementwise) — no Python, no UDF. The Pandas-UDF
-variant was considered and rejected: the kernel is memory-bound, and
-Arrow transfer would dominate at 64 dims.
+The cosine kernel is pure ``zip_with``/``aggregate`` — no Python, no UDF,
+float→double widened elementwise. Higher-order functions are
+CodegenFallback (they exclude their stage from whole-stage codegen), but
+evaluation stays JVM-side with zero serialization; the Pandas-UDF variant
+was measured-and-rejected — Arrow transfer dominates at 64 dims.
 """
 
 from __future__ import annotations
@@ -82,7 +83,7 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k for a broadcast query set.
 
     Plan shape: corpus scan → BroadcastNestedLoopJoin against the tiny
-    query set → codegen'd cosine → per-query top-k window. Ranking ties
+    query set → JVM cosine kernel → per-query top-k window. Ranking ties
     are broken on (round(sim,6), neighbor_id) so both engines order
     identically despite last-ulp float drift.
     """
@@ -137,7 +138,7 @@ def _codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 
 def _cell_sims(cents: list[list[float]]) -> Column:
     """ARRAY<STRUCT<sim,cell>> of dot products against every centroid —
-    whole-stage-codegen'd; struct ordering makes array_max an argmax."""
+    one JVM-side expression; struct ordering makes array_max an argmax."""
     sims = []
     for i, c in enumerate(cents):
         d = F.aggregate(
@@ -158,7 +159,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF coarse quantization + exact re-rank.
 
     Corpus side: one pass computes each vector's nearest-centroid cell
-    (argmax of N_CELLS dot products, all inside codegen) — the inverted
+    (argmax of N_CELLS dot products, one JVM expression) — the inverted
     file. Query side: each query probes its N_PROBE nearest cells. The
     candidate set is the equi-join on cell id — never corpus × queries —
     then the exact cosine kernel re-ranks and a window keeps top-k.
