@@ -164,6 +164,11 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set is the equi-join on cell id — never corpus × queries —
     then the exact cosine kernel re-ranks and a window keeps top-k.
 
+    Query routing runs driver-side against the in-memory codebook — the
+    way production ANN serving routes queries — so the query side costs
+    zero Spark jobs: probe assignments are a tiny literal DataFrame
+    broadcast into the corpus join.
+
     At 100 TB: write the corpus partitioned/bucketed by ``cell`` so the
     probe join partition-prunes to nprobe/N_CELLS of the data and needs no
     shuffle. Rows-only for the driver (the sampled codebook is not
@@ -178,15 +183,23 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.array_max(_cell_sims(cents)).getField("cell").alias("cell"),
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.explode(
-            F.transform(
-                F.slice(F.sort_array(_cell_sims(cents), asc=False), 1, N_PROBE),
-                lambda s: s.getField("cell"),
-            )
-        ).alias("cell"),
+    # Route queries against the codebook in memory: nearest N_PROBE cells
+    # by dot product with the normalized centroids (== cosine order).
+    C = np.asarray(cents, dtype=np.float64)  # N_CELLS × dim
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probes = []
+    for r in qrows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        order = np.argsort(-(C @ v), kind="stable")[:N_PROBE]
+        probes.extend(
+            (r["vec_id"], int(cell), [float(x) for x in r["embedding"]]) for cell in order
+        )
+    q = spark.createDataFrame(
+        probes, schema="query_id bigint, cell int, q_emb array<float>"
     )
     scored = (
         corpus.alias("c")
