@@ -127,6 +127,71 @@ def enrich_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "enrich_region_grid",
+    oracle=f"""
+    SELECT e.event_id, l.region_id, e.lon, e.lat
+    FROM (SELECT event_id, {_LON_EXPR} AS lon, {_LAT_EXPR} AS lat FROM events) e
+    JOIN {_LOCATIONS_VALUES_SQL}
+      ON e.lon >= least(l.east, l.west) AND e.lon <= greatest(l.east, l.west)
+     AND e.lat >= l.south AND e.lat <= l.north
+    """.replace("AS locations(", "AS l(", 1),
+    tags=("ref", "join", "scale"),
+)
+def enrich_region_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region enrichment via grid-cell EQUI-join — the bbox join's scale
+    path (SURVEY §4.2).
+
+    BroadcastNestedLoopJoin evaluates every event against every region:
+    fine at the reference's 25-region cap (regionSpout.go:77), O(|events|
+    × |regions|) at thousands of regions. The grid rewrite quantizes
+    space into 1° cells, expands each region bbox into its covering cells
+    driver-side (dim-sized work), and hash-joins events on their single
+    containing cell — O(|events|) probes — with exact containment kept as
+    a residual predicate for boxes that only partly cover a cell.
+
+    Same output as ``enrich_region`` (identical semantics, so the oracle
+    is the same containment SQL); the plan upgrades to BroadcastHashJoin,
+    asserted in tests/test_plans.py. At 100 TB the cell id also becomes
+    the partition key of a pre-bucketed events layout, making the join
+    shuffle-free and prunable to the queried cells.
+    """
+    GRID = 1.0  # degrees per cell; tune to median region size
+    import math
+
+    cover: list[tuple[int, int, str, float, float, float, float]] = []
+    for (_, rid, north, east, south, west) in REGION_BOXES:
+        lo, hi = min(east, west), max(east, west)
+        for cx in range(math.floor(lo / GRID), math.floor(hi / GRID) + 1):
+            for cy in range(math.floor(south / GRID), math.floor(north / GRID) + 1):
+                cover.append((cx, cy, rid, north, east, south, west))
+    cells = spark.createDataFrame(
+        cover,
+        schema="cx int, cy int, region_id string, north double, east double, "
+        "south double, west double",
+    )
+    events = with_coords(load(spark, sf_dir, "events")).withColumns(
+        {
+            "ecx": F.floor(F.col("lon") / GRID).cast("int"),
+            "ecy": F.floor(F.col("lat") / GRID).cast("int"),
+        }
+    )
+    residual = (
+        (F.col("lon") >= F.least("east", "west"))
+        & (F.col("lon") <= F.greatest("east", "west"))
+        & (F.col("lat") >= F.col("south"))
+        & (F.col("lat") <= F.col("north"))
+    )
+    return (
+        events.join(
+            F.broadcast(cells),
+            (F.col("ecx") == F.col("cx")) & (F.col("ecy") == F.col("cy")),
+        )
+        .filter(residual)
+        .select("event_id", "region_id", "lon", "lat")
+    )
+
+
+@op(
     "agg_window_count",
     oracle=f"""
     SELECT l.region_id,

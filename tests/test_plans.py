@@ -148,3 +148,12 @@ def test_pipeline_returned_items_topk_heap(spark):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "EqualTo(l_returnflag,R)" in plan, plan
+
+
+def test_enrich_region_grid_is_hash_join(spark):
+    """The grid rewrite must upgrade bbox containment from nested-loop to
+    an equi hash join — the thousands-of-regions scale path."""
+    df = _q("enrich_region_grid", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
