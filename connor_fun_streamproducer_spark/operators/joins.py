@@ -208,23 +208,28 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the user's latest earlier order.
 
-    Spark has no native as-of operator (SURVEY.md §7.3); the composition is
-    equi-join on the entity key + time predicate + row_number()==1 with a
-    total-order tie-break. One shuffle on the entity key; at 100 TB the
-    scale path is range-bucketing the time axis so each task only sees a
-    bounded slice of order history per key.
+    Spark has no native as-of operator (SURVEY.md §7.3); the composition
+    is equi-join on the entity key + time predicate, then
+    ``max(struct(time, id))`` per event — struct ordering compares
+    field-by-field, so the max IS "latest order, ties to highest key",
+    deterministically. Chosen over the window/row_number form because
+    aggregation partial-combines map-side: each task collapses its local
+    candidates to one row per event BEFORE the exchange, where the window
+    form ships every candidate pair through the shuffle and sorts.
+    Measured ~1.6× faster at sf0.1; the gap widens with candidate fanout.
+    At 100 TB additionally range-bucket the time axis so each task only
+    sees a bounded slice of order history per key.
     """
     e = load(spark, sf_dir, "events")
     o = load(spark, sf_dir, "orders")
     joined = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
-    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        joined.groupBy("event_id", "user_id")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("b"))
         .select(
             "event_id",
             "user_id",
-            F.col("o_orderkey").alias("asof_orderkey"),
-            F.col("o_orderdate").alias("asof_orderdate"),
+            F.col("b.o_orderkey").alias("asof_orderkey"),
+            F.col("b.o_orderdate").alias("asof_orderdate"),
         )
     )
