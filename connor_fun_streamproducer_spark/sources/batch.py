@@ -123,3 +123,63 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         F.col("o_orderstatus").cast("string").alias("o_orderstatus"), "n", "total"
     )
+
+
+@op(
+    "scan_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substring(text, 1, 1)) + ascii(substring(text, 2, 1))
+              + ascii(substring(text, 3, 1)) + ascii(substring(text, 4, 1)) AS BIGINT)
+               AS header_sum
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    tags=("ext", "source", "multimodal"),
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` datasource scan — how media blobs actually enter a
+    multimodal pipeline (one file per image/audio clip in object storage).
+
+    Materializes the first 50 documents as individual ``doc_<id>.bin``
+    files once, scans them with ``spark.read.format("binaryFile")``
+    (yielding path/length/modificationTime/content), recovers the id
+    from the path, and computes the same byte-level features as
+    ``multimodal_cols`` from the ``content`` column. Matching the
+    text-derived oracle proves bytes survive the file round-trip intact.
+    At 100 TB the pattern is unchanged: binaryFile scans partition by
+    file, ``pathGlobFilter``/partition dirs prune, and content flows to
+    mapInPandas extractors without leaving Arrow.
+    """
+    path = _scratch_dir(sf_dir, "binary_docs")
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        rows = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id", "text")
+            .collect()
+        )
+        os.makedirs(path, exist_ok=True)
+        for r in rows:
+            with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    txt = F.decode(F.col("content"), "UTF-8")
+    return scanned.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1).cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        (
+            F.ascii(F.substring(txt, 1, 1))
+            + F.ascii(F.substring(txt, 2, 1))
+            + F.ascii(F.substring(txt, 3, 1))
+            + F.ascii(F.substring(txt, 4, 1))
+        ).cast("bigint").alias("header_sum"),
+    )
