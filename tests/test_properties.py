@@ -125,3 +125,17 @@ def test_rollup_hierarchy_equals_direct_aggregation(spark):
         .collect()
     }
     assert rolled == direct
+
+
+def test_grid_join_equals_nested_loop_join(spark):
+    """The grid-cell equi-join rewrite must return exactly the nested-loop
+    containment join's rows — the rewrite is an optimization, never a
+    semantic change."""
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    nlj = {tuple(r) for r in registry.OPS["enrich_region"].fn(spark, SF_DIR).collect()}
+    grid = {
+        tuple(r) for r in registry.OPS["enrich_region_grid"].fn(spark, SF_DIR).collect()
+    }
+    assert nlj == grid and len(nlj) > 0
