@@ -96,11 +96,18 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded memory. No DuckDB oracle: sketch internals differ between
     engines by design → driver records the rows-only check; the exact
     counterparts are oracle-checked in agg_distinct/agg_percentile.
+
+    The three quantiles are projected as scalar columns (not one
+    ARRAY<DOUBLE>) so row canonicalizers that hash per-column values can
+    handle the result.
     """
     li = load(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("price_quantiles"),
+        F.round(F.element_at(q, 1), 4).alias("p50_approx"),
+        F.round(F.element_at(q, 2), 4).alias("p95_approx"),
+        F.round(F.element_at(q, 3), 4).alias("p99_approx"),
     )
 
 
