@@ -275,27 +275,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op("dedup_embedding", tags=("llm", "dedup", "approx"))
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dup: cosine above threshold within label blocks.
+    """Semantic near-dup: cosine above threshold within IVF cell blocks.
 
-    Reuses the similarity tier's JVM cosine kernel; blocking on `label`
-    stands in for the coarse quantizer an IVF index would provide. The
-    threshold is corpus-calibrated: the fixture embeddings are unclustered
-    random vectors (intra-label max cosine ≈ 0.47), so production's 0.95
-    would select nothing — 0.30 keeps the operator's output non-trivial
-    while the shape (block → kernel → threshold) is unchanged. Driver
-    check is rows-only (threshold-sensitive at the 4th decimal); the
-    kernel itself is oracle-proven in sim_search_topk.
+    Blocks on the materialized inverted file's ``cell`` id (the similarity
+    tier's coarse quantizer, ``similarity.ivf_index``) — a real quantizer
+    key, not a dimension-table label: with N_CELLS = O(sqrt(corpus)) the
+    in-block pair count stays ~linear in corpus size instead of the
+    near-quadratic blow-up a low-cardinality key gives. Same-cell blocking
+    is the standard recall trade of IVF dedup: a near-dup pair split
+    across a cell boundary is missed (the pinned-recall MinHash path is
+    the text-side complement). The threshold is corpus-calibrated: the
+    fixture embeddings are unclustered random vectors, so production's
+    0.95 would select nothing — 0.30 keeps the operator's output
+    non-trivial while the shape (quantize → block → kernel → threshold)
+    is unchanged. Driver check is rows-only (threshold-sensitive at the
+    4th decimal); the kernel itself is oracle-proven in sim_search_topk.
     """
-    from connor_fun_streamproducer_spark.llm.similarity import cosine_expr
+    from connor_fun_streamproducer_spark.llm.similarity import cosine_expr, ivf_index
 
-    e = load(spark, sf_dir, "embeddings")
+    e = ivf_index(spark, sf_dir)
     x = e.alias("x")
     y = e.alias("y")
     sim = cosine_expr(F.col("x.embedding"), F.col("y.embedding"))
     return (
         x.join(
             y,
-            (F.col("x.label") == F.col("y.label")) & (F.col("x.vec_id") < F.col("y.vec_id")),
+            (F.col("x.cell") == F.col("y.cell")) & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
         .withColumn("cosine", sim)
         .filter(F.col("cosine") > 0.30)

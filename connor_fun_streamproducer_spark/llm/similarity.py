@@ -28,6 +28,9 @@ was measured-and-rejected — Arrow transfer dominates at 64 dims.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -107,6 +110,24 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CELLS = 8  # coarse codebook size; production: O(sqrt(corpus)) k-means cells
 N_PROBE = 2  # cells probed per query (recall/cost dial)
 
+# On-disk inverted files live under the repo root, one directory per corpus
+# fingerprint (never under /root/testdata, which is read-only).
+_INDEX_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".ivf_index",
+)
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Identity of the embeddings fixture: absolute path + mtime + size.
+
+    Keys both the in-process codebook cache and the on-disk inverted file,
+    so a fixture that changes under the same path invalidates both instead
+    of silently serving stale cell assignments."""
+    p = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    st = os.stat(p)
+    return hashlib.sha1(f"{p}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:16]
+
 
 _CODEBOOK_CACHE: dict[str, list[list[float]]] = {}
 
@@ -115,11 +136,12 @@ def _codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     """Deterministic coarse codebook: stride-sample ``N_CELLS`` corpus
     vectors (excluding the query set) and L2-normalize them, so nearest
     cell by dot product == nearest by cosine. Tiny driver collect
-    (N_CELLS × dim floats), cached per corpus — exactly how a production
-    pipeline treats its offline k-means codebook (train once, broadcast
-    everywhere)."""
-    if sf_dir in _CODEBOOK_CACHE:
-        return _CODEBOOK_CACHE[sf_dir]
+    (N_CELLS × dim floats), cached per corpus fingerprint — exactly how a
+    production pipeline treats its offline k-means codebook (train once,
+    broadcast everywhere)."""
+    fp = _corpus_fingerprint(sf_dir)
+    if fp in _CODEBOOK_CACHE:
+        return _CODEBOOK_CACHE[fp]
     e = load(spark, sf_dir, "embeddings")
     rows = (
         e.filter((F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 59 == 0))
@@ -132,7 +154,7 @@ def _codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         v = np.asarray(r["embedding"], dtype=np.float64)
         n = float(np.linalg.norm(v))
         cents.append([float(x) for x in (v / n if n > 0 else v)])
-    _CODEBOOK_CACHE[sf_dir] = cents
+    _CODEBOOK_CACHE[fp] = cents
     return cents
 
 
@@ -154,40 +176,58 @@ def _cell_sims(cents: list[list[float]]) -> Column:
     return F.array(*sims)
 
 
-@op("sim_search_ivf", tags=("llm", "similarity", "approx", "scale"))
-def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via IVF coarse quantization + exact re-rank.
+def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized inverted file: corpus written partitioned by cell.
 
-    Corpus side: one pass computes each vector's nearest-centroid cell
-    (argmax of N_CELLS dot products, one JVM expression) — the inverted
-    file. Query side: each query probes its N_PROBE nearest cells. The
-    candidate set is the equi-join on cell id — never corpus × queries —
-    then the exact cosine kernel re-ranks and a window keeps top-k.
+    Build-once/serve-many: the first call assigns every corpus vector its
+    nearest-centroid cell (argmax of N_CELLS dot products, one JVM
+    expression) and writes the corpus to parquet ``partitionBy("cell")``;
+    later calls just read it. This is the offline index build of a
+    production ANN pipeline — at 100 TB it is the bucketed-table write,
+    and the per-row assignment cost is paid once, not per query. A probe
+    filter ``cell IN (...)`` on the returned frame partition-prunes the
+    scan to nprobe/N_CELLS of the corpus (asserted in tests/test_plans.py).
 
-    Query routing runs driver-side against the in-memory codebook — the
-    way production ANN serving routes queries — so the query side costs
-    zero Spark jobs: probe assignments are a tiny literal DataFrame
-    broadcast into the corpus join.
-
-    At 100 TB: write the corpus partitioned/bucketed by ``cell`` so the
-    probe join partition-prunes to nprobe/N_CELLS of the data and needs no
-    shuffle. Rows-only for the driver (the sampled codebook is not
-    SQL-expressible); recall vs ``sim_search_topk`` is pinned in
-    tests/test_llm.py.
+    The index directory is keyed by the corpus fingerprint (path + mtime +
+    size), so a changed fixture rebuilds instead of serving stale cells.
     """
-    e = load(spark, sf_dir, "embeddings")
-    cents = _codebook(spark, sf_dir)
+    path = os.path.join(_INDEX_ROOT, _corpus_fingerprint(sf_dir))
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        cents = _codebook(spark, sf_dir)
+        e = load(spark, sf_dir, "embeddings")
+        (
+            e.withColumn("cell", F.array_max(_cell_sims(cents)).getField("cell"))
+            # precomputed L2 norm: serving divides by it instead of
+            # re-aggregating 64 squares per candidate per query
+            .withColumn("norm", norm_expr(F.col("embedding")))
+            # one output file per cell at fixture scale (at 100 TB: drop
+            # this and let each cell hold many executor-sized files)
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
 
-    corpus = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.array_max(_cell_sims(cents)).getField("cell").alias("cell"),
-    )
-    # Route queries against the codebook in memory: nearest N_PROBE cells
-    # by dot product with the normalized centroids (== cosine order).
-    C = np.asarray(cents, dtype=np.float64)  # N_CELLS × dim
+
+_ROUTED_CACHE: dict[str, list[tuple]] = {}
+
+
+def _routed_queries(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The fixture's query set, routed: (query_id, probed cell, embedding,
+    L2 norm) per (query × N_PROBE). Routing runs driver-side against the
+    in-memory codebook — nearest cells by dot product with the normalized
+    centroids (== cosine order) — the way production ANN serving routes
+    requests it already holds in memory. Reading the queries out of the
+    corpus parquet is a fixture artifact, so the routed set is cached per
+    corpus fingerprint alongside the codebook."""
+    fp = _corpus_fingerprint(sf_dir)
+    if fp in _ROUTED_CACHE:
+        return _ROUTED_CACHE[fp]
+    C = np.asarray(_codebook(spark, sf_dir), dtype=np.float64)  # N_CELLS × dim
     qrows = (
-        e.filter(F.col("vec_id") < N_QUERIES)
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -195,12 +235,51 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in qrows:
         v = np.asarray(r["embedding"], dtype=np.float64)
         order = np.argsort(-(C @ v), kind="stable")[:N_PROBE]
+        qn = float(np.linalg.norm(v))
         probes.extend(
-            (r["vec_id"], int(cell), [float(x) for x in r["embedding"]]) for cell in order
+            (r["vec_id"], int(cell), [float(x) for x in r["embedding"]], qn)
+            for cell in order
         )
+    _ROUTED_CACHE[fp] = probes
+    return probes
+
+
+@op("sim_search_ivf", tags=("llm", "similarity", "approx", "scale"))
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF coarse quantization + exact re-rank.
+
+    Corpus side: read the materialized inverted file (``ivf_index``) and
+    keep only the probed cells — a partition-pruned scan, nprobe/N_CELLS
+    of the data, zero per-query assignment work. Query side: each query
+    probes its N_PROBE nearest cells. The candidate set is the equi-join
+    on cell id — never corpus × queries — then the exact cosine kernel
+    re-ranks and a window keeps top-k.
+
+    Query routing runs driver-side against the in-memory codebook — the
+    way production ANN serving routes queries — so the query side costs
+    zero Spark jobs: probe assignments are a tiny literal DataFrame
+    broadcast into the corpus join.
+
+    Rows-only for the driver (the sampled codebook is not
+    SQL-expressible); recall vs ``sim_search_topk`` is pinned in
+    tests/test_llm.py.
+    """
+    idx = ivf_index(spark, sf_dir)
+    probes = _routed_queries(spark, sf_dir)
     q = spark.createDataFrame(
-        probes, schema="query_id bigint, cell int, q_emb array<float>"
+        probes, schema="query_id bigint, cell int, q_emb array<float>, q_norm double"
     )
+    # The IN-list on the partition column is what prunes the scan: only
+    # the probed cell directories are read at all.
+    probed_cells = sorted({cell for _, cell, _, _ in probes})
+    corpus = idx.filter(F.col("cell").isin(probed_cells)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        "cell",
+    )
+    # dot / (precomputed norms): the only per-pair aggregate left is the
+    # dot product itself.
     scored = (
         corpus.alias("c")
         .join(
@@ -208,7 +287,11 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c.cell") == F.col("qq.cell"))
             & (F.col("c.neighbor_id") != F.col("qq.query_id")),
         )
-        .withColumn("sim", cosine_expr(F.col("qq.q_emb"), F.col("c.c_emb")))
+        .withColumn(
+            "sim",
+            dot_expr(F.col("qq.q_emb"), F.col("c.c_emb"))
+            / (F.col("qq.q_norm") * F.col("c.c_norm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc(F.round("sim", 6)), F.asc("neighbor_id"))
     return (

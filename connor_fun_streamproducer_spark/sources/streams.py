@@ -19,6 +19,9 @@ a fire-and-forget Kafka produce (regionSpout.go:158-160). Spark equivalents:
 
 from __future__ import annotations
 
+import socket
+import threading
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from connor_fun_streamproducer_spark.catalog import table_path
+from connor_fun_streamproducer_spark.registry import op
 
 # events.parquet physical schema under nanosAsLong (see catalog.py): ts is
 # a nanosecond BIGINT; the stream converts it to a proper event-time column.
@@ -152,3 +156,65 @@ def socket_source(spark: SparkSession, host: str = "localhost", port: int = 9999
         .option("port", port)
         .load()
     )
+
+
+@op(
+    "src_socket",
+    oracle="SELECT 'region:' || r_name AS line FROM region",
+    tags=("ext", "streaming", "source"),
+)
+def src_socket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Socket source exercised end-to-end against a localhost echo fixture.
+
+    The dev analogue of the reference's long-poll HTTP stream
+    (regionSpout.go:139 ``Streams.Filter``): a background thread serves the
+    region table's rows as newline-delimited text on an ephemeral 127.0.0.1
+    port; Spark's socket source streams them into the memory sink. The
+    served lines are exactly ``region:<r_name>`` per region row, so the
+    output is deterministic and fully oracle-checkable — this is a live
+    streaming-source round trip, not a frame-shape check.
+
+    The socket source has no processAllAvailable() end-of-data notion (the
+    connection stays open like a real long-poll), so the runner polls the
+    sink until all expected rows land, then stops the query.
+    """
+    import pyarrow.parquet as pq
+
+    names = sorted(
+        pq.read_table(table_path(sf_dir, "region"), columns=["r_name"])
+        .column("r_name")
+        .to_pylist()
+    )
+    lines = [f"region:{n}" for n in names]
+    payload = ("\n".join(lines) + "\n").encode()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def serve() -> None:
+        try:
+            conn, _ = srv.accept()
+            conn.sendall(payload)
+            done.wait(30)  # hold the connection open until the query stops
+            conn.close()
+        finally:
+            srv.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    sdf = socket_source(spark, "127.0.0.1", port).select(F.col("value").alias("line"))
+    qname = f"socket_{uuid.uuid4().hex[:8]}"
+    q = sdf.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try:
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline and spark.table(qname).count() < len(lines):
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+        done.set()
+    return spark.table(qname)

@@ -124,14 +124,23 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed exact dedup on a deliberately doubled stream.
 
     The input stream carries every event twice (self-union — the same
-    duplication a replayed/at-least-once source produces); dropDuplicates
-    on the key restores exactly-once output. Without a watermark the seen-
-    key state grows forever; dropDuplicatesWithinWatermark (see
-    tests/test_streaming.py) is the bounded-state production form.
+    duplication a replayed/at-least-once source produces);
+    dropDuplicatesWithinWatermark on the key restores exactly-once output
+    while the watermark evicts seen-key state — the bounded-state form
+    that survives 100 TB of stream history (plain dropDuplicates would
+    grow state forever). Duplicates here arrive within the same
+    micro-batch, well inside the 10-minute horizon; a replay gap larger
+    than the watermark delay would re-emit, which is the documented
+    trade of the bounded form (multi-batch semantics asserted in
+    tests/test_streaming.py).
     """
     sdf = events_stream(spark, sf_dir)
     doubled = sdf.unionByName(sdf)
-    deduped = doubled.dropDuplicates(["event_id"]).select("event_id", "event_type", "value")
+    deduped = (
+        doubled.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "value")
+    )
     return run_to_memory(deduped, output_mode="append")
 
 

@@ -157,3 +157,27 @@ def test_enrich_region_grid_is_hash_join(spark):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sim_search_ivf_scan_is_partition_pruned(spark):
+    """The probe must read only the probed cell partitions of the
+    materialized inverted file — at 100 TB this IS the IVF win: the scan
+    touches nprobe/N_CELLS of the corpus and does zero per-query cell
+    assignment work."""
+    df = _q("sim_search_ivf", spark)
+    plan = formatted_plan(df)
+    # the IN-list on the partition column reaches the file index
+    assert "PartitionFilters: [cell" in plan, plan
+    assert ".ivf_index" in plan, plan  # reads the materialized index, not the raw table
+    assert df.select("query_id").distinct().count() > 0
+
+
+def test_dedup_embedding_blocks_on_cell_equi_join(spark):
+    """Semantic dedup must pair within IVF cells via an equi hash join —
+    never a cartesian/nested-loop over the corpus, and never a
+    low-cardinality label key."""
+    df = _q("dedup_embedding", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cell" in plan, plan

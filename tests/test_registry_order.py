@@ -41,6 +41,7 @@ MUST_BE_IN_WINDOW = [
     "join_stream_static",
     "join_stream_stream",
     "src_rate",
+    "src_socket",
     "sink_foreachbatch",
     # LLM data-pipeline
     "dedup_exact",
