@@ -79,6 +79,63 @@ def pipeline_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "pipeline_shipping_priority_bucketed",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("ext", "pipeline", "scale"),
+)
+def pipeline_shipping_priority_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 on the bucketed layout: the same query, ZERO shuffle exchanges.
+
+    Same semantics and oracle as pipeline_shipping_priority, but orders
+    and lineitem come from the write-once bucketBy(orderkey) tables
+    (operators/scale_patterns.bucketed_table — the same layout
+    join_bucketed reads). The fact-fact join needs no exchange (bucket i
+    joins bucket i), and the group-by on l_orderkey is satisfied by the
+    same bucketing (HashPartitioning(l_orderkey) clusters any key set
+    containing it), so the only data movement in the whole plan is the
+    broadcast of the filtered customer keys and the final top-10 heap
+    merge — asserted shuffle-free in tests/test_plans.py. At 100 TB this
+    is the difference between re-shuffling 40 TB of lineitem per report
+    query and never shuffling it again after the one layout write.
+    """
+    from connor_fun_streamproducer_spark.operators.scale_patterns import bucketed_table
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = bucketed_table(spark, sf_dir, "orders", "o_orderkey").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey").filter(
+        F.col("l_shipdate") > "1998-06-01"
+    )
+    return (
+        li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@op(
     "pipeline_local_supplier_volume",
     oracle="""
     SELECT n.n_name,

@@ -20,6 +20,39 @@ from connor_fun_streamproducer_spark.catalog import load
 from connor_fun_streamproducer_spark.registry import op
 
 N_SALT = 8
+N_BUCKETS = 8
+
+
+def bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str) -> DataFrame:
+    """Write-once bucketed copy of a fixture table; returns the catalog table.
+
+    The bucketed layout is the amortized shuffle: one bucketBy write, then
+    every downstream equi-join or aggregation on ``key`` runs with NO
+    exchange (bucket i joins bucket i locally). Shared by ``join_bucketed``
+    and ``pipeline_shipping_priority_bucketed`` — the write happens once
+    per (sf, table) and both ops read the same layout, which is exactly
+    the write-once/join-free-forever contract a 100 TB warehouse relies
+    on. (Bucket metadata lives in the session catalog; production uses a
+    persistent metastore.)
+    """
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"bkt_{tag}_{table}"
+    if not spark.catalog.tableExists(name):
+        # The in-memory catalog forgets tables between sessions but the
+        # warehouse directory survives — clear any stale location.
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+        (
+            load(spark, sf_dir, table)
+            .write.bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
 
 
 @op(
@@ -73,29 +106,8 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream join at 100 TB. (Bucket metadata lives in the session
     catalog; production uses a persistent metastore.)
     """
-    import shutil
-
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    n_buckets = 8
-    names = {}
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        name = f"bkt_{tag}_{t}"
-        names[t] = name
-        if not spark.catalog.tableExists(name):
-            # The in-memory catalog forgets tables between sessions but the
-            # warehouse directory survives — clear any stale location.
-            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
-            (
-                load(spark, sf_dir, t)
-                .write.bucketBy(n_buckets, key)
-                .sortBy(key)
-                .mode("overwrite")
-                .format("parquet")
-                .saveAsTable(name)
-            )
-    o = spark.table(names["orders"])
-    li = spark.table(names["lineitem"])
+    o = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
     # merge hint: at fixture scale Catalyst would broadcast the small
     # orders side; the point of this op is the co-located bucket join,
     # which is what the planner picks unhinted once both sides are big.

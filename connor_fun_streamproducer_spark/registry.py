@@ -135,10 +135,12 @@ def _ensure_loaded() -> None:
     )
     from connor_fun_streamproducer_spark.operators import scale_patterns, udfs  # noqa: F401
     from connor_fun_streamproducer_spark.sources import streams as _sources_streams  # noqa: F401
+    # pipelines carries the round-2 bucketed-layout variant — keep it
+    # inside the window too (its other three ops were green in round 1).
+    from connor_fun_streamproducer_spark.operators import pipelines  # noqa: F401
     from connor_fun_streamproducer_spark.operators import (  # noqa: F401
         aggregates,
         joins,
-        pipelines,
         relational,
         setops,
         windows,

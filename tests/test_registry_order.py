@@ -69,6 +69,8 @@ MUST_BE_IN_WINDOW = [
     "agg_sketch_merge",
     # round-1 harness failure, now fixed
     "agg_approx",
+    # new in round 2
+    "pipeline_shipping_priority_bucketed",
 ]
 
 WINDOW = 50
