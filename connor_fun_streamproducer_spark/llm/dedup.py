@@ -206,16 +206,71 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 7 bands covering bits [0,64): a pair at hamming distance ≤ 6 differs in
+# at most 6 bands, so by pigeonhole it matches EXACTLY on at least one of
+# the 7 — banded candidate generation has recall 1.0 for the emitted ≤ 6
+# contract (property-tested with worst-case bit spreads in tests/test_llm.py).
+SIMHASH_HAMMING_MAX = 6
+SIMHASH_BAND_BITS: list[tuple[int, int]] = [
+    (0, 10), (10, 9), (19, 9), (28, 9), (37, 9), (46, 9), (55, 9)
+]
+
+
+def simhash_candidate_pairs(fp: DataFrame) -> DataFrame:
+    """Banded LSH candidate generation over (doc_id, fingerprint) rows.
+
+    Explodes each 64-bit fingerprint into its 7 band chunks and equi-joins
+    band-for-band — Θ(rows/band-value) per bucket, never all-pairs. Returns
+    distinct (doc_a, doc_b, fp_a, fp_b) with doc_a < doc_b. Guarantee: any
+    pair with hamming(fp_a, fp_b) ≤ 6 shares at least one exact band.
+    """
+    bands = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("fingerprint", off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i, (off, width) in enumerate(SIMHASH_BAND_BITS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "fingerprint", "bb.band", "bb.chunk")
+    return (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.fingerprint").alias("fp_a"),
+            F.col("y.fingerprint").alias("fp_b"),
+        )
+        .distinct()
+    )
+
+
 @op("dedup_simhash", tags=("llm", "dedup", "approx"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints + banded hamming-distance search.
 
     Per doc: each token hashes to 64 bits; bit b of the fingerprint is the
     sign of Σ_tokens (±1 per token's bit b) — built as 64 conditional-sum
-    aggregates, all codegen'd. Near-dups: hamming(f_a, f_b) ≤ 6, searched
-    by exact-matching any of four 16-bit bands (a distance-≤3 pair must
-    agree on ≥1 band; ≤6 needs 7 bands strictly — band count is the
-    recall/cost dial, pinned in tests). Output: (doc_a, doc_b, hamming).
+    aggregates, all JVM-side. Near-dups: hamming(f_a, f_b) ≤ 6, searched by
+    exact-matching any of SEVEN ~9-bit bands — pigeonhole guarantees a
+    distance-≤6 pair agrees on ≥1 band, so the banding loses NO pair the
+    output contract claims (recall 1.0 for ≤ 6; property-tested with
+    planted worst-case distance-4..6 pairs). Output: (doc_a, doc_b,
+    hamming).
     """
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
@@ -234,41 +289,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("fingerprint"),  # bit 63 left clear: keeps the value in signed-long range
     )
-    bands = fp.select(
-        "doc_id",
-        "fingerprint",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("fingerprint", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "fingerprint", "bb.band", "bb.chunk")
-    pairs = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.chunk") == F.col("y.chunk"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.fingerprint").alias("fp_a"),
-            F.col("y.fingerprint").alias("fp_b"),
-        )
-        .distinct()
-    )
+    pairs = simhash_candidate_pairs(fp)
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
         pairs.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
 

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
+import uuid
 
 import numpy as np
 
@@ -190,11 +192,19 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The index directory is keyed by the corpus fingerprint (path + mtime +
     size), so a changed fixture rebuilds instead of serving stale cells.
+    The build is atomic: it writes to a process-unique staging directory
+    and ``os.rename``s it into the fingerprint path, so a concurrent
+    reader sees either no index (and builds its own staging copy) or a
+    complete one — never a half-written/half-deleted directory. A losing
+    racer's rename fails (destination exists) and its staging dir is
+    discarded; both racers built identical content, so serving the
+    winner's is correct.
     """
     path = os.path.join(_INDEX_ROOT, _corpus_fingerprint(sf_dir))
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         cents = _codebook(spark, sf_dir)
         e = load(spark, sf_dir, "embeddings")
+        staging = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         (
             e.withColumn("cell", F.array_max(_cell_sims(cents)).getField("cell"))
             # precomputed L2 norm: serving divides by it instead of
@@ -205,8 +215,14 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition("cell")
             .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(path)
+            .parquet(staging)
         )
+        try:
+            os.rename(staging, path)
+        except OSError:
+            if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+                raise  # destination absent AND rename failed → real error
+            shutil.rmtree(staging, ignore_errors=True)  # lost the race
     return spark.read.parquet(path)
 
 

@@ -154,9 +154,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
-           list_sum(list_transform(string_split(text, ' '),
+           CAST(list_sum(list_transform(string_split(text, ' '),
                     (t, i) -> i * (ascii(t) * 100 + length(t)))) % 1000000007
-               AS fingerprint
+               AS BIGINT) AS fingerprint
     FROM documents
     """,
     tags=("llm", "text"),

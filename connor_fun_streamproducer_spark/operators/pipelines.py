@@ -158,11 +158,16 @@ def pipeline_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFram
     """TPC-H Q5 shape: six-table join, revenue where supplier and customer
     share a nation, grouped by nation.
 
-    The join graph mixes three broadcastable dims (region 5, nation 25,
-    supplier ~10/sf rows) with the orders ⋈ lineitem fact join; the
+    The join graph mixes two genuinely bounded dims (region 5 rows,
+    nation 25 rows — fixed cardinality at ANY scale factor, so they get
+    explicit broadcast hints) with the orders ⋈ lineitem fact join; the
     supplier⋈customer nation equality is the classic "local volume"
-    correlated predicate. All dims go broadcast; the single shuffle pair
-    is orders ⋈ lineitem; the final 5-group agg is partial+final.
+    correlated predicate. customer and supplier GROW with the scale
+    factor (billions of rows at 100 TB), so they carry no broadcast
+    hint — AQE broadcasts them at small sf from observed sizes and
+    falls back to shuffle joins at scale, instead of an OOM-forcing
+    hint that Catalyst obeys regardless of size. The final 5-group agg
+    is partial+final.
     """
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
@@ -174,9 +179,9 @@ def pipeline_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFram
     s = load(spark, sf_dir, "supplier")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -214,9 +219,12 @@ def pipeline_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
     half-year window, with nation enrichment.
 
-    lineitem(returnflag) ⋈ orders(quarter) is the fact join; customer and
-    nation broadcast. Group keys include the non-aggregated display
-    columns (TPC-H idiom) so no second join is needed to re-attach them.
+    lineitem(returnflag) ⋈ orders(quarter) is the fact join; nation (25
+    rows at any scale) broadcasts by hint. customer grows with the scale
+    factor, so it gets NO hint — AQE broadcasts it at small sf and
+    shuffles it at 100 TB, where a forced broadcast would OOM the
+    executors. Group keys include the non-aggregated display columns
+    (TPC-H idiom) so no second join is needed to re-attach them.
     Top-20 is TakeOrderedAndProject with c_custkey tie-break.
     """
     c = load(spark, sf_dir, "customer")
@@ -227,7 +235,7 @@ def pipeline_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(

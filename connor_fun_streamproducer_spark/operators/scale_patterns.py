@@ -145,6 +145,7 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands.cache()
     labels = bands.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
     prev_sum = None
+    prev_labels: DataFrame | None = None
     for _ in range(10):  # fixpoint bound; log2(longest chain) rounds in practice
         bucket_min = (
             bands.join(labels, "doc_id")
@@ -158,6 +159,13 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels.cache()
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        # The new round is materialized (the collect above) — the previous
+        # round's cache is dead weight now; release it so ≤1 labels frame
+        # is ever cached, instead of accreting one per round for the
+        # session lifetime.
+        if prev_labels is not None:
+            prev_labels.unpersist()
+        prev_labels = labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -167,6 +175,13 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sz") > 1)
         .select("doc_id", F.col("label").alias("cluster_id"))
     )
+    # Materialize the (small) result and truncate its lineage so the final
+    # labels cache and the bands cache can BOTH be released before
+    # returning — the caller gets a self-contained frame, and this op
+    # leaves zero cached plans behind (block cleanup of the checkpointed
+    # RDD is the ContextCleaner's job once the result is GC'd).
+    out = out.localCheckpoint(eager=True)
+    labels.unpersist()
     bands.unpersist()
     return out
 

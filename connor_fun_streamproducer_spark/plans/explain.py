@@ -48,7 +48,11 @@ def count_in_plan(df: DataFrame, needle: str, executed: bool = False) -> int:
     import re
 
     plan = executed_plan(df) if executed else formatted_plan(df)
-    n = len(re.findall(rf"^\(\d+\) {re.escape(needle)}\b", plan, flags=re.MULTILINE))
-    if n == 0 and needle in plan:  # executed plans have no detail headers
-        return plan.count(needle)
-    return n
+    has_headers = re.search(r"^\(\d+\) ", plan, flags=re.MULTILINE) is not None
+    if has_headers:
+        # Trust the header count even when it is 0: a bare substring match
+        # can be a different operator containing the needle (e.g.
+        # "BroadcastExchange" contains "Exchange").
+        return len(re.findall(rf"^\(\d+\) {re.escape(needle)}\b", plan, flags=re.MULTILINE))
+    # Executed plans have no detail headers — fall back to whole-word count.
+    return len(re.findall(rf"(?<![A-Za-z]){re.escape(needle)}\b", plan))

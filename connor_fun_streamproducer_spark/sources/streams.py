@@ -31,6 +31,10 @@ from pyspark.sql import types as T
 from connor_fun_streamproducer_spark.catalog import table_path
 from connor_fun_streamproducer_spark.registry import op
 
+# Serializes the set→run→restore span of the session-global shuffle
+# partition conf in run_to_memory (no per-writer scope exists for it).
+_SHUFFLE_CONF_LOCK = threading.Lock()
+
 # events.parquet physical schema under nanosAsLong (see catalog.py): ts is
 # a nanosecond BIGINT; the stream converts it to a proper event-time column.
 EVENTS_PHYSICAL_SCHEMA = T.StructType(
@@ -111,6 +115,7 @@ def run_to_memory(
     output_mode: str = "append",
     name: str | None = None,
     state_partitions: int | None = 8,
+    extra_confs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Run a streaming frame to completion into the memory sink.
 
@@ -128,22 +133,46 @@ def run_to_memory(
     here); production queries size it to executors × cores at first
     start (it is immutable per checkpoint afterwards). ``None`` inherits
     the session setting.
+
+    Hygiene (the session may be long-lived and shared):
+
+    - The memory-sink temp view is DROPPED before returning — the result
+      is materialized into a lineage-truncated frame first
+      (``localCheckpoint``), so repeated invocations leave no
+      accumulating driver-side sink tables behind.
+    - ``spark.sql.shuffle.partitions`` is a session-global conf (there is
+      no per-writer scope for it), so the set→run→restore span holds a
+      module lock: concurrent ``run_to_memory`` calls serialize instead
+      of racing each other's restores. Batch queries running concurrently
+      on the same session during the span would still observe the
+      temporary value — callers needing full isolation should use a
+      dedicated session (``spark.newSession()``).
     """
     spark = sdf.sparkSession
     qname = name or f"mem_{uuid.uuid4().hex[:12]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    scoped = dict(extra_confs or {})
     if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = sdf.writeStream.outputMode(output_mode).format("memory").queryName(qname).start()
+        scoped["spark.sql.shuffle.partitions"] = str(state_partitions)
+    with _SHUFFLE_CONF_LOCK:
+        saved = {k: spark.conf.get(k, None) for k in scoped}
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
         try:
-            q.processAllAvailable()
+            q = sdf.writeStream.outputMode(output_mode).format("memory").queryName(qname).start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
+            result = spark.table(qname).localCheckpoint(eager=True)
         finally:
-            q.stop()
-            q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(qname)
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+            spark.catalog.dropTempView(qname)
+    return result
 
 
 def socket_source(spark: SparkSession, host: str = "localhost", port: int = 9999) -> DataFrame:
@@ -191,30 +220,61 @@ def src_socket(spark: SparkSession, sf_dir: str) -> DataFrame:
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind(("127.0.0.1", 0))
-    srv.listen(1)
+    srv.listen(4)
+    srv.settimeout(0.5)
     port = srv.getsockname()[1]
     done = threading.Event()
 
     def serve() -> None:
+        # Accept in a loop serving the same payload: a socket-source
+        # reconnect (source restart) gets the full fixture again instead
+        # of an empty remainder. Duplicate delivery is handled by the
+        # dropDuplicates below (at-least-once → exactly-once).
+        conns = []
         try:
-            conn, _ = srv.accept()
-            conn.sendall(payload)
-            done.wait(30)  # hold the connection open until the query stops
-            conn.close()
+            while not done.is_set():
+                try:
+                    conn, _ = srv.accept()
+                except socket.timeout:
+                    continue
+                conn.sendall(payload)
+                conns.append(conn)  # hold open: long-poll semantics
         finally:
+            for c in conns:
+                try:
+                    c.close()
+                except OSError:
+                    pass
             srv.close()
 
     threading.Thread(target=serve, daemon=True).start()
 
-    sdf = socket_source(spark, "127.0.0.1", port).select(F.col("value").alias("line"))
+    # dropDuplicates makes re-delivery (reconnect re-serve) idempotent;
+    # state is bounded by the fixture's distinct line count.
+    sdf = socket_source(spark, "127.0.0.1", port).select(
+        F.col("value").alias("line")
+    ).dropDuplicates(["line"])
     qname = f"socket_{uuid.uuid4().hex[:8]}"
     q = sdf.writeStream.outputMode("append").format("memory").queryName(qname).start()
     try:
-        deadline = time.monotonic() + 30
+        # First-batch codegen is slow in this container (memory quirk
+        # notes); give the poll a generous deadline and FAIL LOUDLY on
+        # expiry — a partial table would otherwise surface as a confusing
+        # oracle hash mismatch downstream.
+        deadline = time.monotonic() + 120
         while time.monotonic() < deadline and spark.table(qname).count() < len(lines):
             time.sleep(0.2)
+        seen = spark.table(qname).count()
+        if seen < len(lines):
+            raise RuntimeError(
+                f"src_socket: poll deadline expired with {seen}/{len(lines)} "
+                f"rows in the memory sink (port {port}); socket source never "
+                "delivered the full fixture"
+            )
+        result = spark.table(qname).localCheckpoint(eager=True)
     finally:
         q.stop()
         q.awaitTermination()
         done.set()
-    return spark.table(qname)
+        spark.catalog.dropTempView(qname)
+    return result

@@ -135,6 +135,169 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can actually run here.
+
+    The TWS Python runner speaks protobuf to the JVM state server
+    (pyspark.sql.streaming.proto); without the google.protobuf package the
+    driver worker crashes at init with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. This container ships
+    no protobuf (and pip installs are off), so the gate decides at call
+    time — on a full deployment it returns True and the modern path runs.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _make_counter_processor():
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class CounterProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            # Named state variable = one column family in the RocksDB
+            # state store (vs applyInPandasWithState's single opaque
+            # tuple): independently evolvable / independently TTL-able.
+            self._counter = handle.getValueState("counter", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = sum(len(p) for p in rows)
+            cum, batches = self._counter.get() if self._counter.exists() else (0, 0)
+            cum, batches = cum + n, batches + 1
+            self._counter.update((cum, batches))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "batch_n": [n],
+                    "cum_n": [cum],
+                    "batches_seen": [batches],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return CounterProcessor()
+
+
+@op(
+    "stream_stateful_tws",
+    oracle="""
+    SELECT user_id,
+           count(*)                                       AS n_events,
+           CAST(count(DISTINCT date_trunc('week', ts)) AS BIGINT) AS n_periods
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("ref", "streaming", "stateful"),
+)
+def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counter-reset machine on transformWithState (Spark 4 API).
+
+    Same semantics and oracle as ``stream_stateful``, upgraded to the
+    modern arbitrary-state operator: named state variables (column
+    families) instead of one opaque state tuple, a timer facility for the
+    reference's 30 s monitor alarm (unused here — the weekly micro-batch
+    IS the interval), and the RocksDB state store provider, which is the
+    100 TB posture: state lives off-heap/on-disk per partition instead of
+    in executor heap.
+
+    Capability-gated: the TWS Python runner needs google.protobuf, which
+    this container lacks (tws_available; pinned in tests/test_streaming.py
+    the same way the Kafka connector gap is pinned). Where unavailable the
+    op runs the SAME state machine on ``applyInPandasWithState`` — the
+    Spark 3.x-compatible fallback the operator would keep in production
+    anyway — so the semantics contract (and oracle) hold on every
+    deployment while the modern path exercises wherever it can.
+    """
+    src = day_partitioned_events(spark, sf_dir)
+    sdf = (
+        spark.readStream.schema(_DAY_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from connor_fun_streamproducer_spark.sources.streams import run_to_memory
+
+    if tws_available():
+        emitted = sdf.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_make_counter_processor(),
+            outputStructType=_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+        table = run_to_memory(
+            emitted,
+            output_mode="append",
+            extra_confs={
+                # transformWithState requires the RocksDB provider.
+                "spark.sql.streaming.stateStore.providerClass": (
+                    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+                )
+            },
+        )
+    else:
+        emitted = sdf.groupBy("user_id").applyInPandasWithState(
+            _counter_machine,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        table = run_to_memory(emitted, output_mode="append")
+    return table.groupBy("user_id").agg(
+        F.max("cum_n").alias("n_events"), F.max("batches_seen").alias("n_periods")
+    )
+
+
+@op(
+    "rate_stagger",
+    oracle="""
+    SELECT CAST(count(DISTINCT date_trunc('week', ts)) AS BIGINT) AS n_batches,
+           count(*) AS n_rows
+    FROM events
+    """,
+    tags=("ref", "streaming", "source"),
+)
+def rate_stagger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission pacing: one source file admitted per micro-batch.
+
+    The engine form of the reference's 30 s spout stagger
+    (regionSpout.go:98): ``maxFilesPerTrigger=1`` bounds each trigger to
+    one file of the week-partitioned fixture, so the number of (non-empty)
+    micro-batches MUST equal the number of week files — which the oracle
+    can compute as the distinct-week count, making the pacing contract
+    itself hash-checkable, not just a config knob. The foreachBatch sink
+    records per-epoch admitted row counts; the op returns
+    (n_batches, n_rows) = (#week files replayed one-per-trigger, total
+    rows admitted across all batches — i.e. nothing dropped or doubled).
+    """
+    src = day_partitioned_events(spark, sf_dir)
+    sdf = (
+        spark.readStream.schema(_DAY_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    seen: list[tuple[int, int]] = []
+
+    def take(df: DataFrame, epoch_id: int) -> None:
+        n = df.count()
+        if n:
+            seen.append((epoch_id, n))
+
+    q = sdf.writeStream.foreachBatch(take).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.createDataFrame(
+        [(len(seen), sum(n for _, n in seen))], "n_batches bigint, n_rows bigint"
+    )
+
+
 @op(
     "join_stream_stream",
     oracle="""

@@ -28,6 +28,26 @@ from connor_fun_streamproducer_spark.sources.streams import (
 from tests.conftest import SF_DIR
 
 
+def _kafka_connector_available(spark) -> bool:
+    """True when the spark-sql-kafka datasource actually resolves."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "kafka", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+@pytest.fixture(autouse=True)
+def _skip_if_connector_present(spark):
+    # These tests document THIS sandbox's limitation (no connector jar).
+    # In an environment where the kafka datasource resolves, the clean-
+    # failure assertions are meaningless — skip rather than fail.
+    if _kafka_connector_available(spark):
+        pytest.skip("spark-sql-kafka connector available; missing-connector tests not applicable")
+
+
 def test_kafka_source_fails_clean_on_missing_connector(spark):
     """Reader config is accepted; stream start dies on connector lookup
     (not on our options) with the canonical guidance error."""

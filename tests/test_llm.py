@@ -67,6 +67,59 @@ def test_simhash_near_duplicates_of_identical_docs(spark):
     assert zero_dist >= dup_texts, (dup_texts, zero_dist)
 
 
+def test_simhash_band_recall_guarantee(spark):
+    """The 7-band candidate generation must find EVERY pair at hamming
+    distance ≤ 6 — including worst-case bit spreads (one flipped bit per
+    band, which defeated the old 4×16-bit banding for distances 4-6).
+    Planted fingerprints, exhaustive distances 1..6, adversarial spreads.
+    """
+    from pyspark.sql import functions as F
+
+    from connor_fun_streamproducer_spark.llm.dedup import (
+        SIMHASH_BAND_BITS,
+        simhash_candidate_pairs,
+    )
+
+    assert sum(w for _, w in SIMHASH_BAND_BITS) == 64
+    assert len(SIMHASH_BAND_BITS) == 7  # pigeonhole: ≥ hamming_max + 1
+
+    base = 0x5A5A_1234_ABCD_0F0F  # bit 63 clear, as the op guarantees
+    rows = [(0, base)]
+    expected = set()
+    doc = 1
+    for dist in range(1, 7):
+        # Worst case: flip one bit in each of `dist` DIFFERENT bands
+        # (mid-band offsets). The old 4-band scheme missed these at 4-6.
+        bits = [off + (w // 2) for off, w in SIMHASH_BAND_BITS[:dist]]
+        fp = base
+        for b in bits:
+            fp ^= 1 << b
+        rows.append((doc, fp))
+        expected.add((0, doc, dist))
+        doc += 1
+        # Also: all flips concentrated in ONE band (easy case, sanity).
+        off, w = SIMHASH_BAND_BITS[dist % 7]
+        fp2 = base
+        for k in range(min(dist, w)):
+            fp2 ^= 1 << (off + k)
+        rows.append((doc, fp2))
+        expected.add((0, doc, min(dist, w)))
+        doc += 1
+    fp_df = spark.createDataFrame(rows, "doc_id long, fingerprint long")
+    pairs = simhash_candidate_pairs(fp_df)
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in pairs.withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+        .collect()
+    }
+    missed = {(a, b, d) for (a, b, d) in expected if (a, b, d) not in got}
+    assert not missed, f"banding missed planted ≤6-distance pairs: {sorted(missed)}"
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark):
     """Hyperplane-LSH top-k must recover a solid fraction of the exact
     top-k neighborhood (16 planes / 4 groups on 64-d random data)."""

@@ -136,11 +136,26 @@ def test_pipeline_shipping_priority_plan(spark):
     assert "GreaterThan(l_shipdate" in plan, plan
 
 
-def test_pipeline_local_supplier_volume_all_dims_broadcast(spark):
-    """Q5 shape: every dim broadcast; only orders⋈lineitem may shuffle."""
+def test_pipeline_local_supplier_volume_bounded_broadcasts_only(spark):
+    """Q5 shape: bounded dims (region, nation) broadcast by hint; customer
+    and supplier carry NO forced-broadcast hint (they grow with sf — at
+    100 TB a forced broadcast OOMs), so AQE/stats pick their strategy."""
+    import inspect
+
+    from connor_fun_streamproducer_spark.operators import pipelines
+
     df = _q("pipeline_local_supplier_volume", spark)
-    assert count_in_plan(df, "BroadcastHashJoin") >= 4
+    # nation + region hints survive planning; at fixture scale Catalyst
+    # may ALSO broadcast customer/supplier from observed sizes — that is
+    # AQE's call, not a hint's, which is the property under test:
+    assert count_in_plan(df, "BroadcastHashJoin") >= 2
     assert_not_in_plan(df, "CartesianProduct")
+    src = inspect.getsource(pipelines.pipeline_local_supplier_volume)
+    assert "F.broadcast(c" not in src and "F.broadcast(s" not in src, (
+        "unbounded tables must not carry forced broadcast hints"
+    )
+    src10 = inspect.getsource(pipelines.pipeline_returned_items)
+    assert "F.broadcast(c" not in src10
 
 
 def test_pipeline_returned_items_topk_heap(spark):
@@ -148,6 +163,20 @@ def test_pipeline_returned_items_topk_heap(spark):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "EqualTo(l_returnflag,R)" in plan, plan
+
+
+def test_pipeline_shipping_priority_bucketed_shuffle_free(spark):
+    """The bucketed Q3 must contain ZERO shuffle exchanges: the fact-fact
+    join is satisfied bucket-for-bucket, the groupBy(l_orderkey,
+    o_orderdate) is satisfied by HashPartitioning(l_orderkey), and the
+    only data movement left is the customer-keys broadcast and the top-10
+    heap merge. (count_in_plan's header regex counts `Exchange` — shuffle
+    — and not `BroadcastExchange`.)"""
+    df = _q("pipeline_shipping_priority_bucketed", spark)
+    plan = formatted_plan(df)
+    assert count_in_plan(df, "Exchange") == 0, plan
+    assert "BroadcastExchange" in plan, plan  # the customer keys still broadcast
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_enrich_region_grid_is_hash_join(spark):

@@ -146,6 +146,73 @@ def test_checkpoint_restart_resumes_offsets(spark, scratch):
     assert ids == [1, 2], f"checkpoint restart broke exactly-once output: {ids}"
 
 
+def test_tws_gate_documents_environment(spark):
+    """stream_stateful_tws is capability-gated: the transformWithState
+    Python runner needs google.protobuf, absent from this container (no
+    pip). Pin that (a) the gate correctly reports the environment, and
+    (b) the API itself exists — i.e. the fallback runs because of the
+    documented protobuf gap, not a missing/miswired operator. On a
+    protobuf-equipped deployment the gate flips and the modern path runs
+    (its correctness is covered by the same oracle either way)."""
+    import pytest as _pytest
+
+    from connor_fun_streamproducer_spark.streaming import stateful
+
+    gdf = spark.createDataFrame([(1,)], "a long").groupBy("a")
+    assert hasattr(gdf, "transformWithStateInPandas")
+    if stateful.tws_available():
+        _pytest.skip("protobuf available: modern TWS path active here")
+    with _pytest.raises(ImportError):
+        from google.protobuf import descriptor  # noqa: F401
+
+
+def test_stall_triggered_restart_end_to_end(spark, scratch):
+    """The complete supervisor loop the reference stubbed out
+    (regionSpout.go:113-115): a checkpointed query goes idle, the health
+    monitor flags the stall, the supervisor restarts it from the same
+    checkpoint, and new data is processed exactly once — committed
+    offsets resume, nothing re-emitted."""
+    src, ckpt, out = scratch + "/src", scratch + "/ckpt", scratch + "/out"
+    _write_batch(spark, src, [Row(event_id=1, ts=_ts("2024-01-01 10:00:00"), user_id=1)])
+
+    def start():
+        sdf = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .parquet(src)
+        )
+        return (
+            sdf.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    stalls: list[str] = []
+    mon = StreamHealthMonitor(stall_after=2, on_stall=stalls.append)
+    spark.streams.addListener(mon)
+    try:
+        q = start()
+        q.processAllAvailable()
+        assert spark.read.parquet(out).count() == 1
+        # Source exhausted → idle triggers accumulate → stall flag.
+        deadline = time.time() + 30
+        while time.time() < deadline and not stalls:
+            time.sleep(0.3)
+        assert stalls, "monitor never flagged the idle query"
+        # Supervisor reaction: restart from the checkpoint.
+        q2 = restart_query(q, start)
+        _write_batch(spark, src, [Row(event_id=2, ts=_ts("2024-01-01 10:01:00"), user_id=1)])
+        q2.processAllAvailable()
+        q2.stop()
+        q2.awaitTermination()
+    finally:
+        spark.streams.removeListener(mon)
+    ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2], f"stall-restart loop broke exactly-once output: {ids}"
+
+
 def test_health_monitor_detects_stall(spark, scratch):
     """The listener must flag a query after N consecutive empty triggers —
     the reference's zero-count stall check (regionSpout.go:113-115), real."""
