@@ -1,0 +1,320 @@
+"""Corpus-preparation operators — the batch stages of an LLM training-data
+pipeline that sit between raw scans and dedup/similarity: chunking,
+repetition-based quality filtering, deterministic splits and stratified
+sampling, corpus statistics, and TF-IDF term salience.
+
+The reference has no text tier at all (its one dataflow is geo event
+fan-out, /root/reference/regionSpout.go:57-124); these ops extend the
+engine the same way the dedup/similarity tier does — the operations a
+100 TB training-data pipeline runs on the ``documents`` table.
+
+Scale posture shared by every op here:
+
+- Tokenization stays inside codegen'd JVM expressions (``split`` /
+  higher-order array functions) — no Python in any per-row path.
+- Per-doc work is linear in document length; cross-doc work is hash
+  aggregation on (doc_id, term)-shaped keys — partial-agg + one exchange,
+  never all-pairs.
+- Deterministic arithmetic "hashing" (Knuth multiplicative) for splits and
+  sampling, so assignment is reproducible across runs AND expressible in
+  the DuckDB oracle — a property-preserving stand-in for xxhash-based
+  salting (which has no DuckDB twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.registry import op
+
+# Sliding-window chunking parameters (tokens). Window > stride → overlap,
+# the usual training-data layout so no boundary context is lost.
+CHUNK_SIZE = 30
+CHUNK_STRIDE = 20
+
+# Knuth multiplicative constants for the two independent assignment hashes
+# (split vs sampling must be decorrelated).
+_SPLIT_MULT = 2654435761
+_SAMPLE_MULT = 2246822519
+
+
+def _toks() -> F.Column:
+    return F.split("text", " ")
+
+
+@op(
+    "text_chunk",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), c AS (
+        SELECT doc_id, toks,
+               greatest(1, CAST(ceil((len(toks) - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0)
+                                AS BIGINT) + 1) AS nchunks
+        FROM t
+    ), idx AS (SELECT unnest(generate_series(0, 15)) AS i)
+    SELECT c.doc_id,
+           idx.i AS chunk_id,
+           array_to_string(c.toks[idx.i*{CHUNK_STRIDE}+1 : idx.i*{CHUNK_STRIDE}+{CHUNK_SIZE}], ' ')
+               AS chunk_text,
+           CAST(len(c.toks[idx.i*{CHUNK_STRIDE}+1 : idx.i*{CHUNK_STRIDE}+{CHUNK_SIZE}])
+               AS BIGINT) AS n_tokens
+    FROM c JOIN idx ON idx.i < c.nchunks
+    """,
+    tags=("llm", "corpus"),
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (size 30 / stride 20 tokens).
+
+    Every doc expands to ceil((n-size)/stride)+1 overlapping chunks (min
+    1), the layout a context-window-bounded trainer consumes. The whole
+    expansion is one JVM expression per row — sequence → transform →
+    slice → posexplode — so chunking 100 TB is a map-only stage: no
+    shuffle, no Python, output partitioning inherited from the scan.
+    (The oracle joins a bounded 0..15 index series because DuckDB lacks
+    lateral generate_series over a column; fixture docs are ≤ 100 tokens
+    → ≤ 5 chunks.)
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    nchunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(CHUNK_SIZE)).cast("double") / CHUNK_STRIDE).cast("int") + 1,
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_SIZE),
+    )
+    return d.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_toks")).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+        F.size("chunk_toks").cast("bigint").alias("n_tokens"),
+    )
+
+
+@op(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ), b AS (
+        SELECT doc_id,
+               unnest(list_transform(toks[2:], (x, i) -> toks[i] || ' ' || x)) AS bg
+        FROM t
+    ), pb AS (
+        SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2
+    ), ab AS (
+        SELECT doc_id, max(c) AS top, sum(c) AS total FROM pb GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           floor((1 - len(list_distinct(t.toks)) * 1.0 / len(t.toks)) * 10000) / 10000
+               AS dup_token_ratio,
+           floor(ab.top * 1.0 / ab.total * 10000) / 10000 AS top_bigram_frac
+    FROM t JOIN ab USING (doc_id)
+    """,
+    tags=("llm", "corpus", "quality"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher-style filters).
+
+    Per doc: duplicate-token fraction (1 - distinct/total) and the share
+    of the most frequent bigram among all bigrams — the two cheapest
+    detectors of boilerplate/spam loops in web corpora. Bigrams are built
+    by zipping the token array against itself shifted by one (pure JVM
+    array ops); the per-(doc, bigram) count is a hash aggregation keyed by
+    doc — partial-agg combines map-side, and the key space is bounded by
+    corpus token count, never corpus². Ratios use floor(x*10000)/10000 on
+    both sides (round() ties are engine-defined for small rationals).
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", _toks().alias("toks"))
+    d = d.filter(F.size("toks") >= 2)
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    per_bigram = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = per_bigram.groupBy("doc_id").agg(
+        F.max("c").alias("top"), F.sum("c").alias("total")
+    )
+    dup_ratio = F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / n
+    return (
+        d.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_tokens"),
+            (F.floor(dup_ratio * 10000) / 10000).alias("dup_token_ratio"),
+            (F.floor(F.col("top").cast("double") / F.col("total") * 10000) / 10000).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+@op(
+    "sample_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN (doc_id * {_SPLIT_MULT}) % 1000 < 900 THEN 'train'
+                WHEN (doc_id * {_SPLIT_MULT}) % 1000 < 950 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("llm", "corpus"),
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/valid/test assignment.
+
+    Knuth multiplicative hash of the stable doc key, mod 1000 — the same
+    doc lands in the same split on every run, every cluster, and in the
+    oracle (unlike rand(seed), which is partitioning-dependent). Pure
+    map-side projection: at 100 TB this adds zero shuffles and the split
+    column becomes the partitionBy key of the output layout.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * _SPLIT_MULT) % 1000
+    split = (
+        F.when(bucket < 900, F.lit("train"))
+        .when(bucket < 950, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", split.alias("split"))
+
+
+@op(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (doc_id * {_SAMPLE_MULT}) % 1000 <
+          CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 1000 ELSE 800 END
+    """,
+    tags=("llm", "corpus"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling (language rebalancing).
+
+    Keeps 50% of 'en' (the dominant stratum), 100% of 'de', 80% of the
+    rest — the standard move to stop one language/source swamping a
+    training mix. Same reproducible-hash machinery as sample_split with an
+    independent multiplier (correlated hashes would make "sampled test
+    set" systematically overlap the training sample). Map-side filter:
+    pushes to the scan, no shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * _SAMPLE_MULT) % 1000
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(500))
+        .when(F.col("lang") == "de", F.lit(1000))
+        .otherwise(F.lit(800))
+    )
+    return d.filter(bucket < rate).select("doc_id", "lang")
+
+
+@op(
+    "corpus_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           floor(avg(len(string_split(text, ' '))) * 10000) / 10000 AS avg_tokens,
+           round(quantile_cont(len(string_split(text, ' ')), 0.5), 4)  AS p50_tokens,
+           round(quantile_cont(len(string_split(text, ' ')), 0.9), 4)  AS p90_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("llm", "corpus"),
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: doc counts, token totals, length
+    distribution (exact p50/p90).
+
+    The report a pipeline runs before and after every filter stage.
+    Token counting is a codegen'd size(split(...)); the group-by has
+    ~|languages| keys so the final exchange moves a handful of rows —
+    at 100 TB the cost is the scan, which prunes to (lang, text).
+    Exact percentiles sort per group; the mergeable scale path for
+    high-cardinality strata is percentile_approx (oracle-proven pattern
+    in agg_percentile / agg_approx).
+    """
+    d = load(spark, sf_dir, "documents")
+    n = F.size(_toks())
+    return (
+        d.select("lang", n.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.floor(F.avg("n_tokens") * 10000) / 10000).alias("avg_tokens"),
+            F.round(F.percentile("n_tokens", F.lit(0.5)), 4).alias("p50_tokens"),
+            F.round(F.percentile("n_tokens", F.lit(0.9)), 4).alias("p90_tokens"),
+        )
+    )
+
+
+@op(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), s AS (
+        SELECT tf.doc_id, tf.term, tf.tf * 1.0 / df.df AS score
+        FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS BIGINT) AS rk,
+           term,
+           floor(score * 10000) / 10000 AS score
+    FROM s
+    QUALIFY rk <= 3
+    """,
+    tags=("llm", "corpus"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per document (tf × 1/df salience).
+
+    Term frequency per (doc, term), document frequency per term, score =
+    tf/df (the corpus-size factor N is constant within a per-doc ranking,
+    so the unlogged reciprocal-df weight ranks identically to classic
+    tf-idf for fixed tf and keeps the arithmetic exactly reproducible in
+    the oracle — IEEE division, no transcendental ulp drift). Two hash
+    aggregations + one equi-join on term + a per-doc top-3 window with a
+    total-order tie-break. At 100 TB the df side is |vocabulary| rows —
+    broadcastable after aggregation — and nothing is ever corpus².
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rk").cast("bigint").alias("rk"),
+            "term",
+            (F.floor(F.col("score") * 10000) / 10000).alias("score"),
+        )
+    )

@@ -163,5 +163,11 @@ def _ensure_loaded() -> None:
     from connor_fun_streamproducer_spark.sources import config_scan as _config_scan  # noqa: F401
     from connor_fun_streamproducer_spark.llm import multimodal, similarity  # noqa: F401
     from connor_fun_streamproducer_spark.operators import udfs  # noqa: F401
+    # NEW in round 3 (corpus-prep tier + SQL front door), registered after
+    # this round's window by the freshness rule — they are oracle-checked
+    # on every local test run (tests/test_oracle.py) and rotate to the
+    # front of the external window next round as "changed" ops.
+    from connor_fun_streamproducer_spark.llm import corpus  # noqa: F401
+    from connor_fun_streamproducer_spark.operators import sql_front  # noqa: F401
 
     _LOADED = True

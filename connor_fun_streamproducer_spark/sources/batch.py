@@ -183,3 +183,24 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.ascii(F.substring(txt, 4, 1))
         ).cast("bigint").alias("header_sum"),
     )
+
+
+@op(
+    "scan_orc",
+    oracle="SELECT event_id, event_type, round(value, 4) AS value FROM events",
+    tags=("ext", "source"),
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan (Spark's second built-in columnar format), schema'd.
+
+    Same round-trip proof shape as scan_json/scan_csv: write the events
+    subset as ORC, read it back with an explicit schema, match the
+    parquet-backed oracle. ORC gets the same scan machinery as parquet —
+    predicate pushdown, column pruning, vectorized reader — so a
+    warehouse standardized on ORC loses nothing running this engine.
+    """
+    path = _scratch_dir(sf_dir, "events_orc")
+    src = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.schema(_EVENT_SUBSET_SCHEMA).orc(path)
+    return back.select("event_id", "event_type", F.round("value", 4).alias("value"))

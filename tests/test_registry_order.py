@@ -77,6 +77,6 @@ def test_registry_is_deterministic_and_complete():
     a = list(registry.queries())
     b = list(registry.queries())
     assert a == b
-    assert len(a) >= 95
+    assert len(a) >= 105
     # every oracle key corresponds to a registered query
     assert set(registry.oracle_sql()) <= set(a)
