@@ -201,6 +201,48 @@ def test_sim_search_ivf_scan_is_partition_pruned(spark):
     assert df.select("query_id").distinct().count() > 0
 
 
+def test_text_chunk_is_map_only(spark):
+    """Chunking must be a pure map stage: sequence→transform→slice→
+    posexplode inside the scan's partitioning — zero exchanges. At 100 TB
+    this is what makes chunking free to scale: it inherits the input
+    layout and adds no shuffle."""
+    assert_not_in_plan(_q("text_chunk", spark), "Exchange")
+
+
+def test_sample_ops_are_map_only(spark):
+    """Deterministic split/sampling must not shuffle — they are
+    projections/filters over the scan."""
+    assert_not_in_plan(_q("sample_split", spark), "Exchange")
+    assert_not_in_plan(_q("sample_stratified", spark), "Exchange")
+
+
+def test_corpus_stats_single_exchange(spark):
+    """Per-language stats: partial aggregation map-side, ONE exchange on
+    the ~|languages|-key group-by."""
+    df = _q("corpus_stats", spark)
+    assert count_in_plan(df, "Exchange") == 1, formatted_plan(df)
+
+
+def test_join_range_bucketed_is_equi_join(spark):
+    """The whole point of the bucket rewrite: the time-range join must
+    plan as a hash-partitionable equi-join (+ residual filter), never a
+    nested-loop/cartesian over purchases × clicks."""
+    df = _q("join_range_bucketed", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tfidf_no_cartesian_bounded_exchanges(spark):
+    """tf⋈df is an equi-join on term; the plan is hash aggs + hash join +
+    one window — bounded exchange count, nothing quadratic."""
+    df = _q("tfidf_top_terms", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert count_in_plan(df, "Exchange") <= 4, plan
+
+
 def test_dedup_embedding_blocks_on_cell_equi_join(spark):
     """Semantic dedup must pair within IVF cells via an equi hash join —
     never a cartesian/nested-loop over the corpus, and never a
