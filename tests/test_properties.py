@@ -139,3 +139,93 @@ def test_grid_join_equals_nested_loop_join(spark):
         tuple(r) for r in registry.OPS["enrich_region_grid"].fn(spark, SF_DIR).collect()
     }
     assert nlj == grid and len(nlj) > 0
+
+
+def test_chunks_reconstruct_documents(spark):
+    """Dropping each chunk's overlap prefix (stride-aligned suffix keeps
+    chunk 0 whole, later chunks contribute tokens beyond the previous
+    chunk's window) and concatenating in chunk order must reproduce every
+    document exactly — chunking loses nothing and invents nothing."""
+    from connor_fun_streamproducer_spark import registry
+    from connor_fun_streamproducer_spark.llm.corpus import CHUNK_SIZE, CHUNK_STRIDE
+
+    registry._ensure_loaded()
+    chunks = registry.OPS["text_chunk"].fn(spark, SF_DIR).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    rebuilt: dict[int, list[str]] = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        toks = r["chunk_text"].split(" ")
+        keep = toks if r["chunk_id"] == 0 else toks[CHUNK_SIZE - CHUNK_STRIDE:]
+        rebuilt.setdefault(r["doc_id"], []).extend(keep)
+    assert set(rebuilt) == set(docs)
+    for did, toks in rebuilt.items():
+        assert " ".join(toks) == docs[did], f"doc {did} not reconstructed"
+
+
+def test_sample_split_partitions_and_fractions(spark):
+    """Every doc lands in exactly one split; observed fractions are within
+    a loose tolerance of 90/5/5 (deterministic hash, so this is a fixed
+    property of the fixture, not a flaky statistical test)."""
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    rows = registry.OPS["sample_split"].fn(spark, SF_DIR).collect()
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    from collections import Counter
+
+    frac = Counter(r["split"] for r in rows)
+    assert set(frac) <= {"train", "valid", "test"}
+    assert frac["train"] / n_docs > 0.85
+    assert frac["test"] / n_docs < 0.10
+
+
+def test_stratified_sample_is_subset_with_per_lang_rates(spark):
+    """The kept set is a subset of the corpus; 'de' keeps everything,
+    'en' keeps roughly half (deterministic — exact counts are fixed by
+    the hash, the loose bounds just avoid coupling to the fixture)."""
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    kept = registry.OPS["sample_stratified"].fn(spark, SF_DIR).collect()
+    d = load(spark, SF_DIR, "documents").select("doc_id", "lang").collect()
+    all_ids = {r["doc_id"]: r["lang"] for r in d}
+    assert all(r["doc_id"] in all_ids for r in kept)
+    from collections import Counter
+
+    tot = Counter(all_ids.values())
+    got = Counter(r["lang"] for r in kept)
+    assert got["de"] == tot["de"], "de stratum must keep 100%"
+    if tot["en"] >= 20:
+        assert 0.3 <= got["en"] / tot["en"] <= 0.7, (got["en"], tot["en"])
+
+
+def test_tfidf_ranks_rare_terms_above_common(spark):
+    """For any doc, a returned term's score must be >= the tf/df score of
+    every non-returned term of that doc (top-3 really is the top)."""
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    top = registry.OPS["tfidf_top_terms"].fn(spark, SF_DIR)
+    # Recompute all scores independently with plain aggregations.
+    d = load(spark, SF_DIR, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").count().withColumnRenamed("count", "tf")
+    df_ = tf.groupBy("term").count().withColumnRenamed("count", "df")
+    all_scores = {
+        (r["doc_id"], r["term"]): r["tf"] / r["df"]
+        for r in tf.join(df_, "term").collect()
+    }
+    got = top.collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    sample = dict(list(by_doc.items())[:25])
+    for did, rows in sample.items():
+        min_top = min(all_scores[(did, r["term"])] for r in rows)
+        others = [v for (d2, t), v in all_scores.items() if d2 == did
+                  and t not in {r["term"] for r in rows}]
+        assert all(v <= min_top + 1e-12 for v in others), f"doc {did}"
