@@ -243,6 +243,15 @@ def test_tfidf_no_cartesian_bounded_exchanges(spark):
     assert count_in_plan(df, "Exchange") <= 4, plan
 
 
+def test_subquery_pipelines_decorrelate_to_joins(spark):
+    """Membership/EXISTS subqueries must plan as semi/anti joins, never as
+    per-row re-execution; the scalar subquery is a 1-row broadcast."""
+    assert_in_plan(_q("pipeline_large_volume_orders", spark), "LeftSemi")
+    assert_in_plan(_q("pipeline_late_shipment_priority", spark), "LeftSemi")
+    plan = assert_in_plan(_q("pipeline_dormant_accounts", spark), "LeftAnti")
+    assert "BroadcastExchange" in plan  # the 1-row scalar aggregate
+
+
 def test_dedup_embedding_blocks_on_cell_equi_join(spark):
     """Semantic dedup must pair within IVF cells via an equi hash join —
     never a cartesian/nested-loop over the corpus, and never a
