@@ -84,3 +84,69 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         _extract_features,
         schema="doc_id bigint, modality string, n_bytes bigint, header_sum bigint",
     )
+
+
+FRAME_BYTES = 16   # fake "frame" size over the byte stream
+FRAME_STRIDE = 4   # keep every 4th frame
+
+
+def _sample_frames(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """Arrow-batched frame sampler: every FRAME_STRIDE-th full FRAME_BYTES
+    window of each payload, with a per-frame byte checksum.
+
+    The video stand-in: a real pipeline swaps the byte-window slicing for
+    container demux + keyframe decode (pyav/ffmpeg), keeping the exact
+    same batch shape — (doc_id, frame_id, frame feature row) per sampled
+    frame, one pandas pass per Arrow batch.
+    """
+    for pdf in batches:
+        out_doc, out_fid, out_sum = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            nf = len(payload) // FRAME_BYTES
+            for f in range(0, nf, FRAME_STRIDE):
+                out_doc.append(doc_id)
+                out_fid.append(f)
+                out_sum.append(int(sum(payload[f * FRAME_BYTES:(f + 1) * FRAME_BYTES])))
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "frame_id": out_fid, "frame_sum": out_sum},
+            dtype="int64" if out_doc else None,
+        )
+
+
+@op(
+    "multimodal_framesample",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, text,
+               CAST(floor(octet_length(encode(text)) / {FRAME_BYTES}) AS BIGINT) AS n_frames
+        FROM documents
+    ), idx AS (SELECT unnest(generate_series(0, 63)) AS fi)
+    SELECT f.doc_id,
+           idx.fi AS frame_id,
+           CAST(list_sum(list_transform(range(1, {FRAME_BYTES} + 1),
+                i -> ascii(substring(f.text, CAST(idx.fi * {FRAME_BYTES} AS INTEGER) + i, 1))))
+               AS BIGINT) AS frame_sum
+    FROM f JOIN idx ON idx.fi < f.n_frames AND idx.fi % {FRAME_STRIDE} = 0
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media payloads (video-pipeline shape).
+
+    Each payload is treated as a stream of {FRAME_BYTES}-byte frames;
+    every {FRAME_STRIDE}-th full frame is kept and checksummed — the
+    partition-parallel sampling stage of a video training pipeline
+    (decode is the honestly-stubbed slot, decode_image above; the fake is
+    deterministic byte arithmetic so the oracle can verify the plumbing
+    byte-for-byte). Output fan-out is frames/stride per doc; at 100 TB
+    the op is map-only over Arrow batches — no shuffle, no Python row
+    objects, output partitioning inherited from the scan. The oracle
+    recomputes frame sums from the source text (ASCII corpus ⇒ byte i ==
+    ascii(char i)) with a bounded frame-index series (fixture docs ≤ 63
+    frames).
+    """
+    d = load(spark, sf_dir, "documents")
+    framed = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return framed.mapInPandas(
+        _sample_frames, schema="doc_id bigint, frame_id bigint, frame_sum bigint"
+    )

@@ -251,3 +251,4 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
         .select("event_type", "approx_users")
     )
+

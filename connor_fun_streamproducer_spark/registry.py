@@ -168,6 +168,10 @@ def _ensure_loaded() -> None:
     # on every local test run (tests/test_oracle.py) and rotate to the
     # front of the external window next round as "changed" ops.
     from connor_fun_streamproducer_spark.llm import corpus  # noqa: F401
-    from connor_fun_streamproducer_spark.operators import sql_front, subqueries  # noqa: F401
+    from connor_fun_streamproducer_spark.operators import (  # noqa: F401
+        salting,
+        sql_front,
+        subqueries,
+    )
 
     _LOADED = True
