@@ -150,3 +150,60 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.mapInPandas(
         _sample_frames, schema="doc_id bigint, frame_id bigint, frame_sum bigint"
     )
+
+
+RESIZE_FACTOR = 4  # decimation factor: keep every 4th byte
+
+
+def _resize_payloads(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """Arrow-batched resize stand-in: decimate each payload by
+    RESIZE_FACTOR (keep every 4th byte) and checksum the result.
+
+    Real pipelines put PIL.Image.resize / ffmpeg scale here; the batch
+    contract is identical — payload in, smaller payload's features out,
+    one vectorizable pass per Arrow batch.
+    """
+    for pdf in batches:
+        resized = pdf["payload"].map(lambda b: b[::RESIZE_FACTOR])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes_in": pdf["payload"].map(len).astype("int64"),
+                "n_bytes_out": resized.map(len).astype("int64"),
+                "resized_sum": resized.map(lambda b: int(sum(b))).astype("int64"),
+            }
+        )
+
+
+@op(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in,
+           CAST(ceil(octet_length(encode(text)) / {RESIZE_FACTOR}.0) AS BIGINT) AS n_bytes_out,
+           CAST(list_sum(list_transform(
+                    list_filter(range(0, 256), i -> i * {RESIZE_FACTOR} + 1 <= length(text)),
+                    i -> ascii(substring(text, CAST(i * {RESIZE_FACTOR} + 1 AS INTEGER), 1))))
+               AS BIGINT) AS resized_sum
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize/downsample stage (byte-decimation stand-in).
+
+    Completes the multimodal stage set (decode-stub / feature-extract /
+    resize / frame-sample): each binary payload is decimated by a factor
+    of {RESIZE_FACTOR} inside an Arrow batch — the pixel-resize slot of an
+    image pipeline with the codec honestly stubbed, byte arithmetic kept
+    real so the oracle verifies the plumbing exactly. Map-only: no
+    shuffle, partitioning inherited, output bytes ~1/{RESIZE_FACTOR} of
+    input — at 100 TB this is the stage that shrinks the working set
+    before expensive feature models run.
+    """
+    d = load(spark, sf_dir, "documents")
+    framed = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return framed.mapInPandas(
+        _resize_payloads,
+        schema="doc_id bigint, n_bytes_in bigint, n_bytes_out bigint, resized_sum bigint",
+    )
