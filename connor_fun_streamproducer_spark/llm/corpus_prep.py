@@ -1,0 +1,274 @@
+"""Corpus-preparation tier 2 — the stages downstream of chunking/dedup
+that assemble model-ready training data: sequence packing, PII scrubbing,
+cross-document boilerplate detection, and label-level embedding pooling.
+
+Like llm/corpus.py, these extend the engine past the reference's single
+geo dataflow (/root/reference/regionSpout.go:57-124) with the operations a
+100 TB training-data pipeline actually runs. Scale posture:
+
+- Per-doc work is codegen'd JVM expressions (regexp, array slices) — no
+  Python anywhere.
+- Cross-doc state is either a running sum within a stratum (packing), a
+  tiny broadcastable dim (the top-K boilerplate set), or a bounded
+  (label × dim) aggregate (pooling) — never corpus².
+- Synthetic PII is injected deterministically from ``doc_id`` on BOTH
+  sides so the scrubbing machinery is oracle-verified end-to-end (the
+  fixture corpus is a clean word soup with nothing to redact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.registry import op
+
+# Token budget of one packed training sequence.
+PACK_BUDGET = 256
+
+# Java-regex ∩ RE2 subset so Spark and DuckDB compile the same automaton.
+_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_NUM_RE = r"[0-9]{3,}"
+
+# Corpus-wide most-frequent-n-gram count treated as boilerplate.
+NGRAM = 5
+TOP_BOILERPLATE = 20
+
+
+def _toks() -> F.Column:
+    return F.split("text", " ")
+
+
+@op(
+    "corpus_pack",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT lang, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_cum
+        FROM t
+    )
+    SELECT lang, doc_id, n_tokens,
+           CAST(floor(start_cum / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+           CAST(start_cum % {PACK_BUDGET} AS BIGINT)          AS pack_off
+    FROM c
+    """,
+    tags=("llm", "corpus"),
+)
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (concat-then-split, budget 256).
+
+    Documents are concatenated in stable ``doc_id`` order within each
+    language stratum and split at fixed 256-token boundaries — each doc
+    gets the pack it STARTS in and its offset there, the bookkeeping a
+    packed-pretraining loader needs (docs may span a boundary; the loader
+    reads on into pack_id+1, standard GPT-style packing). The kernel is a
+    running sum over (lang) ORDER BY doc_id. At 100 TB a per-stratum
+    window serializes each stratum through one task; the scale path is the
+    classic two-pass distributed prefix sum — per-range-partition token
+    subtotals (tiny) collected and cumulated once, then added back
+    map-side — which this op's partition-by-stratum layout already
+    enables without changing the contract.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.size(_toks()).cast("bigint")
+    start_cum = (F.sum(n).over(w) - n).alias("start_cum")
+    return d.select("lang", "doc_id", n.alias("n_tokens"), start_cum).select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("start_cum") / PACK_BUDGET).cast("bigint").alias("pack_id"),
+        (F.col("start_cum") % PACK_BUDGET).cast("bigint").alias("pack_off"),
+    )
+
+
+@op(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               substring(text, 1, 40) || ' contact user' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                   || '@example.com ref ' || CAST(doc_id * 7919 AS VARCHAR) || ' end'
+                   AS synth
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(synth, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(
+                    regexp_replace(synth, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                    '{_NUM_RE}')) AS INTEGER) AS n_numbers,
+           regexp_replace(regexp_replace(synth, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_NUM_RE}', '<NUM>', 'g') AS scrubbed
+    FROM s
+    """,
+    tags=("llm", "corpus", "quality"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails then long digit runs → typed tags.
+
+    The standard pre-training scrub (emails, phone-ish numbers, IDs).
+    The fixture corpus is clean word soup, so each row deterministically
+    injects an email + numeric ref derived from ``doc_id`` — identically
+    in the oracle — making the redaction machinery itself the thing
+    verified: extraction counts before/after, and the scrubbed text
+    byte-for-byte. Order matters (emails first, or their digit runs decay
+    into ``<NUM>`` fragments); both engines apply the same two-stage
+    rewrite. Patterns stay in the Java-regex ∩ RE2 subset. Map-only
+    codegen'd regexps: at 100 TB this fuses into the scan with zero
+    shuffles, the cheapest possible full-corpus pass.
+    """
+    d = load(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+        F.lit("@example.com ref "),
+        (F.col("doc_id") * 7919).cast("string"),
+        F.lit(" end"),
+    )
+    no_email = F.regexp_replace(synth, _EMAIL_RE, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(synth, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_NUM_RE), 0)).alias("n_numbers"),
+        F.regexp_replace(no_email, _NUM_RE, "<NUM>").alias("scrubbed"),
+    )
+
+
+@op(
+    "text_boilerplate",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {NGRAM}
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - {NGRAM - 2}),
+                      i -> array_to_string(list_slice(toks, i, i + {NGRAM - 1}), ' ')))
+                   AS gram
+        FROM t
+    ), freq AS (
+        SELECT gram, count(*) AS c FROM g GROUP BY 1
+    ), top AS (
+        SELECT gram FROM freq ORDER BY c DESC, gram LIMIT {TOP_BOILERPLATE}
+    ), hits AS (
+        SELECT g.doc_id, count(*) AS n_boiler
+        FROM g JOIN top USING (gram) GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) - {NGRAM - 1} AS BIGINT) AS n_grams,
+           CAST(coalesce(hits.n_boiler, 0) AS BIGINT) AS n_boiler
+    FROM t LEFT JOIN hits USING (doc_id)
+    """,
+    tags=("llm", "corpus", "quality"),
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (C4-style frequent-n-gram hit
+    count).
+
+    The corpus-wide top-20 most frequent 5-grams are the boilerplate set
+    (headers, footers, licence lines in real crawls); each document
+    reports how many of its 5-gram positions hit that set. Two passes:
+    (1) per-doc 5-grams from one JVM slice expression → hash-aggregated
+    counts (map-side partial, key space ≤ corpus token count); (2) the
+    top-K set — K rows total, broadcast — joined back per-doc. The
+    deterministic (count DESC, gram) tie-break keeps the top-K stable
+    across engines. At 100 TB: one agg shuffle + a broadcast join; the
+    per-doc n-gram expansion never leaves its scan partition.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", _toks().alias("toks"))
+    d = d.filter(F.size("toks") >= NGRAM)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (NGRAM - 1)),
+                lambda i: F.array_join(F.slice("toks", i, NGRAM), " "),
+            )
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("gram"))
+        .limit(TOP_BOILERPLATE)
+        .select("gram")
+    )
+    hits = (
+        grams.join(F.broadcast(top), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    return (
+        d.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.size("toks") - (NGRAM - 1)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+        )
+    )
+
+
+EMB_DIM = 64  # fixture embedding width (TESTDATA.md)
+
+
+@op(
+    "embedding_pool",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label, idx.i AS pos, avg(embedding[idx.i + 1]) AS av
+        FROM embeddings, (SELECT unnest(range(0, {EMB_DIM})) AS i) idx
+        GROUP BY 1, 2
+    ), n AS (
+        SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1
+    )
+    SELECT comp.label,
+           CAST(n.n_vecs AS BIGINT) AS n_vecs,
+           round(sqrt(sum(comp.av * comp.av)), 4) AS centroid_norm,
+           round(sum(comp.av), 4)                 AS centroid_sum
+    FROM comp JOIN n USING (label)
+    GROUP BY comp.label, n.n_vecs
+    """,
+    tags=("llm", "embedding"),
+)
+def embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-level mean-pooling of embeddings (class centroids).
+
+    The building block of centroid-based clustering / classification and
+    of the IVF coarse quantizer (llm/similarity.py builds its codebook
+    from exactly this shape): per-(label, dimension) mean, then scalar
+    centroid features (L2 norm, component sum) so the result is
+    hash-comparable (float arrays don't canonicalize across engines;
+    scalars with round(4) do). posexplode fans each vector into 64
+    (label, pos, value) rows — partial aggregation combines map-side, so
+    the exchange carries |labels| × 64 partial sums, not corpus × 64
+    rows. At 100 TB this is one scan + one tiny shuffle; the centroids
+    frame (|labels| rows) then broadcasts into whatever consumes it.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    comp = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("av"), F.count("v").alias("cnt"))
+    )
+    return (
+        comp.groupBy("label")
+        .agg(
+            F.max("cnt").cast("bigint").alias("n_vecs"),
+            F.round(F.sqrt(F.sum(F.col("av") * F.col("av"))), 4).alias("centroid_norm"),
+            F.round(F.sum("av"), 4).alias("centroid_sum"),
+        )
+    )

@@ -1,0 +1,199 @@
+"""Incremental / temporal batch operators: gaps-and-islands
+sessionization, CDC-style latest-wins merge, and value histograms.
+
+The reference's stream is sessionless and at-most-once (events fan out
+per region and are forgotten, /root/reference/regionSpout.go:124-160);
+these supply the batch twins a warehouse needs around that stream:
+replaying an event log into sessions (the batch form of
+``stream_session``), folding a change feed into a dimension snapshot
+(the MERGE/upsert every ingest pipeline runs), and distribution
+profiling. All three are pure DataFrame plans — one keyed shuffle each,
+no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.registry import op
+
+# Session gap threshold (seconds). Fixture events average ~1/day/user, so
+# 6 h splits users into many short sessions.
+SESSION_GAP_S = 21600
+
+# Change rows whose o_orderkey hits this modulus model INSERTs of
+# previously-unseen keys (the WHEN NOT MATCHED arm).
+_INSERT_MOD = 97
+_INSERT_KEY_OFFSET = 1_000_000
+
+HIST_BUCKET_WIDTH = 50_000
+HIST_N_BUCKETS = 10
+
+
+@op(
+    "win_sessionize",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, sec,
+               CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id
+                                              ORDER BY sec, event_id)
+                         > {SESSION_GAP_S}
+                    OR lag(sec) OVER (PARTITION BY user_id
+                                      ORDER BY sec, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+    ), sess AS (
+        SELECT user_id, event_id, sec,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT)    AS n_events,
+           min(sec)                    AS start_s,
+           max(sec) - min(sec)         AS duration_s
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+    tags=("ext", "window", "temporal"),
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands, 6 h inactivity gap).
+
+    The batch replay of ``stream_session`` over the event log: a new
+    session starts where the gap to the previous event of the same user
+    exceeds the threshold; the session id is the running sum of those
+    boundary flags. One shuffle on user_id serves the lag window, the
+    running sum, AND the final per-session aggregate — Catalyst reuses
+    the (user_id) hash partitioning across all three, so at 100 TB the
+    plan is scan → one exchange → three window/agg stages pipelined in
+    one task per key range. Skewed power users are bounded by their own
+    event counts, not the corpus.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("sec")
+    )
+    order = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    prev = F.lag("sec").over(order)
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(prev.isNull() | ((F.col("sec") - prev) > SESSION_GAP_S), 1).otherwise(0),
+    )
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("session_seq", F.sum("new_sess").over(running))
+    return sess.groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("sec").alias("start_s"),
+        (F.max("sec") - F.min("sec")).alias("duration_s"),
+    )
+
+
+@op(
+    "merge_upsert",
+    oracle=f"""
+    WITH changes AS (
+        SELECT CASE WHEN o_orderkey % {_INSERT_MOD} = 0
+                    THEN o_custkey + {_INSERT_KEY_OFFSET}
+                    ELSE o_custkey END AS cust_key,
+               o_totalprice AS balance,
+               o_orderkey   AS seq,
+               1            AS prio
+        FROM orders
+    ), base AS (
+        SELECT c_custkey AS cust_key, c_acctbal AS balance,
+               CAST(0 AS BIGINT) AS seq, 0 AS prio
+        FROM customer
+    ), u AS (
+        SELECT *, row_number() OVER (PARTITION BY cust_key
+                                     ORDER BY prio DESC, seq DESC) AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+    )
+    SELECT cust_key, balance,
+           CASE prio WHEN 1 THEN 'change' ELSE 'base' END AS src
+    FROM u WHERE rn = 1
+    """,
+    tags=("ext", "incremental"),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins MERGE: fold a change feed into a snapshot.
+
+    Orders act as a balance-update feed against the customer dimension
+    (sequence = o_orderkey); every ~97th change carries an unseen key and
+    exercises the WHEN-NOT-MATCHED insert arm. Instead of the textbook
+    full-outer join + coalesce (two shuffles: pre-aggregate the feed,
+    then join), base and feed are unioned with a precedence rank and one
+    row_number window picks the winner per key — a single shuffle on the
+    merge key, the shape Delta/Iceberg MERGE compiles to when the feed
+    isn't pre-deduplicated. At 100 TB the union shuffles once on
+    cust_key; AQE handles hot keys; no broadcast of anything unbounded.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    changes = o.select(
+        F.when(F.col("o_orderkey") % _INSERT_MOD == 0, F.col("o_custkey") + _INSERT_KEY_OFFSET)
+        .otherwise(F.col("o_custkey"))
+        .alias("cust_key"),
+        F.col("o_totalprice").alias("balance"),
+        F.col("o_orderkey").alias("seq"),
+        F.lit(1).alias("prio"),
+    )
+    base = c.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_acctbal").alias("balance"),
+        F.lit(0).cast("bigint").alias("seq"),
+        F.lit(0).alias("prio"),
+    )
+    w = Window.partitionBy("cust_key").orderBy(F.desc("prio"), F.desc("seq"))
+    return (
+        base.unionByName(changes)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cust_key",
+            "balance",
+            F.when(F.col("prio") == 1, F.lit("change")).otherwise(F.lit("base")).alias("src"),
+        )
+    )
+
+
+@op(
+    "agg_histogram",
+    oracle=f"""
+    SELECT CAST(least(floor(o_totalprice / {HIST_BUCKET_WIDTH}),
+                      {HIST_N_BUCKETS - 1}) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT)        AS n_orders,
+           round(sum(o_totalprice), 2)     AS total_value
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("ext", "agg"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (10 × 50 k buckets, top-clamped).
+
+    The distribution profile every pipeline runs before choosing join
+    strategies and skew mitigations. Bucketing is a pure projection, the
+    aggregate has ≤ 10 groups — partial sums combine map-side and the
+    exchange moves tens of rows regardless of input size. The same plan
+    at 100 TB is scan-bound, which is the point: histogramming must never
+    cost more than the scan.
+    """
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / HIST_BUCKET_WIDTH), F.lit(HIST_N_BUCKETS - 1)
+    ).cast("bigint")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )

@@ -261,3 +261,61 @@ def test_dedup_embedding_blocks_on_cell_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "cell" in plan, plan
+
+
+def test_win_sessionize_single_reused_exchange(spark):
+    """Sessionization's lag window, running sum, and session aggregate
+    must all reuse ONE (user_id) hash exchange — the key scale property
+    of the gaps-and-islands plan."""
+    df = _q("win_sessionize", spark)
+    assert count_in_plan(df, "Exchange") == 1
+    assert count_in_plan(df, "Window") >= 2
+    assert count_in_plan(df, "HashAggregate") >= 2  # partial + final
+
+
+def test_merge_upsert_single_shuffle_no_broadcast(spark):
+    """The CDC merge is union + one row_number shuffle on the merge key;
+    nothing unbounded (base or feed) may be broadcast."""
+    df = _q("merge_upsert", spark)
+    assert count_in_plan(df, "Exchange") == 1
+    assert count_in_plan(df, "BroadcastExchange") == 0
+    assert count_in_plan(df, "Union") == 1
+
+
+def test_agg_histogram_partial_agg_one_exchange(spark):
+    df = _q("agg_histogram", spark)
+    assert count_in_plan(df, "Exchange") == 1
+    assert count_in_plan(df, "HashAggregate") == 2
+
+
+def test_corpus_pack_one_stratum_exchange(spark):
+    """Packing is a per-stratum running sum: one (lang) exchange, no
+    aggregation of the corpus, no broadcast."""
+    df = _q("corpus_pack", spark)
+    assert count_in_plan(df, "Exchange") == 1
+    assert count_in_plan(df, "Window") == 1
+
+
+def test_text_pii_scrub_map_only(spark):
+    """The scrub pass must fuse into the scan: zero exchanges."""
+    df = _q("text_pii_scrub", spark)
+    assert count_in_plan(df, "Exchange") == 0
+    assert count_in_plan(df, "BroadcastExchange") == 0
+
+
+def test_text_boilerplate_broadcasts_topk(spark):
+    """The top-K boilerplate set is a K-row dim: it must come back as a
+    broadcast join, never a shuffle join against the gram stream."""
+    df = _q("text_boilerplate", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert count_in_plan(df, "BroadcastExchange") >= 1
+    assert count_in_plan(df, "Exchange") <= 2, plan
+
+
+def test_embedding_pool_partial_aggs(spark):
+    """Pooling exchanges only (label, pos) partial sums — two agg stages,
+    each with a map-side partial."""
+    df = _q("embedding_pool", spark)
+    assert count_in_plan(df, "Exchange") == 2
+    assert count_in_plan(df, "HashAggregate") == 4
