@@ -222,6 +222,64 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op(
+    "text_normalize",
+    oracle="""
+    WITH noisy AS (
+        SELECT doc_id,
+               upper(substring(text, 1, 30)) || '  ,, !! ' ||
+               substring(text, 31, 60) || '   #' ||
+               CAST(doc_id AS VARCHAR) || '#' AS raw
+        FROM documents
+    ), norm AS (
+        SELECT doc_id, raw,
+               trim(regexp_replace(
+                   regexp_replace(lower(raw), '[^a-z0-9 ]', '', 'g'),
+                   '  +', ' ', 'g')) AS norm
+        FROM noisy
+    )
+    SELECT doc_id, norm,
+           CAST(len(raw) - len(norm) AS BIGINT)           AS n_removed,
+           CAST(len(string_split(norm, ' ')) AS BIGINT)   AS n_tokens
+    FROM norm
+    """,
+    tags=("llm", "corpus", "quality"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization pass: casefold, strip punctuation, collapse runs.
+
+    The first stage of every text pipeline (and the precondition of
+    shingle-based dedup — llm/dedup.py assumes canonical tokens). The
+    fixture corpus is already clean, so each row deterministically
+    injects uppercase, punctuation runs, and a doc_id-derived marker on
+    BOTH sides; the normalizer (lower -> drop non-[a-z0-9 ] -> collapse
+    blanks -> trim) is then verified byte-for-byte, plus the removed-char
+    and token counts a quality gate would threshold on. Three codegen'd
+    regexp rewrites, map-only: at 100 TB this fuses into the scan with
+    zero shuffles, same posture as text_pii_scrub.
+    """
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.upper(F.substring("text", 1, 30)),
+        F.lit("  ,, !! "),
+        F.substring("text", 31, 60),
+        F.lit("   #"),
+        F.col("doc_id").cast("string"),
+        F.lit("#"),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), r"[^a-z0-9 ]", ""), "  +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm"),
+        (F.length(raw) - F.length(norm)).cast("bigint").alias("n_removed"),
+        F.size(F.split(norm, " ")).cast("bigint").alias("n_tokens"),
+    )
+
+
 EMB_DIM = 64  # fixture embedding width (TESTDATA.md)
 
 

@@ -1,0 +1,94 @@
+"""Embedding storage transforms: int8 scalar quantization.
+
+Extends the engine past the reference's single geo dataflow
+(/root/reference/regionSpout.go:57-124) with the vector-storage stage a
+100 TB training/retrieval pipeline runs before indexing: symmetric int8
+quantization shrinks a float32 corpus 4x (and the IVF/LSH indexes built
+from it, llm/similarity.py) at a bounded recall cost. Scale posture:
+per-vector map-only JVM lambdas — zero shuffles, zero Python — so the
+pass fuses into the scan and is bandwidth-bound, which is the point of
+quantizing in the first place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.registry import op
+
+EMB_DIM = 64  # fixture embedding width (TESTDATA.md)
+
+# Guards the zero-vector division; same literal on both engines.
+_EPS = "1e-12"
+
+
+@op(
+    "embedding_quantize",
+    oracle=f"""
+    WITH t AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), m AS (
+        SELECT vec_id, label, v,
+               greatest(list_max(list_transform(v, x -> abs(x))), {_EPS}) / 127
+                   AS scale
+        FROM t
+    ), q AS (
+        SELECT vec_id, label, v, scale,
+               list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+        FROM m
+    )
+    SELECT vec_id, label,
+           round(scale, 6)                                        AS qscale,
+           CAST(list_sum(qv) AS BIGINT)                           AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           round(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                          i -> abs(v[i] - qv[i] * scale))), 4)    AS recon_err
+    FROM q
+    """,
+    tags=("llm", "embedding"),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding corpus.
+
+    Per-vector max-abs scaling: ``scale = max|v| / 127``, ``q_i =
+    floor(v_i / scale + 0.5)`` (floor-form rounding so both engines run
+    the identical expression — no dependence on either's ROUND tie mode).
+    Emits the quantized summary a storage layer checkpoints: the scale,
+    int8 component sum and L1 mass (both exact integers, hash-stable),
+    and the L1 reconstruction error (the quality metric that decides
+    whether int8 is acceptable for a given corpus). Everything is one
+    JVM higher-order-function projection over the scan — no shuffle, no
+    Python — so at 100 TB the pass streams at parquet-read bandwidth and
+    the 4x-smaller output re-partitions for free into whatever index
+    build consumes it.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    scale = (
+        F.greatest(F.array_max(F.transform(v, F.abs)), F.lit(float(_EPS))) / 127
+    ).alias("scale")
+    d = e.select("vec_id", "label", v.alias("v"), scale)
+    q = d.withColumn(
+        "qv",
+        F.transform("v", lambda x: F.floor(x / F.col("scale") + 0.5)),
+    )
+    zero = F.lit(0).cast("bigint")
+    return q.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("qscale"),
+        F.aggregate("qv", zero, lambda acc, x: acc + x).alias("q_sum"),
+        F.aggregate("qv", zero, lambda acc, x: acc + F.abs(x)).alias("q_l1"),
+        F.round(
+            F.aggregate(
+                F.zip_with("v", "qv", lambda a, b: F.abs(a - b * F.col("scale"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("recon_err"),
+    )

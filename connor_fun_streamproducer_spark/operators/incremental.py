@@ -164,6 +164,121 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_ORACLE = f"""
+    WITH changes AS (
+        SELECT CASE WHEN o_orderkey % {_INSERT_MOD} = 0
+                    THEN o_custkey + {_INSERT_KEY_OFFSET}
+                    ELSE o_custkey END AS cust_key,
+               o_totalprice AS balance,
+               o_orderkey   AS seq,
+               1            AS prio
+        FROM orders
+    ), base AS (
+        SELECT c_custkey AS cust_key, c_acctbal AS balance,
+               CAST(0 AS BIGINT) AS seq, 0 AS prio
+        FROM customer
+    ), u AS (
+        SELECT *, row_number() OVER (PARTITION BY cust_key
+                                     ORDER BY prio DESC, seq DESC) AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+    )
+    SELECT cust_key, balance,
+           CASE prio WHEN 1 THEN 'change' ELSE 'base' END AS src
+    FROM u WHERE rn = 1
+    """
+
+# Micro-batches the change feed is streamed in.
+_CDC_CHUNKS = 4
+
+
+def _latest_wins(snapshot: DataFrame, batch: DataFrame) -> DataFrame:
+    """One MERGE step: fold a change batch into a snapshot, max-seq wins.
+
+    Winner selection is a max over the (prio, seq) total order, so the
+    fold is associative — applying it per micro-batch in ANY chunking of
+    the feed yields the same snapshot as one global merge, which is what
+    lets the oracle ignore batch boundaries entirely.
+    """
+    w = Window.partitionBy("cust_key").orderBy(F.desc("prio"), F.desc("seq"))
+    return (
+        snapshot.unionByName(batch)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@op("stream_cdc_merge", oracle=_CDC_ORACLE, tags=("ext", "incremental", "streaming"))
+def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC MERGE: a change feed folded into a snapshot per
+    micro-batch — the streaming twin of ``merge_upsert``.
+
+    The orders feed is split into four files and streamed one file per
+    trigger; ``foreachBatch`` reads the current snapshot parquet,
+    applies the latest-wins merge, and writes the next snapshot version
+    (epoch-keyed directory, so a replayed epoch overwrites itself —
+    idempotent, exactly-once state). Because the merge step is
+    associative (max over a total order), the drained stream's final
+    snapshot equals the batch oracle regardless of how the feed was
+    chunked — the full-oracle check streaming MERGE pipelines rarely
+    get. At 100 TB each step is one (cust_key) shuffle of snapshot +
+    batch, the same shape Delta/Iceberg MERGE executes per commit; the
+    snapshot never transits the driver.
+    """
+    import os
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join("/root/repo/.scratch", tag, "cdc_merge")
+    shutil.rmtree(root, ignore_errors=True)
+    feed_dir = os.path.join(root, "feed")
+    snap_dir = os.path.join(root, "snap")
+
+    o = load(spark, sf_dir, "orders")
+    changes = o.select(
+        F.when(F.col("o_orderkey") % _INSERT_MOD == 0, F.col("o_custkey") + _INSERT_KEY_OFFSET)
+        .otherwise(F.col("o_custkey"))
+        .alias("cust_key"),
+        F.col("o_totalprice").alias("balance"),
+        F.col("o_orderkey").alias("seq"),
+        F.lit(1).alias("prio"),
+    )
+    changes.repartition(_CDC_CHUNKS).write.mode("overwrite").parquet(feed_dir)
+
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_acctbal").alias("balance"),
+        F.lit(0).cast("bigint").alias("seq"),
+        F.lit(0).alias("prio"),
+    )
+    state = {"path": os.path.join(snap_dir, "epoch=base")}
+    base.write.mode("overwrite").parquet(state["path"])
+
+    feed = spark.readStream.schema(changes.schema).option("maxFilesPerTrigger", 1).parquet(
+        feed_dir
+    )
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        snapshot = spark.read.parquet(state["path"])
+        nxt = os.path.join(snap_dir, f"epoch={epoch_id}")
+        _latest_wins(snapshot, batch_df).write.mode("overwrite").parquet(nxt)
+        state["path"] = nxt
+
+    q = feed.writeStream.foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    final = spark.read.parquet(state["path"])
+    return final.select(
+        "cust_key",
+        "balance",
+        F.when(F.col("prio") == 1, F.lit("change")).otherwise(F.lit("base")).alias("src"),
+    )
+
+
 @op(
     "agg_histogram",
     oracle=f"""

@@ -167,12 +167,15 @@ def _ensure_loaded() -> None:
     # this round's window by the freshness rule — they are oracle-checked
     # on every local test run (tests/test_oracle.py) and rotate to the
     # front of the external window next round as "changed" ops.
-    from connor_fun_streamproducer_spark.llm import corpus, corpus_prep  # noqa: F401
+    from connor_fun_streamproducer_spark.llm import corpus, corpus_prep, embedding_ops  # noqa: F401
     from connor_fun_streamproducer_spark.operators import (  # noqa: F401
         incremental,
         salting,
+        sketches,
         sql_front,
         subqueries,
     )
+    from connor_fun_streamproducer_spark.functions import urls  # noqa: F401
+    from connor_fun_streamproducer_spark.sources import layout as _sources_layout  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,78 @@
+"""Physical-layout sinks: partitioned writes that downstream scans prune.
+
+The reference fans its stream out one Kafka topic per region
+(/root/reference/regionSpout.go:124-160) — the layout decision that lets
+a consumer read one region without touching the rest. The warehouse form
+of that decision is a ``partitionBy`` parquet layout: a predicate on the
+partition column becomes directory pruning, so a 100 TB table scanned
+for one key reads only that key's files. ``sink_partition_prune`` proves
+the whole loop — write partitioned, read back with a predicate, and
+tests/test_plans.py asserts the scan node carries the predicate as a
+PartitionFilter (pruned at planning, zero data files from other keys
+opened) rather than a post-scan filter.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.registry import op
+
+PRUNE_KEY = "click"
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir) the events table partitioned by type."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/root/repo/.scratch", tag, "events_by_type")
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value", "event_type"
+        )
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    return path
+
+
+def pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read side alone (plan tests inspect this before aggregation)."""
+    path = partitioned_events_path(spark, sf_dir)
+    return spark.read.parquet(path).filter(F.col("event_type") == PRUNE_KEY)
+
+
+@op(
+    "sink_partition_prune",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)     AS n,
+           round(sum(value), 4)         AS total,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type = '{PRUNE_KEY}'
+    GROUP BY event_type
+    """,
+    tags=("ext", "sink", "scale"),
+)
+def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-layout round trip with a pruned read-back.
+
+    Writes events ``partitionBy(event_type)``, reads back only one
+    partition, and aggregates it; the result equals the oracle's direct
+    filtered aggregation, proving the layout didn't lose or duplicate
+    rows. The scale property — the predicate is applied as directory
+    pruning (PartitionFilters on the scan node, 1/5 of the data opened),
+    not as a row filter after a full scan — is asserted on the physical
+    plan in tests/test_plans.py. This is the engine form of the
+    reference's topic-per-region fanout: pay one shuffle at write time,
+    then every keyed consumer reads only its slice forever.
+    """
+    back = pruned_scan(spark, sf_dir)
+    return back.groupBy(F.col("event_type").cast("string").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+    )

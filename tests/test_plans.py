@@ -313,6 +313,63 @@ def test_text_boilerplate_broadcasts_topk(spark):
     assert count_in_plan(df, "Exchange") <= 2, plan
 
 
+def test_embedding_quantize_map_only(spark):
+    """Quantization is a per-vector projection: it must fuse into the
+    scan with zero exchanges."""
+    df = _q("embedding_quantize", spark)
+    assert count_in_plan(df, "Exchange") == 0
+    assert count_in_plan(df, "BroadcastExchange") == 0
+
+
+def test_fn_url_map_only(spark):
+    df = _q("fn_url", spark)
+    assert count_in_plan(df, "Exchange") == 0
+
+
+def test_text_normalize_map_only(spark):
+    df = _q("text_normalize", spark)
+    assert count_in_plan(df, "Exchange") == 0
+
+
+def test_sink_partition_prune_uses_partition_filters(spark):
+    """The predicate on the partition column must prune directories at
+    planning time (PartitionFilters on the scan), not filter rows after a
+    full scan."""
+    from connor_fun_streamproducer_spark.sources.layout import PRUNE_KEY, pruned_scan
+
+    plan = formatted_plan(pruned_scan(spark, SF_DIR))
+    scan = plan[plan.index("PartitionFilters"):]
+    head = scan[: scan.index("\n")]
+    assert "event_type" in head and PRUNE_KEY in head, head
+    # Pruning fully answers the predicate: no residual data filter node
+    # and nothing pushed to the parquet reader itself.
+    assert "PushedFilters" not in plan or "PushedFilters: []" in plan
+    assert count_in_plan(_q("sink_partition_prune", spark), "Filter") == 0
+
+
+def test_agg_kll_quantile_two_level_rollup(spark):
+    """Per-group sketches + one merge to ALL: sketch (object) aggregates
+    partial-combine on both levels, and at runtime the ALL branch reuses
+    the per-group shuffle instead of re-scanning the table."""
+    df = _q("agg_kll_quantile", spark)
+    assert count_in_plan(df, "Exchange") <= 3
+    # Sketch buffers aggregate via ObjectHashAggregate, partial+final x2.
+    assert count_in_plan(df, "ObjectHashAggregate") >= 4
+    assert count_in_plan(df, "Union") == 1
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
+def test_agg_theta_setops_broadcasts_sketch_frame(spark):
+    """The 3-row sketch frame self-joins under a theta condition — it must
+    broadcast, never shuffle or cartesian the fact table."""
+    df = _q("agg_theta_setops", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert count_in_plan(df, "BroadcastExchange") >= 1
+
+
 def test_embedding_pool_partial_aggs(spark):
     """Pooling exchanges only (label, pos) partial sums — two agg stages,
     each with a map-side partial."""

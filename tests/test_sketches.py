@@ -1,0 +1,91 @@
+"""Accuracy contracts for the Datasketches ops (operators/sketches.py).
+
+These are rows-only for the driver (DuckDB has no KLL/theta), so the
+published error bounds are pinned here against exact answers computed on
+the same fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from connor_fun_streamproducer_spark import registry
+from connor_fun_streamproducer_spark.catalog import load
+from tests.conftest import SF_DIR
+
+registry._ensure_loaded()
+
+# KLL k=200 published normalized rank error (~1.65%); widened slightly for
+# the rank-interval check below.
+KLL_RANK_EPS = 0.025
+
+
+def test_kll_quantiles_within_rank_error(spark):
+    """Each KLL estimate must land between the exact quantiles at
+    q ± KLL_RANK_EPS — the definition of normalized rank error."""
+    est = {
+        (r["o_orderpriority"]): r
+        for r in registry.OPS["agg_kll_quantile"].fn(spark, SF_DIR).collect()
+    }
+    o = load(spark, SF_DIR, "orders")
+    groups = {g: o.filter(F.col("o_orderpriority") == g) for g in est if g != "ALL"}
+    groups["ALL"] = o
+    assert set(groups) == set(est)
+    for g, df in groups.items():
+        for q in (0.5, 0.9, 0.99):
+            lo, hi = (
+                df.select(
+                    F.percentile("o_totalprice", F.lit(max(0.0, q - KLL_RANK_EPS))),
+                    F.percentile("o_totalprice", F.lit(min(1.0, q + KLL_RANK_EPS))),
+                ).first()
+            )
+            v = est[g][f"p{int(q * 100)}"]
+            assert lo - 0.01 <= v <= hi + 0.01, (g, q, v, lo, hi)
+
+
+def test_kll_merge_consistent_with_global_sketch(spark):
+    """Merging per-group sketches must estimate like sketching globally —
+    the mergeability property the op exists to demonstrate."""
+    rows = registry.OPS["agg_kll_quantile"].fn(spark, SF_DIR).collect()
+    all_row = next(r for r in rows if r["o_orderpriority"] == "ALL")
+    o = load(spark, SF_DIR, "orders")
+    direct = o.agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("o_totalprice", 200), F.lit(0.5)
+        ).alias("p50")
+    ).first()["p50"]
+    exact_n = o.count()
+    assert all_row["n"] == exact_n
+    # Both are valid KLL estimates of the same distribution: each lies
+    # within the rank interval, so they differ by at most the width of
+    # the 2*eps exact-quantile band.
+    lo, hi = o.select(
+        F.percentile("o_totalprice", F.lit(0.5 - KLL_RANK_EPS)),
+        F.percentile("o_totalprice", F.lit(0.5 + KLL_RANK_EPS)),
+    ).first()
+    assert lo - 0.01 <= all_row["p50"] <= hi + 0.01
+    assert lo - 0.01 <= direct <= hi + 0.01
+
+
+def test_theta_estimates_match_exact_sets(spark):
+    """At fixture scale the distinct sets are far below the sketch's
+    nominal entries, so theta runs in exact mode: estimates must match
+    exact distinct counts (tolerance 1% for safety)."""
+    rows = registry.OPS["agg_theta_setops"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 3  # (F,O), (F,P), (O,P)
+    o = load(spark, SF_DIR, "orders").select("o_orderstatus", "o_custkey")
+    sets = {
+        s: {r["o_custkey"] for r in o.filter(F.col("o_orderstatus") == s).distinct().collect()}
+        for s in ("F", "O", "P")
+    }
+
+    def close(est, exact):
+        return abs(est - exact) <= max(1.0, 0.01 * exact)
+
+    for r in rows:
+        a, b = sets[r["status_a"]], sets[r["status_b"]]
+        assert close(r["est_a"], len(a)), r
+        assert close(r["est_b"], len(b)), r
+        assert close(r["est_inter"], len(a & b)), r
+        assert close(r["est_union"], len(a | b)), r
+        assert abs(r["jaccard"] - len(a & b) / len(a | b)) < 0.02, r
