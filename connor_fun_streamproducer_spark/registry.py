@@ -169,11 +169,14 @@ def _ensure_loaded() -> None:
     # front of the external window next round as "changed" ops.
     from connor_fun_streamproducer_spark.llm import corpus, corpus_prep, embedding_ops  # noqa: F401
     from connor_fun_streamproducer_spark.operators import (  # noqa: F401
+        graph,
         incremental,
+        pipelines_global,
         salting,
         sketches,
         sql_front,
         subqueries,
+        windows_ext,
     )
     from connor_fun_streamproducer_spark.functions import urls  # noqa: F401
     from connor_fun_streamproducer_spark.sources import layout as _sources_layout  # noqa: F401

@@ -370,6 +370,57 @@ def test_agg_theta_setops_broadcasts_sketch_frame(spark):
     assert count_in_plan(df, "BroadcastExchange") >= 1
 
 
+def test_pipeline_nation_volume_broadcasts_nation_only(spark):
+    """Q7 shape: the 25-row nation dim broadcasts (twice); the fact joins
+    stay strategy-free for AQE; nothing is a cartesian."""
+    df = _q("pipeline_nation_volume", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_win_range_interval_single_exchange(spark):
+    df = _q("win_range_interval", spark)
+    assert count_in_plan(df, "Exchange") == 1
+    assert count_in_plan(df, "Window") == 1
+
+
+def test_graph_pagerank_no_cartesian_and_bounded_shape(spark):
+    """The distributed phase runs once (edges collected, dim-scale); the
+    five unrolled iterations are equi-joins over local bounded frames —
+    no cartesian, no re-derivation of the event-log window tower."""
+    df = _q("graph_pagerank", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert count_in_plan(df, "Window") == 0  # log phase done pre-collect
+    assert "parquet" not in plan.lower()  # iterations never rescan the log
+
+
+def test_join_runtime_filter_bloom_injects_at_scale_conditions(spark):
+    """Under 100 TB conditions (shuffle join, large probe side) Spark must
+    inject a bloom runtime filter from the selective orders side into the
+    lineitem scan. Fixture tables are tiny, so the size thresholds are
+    scoped down for the assertion and restored after."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = _q("join_runtime_filter", spark)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized, optimized[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_embedding_pool_partial_aggs(spark):
     """Pooling exchanges only (label, pos) partial sums — two agg stages,
     each with a map-side partial."""
