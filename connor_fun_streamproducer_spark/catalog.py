@@ -43,17 +43,38 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy; columnar scan).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) parquet; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a nanos BIGINT,
-    which we truncate to microsecond TimestampType — the exact truncation
-    DuckDB applies when it reads the same file, so oracle timestamps match.
+    ``events.ts`` has shipped in two physical encodings across driver
+    rounds: TIMESTAMP(NANOS) (a nanos BIGINT under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and TIMESTAMP(MICROS)
+    (surfacing as TIMESTAMP_NTZ). Both normalize here to microsecond
+    TIMESTAMP_LTZ — identical to what DuckDB reads from the same file
+    under the pinned UTC session zone, so oracle timestamps match and
+    every downstream op sees one timestamp flavor.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     return df
+
+
+def epoch_seconds(col: str) -> F.Column:
+    """Epoch seconds (BIGINT) from a timestamp column of EITHER flavor.
+
+    ``events.ts`` surfaces as TIMESTAMP_LTZ on the nanosAsLong path
+    (load() above) but as TIMESTAMP_NTZ when Spark reads the
+    TIMESTAMP(NANOS) parquet natively; a bare ``cast("long")`` is an
+    analysis error on NTZ. Casting through TIMESTAMP_LTZ is valid for
+    both and is the identity under the pinned UTC session zone
+    (registry._REQUIRED_CONFS), so it always matches DuckDB's
+    ``floor(epoch(ts))`` on the same file.
+    """
+    return F.col(col).cast("timestamp_ltz").cast("long")
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

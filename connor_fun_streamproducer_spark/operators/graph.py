@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.catalog import epoch_seconds, load
 from connor_fun_streamproducer_spark.registry import op
 
 DAMPING = 0.85
@@ -86,7 +86,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully hash-checked iterative operator.
     """
     ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", F.col("ts").cast("long").alias("sec")
+        "user_id", "event_id", "event_type", epoch_seconds("ts").alias("sec")
     )
     order = Window.partitionBy("user_id").orderBy("sec", "event_id")
     seq = ev.withColumn("prev", F.lag("event_type").over(order))

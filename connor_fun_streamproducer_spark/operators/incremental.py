@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.catalog import epoch_seconds, load
 from connor_fun_streamproducer_spark.registry import op
 
 # Session gap threshold (seconds). Fixture events average ~1/day/user, so
@@ -79,7 +79,7 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     event counts, not the corpus.
     """
     e = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.col("ts").cast("long").alias("sec")
+        "user_id", "event_id", epoch_seconds("ts").alias("sec")
     )
     order = Window.partitionBy("user_id").orderBy("sec", "event_id")
     prev = F.lag("sec").over(order)

@@ -35,18 +35,32 @@ from connor_fun_streamproducer_spark.registry import op
 # partition conf in run_to_memory (no per-writer scope exists for it).
 _SHUFFLE_CONF_LOCK = threading.Lock()
 
-# events.parquet physical schema under nanosAsLong (see catalog.py): ts is
-# a nanosecond BIGINT; the stream converts it to a proper event-time column.
-EVENTS_PHYSICAL_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_physical_schema(sample_file: str) -> tuple[T.StructType, bool]:
+    """Streaming-source schema matching the fixture's PHYSICAL ts type.
+
+    The driver has shipped events.parquet with ts as both TIMESTAMP(NANOS)
+    (surfacing as BIGINT under nanosAsLong) and TIMESTAMP(MICROS); the
+    streaming file source takes an explicit schema, so it must match what
+    is actually on disk. Returns (schema, ts_is_long).
+    """
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(sample_file).field("ts").type
+    ts_is_long = str(ts_type) in ("int64", "timestamp[ns]")
+    ts_field = T.LongType() if ts_is_long else T.TimestampNTZType()
+    return (
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", ts_field),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        ),
+        ts_is_long,
+    )
 
 
 def events_stream(
@@ -58,7 +72,16 @@ def events_stream(
     form of the reference's 30 s stagger (regionSpout.go:98): it bounds
     how much source data each micro-batch admits.
     """
-    reader = spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
+    import glob as _glob
+    import os as _os
+
+    if path is None:
+        sample = table_path(sf_dir, "events")
+    else:
+        candidates = sorted(_glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True))
+        sample = candidates[0] if candidates else table_path(sf_dir, "events")
+    schema, ts_is_long = _events_physical_schema(sample)
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if path is None:
@@ -67,7 +90,14 @@ def events_stream(
         sdf = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     else:
         sdf = reader.parquet(path)
-    return sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_is_long:
+        # nanos BIGINT → microsecond event time (DuckDB's own truncation).
+        sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        # NTZ ≡ LTZ under the pinned UTC session zone; LTZ keeps every
+        # downstream window/watermark expression on one timestamp flavor.
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return sdf
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
