@@ -181,4 +181,72 @@ def _ensure_loaded() -> None:
     from connor_fun_streamproducer_spark.functions import urls  # noqa: F401
     from connor_fun_streamproducer_spark.sources import layout as _sources_layout  # noqa: F401
 
+    _apply_window_priority()
     _LOADED = True
+
+
+# Explicit registration-order priority for the external driver's bounded
+# (first-50) correctness window. Same freshness rule as always, but applied
+# to KEYS rather than module import order, because several modules mix
+# already-verified and never-verified ops (e.g. sources/batch holds
+# r01-green scan_parquet AND never-checked scan_orc).
+#
+# Round 4 front-of-window, in order:
+#   (1) the 34 keys registered in round 3 BEHIND the r03 window — local-
+#       oracle-green every test run but with no external CORRECTNESS row
+#       yet (VERDICT r3 "What's missing" #1 lists them verbatim);
+#   (2) ops changed in round 4 (fixes are externally unverified until
+#       they land in a window).
+# Everything else keeps its previous relative order behind these.
+_WINDOW_PRIORITY = [
+    # -- (1) externally-unverified round-3 registrations ------------------
+    "scan_orc",
+    "sql_api",
+    "sim_search_topk_arrow",
+    "join_skew_salted",
+    "multimodal_framesample",
+    "multimodal_resize",
+    "text_chunk",
+    "text_repetition",
+    "sample_split",
+    "sample_stratified",
+    "corpus_stats",
+    "tfidf_top_terms",
+    "corpus_pack",
+    "text_pii_scrub",
+    "text_boilerplate",
+    "text_normalize",
+    "embedding_pool",
+    "embedding_quantize",
+    "fn_url",
+    "graph_pagerank",
+    "win_range_interval",
+    "win_sessionize",
+    "merge_upsert",
+    "stream_cdc_merge",
+    "agg_histogram",
+    "agg_kll_quantile",
+    "agg_theta_setops",
+    "sink_partition_prune",
+    "join_runtime_filter",
+    "pipeline_nation_volume",
+    "pipeline_promo_share",
+    "pipeline_large_volume_orders",
+    "pipeline_dormant_accounts",
+    "pipeline_late_shipment_priority",
+    # -- (2) changed in round 4 ------------------------------------------
+    "dedup_ngram_jaccard",   # LSH-prefiltered candidate generation
+    "dedup_embedding",       # corpus-size-derived quantizer cells
+    "multimodal_decode",     # new: real PPM pixel decode
+    "graph_pagerank_dist",   # new: un-collected iterative path
+    "stream_throughput",     # new: streaming rows/sec observable
+]
+
+
+def _apply_window_priority() -> None:
+    """Rebuild OPS so _WINDOW_PRIORITY keys register first, in order."""
+    front = {k: OPS[k] for k in _WINDOW_PRIORITY if k in OPS}
+    rest = {k: v for k, v in OPS.items() if k not in front}
+    OPS.clear()
+    OPS.update(front)
+    OPS.update(rest)

@@ -7,70 +7,78 @@ ever unguarded locally, whatever an external harness samples.
 Separately, the external driver verifies ops in registration order with a
 bounded window (each round covers the first 50 keys). The registration
 order is freshness-priority, applied the same rule each round: (1) ops
-changed this round — externally unverified until they land in a window;
-(2) the tier whose last external check is oldest; (3) the most recently
-re-verified tier last. This test pins round 3's resulting window: every op
-changed in round 3 plus the relational/join/aggregate/window tier whose
-last external check was round 1.
+never externally checked (round 3 registered 34 keys behind the r03
+window — VERDICT r3 lists them; closing that debt is round 4's top
+order); (2) ops changed this round; (3) everything else in prior order.
+This test pins round 4's resulting window.
 """
 
 from connor_fun_streamproducer_spark import registry
 
-# Round-3 changed ops (fixes + new) — must be externally re-verified.
-CHANGED_IN_ROUND_3 = [
-    "text_fingerprint",   # oracle BIGINT cast (r02's one red row)
-    "rate_stagger",       # new op (SURVEY §2.1 last row)
-    "src_socket",         # accept-loop + loud deadline failure
-    "pipeline_local_supplier_volume",  # unbounded broadcast hints removed
-    "pipeline_returned_items",
-    "dedup_simhash",      # 7-band recall-honest candidate generation
-    "dedup_minhash_cluster",  # iteration caches released
-    "stream_stateful",    # run_to_memory hygiene underneath
+# The 34 keys with no external CORRECTNESS row across r01-r03, plus
+# round-4 changed ops — all must land in the driver's first-50 window.
+NEVER_EXTERNALLY_CHECKED = [
+    "scan_orc",
+    "sql_api",
+    "sim_search_topk_arrow",
+    "join_skew_salted",
+    "multimodal_framesample",
+    "multimodal_resize",
+    "text_chunk",
+    "text_repetition",
+    "sample_split",
+    "sample_stratified",
+    "corpus_stats",
+    "tfidf_top_terms",
+    "corpus_pack",
+    "text_pii_scrub",
+    "text_boilerplate",
+    "text_normalize",
+    "embedding_pool",
+    "embedding_quantize",
+    "fn_url",
+    "graph_pagerank",
+    "win_range_interval",
+    "win_sessionize",
+    "merge_upsert",
+    "stream_cdc_merge",
+    "agg_histogram",
+    "agg_kll_quantile",
+    "agg_theta_setops",
+    "sink_partition_prune",
+    "join_runtime_filter",
+    "pipeline_nation_volume",
+    "pipeline_promo_share",
+    "pipeline_large_volume_orders",
+    "pipeline_dormant_accounts",
+    "pipeline_late_shipment_priority",
 ]
 
-# Stalest external tier (green as of r01, unchanged since).
-R01_STALE_TIER = [
-    "project_select",
-    "filter_pred",
-    "sort_global",
-    "sort_within",
-    "limit_topk",
-    "topk_per_group",
-    "join_broadcast",
-    "join_sortmerge",
-    "join_shuffle_hash",
-    "join_theta_range",
-    "join_semi",
-    "join_anti",
-    "join_asof",
-    "agg_hash",
-    "agg_distinct",
-    "agg_approx",
-    "agg_percentile",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "agg_cube",
-    "agg_collect",
-    "agg_pivot",
-    "agg_unpivot",
-    "win_rank",
-    "win_analytic",
-    "win_frame",
+CHANGED_IN_ROUND_4 = [
+    "dedup_ngram_jaccard",  # LSH-prefiltered candidate generation
+    "dedup_embedding",      # corpus-size-derived quantizer cells
 ]
 
-MUST_BE_IN_WINDOW = CHANGED_IN_ROUND_3 + R01_STALE_TIER
+MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_4
 
 WINDOW = 50
 
 
-def test_round3_priority_ops_register_inside_driver_window():
+def test_round4_priority_ops_register_inside_driver_window():
     keys = list(registry.queries())
     window = set(keys[:WINDOW])
     missing = [k for k in MUST_BE_IN_WINDOW if k not in window]
     assert not missing, (
         f"ops outside the driver's first-{WINDOW} correctness window: {missing}; "
-        "reorder registry._ensure_loaded() imports"
+        "fix registry._WINDOW_PRIORITY"
     )
+
+
+def test_never_checked_keys_lead_the_window():
+    # The 34 debt keys must come FIRST (before round-4 changes), so even a
+    # driver window narrower than 50 covers as many of them as possible.
+    keys = list(registry.queries())
+    assert keys[: len(NEVER_EXTERNALLY_CHECKED)] == NEVER_EXTERNALLY_CHECKED
 
 
 def test_registry_is_deterministic_and_complete():
