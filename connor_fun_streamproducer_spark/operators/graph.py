@@ -64,6 +64,76 @@ def _oracle() -> str:
     """
 
 
+def _transition_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(normalized edge frame (src, dst, p), node frame (node)) — the one
+    distributed pass over the event log shared by both PageRank paths."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", epoch_seconds("ts").alias("sec")
+    )
+    order = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    seq = ev.withColumn("prev", F.lag("event_type").over(order))
+    edges = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tot"))
+    e = edges.join(outw, "src").select("src", "dst", (F.col("w") / F.col("tot")).alias("p"))
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    return e, nodes
+
+
+def _pagerank_distributed(spark: SparkSession, e: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Un-collected PageRank: keyed shuffles over distributed frames.
+
+    The web-scale shape — nothing graph-sized ever reaches the driver:
+
+    - edges are localCheckpointed ONCE up front (truncates the window-
+      tower lineage so five iterations don't replay it) and partitioned
+      by join key ``src``;
+    - each iteration is join(e, ranks on src=node) → groupBy(dst) —
+      two keyed exchanges per round, the canonical message-passing step;
+    - ranks are localCheckpointed every 2 rounds, cutting the
+      exponentially nesting iterative lineage (the plan, not the data,
+      is what blows up) while bounding recompute-on-loss to 2 rounds;
+    - ``n_nodes`` is a count() — a scalar aggregate, not a data collect.
+    """
+    n_nodes = nodes.count()
+    e = e.repartition("src").localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for i in range(N_ITERS):
+        contrib = e.join(ranks, e.src == ranks.node).select(
+            F.col("dst").alias("node"), (F.col("rank") * F.col("p")).alias("c")
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .groupBy("node")
+            .agg(
+                (
+                    F.lit((1 - DAMPING) / n_nodes)
+                    + DAMPING * F.coalesce(F.sum("c"), F.lit(0.0))
+                ).alias("rank")
+            )
+        )
+        if (i + 1) % 2 == 0 and i + 1 < N_ITERS:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# Above this many nodes the collected fast path stops being "dim-scale":
+# route to the distributed recurrence instead.
+DIST_NODE_THRESHOLD = 1000
+
+
+@op("graph_pagerank_dist", oracle=_oracle(), tags=("ext", "graph", "iterative", "scale"))
+def graph_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank through the DISTRIBUTED path unconditionally (same oracle
+    as graph_pagerank — the two paths must agree to the hash), so the
+    un-collected recurrence is externally verified, not just prose."""
+    e, nodes = _transition_frames(spark, sf_dir)
+    return _pagerank_distributed(spark, e, nodes)
+
+
 @op("graph_pagerank", oracle=_oracle(), tags=("ext", "graph", "iterative"))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (d=0.85, 5 iterations) on the event-type transition graph.
@@ -77,33 +147,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤25 + ≤5 rows — dim-scale driver work, the IVF-codebook pattern,
     llm/similarity.py) so the five unrolled iterations operate on local
     relations instead of re-deriving the window tower per branch (the
-    lazy-plan form re-ran the lag window 10×). For web-scale graphs
-    (unbounded node sets) the same recurrence runs with keyed shuffles
-    on un-collected frames plus a checkpoint every few rounds — the
-    shape of dedup_minhash_cluster's label propagation. Dangling mass
+    lazy-plan form re-ran the lag window 10×). Above DIST_NODE_THRESHOLD
+    nodes the op routes to ``_pagerank_distributed`` instead — keyed
+    shuffles on un-collected frames with a localCheckpoint every 2
+    rounds (externally verified through ``graph_pagerank_dist``, which
+    forces that path against the same oracle). Dangling mass
     (a node with no out-edges) is dropped identically on both sides;
     the oracle unrolls the same five steps as CTEs, making this a rare
     fully hash-checked iterative operator.
     """
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", epoch_seconds("ts").alias("sec")
-    )
-    order = Window.partitionBy("user_id").orderBy("sec", "event_id")
-    seq = ev.withColumn("prev", F.lag("event_type").over(order))
-    edges = (
-        seq.filter(F.col("prev").isNotNull())
-        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
-        .agg(F.count("*").cast("double").alias("w"))
-    )
-    outw = edges.groupBy("src").agg(F.sum("w").alias("tot"))
-    e = edges.join(outw, "src").select("src", "dst", (F.col("w") / F.col("tot")).alias("p"))
+    e, nodes_df = _transition_frames(spark, sf_dir)
+    n_nodes = nodes_df.count()
+    if n_nodes > DIST_NODE_THRESHOLD:
+        # Unbounded node set → never collect; run the keyed-shuffle path.
+        return _pagerank_distributed(spark, e, nodes_df)
 
     # ONE distributed pass; both results are bounded by |event types|.
     edge_rows = e.collect()  # ≤ |types|² rows
-    node_rows = sorted(
-        {r["node"] for r in ev.select(F.col("event_type").alias("node")).distinct().collect()}
-    )
-    n_nodes = len(node_rows)
+    node_rows = sorted(r["node"] for r in nodes_df.collect())
 
     nodes = spark.createDataFrame([(n,) for n in node_rows], "node string")
     local_e = spark.createDataFrame(

@@ -427,3 +427,21 @@ def test_embedding_pool_partial_aggs(spark):
     df = _q("embedding_pool", spark)
     assert count_in_plan(df, "Exchange") == 2
     assert count_in_plan(df, "HashAggregate") == 4
+
+
+def test_graph_pagerank_distributed_path_matches_collected(spark, monkeypatch):
+    """The un-collected keyed-shuffle recurrence must agree with the
+    collected fast path to the rounded digit, and the size-threshold
+    routing must actually switch paths (threshold parameterized to 0)."""
+    from connor_fun_streamproducer_spark.operators import graph
+
+    collected = {(r["node"], r["rank"]) for r in _q("graph_pagerank", spark).collect()}
+    forced = {(r["node"], r["rank"]) for r in _q("graph_pagerank_dist", spark).collect()}
+    assert forced == collected
+
+    monkeypatch.setattr(graph, "DIST_NODE_THRESHOLD", 0)
+    routed = {
+        (r["node"], r["rank"])
+        for r in registry.OPS["graph_pagerank"].fn(spark, SF_DIR).collect()
+    }
+    assert routed == collected
