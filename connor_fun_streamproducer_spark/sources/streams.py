@@ -35,19 +35,44 @@ from connor_fun_streamproducer_spark.registry import op
 # partition conf in run_to_memory (no per-writer scope exists for it).
 _SHUFFLE_CONF_LOCK = threading.Lock()
 
-def _events_physical_schema(sample_file: str) -> tuple[T.StructType, bool]:
+def _events_physical_schema(sample_files: list[str]) -> tuple[T.StructType, str]:
     """Streaming-source schema matching the fixture's PHYSICAL ts type.
 
     The driver has shipped events.parquet with ts as both TIMESTAMP(NANOS)
     (surfacing as BIGINT under nanosAsLong) and TIMESTAMP(MICROS); the
     streaming file source takes an explicit schema, so it must match what
-    is actually on disk. Returns (schema, ts_is_long).
+    is actually on disk. Three-way ts branch (ADVICE r3): any
+    nanosecond-unit timestamp or raw int64 → BIGINT (nanosAsLong reads
+    NANOS as long whatever its isAdjustedToUTC flag); tz-aware
+    micros/millis (what Spark itself writes, isAdjustedToUTC=true) →
+    TimestampType (LTZ, no downstream cast needed); tz-naive → NTZ.
+
+    Accepts a CANDIDATE LIST and sniffs the first file with a readable
+    footer, so one in-progress part file (incomplete footer) doesn't kill
+    stream construction. Returns (schema, ts_kind ∈ {long, ltz, ntz}).
     """
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    ts_type = pq.read_schema(sample_file).field("ts").type
-    ts_is_long = str(ts_type) in ("int64", "timestamp[ns]")
-    ts_field = T.LongType() if ts_is_long else T.TimestampNTZType()
+    ts_type, last_err = None, None
+    for f in sample_files:
+        try:
+            ts_type = pq.read_schema(f).field("ts").type
+            break
+        except Exception as exc:  # partially-written/corrupt footer: try next
+            last_err = exc
+    if ts_type is None:
+        raise ValueError(
+            f"no readable parquet footer among {len(sample_files)} candidate "
+            f"file(s) for the events stream schema; last error: {last_err}"
+        )
+    is_ts = pa.types.is_timestamp(ts_type)
+    if str(ts_type) == "int64" or (is_ts and ts_type.unit == "ns"):
+        ts_kind, ts_field = "long", T.LongType()
+    elif is_ts and ts_type.tz is not None:
+        ts_kind, ts_field = "ltz", T.TimestampType()
+    else:
+        ts_kind, ts_field = "ntz", T.TimestampNTZType()
     return (
         T.StructType(
             [
@@ -59,7 +84,7 @@ def _events_physical_schema(sample_file: str) -> tuple[T.StructType, bool]:
                 T.StructField("props", T.StringType()),
             ]
         ),
-        ts_is_long,
+        ts_kind,
     )
 
 
@@ -76,11 +101,18 @@ def events_stream(
     import os as _os
 
     if path is None:
-        sample = table_path(sf_dir, "events")
+        samples = [table_path(sf_dir, "events")]
     else:
-        candidates = sorted(_glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True))
-        sample = candidates[0] if candidates else table_path(sf_dir, "events")
-    schema, ts_is_long = _events_physical_schema(sample)
+        samples = sorted(_glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not samples:
+            # Falling back to the fixture's encoding would silently misread
+            # files that later land with the other ts flavor (ADVICE r3).
+            raise ValueError(
+                f"events_stream(path={path!r}): no parquet files yet — the ts "
+                "schema is sniffed from the data, so start the stream after "
+                "the first file lands (or pass path=None for the fixture)"
+            )
+    schema, ts_kind = _events_physical_schema(samples)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -90,13 +122,14 @@ def events_stream(
         sdf = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     else:
         sdf = reader.parquet(path)
-    if ts_is_long:
+    if ts_kind == "long":
         # nanos BIGINT → microsecond event time (DuckDB's own truncation).
         sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    else:
+    elif ts_kind == "ntz":
         # NTZ ≡ LTZ under the pinned UTC session zone; LTZ keeps every
         # downstream window/watermark expression on one timestamp flavor.
         sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    # ts_kind == "ltz": already TimestampType — no cast.
     return sdf
 
 

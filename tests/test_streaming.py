@@ -245,3 +245,58 @@ def test_health_monitor_detects_stall(spark, scratch):
     st = mon.state[stalls[0]]
     assert st.stalled and st.consecutive_zero >= 2
     assert st.total_rows == 1
+
+
+def test_events_schema_sniffer_three_way_and_guards(tmp_path):
+    """ADVICE r3: tz-aware micros must map to TimestampType (LTZ), not an
+    NTZ schema the parquet reader rejects; unreadable first files are
+    skipped; an empty custom path fails loudly at construction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from connor_fun_streamproducer_spark.sources.streams import (
+        _events_physical_schema,
+    )
+
+    def write(name, ts_type):
+        t = pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([1_000_000], ts_type),
+                "user_id": pa.array([1], pa.int64()),
+                "event_type": pa.array(["a"]),
+                "value": pa.array([1.0]),
+                "props": pa.array(["{}"]),
+            }
+        )
+        p = str(tmp_path / name)
+        pq.write_table(t, p)
+        return p
+
+    _, kind = _events_physical_schema([write("ltz.parquet", pa.timestamp("us", tz="UTC"))])
+    assert kind == "ltz"
+    _, kind = _events_physical_schema([write("ntz.parquet", pa.timestamp("us"))])
+    assert kind == "ntz"
+    _, kind = _events_physical_schema([write("ns.parquet", pa.timestamp("ns"))])
+    assert kind == "long"
+    _, kind = _events_physical_schema([write("nstz.parquet", pa.timestamp("ns", tz="UTC"))])
+    assert kind == "long"
+
+    # corrupt footer first → skipped, good file wins
+    bad = str(tmp_path / "bad.parquet")
+    open(bad, "wb").write(b"PAR1 garbage")
+    _, kind = _events_physical_schema([bad, str(tmp_path / "ltz.parquet")])
+    assert kind == "ltz"
+    with pytest.raises(ValueError, match="no readable parquet footer"):
+        _events_physical_schema([bad])
+
+
+def test_events_stream_empty_custom_path_raises(spark, tmp_path):
+    import pytest
+
+    from connor_fun_streamproducer_spark.sources.streams import events_stream
+    from tests.conftest import SF_DIR
+
+    with pytest.raises(ValueError, match="no parquet files yet"):
+        events_stream(spark, SF_DIR, path=str(tmp_path / "empty"))
