@@ -159,3 +159,173 @@ def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("total"),
         )
     )
+
+
+@op(
+    "pipeline_market_share",
+    oracle="""
+    WITH vol AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               l_extendedprice * (1 - l_discount) AS v,
+               n1.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders    ON o_orderkey = l_orderkey
+        JOIN supplier  ON s_suppkey  = l_suppkey
+        JOIN customer  ON c_custkey  = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region    ON n2.n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT o_year,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END)
+                 / sum(v), 4) AS mkt_share
+    FROM vol
+    GROUP BY 1
+    """,
+    tags=("ext", "pipeline", "join"),
+)
+def pipeline_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share inside a region, by year.
+
+    The deepest snowflake in the suite: lineitem×orders (fact×fact,
+    one orderkey shuffle), supplier/customer key lookups, nation twice,
+    region once. The region predicate prunes through two broadcast hops
+    BEFORE the fact join — Catalyst pushes r_name='EUROPE' into the
+    region scan, the filtered region broadcast shrinks n2, and the
+    shrunken n2 set runtime-filters customers — so at 100 TB only the
+    ~1/5 of customers in the region ever reach the orderkey exchange.
+    Only nation/region carry hints; the ratio-of-sums output is
+    insensitive to join strategy, which is what the oracle pins.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+    )
+    share_num = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(F.sum(share_num) / F.sum(vol), 4).alias("mkt_share"),
+        )
+    )
+
+
+@op(
+    "pipeline_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                                 - 0.1 * p_retailprice * l_quantity) * 100 + 0.5)
+                          AS BIGINT)) / 100.0, 2) AS profit
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey  = l_suppkey
+    JOIN part     ON p_partkey  = l_partkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "pipeline", "join"),
+)
+def pipeline_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year.
+
+    The fixture has no partsupp table, so supply cost is modeled as
+    10% of p_retailprice × quantity — the JOIN GRAPH (two fact-scale
+    joins: lineitem×orders on orderkey, lineitem×part on partkey, plus
+    supplier and the nation dim) is the point, not the cost constant.
+    Profit can be negative per item: summed in integer cents
+    (round-half-up via floor(x·100+0.5), exact for negatives too) so
+    the BIGINT sum is order-independent and bit-identical across
+    engines. Output is (25 nations × years) — partial aggregation
+    collapses the exchange to dim-scale at any input size.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    profit_cents = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+        + 0.5
+    ).cast("bigint")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(profit_cents) / 100.0, 2).alias("profit"))
+    )
+
+
+@op(
+    "pipeline_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                          AS BIGINT)) / 100.0, 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("ext", "pipeline", "join"),
+)
+def pipeline_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs mixed predicate.
+
+    The optimizer stress-test: the predicate mixes part attributes
+    (brand, size) with lineitem attributes (quantity) under a
+    disjunction, so it cannot fully push to either scan. What SHOULD
+    happen (and what Catalyst does): the part-only weakening
+    (brand ∈ {1,2,3} with its size ranges) pushes into the part scan,
+    the lineitem-only weakening (quantity ∈ [1,30]) pushes into the
+    lineitem scan, the join stays a partkey equi-join, and the full
+    disjunction evaluates as the post-join residual. At 100 TB the
+    brand-filtered part side is small enough that AQE broadcasts it
+    and its keys runtime-filter the lineitem scan. Revenue in exact
+    integer cents (Q7 convention).
+    """
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    pred = (
+        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#2") & size.between(1, 25) & qty.between(10, 20))
+        | ((brand == "Brand#3") & size.between(1, 50) & qty.between(20, 30))
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(pred)
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
+        )
+    )

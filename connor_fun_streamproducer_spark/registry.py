@@ -234,12 +234,25 @@ _WINDOW_PRIORITY = [
     "pipeline_large_volume_orders",
     "pipeline_dormant_accounts",
     "pipeline_late_shipment_priority",
-    # -- (2) changed in round 4 ------------------------------------------
-    "dedup_ngram_jaccard",   # LSH-prefiltered candidate generation
+    # -- (2) changed/new in round 4 --------------------------------------
+    "dedup_ngram_jaccard",   # prefix-filter candidate generation
     "dedup_embedding",       # corpus-size-derived quantizer cells
     "multimodal_decode",     # new: real PPM pixel decode
     "graph_pagerank_dist",   # new: un-collected iterative path
-    "stream_throughput",     # new: streaming rows/sec observable
+    "pipeline_market_share",        # new: TPC-H Q8 shape
+    "pipeline_product_profit",      # new: TPC-H Q9 shape
+    "pipeline_disjunctive_revenue", # new: TPC-H Q19 shape
+    # -- (3) stalest externally-green tier (r01, unchanged since) fills
+    #    the remaining first-50 slots ------------------------------------
+    "set_union",
+    "set_union_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_except",
+    "set_except_all",
+    "fn_array",
+    "fn_array_explode",
+    "fn_date",
 ]
 
 

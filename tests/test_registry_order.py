@@ -55,8 +55,13 @@ NEVER_EXTERNALLY_CHECKED = [
 ]
 
 CHANGED_IN_ROUND_4 = [
-    "dedup_ngram_jaccard",  # LSH-prefiltered candidate generation
+    "dedup_ngram_jaccard",  # prefix-filter candidate generation
     "dedup_embedding",      # corpus-size-derived quantizer cells
+    "multimodal_decode",    # new: real PPM pixel decode
+    "graph_pagerank_dist",  # new: un-collected iterative path
+    "pipeline_market_share",
+    "pipeline_product_profit",
+    "pipeline_disjunctive_revenue",
 ]
 
 MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_4
