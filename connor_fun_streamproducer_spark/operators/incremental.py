@@ -312,3 +312,91 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_value"),
         )
     )
+
+
+@op(
+    "merge_scd2",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, event_type, sec,
+               CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY sec, event_id) IS NULL
+                    OR lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY sec, event_id) <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM e
+    ), runs AS (
+        SELECT user_id, event_type, sec,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version_seq
+        FROM flagged
+    ), versions AS (
+        SELECT user_id,
+               CAST(version_seq AS BIGINT) AS version_seq,
+               min(event_type)             AS attr_value,
+               min(sec)                    AS valid_from_s,
+               CAST(count(*) AS BIGINT)    AS n_events
+        FROM runs
+        GROUP BY user_id, version_seq
+    )
+    SELECT user_id, version_seq, attr_value, valid_from_s,
+           lead(valid_from_s) OVER (PARTITION BY user_id
+                                    ORDER BY version_seq) AS valid_to_s,
+           CAST(lead(valid_from_s) OVER (PARTITION BY user_id
+                                         ORDER BY version_seq) IS NULL
+                AS BOOLEAN) AS is_current,
+           n_events
+    FROM versions
+    """,
+    tags=("ext", "temporal", "cdc"),
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: a change feed → validity intervals.
+
+    The warehouse dimension-history pattern: treating each user's event
+    stream as a changing attribute (event_type), consecutive runs of an
+    unchanged value collapse into one version row carrying
+    [valid_from, valid_to) and an is_current flag on the open interval.
+    Gaps-and-islands again (the win_sessionize machinery keyed on value
+    CHANGE instead of time gap), then a lead window over the per-version
+    aggregate closes each interval with its successor's start. All four
+    stages — lag flag, running sum, version aggregate, lead close — sit
+    on the SAME (user_id) partitioning, so Catalyst plans ONE exchange
+    for the whole history build; at 100 TB the cost is a single keyed
+    shuffle of the feed plus per-user linear work, and a skewed user
+    bounds only its own partition. A true MERGE INTO a stored SCD2 table
+    adds the crossover-row split (close + insert) per batch — the
+    stream_cdc_merge op holds that epoch-keyed idempotent form.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", epoch_seconds("ts").alias("sec")
+    )
+    order = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    prev = F.lag("event_type").over(order)
+    flagged = e.withColumn(
+        "chg", F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    )
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = flagged.withColumn("version_seq", F.sum("chg").over(running))
+    versions = runs.groupBy(
+        "user_id", F.col("version_seq").cast("bigint").alias("version_seq")
+    ).agg(
+        F.min("event_type").alias("attr_value"),
+        F.min("sec").alias("valid_from_s"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    close = Window.partitionBy("user_id").orderBy("version_seq")
+    valid_to = F.lead("valid_from_s").over(close)
+    return versions.select(
+        "user_id",
+        "version_seq",
+        "attr_value",
+        "valid_from_s",
+        valid_to.alias("valid_to_s"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
+    )

@@ -329,3 +329,58 @@ def pipeline_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
         )
     )
+
+
+@op(
+    "pipeline_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                        AS BIGINT)) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name,
+           round(total_cents / 100.0, 2) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_cents = (SELECT max(total_cents) FROM rev)
+    """,
+    tags=("ext", "pipeline", "subquery"),
+)
+def pipeline_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+
+    The view-plus-scalar-subquery pattern, decorrelated the way Catalyst
+    should run it: the quarter's revenue aggregate builds ONCE (filter
+    pushed to the lineitem scan, partial agg before the suppkey
+    exchange), its 1-row max is broadcast back over the same frame as a
+    cross-join scalar (operators/subqueries.py's Q22 pattern), and only
+    the winners join the supplier dim. Revenue in exact integer cents so
+    the equality predicate against the max is bit-stable — a double sum
+    would make 'the' max supplier engine-dependent at the last ulp.
+    Spark computes the rev frame once per branch here; at 100 TB you
+    would .cache() it across the max/filter reuse (the plan is otherwise
+    two scans) — localCheckpoint/cache is a no-op for correctness, so
+    the oracle pins either physical choice.
+    """
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    rev = l.groupBy("l_suppkey").agg(F.sum(cents).alias("total_cents"))
+    max_rev = rev.agg(F.max("total_cents").alias("max_cents"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_cents") == F.col("max_cents"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_cents") / 100.0, 2).alias("total_revenue"),
+        )
+    )

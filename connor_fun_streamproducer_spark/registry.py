@@ -242,6 +242,8 @@ _WINDOW_PRIORITY = [
     "pipeline_market_share",        # new: TPC-H Q8 shape
     "pipeline_product_profit",      # new: TPC-H Q9 shape
     "pipeline_disjunctive_revenue", # new: TPC-H Q19 shape
+    "merge_scd2",                   # new: SCD Type-2 history build
+    "pipeline_top_supplier",        # new: TPC-H Q15 shape
     # -- (3) stalest externally-green tier (r01, unchanged since) fills
     #    the remaining first-50 slots ------------------------------------
     "set_union",
@@ -251,8 +253,6 @@ _WINDOW_PRIORITY = [
     "set_except",
     "set_except_all",
     "fn_array",
-    "fn_array_explode",
-    "fn_date",
 ]
 
 

@@ -445,3 +445,23 @@ def test_graph_pagerank_distributed_path_matches_collected(spark, monkeypatch):
         for r in registry.OPS["graph_pagerank"].fn(spark, SF_DIR).collect()
     }
     assert routed == collected
+
+
+def test_merge_scd2_single_exchange(spark):
+    """The whole SCD2 history build (lag flag, running sum, version agg,
+    lead close) must reuse ONE (user_id) exchange: HashPartitioning on
+    user_id satisfies every downstream window and the (user_id,
+    version_seq) aggregate."""
+    df = _q("merge_scd2", spark)
+    assert count_in_plan(df, "Exchange") == 1
+
+
+def test_disjunctive_revenue_per_side_weakening_pushdown(spark):
+    """Q19's OR-of-ANDs predicate must split: the quantity-only weakening
+    reaches the lineitem scan's PushedFilters, the brand/size weakening
+    reaches the part scan, the join stays a partkey equi-join with the
+    full disjunction as residual, and the filtered part side broadcasts."""
+    plan = formatted_plan(_q("pipeline_disjunctive_revenue", spark))
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, "lineitem weakening not pushed"
+    assert "EqualTo(p_brand,Brand#1)" in plan, "part weakening not pushed"
+    assert "BroadcastHashJoin" in plan

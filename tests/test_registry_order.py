@@ -62,6 +62,8 @@ CHANGED_IN_ROUND_4 = [
     "pipeline_market_share",
     "pipeline_product_profit",
     "pipeline_disjunctive_revenue",
+    "merge_scd2",
+    "pipeline_top_supplier",
 ]
 
 MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_4
