@@ -53,3 +53,39 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value") / F.nullif((F.col("event_id") % 5).cast("double"), F.lit(0.0)), 4
         ).alias("safe_div"),
     )
+
+
+@op(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           round(least(o_totalprice, 100000.0), 2)    AS capped,
+           round(greatest(o_totalprice, 1000.0), 2)   AS floored,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_recode,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 50000  THEN 'mid'
+                ELSE 'low' END                        AS band
+    FROM orders
+    """,
+    tags=("ext", "fn"),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar family: least/greatest, coalesce∘nullif recode,
+    multi-arm CASE banding — the expression vocabulary of feature
+    clamping and categorical recodes. All codegen'd JVM expressions in
+    one map-only projection: no shuffle, partitioning preserved, and the
+    whole row fuses into the scan's WholeStageCodegen span at any scale.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(F.least("o_totalprice", F.lit(100000.0)), 2).alias("capped"),
+        F.round(F.greatest("o_totalprice", F.lit(1000.0)), 2).alias("floored"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_recode"
+        ),
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("low")
+        .alias("band"),
+    )

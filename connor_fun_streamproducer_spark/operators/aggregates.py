@@ -297,3 +297,36 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.unpivot("priority", ["O", "F", "P"], "status", "n")
         .filter(F.col("n") > 0)
     )
+
+
+@op(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4)              AS price_stddev,
+           round(var_samp(l_discount), 6)                      AS discount_var,
+           round(corr(l_extendedprice, l_quantity), 6)         AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_discount), 4)   AS price_disc_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("ext", "agg"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics: stddev / variance / correlation / covariance.
+
+    All four are single-pass mergeable aggregates (sum, sum-of-squares,
+    cross-sum carried as partial state), so they partial-aggregate
+    map-side exactly like count/sum — one dim-bounded exchange at any
+    input scale, the same profile as agg_hash. Results round to fixed
+    decimals on both sides: the merge tree's summation order differs
+    between engines, and second moments amplify last-ulp drift more than
+    plain sums (this is the documented reason the looser 4-decimal
+    rounding is used for the large-magnitude columns)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("discount_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("price_disc_covar"),
+    )

@@ -70,3 +70,45 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_orders_30d"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("total_30d"),
     )
+
+
+@op(
+    "win_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           CAST(ntile(4) OVER w AS INTEGER)       AS quartile,
+           round(percent_rank() OVER w, 6)        AS pct_rank,
+           round(cume_dist() OVER w, 6)           AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY round(o_totalprice, 4), o_orderkey)
+    """,
+    tags=("ext", "window"),
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist.
+
+    The analytics trio behind quantile bucketing and percentile-feature
+    engineering (e.g. "what spend quartile is this customer in"). Ordering
+    ties break on (rounded price, o_orderkey) so both engines assign
+    identical positions despite last-ulp double drift — ntile and
+    percent_rank are POSITION functions, so unlike a RANGE-frame sum a
+    tie mis-order flips the output. One (o_orderstatus) exchange serves
+    all three functions over the shared sort; at 100 TB skew is bounded
+    by the largest status partition, and a production variant would
+    sub-bucket the hot status before the window (agg_skew_salted's
+    pattern).
+    """
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.round("o_totalprice", 4), "o_orderkey")
+    )
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

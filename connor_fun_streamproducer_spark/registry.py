@@ -244,15 +244,15 @@ _WINDOW_PRIORITY = [
     "pipeline_disjunctive_revenue", # new: TPC-H Q19 shape
     "merge_scd2",                   # new: SCD Type-2 history build
     "pipeline_top_supplier",        # new: TPC-H Q15 shape
+    "win_distribution",             # new: ntile/percent_rank/cume_dist
+    "agg_stats_moments",            # new: stddev/var/corr/covar
+    "fn_conditional",               # new: least/greatest/coalesce/CASE
     # -- (3) stalest externally-green tier (r01, unchanged since) fills
     #    the remaining first-50 slots ------------------------------------
     "set_union",
     "set_union_all",
     "set_intersect",
     "set_intersect_all",
-    "set_except",
-    "set_except_all",
-    "fn_array",
 ]
 
 

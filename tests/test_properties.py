@@ -229,3 +229,39 @@ def test_tfidf_ranks_rare_terms_above_common(spark):
         others = [v for (d2, t), v in all_scores.items() if d2 == did
                   and t not in {r["term"] for r in rows}]
         assert all(v <= min_top + 1e-12 for v in others), f"doc {did}"
+
+
+@given(
+    docs=st.lists(
+        st.sets(st.integers(min_value=0, max_value=25), min_size=1, max_size=12),
+        min_size=2,
+        max_size=12,
+    )
+)
+@_settings
+def test_jaccard_prefix_filter_is_complete(spark, docs):
+    """The prefix-filtering principle behind dedup_ngram_jaccard, checked
+    on hypothesis-generated token sets: EVERY pair with Jaccard > 0.8
+    must appear among the prefix-join candidates — tiny vocab (0..25)
+    maximizes shared tokens and ties in the df ordering, the adversarial
+    regime for a completeness bug."""
+    from pyspark.sql import functions as F
+
+    from connor_fun_streamproducer_spark.llm.dedup import jaccard_prefix_candidates
+
+    rows = [(i, "xx", 0, [f"t{t}" for t in sorted(s)]) for i, s in enumerate(docs)]
+    toks = spark.createDataFrame(
+        rows, "doc_id long, lang string, len_bucket int, toks array<string>"
+    )
+    cand = {
+        (r["doc_a"], r["doc_b"]) for r in jaccard_prefix_candidates(toks).collect()
+    }
+    true_pairs = set()
+    for i, a in enumerate(docs):
+        for j in range(i + 1, len(docs)):
+            b = docs[j]
+            jac = len(a & b) / len(a | b)
+            if jac > 0.8:
+                true_pairs.add((i, j))
+    missed = true_pairs - cand
+    assert not missed, f"prefix filter dropped qualifying pairs: {missed}"

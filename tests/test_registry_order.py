@@ -64,6 +64,9 @@ CHANGED_IN_ROUND_4 = [
     "pipeline_disjunctive_revenue",
     "merge_scd2",
     "pipeline_top_supplier",
+    "win_distribution",
+    "agg_stats_moments",
+    "fn_conditional",
 ]
 
 MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_4
