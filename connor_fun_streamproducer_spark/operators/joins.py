@@ -297,3 +297,76 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.groupBy("purchase_id").agg(
         F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_clicks")
     )
+
+
+@op(
+    "join_asof_sorted",
+    oracle="""
+    SELECT event_id, user_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+    FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+    tags=("ext", "join", "scale"),
+)
+def join_asof_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via distributed merge-sort carry-forward — the 100 TB
+    path for UNBOUNDED lookback (same oracle as join_asof, so the two
+    physical strategies are proven equivalent externally).
+
+    join_asof's equi-join form materializes every (event, earlier-order)
+    candidate before its map-side combine — fine when per-user order
+    history is short, quadratic-per-user when it is long. This form never
+    builds candidates at all: both sides union into one frame tagged
+    (kind 0 = order, 1 = event), ONE (user_id) exchange sorts by
+    (time, kind, orderkey), and a running last(order-struct, ignorenulls)
+    window carries the latest order forward onto each event row — orders
+    sort before events at equal time (matching the <= bound) and ties on
+    equal order time resolve to the highest orderkey by sort position.
+    Cost: one shuffle of |events| + |orders| rows and a per-user linear
+    sweep — the distributed form of pandas merge_asof, and the shape
+    Flink/kdb temporal joins use. Events with no earlier order drop via
+    the final null filter (inner-asof semantics, same as the oracle).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        F.col("o_orderdate"),
+    )
+    tape = o.unionByName(e)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tape.withColumn(
+        "asof",
+        F.last(
+            F.when(F.col("kind") == 0, F.struct("o_orderdate", "o_orderkey")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        carried.filter((F.col("kind") == 1) & F.col("asof").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("asof.o_orderkey").alias("asof_orderkey"),
+            F.col("asof.o_orderdate").alias("asof_orderdate"),
+        )
+    )

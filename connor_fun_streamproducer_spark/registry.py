@@ -247,12 +247,12 @@ _WINDOW_PRIORITY = [
     "win_distribution",             # new: ntile/percent_rank/cume_dist
     "agg_stats_moments",            # new: stddev/var/corr/covar
     "fn_conditional",               # new: least/greatest/coalesce/CASE
+    "join_asof_sorted",             # new: merge-sort carry-forward as-of
     # -- (3) stalest externally-green tier (r01, unchanged since) fills
     #    the remaining first-50 slots ------------------------------------
     "set_union",
     "set_union_all",
     "set_intersect",
-    "set_intersect_all",
 ]
 
 

@@ -465,3 +465,13 @@ def test_disjunctive_revenue_per_side_weakening_pushdown(spark):
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, "lineitem weakening not pushed"
     assert "EqualTo(p_brand,Brand#1)" in plan, "part weakening not pushed"
     assert "BroadcastHashJoin" in plan
+
+
+def test_join_asof_sorted_single_exchange_no_join(spark):
+    """The merge-sort as-of must be join-free: union tape, ONE (user_id)
+    exchange, running-window carry-forward — no candidate materialization
+    however long per-user order history gets."""
+    df = _q("join_asof_sorted", spark)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, "merge-asof must not contain a join"
+    assert count_in_plan(df, "Exchange") == 1

@@ -67,6 +67,7 @@ CHANGED_IN_ROUND_4 = [
     "win_distribution",
     "agg_stats_moments",
     "fn_conditional",
+    "join_asof_sorted",
 ]
 
 MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_4
