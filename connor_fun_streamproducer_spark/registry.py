@@ -248,11 +248,11 @@ _WINDOW_PRIORITY = [
     "agg_stats_moments",            # new: stddev/var/corr/covar
     "fn_conditional",               # new: least/greatest/coalesce/CASE
     "join_asof_sorted",             # new: merge-sort carry-forward as-of
+    "stream_topk_windows",          # new: streaming pre-agg + served rank
     # -- (3) stalest externally-green tier (r01, unchanged since) fills
     #    the remaining first-50 slots ------------------------------------
     "set_union",
     "set_union_all",
-    "set_intersect",
 ]
 
 

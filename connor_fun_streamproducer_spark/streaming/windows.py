@@ -375,3 +375,57 @@ def stream_health_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="query_id string, n_progress long, rows_seen long, stalled boolean"
     )
+
+
+@op(
+    "stream_topk_windows",
+    oracle=f"""
+    WITH counts AS (
+        SELECT {_BUCKET30} AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT window_start, event_type, n,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY n DESC, event_type) AS rk
+        FROM counts
+    ) WHERE rk <= 3
+    """,
+    tags=("ext", "streaming"),
+)
+def stream_topk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-k event types: streaming pre-agg + serving-side rank.
+
+    Structured Streaming cannot rank AFTER a streaming aggregation in one
+    query (no window functions over an unbounded aggregate), and it
+    shouldn't: the production pattern is to stream the additive state
+    (per-window per-type counts — mergeable, watermark-evictable) and
+    rank at read time on the served table, where the input is
+    |windows|·|types| rows, not the event stream. That split is exactly
+    what runs here: a real micro-batch query maintains the counts, and
+    the top-3-per-window rank (ties broken on event_type for engine
+    parity) runs as a batch window over the sink table. At 100 TB the
+    streaming side scales like stream_tumbling (keyed state, one shuffle)
+    and the serving side is dim-scale.
+    """
+    from pyspark.sql.window import Window
+
+    sdf = events_stream(spark, sf_dir)
+    agg = sdf.groupBy(F.window("ts", "30 seconds").alias("w"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    served = run_to_memory(agg, output_mode="complete").select(
+        F.col("w.start").alias("window_start"), "event_type", F.col("n").cast("bigint").alias("n")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return (
+        served.withColumn("rk", rk.cast("int"))
+        .filter(F.col("rk") <= 3)
+    )

@@ -68,6 +68,7 @@ CHANGED_IN_ROUND_4 = [
     "agg_stats_moments",
     "fn_conditional",
     "join_asof_sorted",
+    "stream_topk_windows",
 ]
 
 MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_4
