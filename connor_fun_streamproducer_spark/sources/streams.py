@@ -342,3 +342,101 @@ def src_socket(spark: SparkSession, sf_dir: str) -> DataFrame:
         done.set()
         spark.catalog.dropTempView(qname)
     return result
+
+
+_ROUNDTRIP_MAX_ID = 200  # bounded payload: events with event_id < 200
+
+
+@op(
+    "sink_socket_roundtrip",
+    oracle=f"""
+    SELECT event_id, event_type, round(value, 6) AS value
+    FROM events WHERE event_id < {_ROUNDTRIP_MAX_ID}
+    """,
+    tags=("ref", "sink", "streaming"),
+)
+def sink_socket_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize → network transport → parse, proven end-to-end.
+
+    The closest this broker-less environment gets to the reference's
+    produce/consume loop (regionSpout.go:151-163 serializes each record
+    to JSON and ships it over the wire): a bounded event subset is
+    serialized with the SAME to_json(struct(...)) expression the Kafka
+    sink frame uses, served as newline-delimited JSON over a localhost
+    TCP socket by a producer thread, streamed back in through Spark's
+    socket source, and parsed with from_json against the typed schema.
+    The oracle reads the ORIGINAL columns straight from the table, so the
+    hash-match proves parse(transport(serialize(x))) == x — field values
+    and double precision survive the wire exactly. Re-delivery on
+    reconnect is made idempotent by keyed dropDuplicates (at-least-once
+    → exactly-once), the same posture src_socket pins.
+    """
+    from connor_fun_streamproducer_spark.catalog import load as _load
+
+    ev = _load(spark, sf_dir, "events").filter(F.col("event_id") < _ROUNDTRIP_MAX_ID)
+    lines = [
+        r["line"]
+        for r in ev.select(
+            F.to_json(F.struct("event_id", "event_type", "value")).alias("line")
+        ).collect()
+    ]
+    payload = ("\n".join(lines) + "\n").encode()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    srv.settimeout(0.5)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def serve() -> None:
+        conns = []
+        try:
+            while not done.is_set():
+                try:
+                    conn, _ = srv.accept()
+                except socket.timeout:
+                    continue
+                conn.sendall(payload)
+                conns.append(conn)
+        finally:
+            for c in conns:
+                try:
+                    c.close()
+                except OSError:
+                    pass
+            srv.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    schema = "event_id BIGINT, event_type STRING, value DOUBLE"
+    sdf = (
+        socket_source(spark, "127.0.0.1", port)
+        .select(F.from_json(F.col("value"), schema).alias("r"))
+        .select("r.*")
+        .dropDuplicates(["event_id"])
+    )
+    qname = f"rtx_{uuid.uuid4().hex[:8]}"
+    q = sdf.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline and spark.table(qname).count() < len(lines):
+            time.sleep(0.2)
+        seen = spark.table(qname).count()
+        if seen < len(lines):
+            raise RuntimeError(
+                f"sink_socket_roundtrip: poll deadline expired with "
+                f"{seen}/{len(lines)} rows (port {port})"
+            )
+        result = (
+            spark.table(qname)
+            .select("event_id", "event_type", F.round("value", 6).alias("value"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        q.stop()
+        q.awaitTermination()
+        done.set()
+        spark.catalog.dropTempView(qname)
+    return result

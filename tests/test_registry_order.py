@@ -69,6 +69,7 @@ CHANGED_IN_ROUND_4 = [
     "fn_conditional",
     "join_asof_sorted",
     "stream_topk_windows",
+    "sink_socket_roundtrip",
 ]
 
 MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_4
