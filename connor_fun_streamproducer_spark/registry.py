@@ -119,19 +119,14 @@ def _ensure_loaded() -> None:
     #
     # Registration order is still meaningful for the external driver,
     # which checks ops in registration order with a bounded (first-50)
-    # window. The order below is freshness-priority, applied the same way
-    # every round (not tuned per-window): (1) modules whose ops CHANGED
-    # this round — a fix or new op is unverified externally until it
-    # lands in the window; (2) the tier whose last external check is
-    # oldest (round 3: the relational/join/aggregate tier, external-green
-    # only as of r01); (3) everything externally re-verified most
-    # recently. tests/test_registry_order.py pins the resulting order.
-    #
-    # Round 3 changed: llm.text (fingerprint oracle cast),
-    # streaming.stateful (new rate_stagger), sources.streams (src_socket
-    # robustness + run_to_memory hygiene), operators.pipelines (broadcast
-    # hints), llm.dedup (7-band simhash), operators.scale_patterns
-    # (cluster cache release).
+    # window. Since round 4 the order is controlled at KEY level by
+    # _WINDOW_PRIORITY below (module import order alone could not front
+    # never-verified keys living in already-verified modules); the same
+    # freshness rule applies every round: (1) keys never externally
+    # checked, (2) keys changed/added this round, (3) the stalest
+    # externally-green tier. tests/test_registry_order.py pins the
+    # resulting window. Round 4 fronts the 34 round-3 registrations that
+    # sat behind the r03 window, then this round's 15 changes/additions.
     from connor_fun_streamproducer_spark.llm import text  # noqa: F401
     from connor_fun_streamproducer_spark.streaming import stateful  # noqa: F401
     from connor_fun_streamproducer_spark.sources import streams as _sources_streams  # noqa: F401
