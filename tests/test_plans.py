@@ -475,3 +475,40 @@ def test_join_asof_sorted_single_exchange_no_join(spark):
     plan = formatted_plan(df)
     assert "Join" not in plan, "merge-asof must not contain a join"
     assert count_in_plan(df, "Exchange") == 1
+
+
+def test_aqe_skew_join_split_activates(spark):
+    """SCALE.md leans on AQE's skew-join splitting for hot keys; prove the
+    machinery actually engages rather than citing it. A 400k-row frame
+    with 90% of rows on one key sort-merge-joins a small dim under
+    scaled-down skew thresholds; the FINAL adaptive plan must mark the
+    join skew=true (hot partition split into parallel subpartitions)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(400_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(50_000).select(F.col("id").alias("k"), F.lit("d").alias("tag"))
+        joined = left.join(right, "k").groupBy("tag").count()
+        joined.collect()  # AQE decides skew handling at runtime
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
