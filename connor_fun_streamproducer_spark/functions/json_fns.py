@@ -68,3 +68,41 @@ def fn_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.from_json(j, schema)["value"].alias("value_rt"),
     )
+
+
+@op(
+    "fn_xml_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           round(o_totalprice, 4) AS price_r4
+    FROM orders
+    """,
+    tags=("ext", "fn", "format"),
+)
+def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML format surface: to_xml → from_xml round trip proven to identity.
+
+    Spark 4 ships XML natively (no spark-xml package needed); each order
+    row serializes to an XML document and parses back against the typed
+    schema. The oracle reads the ORIGINAL columns, so the hash-match
+    proves parse(serialize(x)) == x through the XML text layer — key,
+    status string, and double price (rounded at 4 on both sides to stay
+    off decimal-tie boundaries, the registry convention). Map-only:
+    both conversions are codegen'd expressions in one projection; at
+    100 TB this is the XML flavor of the proj_serialize envelope path.
+    """
+    o = load(spark, sf_dir, "orders")
+    xml = o.select(
+        F.to_xml(F.struct("o_orderkey", "o_orderstatus", "o_totalprice")).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "doc", "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+        ).alias("r")
+    )
+    return parsed.select(
+        F.col("r.o_orderkey").alias("o_orderkey"),
+        F.col("r.o_orderstatus").alias("o_orderstatus"),
+        F.round("r.o_totalprice", 4).alias("price_r4"),
+    )

@@ -245,9 +245,7 @@ _WINDOW_PRIORITY = [
     "join_asof_sorted",             # new: merge-sort carry-forward as-of
     "stream_topk_windows",          # new: streaming pre-agg + served rank
     "sink_socket_roundtrip",        # new: serialize→wire→parse proof
-    # -- (3) stalest externally-green tier (r01, unchanged since) fills
-    #    the remaining first-50 slots ------------------------------------
-    "set_union",
+    "fn_xml_roundtrip",             # new: native XML to_xml/from_xml
 ]
 
 

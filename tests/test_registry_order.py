@@ -70,6 +70,7 @@ CHANGED_IN_ROUND_4 = [
     "join_asof_sorted",
     "stream_topk_windows",
     "sink_socket_roundtrip",
+    "fn_xml_roundtrip",
 ]
 
 MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_4
