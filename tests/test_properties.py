@@ -265,3 +265,87 @@ def test_jaccard_prefix_filter_is_complete(spark, docs):
                 true_pairs.add((i, j))
     missed = true_pairs - cand
     assert not missed, f"prefix filter dropped qualifying pairs: {missed}"
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10)),  # (user, ts)
+        min_size=1,
+        max_size=15,
+    ),
+    orders=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10)),  # (cust, ts)
+        min_size=1,
+        max_size=15,
+    ),
+)
+@_settings
+def test_asof_join_forms_agree_on_tie_heavy_data(spark, events, orders):
+    """join_asof (equi-join + max(struct)) and join_asof_sorted (merge
+    carry-forward) must pick the SAME match everywhere — including the
+    adversarial cases hypothesis hits constantly at this tiny domain:
+    order timestamp exactly equal to event timestamp (<= bound), several
+    orders sharing one timestamp (highest-key tie-break), users with no
+    earlier order (row dropped)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    e = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(events)], "event_id long, user_id long, ts long"
+    )
+    o = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(orders)], "o_orderkey long, o_custkey long, o_orderdate long"
+    )
+
+    # Form 1: equi-join + max(struct) (join_asof's shape)
+    j = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
+    a = {
+        (r["event_id"], r["k"], r["d"])
+        for r in j.groupBy("event_id")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("b"))
+        .select("event_id", F.col("b.o_orderkey").alias("k"), F.col("b.o_orderdate").alias("d"))
+        .collect()
+    }
+    # Form 2: union tape + carry-forward (join_asof_sorted's shape)
+    et = e.select("user_id", F.col("ts").alias("t"), F.lit(1).alias("kind"), "event_id",
+                  F.lit(None).cast("long").alias("o_orderkey"), F.lit(None).cast("long").alias("o_orderdate"))
+    ot = o.select(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("t"),
+                  F.lit(0).alias("kind"), F.lit(None).cast("long").alias("event_id"),
+                  "o_orderkey", "o_orderdate")
+    w = (Window.partitionBy("user_id").orderBy("t", "kind", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = ot.unionByName(et).withColumn(
+        "asof",
+        F.last(F.when(F.col("kind") == 0, F.struct("o_orderdate", "o_orderkey")),
+               ignorenulls=True).over(w),
+    )
+    b = {
+        (r["event_id"], r["k"], r["d"])
+        for r in carried.filter((F.col("kind") == 1) & F.col("asof").isNotNull())
+        .select("event_id", F.col("asof.o_orderkey").alias("k"), F.col("asof.o_orderdate").alias("d"))
+        .collect()
+    }
+    assert a == b, f"asof forms diverged: only_join={sorted(a-b)} only_sorted={sorted(b-a)}"
+
+
+def test_scd2_intervals_partition_each_users_timeline(spark):
+    """merge_scd2 output invariants: per user, versions are contiguous
+    ([valid_to == next valid_from), exactly one open interval flagged
+    is_current, version_seq dense from 1, and adjacent versions never
+    carry the same attribute value (a run collapse happened)."""
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    rows = registry.OPS["merge_scd2"].fn(spark, SF_DIR).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r["version_seq"])
+        assert [v["version_seq"] for v in vs] == list(range(1, len(vs) + 1))
+        assert sum(v["is_current"] for v in vs) == 1 and vs[-1]["is_current"]
+        for cur, nxt in zip(vs, vs[1:]):
+            assert cur["valid_to_s"] == nxt["valid_from_s"], (user, cur, nxt)
+            assert cur["attr_value"] != nxt["attr_value"], (user, cur, nxt)
+        assert vs[-1]["valid_to_s"] is None
