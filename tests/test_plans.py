@@ -512,3 +512,30 @@ def test_aqe_skew_join_split_activates(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_market_share_dims_broadcast_facts_not(spark):
+    """Q8's six-join snowflake: nation (twice) and region ride broadcast
+    joins; no cartesian product; the fact-fact orderkey join must NOT be
+    a broadcast of lineitem or orders (either sort-merge or AQE-elected
+    shuffle side is fine — the point is no unbounded broadcast hint)."""
+    plan = formatted_plan(_q("pipeline_market_share", spark))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # n1, n2, region at minimum
+    import re
+
+    # No broadcast exchange may sit directly on a raw lineitem/orders scan
+    # (dim broadcasts all operate on projected/filtered small frames).
+    for big in ("lineitem", "orders"):
+        assert not re.search(
+            rf"BroadcastExchange[^\n]*\n[^\n]*Scan parquet[^\n]*{big}", plan
+        ), f"unbounded broadcast of {big}"
+
+
+def test_product_profit_partial_aggregates_before_exchange(spark):
+    """Q9's (nation × year) aggregate must partial-combine map-side: a
+    partial_sum HashAggregate appears below the final exchange, so the
+    shuffle carries dim-scale partials at any input size."""
+    plan = formatted_plan(_q("pipeline_product_profit", spark))
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
