@@ -330,3 +330,64 @@ def embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("av"), 4).alias("centroid_sum"),
         )
     )
+
+
+NGRAM_W = 8          # decontamination n-gram width (word-level)
+EVAL_SET_MAX_ID = 20  # fixture stand-in: docs 0..19 are "the benchmark"
+
+
+@op(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - {NGRAM_W - 2}),
+                                     i -> array_to_string(t[i:i+{NGRAM_W - 1}], ' '))) AS g
+        FROM toks
+    ), eval_g AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id < {EVAL_SET_MAX_ID}
+    ), corpus_g AS (
+        SELECT DISTINCT doc_id, g FROM grams WHERE doc_id >= {EVAL_SET_MAX_ID}
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM corpus_g c JOIN eval_g e ON c.g = e.g
+    GROUP BY c.doc_id
+    """,
+    tags=("llm", "corpus", "dedup"),
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    {NGRAM_W}-gram with the eval set (docs 0..19 stand in for a held-out
+    benchmark) and count the distinct shared grams per doc.
+
+    The standard training-data hygiene pass (the n-gram-overlap check
+    used to scrub eval contamination from pretraining corpora), distinct
+    from the self-dedup tier: containment against a FIXED small set, not
+    corpus×corpus similarity. Plan shape for 100 TB: the eval side's
+    distinct gram set is benchmark-sized (broadcastable however big the
+    corpus grows), so the probe is a broadcast semi-ish join over the
+    exploded corpus grams — map-side fanout of ~|tokens| rows per doc,
+    one (doc_id) exchange for the final count, no corpus×corpus pairing
+    anywhere. Docs shorter than {NGRAM_W} tokens produce no grams (empty
+    array guard — Spark's sequence() would otherwise run DESCENDING for
+    negative spans and fabricate grams).
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    grams_expr = F.when(
+        F.size(t) >= NGRAM_W,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (NGRAM_W - 1)),
+            lambda i: F.array_join(F.slice(t, i, NGRAM_W), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", F.explode(grams_expr).alias("g"))
+    eval_g = grams.filter(F.col("doc_id") < EVAL_SET_MAX_ID).select("g").distinct()
+    corpus_g = grams.filter(F.col("doc_id") >= EVAL_SET_MAX_ID).distinct()
+    return (
+        corpus_g.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )

@@ -246,6 +246,10 @@ _WINDOW_PRIORITY = [
     "stream_topk_windows",          # new: streaming pre-agg + served rank
     "sink_socket_roundtrip",        # new: serialize→wire→parse proof
     "fn_xml_roundtrip",             # new: native XML to_xml/from_xml
+    # -- key 51+: registered BEHIND the 50-key window (the round-4 debt
+    #    carried into round 5's rotation, oracle-green locally on every
+    #    test run via tests/test_oracle.py) --------------------------------
+    "corpus_decontaminate",         # new: eval-set n-gram decontamination
 ]
 
 
