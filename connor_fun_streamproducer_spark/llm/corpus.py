@@ -318,3 +318,72 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("score") * 10000) / 10000).alias("score"),
         )
     )
+
+
+_MIX_MULT = 2654435789  # third independent multiplicative hash stream
+
+
+@op(
+    "sample_mix_target",
+    oracle=f"""
+    WITH stats AS (
+        SELECT source, CAST(count(*) AS DOUBLE) AS n_src FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT sum(n_src) AS n, CAST(count(*) AS DOUBLE) AS k FROM stats
+    ), rates AS (
+        SELECT source, n_src,
+               least(1.0, (tot.n / tot.k) / n_src) AS accept
+        FROM stats, tot
+    )
+    SELECT d.source,
+           CAST(min(r.n_src) AS BIGINT)                        AS n_orig,
+           CAST(floor(min(r.accept) * 10000) AS BIGINT)        AS accept_bp,
+           CAST(count(*) FILTER (
+                WHERE (d.doc_id * {_MIX_MULT}) % 10000 < floor(r.accept * 10000)
+           ) AS BIGINT)                                        AS n_kept
+    FROM documents d JOIN rates r USING (source)
+    GROUP BY d.source
+    """,
+    tags=("llm", "corpus"),
+)
+def sample_mix_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing rebalance: per-source acceptance rates toward a
+    uniform target mix, applied with a deterministic hash.
+
+    The data-mixing stage of corpus assembly (give every source an equal
+    share of the final mix): acceptance rate per source is
+    min(1, target/n_source) with target = corpus/k, quantized to basis
+    points so both engines apply the IDENTICAL integer threshold, and
+    membership decided by an independent multiplicative-hash stream of
+    the stable doc key (reproducible across runs/clusters/engines, and
+    independent of the split/stratify hash streams so combined sampling
+    stays unbiased). Output is the per-source audit row (original count,
+    rate, kept count). At 100 TB: the rate table is |sources|-bounded and
+    broadcast; the filter is map-side; one dim-bounded exchange for the
+    audit aggregate.
+    """
+    d = load(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(F.count("*").cast("double").alias("n_src"))
+    tot = stats.agg(
+        F.sum("n_src").alias("n"), F.count("*").cast("double").alias("k")
+    )
+    rates = (
+        stats.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_src",
+            F.least(F.lit(1.0), (F.col("n") / F.col("k")) / F.col("n_src")).alias("accept"),
+        )
+    )
+    kept = F.when(
+        (F.col("doc_id") * _MIX_MULT) % 10000 < F.floor(F.col("accept") * 10000), 1
+    ).otherwise(0)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.min("n_src").cast("bigint").alias("n_orig"),
+            F.floor(F.min("accept") * 10000).cast("bigint").alias("accept_bp"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+        )
+    )

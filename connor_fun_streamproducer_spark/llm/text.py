@@ -175,3 +175,56 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = F.aggregate(weighted, F.lit(0).cast("bigint"), lambda acc, x: acc + x) % 1000000007
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@op(
+    "text_perplexity_proxy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY w
+    ), total AS (
+        SELECT sum(c) AS n FROM vocab
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(v.c / (SELECT n FROM total))), 4) AS nll
+    FROM tok t JOIN vocab v ON t.w = v.w
+    GROUP BY t.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM negative log-likelihood per doc — the perplexity-proxy
+    quality score (the cheap stand-in for a KenLM pass) used to rank
+    documents for filtering: low mean NLL ≈ common-word prose, high ≈
+    rare-token noise.
+
+    Two aggregation passes over one exploded token stream: (1) corpus
+    unigram counts (the "LM training"), (2) per-doc mean of -ln p(w)
+    with p from the corpus MLE. At 100 TB the vocabulary aggregate is
+    |vocab|-bounded (hash agg with map-side combine) and the scoring
+    join is token→count — broadcastable for natural-language vocabularies
+    (even web-scale corpora hold ≪100 M distinct tokens after
+    normalization), so the only corpus-scale exchange is the final
+    (doc_id) count. Probabilities divide by the SAME total on both
+    engines and the mean rounds at 4 decimals — ln/avg drift stays well
+    inside that at fixture magnitudes.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    # 1-row broadcast scalar (the Q22 decorrelation pattern) instead of a
+    # driver collect: one plan, no extra action.
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    return (
+        tok.join(F.broadcast(vocab), "w")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n_total"))), 4).alias("nll"),
+        )
+    )

@@ -250,6 +250,8 @@ _WINDOW_PRIORITY = [
     #    carried into round 5's rotation, oracle-green locally on every
     #    test run via tests/test_oracle.py) --------------------------------
     "corpus_decontaminate",         # new: eval-set n-gram decontamination
+    "text_perplexity_proxy",        # new: unigram-LM NLL quality score
+    "sample_mix_target",            # new: domain-mixing rebalance
 ]
 
 
