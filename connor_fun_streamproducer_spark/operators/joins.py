@@ -370,3 +370,67 @@ def join_asof_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("asof.o_orderdate").alias("asof_orderdate"),
         )
     )
+
+
+@op(
+    "join_asof_left",
+    oracle="""
+    SELECT event_id, user_id, asof_orderkey, asof_orderdate
+    FROM (
+        SELECT e.event_id, e.user_id,
+               o.o_orderkey  AS asof_orderkey,
+               o.o_orderdate AS asof_orderdate,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC NULLS LAST,
+                                           o.o_orderkey  DESC NULLS LAST) AS rn
+        FROM events e
+        LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+    tags=("ext", "join", "scale"),
+)
+def join_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT as-of join (pandas merge_asof semantics): every event keeps a
+    row; events with no earlier order carry nulls.
+
+    Same merge-sort carry-forward tape as join_asof_sorted — the only
+    change is dropping the null filter, which is exactly why the tape
+    form is the right 100 TB shape: inner vs left semantics is a final
+    map-side filter decision, not a different join strategy. Registered
+    behind the round-4 window (round-5 rotation); locally oracle-green
+    on every test run.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        F.col("o_orderdate"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = o.unionByName(e).withColumn(
+        "asof",
+        F.last(
+            F.when(F.col("kind") == 0, F.struct("o_orderdate", "o_orderkey")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("asof.o_orderkey").alias("asof_orderkey"),
+        F.col("asof.o_orderdate").alias("asof_orderdate"),
+    )

@@ -252,6 +252,7 @@ _WINDOW_PRIORITY = [
     "corpus_decontaminate",         # new: eval-set n-gram decontamination
     "text_perplexity_proxy",        # new: unigram-LM NLL quality score
     "sample_mix_target",            # new: domain-mixing rebalance
+    "join_asof_left",               # new: LEFT (keep-unmatched) as-of
 ]
 
 
