@@ -112,3 +112,53 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@op(
+    "win_fill_forward",
+    oracle="""
+    SELECT event_id, user_id,
+           round(last_value(v IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+                       ROWS UNBOUNDED PRECEDING), 6) AS filled_value
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'click' THEN value END AS v
+        FROM events
+    )
+    """,
+    tags=("ext", "window", "temporal"),
+)
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: carry each user's last observed reading
+    forward over rows that lack one (only 'click' events carry the
+    metric here; every other event inherits the most recent click's
+    value, null until the first observation).
+
+    The LOCF (last-observation-carried-forward) primitive behind sensor
+    downsampling and feature snapshotting — and the same
+    last(ignorenulls) machinery the merge-asof tape uses, on one input
+    instead of a union. One (user_id) exchange serves sort and fill;
+    deterministic (sec, event_id) ordering keeps both engines' carry
+    identical under timestamp ties. At 100 TB: linear per user, no
+    join, no state beyond the running value.
+    """
+    from connor_fun_streamproducer_spark.catalog import epoch_seconds
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        epoch_seconds("ts").alias("sec"),
+        F.when(F.col("event_type") == "click", F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias("filled_value"),
+    )

@@ -253,6 +253,8 @@ _WINDOW_PRIORITY = [
     "text_perplexity_proxy",        # new: unigram-LM NLL quality score
     "sample_mix_target",            # new: domain-mixing rebalance
     "join_asof_left",               # new: LEFT (keep-unmatched) as-of
+    "agg_bitmap_distinct",          # new: exact bucketed-bitmap distinct
+    "win_fill_forward",             # new: LOCF gap fill
 ]
 
 
