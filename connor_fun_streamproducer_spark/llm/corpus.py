@@ -40,6 +40,14 @@ CHUNK_STRIDE = 20
 _SPLIT_MULT = 2654435761
 _SAMPLE_MULT = 2246822519
 
+# All multiplicative-hash sampling reduces the key to 31 bits BEFORE the
+# multiply: (2^31 - 1) * mult stays inside exact int64 on both engines,
+# whereas raw doc_id * mult overflows int64 for doc_id >= ~3.5e9 — Spark
+# would wrap negative (every overflowed doc unconditionally kept: biased
+# sample) while DuckDB errors. Ids 2^31 apart share a sampling decision,
+# which merely correlates those pairs — harmless for split/mix purposes.
+_KEY_REDUCE = 2147483648  # 2^31
+
 
 def _toks() -> F.Column:
     return F.split("text", " ")
@@ -168,8 +176,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_split",
     oracle=f"""
     SELECT doc_id,
-           CASE WHEN (doc_id * {_SPLIT_MULT}) % 1000 < 900 THEN 'train'
-                WHEN (doc_id * {_SPLIT_MULT}) % 1000 < 950 THEN 'valid'
+           CASE WHEN ((doc_id % {_KEY_REDUCE}) * {_SPLIT_MULT}) % 1000 < 900 THEN 'train'
+                WHEN ((doc_id % {_KEY_REDUCE}) * {_SPLIT_MULT}) % 1000 < 950 THEN 'valid'
                 ELSE 'test' END AS split
     FROM documents
     """,
@@ -185,7 +193,7 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     column becomes the partitionBy key of the output layout.
     """
     d = load(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * _SPLIT_MULT) % 1000
+    bucket = ((F.col("doc_id") % _KEY_REDUCE) * _SPLIT_MULT) % 1000
     split = (
         F.when(bucket < 900, F.lit("train"))
         .when(bucket < 950, F.lit("valid"))
@@ -199,7 +207,7 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id, lang
     FROM documents
-    WHERE (doc_id * {_SAMPLE_MULT}) % 1000 <
+    WHERE ((doc_id % {_KEY_REDUCE}) * {_SAMPLE_MULT}) % 1000 <
           CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 1000 ELSE 800 END
     """,
     tags=("llm", "corpus"),
@@ -215,7 +223,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushes to the scan, no shuffle.
     """
     d = load(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * _SAMPLE_MULT) % 1000
+    bucket = ((F.col("doc_id") % _KEY_REDUCE) * _SAMPLE_MULT) % 1000
     rate = (
         F.when(F.col("lang") == "en", F.lit(500))
         .when(F.col("lang") == "de", F.lit(1000))
@@ -339,7 +347,7 @@ _MIX_MULT = 2654435789  # third independent multiplicative hash stream
            CAST(min(r.n_src) AS BIGINT)                        AS n_orig,
            CAST(floor(min(r.accept) * 10000) AS BIGINT)        AS accept_bp,
            CAST(count(*) FILTER (
-                WHERE (d.doc_id * {_MIX_MULT}) % 10000 < floor(r.accept * 10000)
+                WHERE ((d.doc_id % {_KEY_REDUCE}) * {_MIX_MULT}) % 10000 < floor(r.accept * 10000)
            ) AS BIGINT)                                        AS n_kept
     FROM documents d JOIN rates r USING (source)
     GROUP BY d.source
@@ -376,7 +384,7 @@ def sample_mix_target(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     kept = F.when(
-        (F.col("doc_id") * _MIX_MULT) % 10000 < F.floor(F.col("accept") * 10000), 1
+        ((F.col("doc_id") % _KEY_REDUCE) * _MIX_MULT) % 10000 < F.floor(F.col("accept") * 10000), 1
     ).otherwise(0)
     return (
         d.join(F.broadcast(rates), "source")

@@ -64,7 +64,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def jaccard_prefix_candidates(toks: DataFrame, threshold: float = 0.8) -> DataFrame:
+def jaccard_prefix_candidates(toks: DataFrame) -> DataFrame:
     """Exact prefix-filter candidate pairs (Chaudhuri'06 / Bayardo'07).
 
     Order every doc's tokens by ascending global document frequency (ties
@@ -79,10 +79,12 @@ def jaccard_prefix_candidates(toks: DataFrame, threshold: float = 0.8) -> DataFr
     (df count, prefix explode) + near-linear candidate join, and the
     UNCHANGED all-pairs oracle externally proves the completeness claim.
 
-    ceil(t·n) is computed in exact integer arithmetic (t = 4/5) — a double
-    round-up would silently shorten the prefix and break completeness.
+    ceil(t·n) is computed in exact integer arithmetic — the derivation is
+    specialized to t = 4/5 (a double round-up would silently shorten the
+    prefix and break completeness), so the threshold is fixed rather than
+    parameterized: a generalized version would need the rational p/q of
+    its threshold to build the same exact `(p*n + p) DIV q` expression.
     """
-    assert abs(threshold - 0.8) < 1e-9, "prefix length derivation is specialized to t=4/5"
     tok = toks.select("doc_id", "lang", "len_bucket", F.explode("toks").alias("tok"))
     df_counts = tok.groupBy("tok").agg(F.count("*").alias("df"))
     prefix = (

@@ -83,7 +83,9 @@ def _transition_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
     return e, nodes
 
 
-def _pagerank_distributed(spark: SparkSession, e: DataFrame, nodes: DataFrame) -> DataFrame:
+def _pagerank_distributed(
+    spark: SparkSession, e: DataFrame, nodes: DataFrame, n_nodes: int | None = None
+) -> DataFrame:
     """Un-collected PageRank: keyed shuffles over distributed frames.
 
     The web-scale shape — nothing graph-sized ever reaches the driver:
@@ -98,7 +100,13 @@ def _pagerank_distributed(spark: SparkSession, e: DataFrame, nodes: DataFrame) -
       is what blows up) while bounding recompute-on-loss to 2 rounds;
     - ``n_nodes`` is a count() — a scalar aggregate, not a data collect.
     """
-    n_nodes = nodes.count()
+    # Checkpoint nodes FIRST: its count() then materializes the checkpoint
+    # instead of scanning the event log, and the 5-iteration loop (plus
+    # each rank checkpoint and the final action) re-reads the checkpointed
+    # frame rather than re-deriving the distinct over the full log.
+    nodes = nodes.localCheckpoint()
+    if n_nodes is None:
+        n_nodes = nodes.count()
     e = e.repartition("src").localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for i in range(N_ITERS):
@@ -159,8 +167,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, nodes_df = _transition_frames(spark, sf_dir)
     n_nodes = nodes_df.count()
     if n_nodes > DIST_NODE_THRESHOLD:
-        # Unbounded node set → never collect; run the keyed-shuffle path.
-        return _pagerank_distributed(spark, e, nodes_df)
+        # Unbounded node set → never collect; run the keyed-shuffle path
+        # (n_nodes passed through: no second distinct over the log).
+        return _pagerank_distributed(spark, e, nodes_df, n_nodes=n_nodes)
 
     # ONE distributed pass; both results are bounded by |event types|.
     edge_rows = e.collect()  # ≤ |types|² rows

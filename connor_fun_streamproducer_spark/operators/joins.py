@@ -299,6 +299,52 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_carry_tape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared merge-asof tape: events ∪ orders tagged and carry-forwarded.
+
+    Returns every EVENT row with an ``asof`` struct column holding the
+    latest order at-or-before its timestamp (null when none exists).
+    Orders sort before events at equal time (matching the <= bound);
+    equal-time order ties resolve to the highest orderkey by sort
+    position. The inner (join_asof_sorted) and left (join_asof_left)
+    variants differ only in whether null-asof rows survive — outer-ness
+    is a map-side filter decision on this one tape, not a different
+    join strategy.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        F.col("o_orderdate"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.unionByName(e)
+        .withColumn(
+            "asof",
+            F.last(
+                F.when(F.col("kind") == 0, F.struct("o_orderdate", "o_orderkey")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("kind") == 1)
+    )
+
+
 @op(
     "join_asof_sorted",
     oracle="""
@@ -332,43 +378,12 @@ def join_asof_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Flink/kdb temporal joins use. Events with no earlier order drop via
     the final null filter (inner-asof semantics, same as the oracle).
     """
-    e = load(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("ts").cast("timestamp_ntz").alias("t"),
-        F.lit(1).alias("kind"),
+    carried = _asof_carry_tape(spark, sf_dir)
+    return carried.filter(F.col("asof").isNotNull()).select(
         "event_id",
-        F.lit(None).cast("bigint").alias("o_orderkey"),
-        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
-    )
-    o = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
-        F.lit(0).alias("kind"),
-        F.lit(None).cast("bigint").alias("event_id"),
-        "o_orderkey",
-        F.col("o_orderdate"),
-    )
-    tape = o.unionByName(e)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t", "kind", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = tape.withColumn(
-        "asof",
-        F.last(
-            F.when(F.col("kind") == 0, F.struct("o_orderdate", "o_orderkey")),
-            ignorenulls=True,
-        ).over(w),
-    )
-    return (
-        carried.filter((F.col("kind") == 1) & F.col("asof").isNotNull())
-        .select(
-            "event_id",
-            "user_id",
-            F.col("asof.o_orderkey").alias("asof_orderkey"),
-            F.col("asof.o_orderdate").alias("asof_orderdate"),
-        )
+        "user_id",
+        F.col("asof.o_orderkey").alias("asof_orderkey"),
+        F.col("asof.o_orderdate").alias("asof_orderdate"),
     )
 
 
@@ -400,35 +415,8 @@ def join_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind the round-4 window (round-5 rotation); locally oracle-green
     on every test run.
     """
-    e = load(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("ts").cast("timestamp_ntz").alias("t"),
-        F.lit(1).alias("kind"),
-        "event_id",
-        F.lit(None).cast("bigint").alias("o_orderkey"),
-        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
-    )
-    o = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
-        F.lit(0).alias("kind"),
-        F.lit(None).cast("bigint").alias("event_id"),
-        "o_orderkey",
-        F.col("o_orderdate"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t", "kind", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = o.unionByName(e).withColumn(
-        "asof",
-        F.last(
-            F.when(F.col("kind") == 0, F.struct("o_orderdate", "o_orderkey")),
-            ignorenulls=True,
-        ).over(w),
-    )
-    return carried.filter(F.col("kind") == 1).select(
+    carried = _asof_carry_tape(spark, sf_dir)
+    return carried.select(
         "event_id",
         "user_id",
         F.col("asof.o_orderkey").alias("asof_orderkey"),

@@ -126,7 +126,8 @@ def _ensure_loaded() -> None:
     # checked, (2) keys changed/added this round, (3) the stalest
     # externally-green tier. tests/test_registry_order.py pins the
     # resulting window. Round 4 fronts the 34 round-3 registrations that
-    # sat behind the r03 window, then this round's 15 changes/additions.
+    # sat behind the r03 window, then this round's changes/additions (16
+    # inside the window; later round-4 ops sit at key 51+ for round 5).
     from connor_fun_streamproducer_spark.llm import text  # noqa: F401
     from connor_fun_streamproducer_spark.streaming import stateful  # noqa: F401
     from connor_fun_streamproducer_spark.sources import streams as _sources_streams  # noqa: F401

@@ -251,6 +251,89 @@ def socket_source(spark: SparkSession, host: str = "localhost", port: int = 9999
     )
 
 
+def _socket_lines_roundtrip(
+    spark: SparkSession,
+    payload_lines: list[str],
+    transform,
+    op_name: str,
+):
+    """Shared live-socket harness: serve ``payload_lines`` over an
+    ephemeral localhost TCP port, stream them back through the socket
+    source, apply ``transform(raw_sdf) -> sdf`` (which must make
+    re-delivery idempotent — the server re-serves the full payload on
+    every reconnect, at-least-once), run to the memory sink, and poll
+    until all expected rows land.
+
+    The poll checks ``q.exception()`` every iteration: a failed streaming
+    query (schema drift, socket reset) surfaces IMMEDIATELY with its real
+    error instead of burning the whole deadline and masking the cause
+    behind a generic "poll deadline expired".
+    """
+    payload = ("\n".join(payload_lines) + "\n").encode()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    srv.settimeout(0.5)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def serve() -> None:
+        # Accept in a loop serving the same payload: a socket-source
+        # reconnect (source restart) gets the full fixture again instead
+        # of an empty remainder; connections stay open (long-poll
+        # semantics). The duplicate delivery this implies is the caller's
+        # transform's problem (keyed dropDuplicates).
+        conns = []
+        try:
+            while not done.is_set():
+                try:
+                    conn, _ = srv.accept()
+                except socket.timeout:
+                    continue
+                conn.sendall(payload)
+                conns.append(conn)
+        finally:
+            for c in conns:
+                try:
+                    c.close()
+                except OSError:
+                    pass
+            srv.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    sdf = transform(socket_source(spark, "127.0.0.1", port))
+    qname = f"sock_{uuid.uuid4().hex[:8]}"
+    q = sdf.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try:
+        # First-batch codegen is slow in this container; generous deadline,
+        # loud failure — a partial table would otherwise surface as a
+        # confusing oracle hash mismatch downstream.
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline and spark.table(qname).count() < len(payload_lines):
+            if q.exception() is not None:
+                raise RuntimeError(
+                    f"{op_name}: streaming query failed mid-poll (port {port})"
+                ) from q.exception()
+            time.sleep(0.2)
+        seen = spark.table(qname).count()
+        if seen < len(payload_lines):
+            raise RuntimeError(
+                f"{op_name}: poll deadline expired with {seen}/{len(payload_lines)} "
+                f"rows in the memory sink (port {port}); socket source never "
+                "delivered the full payload"
+            )
+        result = spark.table(qname).localCheckpoint(eager=True)
+    finally:
+        q.stop()
+        q.awaitTermination()
+        done.set()
+        spark.catalog.dropTempView(qname)
+    return result
+
+
 @op(
     "src_socket",
     oracle="SELECT 'region:' || r_name AS line FROM region",
@@ -268,8 +351,10 @@ def src_socket(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming-source round trip, not a frame-shape check.
 
     The socket source has no processAllAvailable() end-of-data notion (the
-    connection stays open like a real long-poll), so the runner polls the
-    sink until all expected rows land, then stops the query.
+    connection stays open like a real long-poll), so the shared harness
+    polls the sink until all expected rows land, then stops the query.
+    dropDuplicates makes reconnect re-delivery idempotent (at-least-once
+    → exactly-once); state is bounded by the fixture's line count.
     """
     import pyarrow.parquet as pq
 
@@ -279,69 +364,12 @@ def src_socket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .to_pylist()
     )
     lines = [f"region:{n}" for n in names]
-    payload = ("\n".join(lines) + "\n").encode()
-
-    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-    srv.bind(("127.0.0.1", 0))
-    srv.listen(4)
-    srv.settimeout(0.5)
-    port = srv.getsockname()[1]
-    done = threading.Event()
-
-    def serve() -> None:
-        # Accept in a loop serving the same payload: a socket-source
-        # reconnect (source restart) gets the full fixture again instead
-        # of an empty remainder. Duplicate delivery is handled by the
-        # dropDuplicates below (at-least-once → exactly-once).
-        conns = []
-        try:
-            while not done.is_set():
-                try:
-                    conn, _ = srv.accept()
-                except socket.timeout:
-                    continue
-                conn.sendall(payload)
-                conns.append(conn)  # hold open: long-poll semantics
-        finally:
-            for c in conns:
-                try:
-                    c.close()
-                except OSError:
-                    pass
-            srv.close()
-
-    threading.Thread(target=serve, daemon=True).start()
-
-    # dropDuplicates makes re-delivery (reconnect re-serve) idempotent;
-    # state is bounded by the fixture's distinct line count.
-    sdf = socket_source(spark, "127.0.0.1", port).select(
-        F.col("value").alias("line")
-    ).dropDuplicates(["line"])
-    qname = f"socket_{uuid.uuid4().hex[:8]}"
-    q = sdf.writeStream.outputMode("append").format("memory").queryName(qname).start()
-    try:
-        # First-batch codegen is slow in this container (memory quirk
-        # notes); give the poll a generous deadline and FAIL LOUDLY on
-        # expiry — a partial table would otherwise surface as a confusing
-        # oracle hash mismatch downstream.
-        deadline = time.monotonic() + 120
-        while time.monotonic() < deadline and spark.table(qname).count() < len(lines):
-            time.sleep(0.2)
-        seen = spark.table(qname).count()
-        if seen < len(lines):
-            raise RuntimeError(
-                f"src_socket: poll deadline expired with {seen}/{len(lines)} "
-                f"rows in the memory sink (port {port}); socket source never "
-                "delivered the full fixture"
-            )
-        result = spark.table(qname).localCheckpoint(eager=True)
-    finally:
-        q.stop()
-        q.awaitTermination()
-        done.set()
-        spark.catalog.dropTempView(qname)
-    return result
+    return _socket_lines_roundtrip(
+        spark,
+        lines,
+        lambda raw: raw.select(F.col("value").alias("line")).dropDuplicates(["line"]),
+        "src_socket",
+    )
 
 
 _ROUNDTRIP_MAX_ID = 200  # bounded payload: events with event_id < 200
@@ -380,63 +408,17 @@ def sink_socket_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json(F.struct("event_id", "event_type", "value")).alias("line")
         ).collect()
     ]
-    payload = ("\n".join(lines) + "\n").encode()
-
-    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-    srv.bind(("127.0.0.1", 0))
-    srv.listen(4)
-    srv.settimeout(0.5)
-    port = srv.getsockname()[1]
-    done = threading.Event()
-
-    def serve() -> None:
-        conns = []
-        try:
-            while not done.is_set():
-                try:
-                    conn, _ = srv.accept()
-                except socket.timeout:
-                    continue
-                conn.sendall(payload)
-                conns.append(conn)
-        finally:
-            for c in conns:
-                try:
-                    c.close()
-                except OSError:
-                    pass
-            srv.close()
-
-    threading.Thread(target=serve, daemon=True).start()
-
     schema = "event_id BIGINT, event_type STRING, value DOUBLE"
-    sdf = (
-        socket_source(spark, "127.0.0.1", port)
-        .select(F.from_json(F.col("value"), schema).alias("r"))
-        .select("r.*")
-        .dropDuplicates(["event_id"])
+    parsed = _socket_lines_roundtrip(
+        spark,
+        lines,
+        lambda raw: (
+            raw.select(F.from_json(F.col("value"), schema).alias("r"))
+            .select("r.*")
+            .dropDuplicates(["event_id"])
+        ),
+        "sink_socket_roundtrip",
     )
-    qname = f"rtx_{uuid.uuid4().hex[:8]}"
-    q = sdf.writeStream.outputMode("append").format("memory").queryName(qname).start()
-    try:
-        deadline = time.monotonic() + 120
-        while time.monotonic() < deadline and spark.table(qname).count() < len(lines):
-            time.sleep(0.2)
-        seen = spark.table(qname).count()
-        if seen < len(lines):
-            raise RuntimeError(
-                f"sink_socket_roundtrip: poll deadline expired with "
-                f"{seen}/{len(lines)} rows (port {port})"
-            )
-        result = (
-            spark.table(qname)
-            .select("event_id", "event_type", F.round("value", 6).alias("value"))
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        q.stop()
-        q.awaitTermination()
-        done.set()
-        spark.catalog.dropTempView(qname)
-    return result
+    return parsed.select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )

@@ -102,3 +102,13 @@ def test_registry_is_deterministic_and_complete():
     assert len(a) >= 105
     # every oracle key corresponds to a registered query
     assert set(registry.oracle_sql()) <= set(a)
+
+
+def test_window_priority_keys_all_exist():
+    """_apply_window_priority silently skips unknown keys ('if k in OPS'),
+    so a typo or a renamed op would quietly fall out of the intended
+    registration order. Pin: every _WINDOW_PRIORITY entry — including the
+    behind-window 51+ section — must be a registered op."""
+    registry._ensure_loaded()
+    missing = [k for k in registry._WINDOW_PRIORITY if k not in registry.OPS]
+    assert not missing, f"_WINDOW_PRIORITY names unregistered ops: {missing}"
