@@ -89,3 +89,54 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
         .alias("band"),
     )
+
+
+# Great-circle reference point (continental-US centroid-ish) and radius.
+_GEO_REF_LAT = 39.5
+_GEO_REF_LON = -98.35
+_EARTH_R_KM = 6371.0
+
+
+@op(
+    "fn_geo_haversine",
+    oracle=f"""
+    SELECT event_id,
+           round(2 * {_EARTH_R_KM} * asin(sqrt(
+               pow(sin(radians(lat - {_GEO_REF_LAT}) / 2), 2)
+               + cos(radians(lat)) * cos(radians({_GEO_REF_LAT}))
+                 * pow(sin(radians(lon - {_GEO_REF_LON}) / 2), 2)
+           )), 3) AS dist_km
+    FROM (
+        SELECT event_id,
+               -126 + (event_id * 7) % 59  AS lon,
+               25 + (event_id * 13) % 25   AS lat
+        FROM events
+    )
+    """,
+    tags=("ref", "fn", "geo"),
+)
+def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine great-circle distance from every event to a fixed
+    reference point — the geo-native scalar the reference's domain
+    (bbox-filtered geo streams, locations.json center coordinates)
+    implies but the Go code never computes.
+
+    Identical formula text on both engines (radians → half-angle sines →
+    asin), rounded at 3 decimals of a kilometre: trig libraries agree to
+    ~1e-12 relative, orders of magnitude inside the rounding. Map-only
+    codegen'd math — no shuffle, fuses into the scan's codegen span; at
+    100 TB this is the per-row enrichment you run before a distance
+    threshold filter (which then pushes down as a plain predicate).
+    """
+    from connor_fun_streamproducer_spark.streaming.pipeline import with_coords
+
+    e = with_coords(load(spark, sf_dir, "events"))
+    lat1 = F.radians(F.col("lat"))
+    dlat = F.radians(F.col("lat") - _GEO_REF_LAT) / 2
+    dlon = F.radians(F.col("lon") - _GEO_REF_LON) / 2
+    h = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(lat1) * F.cos(F.radians(F.lit(_GEO_REF_LAT))) * F.pow(F.sin(dlon), 2)
+    )
+    dist = 2 * _EARTH_R_KM * F.asin(F.sqrt(h))
+    return e.select("event_id", F.round(dist, 3).alias("dist_km"))

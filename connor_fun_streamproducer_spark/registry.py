@@ -256,6 +256,7 @@ _WINDOW_PRIORITY = [
     "join_asof_left",               # new: LEFT (keep-unmatched) as-of
     "agg_bitmap_distinct",          # new: exact bucketed-bitmap distinct
     "win_fill_forward",             # new: LOCF gap fill
+    "fn_geo_haversine",             # new: great-circle distance scalar
 ]
 
 
