@@ -349,3 +349,65 @@ def test_scd2_intervals_partition_each_users_timeline(spark):
             assert cur["valid_to_s"] == nxt["valid_from_s"], (user, cur, nxt)
             assert cur["attr_value"] != nxt["attr_value"], (user, cur, nxt)
         assert vs[-1]["valid_to_s"] is None
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=70000), min_size=1, max_size=60),
+)
+@_settings
+def test_bitmap_distinct_exact_on_random_multisets(spark, vals):
+    """agg_bitmap_distinct's bucketed-bitmap pattern must be EXACT on
+    arbitrary multisets — including values straddling the 32768-bit
+    bucket boundary (the 0..70000 domain forces 2-3 buckets) and heavy
+    duplication."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in vals + vals], "k long")
+    got = (
+        df.groupBy(F.expr("bitmap_bucket_number(k)").alias("b"))
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(k)))").alias("c"))
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    )
+    assert got == len(set(vals))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 8), st.booleans(), st.integers(0, 99)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_settings
+def test_fill_forward_matches_sequential_fold(spark, rows):
+    """win_fill_forward's window must equal the obvious per-key sequential
+    LOCF fold, including all-null prefixes and timestamp ties (broken on
+    event_id)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    data = [
+        (i, user, sec, float(v) if has else None)
+        for i, (user, sec, has, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, user_id long, sec long, v double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["event_id"]: r["f"]
+        for r in df.select(
+            "event_id", F.last("v", ignorenulls=True).over(w).alias("f")
+        ).collect()
+    }
+    # sequential reference fold
+    expected = {}
+    last: dict = {}
+    for eid, user, sec, v in sorted(data, key=lambda t: (t[1], t[2], t[0])):
+        if v is not None:
+            last[user] = v
+        expected[eid] = last.get(user)
+    assert got == expected
