@@ -257,6 +257,7 @@ _WINDOW_PRIORITY = [
     "agg_bitmap_distinct",          # new: exact bucketed-bitmap distinct
     "win_fill_forward",             # new: LOCF gap fill
     "fn_geo_haversine",             # new: great-circle distance scalar
+    "sink_compaction",              # new: small-file compaction round trip
 ]
 
 

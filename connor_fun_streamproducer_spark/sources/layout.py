@@ -76,3 +76,69 @@ def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("total"),
         F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
     )
+
+
+FRAGMENT_FILES = 16   # simulated small-file ingest fanout
+COMPACT_TARGET = 2    # compacted file count for the fixture volume
+
+
+def compacted_events_path(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write (once per sf_dir) a fragmented copy of events and its
+    compacted rewrite; returns (fragmented_path, compacted_path)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    frag = os.path.join("/root/repo/.scratch", tag, "events_fragmented")
+    comp = os.path.join("/root/repo/.scratch", tag, "events_compacted")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value", "event_type"
+        )
+        # The small-file problem, induced: a streaming ingest writing every
+        # micro-batch produces many KB-scale files.
+        ev.repartition(FRAGMENT_FILES).write.mode("overwrite").parquet(frag)
+    if not os.path.exists(os.path.join(comp, "_SUCCESS")):
+        # The compaction job: read the fragmented layout, coalesce to the
+        # target file count, rewrite. At 100 TB the target is
+        # total_bytes / desired_file_size and the job runs per partition
+        # directory; repartition (not coalesce) so the write stays
+        # parallel upstream and file sizes come out even.
+        spark.read.parquet(frag).repartition(COMPACT_TARGET).write.mode(
+            "overwrite"
+        ).parquet(comp)
+    return frag, comp
+
+
+@op(
+    "sink_compaction",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("ext", "sink", "scale"),
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round trip: fragmented ingest layout →
+    compaction rewrite → full-fidelity read-back.
+
+    The operational job every streaming ingest needs at 100 TB: micro-
+    batch writes leave thousands of KB-scale files per partition (NameNode
+    pressure, per-file open cost, tiny row groups that defeat pruning);
+    a periodic compaction rewrites each directory to
+    total_bytes/target_file_size files. The op induces the problem
+    (16-way fragmented copy of events), runs the compaction, and returns
+    per-type counts + id-sums READ FROM THE COMPACTED LAYOUT — the
+    oracle computes the same from the source table, so the hash-match
+    proves the rewrite lost and duplicated nothing. File-count mechanics
+    (16 → 2 data files) are pinned in tests/test_plans.py.
+    """
+    _, comp = compacted_events_path(spark, sf_dir)
+    return (
+        spark.read.parquet(comp)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
+    )

@@ -539,3 +539,24 @@ def test_product_profit_partial_aggregates_before_exchange(spark):
     plan = formatted_plan(_q("pipeline_product_profit", spark))
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sink_compaction_reduces_file_count(spark):
+    """The compaction rewrite must actually shrink the layout: 16
+    fragmented data files in, COMPACT_TARGET out, same rows."""
+    import glob
+
+    from connor_fun_streamproducer_spark.sources.layout import (
+        COMPACT_TARGET,
+        FRAGMENT_FILES,
+        compacted_events_path,
+    )
+
+    frag, comp = compacted_events_path(spark, SF_DIR)
+    n_frag = len(glob.glob(f"{frag}/part-*.parquet"))
+    n_comp = len(glob.glob(f"{comp}/part-*.parquet"))
+    assert n_frag == FRAGMENT_FILES
+    assert n_comp == COMPACT_TARGET
+    assert (
+        spark.read.parquet(frag).count() == spark.read.parquet(comp).count()
+    )
