@@ -400,3 +400,67 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.isNull().alias("is_current"),
         "n_events",
     )
+
+
+# Rows whose orderkey hits this modulus form the "today" delta batch; the
+# rest is the maintained base snapshot.
+_IVM_DELTA_MOD = 7
+
+
+@op(
+    "ivm_delta_agg",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0, 2)
+               AS total,
+           floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+                 / count(*) * 10000) / 10000 AS avg_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("ext", "incremental", "agg", "scale"),
+)
+def ivm_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: merge the delta batch's PARTIAL
+    aggregates into the maintained per-customer aggregate — never
+    rescan the base.
+
+    The materialized-view principle that makes 100 TB aggregation
+    serviceable: for decomposable aggregates, keep (count, sum) partials
+    per group; a new batch aggregates ALONE (delta-sized work) and merges
+    by summing partials; algebraic results (avg = sum/n) derive at read
+    time from the merged partials. Here the orders table splits into a
+    base snapshot and a delta batch (orderkey mod 7), each aggregates
+    independently, and the merge is a union + re-aggregation of partial
+    columns — the oracle aggregates the FULL table directly, so the
+    hash-match proves maintenance == recompute. At 100 TB the base
+    partials live as a stored table and only the merge runs per batch:
+    work is O(delta + |groups|), not O(base). Sums merge in exact
+    integer cents so maintenance order can never drift the result.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    base = o.filter(F.col("o_orderkey") % _IVM_DELTA_MOD != 0)
+    delta = o.filter(F.col("o_orderkey") % _IVM_DELTA_MOD == 0)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").cast("bigint").alias("p_n"),
+            F.sum(cents).alias("p_cents"),
+        )
+
+    merged = (
+        partials(base)
+        .unionByName(partials(delta))
+        .groupBy("o_custkey")
+        .agg(F.sum("p_n").alias("n"), F.sum("p_cents").alias("c"))
+    )
+    return merged.select(
+        "o_custkey",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.col("c") / 100.0, 2).alias("total"),
+        # floor-truncation, not round: cents/8 lands exactly on .xxxx5
+        # ties where Spark (HALF_UP) and DuckDB (HALF_EVEN) disagree.
+        (F.floor(F.col("c") / 100.0 / F.col("n") * 10000) / 10000).alias("avg_price"),
+    )

@@ -258,6 +258,7 @@ _WINDOW_PRIORITY = [
     "win_fill_forward",             # new: LOCF gap fill
     "fn_geo_haversine",             # new: great-circle distance scalar
     "sink_compaction",              # new: small-file compaction round trip
+    "ivm_delta_agg",                # new: incremental view maintenance
 ]
 
 
