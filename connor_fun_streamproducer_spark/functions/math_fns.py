@@ -97,6 +97,12 @@ _GEO_REF_LON = -98.35
 _EARTH_R_KM = 6371.0
 
 
+from connor_fun_streamproducer_spark.streaming.pipeline import (  # noqa: E402
+    _LAT_EXPR,
+    _LON_EXPR,
+)
+
+
 @op(
     "fn_geo_haversine",
     oracle=f"""
@@ -107,9 +113,7 @@ _EARTH_R_KM = 6371.0
                  * pow(sin(radians(lon - {_GEO_REF_LON}) / 2), 2)
            )), 3) AS dist_km
     FROM (
-        SELECT event_id,
-               -126 + (event_id * 7) % 59  AS lon,
-               25 + (event_id * 13) % 25   AS lat
+        SELECT event_id, {_LON_EXPR} AS lon, {_LAT_EXPR} AS lat
         FROM events
     )
     """,
@@ -122,8 +126,14 @@ def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     implies but the Go code never computes.
 
     Identical formula text on both engines (radians → half-angle sines →
-    asin), rounded at 3 decimals of a kilometre: trig libraries agree to
-    ~1e-12 relative, orders of magnitude inside the rounding. Map-only
+    asin), rounded at 3 decimals of a kilometre. Rounding-boundary
+    safety is MEASURED, not assumed: over the full synthesized integer
+    coordinate domain the closest distance to any .xxx5 km boundary is
+    9.4e-7 km (tests/test_properties.py pins ≥1e-7), ~100× the libm
+    cross-engine deviation (~1e-8 km at these magnitudes), so no
+    platform's trig can flip a rounded digit. The oracle interpolates
+    the SAME _LON_EXPR/_LAT_EXPR the implementation uses — coordinate
+    synthesis can never silently diverge between the two sides. Map-only
     codegen'd math — no shuffle, fuses into the scan's codegen span; at
     100 TB this is the per-row enrichment you run before a distance
     threshold filter (which then pushes down as a plain predicate).

@@ -24,17 +24,25 @@ from connor_fun_streamproducer_spark.registry import op
 
 PRUNE_KEY = "click"
 
+_EVENT_COLS = ["event_id", "ts", "user_id", "value", "event_type"]
+
+
+def _scratch_path(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join("/root/repo/.scratch", tag, name)
+
+
+def _events_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select(*_EVENT_COLS)
+
 
 def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per sf_dir) the events table partitioned by type."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join("/root/repo/.scratch", tag, "events_by_type")
-    done = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(done):
-        ev = load(spark, sf_dir, "events").select(
-            "event_id", "ts", "user_id", "value", "event_type"
-        )
-        ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    path = _scratch_path(sf_dir, "events_by_type")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _events_projection(spark, sf_dir).write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(path)
     return path
 
 
@@ -85,17 +93,20 @@ COMPACT_TARGET = 2    # compacted file count for the fixture volume
 def compacted_events_path(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write (once per sf_dir) a fragmented copy of events and its
     compacted rewrite; returns (fragmented_path, compacted_path)."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    frag = os.path.join("/root/repo/.scratch", tag, "events_fragmented")
-    comp = os.path.join("/root/repo/.scratch", tag, "events_compacted")
-    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
-        ev = load(spark, sf_dir, "events").select(
-            "event_id", "ts", "user_id", "value", "event_type"
-        )
+    frag = _scratch_path(sf_dir, "events_fragmented")
+    comp = _scratch_path(sf_dir, "events_compacted")
+    frag_rebuilt = not os.path.exists(os.path.join(frag, "_SUCCESS"))
+    if frag_rebuilt:
         # The small-file problem, induced: a streaming ingest writing every
         # micro-batch produces many KB-scale files.
-        ev.repartition(FRAGMENT_FILES).write.mode("overwrite").parquet(frag)
-    if not os.path.exists(os.path.join(comp, "_SUCCESS")):
+        _events_projection(spark, sf_dir).repartition(FRAGMENT_FILES).write.mode(
+            "overwrite"
+        ).parquet(frag)
+    # The compacted layout DERIVES from the fragmented one: rebuild it
+    # whenever frag was (re)written, not just when its own marker is
+    # missing — independent _SUCCESS checks would serve stale compacted
+    # data after a fixture regeneration.
+    if frag_rebuilt or not os.path.exists(os.path.join(comp, "_SUCCESS")):
         # The compaction job: read the fragmented layout, coalesce to the
         # target file count, rewrite. At 100 TB the target is
         # total_bytes / desired_file_size and the job runs per partition

@@ -411,3 +411,33 @@ def test_fill_forward_matches_sequential_fold(spark, rows):
             last[user] = v
         expected[eid] = last.get(user)
     assert got == expected
+
+
+def test_haversine_distances_stay_off_rounding_boundaries(spark):
+    """fn_geo_haversine rounds at 3 decimals; cross-engine trig agrees to
+    ~1e-8 km, so the oracle contract is only platform-safe if every
+    distance in the synthesized coordinate domain keeps a healthy margin
+    from the .xxx5 boundaries. Pin that margin (measured 9.4e-7 km) at
+    >= 1e-7 km, ~10x the worst-case libm deviation."""
+    import math
+
+    from connor_fun_streamproducer_spark.functions.math_fns import (
+        _EARTH_R_KM,
+        _GEO_REF_LAT,
+        _GEO_REF_LON,
+    )
+
+    min_slack = 1.0
+    for lon in range(-126, -126 + 59):
+        for lat in range(25, 50):
+            dlat = math.radians(lat - _GEO_REF_LAT) / 2
+            dlon = math.radians(lon - _GEO_REF_LON) / 2
+            h = (
+                math.sin(dlat) ** 2
+                + math.cos(math.radians(lat))
+                * math.cos(math.radians(_GEO_REF_LAT))
+                * math.sin(dlon) ** 2
+            )
+            d = 2 * _EARTH_R_KM * math.asin(math.sqrt(h))
+            min_slack = min(min_slack, abs((d * 1000) % 1 - 0.5))
+    assert min_slack >= 1e-4, f"distance too close to a .xxx5 boundary: {min_slack}"
