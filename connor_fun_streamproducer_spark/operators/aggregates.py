@@ -330,3 +330,43 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
         F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("price_disc_covar"),
     )
+
+
+@op(
+    "agg_mode_per_key",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, n
+    FROM (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type) AS rk
+        FROM events
+        GROUP BY user_id, event_type
+    ) WHERE rk = 1
+    """,
+    tags=("ext", "agg"),
+)
+def agg_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key mode: each user's most frequent event type.
+
+    Built as count + rank rather than the native mode() aggregate
+    because mode's tie-break is implementation-defined — the (count
+    DESC, value ASC) rank makes the answer identical on every engine
+    and every run, which is what lets the oracle hash it. Two stages
+    on ONE (user_id)-compatible partitioning: the (user_id, type)
+    count partial-aggregates map-side, and the rank window runs on the
+    user_id clustering the count exchange already produced — at 100 TB
+    the heavy stage is the count, bounded by |users × types| output.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )

@@ -422,3 +422,48 @@ def join_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof.o_orderkey").alias("asof_orderkey"),
         F.col("asof.o_orderdate").alias("asof_orderdate"),
     )
+
+
+@op(
+    "join_null_safe",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_id, nullif(event_type, 'click') AS k FROM events
+    ), dim AS (
+        SELECT DISTINCT nullif(event_type, 'click') AS k, event_type AS label
+        FROM events
+    )
+    SELECT f.event_id, d.label,
+           CAST(f.k IS NULL AS BOOLEAN) AS was_null
+    FROM flagged f JOIN dim d ON f.k IS NOT DISTINCT FROM d.k
+    """,
+    tags=("ext", "join"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): null keys
+    MATCH each other instead of silently dropping.
+
+    The semantic trap of every late-arriving-dimension pipeline: a plain
+    equi-join drops all null-keyed rows (null = null is unknown), which
+    reads as data loss downstream. Here one event type is nulled out on
+    both the fact and dim sides; the null-safe predicate keeps those
+    rows paired. Physically ``<=>`` still hash-partitions (null hashes
+    like a value), so the plan is a normal shuffle/broadcast equi-join,
+    NOT a degenerate theta join — but all null keys land in ONE
+    partition, so a null-heavy fact side is the canonical skew case
+    (AQE skew split or pre-filtering nulls to a union branch).
+    """
+    ev = load(spark, sf_dir, "events")
+    flagged = ev.select(
+        "event_id", F.nullif("event_type", F.lit("click")).alias("k")
+    )
+    dim = (
+        ev.select(
+            F.nullif("event_type", F.lit("click")).alias("k"),
+            F.col("event_type").alias("label"),
+        )
+        .distinct()
+    )
+    return flagged.join(dim, flagged.k.eqNullSafe(dim.k)).select(
+        "event_id", "label", flagged.k.isNull().alias("was_null")
+    )

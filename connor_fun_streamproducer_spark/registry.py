@@ -259,6 +259,8 @@ _WINDOW_PRIORITY = [
     "fn_geo_haversine",             # new: great-circle distance scalar
     "sink_compaction",              # new: small-file compaction round trip
     "ivm_delta_agg",                # new: incremental view maintenance
+    "agg_mode_per_key",             # new: deterministic per-key mode
+    "join_null_safe",               # new: null-safe equality join
 ]
 
 
