@@ -384,3 +384,51 @@ def pipeline_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("total_cents") / 100.0, 2).alias("total_revenue"),
         )
     )
+
+
+@op(
+    "pipeline_customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+    tags=("ext", "pipeline", "join"),
+)
+def pipeline_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count.
+
+    The double-aggregation outer-join shape the suite otherwise lacks:
+    customer LEFT JOIN orders (join-side predicate, NOT a where-filter —
+    filtering after the join would silently drop zero-order customers,
+    the classic outer-join bug this op's oracle would catch), then
+    count(o_orderkey) per customer — counting the JOIN-SIDE key so
+    unmatched customers count 0, not 1 — then a second aggregate over
+    the per-customer counts. At 100 TB: the first aggregate shuffles on
+    custkey (the outer join already produced that clustering, so
+    Catalyst reuses it), and the second input is |customers| rows
+    collapsing to ~|distinct counts| — dim-scale. AQE handles the skew
+    of the zero/low-count head.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )

@@ -261,6 +261,7 @@ _WINDOW_PRIORITY = [
     "ivm_delta_agg",                # new: incremental view maintenance
     "agg_mode_per_key",             # new: deterministic per-key mode
     "join_null_safe",               # new: null-safe equality join
+    "pipeline_customer_distribution",  # new: TPC-H Q13 shape
 ]
 
 
