@@ -30,10 +30,13 @@ def decode_image(payload: bytes):
 
     Real, dependency-free decoder for binary PPM (P6) — the uncompressed
     format a codec-less container can still parse bit-exactly. Handles
-    the full header grammar: ``P6``, whitespace-separated width / height /
-    maxval with ``#`` comments anywhere between tokens, a single
-    whitespace byte, then ``w*h*3`` raw RGB samples (maxval ≤ 255).
-    Returns pixels as a ``bytes`` of length h*w*3 in row-major RGB order.
+    the header grammar: ``P6``, whitespace-separated width / height /
+    maxval with ``#`` comments between tokens, a single whitespace byte,
+    then ``w*h*3`` raw RGB samples (maxval ≤ 255). Degenerate dimensions
+    (w/h/maxval ≤ 0) and a non-whitespace byte in the single-separator
+    slot after maxval are rejected with ``ValueError`` — misparsing them
+    silently would corrupt the raster offset. Returns pixels as a
+    ``bytes`` of length h*w*3 in row-major RGB order.
     Compressed formats (JPEG/PNG/...) still need PIL/libvips in a
     production image — this slot raises ``ValueError`` for them instead
     of pretending.
@@ -61,9 +64,20 @@ def decode_image(payload: bytes):
             raise ValueError(f"bad PPM header token {tok!r}")
         tokens.append(int(tok))
     width, height, maxval = tokens
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate PPM dimensions {width}x{height}")
+    if maxval <= 0:
+        raise ValueError(f"bad PPM maxval {maxval}")
     if maxval > 255:
         raise ValueError(f"16-bit PPM (maxval={maxval}) not supported")
-    pos += 1  # exactly one whitespace byte after maxval
+    # Exactly ONE whitespace byte separates maxval from the raster (P6
+    # spec: no comments allowed in this slot — the byte after it is raw
+    # raster data, which may legally be 0x23 '#'). Reject a non-whitespace
+    # separator instead of silently mis-anchoring the raster (ADVICE r4).
+    sep = payload[pos : pos + 1]
+    if not sep.isspace():
+        raise ValueError(f"expected single whitespace after maxval, got {sep!r}")
+    pos += 1
     n = width * height * 3
     pixels = payload[pos : pos + n]
     if len(pixels) != n:

@@ -166,7 +166,8 @@ def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH vol AS (
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               l_extendedprice * (1 - l_discount) AS v,
+               CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT) AS v_cents,
                n1.n_name AS supp_nation
         FROM lineitem
         JOIN orders    ON o_orderkey = l_orderkey
@@ -179,8 +180,8 @@ def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_year,
            CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END)
-                 / sum(v), 4) AS mkt_share
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN v_cents ELSE 0 END)
+                 * 1.0 / sum(v_cents), 4) AS mkt_share
     FROM vol
     GROUP BY 1
     """,
@@ -196,8 +197,10 @@ def pipeline_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region scan, the filtered region broadcast shrinks n2, and the
     shrunken n2 set runtime-filters customers — so at 100 TB only the
     ~1/5 of customers in the region ever reach the orderkey exchange.
-    Only nation/region carry hints; the ratio-of-sums output is
-    insensitive to join strategy, which is what the oracle pins.
+    Only nation/region carry hints. Numerator and denominator accumulate
+    in exact integer cents (the Q9/Q15/Q19 convention) so the ratio is
+    identical whatever order either engine sums in; the divide happens
+    once, after both sums are exact.
     """
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
@@ -207,7 +210,9 @@ def pipeline_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
     joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(s, l.l_suppkey == s.s_suppkey)
@@ -216,12 +221,12 @@ def pipeline_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
     )
-    share_num = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    share_num = F.when(F.col("supp_nation") == "NATION_3", vol_cents).otherwise(F.lit(0))
     return (
         joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             F.count("*").cast("bigint").alias("n_items"),
-            F.round(F.sum(share_num) / F.sum(vol), 4).alias("mkt_share"),
+            F.round(F.sum(share_num) / F.sum(vol_cents), 4).alias("mkt_share"),
         )
     )
 

@@ -187,15 +187,74 @@ def _ensure_loaded() -> None:
 # already-verified and never-verified ops (e.g. sources/batch holds
 # r01-green scan_parquet AND never-checked scan_orc).
 #
-# Round 4 front-of-window, in order:
-#   (1) the 34 keys registered in round 3 BEHIND the r03 window — local-
+# Round 5 front-of-window, in order:
+#   (1) the 12 keys registered in round 4 BEHIND the r04 window — local-
 #       oracle-green every test run but with no external CORRECTNESS row
-#       yet (VERDICT r3 "What's missing" #1 lists them verbatim);
-#   (2) ops changed in round 4 (fixes are externally unverified until
-#       they land in a window).
+#       yet (VERDICT r4 "What's missing" #1 lists them verbatim);
+#   (2) ops changed or added in round 5 (the six new TPC-H shapes; the
+#       cents-exact Q8 fix; the P6 decoder validation; the atomic layout
+#       writes; the socket-harness dup guard);
+#   (3) the stalest still-green tier — the r01 scan/function/setops block
+#       (unchecked externally since round 1) and the oldest r02 streaming
+#       core — refreshed with the window slots left over.
 # Everything else keeps its previous relative order behind these.
 _WINDOW_PRIORITY = [
-    # -- (1) externally-unverified round-3 registrations ------------------
+    # -- (1) externally-unverified round-4 registrations (12) -------------
+    "corpus_decontaminate",
+    "text_perplexity_proxy",
+    "sample_mix_target",
+    "join_asof_left",
+    "agg_bitmap_distinct",
+    "win_fill_forward",
+    "fn_geo_haversine",
+    "sink_compaction",
+    "ivm_delta_agg",
+    "agg_mode_per_key",
+    "join_null_safe",
+    "pipeline_customer_distribution",
+    # -- (2) changed/new in round 5 (11) ----------------------------------
+    "pipeline_mincost_supplier",      # new: TPC-H Q2 shape
+    "pipeline_important_part_share",  # new: TPC-H Q11 shape
+    "pipeline_supplier_part_counts",  # new: TPC-H Q16 shape
+    "pipeline_small_qty_revenue",     # new: TPC-H Q17 shape
+    "pipeline_promotion_suppliers",   # new: TPC-H Q20 shape
+    "pipeline_waiting_suppliers",     # new: TPC-H Q21 shape
+    "pipeline_market_share",          # changed: integer-cents ratio (ADVICE r4)
+    "multimodal_decode",              # changed: P6 header validation (ADVICE r4)
+    "sink_partition_prune",           # changed: atomic staged layout write
+    "sink_socket_roundtrip",          # changed: payload-dup guard in harness
+    "src_socket",                     # changed: same shared harness
+    # -- (3) stalest externally-green tier (r01 block, then oldest r02) ---
+    "scan_parquet",
+    "scan_json",
+    "scan_csv",
+    "sink_parquet",
+    "scan_binaryfile",
+    "fn_string",
+    "fn_math",
+    "fn_date",
+    "fn_date_bucket",
+    "fn_array",
+    "fn_array_explode",
+    "fn_map",
+    "fn_map_entries",
+    "fn_json",
+    "fn_json_roundtrip",
+    "set_union",
+    "set_union_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_except",
+    "set_except_all",
+    "enrich_region",
+    "enrich_region_grid",
+    "agg_window_count",
+    "route_by_key",
+    "proj_serialize",
+    "fanout_union",
+    # -- key 51+: behind the window this round; every key below was
+    #    externally verified in r03/r04 and is unchanged in round 5
+    #    (still oracle-green locally on every test run) -------------------
     "scan_orc",
     "sql_api",
     "sim_search_topk_arrow",
@@ -223,45 +282,25 @@ _WINDOW_PRIORITY = [
     "agg_histogram",
     "agg_kll_quantile",
     "agg_theta_setops",
-    "sink_partition_prune",
     "join_runtime_filter",
     "pipeline_nation_volume",
     "pipeline_promo_share",
     "pipeline_large_volume_orders",
     "pipeline_dormant_accounts",
     "pipeline_late_shipment_priority",
-    # -- (2) changed/new in round 4 --------------------------------------
-    "dedup_ngram_jaccard",   # prefix-filter candidate generation
-    "dedup_embedding",       # corpus-size-derived quantizer cells
-    "multimodal_decode",     # new: real PPM pixel decode
-    "graph_pagerank_dist",   # new: un-collected iterative path
-    "pipeline_market_share",        # new: TPC-H Q8 shape
-    "pipeline_product_profit",      # new: TPC-H Q9 shape
-    "pipeline_disjunctive_revenue", # new: TPC-H Q19 shape
-    "merge_scd2",                   # new: SCD Type-2 history build
-    "pipeline_top_supplier",        # new: TPC-H Q15 shape
-    "win_distribution",             # new: ntile/percent_rank/cume_dist
-    "agg_stats_moments",            # new: stddev/var/corr/covar
-    "fn_conditional",               # new: least/greatest/coalesce/CASE
-    "join_asof_sorted",             # new: merge-sort carry-forward as-of
-    "stream_topk_windows",          # new: streaming pre-agg + served rank
-    "sink_socket_roundtrip",        # new: serialize→wire→parse proof
-    "fn_xml_roundtrip",             # new: native XML to_xml/from_xml
-    # -- key 51+: registered BEHIND the 50-key window (the round-4 debt
-    #    carried into round 5's rotation, oracle-green locally on every
-    #    test run via tests/test_oracle.py) --------------------------------
-    "corpus_decontaminate",         # new: eval-set n-gram decontamination
-    "text_perplexity_proxy",        # new: unigram-LM NLL quality score
-    "sample_mix_target",            # new: domain-mixing rebalance
-    "join_asof_left",               # new: LEFT (keep-unmatched) as-of
-    "agg_bitmap_distinct",          # new: exact bucketed-bitmap distinct
-    "win_fill_forward",             # new: LOCF gap fill
-    "fn_geo_haversine",             # new: great-circle distance scalar
-    "sink_compaction",              # new: small-file compaction round trip
-    "ivm_delta_agg",                # new: incremental view maintenance
-    "agg_mode_per_key",             # new: deterministic per-key mode
-    "join_null_safe",               # new: null-safe equality join
-    "pipeline_customer_distribution",  # new: TPC-H Q13 shape
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "graph_pagerank_dist",
+    "pipeline_product_profit",
+    "pipeline_disjunctive_revenue",
+    "merge_scd2",
+    "pipeline_top_supplier",
+    "win_distribution",
+    "agg_stats_moments",
+    "fn_conditional",
+    "join_asof_sorted",
+    "stream_topk_windows",
+    "fn_xml_roundtrip",
 ]
 
 

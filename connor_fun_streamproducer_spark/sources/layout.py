@@ -15,6 +15,8 @@ opened) rather than a post-scan filter.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +34,30 @@ def _scratch_path(sf_dir: str, name: str) -> str:
     return os.path.join("/root/repo/.scratch", tag, name)
 
 
+def _atomic_write(writer, path: str) -> None:
+    """Write a layout atomically: stage under a process-unique sibling dir,
+    then ``os.rename`` into place (the ivf_index pattern,
+    llm/similarity.py). Two concurrent sessions on the same sf_dir each
+    build a private staging copy; the rename loser sees the winner's
+    complete ``_SUCCESS``-marked directory and discards its own — no
+    interleaved half-overwrites of the final path.
+
+    ``writer`` is a callable taking the staging path and performing the
+    Spark write to it."""
+    staging = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    writer(staging)
+    try:
+        if os.path.exists(path):
+            # Rebuild case (stale derived layout): swap out the old dir
+            # first; rename below is then atomic for new readers.
+            shutil.rmtree(path, ignore_errors=True)
+        os.rename(staging, path)
+    except OSError:
+        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+            raise  # destination absent AND rename failed → real error
+        shutil.rmtree(staging, ignore_errors=True)  # lost the race
+
+
 def _events_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").select(*_EVENT_COLS)
 
@@ -40,9 +66,13 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per sf_dir) the events table partitioned by type."""
     path = _scratch_path(sf_dir, "events_by_type")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _events_projection(spark, sf_dir).write.mode("overwrite").partitionBy(
-            "event_type"
-        ).parquet(path)
+        _atomic_write(
+            lambda p: _events_projection(spark, sf_dir)
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(p),
+            path,
+        )
     return path
 
 
@@ -99,9 +129,13 @@ def compacted_events_path(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     if frag_rebuilt:
         # The small-file problem, induced: a streaming ingest writing every
         # micro-batch produces many KB-scale files.
-        _events_projection(spark, sf_dir).repartition(FRAGMENT_FILES).write.mode(
-            "overwrite"
-        ).parquet(frag)
+        _atomic_write(
+            lambda p: _events_projection(spark, sf_dir)
+            .repartition(FRAGMENT_FILES)
+            .write.mode("overwrite")
+            .parquet(p),
+            frag,
+        )
     # The compacted layout DERIVES from the fragmented one: rebuild it
     # whenever frag was (re)written, not just when its own marker is
     # missing — independent _SUCCESS checks would serve stale compacted
@@ -112,9 +146,13 @@ def compacted_events_path(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         # total_bytes / desired_file_size and the job runs per partition
         # directory; repartition (not coalesce) so the write stays
         # parallel upstream and file sizes come out even.
-        spark.read.parquet(frag).repartition(COMPACT_TARGET).write.mode(
-            "overwrite"
-        ).parquet(comp)
+        _atomic_write(
+            lambda p: spark.read.parquet(frag)
+            .repartition(COMPACT_TARGET)
+            .write.mode("overwrite")
+            .parquet(p),
+            comp,
+        )
     return frag, comp
 
 

@@ -268,7 +268,20 @@ def _socket_lines_roundtrip(
     query (schema drift, socket reset) surfaces IMMEDIATELY with its real
     error instead of burning the whole deadline and masking the cause
     behind a generic "poll deadline expired".
+
+    The poll target is ``len(payload_lines)``, which is only reachable
+    when every line survives the transform's keyed dedup — so duplicate
+    payload lines are rejected UP FRONT with the real cause, instead of
+    burning the 120 s deadline and reporting a misleading
+    "socket never delivered" (ADVICE r4).
     """
+    if len(set(payload_lines)) != len(payload_lines):
+        dupes = len(payload_lines) - len(set(payload_lines))
+        raise ValueError(
+            f"{op_name}: payload contains {dupes} duplicate line(s); the "
+            "transform dedups by key, so the poll target of "
+            f"{len(payload_lines)} rows would be unreachable"
+        )
     payload = ("\n".join(payload_lines) + "\n").encode()
 
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)

@@ -174,6 +174,21 @@ def test_ppm_decode_roundtrip_and_header_grammar(spark):
     with pytest.raises(ValueError, match="16-bit"):
         decode_image(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
 
+    # ADVICE r4: degenerate-but-parseable headers must be rejected, not
+    # silently decoded to empty/garbage rasters.
+    with pytest.raises(ValueError, match="degenerate"):
+        decode_image(b"P6\n0 2\n255\n")
+    with pytest.raises(ValueError, match="degenerate"):
+        decode_image(b"P6\n4 0\n255\n")
+    with pytest.raises(ValueError, match="maxval"):
+        decode_image(b"P6\n1 1\n0\n\x00\x00\x00")
+    with pytest.raises(ValueError, match="whitespace after maxval"):
+        decode_image(b"P6\n1 1\n255")  # header ends with no separator byte
+    # The byte after the single separator is RASTER, even when it equals
+    # '#' (0x23) — a comment check there would corrupt legal payloads.
+    raster_hash = bytes([0x23, 0x10, 0x20])
+    assert decode_image(b"P6\n1 1\n255\n" + raster_hash) == (1, 1, 3, raster_hash)
+
 
 def test_dedup_exact_detects_planted_duplicates(spark):
     """Plant duplicate texts and assert the hash-groupBy clusters them."""
@@ -272,7 +287,12 @@ def test_dedup_embedding_cells_derived_and_pair_bound(spark):
 
     n = similarity._corpus_rows(spark, SF_DIR)
     k = similarity.n_cells_for(n)
-    assert k == max(8, int(n**0.5)), (k, n)
+    # Pin the O(√n) PROPERTY independently of the implementation formula
+    # (ADVICE r4: float n**0.5 diverges from isqrt for large/perfect-square
+    # n, and re-deriving the same expression proves nothing).
+    assert k >= 8, (k, n)
+    if n >= 64:
+        assert k * k <= n < (k + 1) * (k + 1), (k, n)
 
     idx = similarity.ivf_index(spark, SF_DIR)
     sizes = [r["c"] for r in idx.groupBy("cell").agg(F.count("*").alias("c")).collect()]

@@ -560,3 +560,65 @@ def test_sink_compaction_reduces_file_count(spark):
     assert (
         spark.read.parquet(frag).count() == spark.read.parquet(comp).count()
     )
+
+
+def test_mincost_supplier_single_window_exchange_dims_broadcast(spark):
+    """Q2's two-key correlated min decorrelates to ONE window pass: a
+    single (partkey, year) exchange feeds the min-window, and
+    nation/region/part all ride broadcast joins — no self-join of the
+    offers frame, no second fact scan."""
+    plan = formatted_plan(_q("pipeline_mincost_supplier", spark))
+    assert "Window" in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # nation, region, part
+    assert "CartesianProduct" not in plan
+
+
+def test_important_part_share_threshold_is_broadcast_scalar(spark):
+    """Q11's global-share HAVING: the total reduces to one row and rides
+    a broadcast nested-loop (1-row cross) join — the per-part frame is
+    NOT re-aggregated or shuffled a second time for the threshold."""
+    plan = formatted_plan(_q("pipeline_important_part_share", spark))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_sum" in plan  # part agg combines map-side
+
+
+def test_supplier_part_counts_anti_join_broadcasts(spark):
+    """Q16's NOT IN denylist must be a broadcast LEFT-ANTI join on the
+    fact — no shuffle for the exclusion — with expand/distinct machinery
+    only at the (brand,type,size) count-distinct."""
+    plan = formatted_plan(_q("pipeline_supplier_part_counts", spark))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_small_qty_revenue_correlation_never_shuffles_filtered_fact(spark):
+    """Q17: the per-part avg frame joins back WITHOUT forcing a fact
+    shuffle — the brand-filtered fact side stays scan→broadcast-join;
+    the correlation costs one partkey aggregate of the full fact only."""
+    plan = formatted_plan(_q("pipeline_small_qty_revenue", spark))
+    assert "CartesianProduct" not in plan
+    assert "partial_avg" in plan  # the decorrelated aggregate combines map-side
+
+
+def test_promotion_suppliers_all_semi_joins(spark):
+    """Q20's membership chain must stay semi: both the part-name filter
+    and the final supplier membership are LeftSemi joins (no DISTINCT
+    inflation), with part/nation/region broadcast."""
+    plan = formatted_plan(_q("pipeline_promotion_suppliers", spark))
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_waiting_suppliers_single_fact_pass_one_orderkey_exchange(spark):
+    """Q21's EXISTS/NOT-EXISTS decorrelation: ONE explicit l_orderkey
+    repartition must serve the (orderkey, suppkey) aggregate (subset
+    clustering) AND the per-order window stats — no self-join of the
+    per-(order,supplier) frame (which Spark would compute twice), no
+    second orderkey exchange."""
+    df = _q("pipeline_waiting_suppliers", spark)
+    plan = formatted_plan(df)
+    assert "LeftAnti" not in plan and "LeftSemi" not in plan  # decorrelated, not re-probed
+    assert "Window" in plan
+    assert plan.count("hashpartitioning(l_orderkey") == 1, plan[:3000]
+    # single pass: the lineitem scan appears exactly once
+    assert plan.count("lineitem.parquet") == 1

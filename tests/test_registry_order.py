@@ -7,78 +7,84 @@ ever unguarded locally, whatever an external harness samples.
 Separately, the external driver verifies ops in registration order with a
 bounded window (each round covers the first 50 keys). The registration
 order is freshness-priority, applied the same rule each round: (1) ops
-never externally checked (round 3 registered 34 keys behind the r03
-window — VERDICT r3 lists them; closing that debt is round 4's top
-order); (2) ops changed this round; (3) everything else in prior order.
-This test pins round 4's resulting window.
+never externally checked (round 4 registered 12 keys behind the r04
+window — VERDICT r4 lists them; closing that debt is round 5's top
+order); (2) ops changed this round; (3) the stalest still-green tier.
+This test pins round 5's resulting window.
 """
 
 from connor_fun_streamproducer_spark import registry
 
-# The 34 keys with no external CORRECTNESS row across r01-r03, plus
-# round-4 changed ops — all must land in the driver's first-50 window.
+# The 12 keys with no external CORRECTNESS row across r01-r04 (VERDICT r4
+# "What's missing" #1) — closing this debt makes every registered key
+# externally covered at least once.
 NEVER_EXTERNALLY_CHECKED = [
-    "scan_orc",
-    "sql_api",
-    "sim_search_topk_arrow",
-    "join_skew_salted",
-    "multimodal_framesample",
-    "multimodal_resize",
-    "text_chunk",
-    "text_repetition",
-    "sample_split",
-    "sample_stratified",
-    "corpus_stats",
-    "tfidf_top_terms",
-    "corpus_pack",
-    "text_pii_scrub",
-    "text_boilerplate",
-    "text_normalize",
-    "embedding_pool",
-    "embedding_quantize",
-    "fn_url",
-    "graph_pagerank",
-    "win_range_interval",
-    "win_sessionize",
-    "merge_upsert",
-    "stream_cdc_merge",
-    "agg_histogram",
-    "agg_kll_quantile",
-    "agg_theta_setops",
-    "sink_partition_prune",
-    "join_runtime_filter",
-    "pipeline_nation_volume",
-    "pipeline_promo_share",
-    "pipeline_large_volume_orders",
-    "pipeline_dormant_accounts",
-    "pipeline_late_shipment_priority",
+    "corpus_decontaminate",
+    "text_perplexity_proxy",
+    "sample_mix_target",
+    "join_asof_left",
+    "agg_bitmap_distinct",
+    "win_fill_forward",
+    "fn_geo_haversine",
+    "sink_compaction",
+    "ivm_delta_agg",
+    "agg_mode_per_key",
+    "join_null_safe",
+    "pipeline_customer_distribution",
 ]
 
-CHANGED_IN_ROUND_4 = [
-    "dedup_ngram_jaccard",  # prefix-filter candidate generation
-    "dedup_embedding",      # corpus-size-derived quantizer cells
-    "multimodal_decode",    # new: real PPM pixel decode
-    "graph_pagerank_dist",  # new: un-collected iterative path
-    "pipeline_market_share",
-    "pipeline_product_profit",
-    "pipeline_disjunctive_revenue",
-    "merge_scd2",
-    "pipeline_top_supplier",
-    "win_distribution",
-    "agg_stats_moments",
-    "fn_conditional",
-    "join_asof_sorted",
-    "stream_topk_windows",
-    "sink_socket_roundtrip",
-    "fn_xml_roundtrip",
+CHANGED_IN_ROUND_5 = [
+    "pipeline_mincost_supplier",      # new: TPC-H Q2 shape
+    "pipeline_important_part_share",  # new: TPC-H Q11 shape
+    "pipeline_supplier_part_counts",  # new: TPC-H Q16 shape
+    "pipeline_small_qty_revenue",     # new: TPC-H Q17 shape
+    "pipeline_promotion_suppliers",   # new: TPC-H Q20 shape
+    "pipeline_waiting_suppliers",     # new: TPC-H Q21 shape
+    "pipeline_market_share",          # integer-cents ratio fix
+    "multimodal_decode",              # P6 header validation
+    "sink_partition_prune",           # atomic staged layout write
+    "sink_socket_roundtrip",          # payload-dup guard
+    "src_socket",                     # shared-harness change
 ]
 
-MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_4
+# Stalest externally-green tier backfilling the window (r01 scan/fn/setops
+# block, unchecked externally since round 1, plus the oldest r02 core).
+STALE_REFRESH = [
+    "scan_parquet",
+    "scan_json",
+    "scan_csv",
+    "sink_parquet",
+    "scan_binaryfile",
+    "fn_string",
+    "fn_math",
+    "fn_date",
+    "fn_date_bucket",
+    "fn_array",
+    "fn_array_explode",
+    "fn_map",
+    "fn_map_entries",
+    "fn_json",
+    "fn_json_roundtrip",
+    "set_union",
+    "set_union_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_except",
+    "set_except_all",
+    "enrich_region",
+    "enrich_region_grid",
+    "agg_window_count",
+    "route_by_key",
+    "proj_serialize",
+    "fanout_union",
+]
+
+MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_5 + STALE_REFRESH
 
 WINDOW = 50
 
 
-def test_round4_priority_ops_register_inside_driver_window():
+def test_round5_priority_ops_register_inside_driver_window():
     keys = list(registry.queries())
     window = set(keys[:WINDOW])
     missing = [k for k in MUST_BE_IN_WINDOW if k not in window]
@@ -89,10 +95,16 @@ def test_round4_priority_ops_register_inside_driver_window():
 
 
 def test_never_checked_keys_lead_the_window():
-    # The 34 debt keys must come FIRST (before round-4 changes), so even a
+    # The 12 debt keys must come FIRST (before round-5 changes), so even a
     # driver window narrower than 50 covers as many of them as possible.
     keys = list(registry.queries())
     assert keys[: len(NEVER_EXTERNALLY_CHECKED)] == NEVER_EXTERNALLY_CHECKED
+
+
+def test_window_is_exactly_filled():
+    # 12 debt + 11 changed + 27 stale-refresh = 50: the window carries no
+    # dead slots and no accidental extras.
+    assert len(MUST_BE_IN_WINDOW) == WINDOW
 
 
 def test_registry_is_deterministic_and_complete():
