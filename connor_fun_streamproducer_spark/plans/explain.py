@@ -56,3 +56,36 @@ def count_in_plan(df: DataFrame, needle: str, executed: bool = False) -> int:
         return len(re.findall(rf"^\(\d+\) {re.escape(needle)}\b", plan, flags=re.MULTILINE))
     # Executed plans have no detail headers — fall back to whole-word count.
     return len(re.findall(rf"(?<![A-Za-z]){re.escape(needle)}\b", plan))
+
+
+def plan_snapshot(df: DataFrame) -> str:
+    """A normalized, diff-stable skeleton of the formatted physical plan.
+
+    Captures what a plan REGRESSION looks like — join strategy flips,
+    lost pushdown, extra exchanges — while dropping what legitimately
+    varies run to run: expression ids, plan ids, statistics, codegen
+    stage numbering, absolute paths. Kept, in order:
+
+    - the operator tree (indentation + operator line, numbering struck),
+      with codegen wrappers normalized away;
+    - each scan's ``PushedFilters`` and ``ReadSchema`` detail lines (a
+      filter that stops reaching the scan is precisely the regression
+      the snapshot should catch).
+    """
+    import re
+
+    plan = formatted_plan(df)
+    tree, _, _detail = plan.partition("\n\n")
+    lines: list[str] = []
+    for ln in tree.splitlines():
+        ln = ln.rstrip()
+        if not ln or ln.startswith("== "):
+            continue
+        ln = re.sub(r"\s*\(\d+\)$", "", ln)              # strike node numbers
+        ln = re.sub(r"WholeStageCodegen \(\d+\)", "WholeStageCodegen", ln)
+        lines.append(ln)
+    for m in re.finditer(r"^(PushedFilters: .*)$", plan, flags=re.MULTILINE):
+        lines.append(m.group(1).rstrip())
+    for m in re.finditer(r"^(ReadSchema: .*)$", plan, flags=re.MULTILINE):
+        lines.append(m.group(1).rstrip())
+    return "\n".join(lines) + "\n"

@@ -6,7 +6,10 @@ The reference's entire output side is a Kafka produce
 needs the spark-sql-kafka connector jar and a broker, and this sandbox has
 neither (the jar is not bundled with the pyspark pip distribution, and
 Maven Central is unreachable — ``curl repo1.maven.org`` fails DNS; attempt
-documented in COVERAGE.md).
+documented in COVERAGE.md; re-attempted and still DNS-blocked in round 5).
+The broker-less transport proof is ``sink_socket_roundtrip``
+(sources/streams.py): the same to_json frame the Kafka sink uses, shipped
+over a live TCP socket and parsed back, externally hash-verified in r04.
 
 What CAN be verified offline, is: the configured reader/writer reaches
 Spark's data-source resolution and fails *cleanly* with the canonical

@@ -305,17 +305,20 @@ def test_dedup_embedding_cells_derived_and_pair_bound(spark):
     assert pair_work < 8 * (n ** 1.5), (pair_work, n)
 
 
-def test_ann_recall_anchored_to_duckdb_ground_truth(spark):
-    """VERDICT r3 item 8: pin IVF/LSH recall against the INDEPENDENT
-    engine's exact top-k (DuckDB running sim_search_topk's oracle SQL),
-    not Spark-vs-Spark — so a shared bug in the Spark kernel can't
-    silently anchor the approximate tier."""
+@pytest.mark.parametrize("sf_dir", [SF_DIR, "/root/testdata/sf0.01"])
+def test_ann_recall_anchored_to_duckdb_ground_truth(spark, sf_dir):
+    """VERDICT r3 item 8 + r4 item 7: pin IVF/LSH recall against the
+    INDEPENDENT engine's exact top-k (DuckDB running sim_search_topk's
+    oracle SQL), not Spark-vs-Spark — so a shared bug in the Spark kernel
+    can't silently anchor the approximate tier. Parameterized over TWO
+    corpus scales so the √n cell derivation's recall behavior across
+    sizes is observed, not extrapolated from one point."""
     import duckdb
 
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM "
-        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
     )
     exact = {
         (r[0], r[1])
@@ -326,7 +329,9 @@ def test_ann_recall_anchored_to_duckdb_ground_truth(spark):
     for key, floor in [("sim_search_ivf", 0.15), ("sim_search_lsh", 0.3)]:
         ann = {
             (r["query_id"], r["neighbor_id"])
-            for r in registry.OPS[key].fn(spark, SF_DIR).collect()
+            for r in registry.OPS[key].fn(spark, sf_dir).collect()
         }
         recall = len(ann & exact) / len(exact)
-        assert recall >= floor, f"{key} recall vs DuckDB ground truth: {recall:.3f}"
+        assert recall >= floor, (
+            f"{key} recall vs DuckDB ground truth at {sf_dir}: {recall:.3f}"
+        )

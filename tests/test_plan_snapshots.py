@@ -1,0 +1,66 @@
+"""Golden-file snapshots of the headline queries' physical plans
+(VERDICT r4 item 8).
+
+The 54 shape assertions in test_plans.py each pin ONE property; a silent
+plan change that none of them names (a join strategy flip from a Spark
+conf default, an exchange appearing after a refactor, a filter falling
+out of PushedFilters) would land unnoticed. These snapshots pin the whole
+normalized skeleton: any such change shows up as a readable text diff.
+
+Refresh after an INTENTIONAL plan change:
+
+    SPARK_GRAFT_REFRESH_PLANS=1 python -m pytest tests/test_plan_snapshots.py -q
+
+then review the snapshot diff in git like any other code change.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+import pytest
+
+from connor_fun_streamproducer_spark import registry
+from connor_fun_streamproducer_spark.plans.explain import plan_snapshot
+from tests.conftest import SF_DIR
+
+SNAP_DIR = pathlib.Path(__file__).parent / "plan_snapshots"
+REFRESH = os.environ.get("SPARK_GRAFT_REFRESH_PLANS") == "1"
+
+# Ten headline BATCH queries (streaming ops materialize through the
+# memory-sink harness and have no stable batch plan to snapshot).
+SNAPSHOT_KEYS = [
+    "enrich_region",
+    "agg_hash",
+    "join_sortmerge",
+    "pipeline_local_supplier_volume",
+    "pipeline_shipping_priority",
+    "join_asof",
+    "topk_per_group",
+    "dedup_near_minhash",
+    "sim_search_ivf",
+    "pipeline_market_share",
+]
+
+
+@pytest.mark.parametrize("key", SNAPSHOT_KEYS)
+def test_plan_matches_snapshot(spark, key):
+    if SF_DIR.rstrip("/").rsplit("/", 1)[-1] != "sf0.001":
+        pytest.skip("snapshots are pinned at the default sf0.001 fixture "
+                    "(AQE/broadcast choices are size-dependent)")
+    df = registry.queries()[key](spark, SF_DIR)
+    snap = plan_snapshot(df)
+    path = SNAP_DIR / f"{key}.txt"
+    if REFRESH or not path.exists():
+        SNAP_DIR.mkdir(exist_ok=True)
+        path.write_text(snap)
+        if REFRESH:
+            return
+    want = path.read_text()
+    assert snap == want, (
+        f"physical plan for {key!r} drifted from its snapshot.\n"
+        f"If the change is intentional, refresh with "
+        f"SPARK_GRAFT_REFRESH_PLANS=1 and commit the diff.\n"
+        f"--- snapshot\n{want}\n--- current\n{snap}"
+    )

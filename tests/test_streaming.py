@@ -300,3 +300,72 @@ def test_events_stream_empty_custom_path_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no parquet files yet"):
         events_stream(spark, SF_DIR, path=str(tmp_path / "empty"))
+
+
+def test_restart_under_load_no_loss_no_dup(spark, scratch):
+    """VERDICT r4 item 6: kill the query MID-STREAM with rows in flight —
+    not after a clean drain — and assert the checkpoint restart loses
+    nothing and duplicates nothing.
+
+    40 one-row files admitted one per micro-batch feed an epoch-keyed
+    idempotent foreachBatch sink (each epoch overwrites its own
+    directory — the at-least-once replay of the last uncommitted batch
+    lands on the same path instead of appending a duplicate). The query
+    is stopped as soon as a few batches have committed, while the source
+    backlog is still deep; the relaunch resumes from the WAL offsets and
+    drains the rest. Exactly-once is the UNION of both runs' epochs."""
+    import glob
+    import os
+
+    src, ckpt, out = scratch + "/src", scratch + "/ckpt", scratch + "/out"
+    n_rows = 40
+    for i in range(n_rows):
+        _write_batch(
+            spark, src, [Row(event_id=i, ts=_ts("2024-01-01 10:00:00"), user_id=i % 3)]
+        )
+
+    def start():
+        sdf = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def write_epoch(batch_df, epoch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"epoch={epoch_id}")
+            )
+
+        return (
+            sdf.writeStream.foreachBatch(write_epoch)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+
+    q = start()
+    # Kill while the backlog is deep: wait for SOME committed output, then
+    # stop immediately — whatever batch is executing is interrupted.
+    deadline = time.time() + 60
+    while time.time() < deadline and len(glob.glob(out + "/epoch=*")) < 5:
+        time.sleep(0.05)
+    n_before = len(glob.glob(out + "/epoch=*"))
+    assert 0 < n_before, "no batch ever committed"
+    q.stop()
+    q.awaitTermination()
+    assert n_before < n_rows, (
+        "query drained the whole backlog before the kill — the test never "
+        "exercised rows-in-flight; raise n_rows or kill sooner"
+    )
+
+    q2 = restart_query(q, start)
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == list(range(n_rows)), (
+        f"loss/dup after mid-stream kill: {len(got)} rows, "
+        f"missing={sorted(set(range(n_rows)) - set(got))[:5]}, "
+        f"dups={sorted({x for x in got if got.count(x) > 1})[:5]}"
+    )
