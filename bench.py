@@ -41,6 +41,8 @@ HEADLINE = [
     "sim_search_topk",
     "sim_search_ivf",
     "text_quality",
+    "ts_resample",
+    "sink_zorder",
     "stream_tumbling",
 ]
 

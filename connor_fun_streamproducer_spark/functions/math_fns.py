@@ -150,3 +150,39 @@ def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = 2 * _EARTH_R_KM * F.asin(F.sqrt(h))
     return e.select("event_id", F.round(dist, 3).alias("dist_km"))
+
+
+@op(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(event_id) AS BIGINT)           AS id_and,
+           CAST(bit_or(event_id) AS BIGINT)            AS id_or,
+           CAST(bit_xor(event_id) AS BIGINT)           AS id_xor,
+           CAST(sum(CASE WHEN (event_id >> 3) & 1 = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bit3_set
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("ext", "function"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate + scalar surface: AND/OR/XOR folds per group and
+    a bit-test (``(id >> 3) & 1``) conditional count.
+
+    The flag-mask workhorses — XOR folds for checksum-style parity
+    across a partition (the exact pairing detector: duplicated rows
+    cancel), OR for "any flag seen", AND for "flags always set", and a
+    shifted bit-probe for reading packed bitfields. All native JVM
+    aggregates with map-side partials (associative+commutative, so the
+    exchange carries one 8-byte partial per group per core); the bit
+    probe fuses into the scan's codegen span.
+    """
+    ev = load(spark, sf_dir, "events")
+    bit3 = (F.shiftright(F.col("event_id"), 3).bitwiseAND(F.lit(1)) == 1)
+    return ev.groupBy("event_type").agg(
+        F.bit_and("event_id").cast("bigint").alias("id_and"),
+        F.bit_or("event_id").cast("bigint").alias("id_or"),
+        F.bit_xor("event_id").cast("bigint").alias("id_xor"),
+        F.sum(F.when(bit3, 1).otherwise(0)).cast("bigint").alias("bit3_set"),
+    )

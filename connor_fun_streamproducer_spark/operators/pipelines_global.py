@@ -437,3 +437,97 @@ def pipeline_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     return per_cust.groupBy("c_count").agg(
         F.count("*").cast("bigint").alias("custdist")
     )
+
+
+@op(
+    "pipeline_forecast_revenue",
+    oracle="""
+    SELECT round(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                          AS BIGINT)) / 100.0, 2) AS promo_revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("ext", "pipeline"),
+)
+def pipeline_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate revenue forecast.
+
+    The simplest classic warehouse query and the purest pushdown test:
+    no join at all — a one-year ship window, a tight discount band, and
+    a quantity cap, all three pushable to the parquet scan
+    (PushedFilters asserted in tests/test_plans.py), then a single
+    global aggregate of exact integer cents (Q7 convention). At 100 TB
+    this is the query where scan-level filtering IS the whole cost
+    model: with the predicates at the reader, only qualifying row
+    groups are decoded and the aggregate sees a tiny fraction of the
+    40 TB fact; map-side partial aggregation leaves one scalar per
+    partition for the final exchange.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * 100 + 0.5
+    ).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(cents) / 100.0, 2).alias("promo_revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@op(
+    "pipeline_shipmode_priority",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    tags=("ext", "pipeline", "join"),
+)
+def pipeline_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional two-way counts per category after a
+    fact-fact join.
+
+    The fixtures carry no l_shipmode/l_commitdate (FIXTURES.md), so the
+    shape maps onto available columns — category = l_returnflag, the
+    urgency split = o_orderpriority ∈ {1-URGENT, 2-HIGH} — preserving
+    exactly what Q12 exercises: a date-windowed lineitem scan joined to
+    orders on orderkey, with the aggregate being two complementary
+    conditional counts (sum-of-CASE) per category. At 100 TB: the ship
+    window pushes to the lineitem scan, the orderkey equi-join is the
+    one shuffle (AQE may broadcast the filtered side at low
+    selectivity), and the tiny category group-by is map-side-partial
+    first, so the final exchange moves ~categories × partitions rows.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )

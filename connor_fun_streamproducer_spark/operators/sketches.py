@@ -143,3 +143,74 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("l_returnflag").agg(
         F.sum("cnt").cast("bigint").alias("n_parts")
     )
+
+
+TOPK_HH = 20
+# Per-partition Misra-Gries counter budget. The candidate set provably
+# contains every token with global frequency > N/(MG_COUNTERS+1): a token
+# exceeding that globally exceeds N_p/(k+1) in at least one partition
+# (pigeonhole on proportions), and MG's decrement mass per partition is
+# bounded by N_p/(k+1) (each trim round subtracts uniformly from ≥ k+1
+# counters, so (k+1)·D ≤ N_p).
+MG_COUNTERS = 64
+
+
+@op(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM toks WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT {TOPK_HH}
+    """,
+    tags=("ext", "agg", "sketch", "scale"),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{TOPK_HH} frequent tokens via the scalable two-phase
+    pattern: bounded-memory Misra-Gries candidate generation per
+    partition, then ONE exact counting pass restricted to the candidates.
+
+    Why not a plain groupBy-count-topk? At 100 TB with an open vocabulary
+    the full (token, count) aggregation state is the largest shuffle in
+    the pipeline. Here phase 1 is map-only (``mapInPandas``, ≤
+    {MG_COUNTERS} counters per partition — constant memory regardless of
+    vocabulary) and emits ≤ partitions×{MG_COUNTERS} candidate rows; the
+    deterministic-superset guarantee (see MG_COUNTERS note) means the
+    true top-k can't be missed as long as the k-th hitter exceeds
+    N/{MG_COUNTERS + 1} of all tokens — trivially true for Zipfian text.
+    Phase 2 broadcast-semi-joins the tiny candidate set into a second
+    scan and counts exactly — so the result is EXACT (hash-matches the
+    full-aggregation oracle), while the shuffle carries only candidate
+    tokens. tests/test_sketches.py pins the superset guarantee on an
+    adversarial low-budget configuration.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+
+    def mg_summaries(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["tok"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            while len(counters) > MG_COUNTERS:
+                m = min(counters.values())
+                counters = {t: c - m for t, c in counters.items() if c > m}
+        yield pd.DataFrame(
+            {"tok": list(counters.keys()), "lb": list(counters.values())}
+        )
+
+    cands = toks.mapInPandas(mg_summaries, "tok string, lb long").select("tok").distinct()
+    exact = (
+        toks.join(F.broadcast(cands), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return exact.orderBy(F.desc("n"), F.asc("tok")).limit(TOPK_HH)

@@ -1,0 +1,389 @@
+"""Time-series operators: dense resampling, linear interpolation, EWMA.
+
+The reference emits a raw event stream (regionSpout.go:151-163 ships each
+tweet as-is); any time-series consumer downstream of it immediately needs
+the three canonical gap-handling primitives this module provides:
+
+- ``ts_resample``        — regularize an irregular event stream onto a
+                           fixed per-key grid, zero-filling empty buckets
+                           (the step every dashboard/forecast job does
+                           first).
+- ``ts_interpolate_linear`` — fill interior gaps by linear interpolation
+                           between the neighboring observations
+                           (LOCF's smoother sibling; LOCF itself is
+                           ``win_fill_forward`` in windows_ext.py).
+- ``win_ewma``           — exponentially-weighted moving average per key,
+                           the standard smoothed "current level" signal.
+
+Scale notes (100 TB):
+- All three ops shuffle ON THE SERIES KEY exactly once and stay there:
+  the span aggregate, the grid explode, the bucket aggregate, the
+  gap-fill windows, and the final aggregate all share
+  HashPartitioning(user_id), so Catalyst inserts one exchange and reuses
+  it (plan-asserted in tests/test_plans.py).
+- Grid densification multiplies rows by (span / step) per key — bounded
+  by construction (a 30-day fixture → ≤720 hourly or 30 daily buckets
+  per key), and the explode happens AFTER the per-key span aggregate, so
+  it scales with |keys| × buckets, never with |events|.
+- EWMA uses the order-anchored closed form
+  y_n = (1-α)^(n-1)·x_1 + α·Σ_{i≥2} (1-α)^(n-i)·x_i
+  with every weight ≤ 1 (numerically safe for unbounded series, unlike
+  the (1-α)^(-i) prefix-scan trick which overflows past ~700 rows), so
+  it needs only row_number + one weighted sum — no recursion, no UDF,
+  whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.registry import op
+
+_EWMA_ALPHA = 0.2
+
+
+def _dense_grid(events: DataFrame, unit: str, step_interval: str) -> DataFrame:
+    """Per-key dense timestamp grid from min to max observed bucket.
+
+    One shuffle (groupBy user_id); the explode is per-key and bounded by
+    the series span / step.
+    """
+    spans = events.groupBy("user_id").agg(
+        F.date_trunc(unit, F.min("ts")).alias("mn"),
+        F.date_trunc(unit, F.max("ts")).alias("mx"),
+    )
+    return spans.select(
+        "user_id",
+        F.explode(F.expr(f"sequence(mn, mx, interval {step_interval})")).alias("bucket"),
+    )
+
+
+@op(
+    "ts_resample",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             date_trunc('day', min(ts)) AS mn,
+             date_trunc('day', max(ts)) AS mx
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(mn, mx, INTERVAL '1 day')) AS bucket
+      FROM spans
+    ),
+    obs AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket,
+             sum(value) AS sv, count(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.bucket,
+           round(coalesce(o.sv, 0), 4) AS total_value,
+           CAST(coalesce(o.c, 0) AS BIGINT) AS n_events
+    FROM grid g
+    LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket
+    """,
+    tags=("ext", "timeseries"),
+)
+def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the irregular event stream onto a dense per-user daily
+    grid, zero-filling days with no events.
+
+    The left join against the generated grid is what distinguishes this
+    from a plain date-bucket group-by (fn_date_bucket): buckets with NO
+    observations appear with total_value=0 / n_events=0, which is the
+    contract every windowed model/chart needs. Both sides of the join
+    are already partitioned by user_id from their common upstream
+    shuffle.
+    """
+    ev = load(spark, sf_dir, "events")
+    grid = _dense_grid(ev, "day", "1 day")
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("bucket")
+    ).agg(F.sum("value").alias("sv"), F.count("*").alias("c"))
+    return (
+        grid.join(obs, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.round(F.coalesce(F.col("sv"), F.lit(0.0)), 4).alias("total_value"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@op(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH ev AS (SELECT * FROM events WHERE user_id % 37 = 0),
+    spans AS (
+      SELECT user_id,
+             date_trunc('hour', min(ts)) AS mn,
+             date_trunc('hour', max(ts)) AS mx
+      FROM ev GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS h
+      FROM spans
+    ),
+    obs AS (
+      -- avg quantized to 4 decimals BEFORE interpolating: the engines'
+      -- summation orders differ in the last ulp, and interpolation would
+      -- amplify that across the 4th-decimal rounding boundary of the
+      -- final value. On identical quantized anchors the interpolation
+      -- arithmetic is bit-identical in both engines.
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             floor(avg(value) * 10000 + 0.5) / 10000 AS v
+      FROM ev GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT g.user_id, g.h, o.v
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+    ),
+    w AS (
+      SELECT user_id, h, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh
+      FROM dense
+    )
+    SELECT user_id, h AS bucket,
+           -- floor(x*1e4+0.5)/1e4, NOT round(x,4): interpolating between
+           -- 4-decimal anchors lands on exact .xxxx5 midpoints constantly,
+           -- where Spark's BigDecimal HALF_UP and DuckDB's double round()
+           -- disagree; this form is plain double arithmetic, bit-identical
+           -- in both engines on identical inputs (the repo cents idiom).
+           -- parenthesized fraction-first to match the Spark expression
+           -- tree exactly — a*(b/d) and (a*b)/d differ in the last ulp,
+           -- which flips floor() precisely on interpolation midpoints
+           floor((CASE WHEN v IS NOT NULL THEN v
+                  ELSE pv + (nv - pv) * ((epoch(h) - epoch(ph))
+                                       / (epoch(nh) - epoch(ph))) END)
+                 * 10000 + 0.5) / 10000 AS value,
+           (v IS NULL) AS interpolated
+    FROM w
+    WHERE v IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+    """,
+    tags=("ext", "timeseries"),
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of interior gaps on a dense hourly grid.
+
+    Observed buckets keep their hourly average; missing interior buckets
+    get the time-weighted line between the previous and next observed
+    bucket; leading/trailing gaps (no anchor on one side) are dropped —
+    extrapolation is a modeling decision, not a fill. The neighbor
+    lookup is two IGNORE-NULLS window scans over the same
+    (user_id, bucket) sort the grid join already produced — no extra
+    exchange. The key sample (user_id % 37 = 0) keeps the hourly
+    densification at fixture scale proportional, not a fixture-size
+    blow-up; at 100 TB you'd run all keys — the per-key cost is
+    identical.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 37 == 0)
+    grid = _dense_grid(ev, "hour", "1 hour")
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg((F.floor(F.avg("value") * 10000 + 0.5) / 10000).alias("v"))
+    dense = grid.join(obs, ["user_id", "bucket"], "left")
+
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    w = dense.select(
+        "user_id",
+        "bucket",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_bucket, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_bucket, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    frac = (F.unix_timestamp("bucket") - F.unix_timestamp("ph")) / (
+        F.unix_timestamp("nh") - F.unix_timestamp("ph")
+    )
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    )
+    return w.filter(
+        F.col("v").isNotNull()
+        | (F.col("pv").isNotNull() & F.col("nv").isNotNull())
+    ).select(
+        "user_id",
+        "bucket",
+        (F.floor(filled * 10000 + 0.5) / 10000).alias("value"),
+        F.col("v").isNull().alias("interpolated"),
+    )
+
+
+@op(
+    "win_ewma",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(CASE WHEN rn = 1
+                          THEN pow({1 - _EWMA_ALPHA}, n - 1) * value
+                          ELSE {_EWMA_ALPHA} * pow({1 - _EWMA_ALPHA}, n - rn) * value
+                     END), 4) AS ewma,
+           CAST(max(n) AS BIGINT) AS n_obs
+    FROM ordered GROUP BY user_id
+    """,
+    tags=("ext", "timeseries", "window"),
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key EWMA (α=0.2) of the value series, as of its last event.
+
+    y_i = α·x_i + (1-α)·y_{i-1}, y_1 = x_1, evaluated at i = n via the
+    end-anchored closed form (module docstring) — a row_number window
+    plus one weighted sum, both on HashPartitioning(user_id), so the
+    whole op is a single exchange and stays in whole-stage codegen.
+    Ties in ts break on event_id for cross-engine determinism.
+    """
+    ev = load(spark, sf_dir, "events")
+    wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(wk).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+    )
+    beta = F.lit(1 - _EWMA_ALPHA)
+    term = F.when(
+        F.col("rn") == 1, F.pow(beta, F.col("n") - 1) * F.col("value")
+    ).otherwise(
+        F.lit(_EWMA_ALPHA) * F.pow(beta, F.col("n") - F.col("rn")) * F.col("value")
+    )
+    return ordered.groupBy("user_id").agg(
+        F.round(F.sum(term), 4).alias("ewma"),
+        F.max("n").cast("bigint").alias("n_obs"),
+    )
+
+
+@op(
+    "agg_linreg_trend",
+    oracle="""
+    -- x centered at the fixture epoch (2024-01-01): regressing on raw
+    -- epoch seconds (~1.7e9) makes the intercept an extrapolation to
+    -- epoch 0 through catastrophic cancellation — cross-engine drift at
+    -- the 0.01 level. Centered, the intercept is the level AT t0 and
+    -- every moment is well-conditioned.
+    SELECT user_id,
+           round(regr_slope(value, epoch(ts) - 1704067200) * 86400, 4) AS slope_per_day,
+           round(regr_intercept(value, epoch(ts) - 1704067200), 2)     AS intercept_t0,
+           round(regr_r2(value, epoch(ts) - 1704067200), 4)            AS r2,
+           CAST(count(*) AS BIGINT)                                    AS n
+    FROM events GROUP BY user_id
+    """,
+    tags=("ext", "timeseries", "agg"),
+)
+def agg_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key least-squares trend of value over time: slope (per day),
+    intercept, and R² — the one-pass screening regression a metrics
+    platform runs over every series ("which users are trending up?").
+
+    Uses the built-in regression aggregates (`regr_slope` etc. — single
+    scan, map-side moment partials, one keyed exchange; the same
+    associative (n, Σx, Σy, Σxx, Σxy) state the moments tier uses), NOT
+    a per-key fit in Python — at 100 TB the difference between one
+    shuffle and collecting a million series. x is epoch seconds; slope
+    reported per day (×86400) so the number is human-scaled.
+    """
+    ev = load(spark, sf_dir, "events")
+    # Centered x (seconds since 2024-01-01) — see the oracle's
+    # conditioning note; raw epoch x makes the intercept ill-conditioned.
+    x = (F.unix_timestamp("ts") - F.lit(1704067200)).cast("double")
+    return ev.groupBy("user_id").agg(
+        F.round(F.regr_slope(F.col("value"), x) * 86400, 4).alias("slope_per_day"),
+        F.round(F.regr_intercept(F.col("value"), x), 2).alias("intercept_t0"),
+        F.round(F.regr_r2(F.col("value"), x), 4).alias("r2"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+Z_THRESHOLD = 1.5
+Z_MIN_POINTS = 5
+Z_WINDOW_SECONDS = 86400
+
+
+@op(
+    "win_anomaly_zscore",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+        avg(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+          RANGE BETWEEN {Z_WINDOW_SECONDS} PRECEDING AND CURRENT ROW) AS mu,
+        stddev_samp(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+          RANGE BETWEEN {Z_WINDOW_SECONDS} PRECEDING AND CURRENT ROW) AS sd,
+        count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+          RANGE BETWEEN {Z_WINDOW_SECONDS} PRECEDING AND CURRENT ROW) AS cnt
+      FROM events
+    )
+    SELECT user_id, event_id, value,
+           floor((value - mu) / sd * 10000 + 0.5) / 10000 AS z
+    FROM w
+    WHERE cnt >= {Z_MIN_POINTS} AND sd > 0
+      AND abs(floor((value - mu) / sd * 10000 + 0.5) / 10000) > {Z_THRESHOLD}
+    """,
+    tags=("ext", "timeseries", "window"),
+)
+def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: flag events whose value departs
+    the key's own last-24 h distribution by more than {Z_THRESHOLD}σ.
+
+    The z-statistic uses a RANGE frame over event-time seconds (each row
+    sees exactly the trailing day INCLUDING itself — no fixed bucket
+    boundary effects), with a minimum-support gate (≥{Z_MIN_POINTS}
+    points) so cold-start windows can't nominate everything. One keyed
+    exchange; the three window aggregates share a single sort. z is
+    quantized with the floor idiom BEFORE thresholding so the flag
+    decision is bit-identical across engines. At 100 TB: state is the
+    window frame per key — Spark evaluates RANGE frames in one pass over
+    the keyed sort, nothing accumulates beyond the trailing day.
+    """
+    ev = load(spark, sf_dir, "events")
+    wz = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-Z_WINDOW_SECONDS, 0)
+    )
+    stats = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(wz).alias("mu"),
+        F.stddev_samp("value").over(wz).alias("sd"),
+        F.count("*").over(wz).alias("cnt"),
+    )
+    z_q = F.floor((F.col("value") - F.col("mu")) / F.col("sd") * 10000 + 0.5) / 10000
+    return (
+        stats.filter(
+            (F.col("cnt") >= Z_MIN_POINTS) & (F.col("sd") > 0)
+        )
+        .select("user_id", "event_id", "value", z_q.alias("z"))
+        .filter(F.abs(F.col("z")) > Z_THRESHOLD)
+    )

