@@ -1,0 +1,276 @@
+"""Behavioral event analytics: retention cohorts and conversion funnels.
+
+The reference ships a raw per-region event stream and its only analytic
+is a 30-second message count (/root/reference/regionSpout.go:102-117).
+The first two questions any consumer of that stream asks are the two
+canonical behavioral rollups this module provides:
+
+- ``pipeline_retention_cohort`` — classic weekly retention triangle:
+  users bucketed by first-seen week (cohort), counted per week-offset
+  of later activity.
+- ``pipeline_funnel_conversion`` — ordered multi-stage funnel
+  (signup → click → purchase), each stage within 7 days of the
+  previous, counting users reaching each stage.
+
+Week arithmetic is integer epoch-week (``epoch_sec div 604800``) on
+both engines — pure int64 math, bit-identical between Spark and DuckDB,
+immune to the date_trunc('week') locale/start-of-week divergence class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connor_fun_streamproducer_spark.catalog import epoch_seconds, load
+from connor_fun_streamproducer_spark.registry import op
+
+_WEEK_S = 604_800
+# Funnel stage window: each stage must land within 7 days of the one before.
+_FUNNEL_WINDOW_S = 604_800
+
+_RETENTION_ORACLE = """
+WITH uw AS (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+    FROM events GROUP BY 1, 2
+), anchored AS (
+    SELECT user_id, week, min(week) OVER (PARTITION BY user_id) AS cohort_week
+    FROM uw
+)
+SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS users
+FROM anchored GROUP BY 1, 2
+"""
+
+
+@op(
+    "pipeline_retention_cohort",
+    oracle=_RETENTION_ORACLE,
+    tags=("ext", "pipeline", "behavior"),
+)
+def pipeline_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: (cohort_week, week_offset, users).
+
+    100 TB design — ONE exchange on user_id, then one bounded agg:
+
+    - the per-user distinct week set is built with ``collect_set`` in a
+      single groupBy(user_id) — partial (map-side) merge applies, and
+      the per-user state is bounded by the calendar (≤52 entries per
+      user-year), not by event volume, so the only full-volume shuffle
+      carries pre-deduplicated partial sets;
+    - cohort anchor = ``array_min`` over that set (per-row expression,
+      no second exchange — where a window-function formulation would
+      re-shuffle on user_id after a (user, week) distinct);
+    - the final (cohort_week, week_offset) aggregate is over
+      |users| × |active weeks| rows — already the answer's own scale.
+
+    ``users`` is count(*): after the per-user week dedup a user
+    contributes at most one row per (cohort, offset), so count(*) ==
+    count(distinct user) without the distinct-agg expansion.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        (epoch_seconds("ts") / _WEEK_S).cast("bigint").alias("week"),
+    )
+    per_user = ev.groupBy("user_id").agg(F.collect_set("week").alias("weeks"))
+    exploded = per_user.select(
+        F.array_min("weeks").alias("cohort_week"),
+        F.explode("weeks").alias("week"),
+    )
+    return exploded.groupBy(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+    ).agg(F.count("*").alias("users"))
+
+
+_FUNNEL_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+    FROM events
+), s AS (
+    SELECT user_id, min(sec) AS s_sec FROM ev
+    WHERE event_type = 'signup' GROUP BY 1
+), c AS (
+    SELECT e.user_id, min(e.sec) AS c_sec
+    FROM ev e JOIN s ON e.user_id = s.user_id
+    WHERE e.event_type = 'click'
+      AND e.sec > s.s_sec AND e.sec <= s.s_sec + {_FUNNEL_WINDOW_S}
+    GROUP BY 1
+), p AS (
+    SELECT e.user_id, min(e.sec) AS p_sec
+    FROM ev e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+      AND e.sec > c.c_sec AND e.sec <= c.c_sec + {_FUNNEL_WINDOW_S}
+    GROUP BY 1
+), reached AS (
+    SELECT '1_signup' AS stage, user_id FROM s
+    UNION ALL SELECT '2_click', user_id FROM c
+    UNION ALL SELECT '3_purchase', user_id FROM p
+)
+SELECT stage, count(*) AS users FROM reached GROUP BY stage
+"""
+
+
+@op(
+    "pipeline_funnel_conversion",
+    oracle=_FUNNEL_ORACLE,
+    tags=("ext", "pipeline", "behavior"),
+)
+def pipeline_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel signup → click → purchase, each stage
+    within 7 days of the previous; (stage, users) with users reaching
+    each stage (monotone non-increasing down the funnel).
+
+    The dependency chain (first qualifying click is defined relative to
+    the FIRST signup, first purchase relative to that click) cannot be
+    one conditional aggregate — it is the classic iterated
+    filter-join-agg ladder:
+
+    100 TB design:
+
+    - every join and aggregate in the ladder keys on user_id, so
+      Catalyst reuses one hash partitioning end to end (plan shows a
+      single exchange per funnel arm, no re-shuffles between rungs);
+    - each rung's frame only SHRINKS (stage-k users ⊆ stage-k-1
+      users), so join inputs decay down the funnel and AQE picks
+      broadcast for the deep rungs at real-world conversion rates;
+    - the final count is one union of (stage, user) markers + a
+      6-ish-row aggregate: counting users AT each rung via the union
+      trick costs one shuffle total, instead of three scalar count
+      jobs.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_seconds("ts").alias("sec")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("s_sec"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(
+            (F.col("sec") > F.col("s_sec"))
+            & (F.col("sec") <= F.col("s_sec") + _FUNNEL_WINDOW_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("c_sec"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("sec") > F.col("c_sec"))
+            & (F.col("sec") <= F.col("c_sec") + _FUNNEL_WINDOW_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("p_sec"))
+    )
+    reached = (
+        s.select(F.lit("1_signup").alias("stage"), "user_id")
+        .unionAll(c.select(F.lit("2_click").alias("stage"), "user_id"))
+        .unionAll(p.select(F.lit("3_purchase").alias("stage"), "user_id"))
+    )
+    return reached.groupBy("stage").agg(F.count("*").alias("users"))
+
+
+_TOP_PAIRS = 20
+# Apriori-style item prune: a pair can only reach pair-support >= 2 if both
+# items appear in >= 2 baskets, so the pre-filter drops nothing qualifying.
+_MIN_ITEM_SUPPORT = 2
+
+_BASKET_ORACLE = f"""
+WITH baskets AS (
+    SELECT l_orderkey AS bid, l_partkey AS item
+    FROM lineitem GROUP BY 1, 2
+), item_n AS (
+    SELECT item, count(*) AS na FROM baskets GROUP BY 1
+    HAVING count(*) >= {_MIN_ITEM_SUPPORT}
+), kept AS (
+    SELECT b.bid, b.item, i.na FROM baskets b JOIN item_n i USING (item)
+), pairs AS (
+    SELECT a.item AS item_a, b.item AS item_b,
+           max(a.na) AS na, max(b.na) AS nb, count(*) AS nab
+    FROM kept a JOIN kept b ON a.bid = b.bid AND a.item < b.item
+    GROUP BY 1, 2
+), total AS (
+    SELECT count(DISTINCT bid) AS n_baskets FROM baskets
+)
+SELECT item_a, item_b, nab AS support,
+       round(CAST(nab AS DOUBLE) * n_baskets / (na * nb), 4) AS lift
+FROM pairs, total
+ORDER BY support DESC, item_a, item_b
+LIMIT {_TOP_PAIRS}
+"""
+
+
+@op(
+    "pipeline_basket_affinity",
+    oracle=_BASKET_ORACLE,
+    tags=("ext", "pipeline", "behavior"),
+)
+def pipeline_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top co-ordered part pairs with support and
+    lift — (item_a, item_b, support, lift), total-order ranked.
+
+    The association-rules shape every retail/recommendation warehouse
+    runs; the reference's event stream has no such second-order
+    analytics at all.
+
+    100 TB design:
+
+    - baskets dedupe on (order, part) first — one keyed exchange with
+      map-side partials;
+    - APRIORI PRUNE before pairing: items below pair-qualifying support
+      are dropped by a pre-aggregate, provably lossless for pair
+      support >= {_MIN_ITEM_SUPPORT} (a pair needs both items in >= that
+      many baskets) — this is what keeps the self-join's fan-out from
+      exploding on the long tail of one-off items;
+    - the pair generator is a self-equi-join ON THE BASKET KEY with
+      ``item_a < item_b`` — per-basket fan-out is quadratic in basket
+      WIDTH (bounded, ~single digits for order lines), never in corpus
+      size, and AQE handles any hot mega-basket via skew split;
+    - item frequencies ride along via max(na)/max(nb) instead of two
+      extra joins; lift's scalar total is a 1-row broadcast (the
+      decorrelated-scalar-subquery pattern, operators/subqueries.py);
+    - integer counts divide in double at the end, so both engines do
+      the identical arithmetic — hash-exact despite the ratio.
+    """
+    b = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item")
+    )
+    baskets = b.distinct()
+    item_n = (
+        baskets.groupBy("item")
+        .agg(F.count("*").alias("na"))
+        .filter(F.col("na") >= _MIN_ITEM_SUPPORT)
+    )
+    kept = baskets.join(item_n, "item")
+    a = kept.select("bid", F.col("item").alias("item_a"), F.col("na").alias("na_a"))
+    c2 = kept.select("bid", F.col("item").alias("item_b"), F.col("na").alias("na_b"))
+    pairs = (
+        a.join(c2, "bid")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.max("na_a").alias("na"),
+            F.max("na_b").alias("nb"),
+            F.count("*").alias("nab"),
+        )
+    )
+    total = baskets.select(F.countDistinct("bid").alias("n_baskets"))
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("nab").alias("support"),
+            F.round(
+                F.col("nab").cast("double")
+                * F.col("n_baskets")
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "item_a", "item_b")
+        .limit(_TOP_PAIRS)
+    )

@@ -195,3 +195,150 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Connected components (distributed min-label propagation)
+# ---------------------------------------------------------------------------
+
+CC_MAX_ROUNDS = 20
+
+_CC_ORACLE = """
+WITH RECURSIVE
+buck AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+stars AS (
+    SELECT b, min(user_id) AS hub FROM buck GROUP BY b HAVING count(*) > 1
+),
+e0 AS (
+    SELECT DISTINCT s.hub AS src, k.user_id AS dst
+    FROM buck k JOIN stars s USING (b) WHERE k.user_id <> s.hub
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT user_id AS node FROM events),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+)
+SELECT node AS user_id, min(r) AS component FROM reach GROUP BY node
+"""
+
+
+def _cc_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(undirected edge frame (src, dst), node frame (node)) for the
+    shared-purchase-cents user graph.
+
+    The graph construction itself is the scale-safe STAR form: users who
+    share an exact purchase amount (integer cents — the repo-wide exact-
+    money convention) are connected THROUGH the minimum user of that
+    amount bucket, not pairwise — |edges| is linear in bucket membership
+    where all-pairs would be quadratic in the hottest bucket (the keeper
+    pattern of llm/dedup.py's LSH buckets). Connectivity is identical:
+    a star reaches everything the clique would.
+    """
+    ev = load(spark, sf_dir, "events")
+    nodes = ev.select(F.col("user_id").alias("node")).distinct()
+    buck = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("b"),
+            "user_id",
+        )
+        .distinct()
+    )
+    stars = (
+        buck.groupBy("b")
+        .agg(F.min("user_id").alias("hub"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .drop("n")
+    )
+    e0 = (
+        buck.join(stars, "b")
+        .filter(F.col("user_id") != F.col("hub"))
+        .select(F.col("hub").alias("src"), F.col("user_id").alias("dst"))
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return edges, nodes
+
+
+@op(
+    "graph_connected_components",
+    oracle=_CC_ORACLE,
+    tags=("ext", "graph", "iterative", "scale"),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed connected components over the shared-purchase-amount
+    user graph: component = min user_id reachable.
+
+    The reference has no graph tier at all (events are independent
+    records, /root/reference/regionSpout.go:151-163); this is the
+    north-star iterative companion to ``graph_pagerank_dist`` and the
+    generic form of the label-propagation fixpoint inside
+    ``dedup_minhash_cluster`` (operators/scale_patterns.py:125) — here
+    run over an ARBITRARY edge frame rather than LSH buckets.
+
+    100 TB design — nothing graph-sized touches the driver:
+
+    - edges are repartitioned by join key ``src`` and localCheckpointed
+      once (five-plus rounds must not replay the bucket build);
+    - each round is the canonical message-passing step: join(edges,
+      labels on src) → groupBy(dst).min → merge with ``least`` — two
+      keyed exchanges, both on the same reused hash partitioning;
+    - labels are localCheckpointed EVERY round: the convergence probe
+      needs the round materialized anyway, and checkpointing is what
+      keeps the iterative plan from nesting exponentially;
+    - convergence is a SCALAR aggregate (labels only ever decrease
+      under min-propagation, so the label sum strictly decreases iff
+      any node changed — one number to the driver per round, the
+      fixpoint-scalar pattern of scale_patterns.py:161). The sum is
+      taken in decimal(38,0) so it cannot overflow at any node count.
+    - rounds are bounded by CC_MAX_ROUNDS; min-label propagation
+      converges in O(component diameter) rounds, and the star
+      construction keeps diameters small (hub chains, not paths).
+
+    Oracle: DuckDB recursive-CTE transitive closure over the same edge
+    set — min reachable node per node — making this a fully
+    hash-checked iterative operator like graph_pagerank.
+    """
+    edges, nodes = _cc_edges(spark, sf_dir)
+    labels = propagate_min_label(edges, nodes)
+    return labels.select(F.col("node").alias("user_id"), "component")
+
+
+def propagate_min_label(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Min-label propagation to fixpoint over an arbitrary undirected
+    edge frame (src, dst); returns (node, component). See
+    graph_connected_components for the scale rationale."""
+    edges = edges.repartition("src").localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint()
+    prev_sum = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    for _ in range(CC_MAX_ROUNDS):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), F.col("component").alias("cand"))
+            .groupBy("node")
+            .agg(F.min("cand").alias("nbr"))
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

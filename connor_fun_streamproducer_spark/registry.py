@@ -168,8 +168,10 @@ def _ensure_loaded() -> None:
         corpus,
         corpus_prep,
         embedding_ops,
+        pca,
     )
     from connor_fun_streamproducer_spark.operators import (  # noqa: F401
+        behavior,
         graph,
         incremental,
         pipelines_global,
@@ -242,9 +244,15 @@ _WINDOW_PRIORITY = [
     "win_anomaly_zscore",             # new: trailing-window anomaly flags
     "fn_bitwise",                     # new: bitwise aggregate surface
     "agg_heavy_hitters",              # new: MG candidates + exact re-rank
+    # -- (2c) new in round 5 session 3 (5): never externally checked -----
+    "graph_connected_components",     # new: distributed min-label CC
+    "pipeline_retention_cohort",      # new: weekly retention triangle
+    "pipeline_funnel_conversion",     # new: ordered 3-stage funnel
+    "embedding_covariance",           # new: one-pass integer Gramian
+    "embedding_pca_project",          # new: top-2 PC projection (rows-only)
     # -- (3) stalest externally-green tier (r01 block, then oldest r02);
-    #    the last 7 of this tier now sit just past the 50-key window to
-    #    make room for (2b) — never-checked beats stale-refresh ----------
+    #    only the first 11 of this tier still fit inside the 50-key
+    #    window after (2b)/(2c) — never-checked beats stale-refresh ------
     "scan_parquet",
     "scan_json",
     "scan_csv",

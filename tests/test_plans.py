@@ -726,3 +726,34 @@ def test_linreg_trend_partial_moments_before_exchange(spark):
     df = _q("agg_linreg_trend", spark)
     assert count_in_plan(df, "HashAggregate") >= 2
     assert count_in_plan(df, "Exchange") == 1
+
+
+def test_retention_cohort_single_user_exchange(spark):
+    """The retention triangle must build its per-user week sets in ONE
+    user_id exchange (collect_set with map-side partials) and pay only
+    the bounded (cohort, offset) agg after it — a (user, week)-distinct
+    + window formulation would re-shuffle a full-volume frame twice."""
+    df = _q("pipeline_retention_cohort", spark)
+    assert count_in_plan(df, "Exchange") == 2  # user_id agg + final agg
+    assert count_in_plan(df, "HashAggregate") >= 2  # partial collect_set
+    assert count_in_plan(df, "Window") == 0
+
+
+def test_funnel_reuses_user_partitioning_and_shrinks(spark):
+    """Every rung of the funnel ladder keys on user_id; the three stage
+    aggregates and both rung joins must not introduce a cartesian or a
+    nested-loop, and the final union-marker count is one extra agg."""
+    df = _q("pipeline_funnel_conversion", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_covariance_shuffles_partials_not_vectors(spark):
+    """The Gramian op's only exchange must carry the d^2-row integer
+    partials from mapInPandas — never embedding vectors: the plan has
+    exactly one aggregate exchange and one Arrow eval node."""
+    df = _q("embedding_covariance", spark)
+    assert count_in_plan(df, "Exchange") == 1
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan

@@ -523,3 +523,68 @@ def test_zorder_interleave_is_bijective_and_monotone_in_quadrants(spark):
     for x, y, z in rows:
         assert ((z >> (2 * (Z_BITS - 1))) & 1) == ((x >> (Z_BITS - 1)) & 1)
         assert ((z >> (2 * (Z_BITS - 1) + 1)) & 1) == ((y >> (Z_BITS - 1)) & 1)
+
+
+def test_min_label_propagation_converges_on_worst_case_path(spark):
+    """A path graph is the worst case for min-label propagation (diameter
+    = n-1, one hop of label movement per round). Pin: a 12-node path
+    collapses to a single component within CC_MAX_ROUNDS, an isolated
+    node keeps its own label, and a separate 3-cycle keeps its own min —
+    i.e. the fixpoint is exactly per-component min, not a global min."""
+    from connor_fun_streamproducer_spark.operators.graph import (
+        CC_MAX_ROUNDS,
+        propagate_min_label,
+    )
+
+    path = [(i, i + 1) for i in range(100, 111)]  # 12-node path, min 100
+    cycle = [(7, 8), (8, 9), (9, 7)]  # separate 3-cycle, min 7
+    directed = path + cycle
+    e0 = spark.createDataFrame(directed, "src bigint, dst bigint")
+    edges = e0.union(e0.selectExpr("dst as src", "src as dst"))
+    node_ids = sorted({n for e in directed for n in e} | {999})  # 999 isolated
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "node bigint")
+
+    assert 11 < CC_MAX_ROUNDS  # path diameter must fit the round budget
+    got = {r["node"]: r["component"] for r in propagate_min_label(edges, nodes).collect()}
+    assert all(got[n] == 100 for n in range(100, 112))
+    assert all(got[n] == 7 for n in (7, 8, 9))
+    assert got[999] == 999
+
+
+def test_pca_projection_matches_numpy_reference(spark):
+    """embedding_pca_project (rows-only key: eig is not SQL) pinned
+    against a full numpy recompute of the same pipeline — quantized
+    covariance, eigh, deterministic sign fix, centered projection —
+    to within the 1e-4 output rounding."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from connor_fun_streamproducer_spark import registry
+    from connor_fun_streamproducer_spark.llm.pca import D_SEL, _Q
+
+    registry._ensure_loaded()
+    rows = registry.OPS["embedding_pca_project"].fn(spark, SF_DIR).collect()
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    m = np.stack(tbl["embedding"].to_numpy())[:, :D_SEL].astype("float64")
+    q = np.floor(m * _Q + 0.5)
+    n = len(m)
+    mu_q = q.sum(axis=0) / n
+    cov = np.round((q.T @ q / n - np.outer(mu_q, mu_q)) / _Q**2, 6)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, np.argsort(vals)[::-1][:2]].T
+    for k in range(2):
+        if comps[k, int(np.argmax(np.abs(comps[k])))] < 0:
+            comps[k] = -comps[k]
+    proj = (m - mu_q / _Q) @ comps.T
+
+    by_id = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in rows}
+    ids = tbl["vec_id"].to_numpy()
+    assert len(by_id) == n
+    for i in range(n):
+        for k in range(2):
+            assert abs(by_id[ids[i]][k] - proj[i, k]) <= 6e-5
+
+    # PC1 must carry at least as much variance as PC2 (top-2 ordering).
+    p = np.array([proj[:, 0], proj[:, 1]])
+    assert p[0].var() >= p[1].var()

@@ -57,13 +57,20 @@ CHANGED_IN_ROUND_5 = [
     "win_anomaly_zscore",             # new: trailing-window anomaly flags
     "fn_bitwise",                     # new: bitwise aggregate surface
     "agg_heavy_hitters",              # new: MG candidates + exact re-rank
+    # third round-5 session — all never externally checked:
+    "graph_connected_components",     # new: distributed min-label CC
+    "pipeline_retention_cohort",      # new: weekly retention triangle
+    "pipeline_funnel_conversion",     # new: ordered 3-stage funnel
+    "embedding_covariance",           # new: one-pass integer Gramian
+    "embedding_pca_project",          # new: top-2 PC projection (rows-only)
 ]
 
-# Stalest externally-green tier backfilling the window (r01 scan/fn/setops
-# block, unchecked externally since round 1). The tier's last 11 keys
-# (the remaining setops + the r02 streaming core) sit just past the
-# window this round — displaced by the 11 new session-2 ops, since
-# never-externally-checked beats stale-refresh under the freshness rule.
+# Stalest externally-green tier backfilling the window (r01 scan/fn
+# block, unchecked externally since round 1). The tier's remaining keys
+# (fn_map/fn_json pairs, the setops block, the r02 streaming core) sit
+# just past the window this round — displaced by the 16 new session-2/3
+# ops, since never-externally-checked beats stale-refresh under the
+# freshness rule.
 STALE_REFRESH = [
     "scan_parquet",
     "scan_json",
@@ -76,11 +83,6 @@ STALE_REFRESH = [
     "fn_date_bucket",
     "fn_array",
     "fn_array_explode",
-    "fn_map",
-    "fn_map_entries",
-    "fn_json",
-    "fn_json_roundtrip",
-    "set_union",
 ]
 
 MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_5 + STALE_REFRESH
@@ -106,7 +108,7 @@ def test_never_checked_keys_lead_the_window():
 
 
 def test_window_is_exactly_filled():
-    # 12 debt + 22 changed/new + 16 stale-refresh = 50: the window carries
+    # 12 debt + 27 changed/new + 11 stale-refresh = 50: the window carries
     # no dead slots and no accidental extras.
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
