@@ -48,6 +48,17 @@ HEADLINE = [
 
 WARMUP = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
 
+# Round-5 additions, reported under a SEPARATE metric key so the headline
+# total stays comparable against the round-1 anchor (adding queries to
+# HEADLINE would inflate headline_total_wall and read as a regression).
+EXTENDED = [
+    "graph_connected_components",
+    "pipeline_retention_cohort",
+    "pipeline_basket_affinity",
+    "sim_search_pq",
+    "embedding_covariance",
+]
+
 
 def main() -> None:
     registry._ensure_loaded()
@@ -73,6 +84,20 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[key] = round(best, 3)
         print(f"# {key}: {timings[key]:.3f}s rows={n}", file=sys.stderr)
+
+    ext_timings: dict[str, float] = {}
+    for key in [k for k in EXTENDED if k in registry.OPS]:
+        fn = registry.OPS[key].fn
+        if WARMUP:
+            fn(spark, SF_DIR).count()
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = fn(spark, SF_DIR).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        ext_timings[key] = round(best, 3)
+        print(f"# ext {key}: {ext_timings[key]:.3f}s rows={n}", file=sys.stderr)
 
     # Streaming throughput observable — the reference's one metric is
     # events per 30 s per region (regionSpout.go:106-110). Report rows/sec
@@ -113,6 +138,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if ext_timings:
+        out["extended_queries"] = ext_timings
+        out["extended_total_wall"] = round(sum(ext_timings.values()), 3)
     if stream_rows_per_sec is not None:
         out["stream_rows_per_sec"] = stream_rows_per_sec
     if skew is not None:

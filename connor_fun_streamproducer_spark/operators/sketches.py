@@ -214,3 +214,68 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
     )
     return exact.orderBy(F.desc("n"), F.asc("tok")).limit(TOPK_HH)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+# Probe keys: a fixed low-ID slice so the op's output is a stable,
+# test-pinnable frame rather than data-dependent.
+CMS_PROBES = tuple(range(1, 11))
+
+
+@op("agg_count_min", tags=("ext", "agg", "sketch", "scale"))
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for 10 probe part keys over the
+    lineitem stream: (l_partkey, est).
+
+    The frequency twin of the KLL/theta/bitmap tier: a depth x width
+    grid of counters (4 x 1024 here) where item k increments cell
+    (d, hash_d(k) mod width) per row, and the estimate is the MIN over
+    the item's four cells — always >= the true count, with overshoot
+    bounded by collisions. The grid is MERGEABLE (cell-wise sum), which
+    is the whole point at 100 TB: each executor sketches its partitions
+    map-side and the exchange carries at most depth*width aggregated
+    cells, not keys.
+
+    Spark-first build: rows fan out depth-ways with a literal-array
+    explode, cells come from one ``xxhash64(depth, key) pmod width``
+    hash aggregate (partial map-side combine = per-partition sketches),
+    and the probe lookup is a broadcast join of 10 keys against the
+    <= depth*width-cell grid followed by groupBy(min) — the whole op is two
+    bounded exchanges, zero Python.
+
+    xxhash64's placement of keys is engine-specific, so (like KLL and
+    theta) this is the sanctioned rows-only class; the CMS contract —
+    est >= exact for every probe, overshoot <= sum of colliding keys —
+    is pinned exactly in tests/test_sketches.py.
+    """
+    items = load(spark, sf_dir, "lineitem").select("l_partkey")
+    depths = F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
+    fanned = items.select("l_partkey", F.explode(depths).alias("d"))
+    cells = (
+        fanned.select(
+            "d",
+            F.pmod(F.xxhash64("d", "l_partkey"), F.lit(CMS_WIDTH)).alias("c"),
+        )
+        .groupBy("d", "c")
+        .agg(F.count("*").alias("n"))
+    )
+    probes = spark.createDataFrame(
+        [(int(k),) for k in CMS_PROBES], "l_partkey bigint"
+    ).select(
+        "l_partkey", F.explode(depths).alias("d")
+    ).select(
+        "l_partkey",
+        "d",
+        F.pmod(F.xxhash64("d", "l_partkey"), F.lit(CMS_WIDTH)).alias("c"),
+    )
+    est = (
+        cells.join(F.broadcast(probes), ["d", "c"])
+        .groupBy("l_partkey")
+        .agg(F.min("n").cast("bigint").alias("est"))
+    )
+    return est.orderBy("l_partkey")

@@ -250,6 +250,9 @@ _WINDOW_PRIORITY = [
     "pipeline_funnel_conversion",     # new: ordered 3-stage funnel
     "embedding_covariance",           # new: one-pass integer Gramian
     "embedding_pca_project",          # new: top-2 PC projection (rows-only)
+    "pipeline_basket_affinity",       # new: market-basket pair lift
+    "agg_count_min",                  # new: count-min sketch (rows-only)
+    "sim_search_pq",                  # new: product-quantization ANN (rows-only)
     # -- (3) stalest externally-green tier (r01 block, then oldest r02);
     #    only the first 11 of this tier still fit inside the 50-key
     #    window after (2b)/(2c) — never-checked beats stale-refresh ------

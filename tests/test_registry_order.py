@@ -63,6 +63,9 @@ CHANGED_IN_ROUND_5 = [
     "pipeline_funnel_conversion",     # new: ordered 3-stage funnel
     "embedding_covariance",           # new: one-pass integer Gramian
     "embedding_pca_project",          # new: top-2 PC projection (rows-only)
+    "pipeline_basket_affinity",       # new: market-basket pair lift
+    "agg_count_min",                  # new: count-min sketch (rows-only)
+    "sim_search_pq",                  # new: product-quantization ANN (rows-only)
 ]
 
 # Stalest externally-green tier backfilling the window (r01 scan/fn
@@ -80,9 +83,6 @@ STALE_REFRESH = [
     "fn_string",
     "fn_math",
     "fn_date",
-    "fn_date_bucket",
-    "fn_array",
-    "fn_array_explode",
 ]
 
 MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_5 + STALE_REFRESH
@@ -108,7 +108,7 @@ def test_never_checked_keys_lead_the_window():
 
 
 def test_window_is_exactly_filled():
-    # 12 debt + 27 changed/new + 11 stale-refresh = 50: the window carries
+    # 12 debt + 30 changed/new + 8 stale-refresh = 50: the window carries
     # no dead slots and no accidental extras.
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 

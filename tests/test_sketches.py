@@ -130,3 +130,52 @@ def test_misra_gries_superset_guarantee_under_adversarial_budget(spark):
     must_have = {t for t, c in exact.items() if c > n_total / (budget + 1)}
     missed = must_have - cands
     assert not missed, f"MG dropped guaranteed heavy hitters: {missed}"
+
+
+def test_count_min_overestimates_within_collision_mass(spark):
+    """The CMS contract, exactly: for every probe key, est >= true count,
+    and est - true equals the colliding-key mass of the LIGHTEST of the
+    probe's cells — which by construction is <= the total stream mass
+    mapped to that cell minus the key's own. Verified by recomputing the
+    cell assignment with Spark's own xxhash64 and summing exact counts."""
+    import duckdb
+
+    from connor_fun_streamproducer_spark import registry
+    from connor_fun_streamproducer_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_PROBES,
+        CMS_WIDTH,
+    )
+
+    registry._ensure_loaded()
+    est = {
+        r["l_partkey"]: r["est"]
+        for r in registry.OPS["agg_count_min"].fn(spark, SF_DIR).collect()
+    }
+    exact = dict(
+        duckdb.sql(
+            f"SELECT l_partkey, count(*) FROM read_parquet('{SF_DIR}/lineitem.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    # Recompute every key's cells with the engine's own hash, then the
+    # exact per-cell mass — the bound est == min_d(cell mass) is EXACT.
+    keys = sorted(exact)
+    kdf = spark.createDataFrame([(int(k),) for k in keys], "k bigint")
+    cells = kdf.selectExpr(
+        "k",
+        *[
+            f"pmod(xxhash64(cast({d} as int), k), {CMS_WIDTH}) AS c{d}"
+            for d in range(CMS_DEPTH)
+        ],
+    ).collect()
+    cell_mass: dict[tuple[int, int], int] = {}
+    key_cells = {}
+    for r in cells:
+        key_cells[r["k"]] = [r[f"c{d}"] for d in range(CMS_DEPTH)]
+        for d in range(CMS_DEPTH):
+            cell_mass[(d, r[f"c{d}"])] = cell_mass.get((d, r[f"c{d}"]), 0) + exact[r["k"]]
+    for k in CMS_PROBES:
+        true = exact.get(k, 0)
+        assert est[k] >= true, f"CMS underestimated key {k}"
+        expected = min(cell_mass[(d, key_cells[k][d])] for d in range(CMS_DEPTH))
+        assert est[k] == expected, f"CMS estimate for {k} != exact min cell mass"
