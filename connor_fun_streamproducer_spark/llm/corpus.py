@@ -395,3 +395,49 @@ def sample_mix_target(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(kept).cast("bigint").alias("n_kept"),
         )
     )
+
+
+_RESERVOIR_K = 200
+
+_RESERVOIR_ORACLE = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT {_RESERVOIR_K}
+"""
+
+
+@op(
+    "sample_reservoir",
+    oracle=_RESERVOIR_ORACLE,
+    tags=("llm", "corpus", "scale"),
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample (k=200) via hash-priority selection:
+    keep the k documents with the smallest md5(doc_id) digest.
+
+    This is the distributed replacement for reservoir sampling: a
+    priority sample with a deterministic hash as the priority is
+    uniform over any corpus (md5 is uniform on distinct keys), but
+    unlike a sequential reservoir it is
+
+    - mergeable: each partition keeps its local top-k by priority, the
+      driver-side merge is k rows per partition — Spark's
+      TakeOrderedAndProject does exactly this (no global sort, no
+      single-partition window);
+    - stable: the same k documents are selected on every run, any
+      partitioning, any cluster size — rand(seed) sampling is
+      partitioning-dependent and irreproducible across layouts;
+    - incremental: new data changes the sample only where new digests
+      beat the current threshold — the property streaming/CDC
+      re-sampling relies on.
+
+    Oracle: identical ORDER BY md5(key) LIMIT k — md5 of the decimal
+    string form of the key is bit-identical across engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(_RESERVOIR_K)
+    )

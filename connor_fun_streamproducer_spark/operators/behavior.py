@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from connor_fun_streamproducer_spark.catalog import epoch_seconds, load
 from connor_fun_streamproducer_spark.registry import op
@@ -273,4 +274,86 @@ def pipeline_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("support"), "item_a", "item_b")
         .limit(_TOP_PAIRS)
+    )
+
+
+_RFM_ORACLE = """
+WITH rfm AS (
+    SELECT o.o_custkey AS c_custkey, c.c_mktsegment AS segment,
+           max(CAST(floor(epoch(o.o_orderdate)) AS BIGINT)) AS recency_sec,
+           CAST(count(*) AS BIGINT) AS frequency,
+           sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS monetary_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+)
+SELECT c_custkey, segment,
+       CAST(ntile(5) OVER (PARTITION BY segment
+                           ORDER BY recency_sec, c_custkey) AS BIGINT) AS r_score,
+       CAST(ntile(5) OVER (PARTITION BY segment
+                           ORDER BY frequency, c_custkey) AS BIGINT) AS f_score,
+       CAST(ntile(5) OVER (PARTITION BY segment
+                           ORDER BY monetary_cents, c_custkey) AS BIGINT) AS m_score
+FROM rfm
+"""
+
+
+@op(
+    "pipeline_rfm_segments",
+    oracle=_RFM_ORACLE,
+    tags=("ext", "pipeline", "behavior"),
+)
+def pipeline_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring: quintile ranks of Recency / Frequency /
+    Monetary value per market segment — (c_custkey, segment, r_score,
+    f_score, m_score), each score in 1..5.
+
+    The marketing-analytics workhorse over exactly the data the
+    reference's stream feeds (who did something, when, worth how
+    much). Shape:
+
+    - ONE pass over the fact table builds all three metrics in a
+      single groupBy(custkey) (recency = max epoch-sec, frequency =
+      count, monetary = exact integer cents);
+    - the customer dim joins AFTER aggregation — the join input is
+      |customers|, not |orders|;
+    - quintiles are ntile(5) windows PARTITIONED BY segment: the
+      window input is the already-reduced per-customer table, and the
+      partition key distributes it. Scores for all three metrics are
+      computed in the same stage (three sorts, one exchange on
+      hash(segment), since all windows share the partition key).
+
+    At 100 TB the per-partition sort is over customers-per-segment; if
+    one tenant/segment is pathologically hot the production variant
+    swaps exact ntile for boundaries from approx_percentile broadcast
+    back as a range lookup — exact ntile is kept here because its tie
+    behavior (ORDER BY metric, custkey — a total order) is identical
+    in DuckDB, making the scores hash-checkable.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    rfm = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("timestamp_ltz").cast("long")).alias(
+                "recency_sec"
+            ),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("monetary_cents"),
+        )
+        .join(
+            c.select("c_custkey", F.col("c_mktsegment").alias("segment")),
+            "c_custkey",
+        )
+    )
+    w_r = Window.partitionBy("segment").orderBy("recency_sec", "c_custkey")
+    w_f = Window.partitionBy("segment").orderBy("frequency", "c_custkey")
+    w_m = Window.partitionBy("segment").orderBy("monetary_cents", "c_custkey")
+    return rfm.select(
+        "c_custkey",
+        "segment",
+        F.ntile(5).over(w_r).cast("bigint").alias("r_score"),
+        F.ntile(5).over(w_f).cast("bigint").alias("f_score"),
+        F.ntile(5).over(w_m).cast("bigint").alias("m_score"),
     )

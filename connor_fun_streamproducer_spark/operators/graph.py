@@ -342,3 +342,207 @@ def propagate_min_label(edges: DataFrame, nodes: DataFrame) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (edge-iterator with ordered orientation)
+# ---------------------------------------------------------------------------
+
+# Pairwise edges are only materialized for buckets in this size band:
+# singleton buckets have no pairs, and capping the band bounds the
+# per-bucket pair blowup (|pairs| <= CAP^2/2 per bucket, linear overall).
+_TRI_BUCKET_MIN = 2
+_TRI_BUCKET_MAX = 8
+
+_TRIANGLE_ORACLE = """
+WITH buck AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+sized AS (SELECT b FROM buck GROUP BY b HAVING count(*) BETWEEN 2 AND 8),
+e AS (
+    SELECT DISTINCT x.user_id AS a, y.user_id AS c
+    FROM buck x JOIN buck y USING (b) JOIN sized USING (b)
+    WHERE x.user_id < y.user_id
+),
+tri AS (
+    SELECT e1.a AS a, e1.c AS b, e2.c AS c
+    FROM e e1
+    JOIN e e2 ON e1.c = e2.a
+    JOIN e e3 ON e3.a = e1.a AND e3.c = e2.c
+),
+corners AS (
+    SELECT a AS user_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS triangles
+FROM corners GROUP BY 1
+"""
+
+
+def _pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected edges ORIENTED low-id -> high-id (a < c), one row per
+    distinct pair, over the shared-purchase-cents user graph.
+
+    Unlike the star form in ``_cc_edges`` (which only needs
+    connectivity), triangle counting needs the actual pairwise edges —
+    so buckets are pairwise-expanded, but ONLY for buckets in the
+    [_TRI_BUCKET_MIN, _TRI_BUCKET_MAX] size band: the hot-bucket
+    quadratic blowup is capped at the source, the standard
+    candidate-cap discipline of the LSH tiers (llm/dedup.py).
+    """
+    ev = load(spark, sf_dir, "events")
+    buck = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("b"),
+            "user_id",
+        )
+        .distinct()
+    )
+    sized = (
+        buck.groupBy("b")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n").between(_TRI_BUCKET_MIN, _TRI_BUCKET_MAX))
+        .select("b")
+    )
+    kept = buck.join(sized, "b")
+    x = kept.select("b", F.col("user_id").alias("a"))
+    y = kept.select("b", F.col("user_id").alias("c"))
+    return (
+        x.join(y, "b")
+        .filter(F.col("a") < F.col("c"))
+        .select("a", "c")
+        .distinct()
+    )
+
+
+@op(
+    "graph_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    tags=("ext", "graph", "scale"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the shared-purchase-cents user
+    graph: (user_id, triangles) for every user on >= 1 triangle.
+
+    The classic edge-iterator algorithm in three keyed joins:
+
+    - edges carry a total-order ORIENTATION (low id -> high id), so
+      every triangle {a,b,c} is generated exactly once as the ordered
+      wedge a<b<c closed by edge (a,c) — no 6x overcount, no
+      post-hoc dedup exchange;
+    - wedge build = self-join on the middle vertex (equi-join, AQE
+      decides broadcast vs shuffle from the edge frame's actual size);
+    - closure = semi-shaped inner join of wedges against the edge set
+      on (a, c) — the only join whose left side can exceed |E|, and
+      its cardinality is exactly the wedge count, which the bucket-size
+      cap already bounds;
+    - per-node counts: explode the 3 corners, one hash agg.
+
+    At 100 TB the production refinement is degree-based orientation
+    (orient each edge toward the higher-degree endpoint, making the
+    wedge join's per-key fanout O(sqrt |E|) worst-case); id-order
+    orientation keeps the oracle exactly expressible and the shape
+    identical. The reference has no graph tier (independent event
+    records, /root/reference/regionSpout.go:151-163).
+    """
+    e = _pair_edges(spark, sf_dir)
+    e1 = e.select(F.col("a").alias("a"), F.col("c").alias("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("c").alias("c"))
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(
+        e.select(F.col("a").alias("a"), F.col("c").alias("c")), ["a", "c"]
+    )
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("user_id")
+    )
+    return corners.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("triangles")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance (frontier expansion with visited-set anti-join)
+# ---------------------------------------------------------------------------
+
+BFS_MAX_DEPTH = 12
+
+_BFS_ORACLE = """
+WITH RECURSIVE
+buck AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+stars AS (
+    SELECT b, min(user_id) AS hub FROM buck GROUP BY b HAVING count(*) > 1
+),
+e0 AS (
+    SELECT DISTINCT s.hub AS src, k.user_id AS dst
+    FROM buck k JOIN stars s USING (b) WHERE k.user_id <> s.hub
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+walk(node, d) AS (
+    SELECT (SELECT min(user_id) FROM events), 0
+    UNION
+    SELECT e.dst, walk.d + 1
+    FROM walk JOIN edges e ON e.src = walk.node
+    WHERE walk.d < 12
+)
+SELECT node AS user_id, CAST(min(d) AS BIGINT) AS dist
+FROM walk GROUP BY 1
+"""
+
+
+@op(
+    "graph_bfs_distance",
+    oracle=_BFS_ORACLE,
+    tags=("ext", "graph", "iterative", "scale"),
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted shortest hop distance from the minimum user id over
+    the shared-purchase-cents star graph: (user_id, dist) for every
+    reachable node within BFS_MAX_DEPTH hops.
+
+    Textbook distributed BFS — the third member of the iterative-graph
+    family (pagerank: weighted fixpoint; CC: min-label fixpoint; BFS:
+    frontier expansion), sharing their scale discipline:
+
+    - edges repartitioned on the join key and localCheckpointed ONCE;
+    - per round: frontier ⋈ edges (keyed equi-join on the reused
+      partitioning) -> candidate next frontier -> LEFT-ANTI join
+      against the visited set, so each node is expanded exactly once —
+      total work O(|E|) across ALL rounds, the property that separates
+      BFS-with-visited-set from naive transitive closure;
+    - the visited set is the accumulating result (node, dist); it is
+      localCheckpointed each round (bounded lineage), and the round
+      loop exits early on an EMPTY frontier — the scalar-probe-per-
+      round pattern of propagate_min_label, here a count that is
+      needed anyway to decide termination;
+    - depth is capped at BFS_MAX_DEPTH identically to the oracle's
+      recursion guard, so both sides compute the same bounded closure
+      (star components have tiny diameters; the cap is slack).
+
+    Oracle: DuckDB recursive CTE over the same edges, min depth per
+    node — fully hash-checked like the other two iterative ops.
+    """
+    edges, _nodes = _cc_edges(spark, sf_dir)
+    edges = edges.repartition("src").localCheckpoint()
+    ev = load(spark, sf_dir, "events")
+    src0 = ev.agg(F.min("user_id").alias("node"))
+    visited = src0.select("node", F.lit(0).cast("bigint").alias("dist")).localCheckpoint()
+    frontier = visited.select("node")
+    for depth in range(1, BFS_MAX_DEPTH + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        nxt_v = nxt.select("node", F.lit(depth).cast("bigint").alias("dist"))
+        visited = visited.unionByName(nxt_v).localCheckpoint()
+        frontier = nxt_v.select("node")
+        if frontier.isEmpty():
+            break
+    return visited.select(F.col("node").alias("user_id"), "dist")

@@ -464,3 +464,125 @@ def ivm_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ties where Spark (HALF_UP) and DuckDB (HALF_EVEN) disagree.
         (F.floor(F.col("c") / 100.0 / F.col("n") * 10000) / 10000).alias("avg_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (table-versioning change audit)
+# ---------------------------------------------------------------------------
+
+_SNAPDIFF_ORACLE = """
+WITH a AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+),
+b AS (
+    -- Deterministic "next snapshot": key%97 deleted, key%89 price bumped
+    -- 5% (integer cents), key%83 status flipped, plus synthetic inserts
+    -- re-keyed negative from key%79.
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 83 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+           CASE WHEN o_orderkey % 89 = 0
+                THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     + CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 20
+                ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END AS cents
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT -o_orderkey, 'N',
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+    FROM orders WHERE o_orderkey % 79 = 0 AND o_orderkey > 0
+)
+SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       a.cents AS cents_before, b.cents AS cents_after,
+       a.o_orderstatus AS status_before, b.o_orderstatus AS status_after
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+   OR a.cents <> b.cents OR a.o_orderstatus <> b.o_orderstatus
+"""
+
+
+@op(
+    "snapshot_diff",
+    oracle=_SNAPDIFF_ORACLE,
+    tags=("ext", "incremental"),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two table snapshots: classify every key
+    as added / removed / changed (unchanged rows are dropped), with
+    before/after values — the audit query behind every table-format
+    time-travel comparison and CDC backfill validation.
+
+    Snapshot B is DERIVED deterministically from snapshot A (modular
+    deletes, price bumps, status flips, negative-keyed inserts) so both
+    engines diff the identical pair of tables without writing scratch
+    data.
+
+    Scale shape: ONE full-outer sort-merge join on the primary key —
+    both sides hash-partition on o_orderkey, and at 100 TB this is the
+    optimal plan (the two snapshots are the same size; nothing is
+    broadcastable). The change classification and value comparison are
+    codegen'd projections over the joined row; the `unchanged` drop is
+    a post-join filter that eliminates ~99% of rows before anything
+    downstream, and money compares in exact integer cents (repo
+    convention) so no float-noise false diffs.
+    """
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    bumped = (F.col("cents") + F.floor(F.col("cents") / 20).cast("bigint")).alias(
+        "cents"
+    )
+    b = (
+        base.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 83 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(F.col("o_orderkey") % 89 == 0, bumped)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionByName(
+            # key 0 is excluded: -0 == 0 would collide with its own
+            # deletion (0 % 97 == 0) and misclassify as 'changed'
+            base.filter((F.col("o_orderkey") % 79 == 0) & (F.col("o_orderkey") > 0)).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "cents",
+            )
+        )
+    )
+    a = base.select(
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_orderstatus").alias("status_before"),
+        F.col("cents").alias("cents_before"),
+    )
+    bb = b.select(
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_orderstatus").alias("status_after"),
+        F.col("cents").alias("cents_after"),
+    )
+    joined = a.join(bb, a.key_a == bb.key_b, "full_outer")
+    return joined.filter(
+        F.col("key_a").isNull()
+        | F.col("key_b").isNull()
+        | (F.col("cents_before") != F.col("cents_after"))
+        | (F.col("status_before") != F.col("status_after"))
+    ).select(
+        F.coalesce(F.col("key_a"), F.col("key_b")).alias("o_orderkey"),
+        F.when(F.col("key_a").isNull(), F.lit("added"))
+        .when(F.col("key_b").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+        "cents_before",
+        "cents_after",
+        "status_before",
+        "status_after",
+    )

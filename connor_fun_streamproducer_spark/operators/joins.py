@@ -467,3 +467,109 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.join(dim, flagged.k.eqNullSafe(dim.k)).select(
         "event_id", "label", flagged.k.isNull().alias("was_null")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap self-join (bin-bucketed, dedup-free)
+# ---------------------------------------------------------------------------
+
+_BIN_DAYS = 32  # bin width; intervals are <= 50 days wide -> <= 3 bins each
+
+_OVERLAP_ORACLE = """
+WITH l AS (
+    SELECT l_suppkey,
+           l_orderkey * 10 + l_linenumber AS lid,
+           CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 AS s,
+           CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400
+               + CAST(l_quantity AS BIGINT) AS e
+    FROM lineitem
+)
+SELECT a.l_suppkey AS l_suppkey, CAST(count(*) AS BIGINT) AS n_overlaps
+FROM l a JOIN l b
+  ON a.l_suppkey = b.l_suppkey AND a.lid < b.lid
+ AND a.s <= b.e AND b.s <= a.e
+GROUP BY 1
+"""
+
+
+@op(
+    "join_interval_overlap",
+    oracle=_OVERLAP_ORACLE,
+    tags=("ext", "join", "scale"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier count of OVERLAPPING shipping windows: each
+    lineitem occupies [shipdate, shipdate + quantity days]; count pairs
+    of lineitems of the same supplier whose windows intersect.
+
+    Interval-overlap is the join shape Spark (and every hash engine)
+    cannot equi-join directly — the predicate is two inequalities. The
+    scalable form is temporal binning:
+
+    - each interval explodes to the <= 3 fixed 32-day bins it touches
+      (bin width chosen >= max interval width, so any overlapping pair
+      SHARES the bin containing the later of the two start points);
+    - candidates come from an EQUI-join on (supplier, bin) — hash
+      join, AQE-planned, never the O(n^2) theta-join fallback
+      (BroadcastNestedLoopJoin) Spark would otherwise pick;
+    - the overlap predicate then filters exactly, and the
+      FIRST-COMMON-BIN guard — keep a pair only in the bin holding
+      ``greatest(s_a, s_b)`` — makes each pair count ONCE with no
+      post-hoc distinct exchange (the same dedup-free discipline as
+      the oriented edge-iterator in operators/graph.py);
+    - counts aggregate per supplier: partial map-side, one exchange.
+
+    At 100 TB: explode factor is bounded (interval_width/bin_width + 2),
+    the quadratic term is per (supplier, bin) cell — bounded by how
+    many shipments a supplier makes per month, not by table size.
+
+    Oracle: DuckDB's IEJoin computes the same pairs from the raw
+    inequality form — two independent algorithms, one answer.
+    """
+    day = F.floor(F.col("l_shipdate").cast("timestamp_ltz").cast("long") / 86400).cast(
+        "bigint"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lid"),
+        day.alias("s"),
+        (day + F.col("l_quantity").cast("bigint")).alias("e"),
+    )
+    binned = li.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / _BIN_DAYS).cast("bigint"),
+                F.floor(F.col("e") / _BIN_DAYS).cast("bigint"),
+            )
+        ),
+    )
+    a = binned.select(
+        F.col("l_suppkey").alias("k"),
+        "bin",
+        F.col("lid").alias("lid_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = binned.select(
+        F.col("l_suppkey").alias("k"),
+        "bin",
+        F.col("lid").alias("lid_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    pairs = (
+        a.join(b, ["k", "bin"])
+        .filter(
+            (F.col("lid_a") < F.col("lid_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+            & (
+                F.col("bin")
+                == F.floor(F.greatest("s_a", "s_b") / _BIN_DAYS).cast("bigint")
+            )
+        )
+    )
+    return pairs.groupBy(F.col("k").alias("l_suppkey")).agg(
+        F.count("*").cast("bigint").alias("n_overlaps")
+    )

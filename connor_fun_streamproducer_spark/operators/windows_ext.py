@@ -162,3 +162,147 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.last("v", ignorenulls=True).over(w), 6).alias("filled_value"),
     )
+
+
+_ROLL_N = 3  # trailing rows in the frame besides the current row
+
+_ROLLING_ORACLE = f"""
+WITH o AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS sec
+    FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       CAST(count(*) OVER w AS BIGINT) AS roll_n,
+       round(sum(cents) OVER w / (100.0 * count(*) OVER w), 4) AS roll_avg,
+       round(max(cents) OVER w / 100.0, 2) AS roll_max,
+       round(min(cents) OVER w / 100.0, 2) AS roll_min
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY sec, o_orderkey
+             ROWS BETWEEN {_ROLL_N} PRECEDING AND CURRENT ROW)
+"""
+
+
+@op(
+    "win_rolling_stats",
+    oracle=_ROLLING_ORACLE,
+    tags=("ext", "window"),
+)
+def win_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-rows rolling statistics per customer: count / mean /
+    max / min of order value over the last 4 orders (3 preceding +
+    current), ordered by (order epoch-sec, orderkey).
+
+    The per-entity rolling-feature generator every feature store needs
+    (trailing spend, trailing order size). ROWS frame, not RANGE: "last
+    N orders" is a row-count semantics. One exchange on o_custkey; all
+    four aggregates share the single WindowExec frame pass (Spark
+    evaluates same-frame window functions together). Money stays in
+    integer cents inside the frame (repo-wide exact-money convention);
+    the mean divides once at the end, rounded to 4dp on both engines.
+
+    The total sort key (sec, o_orderkey) makes frame membership — and
+    therefore every output value — deterministic under ties.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("sec", "o_orderkey")
+        .rowsBetween(-_ROLL_N, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).cast("bigint").alias("roll_n"),
+        F.round(F.sum("cents").over(w) / (100.0 * F.count("*").over(w)), 4).alias(
+            "roll_avg"
+        ),
+        F.round(F.max("cents").over(w) / 100.0, 2).alias("roll_max"),
+        F.round(F.min("cents").over(w) / 100.0, 2).alias("roll_min"),
+    )
+
+
+_CUMDIST_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, sec,
+           CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY sec, event_id) = 1
+                THEN 1 ELSE 0 END AS first_seen
+    FROM e
+)
+SELECT user_id, event_id,
+       CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS distinct_types_so_far
+FROM flagged
+"""
+
+
+@op(
+    "win_cumulative_distinct",
+    oracle=_CUMDIST_ORACLE,
+    tags=("ext", "window", "scale"),
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of DISTINCT event types each user has exhibited,
+    as of each event: (user_id, event_id, distinct_types_so_far).
+
+    count(DISTINCT) over a running frame is not directly computable by
+    any engine's window machinery; the standard O(n) decomposition is
+    first-occurrence flagging + running sum:
+
+    - pass 1 flags the first (user, type) occurrence with row_number
+      over (user_id, event_type);
+    - pass 2 running-sums the flags over (user_id).
+
+    100 TB shape — ONE exchange despite two window passes: the frame is
+    explicitly repartitioned by user_id first, and both windows'
+    required ClusteredDistribution — (user_id, event_type) and
+    (user_id) — are SATISFIED by hash(user_id) (co-clustering on a
+    prefix of the partition keys), so Catalyst inserts no further
+    exchange, only the two in-partition sorts. Ordering key
+    (epoch-sec, event_id) is total, so the running sum is
+    tie-deterministic.
+    """
+    from connor_fun_streamproducer_spark.catalog import epoch_seconds
+
+    e = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            epoch_seconds("ts").alias("sec"),
+        )
+        .repartition("user_id")
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("sec", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "sec",
+        F.when(F.row_number().over(w_first) == 1, F.lit(1)).otherwise(F.lit(0)).alias(
+            "first_seen"
+        ),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("bigint").alias("distinct_types_so_far"),
+    )

@@ -172,6 +172,7 @@ def _ensure_loaded() -> None:
     )
     from connor_fun_streamproducer_spark.operators import (  # noqa: F401
         behavior,
+        entity,
         graph,
         incremental,
         pipelines_global,
@@ -253,6 +254,17 @@ _WINDOW_PRIORITY = [
     "pipeline_basket_affinity",       # new: market-basket pair lift
     "agg_count_min",                  # new: count-min sketch (rows-only)
     "sim_search_pq",                  # new: product-quantization ANN (rows-only)
+    # -- (2d) new in round 5 session 4 (9): never externally checked -----
+    "graph_triangle_count",           # new: oriented edge-iterator triangles
+    "graph_bfs_distance",             # new: frontier BFS w/ visited anti-join
+    "join_fuzzy_blocked",             # new: token-blocked levenshtein ER join
+    "join_interval_overlap",          # new: bin-bucketed interval overlap
+    "snapshot_diff",                  # new: full-outer two-snapshot audit
+    "win_cumulative_distinct",        # new: running distinct via first-flag
+    "win_rolling_stats",              # new: trailing-rows rolling features
+    "sample_reservoir",               # new: hash-priority uniform k-sample
+    # key 50 (just past the window; first in line for the r06 rotation):
+    "pipeline_rfm_segments",          # new: per-segment RFM quintiles
     # -- (3) stalest externally-green tier (r01 block, then oldest r02);
     #    only the first 11 of this tier still fit inside the 50-key
     #    window after (2b)/(2c) — never-checked beats stale-refresh ------

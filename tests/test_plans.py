@@ -757,3 +757,49 @@ def test_embedding_covariance_shuffles_partials_not_vectors(spark):
     assert count_in_plan(df, "Exchange") == 1
     plan = formatted_plan(df)
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_interval_overlap_equi_join_not_nested_loop(spark):
+    """The bin trick must turn the interval theta-join into a hash/merge
+    equi-join — BroadcastNestedLoopJoin here would be the O(n^2)
+    all-pairs fallback that dies at scale."""
+    df = _q("join_interval_overlap", spark)
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_cumulative_distinct_single_exchange(spark):
+    """Both window passes — (user_id, event_type) first-flag and
+    (user_id) running sum — must ride ONE hash(user_id) exchange:
+    hash(user_id) satisfies both ClusteredDistributions."""
+    df = _q("win_cumulative_distinct", spark)
+    assert count_in_plan(df, "Exchange") == 1, formatted_plan(df)
+    assert count_in_plan(df, "Window") >= 2
+
+
+def test_sample_reservoir_is_topk_not_global_sort(spark):
+    """Hash-priority sampling must plan as distributed top-k
+    (TakeOrderedAndProject), never a full global Sort + Limit."""
+    plan = formatted_plan(_q("sample_reservoir", spark))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_triangle_count_all_equi_joins(spark):
+    """Wedge build and closure are equi-joins; the plan must contain no
+    nested-loop fallback and aggregate partially before the final
+    exchange."""
+    df = _q("graph_triangle_count", spark)
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+    assert count_in_plan(df, "HashAggregate") >= 2
+
+
+def test_rfm_three_windows_one_segment_exchange(spark):
+    """All three ntile windows share the hash(segment) partitioning —
+    exactly one exchange on segment after the per-customer aggregate."""
+    plan = formatted_plan(_q("pipeline_rfm_segments", spark))
+    seg_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning(segment" in l
+    ]
+    assert len(seg_exchanges) <= 1, plan

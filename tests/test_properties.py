@@ -588,3 +588,100 @@ def test_pca_projection_matches_numpy_reference(spark):
     # PC1 must carry at least as much variance as PC2 (top-2 ordering).
     p = np.array([proj[:, 0], proj[:, 1]])
     assert p[0].var() >= p[1].var()
+
+
+def test_triangle_corner_mass_divisible_by_three(spark):
+    """Every triangle contributes exactly 3 corner rows, so total corner
+    mass ≡ 0 (mod 3) — broken orientation (double-generated triangles)
+    would typically break this before it breaks row counts."""
+    from connor_fun_streamproducer_spark.operators.graph import graph_triangle_count
+
+    # sf0.001 has only 15 users and no triangles; the invariant needs a
+    # graph that actually closes wedges — pin it at sf0.01.
+    df = graph_triangle_count(spark, "/root/testdata/sf0.01")
+    total = df.agg(F.sum("triangles").alias("s")).collect()[0]["s"]
+    assert total is not None and total > 0, "fixture should contain triangles"
+    assert total % 3 == 0
+
+
+def test_bfs_levels_start_at_source_and_are_contiguous(spark):
+    """dist 0 is exactly the global min user; levels are contiguous
+    (a non-empty level k>0 implies a non-empty level k-1) — BFS cannot
+    skip a hop."""
+    from connor_fun_streamproducer_spark.operators.graph import graph_bfs_distance
+
+    rows = graph_bfs_distance(spark, SF_DIR).collect()
+    ev = load(spark, SF_DIR, "events")
+    src = ev.agg(F.min("user_id").alias("m")).collect()[0]["m"]
+    zero = [r for r in rows if r["dist"] == 0]
+    assert [r["user_id"] for r in zero] == [src]
+    levels = sorted({r["dist"] for r in rows})
+    assert levels == list(range(len(levels)))
+
+
+def test_fuzzy_pairs_are_oriented_blocked_and_nontrivial(spark):
+    """Each pair appears once (name_a < name_b), respects the blocking
+    token (same last word), and has 1 <= dist <= 4 (0 would mean the
+    distinct-names precondition broke)."""
+    from connor_fun_streamproducer_spark.operators.entity import join_fuzzy_blocked
+
+    rows = join_fuzzy_blocked(spark, SF_DIR).collect()
+    assert rows, "fixture vocabulary should produce fuzzy pairs"
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert 1 <= r["dist"] <= 4
+        assert r["name_a"].split(" ")[-1] == r["name_b"].split(" ")[-1]
+
+
+def test_reservoir_sample_is_stable_and_exact_k(spark):
+    """Deterministic priority sampling: exactly k distinct docs, and two
+    independent evaluations select the identical set."""
+    from connor_fun_streamproducer_spark.llm.corpus import sample_reservoir
+
+    a = {r["doc_id"] for r in sample_reservoir(spark, SF_DIR).collect()}
+    b = {r["doc_id"] for r in sample_reservoir(spark, SF_DIR).collect()}
+    assert len(a) == 200 and a == b
+
+
+def test_rolling_stats_frame_invariants(spark):
+    """1 <= roll_n <= 4 and min <= avg <= max on every row (small float
+    slack for the 4dp-rounded mean)."""
+    from connor_fun_streamproducer_spark.operators.windows_ext import win_rolling_stats
+
+    bad = (
+        win_rolling_stats(spark, SF_DIR)
+        .filter(
+            ~F.col("roll_n").between(1, 4)
+            | (F.col("roll_avg") < F.col("roll_min") - 1e-4)
+            | (F.col("roll_avg") > F.col("roll_max") + 1e-4)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_snapshot_diff_classes_match_modular_construction(spark):
+    """The diff must recover exactly the synthetic edit classes:
+    removed == keys%97==0, added == re-keyed %79 inserts, changed ⊆
+    (%89 ∪ %83) minus deleted."""
+    from connor_fun_streamproducer_spark.operators.incremental import snapshot_diff
+
+    rows = snapshot_diff(spark, SF_DIR).collect()
+    o = load(spark, SF_DIR, "orders")
+    n97 = o.filter(F.col("o_orderkey") % 97 == 0).count()
+    n79 = o.filter((F.col("o_orderkey") % 79 == 0) & (F.col("o_orderkey") > 0)).count()
+    removed = [r for r in rows if r["change_type"] == "removed"]
+    added = [r for r in rows if r["change_type"] == "added"]
+    changed = [r for r in rows if r["change_type"] == "changed"]
+    assert len(removed) == n97
+    assert len(added) == n79
+    assert all(r["o_orderkey"] < 0 for r in added)
+    assert all(
+        r["o_orderkey"] % 89 == 0 or r["o_orderkey"] % 83 == 0 for r in changed
+    )
+    # a changed row must actually change something
+    assert all(
+        r["cents_before"] != r["cents_after"]
+        or r["status_before"] != r["status_after"]
+        for r in changed
+    )

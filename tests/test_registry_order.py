@@ -66,24 +66,25 @@ CHANGED_IN_ROUND_5 = [
     "pipeline_basket_affinity",       # new: market-basket pair lift
     "agg_count_min",                  # new: count-min sketch (rows-only)
     "sim_search_pq",                  # new: product-quantization ANN (rows-only)
+    # fourth round-5 session — all never externally checked:
+    "graph_triangle_count",           # new: oriented edge-iterator triangles
+    "graph_bfs_distance",             # new: frontier BFS w/ visited anti-join
+    "join_fuzzy_blocked",             # new: token-blocked levenshtein ER join
+    "join_interval_overlap",          # new: bin-bucketed interval overlap
+    "snapshot_diff",                  # new: full-outer two-snapshot audit
+    "win_cumulative_distinct",        # new: running distinct via first-flag
+    "win_rolling_stats",              # new: trailing-rows rolling features
+    "sample_reservoir",               # new: hash-priority uniform k-sample
+    # (pipeline_rfm_segments lands at key 50, just past the window —
+    # never-checked new work filled all 38 non-debt slots this round)
 ]
 
 # Stalest externally-green tier backfilling the window (r01 scan/fn
-# block, unchecked externally since round 1). The tier's remaining keys
-# (fn_map/fn_json pairs, the setops block, the r02 streaming core) sit
-# just past the window this round — displaced by the 16 new session-2/3
-# ops, since never-externally-checked beats stale-refresh under the
-# freshness rule.
-STALE_REFRESH = [
-    "scan_parquet",
-    "scan_json",
-    "scan_csv",
-    "sink_parquet",
-    "scan_binaryfile",
-    "fn_string",
-    "fn_math",
-    "fn_date",
-]
+# block, unchecked externally since round 1). After the session-4 ops
+# the window is exactly filled by never-checked keys — the whole stale
+# tier sits just past the window this round, since
+# never-externally-checked beats stale-refresh under the freshness rule.
+STALE_REFRESH: list[str] = []
 
 MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_5 + STALE_REFRESH
 
@@ -108,8 +109,8 @@ def test_never_checked_keys_lead_the_window():
 
 
 def test_window_is_exactly_filled():
-    # 12 debt + 30 changed/new + 8 stale-refresh = 50: the window carries
-    # no dead slots and no accidental extras.
+    # 12 debt + 38 changed/new = 50: the window carries no dead slots
+    # and no accidental extras.
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
 
