@@ -441,3 +441,80 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
         .limit(_RESERVOIR_K)
     )
+
+
+_TEMP_MULT = 3266489917  # fourth independent multiplicative hash stream
+_TEMP_ALPHA = 0.7  # mixture temperature (α < 1 flattens toward uniform)
+
+_TEMPERATURE_ORACLE = f"""
+WITH stats AS (
+    SELECT source, CAST(count(*) AS DOUBLE) AS n_src FROM documents GROUP BY 1
+), tot AS (
+    SELECT sum(n_src) AS n, min(n_src) AS n_min FROM stats
+), rates AS (
+    SELECT source, n_src,
+           pow(n_src / tot.n_min, {_TEMP_ALPHA} - 1.0) AS accept
+    FROM stats, tot
+)
+SELECT d.source,
+       CAST(min(r.n_src) AS BIGINT)                 AS n_orig,
+       CAST(floor(min(r.accept) * 10000) AS BIGINT) AS accept_bp,
+       CAST(count(*) FILTER (
+            WHERE ((d.doc_id % {_KEY_REDUCE}) * {_TEMP_MULT}) % 10000
+                  < floor(r.accept * 10000)
+       ) AS BIGINT)                                 AS n_kept
+FROM documents d JOIN rates r USING (source)
+GROUP BY d.source
+"""
+
+
+@op(
+    "sample_temperature",
+    oracle=_TEMPERATURE_ORACLE,
+    tags=("llm", "corpus", "scale"),
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source resampling (α = 0.7): per-source
+    acceptance rate ∝ share^(α−1), normalized so the RAREST source
+    keeps 100% — the standard multilingual-LM mixing move (sample
+    low-resource sources up relative to their share, dominant sources
+    down) between `sample_stratified`'s hand-set rates and
+    `sample_mix_target`'s fully-uniform target.
+
+    Same determinism machinery as its siblings: rates are quantized to
+    basis points so both engines threshold the IDENTICAL integer, and
+    membership comes from a fourth independent multiplicative-hash
+    stream of the stable doc key (independent streams keep combined
+    split/stratify/mix/temperature sampling unbiased). Note
+    share^(α−1) = (n_src/n_min)^(α−1) — the corpus total cancels, so
+    the only transcendental is one pow of a count ratio, identical
+    input bits on both engines.
+
+    100 TB shape: the rate table is |sources|-bounded (broadcast), the
+    keep decision is map-side, one dim-bounded exchange for the audit
+    aggregate — identical to sample_mix_target's plan.
+    """
+    d = load(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(F.count("*").cast("double").alias("n_src"))
+    tot = stats.agg(F.sum("n_src").alias("n"), F.min("n_src").alias("n_min"))
+    rates = stats.join(F.broadcast(tot)).select(
+        "source",
+        "n_src",
+        F.pow(F.col("n_src") / F.col("n_min"), F.lit(_TEMP_ALPHA - 1.0)).alias(
+            "accept"
+        ),
+    )
+    kept = F.when(
+        ((F.col("doc_id") % _KEY_REDUCE) * _TEMP_MULT) % 10000
+        < F.floor(F.col("accept") * 10000),
+        1,
+    ).otherwise(0)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.min("n_src").cast("bigint").alias("n_orig"),
+            F.floor(F.min("accept") * 10000).cast("bigint").alias("accept_bp"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+        )
+    )

@@ -357,3 +357,90 @@ def pipeline_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(w_f).cast("bigint").alias("f_score"),
         F.ntile(5).over(w_m).cast("bigint").alias("m_score"),
     )
+
+
+_ABC_ORACLE = """
+WITH pr AS (
+    SELECT l.l_partkey AS p_partkey, p.p_brand AS p_brand,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT p_partkey, p_brand, cents,
+           sum(cents) OVER (PARTITION BY p_brand
+                            ORDER BY cents DESC, p_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cents) OVER (PARTITION BY p_brand) AS tot
+    FROM pr
+)
+SELECT p_brand, p_partkey,
+       round(cents / 100.0, 2) AS revenue,
+       CAST(cum * 10000 // tot AS BIGINT) AS cum_bp,
+       CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+            WHEN cum * 100 <= tot * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+@op(
+    "pipeline_abc_pareto",
+    oracle=_ABC_ORACLE,
+    tags=("ext", "pipeline", "behavior"),
+)
+def pipeline_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification per brand: parts ranked by
+    discounted revenue, running share of brand revenue, class A within
+    the top 80%, B to 95%, C after — (brand, part, revenue, cum_bp,
+    abc_class).
+
+    The 80/20 analysis every inventory/catalog owner runs. The
+    classification is ENTIRELY in exact integers: revenue accumulates
+    in cents (repo-wide convention), and class boundaries compare
+    cum*100 <= tot*80 — integer cross-multiplication instead of a
+    cumulative-share double, so no summation-order or division ulp can
+    flip a boundary row between engines. (At 100 TB-scale totals the
+    cross products approach int64 range; the production variant lifts
+    the comparison to decimal(38,0) — same plan.)
+
+    Shape: one (partkey, brand) aggregate over the fact table, then
+    running-sum and total windows PARTITIONED BY brand sharing one
+    hash(brand) exchange of the already part-level-reduced frame. The
+    part dim joins pre-aggregation to carry the brand key into the
+    grouping — fact×dim equi-join, AQE picks broadcast.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    pr = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"), "p_brand")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w_run = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.desc("cents"), F.asc("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("p_brand")
+    ranked = pr.select(
+        "p_brand",
+        "p_partkey",
+        "cents",
+        F.sum("cents").over(w_run).alias("cum"),
+        F.sum("cents").over(w_tot).alias("tot"),
+    )
+    return ranked.select(
+        "p_brand",
+        "p_partkey",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.floor(F.col("cum") * 10000 / F.col("tot")).cast("bigint").alias("cum_bp"),
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

@@ -263,8 +263,11 @@ _WINDOW_PRIORITY = [
     "win_cumulative_distinct",        # new: running distinct via first-flag
     "win_rolling_stats",              # new: trailing-rows rolling features
     "sample_reservoir",               # new: hash-priority uniform k-sample
-    # key 50 (just past the window; first in line for the r06 rotation):
+    # keys 50+ (just past the window; first in line for the r06 rotation):
     "pipeline_rfm_segments",          # new: per-segment RFM quintiles
+    "sample_temperature",             # new: α=0.7 source-mix resampling
+    "scan_schema_merge",              # new: additive schema-evolution read
+    "pipeline_abc_pareto",            # new: integer-exact ABC classification
     # -- (3) stalest externally-green tier (r01 block, then oldest r02);
     #    only the first 11 of this tier still fit inside the 50-key
     #    window after (2b)/(2c) — never-checked beats stale-refresh ------

@@ -311,3 +311,65 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").cast("bigint").alias("max_s"),
         )
     )
+
+
+_MERGE_ORACLE = """
+SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, n_chars
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+@op(
+    "scan_schema_merge",
+    oracle=_MERGE_ORACLE,
+    tags=("ext", "source", "layout"),
+)
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: a table directory holding batches written
+    under TWO schema versions (v1: (doc_id, lang); v2 adds n_chars) is
+    read as ONE DataFrame via mergeSchema — v1 rows surface the new
+    column as NULL, exactly the semantics a table format gives an
+    added-column evolution.
+
+    Long-lived 100 TB datasets ALWAYS end up with mixed-schema parquet
+    (columns appear over time; rewriting history is off the table). The
+    contract this op pins:
+
+    - the union schema comes from footer metadata only (mergeSchema
+      reads footers, never data pages, for schema resolution — the
+      per-file cost is a metadata read, and production table formats
+      move even that into a central metadata layer);
+    - writes stay atomic: both version batches build in one staging
+      directory that renames into place (the _atomic_write pattern), so
+      a concurrent reader never observes half a table;
+    - absent columns are typed NULLs (BIGINT here), not errors — so
+      downstream aggregates over the evolved column skip v1 rows via
+      ordinary null semantics with no special-casing.
+
+    Only additive evolution is exercised: mergeSchema rejects true type
+    conflicts (that failure mode needs a cast-on-read policy, which is
+    a table-format feature, not a parquet-reader one).
+    """
+    d = load(spark, sf_dir, "documents")
+    root = _scratch_path(sf_dir, "docs_evolved")
+
+    def _write(staging: str) -> None:
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.parquet(
+            os.path.join(staging, "batch=1")
+        )
+        d.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "n_chars"
+        ).write.parquet(os.path.join(staging, "batch=2"))
+        # root-level success marker for the _atomic_write race protocol
+        with open(os.path.join(staging, "_SUCCESS"), "w"):
+            pass
+
+    if not os.path.isfile(os.path.join(root, "_SUCCESS")):
+        _atomic_write(_write, root)
+    back = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "false"
+    ).parquet(os.path.join(root, "batch=1"), os.path.join(root, "batch=2"))
+    return back.select("doc_id", "lang", "n_chars")

@@ -685,3 +685,45 @@ def test_snapshot_diff_classes_match_modular_construction(spark):
         or r["status_before"] != r["status_after"]
         for r in changed
     )
+
+
+def test_temperature_rates_flatten_toward_uniform(spark):
+    """α<1 temperature sampling must keep 100% of the rarest source and
+    assign monotonically smaller rates to bigger sources; kept counts
+    never exceed originals."""
+    from connor_fun_streamproducer_spark.llm.corpus import sample_temperature
+
+    rows = sample_temperature(spark, SF_DIR).collect()
+    assert rows
+    by_n = sorted(rows, key=lambda r: r["n_orig"])
+    assert by_n[0]["accept_bp"] == 10000  # rarest keeps everything
+    rates = [r["accept_bp"] for r in by_n]
+    assert rates == sorted(rates, reverse=True)
+    assert all(r["n_kept"] <= r["n_orig"] for r in rows)
+
+
+def test_schema_merge_nulls_exactly_on_v1_rows(spark):
+    """The evolved column must be NULL on every v1 (even-key) row and
+    populated on every v2 row — added-column evolution semantics."""
+    from connor_fun_streamproducer_spark.sources.layout import scan_schema_merge
+
+    df = scan_schema_merge(spark, SF_DIR)
+    assert df.filter((F.col("doc_id") % 2 == 0) & F.col("n_chars").isNotNull()).count() == 0
+    assert df.filter((F.col("doc_id") % 2 == 1) & F.col("n_chars").isNull()).count() == 0
+
+
+def test_abc_classes_are_contiguous_and_exhaust_each_brand(spark):
+    """Within a brand, ranked by cumulative share, classes must read
+    A..A B..B C..C with the final row at exactly 10000 bp."""
+    from connor_fun_streamproducer_spark.operators.behavior import pipeline_abc_pareto
+
+    rows = pipeline_abc_pareto(spark, SF_DIR).collect()
+    brands = {}
+    for r in rows:
+        brands.setdefault(r["p_brand"], []).append(r)
+    assert brands
+    for seq in brands.values():
+        seq.sort(key=lambda r: r["cum_bp"])
+        classes = "".join(r["abc_class"] for r in seq)
+        assert classes == "A" * classes.count("A") + "B" * classes.count("B") + "C" * classes.count("C")
+        assert seq[-1]["cum_bp"] == 10000

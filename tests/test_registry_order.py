@@ -75,7 +75,8 @@ CHANGED_IN_ROUND_5 = [
     "win_cumulative_distinct",        # new: running distinct via first-flag
     "win_rolling_stats",              # new: trailing-rows rolling features
     "sample_reservoir",               # new: hash-priority uniform k-sample
-    # (pipeline_rfm_segments lands at key 50, just past the window —
+    # (pipeline_rfm_segments, sample_temperature, scan_schema_merge and
+    # pipeline_abc_pareto land at keys 50-53, just past the window —
     # never-checked new work filled all 38 non-debt slots this round)
 ]
 
