@@ -41,8 +41,6 @@ HEADLINE = [
     "sim_search_topk",
     "sim_search_ivf",
     "text_quality",
-    "ts_resample",
-    "sink_zorder",
     "stream_tumbling",
 ]
 
@@ -52,11 +50,18 @@ WARMUP = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
 # total stays comparable against the round-1 anchor (adding queries to
 # HEADLINE would inflate headline_total_wall and read as a regression).
 EXTENDED = [
+    "ts_resample",
+    "sink_zorder",
     "graph_connected_components",
     "pipeline_retention_cohort",
     "pipeline_basket_affinity",
     "sim_search_pq",
     "embedding_covariance",
+    "graph_triangle_count",
+    "join_interval_overlap",
+    "snapshot_diff",
+    "win_cumulative_distinct",
+    "pipeline_rfm_segments",
 ]
 
 

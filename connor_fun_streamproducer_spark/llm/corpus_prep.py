@@ -391,3 +391,80 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_hits"))
     )
+
+
+# Filter-cascade thresholds (integer cross-multiplied in the gate, so the
+# ratios never exist as doubles): min/max whitespace tokens, min
+# type-token ratio 0.3, min stopword share 5%.
+_GATE_MIN_TOKENS = 20
+_GATE_MAX_TOKENS = 2000
+_GATE_STOPWORDS = ("the", "a", "of", "and", "in", "to")
+
+_GATE_ORACLE = f"""
+WITH sig AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis,
+           CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS BIGINT) AS n_stop
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN n_tok < {_GATE_MIN_TOKENS} THEN 'too_short'
+            WHEN n_tok > {_GATE_MAX_TOKENS} THEN 'too_long'
+            WHEN n_dis * 10 < n_tok * 3 THEN 'repetitive'
+            WHEN n_stop * 100 < n_tok * 5 THEN 'no_stopwords'
+            ELSE 'pass' END AS reason,
+       (n_tok >= {_GATE_MIN_TOKENS} AND n_tok <= {_GATE_MAX_TOKENS}
+        AND n_dis * 10 >= n_tok * 3 AND n_stop * 100 >= n_tok * 5) AS keep
+FROM sig
+"""
+
+
+@op(
+    "corpus_quality_gate",
+    oracle=_GATE_ORACLE,
+    tags=("llm", "corpus", "filter"),
+)
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style filter cascade: every document gets a keep/drop decision
+    plus the FIRST failing rule — (doc_id, reason, keep) with reason in
+    {too_short, too_long, repetitive, no_stopwords, pass}.
+
+    This is the assembled form of the individual signals (`text_tokens`,
+    `text_quality`, `text_repetition`): real corpus pipelines ship ONE
+    gate whose audit trail says which rule dropped each document —
+    per-rule drop counts are the first thing reviewed after every
+    threshold change.
+
+    Determinism: every comparison is integer cross-multiplication over
+    exact token counts (n_distinct·10 ≥ n_tokens·3 instead of a
+    type-token-ratio double ≥ 0.3), so the keep decision cannot drift
+    between engines. 100 TB shape: pure map-side projection — the gate
+    fuses into the scan, adds zero shuffles, and the keep column
+    becomes a partition/filter key for everything downstream.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("bigint")
+    n_dis = F.size(F.array_distinct(toks)).cast("bigint")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(list(_GATE_STOPWORDS)))
+    ).cast("bigint")
+    sig = d.select(
+        "doc_id", n_tok.alias("n_tok"), n_dis.alias("n_dis"), n_stop.alias("n_stop")
+    )
+    reason = (
+        F.when(F.col("n_tok") < _GATE_MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("n_tok") > _GATE_MAX_TOKENS, F.lit("too_long"))
+        .when(F.col("n_dis") * 10 < F.col("n_tok") * 3, F.lit("repetitive"))
+        .when(F.col("n_stop") * 100 < F.col("n_tok") * 5, F.lit("no_stopwords"))
+        .otherwise(F.lit("pass"))
+    )
+    keep = (
+        (F.col("n_tok") >= _GATE_MIN_TOKENS)
+        & (F.col("n_tok") <= _GATE_MAX_TOKENS)
+        & (F.col("n_dis") * 10 >= F.col("n_tok") * 3)
+        & (F.col("n_stop") * 100 >= F.col("n_tok") * 5)
+    )
+    return sig.select("doc_id", reason.alias("reason"), keep.alias("keep"))

@@ -546,3 +546,49 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         if frontier.isEmpty():
             break
     return visited.select(F.col("node").alias("user_id"), "dist")
+
+
+_DEGREE_ORACLE = """
+WITH buck AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+sized AS (SELECT b FROM buck GROUP BY b HAVING count(*) BETWEEN 2 AND 8),
+e AS (
+    SELECT DISTINCT x.user_id AS a, y.user_id AS c
+    FROM buck x JOIN buck y USING (b) JOIN sized USING (b)
+    WHERE x.user_id < y.user_id
+),
+und AS (SELECT a AS node FROM e UNION ALL SELECT c FROM e),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM und GROUP BY 1)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1
+"""
+
+
+@op(
+    "graph_degree_distribution",
+    oracle=_DEGREE_ORACLE,
+    tags=("ext", "graph"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the shared-purchase-cents user graph:
+    (degree, n_nodes) — the first sanity read on any graph build (skew,
+    connectivity, hub formation) and the input to the degree-based
+    orientation refinement graph_triangle_count documents.
+
+    Two hash aggregations over the oriented edge list (each edge
+    contributes one endpoint row per side — no double counting since
+    the list stores each undirected pair once): degree per node, then
+    nodes per degree. Both aggregate with map-side partials; the second
+    input is |nodes| rows and the output is bounded by max degree. No
+    joins, no windows.
+    """
+    e = _pair_edges(spark, sf_dir)
+    und = e.select(F.col("a").alias("node")).unionAll(
+        e.select(F.col("c").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count("*").cast("bigint").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )

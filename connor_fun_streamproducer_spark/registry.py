@@ -268,6 +268,8 @@ _WINDOW_PRIORITY = [
     "sample_temperature",             # new: α=0.7 source-mix resampling
     "scan_schema_merge",              # new: additive schema-evolution read
     "pipeline_abc_pareto",            # new: integer-exact ABC classification
+    "graph_degree_distribution",      # new: degree histogram of the pair graph
+    "corpus_quality_gate",            # new: C4-style filter cascade w/ reasons
     # -- (3) stalest externally-green tier (r01 block, then oldest r02);
     #    only the first 11 of this tier still fit inside the 50-key
     #    window after (2b)/(2c) — never-checked beats stale-refresh ------

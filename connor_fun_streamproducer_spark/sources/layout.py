@@ -354,7 +354,10 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     a table-format feature, not a parquet-reader one).
     """
     d = load(spark, sf_dir, "documents")
-    root = _scratch_path(sf_dir, "docs_evolved")
+    # layout-version tag in the dir name: the cached scratch layout is
+    # reused across calls, so any change to the batch split or schemas
+    # below must bump the tag rather than silently reading a stale build
+    root = _scratch_path(sf_dir, "docs_evolved_v1")
 
     def _write(staging: str) -> None:
         d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.parquet(

@@ -803,3 +803,24 @@ def test_rfm_three_windows_one_segment_exchange(spark):
         if "Exchange hashpartitioning(segment" in l
     ]
     assert len(seg_exchanges) <= 1, plan
+
+
+def test_fuzzy_join_is_hash_equi_join_over_vocab(spark):
+    """The blocking token must carry the join (hash/broadcast equi-join);
+    levenshtein is a post-join filter, never a join condition that
+    forces a nested loop."""
+    df = _q("join_fuzzy_blocked", spark)
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_snapshot_diff_is_single_full_outer_sortmerge(spark):
+    """Equal-size snapshot diff: one co-partitioned full-outer
+    sort-merge join, and only one — the classification must be a
+    projection, not further joins."""
+    df = _q("snapshot_diff", spark)
+    plan = assert_in_plan(df, "SortMergeJoin FullOuter")
+    n_joins = count_in_plan(df, "SortMergeJoin") + count_in_plan(
+        df, "ShuffledHashJoin"
+    ) + count_in_plan(df, "BroadcastHashJoin")
+    assert n_joins == 1, plan

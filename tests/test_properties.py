@@ -727,3 +727,27 @@ def test_abc_classes_are_contiguous_and_exhaust_each_brand(spark):
         classes = "".join(r["abc_class"] for r in seq)
         assert classes == "A" * classes.count("A") + "B" * classes.count("B") + "C" * classes.count("C")
         assert seq[-1]["cum_bp"] == 10000
+
+
+def test_quality_gate_keep_iff_pass_and_covers_corpus(spark):
+    """keep must be exactly (reason == 'pass'), one decision per doc."""
+    from connor_fun_streamproducer_spark.llm.corpus_prep import corpus_quality_gate
+
+    rows = corpus_quality_gate(spark, SF_DIR).collect()
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    assert all(r["keep"] == (r["reason"] == "pass") for r in rows)
+
+
+def test_degree_histogram_mass_equals_twice_edges(spark):
+    """Σ degree·n_nodes == 2|E| — the handshake lemma over the pair
+    graph; breaks if an edge is dropped or double-counted."""
+    from connor_fun_streamproducer_spark.operators.graph import (
+        _pair_edges,
+        graph_degree_distribution,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    hist = graph_degree_distribution(spark, sf).collect()
+    mass = sum(r["degree"] * r["n_nodes"] for r in hist)
+    assert mass == 2 * _pair_edges(spark, sf).count()

@@ -75,8 +75,9 @@ CHANGED_IN_ROUND_5 = [
     "win_cumulative_distinct",        # new: running distinct via first-flag
     "win_rolling_stats",              # new: trailing-rows rolling features
     "sample_reservoir",               # new: hash-priority uniform k-sample
-    # (pipeline_rfm_segments, sample_temperature, scan_schema_merge and
-    # pipeline_abc_pareto land at keys 50-53, just past the window —
+    # (pipeline_rfm_segments, sample_temperature, scan_schema_merge,
+    # pipeline_abc_pareto, graph_degree_distribution and
+    # corpus_quality_gate land at keys 50-55, just past the window —
     # never-checked new work filled all 38 non-debt slots this round)
 ]
 
