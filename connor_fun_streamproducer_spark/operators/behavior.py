@@ -334,9 +334,7 @@ def pipeline_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rfm = (
         o.groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(
-            F.max(F.col("o_orderdate").cast("timestamp_ltz").cast("long")).alias(
-                "recency_sec"
-            ),
+            F.max(epoch_seconds("o_orderdate")).alias("recency_sec"),
             F.count("*").cast("bigint").alias("frequency"),
             F.sum(
                 F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")

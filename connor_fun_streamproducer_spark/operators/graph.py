@@ -540,11 +540,16 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
         )
-        nxt_v = nxt.select("node", F.lit(depth).cast("bigint").alias("dist"))
+        # materialize the expansion ONCE: the visited union, the next
+        # round's join input, and the termination probe all read this
+        # checkpoint instead of re-running the round's shuffles.
+        nxt_v = nxt.select(
+            "node", F.lit(depth).cast("bigint").alias("dist")
+        ).localCheckpoint()
+        if nxt_v.isEmpty():
+            break
         visited = visited.unionByName(nxt_v).localCheckpoint()
         frontier = nxt_v.select("node")
-        if frontier.isEmpty():
-            break
     return visited.select(F.col("node").alias("user_id"), "dist")
 
 

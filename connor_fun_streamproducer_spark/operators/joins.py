@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.catalog import epoch_seconds, load
 from connor_fun_streamproducer_spark.registry import op
 
 
@@ -507,8 +507,10 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalable form is temporal binning:
 
     - each interval explodes to the <= 3 fixed 32-day bins it touches
-      (bin width chosen >= max interval width, so any overlapping pair
-      SHARES the bin containing the later of the two start points);
+      (overlap means BOTH intervals contain the later start point
+      greatest(s_a, s_b), so both explode its bin — true for ANY bin
+      width; 32 days just balances the explode factor, width/bin + 1
+      bins per row, against per-bin candidate density);
     - candidates come from an EQUI-join on (supplier, bin) — hash
       join, AQE-planned, never the O(n^2) theta-join fallback
       (BroadcastNestedLoopJoin) Spark would otherwise pick;
@@ -526,9 +528,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB's IEJoin computes the same pairs from the raw
     inequality form — two independent algorithms, one answer.
     """
-    day = F.floor(F.col("l_shipdate").cast("timestamp_ltz").cast("long") / 86400).cast(
-        "bigint"
-    )
+    day = F.floor(epoch_seconds("l_shipdate") / 86400).cast("bigint")
     li = load(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lid"),

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.catalog import epoch_seconds, load
 from connor_fun_streamproducer_spark.registry import op
 
 LOOKBACK_S = 30 * 86400  # 30 days
@@ -209,7 +209,7 @@ def win_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
-        F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("sec"),
+        epoch_seconds("o_orderdate").alias("sec"),
     )
     w = (
         Window.partitionBy("o_custkey")
@@ -275,8 +275,6 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (epoch-sec, event_id) is total, so the running sum is
     tie-deterministic.
     """
-    from connor_fun_streamproducer_spark.catalog import epoch_seconds
-
     e = (
         load(spark, sf_dir, "events")
         .select(

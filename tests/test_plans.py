@@ -798,11 +798,10 @@ def test_rfm_three_windows_one_segment_exchange(spark):
     """All three ntile windows share the hash(segment) partitioning —
     exactly one exchange on segment after the per-customer aggregate."""
     plan = formatted_plan(_q("pipeline_rfm_segments", spark))
-    seg_exchanges = [
-        l for l in plan.splitlines()
-        if "Exchange hashpartitioning(segment" in l
-    ]
-    assert len(seg_exchanges) <= 1, plan
+    # formatted mode prints each Exchange's partitioning once, in its
+    # Arguments detail line — count those, and require the segment
+    # partitioning to actually appear (guards against a vacuous match).
+    assert plan.count("hashpartitioning(segment") == 1, plan
 
 
 def test_fuzzy_join_is_hash_equi_join_over_vocab(spark):

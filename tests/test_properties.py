@@ -751,3 +751,40 @@ def test_degree_histogram_mass_equals_twice_edges(spark):
     hist = graph_degree_distribution(spark, sf).collect()
     mass = sum(r["degree"] * r["n_nodes"] for r in hist)
     assert mass == 2 * _pair_edges(spark, sf).count()
+
+
+def test_temperature_rates_on_skewed_sources(spark, tmp_path):
+    """The fixture corpus has perfectly uniform sources (rate == 1.0
+    everywhere), which makes the oracle check vacuous for the α-math —
+    so pin share^(α−1) on a SKEWED synthetic corpus against an
+    independent Python computation: 400/100/25 docs per source must
+    yield floor(pow(n/25, -0.3)·10000) basis points."""
+    import math
+
+    from connor_fun_streamproducer_spark.llm.corpus import (
+        _TEMP_ALPHA,
+        sample_temperature,
+    )
+
+    rows = []
+    did = 0
+    for src, n in (("web", 400), ("books", 100), ("code", 25)):
+        for _ in range(n):
+            rows.append((did, "t", "en", src, 1))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["source"]: r
+        for r in sample_temperature(spark, str(tmp_path)).collect()
+    }
+    for src, n in (("web", 400), ("books", 100), ("code", 25)):
+        expect_bp = math.floor(math.pow(n / 25, _TEMP_ALPHA - 1.0) * 10000)
+        assert got[src]["accept_bp"] == expect_bp, (src, got[src])
+    assert got["code"]["accept_bp"] == 10000
+    assert got["code"]["n_kept"] == 25  # rarest source keeps everything
+    # dominant sources are genuinely downsampled
+    assert got["web"]["n_kept"] < 400
+    assert got["books"]["n_kept"] < 100
