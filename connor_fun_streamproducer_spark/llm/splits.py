@@ -1,0 +1,221 @@
+"""Leakage-safe dataset splitting and chunk-level dedup — the assignment
+stages of an LLM training-data pipeline that decide WHICH corpus rows a
+model may see, after the cleaning tiers (llm/corpus.py, llm/corpus_prep.py)
+decide what the rows contain.
+
+The reference has no notion of splits (its one dataflow publishes every
+event, /root/reference/regionSpout.go:124-160); this tier extends the
+engine with the three assignment shapes every 100 TB training run needs:
+
+- **group holdout** (`sample_group_holdout`): evaluation leakage control.
+  A random per-document split puts half of a crawl domain in train and
+  half in test, so the model is scored on near-copies of its training
+  data. The fix is to hash the GROUP (here ``source``) and hold out whole
+  groups — any source is entirely in train or entirely heldout.
+- **k-fold assignment** (`sample_kfold`): deterministic cross-validation
+  folds from a second, decorrelated hash of the document key.
+- **chunk-level exact dedup** (`dedup_chunk_exact`): document-level dedup
+  (llm/dedup.py) misses the boilerplate paragraph pasted into thousands
+  of otherwise-distinct pages. Exploding fixed-width token chunks and
+  keeping one canonical copy per chunk digest catches it.
+
+Scale posture:
+
+- Group/fold assignment is a pure map-side projection — a deterministic
+  hash expression the scan evaluates in codegen; zero shuffles at any
+  corpus size, and the split column can become the ``partitionBy`` key of
+  the output layout.
+- The group hash must be computable from the STRING key on both engines:
+  md5 is bit-identical everywhere, so the first 8 hex digits parsed as an
+  integer (Spark ``conv(substring(md5(x),1,8),16,10)``, DuckDB
+  ``CAST('0x' || substr(md5(x),1,8) AS UBIGINT)``) give a reproducible
+  32-bit group bucket with no engine-specific murmur in sight.
+- Chunk dedup is explode → hash-aggregate on the chunk digest: linear in
+  corpus tokens, partial-agg before the one exchange, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.registry import op
+
+# Fraction of GROUPS (not documents) held out, in percent buckets.
+HOLDOUT_PCT = 20
+
+# Decorrelated Knuth multiplier for fold assignment (distinct from the
+# split/sample multipliers in llm/corpus.py for the same reason those two
+# differ from each other: correlated hashes would align folds with splits).
+_FOLD_MULT = 2654435789
+_KEY_REDUCE = 2147483648  # 2^31, see llm/corpus.py overflow note
+N_FOLDS = 5
+
+# Non-overlapping chunk width for dedup (dedup wants a partition of the
+# token stream, unlike training-window chunking in llm/corpus.py which
+# overlaps on purpose).
+DEDUP_CHUNK = 20
+
+
+def group_bucket(col: str) -> F.Column:
+    """0..99 bucket from the md5 of a string group key — bit-identical in
+    the DuckDB oracle (md5 is md5 everywhere), unlike Spark's murmur
+    ``hash()`` which has no cross-engine twin."""
+    return F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10).cast("long") % 100
+
+
+def _group_bucket_sql(col: str) -> str:
+    return f"CAST(concat('0x', substr(md5({col}), 1, 8)) AS UBIGINT) % 100"
+
+
+@op(
+    "sample_group_holdout",
+    oracle=f"""
+    SELECT doc_id,
+           source,
+           CASE WHEN {_group_bucket_sql('source')} < {HOLDOUT_PCT}
+                THEN 'heldout' ELSE 'train' END AS split
+    FROM documents
+    """,
+    tags=("llm", "corpus", "split"),
+)
+def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware holdout split: whole sources go to one side.
+
+    Hashes ``source`` (not ``doc_id``) so every document of a source lands
+    in the same split — the leakage-control property a per-document split
+    cannot give (train/test near-duplicates from the same crawl domain).
+    ~20% of groups are held out; the doc-level fraction then follows the
+    group-size distribution, which is the intended semantics (evaluation
+    sources are *unseen domains*, not a uniform document sample).
+
+    Map-side projection: the bucket is a codegen'd expression on the scan,
+    zero shuffles at 100 TB, and ``split`` is layout-partitionable. The
+    whole-group invariant is pinned by tests/test_llm.py on both the
+    fixture and a skewed synthetic corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    split = (
+        F.when(group_bucket("source") < HOLDOUT_PCT, F.lit("heldout"))
+        .otherwise(F.lit("train"))
+    )
+    return d.select("doc_id", "source", split.alias("split"))
+
+
+@op(
+    "sample_kfold",
+    oracle=f"""
+    SELECT doc_id,
+           ((doc_id % {_KEY_REDUCE}) * {_FOLD_MULT}) % {N_FOLDS} AS fold
+    FROM documents
+    """,
+    tags=("llm", "corpus", "split"),
+)
+def sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment.
+
+    Knuth multiplicative hash of the reduced doc key, mod 5 — the same
+    document is in the same fold on every run, every cluster, and in the
+    oracle (``rand(seed)`` is partitioning-dependent and has no DuckDB
+    twin). A training pass over fold ``i`` is then a map-side filter
+    ``fold != i`` that pushes to the scan. Zero shuffles.
+    """
+    d = load(spark, sf_dir, "documents")
+    fold = ((F.col("doc_id") % _KEY_REDUCE) * _FOLD_MULT) % N_FOLDS
+    return d.select("doc_id", fold.alias("fold"))
+
+
+@op(
+    "dedup_chunk_exact",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), c AS (
+        SELECT t.doc_id,
+               idx.i AS chunk_id,
+               md5(array_to_string(
+                   t.toks[idx.i*{DEDUP_CHUNK}+1 : (idx.i+1)*{DEDUP_CHUNK}], ' '
+               )) AS digest
+        FROM t
+        JOIN (SELECT unnest(generate_series(0, 31)) AS i) idx
+          ON idx.i * {DEDUP_CHUNK} < len(t.toks)
+    ), canon AS (
+        SELECT digest,
+               min(doc_id * 1000 + chunk_id) AS keeper
+        FROM c GROUP BY digest
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN c.doc_id * 1000 + c.chunk_id = canon.keeper
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM c JOIN canon USING (digest)
+    GROUP BY c.doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: one canonical copy per 20-token chunk.
+
+    Document-level dedup (llm/dedup.py dedup_exact) can't remove the
+    boilerplate paragraph shared by thousands of distinct pages; chunk
+    dedup partitions each document's token stream into fixed non-
+    overlapping 20-token chunks, digests each, and keeps only the chunk
+    with the smallest (doc_id, chunk_id) per digest. Output per document:
+    total chunks vs chunks surviving as canonical copies.
+
+    Scale: explode is linear in corpus tokens; the canonical-keeper
+    reduction is a hash aggregate on the digest (min of an encoded
+    position — partial-agg before its single exchange); the rejoin is an
+    equi-join on the digest that AQE plans from observed sizes. Never
+    all-pairs, no windows over the full corpus. At 100 TB the digest agg
+    is the only wide stage and it reduces to |distinct chunks|.
+    Encoding keeper as doc_id*1000+chunk_id is exact while docs stay
+    under 1000 chunks (fixture max 16; the 32-slot explode bound and the
+    encoding share the same headroom reasoning as llm/corpus.py's chunk
+    oracle).
+    """
+    toks = F.split("text", " ")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_toks")
+    )
+    chunks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(31)),
+                        lambda i: F.struct(
+                            i.alias("chunk_id"),
+                            F.md5(
+                                F.concat_ws(
+                                    " ",
+                                    F.slice(
+                                        F.col("toks"),
+                                        i * DEDUP_CHUNK + 1,
+                                        DEDUP_CHUNK,
+                                    ),
+                                )
+                            ).alias("digest"),
+                        ),
+                    ),
+                    lambda s: s["chunk_id"] * DEDUP_CHUNK < F.col("n_toks"),
+                )
+            ).alias("ch"),
+        )
+        .select("doc_id", F.col("ch.chunk_id").alias("chunk_id"), F.col("ch.digest").alias("digest"))
+    )
+    pos = (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("pos")
+    canon = chunks.select("digest", pos).groupBy("digest").agg(F.min("pos").alias("keeper"))
+    return (
+        chunks.select("doc_id", "digest", pos)
+        .join(canon, "digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum((F.col("pos") == F.col("keeper")).cast("int"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )

@@ -185,6 +185,10 @@ def _ensure_loaded() -> None:
     )
     from connor_fun_streamproducer_spark.functions import urls  # noqa: F401
     from connor_fun_streamproducer_spark.sources import layout as _sources_layout  # noqa: F401
+    # NEW in round 5 session 5 (splits/profiling/lakehouse tier) — behind
+    # the window by the freshness rule; first in line for the r06 rotation
+    from connor_fun_streamproducer_spark.llm import splits  # noqa: F401
+    from connor_fun_streamproducer_spark.operators import profiling  # noqa: F401
 
     _apply_window_priority()
     _LOADED = True
@@ -270,6 +274,13 @@ _WINDOW_PRIORITY = [
     "pipeline_abc_pareto",            # new: integer-exact ABC classification
     "graph_degree_distribution",      # new: degree histogram of the pair graph
     "corpus_quality_gate",            # new: C4-style filter cascade w/ reasons
+    # -- (2e) new in round 5 session 5 (6): never externally checked -----
+    "sample_group_holdout",           # new: leakage-safe whole-group split
+    "sample_kfold",                   # new: deterministic 5-fold assignment
+    "dedup_chunk_exact",              # new: sub-document chunk dedup
+    "stats_table_profile",            # new: single-scan ANALYZE profile
+    "sink_versioned_manifest",        # new: manifest-commit snapshot table
+    "scan_text_roundtrip",            # new: line-text sink+source round trip
     # -- (3) stalest externally-green tier (r01 block, then oldest r02);
     #    only the first 11 of this tier still fit inside the 50-key
     #    window after (2b)/(2c) — never-checked beats stale-refresh ------

@@ -376,3 +376,178 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recursiveFileLookup", "false"
     ).parquet(os.path.join(root, "batch=1"), os.path.join(root, "batch=2"))
     return back.select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Manifest-based snapshot versioning (the table-format commit protocol)
+
+SNAPSHOT_CUT = "1995-01-01"  # v1 = orders before the cut; v2 appends the rest
+
+
+def _part_files(d: str) -> list[str]:
+    return sorted(
+        os.path.join(d, f)
+        for f in os.listdir(d)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+
+
+def versioned_orders_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) a two-snapshot versioned orders table.
+
+    Layout (the Iceberg/Delta commit protocol reduced to its essentials,
+    files + manifests + a current-version pointer):
+
+    - ``data/base/``  — parquet files of orders with o_orderdate < cut
+    - ``data/delta/`` — parquet files of the remaining orders
+    - ``manifest-1.txt`` — the base file list (snapshot v1)
+    - ``manifest-2.txt`` — base + delta file lists (snapshot v2)
+    - ``VERSION`` — the current snapshot number ("2")
+
+    A commit is: write NEW data files (never touching existing ones),
+    write the next manifest listing old+new files, then atomically swap
+    the VERSION pointer. Readers resolve VERSION → manifest → file list,
+    so they always see a complete snapshot — never a half-appended
+    table — and old manifests keep serving time-travel reads of v1.
+    """
+    root = _scratch_path(sf_dir, "orders_versioned_v1")
+    if not os.path.isfile(os.path.join(root, "_SUCCESS")):
+        o = load(spark, sf_dir, "orders")
+
+        def _build(staging: str) -> None:
+            base_dir = os.path.join(staging, "data", "base")
+            delta_dir = os.path.join(staging, "data", "delta")
+            o.filter(F.col("o_orderdate") < SNAPSHOT_CUT).write.parquet(base_dir)
+            o.filter(F.col("o_orderdate") >= SNAPSHOT_CUT).write.parquet(delta_dir)
+            base_rel = [os.path.relpath(p, staging) for p in _part_files(base_dir)]
+            delta_rel = [os.path.relpath(p, staging) for p in _part_files(delta_dir)]
+            with open(os.path.join(staging, "manifest-1.txt"), "w") as fh:
+                fh.write("\n".join(base_rel))
+            with open(os.path.join(staging, "manifest-2.txt"), "w") as fh:
+                fh.write("\n".join(base_rel + delta_rel))
+            # pointer swap is the commit: write-aside then rename, the
+            # same atomicity discipline _atomic_write gives the layout
+            tmp = os.path.join(staging, "VERSION.tmp")
+            with open(tmp, "w") as fh:
+                fh.write("2")
+            os.rename(tmp, os.path.join(staging, "VERSION"))
+            with open(os.path.join(staging, "_SUCCESS"), "w"):
+                pass
+
+        _atomic_write(_build, root)
+    return root
+
+
+def read_snapshot(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Resolve VERSION → manifest → file list and read exactly those files.
+
+    ``version=None`` follows the current pointer; an explicit version is
+    a time-travel read of that snapshot. The manifest is the source of
+    truth — files not listed (e.g. a concurrent writer's half-committed
+    data files) are invisible, which is the whole point.
+    """
+    if version is None:
+        with open(os.path.join(root, "VERSION")) as fh:
+            version = int(fh.read().strip())
+    with open(os.path.join(root, f"manifest-{version}.txt")) as fh:
+        files = [os.path.join(root, line) for line in fh.read().splitlines() if line]
+    return spark.read.parquet(*files)
+
+
+@op(
+    "sink_versioned_manifest",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("ext", "sink", "scale"),
+)
+def sink_versioned_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table round trip: append-only data files +
+    manifest commit + pointer swap, read back at the current snapshot.
+
+    The op builds a two-snapshot orders table (base write, then an
+    append commit), resolves the VERSION pointer to manifest-2, reads
+    exactly the listed files, and aggregates per status in integer
+    cents; the oracle aggregates the source table directly, so the
+    hash-match proves the commit protocol presented the complete
+    appended table — nothing lost from base, nothing duplicated by the
+    append. Time-travel (manifest-1 == the pre-cut filter) and
+    append-only file reuse (v1 files are a prefix of v2's list) are
+    pinned in tests/test_plans.py.
+
+    At 100 TB this is why table formats exist: an append touches only
+    its new files + one manifest + one pointer rename, readers never
+    block, and old snapshots stay readable for reproducibility — the
+    properties object stores can't give a bare directory listing.
+    """
+    root = versioned_orders_root(spark, sf_dir)
+    return (
+        read_snapshot(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Line-oriented text source/sink round trip
+
+
+@op(
+    "scan_text_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)              AS n_docs,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(sum(length(text)) AS BIGINT)      AS total_chars,
+           CAST(sum(doc_id) AS BIGINT)            AS id_sum
+    FROM documents
+    """,
+    tags=("ext", "source", "sink"),
+)
+def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text sink + source round trip over documents.
+
+    Serializes each document to one ``doc_id|text`` line with
+    ``df.write.text``, reads the directory back with ``spark.read.text``,
+    re-parses the two fields, and aggregates count / distinct ids /
+    total text chars / id checksum; the oracle computes the same from
+    the source table, so the hash-match proves the text codec round
+    trip is byte-faithful for this corpus (the fixture text is
+    newline-free by construction — a production text sink would
+    escape or length-prefix, which parquet's binary layout makes
+    unnecessary and is why the engine's default interchange stays
+    parquet). Text scan/sink is still a required surface at scale:
+    upstream crawls and downstream tokenizer pipelines speak
+    line-delimited files, splittable per HDFS block exactly like any
+    other splittable source.
+    """
+    d = load(spark, sf_dir, "documents")
+    path = _scratch_path(sf_dir, "documents_lines")
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        _atomic_write(
+            lambda p: d.select(
+                F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")).alias(
+                    "value"
+                )
+            ).write.text(p),
+            path,
+        )
+    back = spark.read.text(path).select(
+        F.split_part(F.col("value"), F.lit("|"), F.lit(1)).cast("bigint").alias("doc_id"),
+        F.substring_index(F.col("value"), "|", -1).alias("text"),
+    )
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_ids"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )

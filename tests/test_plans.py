@@ -823,3 +823,59 @@ def test_snapshot_diff_is_single_full_outer_sortmerge(spark):
         df, "ShuffledHashJoin"
     ) + count_in_plan(df, "BroadcastHashJoin")
     assert n_joins == 1, plan
+
+
+def test_split_assignments_are_map_only(spark):
+    """Group-holdout and k-fold assignment are pure projections — zero
+    exchanges at any corpus size (the split hash is a codegen'd scan
+    expression, partitionable downstream)."""
+    for key in ("sample_group_holdout", "sample_kfold"):
+        df = _q(key, spark)
+        assert count_in_plan(df, "Exchange") == 0, (key, formatted_plan(df))
+
+
+def test_chunk_dedup_never_all_pairs(spark):
+    """Chunk dedup is explode → digest hash-agg → digest equi-join;
+    the plan must never fall back to a nested-loop pairing."""
+    df = _q("dedup_chunk_exact", spark)
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_table_profile_single_scan(spark):
+    """Profiling N columns must read the table ONCE: one parquet scan
+    feeding an Expand (unpivot), not one aggregation subtree per
+    column."""
+    df = _q("stats_table_profile", spark)
+    assert count_in_plan(df, "Scan parquet") == 1, formatted_plan(df)
+    assert_in_plan(df, "Expand")
+
+
+def test_versioned_manifest_time_travel_and_append_only(spark):
+    """Snapshot protocol invariants: manifest-1 reads reproduce the
+    pre-cut filter (time travel); v1's file list is a strict prefix of
+    v2's (appends never rewrite committed files); the VERSION pointer
+    resolves to the complete table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from connor_fun_streamproducer_spark.catalog import load
+    from connor_fun_streamproducer_spark.sources.layout import (
+        SNAPSHOT_CUT,
+        read_snapshot,
+        versioned_orders_root,
+    )
+
+    root = versioned_orders_root(spark, SF_DIR)
+    o = load(spark, SF_DIR, "orders")
+    n_pre = o.filter(F.col("o_orderdate") < SNAPSHOT_CUT).count()
+    assert read_snapshot(spark, root, version=1).count() == n_pre
+    assert read_snapshot(spark, root).count() == o.count()
+    with open(os.path.join(root, "manifest-1.txt")) as fh:
+        v1 = fh.read().splitlines()
+    with open(os.path.join(root, "manifest-2.txt")) as fh:
+        v2 = fh.read().splitlines()
+    assert v2[: len(v1)] == v1 and len(v2) > len(v1)
+    with open(os.path.join(root, "VERSION")) as fh:
+        assert fh.read().strip() == "2"

@@ -788,3 +788,117 @@ def test_temperature_rates_on_skewed_sources(spark, tmp_path):
     # dominant sources are genuinely downsampled
     assert got["web"]["n_kept"] < 400
     assert got["books"]["n_kept"] < 100
+
+
+def test_group_holdout_no_source_straddles_splits(spark):
+    """THE leakage invariant: every source is wholly in one split."""
+    from connor_fun_streamproducer_spark.llm.splits import sample_group_holdout
+
+    per_source = (
+        sample_group_holdout(spark, SF_DIR)
+        .groupBy("source")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert per_source and all(r["n_splits"] == 1 for r in per_source)
+
+
+def test_group_holdout_skewed_group_stays_whole(spark, tmp_path):
+    """A dominant source (90% of docs) still lands entirely on one side —
+    group hashing ignores group size by construction."""
+    from connor_fun_streamproducer_spark.llm.splits import sample_group_holdout
+
+    rows = [(i, "t", "en", "megacrawl" if i < 900 else f"tail{i}", 1)
+            for i in range(1000)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = sample_group_holdout(spark, str(tmp_path))
+    mega = {r["split"] for r in out.filter(F.col("source") == "megacrawl").collect()}
+    assert len(mega) == 1
+    # and the tail sources actually split both ways (the op is not a
+    # constant function)
+    tails = {r["split"] for r in out.filter(F.col("source") != "megacrawl").collect()}
+    assert tails == {"train", "heldout"}
+
+
+def test_kfold_partition_properties(spark):
+    """Folds partition the corpus: every doc exactly one fold, all folds
+    in range, assignment reproducible across invocations."""
+    from connor_fun_streamproducer_spark.llm.splits import N_FOLDS, sample_kfold
+
+    a = {r["doc_id"]: r["fold"] for r in sample_kfold(spark, SF_DIR).collect()}
+    b = {r["doc_id"]: r["fold"] for r in sample_kfold(spark, SF_DIR).collect()}
+    assert a == b
+    assert set(a.values()) <= set(range(N_FOLDS))
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert len(a) == n_docs
+
+
+def test_chunk_dedup_keeps_one_copy_per_digest(spark, tmp_path):
+    """Constructed duplication: doc 0 and doc 1 share an identical
+    20-token paragraph; exactly one copy of it survives, and unique
+    chunks all survive."""
+    from connor_fun_streamproducer_spark.llm.splits import DEDUP_CHUNK, dedup_chunk_exact
+
+    para = " ".join(f"w{i}" for i in range(DEDUP_CHUNK))
+    uniq0 = " ".join(f"a{i}" for i in range(DEDUP_CHUNK))
+    uniq1 = " ".join(f"b{i}" for i in range(DEDUP_CHUNK))
+    rows = [
+        (0, f"{para} {uniq0}", "en", "s0", 1),
+        (1, f"{para} {uniq1}", "en", "s1", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in dedup_chunk_exact(spark, str(tmp_path)).collect()}
+    assert got[0]["n_chunks"] == 2 and got[0]["n_kept"] == 2  # first copy wins
+    assert got[1]["n_chunks"] == 2 and got[1]["n_kept"] == 1  # shared para dropped
+
+
+def test_chunk_dedup_total_kept_equals_distinct_digests(spark):
+    """Global conservation: sum(n_kept) == |distinct chunk digests|."""
+    from connor_fun_streamproducer_spark.llm.splits import DEDUP_CHUNK, dedup_chunk_exact
+
+    out = dedup_chunk_exact(spark, SF_DIR)
+    total_kept = out.agg(F.sum("n_kept")).collect()[0][0]
+    toks = F.split("text", " ")
+    d = load(spark, SF_DIR, "documents").select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n")
+    )
+    distinct_digests = (
+        d.select(
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(31)),
+                        lambda i: F.when(
+                            i * DEDUP_CHUNK < F.col("n"),
+                            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i * DEDUP_CHUNK + 1, DEDUP_CHUNK))),
+                        ),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("digest")
+        )
+        .agg(F.count_distinct("digest"))
+        .collect()[0][0]
+    )
+    assert total_kept == distinct_digests
+
+
+def test_table_profile_bounds(spark):
+    """Profile sanity: every profiled column reports the full row count,
+    ndv <= non-null count, min <= max."""
+    from connor_fun_streamproducer_spark.operators.profiling import (
+        PROFILE_COLS,
+        stats_table_profile,
+    )
+
+    n = load(spark, SF_DIR, "lineitem").count()
+    rows = {r["col_name"]: r for r in stats_table_profile(spark, SF_DIR).collect()}
+    assert set(rows) == set(PROFILE_COLS)
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert r["ndv"] <= r["n_rows"] - r["n_null"]
+        assert r["min_v"] <= r["max_v"]
