@@ -442,3 +442,167 @@ def pipeline_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth (lag-window comparative analytics)
+
+_YOY_ORACLE = """
+WITH rev AS (
+    SELECT n.n_name,
+           year(o.o_orderdate) AS yr,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+)
+SELECT n_name, yr, rev_cents,
+       CASE WHEN lag(yr) OVER w = yr - 1
+            THEN lag(rev_cents) OVER w END                  AS prev_cents,
+       rev_cents - CASE WHEN lag(yr) OVER w = yr - 1
+                        THEN lag(rev_cents) OVER w END      AS delta_cents
+FROM rev
+WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+"""
+
+
+@op("pipeline_yoy_growth", oracle=_YOY_ORACLE, tags=("ext", "pipeline", "window"))
+def pipeline_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue per nation — the lag-window comparative
+    report every warehouse runs.
+
+    Revenue aggregates in exact integer cents per (nation, year), then a
+    lag window fetches the prior YEAR's figure — guarded by
+    ``prev.yr == yr - 1`` so a nation with a gap year compares against
+    null, not against whatever year happened to precede it in the sort
+    (the classic YoY bug). Delta stays in integer cents; no
+    float division anywhere, so summation order can't move the result.
+
+    Scale: dims broadcast (nation always, customer while it fits; at
+    true scale customer⋈orders is the one sort-merge), the (nation,
+    year) aggregate partial-combines map-side to ~nations × years rows,
+    and the lag window runs on that tiny rollup — cost lives entirely
+    in the first join, exactly where it should.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "yr")
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag(F.struct("yr", "rev_cents")).over(w)
+    prev_cents = F.when(prev["yr"] == F.col("yr") - 1, prev["rev_cents"])
+    return rev.select(
+        "n_name",
+        "yr",
+        "rev_cents",
+        prev_cents.alias("prev_cents"),
+        (F.col("rev_cents") - prev_cents).alias("delta_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Marketing-touch attribution (first/last touch in a bounded lookback)
+
+_ATTR_W = 172_800  # 2-day lookback
+_TOUCH_TYPES = ("click", "view", "signup")
+
+_ATTR_ORACLE = f"""
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS psec
+    FROM events WHERE event_type = 'purchase'
+), t AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+           event_id AS tid, event_type AS ttype
+    FROM events WHERE event_type IN {_TOUCH_TYPES!r}
+), c AS (
+    SELECT p.purchase_id, p.user_id, p.psec, t.tsec, t.tid, t.ttype
+    FROM p JOIN t ON t.user_id = p.user_id
+               AND t.tsec <= p.psec AND t.tsec >= p.psec - {_ATTR_W}
+), f AS (
+    SELECT purchase_id, psec, tsec, tid, ttype,
+           row_number() OVER (PARTITION BY purchase_id
+                              ORDER BY tsec ASC, tid ASC)  AS rf,
+           row_number() OVER (PARTITION BY purchase_id
+                              ORDER BY tsec DESC, tid DESC) AS rl
+    FROM c
+)
+SELECT p.purchase_id, p.user_id,
+       ff.ttype            AS first_type,
+       p.psec - ff.tsec    AS first_gap_sec,
+       ll.ttype            AS last_type,
+       p.psec - ll.tsec    AS last_gap_sec
+FROM p
+LEFT JOIN f ff ON ff.purchase_id = p.purchase_id AND ff.rf = 1
+LEFT JOIN f ll ON ll.purchase_id = p.purchase_id AND ll.rl = 1
+"""
+
+
+@op("pipeline_attribution_touch", oracle=_ATTR_ORACLE, tags=("ext", "pipeline", "scale"))
+def pipeline_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution: every purchase credited to
+    the user's earliest and latest marketing touch (click/view/signup)
+    inside a 2-day lookback; purchases with no touch stay, unattributed.
+
+    The range predicate (0 <= psec − tsec <= W) is turned into an
+    EQUI-join by time binning at exactly the lookback width: a touch
+    lives in bin tsec div W, a purchase probes its own bin and the one
+    before — any in-window touch is in one of those two, and each touch
+    matches at most one probe (the probes differ), so candidates need
+    no dedup. First/last selection is min/max over a struct
+    (tsec, tid, ttype) — lexicographic struct ordering makes the
+    tie-break (same-second touches → lowest/highest event id)
+    deterministic AND partial-aggregatable, so each task collapses its
+    local candidates before the one purchase-keyed exchange. The same
+    shape as join_range_bucketed, pointed at the attribution question;
+    never a theta join, never a window over raw events.
+    """
+    e = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        sec.alias("psec"),
+    )
+    t = e.filter(F.col("event_type").isin(*_TOUCH_TYPES)).select(
+        F.col("user_id").alias("t_user"),
+        sec.alias("tsec"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("ttype"),
+    ).withColumn("tbin", F.floor(F.col("tsec") / _ATTR_W).cast("bigint"))
+    probes = p.withColumn(
+        "pbin", F.explode(F.array(F.floor(F.col("psec") / _ATTR_W) - 1, F.floor(F.col("psec") / _ATTR_W)))
+    )
+    cand = probes.join(
+        t,
+        (F.col("t_user") == F.col("user_id")) & (F.col("tbin") == F.col("pbin")),
+        "left",
+    )
+    in_window = (
+        (F.col("tsec") <= F.col("psec")) & (F.col("tsec") >= F.col("psec") - _ATTR_W)
+    )
+    touch = F.when(in_window, F.struct("tsec", "tid", "ttype"))
+    agg = cand.groupBy("purchase_id", "user_id", "psec").agg(
+        F.min(touch).alias("first_t"),
+        F.max(touch).alias("last_t"),
+    )
+    return agg.select(
+        "purchase_id",
+        "user_id",
+        F.col("first_t.ttype").alias("first_type"),
+        (F.col("psec") - F.col("first_t.tsec")).alias("first_gap_sec"),
+        F.col("last_t.ttype").alias("last_type"),
+        (F.col("psec") - F.col("last_t.tsec")).alias("last_gap_sec"),
+    )

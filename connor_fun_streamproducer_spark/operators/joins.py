@@ -573,3 +573,104 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("k").alias("l_suppkey")).agg(
         F.count("*").cast("bigint").alias("n_overlaps")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join (bidirectional, single-tape)
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "join_asof_nearest",
+    oracle="""
+    SELECT event_id, user_id, nearest_orderkey, dist_sec
+    FROM (
+        SELECT e.event_id, e.user_id,
+               o.o_orderkey AS nearest_orderkey,
+               CAST(abs(CAST(floor(epoch(e.ts)) AS BIGINT)
+                        - CAST(floor(epoch(o.o_orderdate)) AS BIGINT)) AS BIGINT)
+                   AS dist_sec,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY abs(CAST(floor(epoch(e.ts)) AS BIGINT)
+                                - CAST(floor(epoch(o.o_orderdate)) AS BIGINT)),
+                            (CAST(floor(epoch(o.o_orderdate)) AS BIGINT)
+                             > CAST(floor(epoch(e.ts)) AS BIGINT)),
+                            CASE WHEN CAST(floor(epoch(o.o_orderdate)) AS BIGINT)
+                                      > CAST(floor(epoch(e.ts)) AS BIGINT)
+                                 THEN o.o_orderkey ELSE -o.o_orderkey END
+               ) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id
+    ) WHERE rn = 1
+    """,
+    tags=("ext", "join", "scale"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each event matched to the user's closest order
+    in time, in EITHER direction (pandas ``merge_asof(direction=
+    'nearest')``).
+
+    Same merge-sort tape as join_asof_sorted, but BOTH carries run over
+    the one sorted frame: a carry-forward (latest order at-or-before the
+    event) and a carry-backward (earliest order strictly after), then a
+    projection picks the closer side, ties to the backward match. The
+    two window frames share one partitioning and ordering, so Spark
+    plans a single exchange + single sort feeding both carries — the
+    bidirectional variant costs exactly what the one-directional tape
+    costs, and per-user order-history length never becomes a candidate
+    blow-up (contrast the equi-join form, which would materialize every
+    (event, order) pair just to pick one).
+
+    Tie discipline (pinned by the oracle's hash): equal distance →
+    backward wins; equal-time backward candidates → highest orderkey
+    (last in tape order); equal-time forward candidates → lowest
+    orderkey (first in tape order).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        epoch_seconds("ts").alias("sec"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        epoch_seconds("o_orderdate").alias("sec"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+    )
+    order_cols = [F.col("sec"), F.col("kind"), F.col("o_orderkey")]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_order = F.col("kind") == 0
+    cand = F.when(is_order, F.struct(F.col("sec").alias("osec"), F.col("o_orderkey").alias("okey")))
+    tape = (
+        o.unionByName(e)
+        .withColumn("back", F.last(cand, ignorenulls=True).over(w_back))
+        .withColumn("fwd", F.first(cand, ignorenulls=True).over(w_fwd))
+        .filter(F.col("kind") == 1)
+    )
+    d_back = F.col("sec") - F.col("back.osec")
+    d_fwd = F.col("fwd.osec") - F.col("sec")
+    use_back = F.col("back").isNotNull() & (
+        F.col("fwd").isNull() | (d_back <= d_fwd)
+    )
+    picked = tape.filter(F.col("back").isNotNull() | F.col("fwd").isNotNull())
+    return picked.select(
+        "event_id",
+        "user_id",
+        F.when(use_back, F.col("back.okey"))
+        .otherwise(F.col("fwd.okey"))
+        .alias("nearest_orderkey"),
+        F.when(use_back, d_back).otherwise(d_fwd).cast("bigint").alias("dist_sec"),
+    )

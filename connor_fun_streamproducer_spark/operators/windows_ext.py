@@ -304,3 +304,64 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_seen").over(w_run).cast("bigint").alias("distinct_types_so_far"),
     )
+
+
+@op(
+    "win_islands_consecutive",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+        FROM events
+    ), grp AS (
+        SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                   AS island
+        FROM days
+    ), runs AS (
+        SELECT user_id, island, count(*) AS run_len
+        FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)      AS n_islands,
+           CAST(max(run_len) AS BIGINT)  AS max_run,
+           CAST(sum(run_len) AS BIGINT)  AS active_days
+    FROM runs GROUP BY user_id
+    """,
+    tags=("ext", "window"),
+)
+def win_islands_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per user.
+
+    The classic warehouse shape SQL engines solve with the
+    day − row_number() trick: within a user's sorted distinct active
+    days, consecutive days share a constant difference from their rank,
+    so that difference IS the island id — streak detection with one
+    window pass and no self-joins or iteration. Output per user: number
+    of distinct streaks, longest streak, total active days.
+
+    Scale: distinct (user, day) first — that hash-agg collapses 100 TB
+    of raw events to at most users × days rows and partial-aggregates
+    map-side before its exchange; the row_number window and both
+    follow-up aggregates all share the same user_id hash partitioning,
+    so AQE plans one exchange for the whole chain after the distinct.
+    """
+    days = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.floor(epoch_seconds("ts") / 86400).cast("bigint").alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = (
+        days.withColumn("island", F.col("d") - F.row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.max("run_len").cast("bigint").alias("max_run"),
+        F.sum("run_len").cast("bigint").alias("active_days"),
+    )

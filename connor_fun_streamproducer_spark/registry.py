@@ -281,6 +281,10 @@ _WINDOW_PRIORITY = [
     "stats_table_profile",            # new: single-scan ANALYZE profile
     "sink_versioned_manifest",        # new: manifest-commit snapshot table
     "scan_text_roundtrip",            # new: line-text sink+source round trip
+    "join_asof_nearest",              # new: bidirectional nearest as-of tape
+    "win_islands_consecutive",        # new: gaps-and-islands streaks
+    "pipeline_yoy_growth",            # new: guarded lag-window YoY report
+    "pipeline_attribution_touch",     # new: first/last-touch attribution
     # -- (3) stalest externally-green tier (r01 block, then oldest r02);
     #    only the first 11 of this tier still fit inside the 50-key
     #    window after (2b)/(2c) — never-checked beats stale-refresh ------

@@ -879,3 +879,30 @@ def test_versioned_manifest_time_travel_and_append_only(spark):
     assert v2[: len(v1)] == v1 and len(v2) > len(v1)
     with open(os.path.join(root, "VERSION")) as fh:
         assert fh.read().strip() == "2"
+
+
+def test_asof_nearest_single_exchange_no_joins(spark):
+    """The bidirectional nearest as-of runs on ONE tape: a single
+    user-keyed exchange feeding both window carries, zero join nodes —
+    same cost envelope as the one-directional tape."""
+    df = _q("join_asof_nearest", spark)
+    assert count_in_plan(df, "Exchange") == 1, formatted_plan(df)
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert_not_in_plan(df, j)
+
+
+def test_attribution_is_binned_equi_join(spark):
+    """The 2-day lookback predicate must ride an equi-join on
+    (user, bin) — never the nested-loop theta fallback."""
+    df = _q("pipeline_attribution_touch", spark)
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_yoy_broadcasts_both_dims(spark):
+    """customer and nation ride broadcast; the orders fact is never
+    broadcast and the lag window runs on the post-aggregate rollup."""
+    df = _q("pipeline_yoy_growth", spark)
+    assert count_in_plan(df, "BroadcastHashJoin") == 2, formatted_plan(df)
+    assert_in_plan(df, "Window")

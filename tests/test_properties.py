@@ -902,3 +902,81 @@ def test_table_profile_bounds(spark):
         assert r["n_rows"] == n
         assert r["ndv"] <= r["n_rows"] - r["n_null"]
         assert r["min_v"] <= r["max_v"]
+
+
+def test_asof_nearest_never_farther_than_backward(spark):
+    """Bidirectional nearest must be at least as close as the backward
+    as-of match for every event the backward form matches."""
+    from connor_fun_streamproducer_spark.catalog import epoch_seconds
+    from connor_fun_streamproducer_spark.operators.joins import (
+        join_asof_nearest,
+        join_asof_sorted,
+    )
+
+    near = {r["event_id"]: r["dist_sec"] for r in join_asof_nearest(spark, SF_DIR).collect()}
+    e_sec = {
+        r["event_id"]: r["sec"]
+        for r in load(spark, SF_DIR, "events")
+        .select("event_id", epoch_seconds("ts").alias("sec"))
+        .collect()
+    }
+    back = join_asof_sorted(spark, SF_DIR).collect()
+    assert back
+    for r in back:
+        o_sec = int(r["asof_orderdate"].timestamp())
+        back_dist = e_sec[r["event_id"]] - o_sec
+        assert near[r["event_id"]] <= back_dist
+
+
+def test_islands_conserve_active_days(spark):
+    """sum(active_days) == |distinct (user, day)| and every streak fits
+    inside the user's active-day budget."""
+    from connor_fun_streamproducer_spark.catalog import epoch_seconds
+    from connor_fun_streamproducer_spark.operators.windows_ext import (
+        win_islands_consecutive,
+    )
+
+    rows = win_islands_consecutive(spark, SF_DIR).collect()
+    n_user_days = (
+        load(spark, SF_DIR, "events")
+        .select("user_id", F.floor(epoch_seconds("ts") / 86400).alias("d"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["active_days"] for r in rows) == n_user_days
+    assert all(r["max_run"] <= r["active_days"] for r in rows)
+    assert all(r["n_islands"] >= 1 for r in rows)
+
+
+def test_attribution_keeps_every_purchase_and_orders_touches(spark):
+    """Row conservation (one row per purchase, attributed or not) and
+    the first-touch is never later than the last-touch."""
+    from connor_fun_streamproducer_spark.operators.behavior import (
+        pipeline_attribution_touch,
+    )
+
+    rows = pipeline_attribution_touch(spark, SF_DIR).collect()
+    n_purchases = (
+        load(spark, SF_DIR, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    assert len(rows) == n_purchases
+    attributed = [r for r in rows if r["first_type"] is not None]
+    assert attributed  # fixture always has in-window touches
+    for r in attributed:
+        assert r["first_gap_sec"] >= r["last_gap_sec"] >= 0
+
+
+def test_yoy_delta_consistency(spark):
+    """delta == rev − prev wherever prev exists; prev is null exactly
+    when the nation has no yr−1 row."""
+    from connor_fun_streamproducer_spark.operators.behavior import pipeline_yoy_growth
+
+    rows = pipeline_yoy_growth(spark, SF_DIR).collect()
+    have = {(r["n_name"], r["yr"]): r["rev_cents"] for r in rows}
+    for r in rows:
+        prior = have.get((r["n_name"], r["yr"] - 1))
+        if prior is None:
+            assert r["prev_cents"] is None and r["delta_cents"] is None
+        else:
+            assert r["prev_cents"] == prior
+            assert r["delta_cents"] == r["rev_cents"] - prior
