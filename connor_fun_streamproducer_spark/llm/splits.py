@@ -219,3 +219,57 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+N_SHARDS = 8
+
+
+@op(
+    "corpus_shuffle_shard",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % {N_SHARDS} AS shard
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+                AS BIGINT) AS pos
+    FROM h
+    """,
+    tags=("llm", "corpus", "scale"),
+)
+def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle + shard layout for training.
+
+    Training wants documents in an order uncorrelated with ingest order
+    (crawl runs cluster by domain/time; reading them sequentially feeds
+    the model hour-long single-domain streaks). The standard move is a
+    HASH shuffle: order by md5(doc_id) — reproducible across runs and
+    engines, unlike rand() — split into shards by a hash bucket, and
+    number positions within each shard. Output (doc_id, shard, pos) IS
+    the training manifest: reader k streams shard k in pos order.
+
+    Scale: one exchange partitions by shard (hash of the md5 prefix),
+    then each shard sorts locally by the full digest — a per-partition
+    sort, never a global one; shards are balanced by md5 uniformity
+    regardless of doc_id distribution. The position column comes from a
+    row_number window that shares the shard partitioning, so the whole
+    op is exchange → sort → window, the minimal distributed shuffle. At
+    100 TB the same plan writes ``partitionBy(shard)`` with
+    ``sortWithinPartitions(hx)`` and the manifest becomes the layout.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hx")
+    )
+    sharded = d.withColumn(
+        "shard",
+        F.conv(F.substring("hx", 1, 8), 16, 10).cast("long") % N_SHARDS,
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return sharded.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )

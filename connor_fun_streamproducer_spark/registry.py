@@ -285,6 +285,9 @@ _WINDOW_PRIORITY = [
     "win_islands_consecutive",        # new: gaps-and-islands streaks
     "pipeline_yoy_growth",            # new: guarded lag-window YoY report
     "pipeline_attribution_touch",     # new: first/last-touch attribution
+    "text_tokens_bpe_est",            # new: BPE-ish subword budget estimate
+    "corpus_shuffle_shard",           # new: deterministic training shuffle
+    "scan_csv_permissive",            # new: dirty-CSV DROPMALFORMED contract
     # -- (3) stalest externally-green tier (r01 block, then oldest r02);
     #    only the first 11 of this tier still fit inside the 50-key
     #    window after (2b)/(2c) — never-checked beats stale-refresh ------

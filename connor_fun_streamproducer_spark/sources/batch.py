@@ -204,3 +204,67 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.write.mode("overwrite").orc(path)
     back = spark.read.schema(_EVENT_SUBSET_SCHEMA).orc(path)
     return back.select("event_id", "event_type", F.round("value", 4).alias("value"))
+
+
+N_MALFORMED = 3  # injected garbage lines in the permissive-scan fixture
+
+_PERMISSIVE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+@op(
+    "scan_csv_permissive",
+    oracle=f"""
+    SELECT CAST(count(*) + {N_MALFORMED} AS BIGINT) AS n_raw,
+           CAST(count(*) AS BIGINT)                 AS n_good,
+           CAST({N_MALFORMED} AS BIGINT)            AS n_malformed,
+           CAST(sum(event_id) AS BIGINT)            AS id_sum
+    FROM events
+    """,
+    tags=("ext", "source"),
+)
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row handling on a dirty CSV directory — the robustness
+    contract crawl-scale ingest actually needs (real 100 TB text drops
+    always contain truncated lines, wrong column counts, and unparseable
+    values; an ingest that aborts on the first bad row never finishes).
+
+    The fixture injects three garbage lines (wrong arity, wrong
+    types, wrong delimiter) next to a clean CSV dump of events, then
+    reads the directory twice: as raw text (every line counts) and as
+    schema'd CSV under DROPMALFORMED (bad rows silently dropped). The
+    oracle pins all three counts AND an id checksum of the survivors —
+    proving the reader dropped EXACTLY the injected garbage, not one
+    row more or less. Both reads are splittable parallel scans;
+    malformed detection is per-row inside the CSV parser, so the
+    robustness costs nothing extra at scale. (PERMISSIVE +
+    columnNameOfCorruptRecord gives the quarantine-column variant of
+    the same contract; DROPMALFORMED is used here because counting via
+    the corrupt column requires caching the parsed frame — a
+    documented Spark caveat — while the two-scan form stays stateless.)
+    """
+    path = _scratch_dir(sf_dir, "events_csv_dirty")
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        src = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+        src.write.mode("overwrite").csv(path)
+        with open(os.path.join(path, "zz-malformed.csv"), "w") as fh:
+            fh.write("###,not,a,number,extra\n")
+            fh.write("lonely-token\n")
+            fh.write("abc,def,ghi\n")
+        with open(marker, "w"):
+            pass
+    raw = spark.read.text(path)
+    good = spark.read.schema(_PERMISSIVE_SCHEMA).option("mode", "DROPMALFORMED").csv(path)
+    n_raw = raw.count()
+    return good.agg(
+        F.lit(n_raw).cast("bigint").alias("n_raw"),
+        F.count("*").cast("bigint").alias("n_good"),
+        (F.lit(n_raw).cast("bigint") - F.count("*")).alias("n_malformed"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+    )

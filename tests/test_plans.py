@@ -906,3 +906,10 @@ def test_yoy_broadcasts_both_dims(spark):
     df = _q("pipeline_yoy_growth", spark)
     assert count_in_plan(df, "BroadcastHashJoin") == 2, formatted_plan(df)
     assert_in_plan(df, "Window")
+
+
+def test_shuffle_shard_minimal_exchange(spark):
+    """The training shuffle is exchange → per-shard sort → window: ONE
+    shuffle exchange, no global sort."""
+    df = _q("corpus_shuffle_shard", spark)
+    assert count_in_plan(df, "Exchange") == 1, formatted_plan(df)

@@ -980,3 +980,46 @@ def test_yoy_delta_consistency(spark):
         else:
             assert r["prev_cents"] == prior
             assert r["delta_cents"] == r["rev_cents"] - prior
+
+
+def test_bpe_estimate_bounds(spark):
+    """Subword estimate is bounded by words below and chars above, and
+    equals the independent per-word Python computation on a sample."""
+    import math
+
+    from connor_fun_streamproducer_spark.llm.text import text_tokens_bpe_est
+
+    rows = text_tokens_bpe_est(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] <= r["bpe_est"] <= max(r["n_chars"], 1)
+    texts = dict(
+        load(spark, SF_DIR, "documents").select("doc_id", "text").limit(20).collect()
+    )
+    by_id = {r["doc_id"]: r for r in rows}
+    for did, text in texts.items():
+        expect = sum(math.ceil(len(w) / 4) for w in text.split(" "))
+        assert by_id[did]["bpe_est"] == expect
+
+
+def test_shuffle_shard_is_a_permutation_and_balanced(spark):
+    """Every doc appears once, positions are contiguous 1..n per shard,
+    and md5 uniformity keeps shards non-degenerate."""
+    from collections import defaultdict
+
+    from connor_fun_streamproducer_spark.llm.splits import N_SHARDS, corpus_shuffle_shard
+
+    rows = corpus_shuffle_shard(spark, SF_DIR).collect()
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    per = defaultdict(list)
+    for r in rows:
+        per[r["shard"]].append(r["pos"])
+    assert set(per) <= set(range(N_SHARDS))
+    for shard, poss in per.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    assert len(per) == N_SHARDS  # 500 docs over 8 shards: all occupied
+    # determinism across invocations
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in corpus_shuffle_shard(spark, SF_DIR).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
