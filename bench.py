@@ -62,6 +62,13 @@ EXTENDED = [
     "snapshot_diff",
     "win_cumulative_distinct",
     "pipeline_rfm_segments",
+    # round-5 session-5 tier
+    "dedup_chunk_exact",
+    "corpus_shuffle_shard",
+    "join_asof_nearest",
+    "pipeline_attribution_touch",
+    "stats_table_profile",
+    "sink_versioned_manifest",
 ]
 
 

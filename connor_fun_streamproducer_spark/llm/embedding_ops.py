@@ -92,3 +92,65 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recon_err"),
     )
+
+
+@op(
+    "embedding_normalize_l2",
+    oracle=f"""
+    WITH t AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, label, v,
+               greatest(sqrt(list_sum(list_transform(v, x -> x * x))), {_EPS})
+                   AS nrm
+        FROM t
+    )
+    SELECT vec_id, label,
+           round(nrm, 6)                                         AS norm,
+           round(list_sum(list_transform(v, x -> x / nrm)), 4)   AS unit_sum,
+           round(list_max(list_transform(v, x -> abs(x) / nrm)), 4)
+                                                                 AS unit_max
+    FROM n
+    """,
+    tags=("llm", "embedding"),
+)
+def embedding_normalize_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding corpus — the prerequisite for
+    every cosine-based tier (similarity search, embedding dedup,
+    k-means on the unit sphere): after this pass, cosine IS dot
+    product, which halves the arithmetic in every downstream scan.
+
+    Emits per vector: the original L2 norm (the quantity an index
+    stores to undo the normalization) and two checksums of the unit
+    vector (component sum + max |component|) that pin the normalized
+    values without hashing 64 floats directly. Same execution shape as
+    embedding_quantize: one JVM higher-order-function projection, no
+    shuffle, no Python — at 100 TB it streams at parquet-read
+    bandwidth. Zero vectors are guarded by the shared epsilon floor
+    rather than NaN-ing downstream cosine math.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.greatest(
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)),
+        F.lit(float(_EPS)),
+    )
+    d = e.select("vec_id", "label", v.alias("v"), nrm.alias("nrm"))
+    return d.select(
+        "vec_id",
+        "label",
+        F.round("nrm", 6).alias("norm"),
+        F.round(
+            F.aggregate(
+                F.transform("v", lambda x: x / F.col("nrm")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("unit_sum"),
+        F.round(
+            F.array_max(F.transform("v", lambda x: F.abs(x) / F.col("nrm"))), 4
+        ).alias("unit_max"),
+    )

@@ -345,3 +345,104 @@ def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "click_id", "user_id")
     return run_to_memory(joined, output_mode="append")
+
+
+_OUTER_SAFETY = "INTERVAL 15 MINUTES"  # > watermark delay + join bound
+
+
+@op(
+    "join_stream_stream_outer",
+    oracle="""
+    WITH cutoff AS (
+        SELECT least(max(ts) FILTER (WHERE event_type = 'purchase'),
+                     max(ts) FILTER (WHERE event_type = 'click'))
+               - INTERVAL 15 MINUTES AS c
+        FROM events
+    )
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p
+    LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 MINUTE
+    WHERE p.event_type = 'purchase'
+      AND p.ts <= (SELECT c FROM cutoff)
+    """,
+    tags=("ext", "streaming", "join"),
+)
+def join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase emits, matched to
+    in-window clicks or to null once the watermark PROVES no click can
+    still arrive.
+
+    The semantics inner joins can't give: "purchases with no follow-up
+    click" is exactly the null-extended rows, and in streaming those
+    rows can only be emitted when the watermark passes the end of the
+    purchase's match window (before that, a matching click may still be
+    in flight). Two requirements make the state bounded AND the outer
+    rows eventually emit: both sides watermarked, and the join condition
+    time-bounded — then Spark evicts purchase state at watermark and
+    emits the null row at eviction. The final no-data micro-batch
+    (noDataMicroBatches, on by default) flushes evictions after the last
+    file, so the drained sink is deterministic.
+
+    The one caveat IS the op's teaching point: rows younger than
+    (watermark delay + join bound) at end-of-stream are still unproven —
+    no engine can know whether their click is merely late. And the
+    watermark that decides "proven" is PER SIDE: even though the
+    watermark column is attached before the type filter, Catalyst
+    pushes that filter below the EventTimeWatermark node (it doesn't
+    reference the watermark column), so each side's watermark advances
+    only with its own event type and the join's effective watermark is
+    the MIN of the two. Output (and oracle) therefore restrict to
+    purchases older than a 15-minute safety cutoff below
+    least(max purchase ts, max click ts) — the region where streaming
+    left-outer and batch left-join provably agree; this boundary was
+    confirmed empirically (a purchase inside the min-watermark gap is
+    held in state at drain, exactly as the model predicts).
+    """
+    from connor_fun_streamproducer_spark.catalog import load as _load
+    from connor_fun_streamproducer_spark.sources.streams import (
+        events_stream,
+        run_to_memory,
+    )
+
+    cutoff = (
+        _load(spark, sf_dir, "events")
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
+        )
+        .selectExpr(f"least(mp, mc) - {_OUTER_SAFETY} AS c")
+        .collect()[0]["c"]
+    )
+    base = events_stream(spark, sf_dir)
+    purchases = (
+        base.withColumnRenamed("ts", "p_ts")
+        .withWatermark("p_ts", "10 minutes")
+        .filter(F.col("event_type") == "purchase")
+        .withColumnRenamed("event_id", "purchase_id")
+        .select("purchase_id", "user_id", "p_ts")
+    )
+    clicks = (
+        base.withColumnRenamed("ts", "c_ts")
+        .withWatermark("c_ts", "10 minutes")
+        .filter(F.col("event_type") == "click")
+        .withColumnRenamed("event_id", "click_id")
+        .withColumnRenamed("user_id", "c_user_id")
+        .select("click_id", "c_user_id", "c_ts")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 MINUTE")),
+        "leftOuter",
+    )
+    drained = run_to_memory(
+        joined.select("purchase_id", "click_id", "user_id", "p_ts"),
+        output_mode="append",
+    )
+    return drained.filter(F.col("p_ts") <= F.lit(cutoff)).select(
+        "purchase_id", "click_id", "user_id"
+    )

@@ -1023,3 +1023,22 @@ def test_shuffle_shard_is_a_permutation_and_balanced(spark):
     # determinism across invocations
     again = {(r["doc_id"], r["shard"], r["pos"]) for r in corpus_shuffle_shard(spark, SF_DIR).collect()}
     assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+
+
+def test_normalize_l2_unit_property(spark):
+    """Norms are positive and the reported unit checksums match an
+    independent Python recomputation on a sample."""
+    import math
+
+    from connor_fun_streamproducer_spark.llm.embedding_ops import embedding_normalize_l2
+
+    rows = {r["vec_id"]: r for r in embedding_normalize_l2(spark, SF_DIR).collect()}
+    sample = load(spark, SF_DIR, "embeddings").limit(10).collect()
+    assert rows and all(r["norm"] > 0 for r in rows.values())
+    for s in sample:
+        v = [float(x) for x in s["embedding"]]
+        nrm = math.sqrt(sum(x * x for x in v))
+        r = rows[s["vec_id"]]
+        assert abs(r["norm"] - nrm) < 1e-4
+        assert abs(r["unit_sum"] - sum(x / nrm for x in v)) < 1e-3
+        assert abs(r["unit_max"] - max(abs(x) / nrm for x in v)) < 1e-3

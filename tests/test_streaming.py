@@ -369,3 +369,25 @@ def test_restart_under_load_no_loss_no_dup(spark, scratch):
         f"missing={sorted(set(range(n_rows)) - set(got))[:5]}, "
         f"dups={sorted({x for x in got if got.count(x) > 1})[:5]}"
     )
+
+
+def test_outer_join_emits_proven_nulls_and_keeps_matches(spark):
+    """Left-outer stream-stream join: unmatched purchases in the proven
+    region emit exactly one null row; matched purchases carry the same
+    clicks the inner form finds."""
+    from connor_fun_streamproducer_spark import registry
+    from tests.conftest import SF_DIR
+
+    registry._ensure_loaded()
+    rows = registry.OPS["join_stream_stream_outer"].fn(spark, SF_DIR).collect()
+    nulls = [r for r in rows if r["click_id"] is None]
+    matched = {(r["purchase_id"], r["click_id"]) for r in rows if r["click_id"] is not None}
+    assert nulls, "watermark-proven unmatched purchases must emit null rows"
+    # a purchase is either unmatched (exactly one null row) or matched
+    # (never both shapes)
+    null_ids = {r["purchase_id"] for r in nulls}
+    assert len(null_ids) == len(nulls)
+    assert null_ids.isdisjoint({p for p, _ in matched})
+    inner = registry.OPS["join_stream_stream"].fn(spark, SF_DIR).collect()
+    inner_pairs = {(r["purchase_id"], r["click_id"]) for r in inner}
+    assert matched <= inner_pairs
