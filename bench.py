@@ -142,6 +142,18 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - bench must still emit JSON
         print(f"# skew bench skipped: {exc}", file=sys.stderr)
 
+    # UDF-tier microbench: the "UDFs are the slow path" claim, measured.
+    # Same formula three ways — codegen'd built-ins, Arrow-batched pandas
+    # UDF, row-at-a-time Python UDF — over a synthetic column wide enough
+    # that serialization cost dominates (the regime the hierarchy is
+    # about).
+    udf_tiers = None
+    try:
+        udf_tiers = _udf_tier_bench(spark, max(2_000_000, 20 * n_events))
+        print(f"# udf_tiers: {udf_tiers}", file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - bench must still emit JSON
+        print(f"# udf tier bench skipped: {exc}", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_total_wall",
@@ -157,6 +169,8 @@ def main() -> None:
         out["stream_rows_per_sec"] = stream_rows_per_sec
     if skew is not None:
         out["skew_join"] = skew
+    if udf_tiers is not None:
+        out["udf_tiers"] = udf_tiers
     print(json.dumps(out))
     spark.stop()
 
@@ -215,6 +229,57 @@ def _skew_join_bench(spark, n_rows: int) -> dict:
             best = dt if best is None else min(best, dt)
         result[name] = round(best, 3)
     result["salted_speedup"] = round(result["naive_sec"] / result["salted_sec"], 2)
+    return result
+
+
+def _udf_tier_bench(spark, n_rows: int) -> dict:
+    """Min-of-3 wall time for one arithmetic projection, three execution
+    tiers: JVM codegen (built-ins) vs Arrow-vectorized pandas UDF vs
+    row-at-a-time Python UDF. Rows are synthesized with ``range`` so the
+    measurement isolates expression execution + (for the Python tiers)
+    the JVM<->Python transfer, not I/O."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def src():
+        return spark.range(n_rows).select(
+            (F.col("id") % 9973).cast("double").alias("v")
+        )
+
+    # NOTE: no annotations on the body — `from __future__ import
+    # annotations` turns them into strings pandas_udf can't resolve for
+    # nested functions; the explicit returnType carries the typing.
+    @F.pandas_udf(T.DoubleType())
+    def pd_score(v):
+        return v * 1.1 + 2.0
+
+    @F.udf(T.DoubleType())
+    def py_score(v):
+        return v * 1.1 + 2.0
+
+    # The action must CONSUME the computed column — a bare count() lets
+    # column pruning drop the projection and the UDF never executes.
+    builders = {
+        "builtin_sec": lambda: src().select((F.col("v") * 1.1 + 2.0).alias("s")),
+        "pandas_udf_sec": lambda: src().select(pd_score("v").alias("s")),
+        "python_udf_sec": lambda: src().select(py_score("v").alias("s")),
+    }
+    result: dict[str, float] = {"n_rows": n_rows}
+    for name, builder in builders.items():
+        builder().agg(F.sum("s")).collect()  # warm codegen / worker pools
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            builder().agg(F.sum("s")).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        result[name] = round(best, 3)
+    result["pandas_vs_python_speedup"] = round(
+        result["python_udf_sec"] / result["pandas_udf_sec"], 2
+    )
+    result["builtin_vs_python_speedup"] = round(
+        result["python_udf_sec"] / result["builtin_sec"], 2
+    )
     return result
 
 

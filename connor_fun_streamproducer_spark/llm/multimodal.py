@@ -336,3 +336,96 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _resize_payloads,
         schema="doc_id bigint, n_bytes_in bigint, n_bytes_out bigint, resized_sum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio tier: PCM synthesis → windowed energy features
+
+AUDIO_SAMPLES = 256   # int8 PCM samples per clip
+AUDIO_FRAME = 64      # samples per analysis window
+
+
+def synth_pcm(doc_id: int) -> bytes:
+    """Deterministic int8 PCM stand-in for an audio decoder's output.
+
+    sample_i = ((doc_id*31 + i*17) mod 256) − 128 — pure integer
+    arithmetic, so the oracle can regenerate every sample in SQL. A real
+    pipeline replaces this with soundfile/ffmpeg decode of the payload;
+    the batch contract (bytes in, int8 array out) is identical.
+    """
+    return bytes(((doc_id * 31 + i * 17) % 256) for i in range(AUDIO_SAMPLES))
+
+
+def _audio_energy(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """Arrow-batched: synth/decode PCM, frame it, integer RMS energy.
+
+    numpy does the per-clip work as TWO vector ops (byte→int8 view,
+    reshape + square-sum per frame) — no Python loop over samples, the
+    shape a real feature extractor (fbank/MFCC frontend) has at scale.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        out_doc, out_fid, out_energy, out_peak = [], [], [], []
+        for doc_id in pdf["doc_id"]:
+            pcm = np.frombuffer(synth_pcm(int(doc_id)), dtype=np.uint8)
+            samples = pcm.astype(np.int64) - 128
+            frames = samples.reshape(-1, AUDIO_FRAME)
+            energies = (frames * frames).sum(axis=1)
+            peaks = np.abs(frames).max(axis=1)
+            for fid, (en, pk) in enumerate(zip(energies, peaks)):
+                out_doc.append(int(doc_id))
+                out_fid.append(fid)
+                out_energy.append(int(en))
+                out_peak.append(int(pk))
+        yield pd.DataFrame(
+            {
+                "doc_id": out_doc,
+                "frame_id": out_fid,
+                "energy": out_energy,
+                "peak": out_peak,
+            },
+            dtype="int64" if out_doc else None,
+        )
+
+
+@op(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH s AS (
+        SELECT d.doc_id,
+               i.i AS idx,
+               ((d.doc_id * 31 + i.i * 17) % 256) - 128 AS sample
+        FROM documents d
+        JOIN (SELECT unnest(generate_series(0, {AUDIO_SAMPLES - 1})) AS i) i
+          ON TRUE
+    )
+    SELECT doc_id,
+           idx // {AUDIO_FRAME}                          AS frame_id,
+           CAST(sum(sample * sample) AS BIGINT)          AS energy,
+           CAST(max(abs(sample)) AS BIGINT)              AS peak
+    FROM s
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction plumbing: per-clip PCM → fixed windows →
+    integer energy/peak per window (the fbank-frontend shape).
+
+    One synthetic int8 clip per document (decode honestly stubbed as
+    deterministic integer PCM — no audio codec libs in this container;
+    synth_pcm is the swap-point for soundfile/ffmpeg), framed into
+    {AUDIO_FRAME}-sample windows with per-window sum-of-squares energy
+    and peak amplitude, all exact int64 so the DuckDB oracle can
+    regenerate every sample arithmetically and hash-match. Map-only
+    over Arrow batches with numpy vector math inside — no shuffle, no
+    per-sample Python; at 100 TB the audio frontend runs at scan
+    bandwidth and the (clip, window) fan-out inherits the scan's
+    partitioning, exactly like the video framesample above.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _audio_energy,
+        schema="doc_id bigint, frame_id bigint, energy bigint, peak bigint",
+    )

@@ -586,3 +586,79 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status_before",
         "status_after",
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized-view rollup answering (navigational aggregate reuse)
+
+
+def daily_revenue_rollup_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir) the daily revenue rollup — the MV."""
+    import os
+
+    from connor_fun_streamproducer_spark.sources.layout import (
+        _atomic_write,
+        _scratch_path,
+    )
+
+    path = _scratch_path(sf_dir, "lineitem_daily_rollup")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        daily = (
+            load(spark, sf_dir, "lineitem")
+            .groupBy(
+                F.year("l_shipdate").alias("yr"),
+                F.month("l_shipdate").alias("mo"),
+                F.dayofmonth("l_shipdate").alias("dy"),
+            )
+            .agg(
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+                ).alias("cents"),
+                F.count("*").cast("bigint").alias("n"),
+            )
+        )
+        _atomic_write(
+            lambda p: daily.write.mode("overwrite").parquet(p), path
+        )
+    return path
+
+
+@op(
+    "mv_answer_from_rollup",
+    oracle="""
+    SELECT year(l_shipdate)  AS yr,
+           month(l_shipdate) AS mo,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "incremental", "scale"),
+)
+def mv_answer_from_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Answer a MONTHLY revenue query from a DAILY materialized rollup —
+    aggregate navigation, the warehouse move that turns a 100 TB fact
+    scan into a scan of days×1 rows.
+
+    The rollup is legal to reuse because its aggregates are MERGEABLE:
+    sum-of-day-sums == month sum, sum-of-day-counts == month count
+    (exact integer cents make this bit-exact, where re-summing doubles
+    would not be). The oracle computes the month directly from raw
+    lineitem, so the hash-match proves the rewrite loses nothing — the
+    property a query optimizer's MV-rewrite rule must guarantee before
+    it swaps the scan. Non-mergeable aggregates (exact median, count
+    DISTINCT) are exactly the ones this rewrite must refuse; their
+    rollup forms are the sketch tier (operators/sketches.py: KLL,
+    theta) whose mergeability is the whole point.
+
+    At scale: the rollup build is one partial-agg pass paid once (then
+    incrementally maintainable — ivm_delta_agg above is the maintenance
+    op for exactly this shape); every downstream month/quarter/year
+    question reads days-count rows instead of the fact table.
+    """
+    rollup = spark.read.parquet(daily_revenue_rollup_path(spark, sf_dir))
+    return rollup.groupBy("yr", "mo").agg(
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+        F.sum("n").cast("bigint").alias("n_items"),
+    )

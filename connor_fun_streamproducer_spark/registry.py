@@ -290,6 +290,8 @@ _WINDOW_PRIORITY = [
     "scan_csv_permissive",            # new: dirty-CSV DROPMALFORMED contract
     "embedding_normalize_l2",         # new: unit-sphere normalization pass
     "join_stream_stream_outer",       # new: watermark-proven left-outer join
+    "multimodal_audio_energy",        # new: PCM window energy via mapInPandas
+    "mv_answer_from_rollup",          # new: MV aggregate-navigation rewrite
     # -- (3) stalest externally-green tier (r01 block, then oldest r02);
     #    only the first 11 of this tier still fit inside the 50-key
     #    window after (2b)/(2c) — never-checked beats stale-refresh ------

@@ -1042,3 +1042,55 @@ def test_normalize_l2_unit_property(spark):
         assert abs(r["norm"] - nrm) < 1e-4
         assert abs(r["unit_sum"] - sum(x / nrm for x in v)) < 1e-3
         assert abs(r["unit_max"] - max(abs(x) / nrm for x in v)) < 1e-3
+
+
+def test_audio_energy_matches_python_reference(spark):
+    """The Arrow/numpy path reproduces a straight-Python recomputation of
+    the synthetic PCM features for a sample of clips."""
+    from connor_fun_streamproducer_spark.llm.multimodal import (
+        AUDIO_FRAME,
+        AUDIO_SAMPLES,
+        multimodal_audio_energy,
+        synth_pcm,
+    )
+
+    got = {
+        (r["doc_id"], r["frame_id"]): (r["energy"], r["peak"])
+        for r in multimodal_audio_energy(spark, SF_DIR).collect()
+    }
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert len(got) == n_docs * (AUDIO_SAMPLES // AUDIO_FRAME)
+    for doc_id in (0, 1, 7):
+        pcm = synth_pcm(doc_id)
+        samples = [b - 128 for b in pcm]
+        for fid in range(AUDIO_SAMPLES // AUDIO_FRAME):
+            fr = samples[fid * AUDIO_FRAME:(fid + 1) * AUDIO_FRAME]
+            assert got[(doc_id, fid)] == (sum(x * x for x in fr), max(abs(x) for x in fr))
+
+
+def test_mv_rollup_is_day_grained_and_mergeable(spark):
+    """The MV holds day rows; month answers from it equal month answers
+    from raw fact (mergeability), and the rollup is much smaller."""
+    from connor_fun_streamproducer_spark.operators.incremental import (
+        daily_revenue_rollup_path,
+        mv_answer_from_rollup,
+    )
+
+    rollup = spark.read.parquet(daily_revenue_rollup_path(spark, SF_DIR))
+    raw_n = load(spark, SF_DIR, "lineitem").count()
+    # |rollup| is bounded by distinct ship DAYS — at sf0.001 that is ~2.6x
+    # smaller than the fact; the ratio grows linearly with sf since the
+    # day count is fixed by the date range.
+    assert rollup.count() < raw_n / 2
+    assert rollup.groupBy("yr", "mo", "dy").count().filter(F.col("count") > 1).count() == 0
+    months = mv_answer_from_rollup(spark, SF_DIR)
+    direct = (
+        load(spark, SF_DIR, "lineitem")
+        .groupBy(F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mo"))
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")).alias("rev_cents"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+    assert months.exceptAll(direct).count() == 0
+    assert direct.exceptAll(months).count() == 0
