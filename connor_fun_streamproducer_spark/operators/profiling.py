@@ -65,3 +65,88 @@ def stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"),
     )
+
+
+# Pairwise Pearson correlation from exact integer moments. Columns are
+# rescaled to ints whose squares stay inside int64 at any plausible sf:
+# qty <= 50, dollars <= ~6e5, bp <= 11000 -> max square-sum term ~4e11/row.
+_CORR_COLS = {
+    "qty": "CAST(l_quantity AS BIGINT)",
+    "dollars": "CAST(floor(l_extendedprice) AS BIGINT)",
+    "disc_bp": "CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)",
+    "tax_bp": "CAST(floor(l_tax * 10000 + 0.5) AS BIGINT)",
+}
+_CORR_PAIRS = [
+    ("qty", "dollars"),
+    ("qty", "disc_bp"),
+    ("qty", "tax_bp"),
+    ("dollars", "disc_bp"),
+    ("dollars", "tax_bp"),
+    ("disc_bp", "tax_bp"),
+]
+
+
+def _corr_oracle() -> str:
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for name, expr in _CORR_COLS.items():
+        sums.append(f"CAST(sum({expr}) AS BIGINT) AS s_{name}")
+        sums.append(f"CAST(sum(({expr}) * ({expr})) AS BIGINT) AS ss_{name}")
+    for a, b in _CORR_PAIRS:
+        ea, eb = _CORR_COLS[a], _CORR_COLS[b]
+        sums.append(f"CAST(sum(({ea}) * ({eb})) AS BIGINT) AS sp_{a}_{b}")
+    moments = ", ".join(sums)
+    selects = []
+    for a, b in _CORR_PAIRS:
+        cov = f"(CAST(n AS DOUBLE) * sp_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b})"
+        va = f"(CAST(n AS DOUBLE) * ss_{a} - CAST(s_{a} AS DOUBLE) * s_{a})"
+        vb = f"(CAST(n AS DOUBLE) * ss_{b} - CAST(s_{b} AS DOUBLE) * s_{b})"
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"round({cov} / sqrt({va} * {vb}), 6) AS corr FROM m"
+        )
+    return f"WITH m AS (SELECT {moments} FROM lineitem) " + " UNION ALL ".join(selects)
+
+
+@op("agg_corr_pairs", oracle=_corr_oracle(), tags=("ext", "agg", "stats", "scale"))
+def agg_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the four lineitem measures, from
+    EXACT integer moments — the feature-correlation matrix a modeling
+    pipeline computes before feature selection.
+
+    The raw doubles are first rescaled to integers (quantity, whole
+    dollars, discount/tax basis points) so every sufficient statistic
+    (n, Σx, Σx², Σxy) is an exact int64 sum: summation order cannot
+    perturb them, and the final corr double is one fixed arithmetic
+    expression over identical integers on both engines — which is what
+    makes a correlation MATRIX hash-checkable at all (running corr()
+    over doubles would drift in the last ulp per partitioning).
+
+    Scale: ONE scan, one 15-sum aggregate (partial-combined map-side to
+    a single row), then the 6 correlations are driver-side arithmetic on
+    that row — the textbook sufficient-statistics pattern: no column
+    pair ever co-shuffles, adding a column costs 2 sums + its pair
+    terms, and at 100 TB the wire carries 15 integers.
+    """
+    exprs = ["CAST(count(*) AS BIGINT) AS n"]
+    for name, expr in _CORR_COLS.items():
+        exprs.append(f"CAST(sum({expr}) AS BIGINT) AS s_{name}")
+        exprs.append(f"CAST(sum(({expr}) * ({expr})) AS BIGINT) AS ss_{name}")
+    for a, b in _CORR_PAIRS:
+        ea, eb = _CORR_COLS[a], _CORR_COLS[b]
+        exprs.append(f"CAST(sum(({ea}) * ({eb})) AS BIGINT) AS sp_{a}_{b}")
+    m = load(spark, sf_dir, "lineitem").selectExpr("*").agg(
+        *[F.expr(e) for e in exprs]
+    )
+    parts = []
+    for a, b in _CORR_PAIRS:
+        cov = f"(CAST(n AS DOUBLE) * sp_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b})"
+        va = f"(CAST(n AS DOUBLE) * ss_{a} - CAST(s_{a} AS DOUBLE) * s_{a})"
+        vb = f"(CAST(n AS DOUBLE) * ss_{b} - CAST(s_{b} AS DOUBLE) * s_{b})"
+        parts.append(
+            f"struct('{a}' AS col_a, '{b}' AS col_b, "
+            f"round({cov} / sqrt({va} * {vb}), 6) AS corr)"
+        )
+    return (
+        m.selectExpr(f"explode(array({', '.join(parts)})) AS p")
+        .select("p.col_a", "p.col_b", "p.corr")
+    )

@@ -365,3 +365,67 @@ def win_islands_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("bigint").alias("max_run"),
         F.sum("run_len").cast("bigint").alias("active_days"),
     )
+
+
+MEDIAN_FRAME = 5  # trailing orders per rolling-median evaluation
+
+
+@op(
+    "win_median_rolling",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) AS sec
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           lst[CAST((len(lst) + 1) // 2 AS INTEGER)] AS med_cents,
+           CAST(len(lst) AS BIGINT)                  AS n_in_frame
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               list_sort(list(cents) OVER (
+                   PARTITION BY o_custkey ORDER BY sec, o_orderkey
+                   ROWS BETWEEN {MEDIAN_FRAME - 1} PRECEDING AND CURRENT ROW
+               )) AS lst
+        FROM o
+    )
+    """,
+    tags=("ext", "window"),
+)
+def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median of the customer's last 5 order totals — the
+    robust-statistics window no engine offers natively (median is not
+    rank-translatable and not mergeable; contrast the mean/min/max tier
+    in win_rolling_stats).
+
+    Median is defined as the LOWER middle of the sorted frame
+    (``sorted[(n+1) div 2]``, 1-indexed) rather than the interpolating
+    form, so it stays in exact integer cents — both engines evaluate
+    the identical expression and the hash matches bit-for-bit.
+
+    Scale: the frame is a bounded 5 rows, so collect_list-per-frame is
+    O(frame) memory per row and the whole op is one (custkey) exchange
+    + one sort — the same WindowExec cost as any trailing aggregate.
+    The bounded frame is what makes exact medians tractable at 100 TB;
+    the unbounded-window form is precisely what the KLL sketch tier
+    (operators/sketches.py) exists to approximate.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        epoch_seconds("o_orderdate").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("sec", "o_orderkey")
+        .rowsBetween(-(MEDIAN_FRAME - 1), Window.currentRow)
+    )
+    lst = F.array_sort(F.collect_list("cents").over(w))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.element_at(lst, ((F.size(lst) + 1) / 2).cast("int")).alias("med_cents"),
+        F.size(lst).cast("bigint").alias("n_in_frame"),
+    )

@@ -292,6 +292,9 @@ _WINDOW_PRIORITY = [
     "join_stream_stream_outer",       # new: watermark-proven left-outer join
     "multimodal_audio_energy",        # new: PCM window energy via mapInPandas
     "mv_answer_from_rollup",          # new: MV aggregate-navigation rewrite
+    "win_median_rolling",             # new: bounded-frame exact rolling median
+    "agg_corr_pairs",                 # new: corr matrix from integer moments
+    "stream_available_now",           # new: Trigger.AvailableNow batch-incremental
     # -- (3) stalest externally-green tier (r01 block, then oldest r02);
     #    only the first 11 of this tier still fit inside the 50-key
     #    window after (2b)/(2c) — never-checked beats stale-refresh ------

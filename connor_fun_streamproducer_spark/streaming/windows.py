@@ -429,3 +429,53 @@ def stream_topk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         served.withColumn("rk", rk.cast("int"))
         .filter(F.col("rk") <= 3)
     )
+
+
+@op(
+    "stream_available_now",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)  AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("ext", "streaming"),
+)
+def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow — the "incremental batch" execution mode: the
+    query processes everything available at start as a bounded sequence
+    of micro-batches, then STOPS ON ITS OWN (no processAllAvailable
+    babysitting, no always-on cluster).
+
+    This is how production runs a streaming pipeline on a schedule:
+    identical code, checkpointed offsets, exactly-once state — but the
+    job terminates after draining, so a 100 TB backfill or an hourly
+    catch-up run costs only its own runtime while keeping the
+    micro-batch admission control (unlike a plain batch rewrite, the
+    source is still rate-limitable per batch and the checkpoint makes
+    re-runs resume, not restart). The drained per-type counts + id
+    checksum hash-match the batch oracle, proving termination happened
+    only after EVERYTHING available was processed.
+    """
+    import os as _os
+    import uuid as _uuid
+
+    sdf = events_stream(spark, sf_dir)
+    agg = sdf.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+    )
+    name = f"available_now_{_uuid.uuid4().hex[:8]}"
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    ckpt = _os.path.join("/root/repo/.scratch", tag, "ckpt", name)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # availableNow self-terminates after draining
+    return spark.table(name)

@@ -1094,3 +1094,53 @@ def test_mv_rollup_is_day_grained_and_mergeable(spark):
     )
     assert months.exceptAll(direct).count() == 0
     assert direct.exceptAll(months).count() == 0
+
+
+def test_rolling_median_python_reference(spark):
+    """Rolling lower-median matches a straight-Python sliding window for
+    every customer (sf0.001 is small enough to check exhaustively)."""
+    from collections import defaultdict
+
+    from connor_fun_streamproducer_spark.operators.windows_ext import (
+        MEDIAN_FRAME,
+        win_median_rolling,
+    )
+
+    got = {
+        (r["o_custkey"], r["o_orderkey"]): (r["med_cents"], r["n_in_frame"])
+        for r in win_median_rolling(spark, SF_DIR).collect()
+    }
+    orders = defaultdict(list)
+    for r in load(spark, SF_DIR, "orders").collect():
+        cents = int(r["o_totalprice"] * 100 + 0.5)
+        orders[r["o_custkey"]].append((int(r["o_orderdate"].timestamp()), r["o_orderkey"], cents))
+    for cust, rows in orders.items():
+        rows.sort()
+        for i, (_, okey, _c) in enumerate(rows):
+            frame = sorted(c for _, _, c in rows[max(0, i - MEDIAN_FRAME + 1): i + 1])
+            expect = frame[(len(frame) + 1) // 2 - 1]
+            assert got[(cust, okey)] == (expect, len(frame))
+
+
+def test_corr_pairs_bounds_and_python_reference(spark):
+    """All correlations lie in [-1, 1] and the qty/dollars pair matches
+    an independent Python recomputation from the raw table (the fixture
+    draws measures independently, so values sit near 0 — the reference
+    computation, not a structural assumption, is the check)."""
+    import math
+
+    from connor_fun_streamproducer_spark.operators.profiling import agg_corr_pairs
+
+    rows = {(r["col_a"], r["col_b"]): r["corr"] for r in agg_corr_pairs(spark, SF_DIR).collect()}
+    assert len(rows) == 6
+    assert all(-1.0 <= v <= 1.0 for v in rows.values())
+    raw = load(spark, SF_DIR, "lineitem").select("l_quantity", "l_extendedprice").collect()
+    xs = [int(r["l_quantity"]) for r in raw]
+    ys = [math.floor(r["l_extendedprice"]) for r in raw]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    expect = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(rows[("qty", "dollars")] - round(expect, 6)) <= 1e-6
