@@ -149,7 +149,7 @@ def main() -> None:
     # about).
     udf_tiers = None
     try:
-        udf_tiers = _udf_tier_bench(spark, max(2_000_000, 20 * n_events))
+        udf_tiers = _udf_tier_bench(spark, max(8_000_000, 80 * n_events))
         print(f"# udf_tiers: {udf_tiers}", file=sys.stderr)
     except Exception as exc:  # pragma: no cover - bench must still emit JSON
         print(f"# udf tier bench skipped: {exc}", file=sys.stderr)
@@ -249,18 +249,28 @@ def _udf_tier_bench(spark, n_rows: int) -> dict:
     # NOTE: no annotations on the body — `from __future__ import
     # annotations` turns them into strings pandas_udf can't resolve for
     # nested functions; the explicit returnType carries the typing.
+    import math
+
+    import numpy as np
+
+    # The formula does real per-row math (log/sqrt/cos chain) so the
+    # three tiers separate on execution model, not serialization noise —
+    # a bare multiply is too cheap to distinguish Arrow batching from
+    # pickle streaming on a noisy shared host.
     @F.pandas_udf(T.DoubleType())
     def pd_score(v):
-        return v * 1.1 + 2.0
+        return np.log1p(v) * np.sqrt(v + 2.0) + np.cos(v)
 
     @F.udf(T.DoubleType())
     def py_score(v):
-        return v * 1.1 + 2.0
+        return math.log1p(v) * math.sqrt(v + 2.0) + math.cos(v)
 
     # The action must CONSUME the computed column — a bare count() lets
     # column pruning drop the projection and the UDF never executes.
     builders = {
-        "builtin_sec": lambda: src().select((F.col("v") * 1.1 + 2.0).alias("s")),
+        "builtin_sec": lambda: src().select(
+            (F.log1p("v") * F.sqrt(F.col("v") + 2.0) + F.cos("v")).alias("s")
+        ),
         "pandas_udf_sec": lambda: src().select(pd_score("v").alias("s")),
         "python_udf_sec": lambda: src().select(py_score("v").alias("s")),
     }

@@ -186,3 +186,42 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("event_id").cast("bigint").alias("id_xor"),
         F.sum(F.when(bit3, 1).otherwise(0)).cast("bigint").alias("bit3_set"),
     )
+
+
+@op(
+    "fn_try_arith",
+    oracle="""
+    SELECT event_id,
+           round(value / (user_id % 5), 4)                  AS safe_ratio,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           TRY_CAST(event_type AS BIGINT)                   AS bad_cast
+    FROM events
+    """,
+    tags=("ext", "fn"),
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic and casts (``try_*``): malformed input
+    becomes NULL instead of killing the job — the ANSI-mode survival
+    kit for dirty 100 TB data.
+
+    Three shapes: division where the divisor can be zero
+    (``try_divide`` → null, matching DuckDB's SQL NULL-on-zero-divide),
+    a cast of a JSON-extracted digit string (succeeds), and a cast of a
+    non-numeric string (fails → typed NULL, not an exception). Under
+    ANSI SQL mode (Spark 4's default) the un-guarded forms THROW on the
+    first bad row of a 100 TB scan — the try_ family is what makes a
+    long-running ingest total: per-row failures become per-row nulls
+    that downstream quality gates count and quarantine. All map-side
+    codegen'd expressions; zero cost over the unsafe forms.
+    """
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.round(F.try_divide(F.col("value"), F.col("user_id") % 5), 4).alias(
+            "safe_ratio"
+        ),
+        F.expr(
+            "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+        ).alias("k_val"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("bad_cast"),
+    )

@@ -295,6 +295,8 @@ _WINDOW_PRIORITY = [
     "win_median_rolling",             # new: bounded-frame exact rolling median
     "agg_corr_pairs",                 # new: corr matrix from integer moments
     "stream_available_now",           # new: Trigger.AvailableNow batch-incremental
+    "graph_jaccard_neighbors",        # new: wedge-join neighbor similarity
+    "fn_try_arith",                   # new: error-safe try_* surface
     # -- (3) stalest externally-green tier (r01 block, then oldest r02);
     #    only the first 11 of this tier still fit inside the 50-key
     #    window after (2b)/(2c) — never-checked beats stale-refresh ------

@@ -1144,3 +1144,53 @@ def test_corr_pairs_bounds_and_python_reference(spark):
     sxy = sum(x * y for x, y in zip(xs, ys))
     expect = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     assert abs(rows[("qty", "dollars")] - round(expect, 6)) <= 1e-6
+
+
+def test_jaccard_neighbors_matches_brute_force(spark):
+    """Wedge-join Jaccard equals a brute-force Python set computation
+    over the same edge list."""
+    from collections import defaultdict
+
+    from connor_fun_streamproducer_spark.operators.graph import (
+        _pair_edges,
+        graph_jaccard_neighbors,
+    )
+
+    edges = [(r["a"], r["c"]) for r in _pair_edges(spark, SF_DIR).collect()]
+    nbrs = defaultdict(set)
+    for a, c in edges:
+        nbrs[a].add(c)
+        nbrs[c].add(a)
+    got = {
+        (r["user_a"], r["user_b"]): (r["n_common"], r["n_union"], r["jaccard_bp"])
+        for r in graph_jaccard_neighbors(spark, SF_DIR).collect()
+    }
+    expect = {}
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            common = len(nbrs[a] & nbrs[b])
+            if common:
+                union = len(nbrs[a] | nbrs[b])
+                expect[(a, b)] = (common, union, common * 10000 // union)
+    assert got == expect
+    # the sf0.001 graph may have no 2-paths at all; when it does, the op
+    # must surface them (non-vacuity tied to the data, not a guess)
+    assert bool(got) == bool(expect)
+
+
+def test_try_arith_null_contract(spark):
+    """try_divide is null exactly on zero divisors; the JSON-digit cast
+    always succeeds; the non-numeric cast always fails to NULL."""
+    from connor_fun_streamproducer_spark.functions.math_fns import fn_try_arith
+
+    rows = fn_try_arith(spark, SF_DIR).collect()
+    users = {
+        r["event_id"]: r["user_id"]
+        for r in load(spark, SF_DIR, "events").select("event_id", "user_id").collect()
+    }
+    assert rows
+    for r in rows:
+        assert (r["safe_ratio"] is None) == (users[r["event_id"]] % 5 == 0)
+        assert r["k_val"] is not None
+        assert r["bad_cast"] is None
