@@ -662,3 +662,156 @@ def mv_answer_from_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("rev_cents"),
         F.sum("n").cast("bigint").alias("n_items"),
     )
+
+
+_PIT_HIST_CTES = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events WHERE event_type <> 'purchase'
+    ), flagged AS (
+        SELECT user_id, event_id, event_type, sec,
+               CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY sec, event_id) IS NULL
+                    OR lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY sec, event_id) <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM e
+    ), runs AS (
+        SELECT user_id, event_type, sec,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version_seq
+        FROM flagged
+    ), versions AS (
+        SELECT user_id,
+               CAST(version_seq AS BIGINT) AS version_seq,
+               min(event_type)             AS attr_value,
+               min(sec)                    AS valid_from_s
+        FROM runs
+        GROUP BY user_id, version_seq
+    ), hist AS (
+        SELECT user_id, version_seq, attr_value, valid_from_s,
+               lead(valid_from_s) OVER (PARTITION BY user_id
+                                        ORDER BY version_seq) AS valid_to_s
+        FROM versions
+    )
+"""
+
+
+def scd2_nonpurchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history of each user's NON-purchase activity — the dimension
+    side of join_point_in_time (purchases are its facts, so they are
+    excluded from the attribute timeline). Same single-exchange window
+    chain as merge_scd2."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") != "purchase")
+        .select("user_id", "event_id", "event_type", epoch_seconds("ts").alias("sec"))
+    )
+    order = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    prev = F.lag("event_type").over(order)
+    flagged = e.withColumn(
+        "chg", F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    )
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = flagged.withColumn("version_seq", F.sum("chg").over(running))
+    versions = runs.groupBy(
+        "user_id", F.col("version_seq").cast("bigint").alias("version_seq")
+    ).agg(
+        F.min("event_type").alias("attr_value"),
+        F.min("sec").alias("valid_from_s"),
+    )
+    close = Window.partitionBy("user_id").orderBy("version_seq")
+    return versions.select(
+        "user_id",
+        "version_seq",
+        "attr_value",
+        "valid_from_s",
+        F.lead("valid_from_s").over(close).alias("valid_to_s"),
+    )
+
+
+@op(
+    "join_point_in_time",
+    oracle=_PIT_HIST_CTES
+    + """
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           h.version_seq,
+           h.attr_value
+    FROM events p
+    LEFT JOIN hist h
+      ON h.user_id = p.user_id
+     AND h.valid_from_s <= CAST(floor(epoch(p.ts)) AS BIGINT)
+     AND (h.valid_to_s IS NULL
+          OR CAST(floor(epoch(p.ts)) AS BIGINT) < h.valid_to_s)
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("ext", "temporal", "join", "scale"),
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each PURCHASE matched to the SCD2 version
+    of the user's NON-purchase activity state valid at purchase time —
+    the canonical "as the world looked then" warehouse join, and the
+    training-data form of temporal leakage control (a feature store
+    must join features as-of the label's time, never the current row;
+    here the label is the purchase, the feature is the browsing state).
+
+    The interval predicate (valid_from <= t < valid_to) never becomes a
+    join condition: because SCD2 intervals PARTITION each key's
+    timeline, "the version valid at t" == "the latest version starting
+    at-or-before t" — an as-of problem. So the op reuses the merge-sort
+    carry tape (join_asof_sorted): version-start rows and fact rows
+    union into one frame, one (user) exchange + sort, carry-forward of
+    the latest version struct, facts keep their carried version. Facts
+    before a user's first version (or with no history at all) surface
+    typed NULLs — LEFT semantics as a filter decision, same as
+    join_asof_left); the null class is real in this corpus — users
+    whose first-ever event is a purchase.
+
+    Scale: identical envelope to the as-of tape — single exchange, no
+    join nodes, no interval explode; per-user cost linear in
+    |versions| + |facts|. The oracle computes the same result from the
+    raw interval join, so the hash-match proves the asof-reduction is
+    exact, including both NULL classes.
+    """
+    hist = scd2_nonpurchase_history(spark, sf_dir).select(
+        "user_id",
+        F.col("valid_from_s").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        "version_seq",
+        "attr_value",
+    )
+    facts = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            epoch_seconds("ts").alias("t"),
+            F.lit(1).alias("kind"),
+            F.col("event_id").alias("purchase_id"),
+            F.lit(None).cast("bigint").alias("version_seq"),
+            F.lit(None).cast("string").alias("attr_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "version_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(F.col("kind") == 0, F.struct("version_seq", "attr_value")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        hist.unionByName(facts)
+        .withColumn("v", carried)
+        .filter(F.col("kind") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("v.version_seq").alias("version_seq"),
+            F.col("v.attr_value").alias("attr_value"),
+        )
+    )

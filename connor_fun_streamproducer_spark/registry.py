@@ -297,6 +297,7 @@ _WINDOW_PRIORITY = [
     "stream_available_now",           # new: Trigger.AvailableNow batch-incremental
     "graph_jaccard_neighbors",        # new: wedge-join neighbor similarity
     "fn_try_arith",                   # new: error-safe try_* surface
+    "join_point_in_time",             # new: SCD2 point-in-time fact join
     # -- (3) stalest externally-green tier (r01 block, then oldest r02);
     #    only the first 11 of this tier still fit inside the 50-key
     #    window after (2b)/(2c) — never-checked beats stale-refresh ------

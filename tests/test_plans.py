@@ -913,3 +913,13 @@ def test_shuffle_shard_minimal_exchange(spark):
     shuffle exchange, no global sort."""
     df = _q("corpus_shuffle_shard", spark)
     assert count_in_plan(df, "Exchange") == 1, formatted_plan(df)
+
+
+def test_point_in_time_join_is_tape_not_interval_join(spark):
+    """PIT against SCD2 history must reduce to the as-of carry tape:
+    single user-keyed shuffle exchange chain, zero join nodes, no
+    interval explode."""
+    df = _q("join_point_in_time", spark)
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert_not_in_plan(df, j)

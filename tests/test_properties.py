@@ -1194,3 +1194,43 @@ def test_try_arith_null_contract(spark):
         assert (r["safe_ratio"] is None) == (users[r["event_id"]] % 5 == 0)
         assert r["k_val"] is not None
         assert r["bad_cast"] is None
+
+
+def test_point_in_time_respects_interval_semantics(spark):
+    """Every matched purchase's version interval actually contains the
+    purchase time; unmatched purchases predate the user's non-purchase
+    history entirely — and both classes occur in the fixture."""
+    from connor_fun_streamproducer_spark.operators.incremental import (
+        join_point_in_time,
+        scd2_nonpurchase_history,
+    )
+
+    hist = {}
+    for r in scd2_nonpurchase_history(spark, SF_DIR).collect():
+        hist.setdefault(r["user_id"], {})[r["version_seq"]] = (
+            r["valid_from_s"],
+            r["valid_to_s"],
+            r["attr_value"],
+        )
+    purchases = {
+        r["event_id"]: (r["user_id"], int(r["ts"].timestamp()))
+        for r in load(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .collect()
+    }
+    rows = join_point_in_time(spark, SF_DIR).collect()
+    assert len(rows) == len(purchases)
+    matched = nulls = 0
+    for r in rows:
+        user, t = purchases[r["purchase_id"]]
+        assert user == r["user_id"]
+        if r["version_seq"] is None:
+            versions = hist.get(user)
+            assert versions is None or t < min(v[0] for v in versions.values())
+            nulls += 1
+        else:
+            lo, hi, attr = hist[user][r["version_seq"]]
+            assert lo <= t and (hi is None or t < hi)
+            assert attr == r["attr_value"]
+            matched += 1
+    assert matched > 0 and nulls > 0
