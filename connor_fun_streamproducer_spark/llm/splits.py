@@ -273,3 +273,80 @@ def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded.select(
         "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
     )
+
+
+# Quantized Poisson(1) pmf in basis points: P(0)=.3679, P(1)=.3679,
+# P(2)=.1839, P(3)=.0613, P(>=4) tail folded into 4 (0.0190).
+_BOOT_MULT = 2654435461
+_POIS_BP = (3679, 7358, 9197, 9810)  # cumulative basis points for k=0..3
+
+
+def _bootstrap_copies_sql(bucket: str) -> str:
+    return (
+        f"CASE WHEN {bucket} < {_POIS_BP[0]} THEN 0 "
+        f"WHEN {bucket} < {_POIS_BP[1]} THEN 1 "
+        f"WHEN {bucket} < {_POIS_BP[2]} THEN 2 "
+        f"WHEN {bucket} < {_POIS_BP[3]} THEN 3 ELSE 4 END"
+    )
+
+
+@op(
+    "sample_bootstrap",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang,
+               ((doc_id % {_KEY_REDUCE}) * {_BOOT_MULT}) % 10000 AS bucket
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, {_bootstrap_copies_sql('bucket')} AS n_copies
+        FROM b
+    )
+    SELECT c.doc_id, c.lang, CAST(c.n_copies AS BIGINT) AS n_copies,
+           CAST(r.i AS BIGINT) AS replica
+    FROM c JOIN (SELECT unnest(generate_series(1, 4)) AS i) r
+      ON r.i <= c.n_copies
+    """,
+    tags=("llm", "corpus", "split"),
+)
+def sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap resample of the corpus — the
+    distributed form of sampling WITH replacement (uncertainty
+    estimation, bagging, data-mixing ablations).
+
+    True with-replacement sampling needs global coordination; the
+    Poisson approximation replaces it with an independent per-row copy
+    count ~ Poisson(1) (the standard trick: for n large, multinomial
+    row counts converge to independent Poissons). Here the Poisson draw
+    is DERANDOMIZED: a Knuth-hash bucket in [0, 10000) thresholded at
+    the quantized Poisson(1) CDF (basis points, tail folded at 4), so
+    the resample is reproducible across runs, partitionings, and
+    engines — rand()-based Poisson is none of those. Rows with count 0
+    drop; rows with count k explode into k replicas tagged 1..k.
+
+    Scale: map-side projection + bounded explode (≤4); expected output
+    size == input size; zero shuffles. A replica-aware downstream
+    (e.g. bagged quality scoring) groups on (doc_id, replica).
+    """
+    b = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (((F.col("doc_id") % _KEY_REDUCE) * _BOOT_MULT) % 10000).alias("bucket"),
+    )
+    copies = (
+        F.when(F.col("bucket") < _POIS_BP[0], 0)
+        .when(F.col("bucket") < _POIS_BP[1], 1)
+        .when(F.col("bucket") < _POIS_BP[2], 2)
+        .when(F.col("bucket") < _POIS_BP[3], 3)
+        .otherwise(4)
+    )
+    c = b.select("doc_id", "lang", copies.alias("n_copies"))
+    return (
+        c.filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("replica"),
+        )
+        .withColumn("replica", F.col("replica").cast("bigint"))
+    )

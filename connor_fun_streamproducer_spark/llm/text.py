@@ -271,3 +271,63 @@ def text_tokens_bpe_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars"),
         bpe.alias("bpe_est"),
     )
+
+
+@op(
+    "text_entropy_source",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), counts AS (
+        SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2
+    ), m AS (
+        SELECT source,
+               CAST(sum(c) AS BIGINT)                AS n_tokens,
+               CAST(count(*) AS BIGINT)              AS n_types,
+               sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS sum_clogc
+        FROM counts GROUP BY source
+    )
+    SELECT source, n_tokens, n_types,
+           round(log2(CAST(n_tokens AS DOUBLE)) - sum_clogc / n_tokens, 6)
+               AS entropy_bits
+    FROM m
+    """,
+    tags=("llm", "text", "scale"),
+)
+def text_entropy_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per source — the diversity
+    signal corpus curation ranks sources by (a source whose token
+    distribution has collapsed — boilerplate, templated spam, scraped
+    error pages — shows low entropy long before a human reads it).
+
+    Uses the sufficient-statistics identity H = log2(N) − (Σ c·log2 c)/N
+    over EXACT integer token counts, so the only float work is one
+    log2-weighted sum of identical integers on both engines — the same
+    hash-stability discipline as agg_corr_pairs. Two hash aggregations:
+    (source, token) counts (the only corpus-sized exchange, partial-agg
+    map-side), then the per-source moment fold at |sources| ×
+    |vocabulary| rows. No windows, no joins; at 100 TB the cost is the
+    token-count aggregation every corpus pipeline already runs.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    counts = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    m = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double"))).alias(
+            "sum_clogc"
+        ),
+    )
+    return m.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.log2(F.col("n_tokens").cast("double"))
+            - F.col("sum_clogc") / F.col("n_tokens"),
+            6,
+        ).alias("entropy_bits"),
+    )

@@ -298,6 +298,8 @@ _WINDOW_PRIORITY = [
     "graph_jaccard_neighbors",        # new: wedge-join neighbor similarity
     "fn_try_arith",                   # new: error-safe try_* surface
     "join_point_in_time",             # new: SCD2 point-in-time fact join
+    "sample_bootstrap",               # new: derandomized Poisson bootstrap
+    "text_entropy_source",            # new: per-source token entropy
     # -- (3) stalest externally-green tier (r01 block, then oldest r02);
     #    only the first 11 of this tier still fit inside the 50-key
     #    window after (2b)/(2c) — never-checked beats stale-refresh ------

@@ -1234,3 +1234,47 @@ def test_point_in_time_respects_interval_semantics(spark):
             assert attr == r["attr_value"]
             matched += 1
     assert matched > 0 and nulls > 0
+
+
+def test_bootstrap_replica_structure_and_mass(spark):
+    """Replicas are numbered 1..n_copies per doc; expected total mass is
+    ~input size (Poisson(1) quantized), and the draw is reproducible."""
+    from collections import defaultdict
+
+    from connor_fun_streamproducer_spark.llm.splits import sample_bootstrap
+
+    rows = sample_bootstrap(spark, SF_DIR).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["doc_id"]].append((r["replica"], r["n_copies"]))
+    for did, reps in per.items():
+        n = reps[0][1]
+        assert sorted(x[0] for x in reps) == list(range(1, n + 1))
+        assert all(x[1] == n for x in reps)
+    n_docs = load(spark, SF_DIR, "documents").count()
+    # quantized Poisson(1): E[copies] = .3679*1+.1839*2+.0613*3+.019*4 ≈ 1.0
+    assert 0.7 * n_docs <= len(rows) <= 1.3 * n_docs
+    again = {(r["doc_id"], r["replica"]) for r in sample_bootstrap(spark, SF_DIR).collect()}
+    assert again == {(r["doc_id"], r["replica"]) for r in rows}
+
+
+def test_entropy_bounds_and_python_reference(spark):
+    """0 <= H <= log2(n_types); matches an independent Python
+    computation per source."""
+    import math
+    from collections import Counter, defaultdict
+
+    from connor_fun_streamproducer_spark.llm.text import text_entropy_source
+
+    got = {r["source"]: r for r in text_entropy_source(spark, SF_DIR).collect()}
+    toks = defaultdict(Counter)
+    for r in load(spark, SF_DIR, "documents").select("source", "text").collect():
+        toks[r["source"]].update(r["text"].split(" "))
+    assert set(got) == set(toks)
+    for src, counter in toks.items():
+        n = sum(counter.values())
+        h = math.log2(n) - sum(c * math.log2(c) for c in counter.values()) / n
+        r = got[src]
+        assert r["n_tokens"] == n and r["n_types"] == len(counter)
+        assert abs(r["entropy_bits"] - h) < 1e-5
+        assert 0.0 <= r["entropy_bits"] <= math.log2(max(r["n_types"], 2))
