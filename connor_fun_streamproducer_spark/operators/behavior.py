@@ -606,3 +606,70 @@ def pipeline_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_t.ttype").alias("last_type"),
         (F.col("psec") - F.col("last_t.tsec")).alias("last_gap_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition (clickstream path) analysis
+
+_TRANSITION_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec
+    FROM events
+), seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY sec, event_id) AS prev_type
+    FROM e
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * 10000 //
+            sum(count(*)) OVER (PARTITION BY prev_type) AS BIGINT)
+           AS share_bp
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+@op(
+    "pipeline_event_transitions",
+    oracle=_TRANSITION_ORACLE,
+    tags=("ext", "pipeline", "window"),
+)
+def pipeline_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (clickstream path analysis):
+    for each (previous type → next type) pair, its count and its share
+    of all transitions out of the previous type, in integer basis
+    points — the Markov-chain summary behind "what do users do after a
+    signup?" and the input to next-event prediction baselines.
+
+    One lag window builds the transition pairs on a (user) exchange
+    bounded by each user's own history; the count aggregate then
+    reduces to |types|² rows, and the row-share normalization runs as a
+    window over THAT tiny matrix — so the only corpus-sized stage is
+    the first exchange, shared with every other per-user window op.
+    Shares use floor division over exact counts (no float ratio to
+    drift); each row of the matrix sums to ≤ 10000 with the remainder
+    being truncation, which downstream consumers re-derive from n.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", epoch_seconds("ts").alias("sec")
+    )
+    order = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(order))
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    row_total = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.floor(F.col("n") * 10000 / F.sum("n").over(row_total))
+        .cast("bigint")
+        .alias("share_bp"),
+    )

@@ -1278,3 +1278,26 @@ def test_entropy_bounds_and_python_reference(spark):
         assert r["n_tokens"] == n and r["n_types"] == len(counter)
         assert abs(r["entropy_bits"] - h) < 1e-5
         assert 0.0 <= r["entropy_bits"] <= math.log2(max(r["n_types"], 2))
+
+
+def test_event_transitions_conserve_and_shares_bound(spark):
+    """Total transition count == events − users-with-events (each user's
+    first event has no predecessor); per-row shares sum to <= 10000 with
+    truncation remainder < row count."""
+    from collections import defaultdict
+
+    from connor_fun_streamproducer_spark.operators.behavior import (
+        pipeline_event_transitions,
+    )
+
+    rows = pipeline_event_transitions(spark, SF_DIR).collect()
+    ev = load(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_events - n_users
+    by_prev = defaultdict(list)
+    for r in rows:
+        by_prev[r["prev_type"]].append(r)
+    for prev, rs in by_prev.items():
+        total_bp = sum(r["share_bp"] for r in rs)
+        assert 10000 - len(rs) < total_bp <= 10000, (prev, total_bp)
