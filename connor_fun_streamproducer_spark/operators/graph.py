@@ -677,3 +677,94 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_union.cast("bigint").alias("n_union"),
         F.floor(F.col("n_common") * 10000 / n_union).cast("bigint").alias("jaccard_bp"),
     )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 6  # fixture fixpoint is reached in <= 4; +2 idempotent slack
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling: s0 = all nodes; s_{i+1} = nodes with >= K
+    neighbors inside s_i. Fixed rounds keep it pure SQL (no recursive
+    aggregate), and idempotence past the fixpoint makes the unroll exact
+    — pinned by tests asserting round N == round N+1 on the fixture."""
+    ctes = ["""
+buck AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+sized AS (SELECT b FROM buck GROUP BY b HAVING count(*) BETWEEN 2 AND 8),
+e AS (
+    SELECT DISTINCT x.user_id AS a, y.user_id AS c
+    FROM buck x JOIN buck y USING (b) JOIN sized USING (b)
+    WHERE x.user_id < y.user_id
+),
+und AS (SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e),
+s0 AS (SELECT DISTINCT u FROM und)"""]
+    for i in range(_KCORE_ROUNDS):
+        ctes.append(f"""
+s{i + 1} AS (
+    SELECT und.u
+    FROM und
+    JOIN s{i} su ON su.u = und.u
+    JOIN s{i} sv ON sv.u = und.v
+    GROUP BY und.u
+    HAVING count(*) >= {_KCORE_K}
+)""")
+    last = f"s{_KCORE_ROUNDS}"
+    return (
+        "WITH " + ",".join(ctes) + f"""
+SELECT und.u AS user_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM und
+JOIN {last} su ON su.u = und.u
+JOIN {last} sv ON sv.u = und.v
+GROUP BY und.u
+"""
+    )
+
+
+@op("graph_kcore", oracle=_kcore_oracle(), tags=("ext", "graph", "iterative", "scale"))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the shared-purchase-cents graph: iteratively peel nodes
+    with fewer than 2 surviving neighbors until stable; emit each core
+    node with its within-core degree — the standard graph-cleaning pass
+    (tendrils and leaves drop; the dense interaction backbone remains)
+    before community/centrality work.
+
+    The iterative-fixpoint op made fully hash-checkable: BOTH engines
+    run the identical FIXED number of peel rounds (6; the fixture
+    converges in <= 4 and peeling is idempotent past the fixpoint, so
+    the extra rounds change nothing — idempotence is itself pinned in
+    tests). Spark runs the rounds as a driver loop over DataFrame ops
+    — per round one (node-in-set x edge) semi-shaped join pair and a
+    degree hash-agg, localCheckpointed to keep lineage flat, the same
+    discipline as graph_pagerank_dist/BFS; the oracle unrolls the same
+    rounds as chained CTEs. At 100 TB each round is two hash joins on
+    the (shrinking) survivor set + one aggregate; round count for a
+    true unbounded peel is O(max core number), with the usual
+    production cutoff at a fixed round budget exactly like this one.
+    """
+    e = _pair_edges(spark, sf_dir)
+    und = e.select(F.col("a").alias("u"), F.col("c").alias("v")).unionByName(
+        e.select(F.col("c").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()
+    s = und.select("u").distinct()
+    for _ in range(_KCORE_ROUNDS):
+        su = s.select(F.col("u"))
+        sv = s.select(F.col("u").alias("v"))
+        s = (
+            und.join(su, "u")
+            .join(sv, "v")
+            .groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("u")
+            .localCheckpoint()
+        )
+    sv = s.select(F.col("u").alias("v"))
+    return (
+        und.join(s, "u")
+        .join(sv, "v")
+        .groupBy(F.col("u").alias("user_id"))
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+    )

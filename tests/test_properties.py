@@ -1301,3 +1301,34 @@ def test_event_transitions_conserve_and_shares_bound(spark):
     for prev, rs in by_prev.items():
         total_bp = sum(r["share_bp"] for r in rs)
         assert 10000 - len(rs) < total_bp <= 10000, (prev, total_bp)
+
+
+def test_kcore_matches_python_peel_at_sf001(spark):
+    """The sf0.001 2-core is empty (vacuous oracle there), so pin the
+    non-degenerate behavior at sf0.01 against an exhaustive Python
+    peel run to ITS OWN fixpoint — also proving the fixed 6-round
+    unroll had converged (idempotence)."""
+    from collections import defaultdict
+
+    from connor_fun_streamproducer_spark.operators.graph import (
+        _KCORE_K,
+        _pair_edges,
+        graph_kcore,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    edges = [(r["a"], r["c"]) for r in _pair_edges(spark, sf).collect()]
+    nbrs = defaultdict(set)
+    for a, c in edges:
+        nbrs[a].add(c)
+        nbrs[c].add(a)
+    core = set(nbrs)
+    while True:
+        drop = {u for u in core if len(nbrs[u] & core) < _KCORE_K}
+        if not drop:
+            break
+        core -= drop
+    expect = {u: len(nbrs[u] & core) for u in core}
+    got = {r["user_id"]: r["core_degree"] for r in graph_kcore(spark, sf).collect()}
+    assert got == expect
+    assert got and all(d >= _KCORE_K for d in got.values())
