@@ -673,3 +673,72 @@ def pipeline_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness
+
+_STICKINESS_ORACLE = """
+WITH d AS (
+    SELECT DISTINCT
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400  AS day,
+           user_id
+    FROM events
+), daily AS (
+    SELECT day, count(*) AS dau FROM d GROUP BY day
+), monthly AS (
+    SELECT (day * 86400) // 2592000 AS mkey,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+    FROM d GROUP BY 1
+)
+SELECT daily.day,
+       CAST(daily.dau AS BIGINT)     AS dau,
+       monthly.mau                   AS mau,
+       CAST(daily.dau * 10000 // monthly.mau AS BIGINT) AS stickiness_bp
+FROM daily
+JOIN monthly ON (daily.day * 86400) // 2592000 = monthly.mkey
+"""
+
+
+@op(
+    "pipeline_dau_mau_stickiness",
+    oracle=_STICKINESS_ORACLE,
+    tags=("ext", "pipeline", "behavior"),
+)
+def pipeline_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / MAU stickiness per day — the product-engagement headline
+    metric: what fraction of the 30-day active base showed up today,
+    in integer basis points.
+
+    Both granularities roll up from ONE distinct (day, user) frame —
+    the same collapse the retention triangle rides — so the corpus is
+    deduplicated once and every later stage runs on ≤ users×days rows:
+    a per-day count, a per-30-day-bucket distinct count, and a
+    broadcast-scale join between the two rollups. The 30-day window is
+    a fixed epoch bucket (epoch_sec div 2592000) rather than a
+    calendar month: identical integer arithmetic on both engines, and
+    at 100 TB it keeps MAU a plain mergeable distinct-count per bucket
+    instead of a 30-day sliding distinct (which is what the HLL sketch
+    tier is for when the product wants the sliding form).
+    """
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.floor(epoch_seconds("ts") / 86400).cast("bigint").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    daily = d.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    monthly = d.groupBy(
+        F.floor(F.col("day") * 86400 / 2592000).cast("bigint").alias("mkey")
+    ).agg(F.count_distinct("user_id").cast("bigint").alias("mau"))
+    out = daily.withColumn(
+        "mkey", F.floor(F.col("day") * 86400 / 2592000).cast("bigint")
+    ).join(F.broadcast(monthly), "mkey")
+    return out.select(
+        "day",
+        "dau",
+        "mau",
+        F.floor(F.col("dau") * 10000 / F.col("mau")).cast("bigint").alias("stickiness_bp"),
+    )

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from connor_fun_streamproducer_spark.catalog import load
 from connor_fun_streamproducer_spark.registry import op
@@ -149,4 +150,77 @@ def agg_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         m.selectExpr(f"explode(array({', '.join(parts)})) AS p")
         .select("p.col_a", "p.col_b", "p.corr")
+    )
+
+
+_GINI_ORACLE = """
+WITH cust AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT cents,
+           row_number() OVER (ORDER BY cents, o_custkey) AS rk
+    FROM cust
+), m AS (
+    SELECT CAST(count(*) AS BIGINT)        AS n,
+           CAST(sum(cents) AS BIGINT)      AS total,
+           CAST(sum(rk * cents) AS BIGINT) AS weighted
+    FROM ranked
+)
+SELECT n, total, weighted,
+       round((2.0 * weighted) / (CAST(n AS DOUBLE) * total)
+             - (CAST(n AS DOUBLE) + 1) / n, 6) AS gini
+FROM m
+"""
+
+
+@op("agg_gini_concentration", oracle=_GINI_ORACLE, tags=("ext", "agg", "stats"))
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality summary behind "do 20% of customers drive 80% of
+    revenue?" (the distribution-level companion to the per-row ABC
+    classes in pipeline_abc_pareto).
+
+    Uses the rank formula G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over
+    customers sorted ascending by exact integer cents (ties broken by
+    key, so the rank — and therefore Σi·xᵢ, since equal-x ranks are
+    interchangeable in the sum — is total-order deterministic). All
+    three sufficient statistics are exact int64 sums; the Gini double
+    is one fixed expression over identical integers on both engines,
+    the same discipline as agg_corr_pairs.
+
+    Scale: one per-customer aggregate (partial-combined), one global
+    sort for ranks — the only stage that is genuinely a sort, as in
+    any exact-rank statistic; range partitioning keeps it distributed
+    and the post-sort moment fold is a single-row reduce. The
+    sort-free production approximation (quantile-sketch Lorenz curve)
+    is the KLL tier's job.
+    """
+    cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = cust.select("cents", F.row_number().over(w).alias("rk"))
+    m = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+        F.sum(F.col("rk") * F.col("cents")).cast("bigint").alias("weighted"),
+    )
+    return m.select(
+        "n",
+        "total",
+        "weighted",
+        F.round(
+            (2.0 * F.col("weighted")) / (F.col("n").cast("double") * F.col("total"))
+            - (F.col("n").cast("double") + 1) / F.col("n"),
+            6,
+        ).alias("gini"),
     )

@@ -302,6 +302,8 @@ _WINDOW_PRIORITY = [
     "text_entropy_source",            # new: per-source token entropy
     "pipeline_event_transitions",     # new: Markov transition matrix
     "graph_kcore",                    # new: fixed-round 2-core peel
+    "pipeline_dau_mau_stickiness",    # new: DAU/MAU engagement ratio
+    "agg_gini_concentration",         # new: exact-rank Gini coefficient
     # -- (3) stalest externally-green tier (r01 block, then oldest r02);
     #    only the first 11 of this tier still fit inside the 50-key
     #    window after (2b)/(2c) — never-checked beats stale-refresh ------

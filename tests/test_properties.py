@@ -1332,3 +1332,47 @@ def test_kcore_matches_python_peel_at_sf001(spark):
     got = {r["user_id"]: r["core_degree"] for r in graph_kcore(spark, sf).collect()}
     assert got == expect
     assert got and all(d >= _KCORE_K for d in got.values())
+
+
+def test_stickiness_bounds_and_day_mass(spark):
+    """DAU <= MAU always (stickiness <= 10000 bp); per-day DAU sums to
+    the distinct (day, user) mass."""
+    from connor_fun_streamproducer_spark.catalog import epoch_seconds
+    from connor_fun_streamproducer_spark.operators.behavior import (
+        pipeline_dau_mau_stickiness,
+    )
+
+    rows = pipeline_dau_mau_stickiness(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["dau"] <= r["mau"]
+        assert 0 < r["stickiness_bp"] <= 10000
+    mass = (
+        load(spark, SF_DIR, "events")
+        .select(F.floor(epoch_seconds("ts") / 86400).alias("d"), "user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["dau"] for r in rows) == mass
+
+
+def test_gini_matches_python_and_is_in_range(spark):
+    """Gini in [0, 1); equals the textbook computation over the exact
+    per-customer cents."""
+    from collections import defaultdict
+
+    from connor_fun_streamproducer_spark.operators.profiling import (
+        agg_gini_concentration,
+    )
+
+    r = agg_gini_concentration(spark, SF_DIR).collect()[0]
+    cents = defaultdict(int)
+    for o in load(spark, SF_DIR, "orders").collect():
+        cents[o["o_custkey"]] += int(o["o_totalprice"] * 100 + 0.5)
+    xs = [c for _, c in sorted(cents.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, total = len(xs), sum(xs)
+    weighted = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = (2.0 * weighted) / (n * total) - (n + 1) / n
+    assert r["n"] == n and r["total"] == total and r["weighted"] == weighted
+    assert abs(r["gini"] - round(gini, 6)) <= 1e-6
+    assert 0.0 <= r["gini"] < 1.0
