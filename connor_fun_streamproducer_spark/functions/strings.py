@@ -53,3 +53,53 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("lang"), F.lit("e"), F.lit("E")).alias("lang_replaced"),
         F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
     )
+
+
+@op(
+    "fn_surrogate_key",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source, md5(source || '|' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    )
+    SELECT doc_id, source,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-' ||
+           substr(hx, 13, 4) || '-' || substr(hx, 17, 4) || '-' ||
+           substr(hx, 21, 12)                                   AS sk_uuid,
+           CAST(CAST(concat('0x', substr(hx, 1, 15)) AS UBIGINT)
+                AS BIGINT)                                       AS sk_int
+    FROM h
+    """,
+    tags=("ext", "fn"),
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key minting from natural keys — the
+    dimension-load stage that replaces sequence generators at scale.
+
+    A sequence/IDENTITY column needs global coordination (the thing a
+    1000-executor load job cannot have); the distributed answer is a
+    HASH surrogate: md5 over the delimited natural key yields the same
+    key on every run, every cluster, and in every engine — idempotent
+    re-loads, reproducible joins, no coordination. Emitted in both
+    common shapes: UUID-formatted text (external interchange) and a
+    60-bit BIGINT (15 hex digits — always positive, join-key friendly;
+    collision odds follow the birthday bound, ~1e-10 at a billion
+    keys). The '|' delimiter guards the classic concat ambiguity
+    ('ab'+'c' vs 'a'+'bc'). Pure map-side codegen; zero shuffles.
+    """
+    d = load(spark, sf_dir, "documents")
+    hx = F.md5(F.concat_ws("|", F.col("source"), F.col("doc_id").cast("string")))
+    h = d.select("doc_id", "source", hx.alias("hx"))
+    return h.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "-",
+            F.substring("hx", 1, 8),
+            F.substring("hx", 9, 4),
+            F.substring("hx", 13, 4),
+            F.substring("hx", 17, 4),
+            F.substring("hx", 21, 12),
+        ).alias("sk_uuid"),
+        F.conv(F.substring("hx", 1, 15), 16, 10).cast("bigint").alias("sk_int"),
+    )

@@ -742,3 +742,78 @@ def pipeline_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         F.floor(F.col("dau") * 10000 / F.col("mau")).cast("bigint").alias("stickiness_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves
+
+_LTV_ORACLE = """
+WITH e AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week,
+           CASE WHEN event_type = 'purchase'
+                THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                ELSE 0 END AS cents
+    FROM events
+), anchored AS (
+    SELECT user_id, week, cents,
+           min(week) OVER (PARTITION BY user_id) AS cohort_week
+    FROM e
+), cw AS (
+    SELECT cohort_week, week - cohort_week AS week_offset,
+           CAST(sum(cents) AS BIGINT) AS rev_cents
+    FROM anchored GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, rev_cents,
+       CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+                                 ORDER BY week_offset
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_rev_cents
+FROM cw
+"""
+
+
+@op("pipeline_cohort_ltv", oracle=_LTV_ORACLE, tags=("ext", "pipeline", "behavior"))
+def pipeline_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: per signup-week cohort, revenue in
+    each week-offset and its running cumulative — the money companion
+    to the retention triangle (retention counts who came back; LTV
+    counts what they spent, and the cumulative column IS the payback
+    curve marketing reads break-even from).
+
+    Same skeleton as pipeline_retention_cohort — cohort anchor from a
+    per-user min-week window on the one user-keyed exchange, then a
+    (cohort, offset) aggregate — plus one more window: the cumulative
+    sum runs over the ~cohorts×offsets rollup, not the corpus, so it
+    costs nothing at any scale. Revenue stays in exact integer cents
+    end to end; non-purchase events contribute zero rather than being
+    filtered, so the cohort anchor still sees every user's true first
+    week (filtering first would wrongly anchor purchase-less users'
+    cohorts — the subtle bug this formulation avoids).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(epoch_seconds("ts") / 604800).cast("bigint").alias("week"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("cents"),
+    )
+    anchor = Window.partitionBy("user_id")
+    anchored = e.withColumn("cohort_week", F.min("week").over(anchor))
+    cw = anchored.groupBy(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+    ).agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cw.select(
+        "cohort_week",
+        "week_offset",
+        "rev_cents",
+        F.sum("rev_cents").over(cum).cast("bigint").alias("cum_rev_cents"),
+    )

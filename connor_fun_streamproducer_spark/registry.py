@@ -304,6 +304,9 @@ _WINDOW_PRIORITY = [
     "graph_kcore",                    # new: fixed-round 2-core peel
     "pipeline_dau_mau_stickiness",    # new: DAU/MAU engagement ratio
     "agg_gini_concentration",         # new: exact-rank Gini coefficient
+    "pipeline_cohort_ltv",            # new: cohort payback curves
+    "fn_surrogate_key",               # new: hash surrogate-key minting
+    "scan_json_multiline",            # new: non-splittable JSON-array scan
     # -- (3) stalest externally-green tier (r01 block, then oldest r02);
     #    only the first 11 of this tier still fit inside the 50-key
     #    window after (2b)/(2c) — never-checked beats stale-refresh ------

@@ -268,3 +268,59 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(n_raw).cast("bigint") - F.count("*")).alias("n_malformed"),
         F.sum("event_id").cast("bigint").alias("id_sum"),
     )
+
+
+@op(
+    "scan_json_multiline",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT)        AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)    AS total_chars,
+           CAST(sum(doc_id) AS BIGINT)     AS id_sum
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("ext", "source"),
+)
+def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiLine JSON scan: one file holding a single pretty-printed
+    JSON ARRAY of records (the API-export / config-dump format), read
+    with ``multiLine=true`` — the opposite regime from line-delimited
+    JSON and the one that surprises at scale: a multiLine file is NOT
+    splittable (one record/array can span any byte range), so each
+    FILE is one task. The production posture is therefore many
+    modest-size array files, exactly what this fixture writes (one
+    array file per lang partition of documents; the driver-side collect
+    below is fixture CONSTRUCTION at fixture scale, not part of the
+    scan under test — a real array drop arrives from the upstream API),
+    and the aggregate hash-match proves record fidelity through the
+    array codec.
+    """
+    import json as _json
+
+    d = load(spark, sf_dir, "documents")
+    path = _scratch_dir(sf_dir, "documents_json_array")
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        rows = d.select("doc_id", "lang", "n_chars").collect()
+        by_lang: dict[str, list] = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append(
+                {"doc_id": r["doc_id"], "lang": r["lang"], "n_chars": r["n_chars"]}
+            )
+        for lang, recs in by_lang.items():
+            with open(os.path.join(path, f"{lang}.json"), "w") as fh:
+                _json.dump(recs, fh, indent=2)
+        with open(marker, "w"):
+            pass
+    back = (
+        spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+        .option("multiLine", "true")
+        .json(os.path.join(path, "*.json"))
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )

@@ -1376,3 +1376,49 @@ def test_gini_matches_python_and_is_in_range(spark):
     assert r["n"] == n and r["total"] == total and r["weighted"] == weighted
     assert abs(r["gini"] - round(gini, 6)) <= 1e-6
     assert 0.0 <= r["gini"] < 1.0
+
+
+def test_cohort_ltv_monotone_and_conserves_revenue(spark):
+    """Cumulative LTV is non-decreasing within each cohort and the last
+    cumulative per cohort sums to total purchase revenue."""
+    from collections import defaultdict
+
+    from connor_fun_streamproducer_spark.operators.behavior import pipeline_cohort_ltv
+
+    rows = pipeline_cohort_ltv(spark, SF_DIR).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["cohort_week"]].append((r["week_offset"], r["rev_cents"], r["cum_rev_cents"]))
+    grand = 0
+    for cohort, rs in per.items():
+        rs.sort()
+        run = 0
+        for off, rev, cum in rs:
+            run += rev
+            assert cum == run, (cohort, off)
+        grand += run
+    total = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")))
+        .collect()[0][0]
+    )
+    assert grand == total
+
+
+def test_surrogate_keys_unique_and_well_formed(spark):
+    """Minted keys are unique over the natural-key domain, UUID-shaped,
+    positive, and reproducible."""
+    import re
+
+    from connor_fun_streamproducer_spark.functions.strings import fn_surrogate_key
+
+    rows = fn_surrogate_key(spark, SF_DIR).collect()
+    uuids = [r["sk_uuid"] for r in rows]
+    ints = [r["sk_int"] for r in rows]
+    assert len(set(uuids)) == len(rows) and len(set(ints)) == len(rows)
+    pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+    assert all(pat.match(u) for u in uuids)
+    assert all(i > 0 for i in ints)
+    again = {(r["doc_id"], r["sk_uuid"]) for r in fn_surrogate_key(spark, SF_DIR).collect()}
+    assert again == {(r["doc_id"], r["sk_uuid"]) for r in rows}
