@@ -224,3 +224,79 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+_CARD_ORACLE = """
+WITH s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_orders
+    FROM orders
+), c AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS ndv_cust
+    FROM customer
+), a AS (
+    SELECT CAST(count(*) AS BIGINT) AS actual
+    FROM orders o JOIN customer cu ON cu.c_custkey = o.o_custkey
+)
+SELECT s.n_orders, s.ndv_orders, c.n_cust, c.ndv_cust,
+       CAST(s.n_orders * c.n_cust / greatest(s.ndv_orders, c.ndv_cust)
+            AS BIGINT)                                        AS estimated,
+       a.actual,
+       CAST(abs(s.n_orders * c.n_cust / greatest(s.ndv_orders, c.ndv_cust)
+                - a.actual) * 10000 / a.actual AS BIGINT)     AS err_bp
+FROM s, c, a
+"""
+
+
+@op("stats_join_cardinality", oracle=_CARD_ORACLE, tags=("ext", "agg", "stats", "scale"))
+def stats_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from column statistics, validated
+    against the actual join — the selectivity formula every cost-based
+    optimizer runs before choosing broadcast vs shuffle, made a
+    first-class, testable operator.
+
+    The textbook estimator |R ⋈ S| ≈ |R|·|S| / max(ndv_R, ndv_S)
+    (uniform-frequency, containment assumption) is computed from the
+    same statistics stats_table_profile collects, then compared to the
+    true join count; the error in basis points IS the output — the
+    number that tells you when uniformity broke (skew) and the
+    stats-refresh or AQE re-plan should kick in. Integer arithmetic
+    throughout (bigint division both engines).
+
+    Scale: three independent aggregates (two stats scans that partial-
+    combine to one row each, one real join for ground truth — in
+    production the ground truth is the runtime metric AQE already has,
+    so the estimator costs only the stats lookups) and a 1-row
+    cross-product of the three single-row frames.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = o.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.count_distinct("o_custkey").cast("bigint").alias("ndv_orders"),
+    )
+    cu = c.agg(
+        F.count("*").cast("bigint").alias("n_cust"),
+        F.count_distinct("c_custkey").cast("bigint").alias("ndv_cust"),
+    )
+    a = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .agg(F.count("*").cast("bigint").alias("actual"))
+    )
+    est = (F.col("n_orders") * F.col("n_cust") / F.greatest("ndv_orders", "ndv_cust")).cast("bigint")
+    return (
+        s.crossJoin(cu)
+        .crossJoin(a)
+        .select(
+            "n_orders",
+            "ndv_orders",
+            "n_cust",
+            "ndv_cust",
+            est.alias("estimated"),
+            "actual",
+            (F.abs(est - F.col("actual")) * 10000 / F.col("actual"))
+            .cast("bigint")
+            .alias("err_bp"),
+        )
+    )

@@ -307,6 +307,7 @@ _WINDOW_PRIORITY = [
     "pipeline_cohort_ltv",            # new: cohort payback curves
     "fn_surrogate_key",               # new: hash surrogate-key minting
     "scan_json_multiline",            # new: non-splittable JSON-array scan
+    "stats_join_cardinality",         # new: CBO selectivity estimator + error
     # -- (3) stalest externally-green tier (r01 block, then oldest r02);
     #    only the first 11 of this tier still fit inside the 50-key
     #    window after (2b)/(2c) — never-checked beats stale-refresh ------
