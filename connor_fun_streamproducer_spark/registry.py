@@ -274,7 +274,9 @@ _WINDOW_PRIORITY = [
     "pipeline_abc_pareto",            # new: integer-exact ABC classification
     "graph_degree_distribution",      # new: degree histogram of the pair graph
     "corpus_quality_gate",            # new: C4-style filter cascade w/ reasons
-    # -- (2e) new in round 5 session 5 (6): never externally checked -----
+    # -- (2e) new in round-5 sessions 5-5n (33): never externally
+    #    checked; first in line for the r06 rotation together with the
+    #    (2c)/(2d) 50+ block above --------------------------------------
     "sample_group_holdout",           # new: leakage-safe whole-group split
     "sample_kfold",                   # new: deterministic 5-fold assignment
     "dedup_chunk_exact",              # new: sub-document chunk dedup
