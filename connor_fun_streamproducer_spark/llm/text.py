@@ -331,3 +331,62 @@ def text_entropy_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_bits"),
     )
+
+
+@op(
+    "text_syllable_density",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(
+               string_split(text, ' '),
+               w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)
+           )) AS BIGINT)                                AS n_syll,
+           CAST(list_sum(list_transform(
+               string_split(text, ' '),
+               w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)
+           )) * 10000 // len(string_split(text, ' ')) AS BIGINT)
+                                                        AS syll_per_word_bp
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_syllable_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syllable density per document (vowel-group proxy) — the core
+    term of Flesch-style readability, usable standalone as a quality
+    signal: prose sits near ~1.3-1.6 syllables/word, while code dumps,
+    minified blobs, and consonant-noise scrape artifacts land far
+    outside the band.
+
+    Syllables are approximated as maximal vowel-group runs per word
+    (floored at 1 — the standard heuristic), counted by a regexp both
+    engines' regex dialects treat identically ([aeiouy]+ has no
+    dialect-sensitive syntax). Density is reported in integer basis
+    points via floor division over the exact counts. Everything runs
+    as higher-order array expressions inside codegen — map-only, zero
+    shuffles, scan-bandwidth like the rest of the text tier.
+    """
+    toks = F.split("text", " ")
+    syll = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)), F.lit(1)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        syll.alias("n_syll"),
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_syll",
+        F.floor(F.col("n_syll") * 10000 / F.col("n_words"))
+        .cast("bigint")
+        .alias("syll_per_word_bp"),
+    )

@@ -300,3 +300,72 @@ def stats_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("err_bp"),
         )
     )
+
+
+_LORENZ_ORACLE = """
+WITH cust AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY o_custkey
+), dec AS (
+    SELECT cents,
+           ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+    FROM cust
+), agg AS (
+    SELECT decile,
+           CAST(count(*) AS BIGINT)   AS n_cust,
+           CAST(sum(cents) AS BIGINT) AS decile_cents
+    FROM dec GROUP BY decile
+), tot AS (SELECT sum(decile_cents) AS total FROM agg)
+SELECT decile, n_cust, decile_cents,
+       CAST(sum(decile_cents) OVER (ORDER BY decile
+                                    ROWS UNBOUNDED PRECEDING)
+            * 10000 // (SELECT total FROM tot) AS BIGINT) AS cum_share_bp
+FROM agg
+"""
+
+
+@op("win_lorenz_deciles", oracle=_LORENZ_ORACLE, tags=("ext", "window", "stats"))
+def win_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz decile table of customer revenue: per spend decile, its
+    customer count, revenue mass, and the cumulative revenue share in
+    basis points — the table behind "the bottom 50% of customers hold
+    X% of revenue", and the tabulated form of the distribution
+    agg_gini_concentration summarizes in one number.
+
+    ntile over the total-ordered (cents, custkey) ranking gives
+    standard-deterministic deciles (remainder rows to the leading
+    tiles — the SQL ntile contract both engines share); all masses are
+    exact integer cents, and cumulative shares use floor division so
+    the table hash-matches. Same scale posture as the Gini: one
+    per-customer aggregate, one global rank sort (the honest cost of
+    exact quantiles), then everything else runs on 10 rows.
+    """
+    cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    dec = cust.select("cents", F.ntile(10).over(w).alias("decile"))
+    agg = dec.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_cust"),
+        F.sum("cents").cast("bigint").alias("decile_cents"),
+    )
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = Window.partitionBy()
+    return agg.select(
+        "decile",
+        "n_cust",
+        "decile_cents",
+        F.floor(
+            F.sum("decile_cents").over(cum) * 10000 / F.sum("decile_cents").over(total)
+        )
+        .cast("bigint")
+        .alias("cum_share_bp"),
+    )

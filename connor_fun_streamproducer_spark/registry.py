@@ -310,6 +310,8 @@ _WINDOW_PRIORITY = [
     "fn_surrogate_key",               # new: hash surrogate-key minting
     "scan_json_multiline",            # new: non-splittable JSON-array scan
     "stats_join_cardinality",         # new: CBO selectivity estimator + error
+    "win_lorenz_deciles",             # new: decile cumulative-share table
+    "text_syllable_density",          # new: vowel-run readability signal
     # -- (3) stalest externally-green tier (r01 block, then oldest r02);
     #    only the first 11 of this tier still fit inside the 50-key
     #    window after (2b)/(2c) — never-checked beats stale-refresh ------

@@ -1422,3 +1422,42 @@ def test_surrogate_keys_unique_and_well_formed(spark):
     assert all(i > 0 for i in ints)
     again = {(r["doc_id"], r["sk_uuid"]) for r in fn_surrogate_key(spark, SF_DIR).collect()}
     assert again == {(r["doc_id"], r["sk_uuid"]) for r in rows}
+
+
+def test_lorenz_deciles_consistency_with_gini_inputs(spark):
+    """Decile masses partition total revenue; cumulative shares are
+    non-decreasing and end at (or within truncation of) 10000; decile
+    counts differ by at most one (ntile contract)."""
+    from connor_fun_streamproducer_spark.operators.profiling import (
+        agg_gini_concentration,
+        win_lorenz_deciles,
+    )
+
+    rows = sorted(win_lorenz_deciles(spark, SF_DIR).collect(), key=lambda r: r["decile"])
+    g = agg_gini_concentration(spark, SF_DIR).collect()[0]
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert sum(r["decile_cents"] for r in rows) == g["total"]
+    assert sum(r["n_cust"] for r in rows) == g["n"]
+    counts = [r["n_cust"] for r in rows]
+    assert max(counts) - min(counts) <= 1
+    shares = [r["cum_share_bp"] for r in rows]
+    assert shares == sorted(shares)
+    assert 9999 <= shares[-1] <= 10000
+
+
+def test_syllable_density_python_reference(spark):
+    """Vowel-run counts match a Python regex recomputation; density is
+    floor-division-consistent."""
+    import re
+
+    from connor_fun_streamproducer_spark.llm.text import text_syllable_density
+
+    got = {r["doc_id"]: r for r in text_syllable_density(spark, SF_DIR).collect()}
+    sample = load(spark, SF_DIR, "documents").select("doc_id", "text").limit(25).collect()
+    pat = re.compile(r"[aeiouy]+")
+    for s in sample:
+        words = s["text"].split(" ")
+        syll = sum(max(len(pat.findall(w)), 1) for w in words)
+        r = got[s["doc_id"]]
+        assert r["n_words"] == len(words) and r["n_syll"] == syll
+        assert r["syll_per_word_bp"] == syll * 10000 // len(words)
