@@ -59,7 +59,8 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_surrogate_key",
     oracle="""
     WITH h AS (
-        SELECT doc_id, source, md5(source || '|' || CAST(doc_id AS VARCHAR)) AS hx
+        SELECT doc_id, source,
+               md5(coalesce(source, '') || '|' || CAST(doc_id AS VARCHAR)) AS hx
         FROM documents
     )
     SELECT doc_id, source,
@@ -85,10 +86,18 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit BIGINT (15 hex digits — always positive, join-key friendly;
     collision odds follow the birthday bound, ~1e-10 at a billion
     keys). The '|' delimiter guards the classic concat ambiguity
-    ('ab'+'c' vs 'a'+'bc'). Pure map-side codegen; zero shuffles.
+    ('ab'+'c' vs 'a'+'bc'), and NULL natural-key components are made
+    EXPLICIT on both engines — ``coalesce(source, '')`` — because the
+    two default behaviors silently diverge (Spark concat_ws skips
+    NULLs; SQL ``||`` propagates them) and would mint different keys
+    for ('ab', NULL) vs ('ab',). Pure map-side codegen; zero shuffles.
     """
     d = load(spark, sf_dir, "documents")
-    hx = F.md5(F.concat_ws("|", F.col("source"), F.col("doc_id").cast("string")))
+    hx = F.md5(
+        F.concat_ws(
+            "|", F.coalesce(F.col("source"), F.lit("")), F.col("doc_id").cast("string")
+        )
+    )
     h = d.select("doc_id", "source", hx.alias("hx"))
     return h.select(
         "doc_id",

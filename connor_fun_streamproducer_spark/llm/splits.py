@@ -132,22 +132,24 @@ def sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), c AS (
-        SELECT t.doc_id,
-               idx.i AS chunk_id,
+        SELECT doc_id,
+               chunk_id,
                md5(array_to_string(
-                   t.toks[idx.i*{DEDUP_CHUNK}+1 : (idx.i+1)*{DEDUP_CHUNK}], ' '
+                   toks[chunk_id*{DEDUP_CHUNK}+1 : (chunk_id+1)*{DEDUP_CHUNK}], ' '
                )) AS digest
-        FROM t
-        JOIN (SELECT unnest(generate_series(0, 31)) AS i) idx
-          ON idx.i * {DEDUP_CHUNK} < len(t.toks)
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, (len(toks) - 1) // {DEDUP_CHUNK}))
+                       AS chunk_id
+            FROM t
+        )
     ), canon AS (
-        SELECT digest,
-               min(doc_id * 1000 + chunk_id) AS keeper
+        SELECT digest, min(ROW(doc_id, chunk_id)) AS keeper
         FROM c GROUP BY digest
     )
     SELECT c.doc_id,
            CAST(count(*) AS BIGINT) AS n_chunks,
-           CAST(sum(CASE WHEN c.doc_id * 1000 + c.chunk_id = canon.keeper
+           CAST(sum(CASE WHEN ROW(c.doc_id, c.chunk_id) = canon.keeper
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM c JOIN canon USING (digest)
     GROUP BY c.doc_id
@@ -161,52 +163,53 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate paragraph shared by thousands of distinct pages; chunk
     dedup partitions each document's token stream into fixed non-
     overlapping 20-token chunks, digests each, and keeps only the chunk
-    with the smallest (doc_id, chunk_id) per digest. Output per document:
-    total chunks vs chunks surviving as canonical copies.
+    with the lexicographically smallest (doc_id, chunk_id) per digest.
+    Output per document: total chunks vs chunks surviving as canonical
+    copies.
 
-    Scale: explode is linear in corpus tokens; the canonical-keeper
-    reduction is a hash aggregate on the digest (min of an encoded
-    position — partial-agg before its single exchange); the rejoin is an
-    equi-join on the digest that AQE plans from observed sizes. Never
-    all-pairs, no windows over the full corpus. At 100 TB the digest agg
-    is the only wide stage and it reduces to |distinct chunks|.
-    Encoding keeper as doc_id*1000+chunk_id is exact while docs stay
-    under 1000 chunks (fixture max 16; the 32-slot explode bound and the
-    encoding share the same headroom reasoning as llm/corpus.py's chunk
-    oracle).
+    Scale: explode is linear in corpus tokens — the chunk-slot sequence
+    is derived PER ROW from the document's own token count (no fixed
+    slot cap, so a 10k-token document loses nothing), and the keeper is
+    a lexicographic struct min (no positional integer encoding to
+    overflow at ≥1000 chunks or large doc_ids; both engines order
+    structs field-by-field). The canonical-keeper reduction is a hash
+    aggregate on the digest (partial-agg before its single exchange);
+    the rejoin is an equi-join on the digest that AQE plans from
+    observed sizes. Never all-pairs, no windows over the full corpus.
+    At 100 TB the digest agg is the only wide stage and it reduces to
+    |distinct chunks|.
     """
     toks = F.split("text", " ")
     d = load(spark, sf_dir, "documents").select(
         "doc_id", toks.alias("toks"), F.size(toks).alias("n_toks")
     )
+    # sequence bound derived per row: last chunk index = (n_toks-1) div 20
+    # (split() never yields an empty array, so the bound is >= 0).
     chunks = (
         d.select(
             "doc_id",
             F.explode(
-                F.filter(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(31)),
-                        lambda i: F.struct(
-                            i.alias("chunk_id"),
-                            F.md5(
-                                F.concat_ws(
-                                    " ",
-                                    F.slice(
-                                        F.col("toks"),
-                                        i * DEDUP_CHUNK + 1,
-                                        DEDUP_CHUNK,
-                                    ),
-                                )
-                            ).alias("digest"),
-                        ),
+                F.transform(
+                    F.expr(f"sequence(0, int((n_toks - 1) div {DEDUP_CHUNK}))"),
+                    lambda i: F.struct(
+                        i.alias("chunk_id"),
+                        F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.slice(
+                                    F.col("toks"),
+                                    i * DEDUP_CHUNK + 1,
+                                    DEDUP_CHUNK,
+                                ),
+                            )
+                        ).alias("digest"),
                     ),
-                    lambda s: s["chunk_id"] * DEDUP_CHUNK < F.col("n_toks"),
                 )
             ).alias("ch"),
         )
         .select("doc_id", F.col("ch.chunk_id").alias("chunk_id"), F.col("ch.digest").alias("digest"))
     )
-    pos = (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("pos")
+    pos = F.struct(F.col("doc_id"), F.col("chunk_id")).alias("pos")
     canon = chunks.select("digest", pos).groupBy("digest").agg(F.min("pos").alias("keeper"))
     return (
         chunks.select("doc_id", "digest", pos)

@@ -436,7 +436,7 @@ def pipeline_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         "p_partkey",
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
-        F.floor(F.col("cum") * 10000 / F.col("tot")).cast("bigint").alias("cum_bp"),
+        F.expr("cum * 10000 div tot").cast("bigint").alias("cum_bp"),
         F.when(F.col("cum") * 100 <= F.col("tot") * 80, F.lit("A"))
         .when(F.col("cum") * 100 <= F.col("tot") * 95, F.lit("B"))
         .otherwise(F.lit("C"))
@@ -669,9 +669,12 @@ def pipeline_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "next_type",
         "n",
-        F.floor(F.col("n") * 10000 / F.sum("n").over(row_total))
-        .cast("bigint")
-        .alias("share_bp"),
+        F.sum("n").over(row_total).alias("_tot"),
+    ).select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("n * 10000 div _tot").cast("bigint").alias("share_bp"),
     )
 
 
@@ -740,7 +743,7 @@ def pipeline_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "dau",
         "mau",
-        F.floor(F.col("dau") * 10000 / F.col("mau")).cast("bigint").alias("stickiness_bp"),
+        F.expr("dau * 10000 div mau").cast("bigint").alias("stickiness_bp"),
     )
 
 

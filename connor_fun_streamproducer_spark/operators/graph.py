@@ -675,7 +675,9 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("user_b"),
         F.col("n_common").cast("bigint").alias("n_common"),
         n_union.cast("bigint").alias("n_union"),
-        F.floor(F.col("n_common") * 10000 / n_union).cast("bigint").alias("jaccard_bp"),
+        F.expr("n_common * 10000 div (da + dc - n_common)")
+        .cast("bigint")
+        .alias("jaccard_bp"),
     )
 
 

@@ -240,11 +240,11 @@ WITH s AS (
     FROM orders o JOIN customer cu ON cu.c_custkey = o.o_custkey
 )
 SELECT s.n_orders, s.ndv_orders, c.n_cust, c.ndv_cust,
-       CAST(s.n_orders * c.n_cust / greatest(s.ndv_orders, c.ndv_cust)
+       CAST(s.n_orders * c.n_cust // greatest(s.ndv_orders, c.ndv_cust)
             AS BIGINT)                                        AS estimated,
        a.actual,
-       CAST(abs(s.n_orders * c.n_cust / greatest(s.ndv_orders, c.ndv_cust)
-                - a.actual) * 10000 / a.actual AS BIGINT)     AS err_bp
+       CAST(abs(s.n_orders * c.n_cust // greatest(s.ndv_orders, c.ndv_cust)
+                - a.actual) * 10000 // a.actual AS BIGINT)    AS err_bp
 FROM s, c, a
 """
 
@@ -284,7 +284,11 @@ def stats_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .agg(F.count("*").cast("bigint").alias("actual"))
     )
-    est = (F.col("n_orders") * F.col("n_cust") / F.greatest("ndv_orders", "ndv_cust")).cast("bigint")
+    # Exact integer division on BOTH engines: Spark's integral `div`
+    # matches DuckDB's `//` bit-for-bit (double division then cast would
+    # round half-away in DuckDB but truncate in Spark whenever the
+    # estimator has real error — which is the op's entire purpose).
+    est = F.expr("n_orders * n_cust div greatest(ndv_orders, ndv_cust)").cast("bigint")
     return (
         s.crossJoin(cu)
         .crossJoin(a)
@@ -295,7 +299,10 @@ def stats_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndv_cust",
             est.alias("estimated"),
             "actual",
-            (F.abs(est - F.col("actual")) * 10000 / F.col("actual"))
+            F.expr(
+                "abs(n_orders * n_cust div greatest(ndv_orders, ndv_cust)"
+                " - actual) * 10000 div actual"
+            )
             .cast("bigint")
             .alias("err_bp"),
         )
@@ -359,13 +366,18 @@ def win_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     total = Window.partitionBy()
+    # Integral `div` (not floor of a double quotient): cum*10000 passes
+    # 2^53 around sf0.1, where floor(double) can disagree with the
+    # oracle's exact `//` by 1.
     return agg.select(
         "decile",
         "n_cust",
         "decile_cents",
-        F.floor(
-            F.sum("decile_cents").over(cum) * 10000 / F.sum("decile_cents").over(total)
-        )
-        .cast("bigint")
-        .alias("cum_share_bp"),
+        F.sum("decile_cents").over(cum).alias("_cum"),
+        F.sum("decile_cents").over(total).alias("_tot"),
+    ).select(
+        "decile",
+        "n_cust",
+        "decile_cents",
+        F.expr("_cum * 10000 div _tot").cast("bigint").alias("cum_share_bp"),
     )
