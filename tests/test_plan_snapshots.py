@@ -29,7 +29,9 @@ SNAP_DIR = pathlib.Path(__file__).parent / "plan_snapshots"
 REFRESH = os.environ.get("SPARK_GRAFT_REFRESH_PLANS") == "1"
 
 # Ten headline BATCH queries (streaming ops materialize through the
-# memory-sink harness and have no stable batch plan to snapshot).
+# memory-sink harness and have no stable batch plan to snapshot), plus
+# the five most expensive extended-tier queries (VERDICT r5 item 5) so
+# their join strategies and exchange counts are drift-pinned too.
 SNAPSHOT_KEYS = [
     "enrich_region",
     "agg_hash",
@@ -41,6 +43,12 @@ SNAPSHOT_KEYS = [
     "dedup_near_minhash",
     "sim_search_ivf",
     "pipeline_market_share",
+    # extended tier
+    "join_interval_overlap",
+    "graph_connected_components",
+    "pipeline_basket_affinity",
+    "sim_search_pq",
+    "dedup_chunk_exact",
 ]
 
 
@@ -49,6 +57,10 @@ def test_plan_matches_snapshot(spark, key):
     if SF_DIR.rstrip("/").rsplit("/", 1)[-1] != "sf0.001":
         pytest.skip("snapshots are pinned at the default sf0.001 fixture "
                     "(AQE/broadcast choices are size-dependent)")
+    # Hermetic against suite order: a table cached (and leaked) by any
+    # earlier test would transparently rewrite these plans to
+    # InMemoryTableScan and read as drift.
+    spark.catalog.clearCache()
     df = registry.queries()[key](spark, SF_DIR)
     snap = plan_snapshot(df)
     path = SNAP_DIR / f"{key}.txt"

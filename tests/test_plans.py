@@ -759,13 +759,17 @@ def test_embedding_covariance_shuffles_partials_not_vectors(spark):
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
 
 
-def test_interval_overlap_equi_join_not_nested_loop(spark):
-    """The bin trick must turn the interval theta-join into a hash/merge
-    equi-join — BroadcastNestedLoopJoin here would be the O(n^2)
-    all-pairs fallback that dies at scale."""
+def test_interval_overlap_sweep_has_no_join_at_all(spark):
+    """The sweep-line count replaces pair enumeration entirely: the plan
+    must contain NO join of any kind (a fortiori no O(n^2) nested-loop
+    fallback) — one window sort per supplier plus the final aggregate.
+    This is what removes the r5 hot-cell watch item: a hot supplier
+    costs n*log n in its sort partition, never a quadratic cell."""
     df = _q("join_interval_overlap", spark)
-    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
-    assert_not_in_plan(df, "CartesianProduct")
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert count_in_plan(df, "Window") == 1, plan
 
 
 def test_cumulative_distinct_single_exchange(spark):

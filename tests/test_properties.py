@@ -7,6 +7,7 @@ invariants are exact, not statistical.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -1461,3 +1462,158 @@ def test_syllable_density_python_reference(spark):
         r = got[s["doc_id"]]
         assert r["n_words"] == len(words) and r["n_syll"] == syll
         assert r["syll_per_word_bp"] == syll * 10000 // len(words)
+
+
+def test_versioned_manifest_concurrent_commit_exactly_one_winner(spark, tmp_path):
+    """Two writers race an append commit on the same snapshot (VERDICT r5
+    item 6): the manifest-number CAS must admit EXACTLY one, the loser's
+    staged data files must be cleaned up, and both the pre-race snapshots
+    (time travel) and the winner's new snapshot must stay consistent."""
+    import os
+    import shutil
+    import threading
+
+    from connor_fun_streamproducer_spark.sources.layout import (
+        _part_files,
+        commit_append,
+        read_snapshot,
+        versioned_orders_root,
+    )
+
+    # Race on a private COPY so the shared per-sf cached root (used by the
+    # sink_versioned_manifest op) never sees snapshot 3.
+    shared = versioned_orders_root(spark, SF_DIR)
+    root = str(tmp_path / "versioned_orders")
+    shutil.copytree(shared, root)
+
+    v2_count = read_snapshot(spark, root, version=2).count()
+    v1_count = read_snapshot(spark, root, version=1).count()
+    donor = _part_files(os.path.join(root, "data", "base"))[0]
+    donor_rows = spark.read.parquet(donor).count()
+
+    # Each writer stages its own schema-identical data file (append-only:
+    # existing files untouched), then both hit commit_append at a barrier.
+    rels, results = [], [None, None]
+    for i in range(2):
+        d = os.path.join(root, "data", f"append-{i}")
+        os.makedirs(d)
+        shutil.copy(donor, os.path.join(d, "part-0.parquet"))
+        rels.append(os.path.relpath(os.path.join(d, "part-0.parquet"), root))
+
+    barrier = threading.Barrier(2)
+
+    def writer(i: int) -> None:
+        barrier.wait()
+        results[i] = commit_append(root, [rels[i]], expected_version=2)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    # Exactly one winner, committed as snapshot 3.
+    assert sorted(results, key=lambda r: (r is None, r)) == [3, None], results
+    winner = results.index(3)
+    loser = 1 - winner
+    # Loser's staged file is cleaned; winner's is live.
+    assert not os.path.exists(os.path.join(root, rels[loser]))
+    assert os.path.exists(os.path.join(root, rels[winner]))
+    # Pointer advanced to the winner's snapshot.
+    with open(os.path.join(root, "VERSION")) as fh:
+        assert int(fh.read().strip()) == 3
+    # Time-travel reads are untouched; the new snapshot is exactly the old
+    # table plus the winner's file — nothing lost, nothing duplicated.
+    assert read_snapshot(spark, root, version=1).count() == v1_count
+    assert read_snapshot(spark, root, version=2).count() == v2_count
+    assert read_snapshot(spark, root).count() == v2_count + donor_rows
+    # A retry on top of the NEW snapshot (the Iceberg/Delta retry loop)
+    # succeeds: stale expected_version refuses, refreshed one commits.
+    d = os.path.join(root, "data", "append-retry")
+    os.makedirs(d)
+    shutil.copy(donor, os.path.join(d, "part-0.parquet"))
+    rel = os.path.relpath(os.path.join(d, "part-0.parquet"), root)
+    assert commit_append(root, [rel], expected_version=2) is None  # stale
+    shutil.copy(donor, os.path.join(d, "part-0.parquet"))  # re-stage
+    assert commit_append(root, [rel], expected_version=3) == 4
+    assert read_snapshot(spark, root).count() == v2_count + 2 * donor_rows
+
+
+def test_join_cardinality_estimator_degenerate_profiles(spark):
+    """The estimator divides by max NDV (VERDICT r5 item 7): pin the
+    guard's behavior on zero-row (NDV=0) and single-value (NDV=1) inputs
+    instead of assuming it. Uses the same integral-div formula as the op,
+    driven through temp views so the degenerate profiles are real frames,
+    not mocked scalars."""
+    from pyspark.sql import Row
+
+    def run(orders_rows, cust_rows):
+        o = spark.createDataFrame(orders_rows or [], "o_custkey bigint")
+        c = spark.createDataFrame(cust_rows or [], "c_custkey bigint")
+        s = o.agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.count_distinct("o_custkey").cast("bigint").alias("ndv_orders"),
+        )
+        cu = c.agg(
+            F.count("*").cast("bigint").alias("n_cust"),
+            F.count_distinct("c_custkey").cast("bigint").alias("ndv_cust"),
+        )
+        a = o.join(c, o.o_custkey == c.c_custkey).agg(
+            F.count("*").cast("bigint").alias("actual")
+        )
+        return (
+            s.crossJoin(cu)
+            .crossJoin(a)
+            .select(
+                F.expr(
+                    "n_orders * n_cust div nullif(greatest(ndv_orders, ndv_cust), 0)"
+                ).alias("estimated"),
+                F.expr(
+                    "abs(n_orders * n_cust"
+                    " div nullif(greatest(ndv_orders, ndv_cust), 0)"
+                    " - actual) * 10000 div nullif(actual, 0)"
+                ).alias("err_bp"),
+            )
+            .collect()[0]
+        )
+
+    one = [Row(o_custkey=7)] * 3  # three orders, ONE distinct customer key
+    matching = [Row(c_custkey=7)]
+
+    # Zero-row side: NDV=0 on both -> greatest()=0 -> integral div by zero
+    # is NULL (not a crash) on both engines; err_bp NULL because actual=0.
+    r = run([], [])
+    assert r["estimated"] is None and r["err_bp"] is None
+
+    # Single-value columns: NDV=1, est = 3*1/1 = 3 = actual -> 0 bp error.
+    r = run(one, matching)
+    assert r["estimated"] == 3 and r["err_bp"] == 0
+
+    # One empty side with a populated other side: est = 0, actual = 0 ->
+    # err_bp NULL (0/0), estimated well-defined.
+    r = run(one, [])
+    assert r["estimated"] == 0 and r["err_bp"] is None
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, "/root/testdata/sf0.01"])
+def test_kmeans_and_pca_cross_run_determinism_both_scales(spark, sf_dir):
+    """VERDICT r5 item 8: the quantization discipline (1e-4 centroid /
+    covariance rounding -> bit-reproducible fixpoints) is claimed for any
+    partitioning; observe it at the driver's correctness scale (sf0.01),
+    not only at the sf0.001 numpy-pin fixture. Two full runs inside one
+    test must agree bit-for-bit on every assignment and every projected
+    coordinate."""
+    from connor_fun_streamproducer_spark import registry
+    from connor_fun_streamproducer_spark.llm.clustering import kmeans_assignments
+
+    registry._ensure_loaded()
+
+    a1, h1 = kmeans_assignments(spark, sf_dir)
+    a2, h2 = kmeans_assignments(spark, sf_dir)
+    assert h1 == h2
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+    pca = registry.OPS["embedding_pca_project"].fn
+    p1 = sorted(map(tuple, pca(spark, sf_dir).collect()))
+    p2 = sorted(map(tuple, pca(spark, sf_dir).collect()))
+    assert p1 == p2  # exact equality: quantized outputs, not approx

@@ -7,93 +7,87 @@ ever unguarded locally, whatever an external harness samples.
 Separately, the external driver verifies ops in registration order with a
 bounded window (each round covers the first 50 keys). The registration
 order is freshness-priority, applied the same rule each round: (1) ops
-never externally checked (round 4 registered 12 keys behind the r04
-window — VERDICT r4 lists them; closing that debt is round 5's top
+never externally checked (round 5 registered 41 keys behind the r05
+window — VERDICT r5 lists them; closing that debt is round 6's top
 order); (2) ops changed this round; (3) the stalest still-green tier.
-This test pins round 5's resulting window.
+This test pins round 6's resulting window.
 """
 
 from connor_fun_streamproducer_spark import registry
 
-# The 12 keys with no external CORRECTNESS row across r01-r04 (VERDICT r4
+# The 41 keys with no external CORRECTNESS row across r01-r05 (VERDICT r5
 # "What's missing" #1) — closing this debt makes every registered key
-# externally covered at least once.
+# externally covered at least once. Eight of them (marked *) also carry
+# this round's ADVICE r5 fixes (integral div / chunk cap / NULL keys), so
+# the rotation doubles as their post-change re-verification.
 NEVER_EXTERNALLY_CHECKED = [
-    "corpus_decontaminate",
-    "text_perplexity_proxy",
-    "sample_mix_target",
-    "join_asof_left",
-    "agg_bitmap_distinct",
-    "win_fill_forward",
-    "fn_geo_haversine",
-    "sink_compaction",
-    "ivm_delta_agg",
-    "agg_mode_per_key",
-    "join_null_safe",
-    "pipeline_customer_distribution",
+    "pipeline_rfm_segments",
+    "sample_temperature",
+    "scan_schema_merge",
+    "pipeline_abc_pareto",          # * integral-div cum_bp
+    "graph_degree_distribution",
+    "corpus_quality_gate",
+    "sample_group_holdout",
+    "sample_kfold",
+    "dedup_chunk_exact",            # * per-row slots + struct-min keeper
+    "stats_table_profile",
+    "sink_versioned_manifest",
+    "scan_text_roundtrip",
+    "join_asof_nearest",
+    "win_islands_consecutive",
+    "pipeline_yoy_growth",
+    "pipeline_attribution_touch",
+    "text_tokens_bpe_est",
+    "corpus_shuffle_shard",
+    "scan_csv_permissive",
+    "embedding_normalize_l2",
+    "join_stream_stream_outer",
+    "multimodal_audio_energy",
+    "mv_answer_from_rollup",
+    "win_median_rolling",
+    "agg_corr_pairs",
+    "stream_available_now",
+    "graph_jaccard_neighbors",      # * integral-div jaccard_bp
+    "fn_try_arith",
+    "join_point_in_time",
+    "sample_bootstrap",
+    "text_entropy_source",
+    "pipeline_event_transitions",   # * integral-div share_bp
+    "graph_kcore",
+    "pipeline_dau_mau_stickiness",  # * integral-div stickiness_bp
+    "agg_gini_concentration",
+    "pipeline_cohort_ltv",
+    "fn_surrogate_key",             # * explicit NULL-key coalesce
+    "scan_json_multiline",
+    "stats_join_cardinality",       # * integral-div estimated/err_bp
+    "win_lorenz_deciles",           # * integral-div cum_share_bp
+    "text_syllable_density",
 ]
 
-CHANGED_IN_ROUND_5 = [
-    "pipeline_mincost_supplier",      # new: TPC-H Q2 shape
-    "pipeline_important_part_share",  # new: TPC-H Q11 shape
-    "pipeline_supplier_part_counts",  # new: TPC-H Q16 shape
-    "pipeline_small_qty_revenue",     # new: TPC-H Q17 shape
-    "pipeline_promotion_suppliers",   # new: TPC-H Q20 shape
-    "pipeline_waiting_suppliers",     # new: TPC-H Q21 shape
-    "pipeline_market_share",          # integer-cents ratio fix
-    "multimodal_decode",              # P6 header validation
-    "sink_partition_prune",           # atomic staged layout write
-    "sink_socket_roundtrip",          # payload-dup guard
-    "src_socket",                     # shared-harness change
-    # second round-5 session — all never externally checked:
-    "pipeline_forecast_revenue",      # new: TPC-H Q6 shape (completes the 22)
-    "pipeline_shipmode_priority",     # new: TPC-H Q12 shape
-    "ts_resample",                    # new: time-series tier
-    "ts_interpolate_linear",
-    "win_ewma",
-    "embedding_cluster_kmeans",       # new: distributed Lloyd clustering
-    "sink_zorder",                    # new: Z-order clustered layout
-    "agg_linreg_trend",               # new: per-key regression aggregates
-    "win_anomaly_zscore",             # new: trailing-window anomaly flags
-    "fn_bitwise",                     # new: bitwise aggregate surface
-    "agg_heavy_hitters",              # new: MG candidates + exact re-rank
-    # third round-5 session — all never externally checked:
-    "graph_connected_components",     # new: distributed min-label CC
-    "pipeline_retention_cohort",      # new: weekly retention triangle
-    "pipeline_funnel_conversion",     # new: ordered 3-stage funnel
-    "embedding_covariance",           # new: one-pass integer Gramian
-    "embedding_pca_project",          # new: top-2 PC projection (rows-only)
-    "pipeline_basket_affinity",       # new: market-basket pair lift
-    "agg_count_min",                  # new: count-min sketch (rows-only)
-    "sim_search_pq",                  # new: product-quantization ANN (rows-only)
-    # fourth round-5 session — all never externally checked:
-    "graph_triangle_count",           # new: oriented edge-iterator triangles
-    "graph_bfs_distance",             # new: frontier BFS w/ visited anti-join
-    "join_fuzzy_blocked",             # new: token-blocked levenshtein ER join
-    "join_interval_overlap",          # new: bin-bucketed interval overlap
-    "snapshot_diff",                  # new: full-outer two-snapshot audit
-    "win_cumulative_distinct",        # new: running distinct via first-flag
-    "win_rolling_stats",              # new: trailing-rows rolling features
-    "sample_reservoir",               # new: hash-priority uniform k-sample
-    # (pipeline_rfm_segments, sample_temperature, scan_schema_merge,
-    # pipeline_abc_pareto, graph_degree_distribution and
-    # corpus_quality_gate land at keys 50-55, just past the window —
-    # never-checked new work filled all 38 non-debt slots this round)
+# Externally green before, but changed this round — re-verify.
+CHANGED_IN_ROUND_6 = [
+    "join_interval_overlap",  # hot-cell density cap (VERDICT r5 #2)
 ]
 
-# Stalest externally-green tier backfilling the window (r01 scan/fn
-# block, unchecked externally since round 1). After the session-4 ops
-# the window is exactly filled by never-checked keys — the whole stale
-# tier sits just past the window this round, since
-# never-externally-checked beats stale-refresh under the freshness rule.
-STALE_REFRESH: list[str] = []
+# Stalest externally-green tier backfilling the remaining window slots
+# (r01 scan/fn block, unchecked externally since round 1).
+STALE_REFRESH = [
+    "scan_parquet",
+    "scan_json",
+    "scan_csv",
+    "sink_parquet",
+    "scan_binaryfile",
+    "fn_string",
+    "fn_math",
+    "fn_date",
+]
 
-MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_5 + STALE_REFRESH
+MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_6 + STALE_REFRESH
 
 WINDOW = 50
 
 
-def test_round5_priority_ops_register_inside_driver_window():
+def test_round6_priority_ops_register_inside_driver_window():
     keys = list(registry.queries())
     window = set(keys[:WINDOW])
     missing = [k for k in MUST_BE_IN_WINDOW if k not in window]
@@ -104,15 +98,16 @@ def test_round5_priority_ops_register_inside_driver_window():
 
 
 def test_never_checked_keys_lead_the_window():
-    # The 12 debt keys must come FIRST (before round-5 changes), so even a
-    # driver window narrower than 50 covers as many of them as possible.
+    # The 41 debt keys must come FIRST (before round-6 changes and the
+    # stale refresh), so even a driver window narrower than 50 covers as
+    # many of them as possible.
     keys = list(registry.queries())
     assert keys[: len(NEVER_EXTERNALLY_CHECKED)] == NEVER_EXTERNALLY_CHECKED
 
 
 def test_window_is_exactly_filled():
-    # 12 debt + 38 changed/new = 50: the window carries no dead slots
-    # and no accidental extras.
+    # 41 debt + 1 changed + 8 stale-refresh = 50: the window carries no
+    # dead slots and no accidental extras.
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
 
