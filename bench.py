@@ -71,6 +71,12 @@ EXTENDED = [
     "pipeline_attribution_touch",
     "stats_table_profile",
     "sink_versioned_manifest",
+    # round-6 tier
+    "dedup_substring_window",
+    "ts_ohlc_candles",
+    "scan_file_stats_pruning",
+    "graph_top_similar_user",
+    "win_pattern_rises",
 ]
 
 

@@ -71,3 +71,49 @@ def fn_date_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
     )
+
+
+@op(
+    "fn_timestamp_format",
+    oracle="""
+    WITH f AS (
+        SELECT event_id, ts,
+               strftime(ts, '%Y-%m-%d %H') AS fmt_hour
+        FROM events
+    )
+    SELECT event_id,
+           fmt_hour,
+           strptime(fmt_hour, '%Y-%m-%d %H')          AS parsed_hour,
+           make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000)
+                                                       AS from_epoch,
+           CAST(weekofyear(ts) AS INTEGER)             AS iso_week
+    FROM f
+    """,
+    tags=("ext", "fn"),
+)
+def fn_timestamp_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp formatting / parsing round trip: format to a truncated
+    string form, parse it back, rebuild from epoch seconds, ISO week —
+    the string-boundary surface every ingest touches (log lines,
+    filenames, API payloads all carry formatted time).
+
+    Format-token dialects differ per engine (Spark's SimpleDateFormat
+    ``yyyy-MM-dd HH`` vs strftime ``%Y-%m-%d %H``); the op pins one
+    canonical hour-truncated interchange format and proves the full
+    round trip — format → parse → timestamp — lands on the identical
+    instant on both engines under the session's pinned UTC zone.
+    Pure map-side codegen, zero shuffles, and the parse path is the
+    explicit-format fast path (pattern-inferred parsing row by row is
+    the slow path the docstring's production advice forbids).
+    """
+    ev = load(spark, sf_dir, "events")
+    fmt = F.date_format("ts", "yyyy-MM-dd HH")
+    return ev.select(
+        "event_id",
+        fmt.alias("fmt_hour"),
+        F.to_timestamp(fmt, "yyyy-MM-dd HH").alias("parsed_hour"),
+        F.timestamp_seconds(
+            F.col("ts").cast("timestamp_ltz").cast("long")
+        ).alias("from_epoch"),
+        F.weekofyear("ts").cast("int").alias("iso_week"),
+    )

@@ -380,3 +380,83 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 4).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-window dedup (character-level shared-boilerplate detection)
+
+_SUBW = 64   # window width (chars)
+_SUBS = 32   # stride — 50% overlap so no duplicated run of >= _SUBW+_SUBS
+             # chars can straddle-dodge every window on both copies
+
+_SUBSTRING_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, i AS win_id,
+           md5(substr(text, i*{_SUBS}+1, {_SUBW})) AS digest
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(
+                      0, (length(documents.text) - {_SUBW}) // {_SUBS})) AS i) s
+    WHERE length(text) >= {_SUBW}
+), multi AS (
+    SELECT digest FROM w GROUP BY digest HAVING count(DISTINCT doc_id) > 1
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN multi.digest IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT)          AS n_dup_windows
+FROM w LEFT JOIN multi USING (digest)
+GROUP BY w.doc_id
+"""
+
+
+@op("dedup_substring_window", oracle=_SUBSTRING_ORACLE, tags=("llm", "dedup", "scale"))
+def dedup_substring_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level duplicated-substring detection: per document, how
+    many of its 64-char windows (stride 32) also appear verbatim in
+    ANOTHER document — the scalable stand-in for suffix-array substring
+    dedup (the Lee et al. 2022 finding that verbatim cross-document
+    runs, licenses/boilerplate/templated text, are what most degrades a
+    trained model, below the granularity token-chunk dedup sees).
+
+    The suffix array itself is sequential; the distributed form trades
+    exactness at the margins for linearity: overlapping fixed windows
+    digest every position within stride-of-the-boundary, so any shared
+    run of >= 96 chars (width+stride) is GUARANTEED to contain at least
+    one aligned window pair... when copies start at offsets congruent
+    mod the stride; unaligned copies are caught probabilistically per
+    window and certainly once runs span several strides. Per-doc output
+    = windows total vs windows shared with >= 2 distinct docs.
+
+    Scale: window explode is ~len/32 per doc (linear in corpus bytes);
+    the multi-doc digest reduction is ONE hash aggregate
+    (count_distinct partial-combines); the rejoin is a digest equi-join
+    — never all-pairs, same discipline as every dedup tier here.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.length("text").alias("n_chars_t"))
+        .filter(F.col("n_chars_t") >= _SUBW)
+    )
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.expr(f"sequence(0, int((n_chars_t - {_SUBW}) div {_SUBS}))"),
+                lambda i: F.md5(F.substring(F.col("text"), i * _SUBS + 1, _SUBW)),
+            )
+        ).alias("digest"),
+    )
+    multi = (
+        wins.groupBy("digest")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("digest", F.lit(1).alias("is_multi"))
+    )
+    return (
+        wins.join(multi, "digest", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_multi"), F.lit(0))).cast("bigint").alias("n_dup_windows"),
+        )
+    )

@@ -20,6 +20,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from connor_fun_streamproducer_spark.catalog import load
 from connor_fun_streamproducer_spark.registry import op
@@ -428,4 +429,131 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         _audio_energy,
         schema="doc_id bigint, frame_id bigint, energy bigint, peak bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (aHash) image dedup
+
+_PH_GROUPS = 50   # base-pattern groups: docs sharing doc_id%50 render the
+                  # same scene, brightness-shifted per copy
+_PH_SEGS = 16     # hash bits = mean-threshold flags of 16 pixel segments
+
+
+def _phash_group(doc_id: int) -> tuple[int, int, int, int]:
+    """(group, width, height, brightness) — the pure-function fixture
+    geometry shared with the oracle: scene depends only on the group,
+    brightness only on the copy index."""
+    g = doc_id % _PH_GROUPS
+    return g, 8 + g % 9, 8 + g % 5, (doc_id // _PH_GROUPS) % 8
+
+
+def _render_phash_ppm(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """One P6 per doc: pixel j = (g*37 + j*11) % 200 + brightness. Copies
+    of a scene differ in EVERY byte (uniform brightness shift) — exact
+    dedup sees all-distinct payloads; aHash must see through it."""
+    import numpy as np
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            g, w, h, c = _phash_group(int(doc_id))
+            pix = ((g * 37 + np.arange(w * h * 3) * 11) % 200 + c).astype(np.uint8)
+            payloads.append(encode_ppm(w, h, pix.tobytes()))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _phash_kernel(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """REAL aHash over decoded rasters (never sees the generator): parse
+    P6 → integer grayscale (r+g+b)//3 → 16 equal-count segments → bit k
+    set iff segment mean > global mean → 16-bit hash."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            h, w, _c, pixels = decode_image(bytes(payload))
+            rgb = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
+            gray = rgb.reshape(-1, 3).sum(axis=1) // 3
+            n = gray.shape[0]
+            overall = int(gray.sum()) // n
+            bits = 0
+            for k in range(_PH_SEGS):
+                lo, hi = k * n // _PH_SEGS, (k + 1) * n // _PH_SEGS
+                if hi > lo and int(gray[lo:hi].sum()) // (hi - lo) > overall:
+                    bits |= 1 << k
+            rows.append((int(doc_id), bits))
+        yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+
+def _phash_oracle() -> str:
+    # mirror the hash arithmetic symbolically from doc_id (the oracle
+    # never sees payload bytes, exactly like multimodal_decode)
+    g = f"(doc_id % {_PH_GROUPS})"
+    w, h = f"(8 + {g} % 9)", f"(8 + {g} % 5)"
+    n = f"({w} * {h})"
+    c = f"((doc_id // {_PH_GROUPS}) % 8)"
+    gray = (
+        f"list_transform(range(0, {n}), i -> "
+        f"((({g}*37 + (3*i)*11) % 200 + {c})"
+        f" + (({g}*37 + (3*i+1)*11) % 200 + {c})"
+        f" + (({g}*37 + (3*i+2)*11) % 200 + {c})) // 3)"
+    )
+    seg_bits = " + ".join(
+        f"(CASE WHEN (k{k}_hi > k{k}_lo) AND "
+        f"list_sum(g[k{k}_lo + 1 : k{k}_hi]) // (k{k}_hi - k{k}_lo) > overall "
+        f"THEN {1 << k} ELSE 0 END)"
+        for k in range(_PH_SEGS)
+    )
+    seg_bounds = ", ".join(
+        f"(n * {k}) // {_PH_SEGS} AS k{k}_lo, (n * {k + 1}) // {_PH_SEGS} AS k{k}_hi"
+        for k in range(_PH_SEGS)
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {n} AS n, {gray} AS g FROM documents
+    ), m AS (
+        SELECT doc_id, n, g, list_sum(g) // n AS overall, {seg_bounds}
+        FROM base
+    ), hashed AS (
+        SELECT doc_id, CAST({seg_bits} AS BIGINT) AS phash FROM m
+    )
+    SELECT doc_id, phash,
+           CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same_hash
+    FROM hashed
+    """
+
+
+@op("multimodal_phash_dedup", oracle=_phash_oracle(), tags=("llm", "multimodal", "dedup"))
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: decode every image payload, compute a
+    16-bit aHash (segment means thresholded against the global mean),
+    and count how many documents share each hash — the image-side
+    near-dup pass of a multimodal training-data pipeline.
+
+    The fixture makes the point exact-byte dedup cannot: every copy of a
+    scene is brightness-shifted, so all payloads are byte-distinct, but
+    a uniform shift moves segment means and the global mean equally —
+    the threshold pattern, hence the hash, is INVARIANT, and copies
+    collide into their scene's bucket. The Spark path runs the honest
+    pipeline (real P6 parse → integer grayscale → hash) in one map-only
+    Arrow pass; the count is a window over hash (one exchange). The
+    oracle re-derives every hash symbolically from doc_id — a decoder
+    or kernel that mis-slices anything hash-mismatches. At 100 TB:
+    map-only encode, one small exchange keyed by a 16-bit value — for
+    real 64-bit pHashes the same shape, with banded Hamming join (the
+    LSH tier's discipline) replacing exact hash equality.
+    """
+    d = load(spark, sf_dir, "documents")
+    payloads = d.select("doc_id").mapInPandas(
+        _render_phash_ppm, schema="doc_id bigint, payload binary"
+    )
+    hashed = payloads.mapInPandas(
+        _phash_kernel, schema="doc_id bigint, phash bigint"
+    )
+    w = Window.partitionBy("phash")
+    return hashed.select(
+        "doc_id",
+        "phash",
+        F.count("*").over(w).cast("bigint").alias("n_same_hash"),
     )

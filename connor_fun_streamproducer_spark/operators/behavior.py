@@ -820,3 +820,61 @@ def pipeline_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_cents",
         F.sum("rev_cents").over(cum).cast("bigint").alias("cum_rev_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-purchase intervals
+
+_INTERPURCHASE_ORACLE = """
+WITH p AS (
+    SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec
+    FROM events WHERE event_type = 'purchase'
+), g AS (
+    SELECT user_id,
+           sec - lag(sec) OVER (PARTITION BY user_id
+                                ORDER BY sec, event_id) AS gap
+    FROM p
+)
+SELECT user_id,
+       CAST(count(*) + 1 AS BIGINT)          AS n_purchases,
+       CAST(sum(gap) // count(*) AS BIGINT)  AS avg_gap_sec,
+       CAST(max(gap) AS BIGINT)              AS max_gap_sec
+FROM g WHERE gap IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@op(
+    "pipeline_interpurchase_time",
+    oracle=_INTERPURCHASE_ORACLE,
+    tags=("ext", "behavior", "window"),
+)
+def pipeline_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase time per user: count of purchases plus the mean and
+    max gap in seconds between consecutive purchases — the cadence
+    feature behind replenishment reminders and churn-risk scoring (a
+    user whose current silence far exceeds their own max historical gap
+    has likely churned).
+
+    One lag window per user over the purchase-filtered stream (filter
+    pushes to the scan; the window sort runs per user partition), then a
+    per-user aggregate that reuses the window's hash(user_id)
+    partitioning — one exchange total. Gaps stay exact integer seconds;
+    the mean uses integral division so the row hash-matches at any
+    scale (the engine-wide `div`-not-floor(double) discipline).
+    """
+    p = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    g = p.select(
+        "user_id", "event_id", epoch_seconds("ts").alias("sec")
+    ).withColumn("gap", F.col("sec") - F.lag("sec").over(w))
+    return (
+        g.filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (F.count("*") + 1).cast("bigint").alias("n_purchases"),
+            F.expr("sum(gap) div count(*)").cast("bigint").alias("avg_gap_sec"),
+            F.max("gap").cast("bigint").alias("max_gap_sec"),
+        )
+    )

@@ -770,3 +770,94 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("u").alias("user_id"))
         .agg(F.count("*").cast("bigint").alias("core_degree"))
     )
+
+
+_TOP_SIMILAR_ORACLE = """
+WITH buck AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+sized AS (SELECT b FROM buck GROUP BY b HAVING count(*) BETWEEN 2 AND 8),
+e AS (
+    SELECT DISTINCT x.user_id AS a, y.user_id AS c
+    FROM buck x JOIN buck y USING (b) JOIN sized USING (b)
+    WHERE x.user_id < y.user_id
+),
+und AS (
+    SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e
+),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+common AS (
+    SELECT x.u AS a, y.u AS c, count(*) AS n_common
+    FROM und x JOIN und y ON x.v = y.v AND x.u <> y.u
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT common.a AS user_id, common.c AS similar_user,
+           CAST(n_common * 10000 // (da.d + dc.d - n_common) AS BIGINT)
+               AS jaccard_bp,
+           row_number() OVER (
+               PARTITION BY common.a
+               ORDER BY n_common * 10000 // (da.d + dc.d - n_common) DESC,
+                        common.c
+           ) AS rn
+    FROM common
+    JOIN deg da ON da.u = common.a
+    JOIN deg dc ON dc.u = common.c
+)
+SELECT user_id, similar_user, jaccard_bp
+FROM scored WHERE rn = 1
+"""
+
+
+@op("graph_top_similar_user", oracle=_TOP_SIMILAR_ORACLE, tags=("ext", "graph", "scale"))
+def graph_top_similar_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's single most similar OTHER user by neighbor-set
+    Jaccard — the "people like you" primitive behind collaborative
+    recommendations, as a total function over every user with a
+    2-hop peer (graph_jaccard_neighbors keeps the full pair matrix;
+    this op reduces it to the per-user argmax both orientations
+    considered).
+
+    Same band-capped wedge join as the jaccard/triangle tier (pairs
+    only materialize inside bounded-size buckets, so no hot-vertex
+    quadratic cell), scored with the engine-wide integral-div bp
+    discipline, then ONE row_number window per user — Spark plans the
+    rn=1 filter as WindowGroupLimit, a running top-1 that never
+    buffers a user's full candidate list. Deterministic tie-break:
+    higher jaccard, then lower user id.
+    """
+    edges = _pair_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("a").alias("u"), F.col("c").alias("v")
+    ).unionAll(edges.select(F.col("c").alias("u"), F.col("a").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    x = und.select(F.col("u").alias("a"), "v")
+    y = und.select(F.col("u").alias("c"), "v")
+    common = (
+        x.join(y, "v")
+        .filter(F.col("a") != F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count("*").alias("n_common"))
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("u").alias("c"), F.col("d").alias("dc"))
+    scored = (
+        common.join(da, "a")
+        .join(dc, "c")
+        .select(
+            F.col("a").alias("user_id"),
+            F.col("c").alias("similar_user"),
+            F.expr("n_common * 10000 div (da + dc - n_common)")
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("jaccard_bp"), F.asc("similar_user")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "similar_user", "jaccard_bp")
+    )

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.catalog import epoch_seconds, load
 from connor_fun_streamproducer_spark.registry import op
 
 _EWMA_ALPHA = 0.2
@@ -386,4 +386,63 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_id", "value", z_q.alias("z"))
         .filter(F.abs(F.col("z")) > Z_THRESHOLD)
+    )
+
+
+_OHLC_ORACLE = """
+WITH e AS (
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(floor(epoch(ts)) AS BIGINT)         AS sec,
+           event_id, value
+    FROM events
+)
+SELECT event_type, day,
+       round((min(struct_pack(s := sec, i := event_id, v := value))).v, 4)
+           AS open_v,
+       round((max(struct_pack(s := sec, i := event_id, v := value))).v, 4)
+           AS close_v,
+       round(max(value), 4)     AS high_v,
+       round(min(value), 4)     AS low_v,
+       CAST(count(*) AS BIGINT) AS volume
+FROM e GROUP BY event_type, day
+"""
+
+
+@op("ts_ohlc_candles", oracle=_OHLC_ORACLE, tags=("ext", "timeseries", "agg"))
+def ts_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle downsampling: per (event_type, day) the opening value
+    (earliest event), closing value (latest), high, low, and volume —
+    the standard tick→bar compaction every monitoring / market /
+    telemetry store runs before charting or long-horizon modeling.
+
+    Open/close are argmin/argmax by the TOTAL order (sec, event_id),
+    expressed as a lexicographic struct min/max — ONE ordinary
+    hash-aggregate, no window sort: struct aggregates partial-combine
+    map-side like any min/max, so downsampling 100 TB of ticks is a
+    single exchange of one struct per (series, bar) group, and a hot
+    series costs nothing extra (no per-series sort, unlike the
+    row_number formulation).
+    """
+    ev = load(spark, sf_dir, "events")
+    key = F.struct(
+        epoch_seconds("ts").alias("s"),
+        F.col("event_id").alias("i"),
+        F.col("value").alias("v"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            key.alias("k"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.round(F.min("k")["v"], 4).alias("open_v"),
+            F.round(F.max("k")["v"], 4).alias("close_v"),
+            F.round(F.max("value"), 4).alias("high_v"),
+            F.round(F.min("value"), 4).alias("low_v"),
+            F.count("*").cast("bigint").alias("volume"),
+        )
     )

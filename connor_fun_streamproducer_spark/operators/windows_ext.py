@@ -429,3 +429,57 @@ def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(lst, ((F.size(lst) + 1) / 2).cast("int")).alias("med_cents"),
         F.size(lst).cast("bigint").alias("n_in_frame"),
     )
+
+
+_RISES_ORACLE = """
+WITH o AS (
+    SELECT o_custkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           o_orderdate, o_orderkey
+    FROM orders
+), l AS (
+    SELECT o_custkey, cents,
+           lag(cents, 1) OVER w AS p1,
+           lag(cents, 2) OVER w AS p2
+    FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rise3
+FROM l WHERE p2 IS NOT NULL AND p2 < p1 AND p1 < cents
+GROUP BY o_custkey
+"""
+
+
+@op("win_pattern_rises", oracle=_RISES_ORACLE, tags=("ext", "window", "pattern"))
+def win_pattern_rises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern detection: per customer, how many times did
+    three CONSECUTIVE orders (by order date, key-tiebroken) carry
+    strictly increasing spend? The lag-window formulation of the
+    MATCH_RECOGNIZE / sessions-style "N rising events in a row" query —
+    escalation detection over purchase histories, expressed with plain
+    windows so it runs anywhere.
+
+    Two lags over ONE window spec (one sort per customer partition, no
+    self-joins — the naive 3-way self-join on adjacency is quadratic
+    under ties and shuffles three times); the counting aggregate reuses
+    the window's hash(custkey) partitioning, so the whole pattern scan
+    is one exchange + one per-partition sort at any scale. Spend
+    compares in exact integer cents.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    l = o.select("o_custkey", cents.alias("cents"), "o_orderdate", "o_orderkey").select(
+        "o_custkey",
+        "cents",
+        F.lag("cents", 1).over(w).alias("p1"),
+        F.lag("cents", 2).over(w).alias("p2"),
+    )
+    return (
+        l.filter(
+            F.col("p2").isNotNull()
+            & (F.col("p2") < F.col("p1"))
+            & (F.col("p1") < F.col("cents"))
+        )
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("bigint").alias("n_rise3"))
+    )

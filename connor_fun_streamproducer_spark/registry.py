@@ -269,8 +269,20 @@ _WINDOW_PRIORITY = [
     "fn_string",
     "fn_math",
     "fn_date",
-    # -- key 51+: behind the window; externally green in r01-r05 and
-    #    unchanged, still oracle-green locally on every test run --------
+    # -- key 51+: NEW in round 6 — never externally checked; first in
+    #    line for the r07 rotation under the freshness rule -------------
+    "ts_ohlc_candles",               # new: argmin/argmax struct OHLC bars
+    "pipeline_interpurchase_time",   # new: purchase-cadence gaps per user
+    "win_pattern_rises",             # new: 3-consecutive-rises pattern scan
+    "scan_file_stats_pruning",       # new: footer-stats manifest pruning
+    "sink_delete_vectors",           # new: merge-on-read deletion vectors
+    "sink_partition_evolution",      # new: forward-only spec change read
+    "dedup_substring_window",        # new: 64-char window substring dedup
+    "fn_timestamp_format",           # new: format/parse/epoch round trip
+    "graph_top_similar_user",        # new: per-user top-1 jaccard peer
+    "multimodal_phash_dedup",        # new: aHash image near-dup clusters
+    # -- behind those: externally green in r01-r05 and unchanged, still
+    #    oracle-green locally on every test run ------------------------
     "corpus_decontaminate",
     "text_perplexity_proxy",
     "sample_mix_target",

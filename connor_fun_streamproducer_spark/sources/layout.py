@@ -438,6 +438,57 @@ def versioned_orders_root(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+def commit_append(root: str, new_rel_files: list[str], expected_version: int) -> int | None:
+    """Optimistic-concurrency append commit against a versioned root.
+
+    The table-format commit protocol under CONTENTION: data files are
+    already staged (never touching existing ones); committing snapshot
+    N+1 means publishing ``manifest-{N+1}.txt`` and advancing VERSION.
+    Exactly-one-winner comes from the manifest number itself being the
+    compare-and-swap token: the manifest body is staged to a temp file
+    and published with ``os.link`` — an atomic create-exclusive, so of
+    two racers exactly ONE creates ``manifest-{N+1}.txt``; the other
+    gets EEXIST, removes its staged data files, and returns None (its
+    retry would re-stage on top of snapshot N+1, Iceberg/Delta's retry
+    loop). The VERSION pointer advance after the manifest link is a
+    plain monotonic rename — readers between the two steps still
+    resolve a complete snapshot N.
+
+    Returns the committed version, or None if this writer lost.
+    """
+    with open(os.path.join(root, "VERSION")) as fh:
+        current = int(fh.read().strip())
+    if current != expected_version:
+        for rel in new_rel_files:  # stale base — clean staged data
+            try:
+                os.remove(os.path.join(root, rel))
+            except OSError:
+                pass
+        return None
+    with open(os.path.join(root, f"manifest-{current}.txt")) as fh:
+        base_files = [line for line in fh.read().splitlines() if line]
+    new_v = current + 1
+    tmp = os.path.join(root, f"manifest-{new_v}.txt.{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(base_files + new_rel_files))
+    try:
+        os.link(tmp, os.path.join(root, f"manifest-{new_v}.txt"))  # the CAS
+    except FileExistsError:
+        os.remove(tmp)
+        for rel in new_rel_files:
+            try:
+                os.remove(os.path.join(root, rel))
+            except OSError:
+                pass
+        return None
+    os.remove(tmp)
+    vtmp = os.path.join(root, f"VERSION.{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    with open(vtmp, "w") as fh:
+        fh.write(str(new_v))
+    os.rename(vtmp, os.path.join(root, "VERSION"))
+    return new_v
+
+
 def read_snapshot(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
     """Resolve VERSION → manifest → file list and read exactly those files.
 
@@ -550,4 +601,262 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").cast("bigint").alias("n_ids"),
         F.sum(F.length("text")).cast("bigint").alias("total_chars"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# File-level min/max stats pruning (the Iceberg/Delta manifest-stats read)
+
+_STATS_FILES = 8
+_STATS_BOUND = "1997-06-01"
+
+
+def range_files_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) orders as ``_STATS_FILES`` range-clustered
+    parquet files plus a ``file_stats.txt`` manifest of per-file
+    o_orderdate min/max, harvested from the parquet FOOTERS (pyarrow,
+    driver-side, bounded by file count) — exactly what a table format
+    stores per data file at commit time so readers never open the file
+    to learn its range."""
+    root = _scratch_path(sf_dir, "orders_range_files")
+    if not os.path.isfile(os.path.join(root, "_SUCCESS")):
+        o = load(spark, sf_dir, "orders")
+
+        def _build(staging: str) -> None:
+            data = os.path.join(staging, "data")
+            (
+                o.repartitionByRange(_STATS_FILES, "o_orderdate")
+                .write.parquet(data)
+            )
+            import pyarrow.parquet as pq
+
+            lines = []
+            for f in _part_files(data):
+                md = pq.ParquetFile(f).metadata
+                idx = md.schema.to_arrow_schema().names.index("o_orderdate")
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                rel = os.path.relpath(f, staging)
+                lines.append(f"{rel}\t{lo.isoformat()}\t{hi.isoformat()}")
+            with open(os.path.join(staging, "file_stats.txt"), "w") as fh:
+                fh.write("\n".join(lines))
+            with open(os.path.join(staging, "_SUCCESS"), "w"):
+                pass
+
+        _atomic_write(_build, root)
+    return root
+
+
+def stats_pruned_files(root: str, bound: str) -> tuple[list[str], int]:
+    """Resolve the file-stats manifest: (files whose [min,max] range can
+    contain a row with o_orderdate >= bound, total file count)."""
+    from datetime import datetime
+
+    b = datetime.fromisoformat(bound)
+    keep, total = [], 0
+    with open(os.path.join(root, "file_stats.txt")) as fh:
+        for line in fh.read().splitlines():
+            rel, _lo, hi = line.split("\t")
+            total += 1
+            if datetime.fromisoformat(hi) >= b:
+                keep.append(os.path.join(root, rel))
+    return keep, total
+
+
+@op(
+    "scan_file_stats_pruning",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_STATS_BOUND} 00:00:00'
+    GROUP BY o_orderstatus
+    """,
+    tags=("ext", "source", "scale"),
+)
+def scan_file_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file pruning: answer a date-range query touching
+    ONLY the data files whose footer min/max can overlap the predicate —
+    the other files are skipped without opening them.
+
+    Directory listings force a 100 TB table scan to at least open every
+    footer; table formats instead carry per-file column ranges in the
+    commit manifest, so planning is a manifest read (KBs) and the scan
+    list shrinks to the overlapping files — here 8 range-clustered files
+    of which the late-date predicate keeps a strict subset
+    (tests/test_plans.py pins pruned < total). The residual filter still
+    applies inside the kept files (row-group pruning + predicate
+    pushdown take over), so the result is exact: the oracle runs the
+    same query over the unpruned table and the hash must match.
+    """
+    root = range_files_root(spark, sf_dir)
+    keep, _total = stats_pruned_files(root, _STATS_BOUND)
+    return (
+        spark.read.parquet(*keep)
+        .filter(F.col("o_orderdate") >= _STATS_BOUND)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read soft deletes)
+
+_DV_STATUS = "F"
+_DV_MOD = 7
+
+
+def delete_vectors_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) an immutable orders base + a deletion
+    vector: a tiny parquet of deleted o_orderkeys (every key ≡ 0 mod 7
+    among status-F orders). The base files are NEVER rewritten — a
+    delete commit writes only the key list, the merge-on-read pattern
+    (Delta deletion vectors / Iceberg positional deletes reduced to a
+    key-valued DV)."""
+    root = _scratch_path(sf_dir, "orders_delete_vectors")
+    if not os.path.isfile(os.path.join(root, "_SUCCESS")):
+        o = load(spark, sf_dir, "orders")
+
+        def _build(staging: str) -> None:
+            o.write.parquet(os.path.join(staging, "base"))
+            (
+                o.filter(
+                    (F.col("o_orderstatus") == _DV_STATUS)
+                    & (F.col("o_orderkey") % _DV_MOD == 0)
+                )
+                .select("o_orderkey")
+                .write.parquet(os.path.join(staging, "deletes"))
+            )
+            with open(os.path.join(staging, "_SUCCESS"), "w"):
+                pass
+
+        _atomic_write(_build, root)
+    return root
+
+
+@op(
+    "sink_delete_vectors",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    WHERE NOT (o_orderstatus = '{_DV_STATUS}' AND o_orderkey % {_DV_MOD} = 0)
+    GROUP BY o_orderstatus
+    """,
+    tags=("ext", "sink", "scale"),
+)
+def sink_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes: the live table is base MINUS the deletion
+    vector, applied at read time as a broadcast left-anti join on the
+    key — no base file is ever rewritten.
+
+    At 100 TB, copy-on-write deletes rewrite whole files to drop a few
+    rows (write amplification measured in TBs for a GDPR erasure batch);
+    the DV pattern writes KBs — the deleted-key list — and defers the
+    subtraction to the scan, where it is a broadcast anti-join (DV side
+    is small by construction; a bloom filter over it is the classic
+    further step). Compaction later folds DVs into data files; both
+    layout halves are already covered by sink_compaction. The oracle
+    computes the same live set from the source table with the delete
+    predicate inverted — hash-match proves no under- or over-delete.
+    """
+    root = delete_vectors_root(spark, sf_dir)
+    base = spark.read.parquet(os.path.join(root, "base"))
+    dv = spark.read.parquet(os.path.join(root, "deletes"))
+    return (
+        base.join(F.broadcast(dv), "o_orderkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution (old spec + new spec served as one table)
+
+_EVOLVE_CUT = "1998-01-01"  # fixture dates span 1995-2001; cut mid-range
+
+
+def evolved_partitions_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) an orders table whose layout EVOLVED:
+    rows before the cut live under spec-v1 (``year=``) directories, rows
+    from the cut on under spec-v2 (``year=/o_orderstatus=``) — the
+    Iceberg partition-evolution contract: a spec change applies to NEW
+    data only; old files are never rewritten."""
+    root = _scratch_path(sf_dir, "orders_evolved_spec")
+    if not os.path.isfile(os.path.join(root, "_SUCCESS")):
+        o = load(spark, sf_dir, "orders").withColumn(
+            "year", F.year("o_orderdate").cast("int")
+        )
+
+        def _build(staging: str) -> None:
+            (
+                o.filter(F.col("o_orderdate") < _EVOLVE_CUT)
+                .write.partitionBy("year")
+                .parquet(os.path.join(staging, "spec1"))
+            )
+            (
+                o.filter(F.col("o_orderdate") >= _EVOLVE_CUT)
+                .write.partitionBy("year", "o_orderstatus")
+                .parquet(os.path.join(staging, "spec2"))
+            )
+            with open(os.path.join(staging, "_SUCCESS"), "w"):
+                pass
+
+        _atomic_write(_build, root)
+    return root
+
+
+@op(
+    "sink_partition_evolution",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+           o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "sink", "scale"),
+)
+def sink_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read one logical table across a partition-spec change: early
+    years laid out as ``year=``, later years as ``year=/status=``, both
+    subtrees served as a single frame with identical logical schema.
+
+    Repartitioning 100 TB because the query mix changed is the thing
+    partition evolution exists to avoid: the spec change applies
+    forward-only and the reader unions per-spec subtrees, aligning
+    columns by name (the spec-1 branch recovers ``o_orderstatus`` from
+    its data pages; the spec-2 branch recovers it from directory
+    values). A status predicate still PRUNES DIRECTORIES in the spec-2
+    subtree and falls back to row-group pushdown in spec-1 — pinned in
+    tests/test_plans.py; the oracle aggregates the flat source table,
+    so the hash-match proves the two layouts reassemble the exact
+    original row set.
+    """
+    root = evolved_partitions_root(spark, sf_dir)
+    s1 = spark.read.parquet(os.path.join(root, "spec1"))
+    s2 = spark.read.parquet(os.path.join(root, "spec2"))
+    cols = ["year", "o_orderstatus"]
+    return (
+        s1.select(*cols)
+        .unionByName(s2.select(*cols))
+        .groupBy("year", "o_orderstatus")
+        .agg(F.count("*").cast("bigint").alias("n"))
     )

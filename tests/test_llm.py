@@ -397,3 +397,26 @@ def test_kmeans_converges_deterministically_and_matches_numpy(spark):
                 C[c] = q(members.mean(axis=0))
     expected = sorted(zip(ids.tolist(), assign.tolist()))
     assert rows == expected
+
+
+def test_phash_brightness_invariance_on_byte_distinct_copies():
+    """Two copies of the same scene (doc_id ≡ mod 50) must render
+    byte-DISTINCT payloads (uniform brightness shift touches every byte)
+    yet produce the IDENTICAL aHash — the invariance that makes
+    perceptual dedup see what exact dedup cannot."""
+    import pandas as pd
+
+    from connor_fun_streamproducer_spark.llm.multimodal import (
+        _phash_kernel,
+        _render_phash_ppm,
+    )
+
+    ids = pd.DataFrame({"doc_id": [7, 57, 107]})  # same scene, 3 copies
+    rendered = next(iter(_render_phash_ppm([ids])))
+    payloads = list(rendered["payload"])
+    assert len({bytes(p) for p in payloads}) == 3  # all byte-distinct
+    hashed = next(iter(_phash_kernel([rendered])))
+    assert len(set(hashed["phash"])) == 1  # one perceptual identity
+    # and a different scene lands elsewhere
+    other = next(iter(_phash_kernel([next(iter(_render_phash_ppm([pd.DataFrame({"doc_id": [8]})])))])))
+    assert set(other["phash"]) != set(hashed["phash"])

@@ -927,3 +927,96 @@ def test_point_in_time_join_is_tape_not_interval_join(spark):
     for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
               "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert_not_in_plan(df, j)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions
+
+
+def test_ohlc_is_one_agg_no_window(spark):
+    """OHLC bars must come from ONE partial-combined hash aggregate
+    (struct argmin/argmax), never a per-series window sort: no Window
+    node, a single exchange."""
+    df = _q("ts_ohlc_candles", spark)
+    assert count_in_plan(df, "Window") == 0, formatted_plan(df)
+    assert count_in_plan(df, "Exchange") == 1, formatted_plan(df)
+
+
+def test_interpurchase_window_and_agg_share_one_exchange(spark):
+    """The lag window and the per-user aggregate both cluster on
+    hash(user_id) — one exchange total."""
+    df = _q("pipeline_interpurchase_time", spark)
+    assert count_in_plan(df, "Exchange") == 1, formatted_plan(df)
+    assert count_in_plan(df, "Window") == 1
+
+
+def test_pattern_rises_two_lags_one_window_pass(spark):
+    """Both lags ride one window spec (one sort), and the count agg
+    reuses the window's custkey partitioning — one exchange."""
+    df = _q("win_pattern_rises", spark)
+    assert count_in_plan(df, "Exchange") == 1, formatted_plan(df)
+    assert count_in_plan(df, "Window") == 1
+
+
+def test_file_stats_pruning_opens_strict_subset(spark):
+    """The manifest must prune the scan list: kept files < total files,
+    and the kept set still answers the query exactly (oracle-checked in
+    test_oracle.py)."""
+    from connor_fun_streamproducer_spark.sources.layout import (
+        _STATS_BOUND,
+        range_files_root,
+        stats_pruned_files,
+    )
+
+    root = range_files_root(spark, SF_DIR)
+    keep, total = stats_pruned_files(root, _STATS_BOUND)
+    assert 0 < len(keep) < total, (len(keep), total)
+    # residual pushdown still reaches the kept files' scan
+    df = _q("scan_file_stats_pruning", spark)
+    assert "PushedFilters" in formatted_plan(df)
+
+
+def test_delete_vectors_broadcast_anti_join(spark):
+    """The DV subtraction must plan as a broadcast LEFT ANTI hash join
+    (DV side is small by construction) — not a shuffle of the base."""
+    df = _q("sink_delete_vectors", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_partition_evolution_new_spec_dir_prunes(spark):
+    """A status predicate over the spec-2 subtree must become directory
+    pruning (PartitionFilters), not a row filter after the scan."""
+    import os
+
+    from connor_fun_streamproducer_spark.sources.layout import (
+        evolved_partitions_root,
+    )
+    from pyspark.sql import functions as F
+
+    root = evolved_partitions_root(spark, SF_DIR)
+    s2 = spark.read.parquet(os.path.join(root, "spec2")).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    plan = s2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], plan[:1500]
+
+
+def test_substring_window_dedup_all_hash_no_cartesian(spark):
+    """Window-digest dedup must stay equi-join shaped end to end."""
+    df = _q("dedup_substring_window", spark)
+    assert_not_in_plan(df, "CartesianProduct")
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+    assert count_in_plan(df, "HashAggregate") >= 2
+
+
+def test_top_similar_user_plans_running_top1(spark):
+    """The rn=1 filter must plan as WindowGroupLimit — a running top-1
+    per user, never buffering a user's full candidate list."""
+    df = _q("graph_top_similar_user", spark)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
