@@ -80,8 +80,10 @@ EXTENDED = [
 ]
 
 
-def _time_keys(spark, keys: list[str], sf_dir: str, label: str = "") -> dict[str, float]:
-    """Min-of-3 wall time per op key at sf_dir (one untimed warmup run
+def _time_keys(
+    spark, keys: list[str], sf_dir: str, label: str = "", reps: int = 3
+) -> dict[str, float]:
+    """Min-of-reps wall time per op key at sf_dir (one untimed warmup run
     absorbs codegen/classload when WARMUP is on)."""
     timings: dict[str, float] = {}
     for key in keys:
@@ -92,7 +94,7 @@ def _time_keys(spark, keys: list[str], sf_dir: str, label: str = "") -> dict[str
             # pathologically slow and would otherwise dominate).
             fn(spark, sf_dir).count()
         best, n = None, 0
-        for _ in range(3):  # min-of-3: the shared host is noisy (3× swings)
+        for _ in range(reps):  # min-of-N: the shared host is noisy (3× swings)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
@@ -124,7 +126,9 @@ def main() -> None:
     scaling: dict[str, float] = {}
     try:
         if os.path.isdir(SF2_DIR) and os.path.realpath(SF2_DIR) != os.path.realpath(SF_DIR):
-            second = _time_keys(spark, keys + ext_keys, SF2_DIR, label="sf2 ")
+            # ratios are coarse (order-of-magnitude signal): min-of-2 halves the
+            # pass cost without moving any conclusion
+            second = _time_keys(spark, keys + ext_keys, SF2_DIR, label="sf2 ", reps=2)
             big = {**timings, **ext_timings}
             scaling = {
                 k: round(big[k] / second[k], 2)

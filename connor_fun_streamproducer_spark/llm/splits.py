@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from connor_fun_streamproducer_spark.catalog import load
 from connor_fun_streamproducer_spark.registry import op
@@ -352,4 +353,127 @@ def sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("replica"),
         )
         .withColumn("replica", F.col("replica").cast("bigint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling (derandomized, bounded-pool)
+
+_NEG_B = 8   # hash buckets over the candidate pool
+_NEG_K = 2   # probes (negatives requested) per anchor
+
+
+def _h8(expr: str) -> str:
+    """First 8 md5 hex digits as a DuckDB BIGINT (the fn_surrogate_key
+    cross-engine hash idiom)."""
+    return f"CAST(CAST(concat('0x', substr(md5({expr}), 1, 8)) AS UBIGINT) AS BIGINT)"
+
+
+_NEG_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, label,
+           {_h8("CAST(vec_id AS VARCHAR)")} % {_NEG_B} AS bucket
+    FROM embeddings
+), pool AS (
+    SELECT bucket, label,
+           arg_min(vec_id, md5(CAST(vec_id AS VARCHAR))) AS rep_id
+    FROM v GROUP BY bucket, label
+), probes AS (
+    SELECT v.vec_id AS anchor_id, v.label AS anchor_label, p.probe,
+           {_h8("concat(CAST(v.vec_id AS VARCHAR), '#', CAST(p.probe AS VARCHAR))")}
+               % {_NEG_B} AS target
+    FROM v, (SELECT unnest(generate_series(0, {_NEG_K - 1})) AS probe) p
+), cand AS (
+    SELECT probes.anchor_id, probes.probe,
+           pool.rep_id AS neg_id, pool.label AS neg_label,
+           row_number() OVER (
+               PARTITION BY probes.anchor_id, probes.probe
+               ORDER BY md5(concat(CAST(probes.anchor_id AS VARCHAR), '|',
+                                   CAST(probes.probe AS VARCHAR), '|',
+                                   CAST(pool.label AS VARCHAR)))
+           ) AS rn
+    FROM probes JOIN pool
+      ON pool.bucket = probes.target AND pool.label <> probes.anchor_label
+)
+SELECT anchor_id, CAST(probe AS INTEGER) AS probe,
+       neg_id, CAST(neg_label AS INTEGER) AS neg_label
+FROM cand WHERE rn = 1
+"""
+
+
+@op("sample_negative_pairs", oracle=_NEG_ORACLE, tags=("llm", "sample", "scale"))
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derandomized contrastive negative sampling: for each anchor
+    vector, K=2 negatives with a DIFFERENT label, chosen by hash — the
+    (anchor, positive, negative) triplet builder behind contrastive
+    embedding training, reproducible across runs, engines, and
+    partitionings (``rand()`` negatives are none of those).
+
+    Scale design — the naive form (per anchor, choose among all
+    other-label vectors) is a quadratic join; this op never builds it:
+
+    - a bounded POOL pre-aggregates one representative per (bucket,
+      label) cell — arg_min by md5, B×|labels| rows total, broadcast;
+    - each anchor probes K hash-derived buckets (per-anchor variety
+      comes from the probe hash, not from scanning candidates);
+    - per (anchor, probe) the winning label is again hash-chosen
+      (row_number over md5, planned as WindowGroupLimit's running
+      top-1).
+
+    Cost at 100 TB: one bounded pool aggregate + a broadcast equi-join
+    fanning each anchor to at most |labels|−1 candidate rows — linear
+    in anchors, independent of corpus size per anchor. Probes whose
+    bucket holds no other-label representative yield no row
+    (deterministic on both engines; refresh with a different probe
+    salt in production).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    h8 = lambda col: F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+    v = e.select(
+        "vec_id",
+        "label",
+        (h8(F.col("vec_id").cast("string")) % _NEG_B).alias("bucket"),
+    )
+    pool = v.groupBy("bucket", "label").agg(
+        F.min_by("vec_id", F.md5(F.col("vec_id").cast("string"))).alias("rep_id")
+    )
+    probes = v.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.explode(F.array(*[F.lit(i) for i in range(_NEG_K)])).alias("probe"),
+    ).withColumn(
+        "target",
+        h8(
+            F.concat(
+                F.col("anchor_id").cast("string"),
+                F.lit("#"),
+                F.col("probe").cast("string"),
+            )
+        )
+        % _NEG_B,
+    )
+    cand = probes.join(
+        F.broadcast(pool),
+        (pool.bucket == probes.target) & (pool.label != probes.anchor_label),
+    )
+    w = Window.partitionBy("anchor_id", "probe").orderBy(
+        F.md5(
+            F.concat(
+                F.col("anchor_id").cast("string"),
+                F.lit("|"),
+                F.col("probe").cast("string"),
+                F.lit("|"),
+                F.col("label").cast("string"),
+            )
+        )
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("probe").cast("int").alias("probe"),
+            F.col("rep_id").alias("neg_id"),
+            F.col("label").cast("int").alias("neg_label"),
+        )
     )

@@ -672,3 +672,66 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nearest_orderkey"),
         F.when(use_back, d_back).otherwise(d_fwd).cast("bigint").alias("dist_sec"),
     )
+
+
+# Staleness bound. The fixture's event clock (2024) sits ~22.5 years after
+# the order clock (1995-2001), so per-event freshest-match ages span
+# 8209-9311 days; 8500 days deliberately BISECTS that range so both the
+# fresh-match and too-stale branches are exercised (a bound that passes or
+# fails everything would make the tolerance semantics vacuously green).
+_ASOF_TOL_SEC = 8500 * 86400
+
+
+@op(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT event_id, user_id, asof_orderkey, asof_orderdate
+    FROM (
+        SELECT e.event_id, e.user_id,
+               o.o_orderkey  AS asof_orderkey,
+               o.o_orderdate AS asof_orderdate,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC NULLS LAST,
+                                           o.o_orderkey  DESC NULLS LAST) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id
+         AND o.o_orderdate <= e.ts
+         AND CAST(floor(epoch(e.ts)) AS BIGINT)
+             - CAST(floor(epoch(o.o_orderdate)) AS BIGINT) <= {_ASOF_TOL_SEC}
+    ) WHERE rn = 1
+    """,
+    tags=("ext", "join", "scale"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE (pandas ``merge_asof``
+    ``tolerance=`` / every feature store's max-feature-age rule): each
+    event takes the user's latest earlier order only if it is within
+    the staleness bound at event time; staler matches are nulled, the
+    event row survives.
+
+    A feature served from a year-old row is usually worse than no
+    feature — training-serving skew hides there — so the tolerance
+    bound is first-class join semantics, not a post-filter the caller
+    must remember. Physically it IS a map-side decision on the shared
+    carry-forward tape (_asof_carry_tape): the carried struct either
+    passes the age check or degrades to null, so the 100 TB cost is
+    identical to join_asof_left — one (user) exchange, one linear
+    sweep, no candidate materialization — and inner/left/tolerance
+    semantics are all final-projection choices on ONE physical plan.
+    """
+    carried = _asof_carry_tape(spark, sf_dir)
+    fresh = (
+        F.col("asof").isNotNull()
+        & (
+            F.col("t").cast("timestamp_ltz").cast("long")
+            - F.col("asof.o_orderdate").cast("timestamp_ltz").cast("long")
+            <= _ASOF_TOL_SEC
+        )
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("asof.o_orderkey")).alias("asof_orderkey"),
+        F.when(fresh, F.col("asof.o_orderdate")).alias("asof_orderdate"),
+    )

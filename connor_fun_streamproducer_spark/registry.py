@@ -281,6 +281,8 @@ _WINDOW_PRIORITY = [
     "fn_timestamp_format",           # new: format/parse/epoch round trip
     "graph_top_similar_user",        # new: per-user top-1 jaccard peer
     "multimodal_phash_dedup",        # new: aHash image near-dup clusters
+    "join_asof_tolerance",           # new: max-staleness as-of (feature age)
+    "sample_negative_pairs",         # new: derandomized contrastive negatives
     # -- behind those: externally green in r01-r05 and unchanged, still
     #    oracle-green locally on every test run ------------------------
     "corpus_decontaminate",

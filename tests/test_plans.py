@@ -1020,3 +1020,33 @@ def test_top_similar_user_plans_running_top1(spark):
     df = _q("graph_top_similar_user", spark)
     plan = formatted_plan(df)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_asof_tolerance_same_tape_one_exchange_no_join(spark):
+    """Tolerance semantics must NOT change the physical strategy: same
+    single-exchange carry tape as join_asof_sorted/left, zero join
+    nodes — the freshness bound is a map-side projection."""
+    df = _q("join_asof_tolerance", spark)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert count_in_plan(df, "Exchange") == 1, plan
+
+
+def test_negative_pairs_broadcast_pool_and_running_top1(spark):
+    """The candidate pool must broadcast (bounded B×labels rows) and the
+    per-(anchor, probe) winner must plan as WindowGroupLimit."""
+    df = _q("sample_negative_pairs", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_phash_dedup_map_only_plus_one_hash_exchange(spark):
+    """Decode+hash is one map-only Arrow pass; the cluster count is one
+    window over the 16-bit hash — exactly one shuffle exchange."""
+    df = _q("multimodal_phash_dedup", spark)
+    plan = formatted_plan(df)
+    assert count_in_plan(df, "Exchange") == 1, plan
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
