@@ -483,3 +483,77 @@ def win_pattern_rises(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.count("*").cast("bigint").alias("n_rise3"))
     )
+
+
+_CLAMP_ORACLE = """
+WITH d AS (
+    SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+           CASE WHEN event_type = 'purchase'
+                THEN  CAST(floor(value * 100 + 0.5) AS BIGINT)
+                ELSE -CAST(floor(value * 25 + 0.5) AS BIGINT) END AS delta
+    FROM events
+), s AS (
+    SELECT user_id, event_id, sec,
+           sum(delta) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                            ROWS UNBOUNDED PRECEDING) AS cs
+    FROM d
+)
+SELECT user_id, event_id,
+       CAST(cs - least(min(cs) OVER (PARTITION BY user_id
+                                     ORDER BY sec, event_id
+                                     ROWS UNBOUNDED PRECEDING), 0)
+            AS BIGINT) AS balance
+FROM s
+"""
+
+
+@op("win_clamped_cumsum", oracle=_CLAMP_ORACLE, tags=("ext", "window", "scale"))
+def win_clamped_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running balance per user (credits from purchases,
+    debits from every other event): ``bal_i = max(0, bal_{i-1} + Δ_i)``
+    — inventory positions, prepaid credit, rate-limiter tokens all walk
+    this recurrence, and its clamp makes it look like it needs a
+    per-key sequential scan (the applyInPandas escape hatch).
+
+    It does not: by the Skorokhod-reflection identity the clamped walk
+    is ``cs_i − min(0, min_{j≤i} cs_j)`` — plain running sum minus
+    running min of that sum (check: Δ = +5, −10, +3 → cs 5, −5, −2 →
+    bal 5, 0, 3). So the op stays ENTIRELY inside window codegen: two
+    stacked window aggregates on ONE (user) exchange and sort, no
+    Python, no UDF, exact integer cents — the design rule made
+    executable: before reaching for mapInPandas on a 'stateful' scan,
+    look for the algebraic form first. At 100 TB: one shuffle, linear
+    per-partition sweeps.
+    """
+    ev = load(spark, sf_dir, "events")
+    delta = F.when(
+        F.col("event_type") == "purchase",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+    ).otherwise(-F.floor(F.col("value") * 25 + F.lit(0.5)).cast("bigint"))
+    d = ev.select(
+        "user_id", "event_id", epoch_seconds("ts").alias("sec"), delta.alias("delta")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Both windows share ONE partitioning and ONE sort order, so Spark
+    # plans a single exchange and a single per-partition sort carrying
+    # two stacked window aggregates.
+    s = d.select(
+        "user_id", "event_id", "sec", F.sum("delta").over(w).alias("cs")
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return s.select(
+        "user_id",
+        "event_id",
+        (F.col("cs") - F.least(F.min("cs").over(w2), F.lit(0)))
+        .cast("bigint")
+        .alias("balance"),
+    )

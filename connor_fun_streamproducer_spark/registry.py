@@ -283,6 +283,7 @@ _WINDOW_PRIORITY = [
     "multimodal_phash_dedup",        # new: aHash image near-dup clusters
     "join_asof_tolerance",           # new: max-staleness as-of (feature age)
     "sample_negative_pairs",         # new: derandomized contrastive negatives
+    "win_clamped_cumsum",            # new: Skorokhod-reflection floor clamp
     # -- behind those: externally green in r01-r05 and unchanged, still
     #    oracle-green locally on every test run ------------------------
     "corpus_decontaminate",

@@ -628,17 +628,9 @@ def range_files_root(spark: SparkSession, sf_dir: str) -> str:
                 o.repartitionByRange(_STATS_FILES, "o_orderdate")
                 .write.parquet(data)
             )
-            import pyarrow.parquet as pq
-
             lines = []
             for f in _part_files(data):
-                md = pq.ParquetFile(f).metadata
-                idx = md.schema.to_arrow_schema().names.index("o_orderdate")
-                lo = hi = None
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
+                lo, hi = footer_minmax(f, "o_orderdate")
                 rel = os.path.relpath(f, staging)
                 lines.append(f"{rel}\t{lo.isoformat()}\t{hi.isoformat()}")
             with open(os.path.join(staging, "file_stats.txt"), "w") as fh:
@@ -648,6 +640,24 @@ def range_files_root(spark: SparkSession, sf_dir: str) -> str:
 
         _atomic_write(_build, root)
     return root
+
+
+def footer_minmax(path: str, col: str):
+    """(min, max) of a column across ALL of a parquet file's row groups,
+    from footer statistics only — no data pages read. Multi-row-group
+    files matter: each row group carries its own stats and a
+    first-group-only harvest silently under-reports the range
+    (pinned in tests/test_properties.py)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.to_arrow_schema().names.index(col)
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return lo, hi
 
 
 def stats_pruned_files(root: str, bound: str) -> tuple[list[str], int]:

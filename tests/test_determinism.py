@@ -1,0 +1,72 @@
+"""Cross-run determinism sweep (engine-wide).
+
+Every oracle hash-compare implicitly assumes an op's output is a pure
+function of its input — but Spark re-partitions, re-orders, and
+re-schedules between runs, so any op leaning on partition order, float
+summation order, or ties without a total order can drift run-to-run and
+still pass a single-shot oracle check by luck. This sweep re-runs a
+curated slice of the registry TWICE in one session and requires
+bit-identical (sorted) rows.
+
+The slice targets the ops most exposed to nondeterminism: iterative
+fixpoints, hash/LSH families, sampled/derandomized ops, float-heavy
+aggregates, and window stacks with tie-prone orderings. (kmeans/PCA have
+their own two-scale determinism test in test_properties.py.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from connor_fun_streamproducer_spark import registry
+from tests.conftest import SF_DIR
+
+registry._ensure_loaded()
+
+SWEEP = [
+    "agg_hash",                    # float sums, canonical rounding
+    "agg_corr_pairs",              # integer-moment doubles
+    "dedup_near_minhash",          # LSH banding + keeper assignment
+    "dedup_simhash",               # bit sketches
+    "dedup_substring_window",      # digest agg + join
+    "sim_search_ivf",              # codebook + pruning
+    "sim_search_pq",               # sampled codebooks + ADC
+    "graph_connected_components",  # iterative fixpoint
+    "graph_pagerank_dist",         # iterative float fixpoint
+    "graph_top_similar_user",      # wedge join + tie-broken top-1
+    "sample_reservoir",            # hash-priority sample
+    "sample_negative_pairs",       # hash-probed sampling
+    "corpus_shuffle_shard",        # md5-ordered shuffle
+    "ts_interpolate_linear",       # quantized anchors
+    "win_clamped_cumsum",          # stacked windows
+    "ts_ohlc_candles",             # struct argmin/argmax ties
+    "agg_heavy_hitters",           # two-phase MG
+    "pipeline_basket_affinity",    # pair lift, integer ratios
+]
+
+
+@pytest.mark.parametrize("key", SWEEP)
+def test_two_runs_bit_identical_across_partitionings(spark, key):
+    """Second run executes under a DIFFERENT partitioning (prime shuffle
+    partition count, small scan splits) — two runs under the same layout
+    can agree by accident; surviving a re-partitioned world is the
+    actual determinism claim."""
+    fn = registry.OPS[key].fn
+    a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    perturb = {
+        "spark.sql.shuffle.partitions": "7",
+        "spark.sql.files.maxPartitionBytes": "65536",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in perturb}
+    try:
+        for k, v in perturb.items():
+            spark.conf.set(k, v)
+        b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert a == b, f"{key} drifted under a different partitioning"

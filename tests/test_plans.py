@@ -1050,3 +1050,14 @@ def test_phash_dedup_map_only_plus_one_hash_exchange(spark):
     assert count_in_plan(df, "Exchange") == 1, plan
     assert "MapInPandas" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_clamped_cumsum_two_windows_one_exchange_no_python(spark):
+    """Both window aggregates (running sum, running min of it) must ride
+    ONE (user) exchange and sort — and the clamp stays in codegen: no
+    Python eval node anywhere (the identity replaces the applyInPandas
+    escape hatch the recurrence seems to need)."""
+    df = _q("win_clamped_cumsum", spark)
+    plan = formatted_plan(df)
+    assert count_in_plan(df, "Exchange") == 1, plan
+    assert "Python" not in plan and "MapInPandas" not in plan, plan

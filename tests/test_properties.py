@@ -1617,3 +1617,57 @@ def test_kmeans_and_pca_cross_run_determinism_both_scales(spark, sf_dir):
     p1 = sorted(map(tuple, pca(spark, sf_dir).collect()))
     p2 = sorted(map(tuple, pca(spark, sf_dir).collect()))
     assert p1 == p2  # exact equality: quantized outputs, not approx
+
+
+def test_clamped_cumsum_reflection_identity_vs_sequential_walk(spark):
+    """win_clamped_cumsum claims the Skorokhod-reflection identity
+    (clamped walk == running sum − min(0, running min)); pin it against
+    the literal sequential recurrence bal = max(0, bal + Δ) replayed in
+    Python over the same ordering."""
+    import duckdb
+
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    rows = duckdb.sql(
+        f"""
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               event_type, value
+        FROM read_parquet('{SF_DIR}/events.parquet')
+        ORDER BY user_id, sec, event_id
+        """
+    ).fetchall()
+    bal: dict = {}
+    expect: dict = {}
+    for u, eid, sec, et, v in rows:
+        d = int(v * 100 + 0.5) if et == "purchase" else -int(v * 25 + 0.5)
+        bal[u] = max(0, bal.get(u, 0) + d)
+        expect[eid] = bal[u]
+    got = {
+        r["event_id"]: r["balance"]
+        for r in registry.OPS["win_clamped_cumsum"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert min(got.values()) == 0  # the floor actually binds somewhere
+
+
+def test_footer_minmax_spans_all_row_groups(tmp_path):
+    """footer_minmax must fold statistics across EVERY row group — a
+    multi-row-group file whose extremes live in different groups is the
+    case a first-group-only harvest gets silently wrong."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from connor_fun_streamproducer_spark.sources.layout import footer_minmax
+
+    path = str(tmp_path / "multi_rg.parquet")
+    vals = list(range(50, 100)) + list(range(0, 50)) + list(range(100, 150))
+    pq.write_table(
+        pa.table({"x": pa.array(vals, type=pa.int64())}),
+        path,
+        row_group_size=50,  # 3 groups; global min in g2, global max in g3
+    )
+    md = pq.ParquetFile(path).metadata
+    assert md.num_row_groups == 3
+    lo, hi = footer_minmax(path, "x")
+    assert (lo, hi) == (0, 149)
