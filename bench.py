@@ -77,6 +77,11 @@ EXTENDED = [
     "scan_file_stats_pruning",
     "graph_top_similar_user",
     "win_pattern_rises",
+    "multimodal_phash_dedup",
+    "win_clamped_cumsum",
+    "pipeline_session_paths",
+    "join_asof_tolerance",
+    "sample_negative_pairs",
 ]
 
 

@@ -878,3 +878,109 @@ def pipeline_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap").cast("bigint").alias("max_gap_sec"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-scoped navigation paths
+
+_PATH_GAP_S = 1800  # 30-min inactivity gap (tighter than win_sessionize's 6h
+                    # batch sessions: navigation analysis wants visit-scale cuts)
+
+_SESSION_PATHS_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, event_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec
+    FROM events
+), flagged AS (
+    SELECT user_id, event_id, event_type, sec,
+           CASE WHEN lag(sec) OVER w IS NULL
+                  OR sec - lag(sec) OVER w > {_PATH_GAP_S}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+), sess AS (
+    SELECT user_id, event_id, event_type, sec,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+), hops AS (
+    SELECT event_type AS next_type,
+           lag(event_type) OVER (PARTITION BY user_id, session_seq
+                                 ORDER BY sec, event_id) AS prev_type
+    FROM sess
+), counts AS (
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM hops WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       CAST(n * 10000 // (SELECT sum(n) FROM counts) AS BIGINT) AS share_bp
+FROM counts
+"""
+
+
+@op(
+    "pipeline_session_paths",
+    oracle=_SESSION_PATHS_ORACLE,
+    tags=("ext", "behavior", "window"),
+)
+def pipeline_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped navigation transitions: (prev → next) event-type
+    hop counts WITHIN 30-minute-gap sessions, plus each hop's share of
+    all in-session navigation — the "where do users actually go next"
+    table. pipeline_event_transitions counts the same hops over a user's
+    whole history; scoping to sessions removes the overnight
+    false-transitions (last event yesterday → first event today is not
+    navigation), which is the version product analytics wants.
+
+    Three window passes — session flags, session ids, in-session lag —
+    all partitioned by user (the lag adds session_seq to the partition
+    key, a strict refinement hash(user) already satisfies), so the whole
+    ladder rides ONE user exchange; the hop aggregate is its own small
+    exchange and the global total is a 1-row broadcast. Integral-div
+    share in basis points, the engine-wide discipline.
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", epoch_seconds("ts").alias("sec")
+    )
+    wu = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("sec").over(wu).isNull()
+            | (F.col("sec") - F.lag("sec").over(wu) > _PATH_GAP_S),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy("sec", "event_id")
+    hops = sess.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(ws).alias("prev_type"),
+    )
+    counts = (
+        hops.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    # Global total as an empty-frame window over the COUNTS table (at
+    # most |types|^2 rows — explicitly bounded), not a crossJoin of a
+    # re-aggregated subtree: the scalar-subquery form compiles the whole
+    # hop ladder TWICE; this form scans it once.
+    tot = Window.partitionBy()
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.sum("n").over(tot).alias("_tot"),
+    ).select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("n * 10000 div _tot").cast("bigint").alias("share_bp"),
+    )

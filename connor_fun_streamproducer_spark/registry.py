@@ -284,6 +284,8 @@ _WINDOW_PRIORITY = [
     "join_asof_tolerance",           # new: max-staleness as-of (feature age)
     "sample_negative_pairs",         # new: derandomized contrastive negatives
     "win_clamped_cumsum",            # new: Skorokhod-reflection floor clamp
+    "sink_exactly_once_commitlog",   # new: idempotent batch-id commit sink
+    "pipeline_session_paths",        # new: in-session navigation hop shares
     # -- behind those: externally green in r01-r05 and unchanged, still
     #    oracle-green locally on every test run ------------------------
     "corpus_decontaminate",

@@ -479,3 +479,84 @@ def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()  # availableNow self-terminates after draining
     return spark.table(name)
+
+
+@op(
+    "sink_exactly_once_commitlog",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("ext", "sink", "streaming", "scale"),
+)
+def sink_exactly_once_commitlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once foreachBatch file sink via an idempotent batch-id
+    commit log — the transactional-sink pattern every at-least-once
+    delivery needs (epoch-keyed overwrite, sink_foreachbatch, works only
+    when the sink supports overwrite; a commit LOG works for append-only
+    stores too).
+
+    Per micro-batch: skip if the batch id is already committed; else
+    stage the batch's files, atomically rename into place, then publish
+    ``commit-{id}`` with create-exclusive (the commit_append CAS
+    discipline from sources/layout.py). The read side trusts ONLY
+    logged batches, so half-written data is invisible. The op then
+    REPLAYS a batch by re-invoking the handler with an already-committed
+    id — the at-least-once redelivery case — and the oracle hash-match
+    proves the replay added nothing: exactly-once output from
+    at-least-once delivery, by idempotence, not by luck. At 100 TB this
+    is the file-sink form of every transactional streaming sink
+    (Delta/Iceberg commit protocols keyed by (queryId, epochId)).
+    """
+    import os as _os
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    out_dir = _os.path.join("/root/repo/.scratch", tag, "exactly_once_out")
+    import shutil as _shutil
+
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    _os.makedirs(_os.path.join(out_dir, "commits"), exist_ok=True)
+
+    sdf = events_stream(spark, sf_dir).select("event_id", "event_type")
+    replay_ids: list[int] = []
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        commit = _os.path.join(out_dir, "commits", f"commit-{batch_id}")
+        if _os.path.exists(commit):
+            return  # already committed: redelivery is a no-op
+        staged = _os.path.join(out_dir, f"batch={batch_id}.staging")
+        final = _os.path.join(out_dir, f"batch={batch_id}")
+        batch_df.write.mode("overwrite").parquet(staged)
+        _os.rename(staged, final)
+        fd = _os.open(commit, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        _os.close(fd)
+        replay_ids.append(batch_id)
+
+    q = sdf.writeStream.foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # at-least-once redelivery, simulated: replay every batch through the
+    # SAME handler — all must no-op (any duplicate rows break the hash)
+    for bid in list(replay_ids):
+        committed = spark.read.parquet(_os.path.join(out_dir, f"batch={bid}"))
+        write_batch(committed, bid)
+
+    committed_ids = [
+        int(f.split("-", 1)[1])
+        for f in _os.listdir(_os.path.join(out_dir, "commits"))
+        if f.startswith("commit-")
+    ]
+    back = spark.read.parquet(
+        *[_os.path.join(out_dir, f"batch={b}") for b in sorted(committed_ids)]
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+    )

@@ -1061,3 +1061,17 @@ def test_clamped_cumsum_two_windows_one_exchange_no_python(spark):
     plan = formatted_plan(df)
     assert count_in_plan(df, "Exchange") == 1, plan
     assert "Python" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_session_paths_window_ladder_single_user_exchange(spark):
+    """Session flags, session ids, and the in-session lag all cluster on
+    hash(user_id) (the lag's (user, session) partition is a refinement),
+    so the ladder plans ONE user exchange; the hop aggregate and the
+    bounded single-partition total window add two more — and the hop
+    ladder must compile ONCE (no duplicated subtree from a scalar
+    subquery)."""
+    df = _q("pipeline_session_paths", spark)
+    assert count_in_plan(df, "Exchange") == 3, formatted_plan(df)
+    plan = formatted_plan(df)
+    # one scan = tree line + detail line; a duplicated subtree doubles it
+    assert plan.count("Scan parquet") == 2, plan
