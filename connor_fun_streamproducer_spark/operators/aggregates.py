@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from connor_fun_streamproducer_spark.catalog import load, register_views
 from connor_fun_streamproducer_spark.registry import op
@@ -369,4 +370,77 @@ def agg_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+_WMEDIAN_ORACLE = """
+WITH d AS (
+    SELECT l_returnflag,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(l_quantity AS BIGINT) AS w,
+           l_orderkey, l_linenumber
+    FROM lineitem
+), r AS (
+    SELECT l_returnflag, cents, w,
+           sum(w) OVER (PARTITION BY l_returnflag
+                        ORDER BY cents, l_orderkey, l_linenumber
+                        ROWS UNBOUNDED PRECEDING) AS cw,
+           sum(w) OVER (PARTITION BY l_returnflag) AS tw
+    FROM d
+)
+SELECT l_returnflag,
+       CAST(min(cents) AS BIGINT) AS wmedian_cents,
+       CAST(min(tw) AS BIGINT)    AS total_weight
+FROM r WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+"""
+
+
+@op("agg_weighted_percentile", oracle=_WMEDIAN_ORACLE, tags=("ext", "agg", "stats"))
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group (price weighted by quantity): the
+    50th weighted percentile, where each row counts with its weight —
+    the statistic behind "half the shipped VOLUME was priced at or
+    below X" (plain median answers the much weaker per-line question).
+    Spark has percentile/approx_percentile but no weighted form; the
+    composition is a running weight sum over the value order plus the
+    threshold rule 2·cumw ≥ totw, taking the smallest qualifying value
+    (lower weighted median — deterministic under the total (value, key)
+    order, exact integer cents and weights end to end).
+
+    One (group) exchange carries both window passes AND the final
+    aggregate (all cluster on the group key); the sort within each
+    group partition is the honest cost of any exact rank statistic —
+    the sort-free approximation belongs to the KLL sketch tier, same
+    division of labor as agg_gini_concentration.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    r = d.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        r.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").cast("bigint").alias("wmedian_cents"),
+            F.min("tw").cast("bigint").alias("total_weight"),
+        )
     )

@@ -286,6 +286,7 @@ _WINDOW_PRIORITY = [
     "win_clamped_cumsum",            # new: Skorokhod-reflection floor clamp
     "sink_exactly_once_commitlog",   # new: idempotent batch-id commit sink
     "pipeline_session_paths",        # new: in-session navigation hop shares
+    "agg_weighted_percentile",       # new: exact weighted median per group
     # -- behind those: externally green in r01-r05 and unchanged, still
     #    oracle-green locally on every test run ------------------------
     "corpus_decontaminate",

@@ -1075,3 +1075,10 @@ def test_session_paths_window_ladder_single_user_exchange(spark):
     plan = formatted_plan(df)
     # one scan = tree line + detail line; a duplicated subtree doubles it
     assert plan.count("Scan parquet") == 2, plan
+
+
+def test_weighted_percentile_one_group_exchange(spark):
+    """Both window passes and the final aggregate cluster on the group
+    key — one exchange carries the whole exact-rank statistic."""
+    df = _q("agg_weighted_percentile", spark)
+    assert count_in_plan(df, "Exchange") == 1, formatted_plan(df)
