@@ -70,3 +70,27 @@ def test_two_runs_bit_identical_across_partitionings(spark, key):
             else:
                 spark.conf.set(k, v)
     assert a == b, f"{key} drifted under a different partitioning"
+
+
+# The iterative / sampled subset re-checked at the driver's correctness
+# scale: fixpoint round counts and sample strides differ at sf0.01, so
+# scale-dependent nondeterminism would hide at sf0.001 alone.
+SWEEP_SF001 = [
+    "graph_connected_components",
+    "graph_pagerank_dist",
+    "sim_search_pq",
+    "dedup_near_minhash",
+    "sample_reservoir",
+    "sample_negative_pairs",
+    "agg_heavy_hitters",
+    "corpus_shuffle_shard",
+]
+
+
+@pytest.mark.parametrize("key", SWEEP_SF001)
+def test_two_runs_bit_identical_at_sf001(spark, key):
+    fn = registry.OPS[key].fn
+    sf = "/root/testdata/sf0.01"
+    a = sorted(map(tuple, fn(spark, sf).collect()))
+    b = sorted(map(tuple, fn(spark, sf).collect()))
+    assert a == b, f"{key} drifted between runs at sf0.01"
