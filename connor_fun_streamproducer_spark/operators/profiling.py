@@ -387,3 +387,86 @@ def win_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile_cents",
         F.expr("_cum * 10000 div _tot").cast("bigint").alias("cum_share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Profile drift between table eras (data-quality monitoring)
+
+_DRIFT_CUT = "1998-01-01"  # same mid-range cut as sink_partition_evolution
+
+_DRIFT_COLS = {
+    "total_cents": "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)",
+    "custkey": "CAST(o_custkey AS BIGINT)",
+}
+
+
+def _drift_oracle() -> str:
+    parts = []
+    for name, expr in _DRIFT_COLS.items():
+        parts.append(f"""
+        SELECT '{name}' AS col_name, era,
+               CAST(count(*) AS BIGINT)            AS n,
+               CAST(count(DISTINCT v) AS BIGINT)   AS ndv,
+               CAST(min(v) AS BIGINT)              AS min_v,
+               CAST(max(v) AS BIGINT)              AS max_v,
+               CAST(count(DISTINCT v) * 10000 // count(*) AS BIGINT)
+                                                   AS distinct_share_bp
+        FROM (SELECT {expr} AS v,
+                     CASE WHEN o_orderdate < TIMESTAMP '{_DRIFT_CUT} 00:00:00'
+                          THEN 'a' ELSE 'b' END AS era
+              FROM orders)
+        GROUP BY era
+        """)
+    return " UNION ALL ".join(parts)
+
+
+@op("stats_profile_drift", oracle=_drift_oracle(), tags=("ext", "agg", "stats", "scale"))
+def stats_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile DRIFT between two eras of the same table (pre/post
+    a cut date): per (column, era) the row count, exact NDV, min/max,
+    and distinct-share in basis points — the data-quality monitor that
+    catches a distribution shift in a new ingest batch (key-space
+    explosion, truncated value ranges, dropped cardinality) BEFORE it
+    poisons downstream joins and stats-based plans.
+
+    One scan: the era label is a map-side expression, both columns
+    profile via unpivot-style union branches of the same pass, and each
+    (column, era) aggregate partial-combines — at 100 TB this is the
+    same single-scan discipline as stats_table_profile, with the eras
+    in production being 'yesterday's snapshot stats (already on file)
+    vs today's batch', so only the new batch is ever scanned. The
+    distinct-share ratio uses integral division (engine-wide
+    discipline) so drift thresholds compare exactly.
+    """
+    o = load(spark, sf_dir, "orders")
+    era = F.when(F.col("o_orderdate") < _DRIFT_CUT, F.lit("a")).otherwise(F.lit("b"))
+    branches = []
+    for name, expr in _DRIFT_COLS.items():
+        branches.append(
+            o.select(
+                F.lit(name).alias("col_name"),
+                era.alias("era"),
+                F.expr(expr).alias("v"),
+            )
+        )
+    longf = branches[0]
+    for b in branches[1:]:
+        longf = longf.unionByName(b)
+    return (
+        longf.groupBy("col_name", "era")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count_distinct("v").cast("bigint").alias("ndv"),
+            F.min("v").cast("bigint").alias("min_v"),
+            F.max("v").cast("bigint").alias("max_v"),
+        )
+        .select(
+            "col_name",
+            "era",
+            "n",
+            "ndv",
+            "min_v",
+            "max_v",
+            F.expr("ndv * 10000 div n").cast("bigint").alias("distinct_share_bp"),
+        )
+    )

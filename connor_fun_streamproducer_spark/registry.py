@@ -287,6 +287,7 @@ _WINDOW_PRIORITY = [
     "sink_exactly_once_commitlog",   # new: idempotent batch-id commit sink
     "pipeline_session_paths",        # new: in-session navigation hop shares
     "agg_weighted_percentile",       # new: exact weighted median per group
+    "stats_profile_drift",           # new: cross-era column-profile drift
     # -- behind those: externally green in r01-r05 and unchanged, still
     #    oracle-green locally on every test run ------------------------
     "corpus_decontaminate",
