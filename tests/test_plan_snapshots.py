@@ -49,6 +49,12 @@ SNAPSHOT_KEYS = [
     "pipeline_basket_affinity",
     "sim_search_pq",
     "dedup_chunk_exact",
+    # round-6 tier
+    "graph_top_similar_user",
+    "sample_negative_pairs",
+    "win_clamped_cumsum",
+    "ts_ohlc_candles",
+    "pipeline_session_paths",
 ]
 
 
