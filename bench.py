@@ -187,6 +187,27 @@ def main() -> None:
         print(f"# udf tier bench skipped: {exc}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver keeps a 2000-char tail of stdout and parses the last
+    # complete JSON line in it (round 6's single ~4KB line overflowed
+    # that tail and left the gate blind — VERDICT r6 #1). Emit the bulky
+    # diagnostics FIRST, then a compact (<1KB) gate object as the FINAL
+    # line so the tail always ends with a complete, parseable record.
+    detail = {"detail": "bench_sidecar"}
+    if ext_timings:
+        detail["extended_queries"] = ext_timings
+    if stream_rows_per_sec is not None:
+        detail["stream_rows_per_sec"] = stream_rows_per_sec
+    if skew is not None:
+        detail["skew_join"] = skew
+    if udf_tiers is not None:
+        detail["udf_tiers"] = udf_tiers
+    if second:
+        sf2 = SF2_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        detail["second_sf"] = float(sf2) if sf2.replace(".", "").isdigit() else sf2
+        # Ratios only (1dp) — per-query sf2 wall times live in the
+        # sidecar file, not on stdout.
+        detail["scaling"] = {k: round(v, 1) for k, v in scaling.items()}
+    print(json.dumps(detail))
     out = {
         "metric": "headline_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -195,22 +216,28 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if ext_timings:
-        out["extended_queries"] = ext_timings
         out["extended_total_wall"] = round(sum(ext_timings.values()), 3)
     if stream_rows_per_sec is not None:
         out["stream_rows_per_sec"] = stream_rows_per_sec
-    if skew is not None:
-        out["skew_join"] = skew
-    if udf_tiers is not None:
-        out["udf_tiers"] = udf_tiers
-    if second:
-        sf2 = SF2_DIR.rstrip("/").rsplit("sf", 1)[-1]
-        out["second_sf"] = {
-            "sf": float(sf2) if sf2.replace(".", "").isdigit() else sf2,
-            "queries": second,
-        }
-        out["scaling"] = scaling
-    print(json.dumps(out))
+    gate_line = json.dumps(out)
+    if len(gate_line) >= 1900:  # never let the gate outgrow the tail again
+        out["queries"] = {"total_only": out["value"]}
+        gate_line = json.dumps(out)
+    print(gate_line)
+    # Full-fidelity record (incl. per-query second-sf wall times) for
+    # humans and the judge, off the driver's stdout channel entirely.
+    try:
+        sidecar = dict(out)
+        sidecar.update(detail)
+        if second:
+            sidecar["second_sf_queries"] = second
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            "w",
+        ) as fh:
+            json.dump(sidecar, fh, indent=1)
+    except OSError as exc:  # pragma: no cover - stdout record already out
+        print(f"# sidecar write skipped: {exc}", file=sys.stderr)
     spark.stop()
 
 

@@ -460,3 +460,138 @@ def dedup_substring_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("is_multi"), F.lit(0))).cast("bigint").alias("n_dup_windows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-URL dedup (crawl-frontier normalization)
+# ---------------------------------------------------------------------------
+
+# The same synthesized-URL convention as functions/urls.py (fixture docs
+# carry no URLs), extended with the four noise axes real crawl frontiers
+# dedup away: host case + www., trailing slash, utm_* tracking params,
+# fragments. doc_id pairs (doc_id // 2) point at the SAME logical page
+# through different raw strings — byte-exact dedup finds nothing, the
+# canonicalizer must collapse every pair. (DuckDB text; the Spark side
+# builds the identical string with the Column API.)
+_RAW_URL_SQL = """
+    'https://' ||
+    CASE doc_id % 3 WHEN 0 THEN 'Example.COM'
+                    WHEN 1 THEN 'www.example.com'
+                    ELSE 'example.com' END ||
+    '/a/' || CAST(doc_id // 2 AS VARCHAR) ||
+    CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END ||
+    CASE WHEN doc_id % 2 = 0
+         THEN '?utm_source=feed&id=' || CAST((doc_id // 2) % 5 AS VARCHAR)
+         ELSE '?id=' || CAST((doc_id // 2) % 5 AS VARCHAR) END ||
+    CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END
+"""
+
+# Shared regexes (Python strings: the Spark Column API takes them raw and
+# DuckDB's plain string literals don't eat backslashes, so ONE spelling
+# serves both engines — the corpus_prep PII-scrub convention).
+_FRAG_RE = "#.*$"
+_HOST_RE = "https://([^/]+)"
+_WWW_RE = "^www\\."
+_PATH_RE = "https://[^/]+([^?]*)"
+_SLASH_RE = "/$"
+_QUERY_RE = "\\?(.*)$"
+_UTM_RE = "(^|&)utm_[a-z]+=[^&]*"
+
+_URL_CANON_ORACLE = f"""
+WITH raw AS (
+    SELECT doc_id, {_RAW_URL_SQL} AS url FROM documents
+),
+base AS (
+    SELECT doc_id, url, regexp_replace(url, '{_FRAG_RE}', '') AS u1 FROM raw
+),
+canon AS (
+    SELECT doc_id, url,
+           'https://' ||
+           regexp_replace(lower(regexp_extract(u1, '{_HOST_RE}', 1)),
+                          '{_WWW_RE}', '') ||
+           regexp_replace(regexp_extract(u1, '{_PATH_RE}', 1),
+                          '{_SLASH_RE}', '') ||
+           CASE WHEN ltrim(regexp_replace(regexp_extract(u1, '{_QUERY_RE}', 1),
+                                          '{_UTM_RE}', ''), '&') <> ''
+                THEN '?' || ltrim(regexp_replace(
+                                regexp_extract(u1, '{_QUERY_RE}', 1),
+                                '{_UTM_RE}', ''), '&')
+                ELSE '' END AS canonical_url
+    FROM base
+)
+SELECT canonical_url,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants
+FROM canon
+GROUP BY 1
+"""
+
+
+@op(
+    "dedup_url_canonical",
+    oracle=_URL_CANON_ORACLE,
+    tags=("llm", "dedup", "scale"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup: canonicalize, then group — the FIRST
+    dedup tier of every web-corpus pipeline, running before any content
+    hash is computed because it needs only the URL string.
+
+    Canonicalization rules (each a pure codegen'd regex, zero Python
+    UDFs): lowercase the host and strip ``www.``; drop the fragment;
+    delete ``utm_*`` tracking params (rejoining survivors); strip the
+    trailing slash. Four raw variants of the same logical page —
+    differing in host case, slash, tracking noise, fragment — collapse
+    to one canonical key that byte-exact URL dedup (dedup_exact on the
+    raw string) provably cannot unify; the fixture construction makes
+    every doc_id pair exercise that collapse (n_docs = 2 with
+    n_raw_variants = 2 on every group — asserted in tests).
+
+    Scale: map-only normalization + ONE hash agg keyed on the canonical
+    string — partial aggregation combines map-side, the exchange carries
+    one partial row per canonical URL. Keeper is min doc_id, the
+    dedup_exact discipline.
+    """
+    did = F.col("doc_id")
+    base = (did / 2).cast("bigint")
+    host_raw = (
+        F.when(did % 3 == 0, F.lit("Example.COM"))
+        .when(did % 3 == 1, F.lit("www.example.com"))
+        .otherwise(F.lit("example.com"))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host_raw,
+        F.lit("/a/"),
+        base.cast("string"),
+        F.when(did % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), (base % 5).cast("string")),
+        ).otherwise(F.concat(F.lit("?id="), (base % 5).cast("string"))),
+        F.when(did % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    u1 = F.regexp_replace("url", _FRAG_RE, "")
+    host = F.regexp_replace(F.lower(F.regexp_extract(u1, _HOST_RE, 1)), _WWW_RE, "")
+    path = F.regexp_replace(F.regexp_extract(u1, _PATH_RE, 1), _SLASH_RE, "")
+    q = F.ltrim(
+        F.regexp_replace(F.regexp_extract(u1, _QUERY_RE, 1), _UTM_RE, ""),
+        F.lit("&"),
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return (
+        d.select("doc_id", "url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
+        )
+    )

@@ -654,8 +654,14 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly the sparsity a 100 TB pair output needs.
     """
     e = _pair_edges(spark, sf_dir)
-    und = e.select(F.col("a").alias("u"), F.col("c").alias("v")).unionByName(
-        e.select(F.col("c").alias("u"), F.col("a").alias("v"))
+    # und feeds three branches (deg, x, y); without a cut Catalyst
+    # re-derives the whole bucket-build subtree in each one. Same
+    # localCheckpoint discipline as propagate_min_label — one
+    # materialization, three cheap re-reads (VERDICT r6 #3).
+    und = (
+        e.select(F.col("a").alias("u"), F.col("c").alias("v"))
+        .unionByName(e.select(F.col("c").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
     )
     deg = und.groupBy("u").agg(F.count("*").alias("d"))
     x = und.select(F.col("u").alias("a"), "v")
@@ -828,9 +834,15 @@ def graph_top_similar_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher jaccard, then lower user id.
     """
     edges = _pair_edges(spark, sf_dir)
-    und = edges.select(
-        F.col("a").alias("u"), F.col("c").alias("v")
-    ).unionAll(edges.select(F.col("c").alias("u"), F.col("a").alias("v")))
+    # Shared subtree cut: und feeds deg + both wedge sides; checkpoint
+    # once so the bucket-build (scan → distinct → size-band → pair-join)
+    # runs once instead of ~4× (VERDICT r6 #2/#3, the CC discipline at
+    # propagate_min_label).
+    und = (
+        edges.select(F.col("a").alias("u"), F.col("c").alias("v"))
+        .unionAll(edges.select(F.col("c").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
     deg = und.groupBy("u").agg(F.count("*").alias("d"))
     x = und.select(F.col("u").alias("a"), "v")
     y = und.select(F.col("u").alias("c"), "v")
@@ -860,4 +872,112 @@ def graph_top_similar_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "similar_user", "jaccard_bp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous, fixed rounds, deterministic)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous LPA: l0 = identity labels; each round every
+    node takes the most frequent label among its neighbors, ties broken
+    by the SMALLEST label. A fixed round count keeps the oracle pure SQL
+    (no recursive aggregate) and makes the synchronous update — which
+    need not converge — exactly reproducible on both engines."""
+    ctes = ["""
+buck AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+sized AS (SELECT b FROM buck GROUP BY b HAVING count(*) BETWEEN 2 AND 8),
+e AS (
+    SELECT DISTINCT x.user_id AS a, y.user_id AS c
+    FROM buck x JOIN buck y USING (b) JOIN sized USING (b)
+    WHERE x.user_id < y.user_id
+),
+und AS (
+    SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e
+),
+l0 AS (SELECT DISTINCT u, u AS lab FROM und)"""]
+    for r in range(1, _LPA_ROUNDS + 1):
+        ctes.append(f"""
+l{r} AS (
+    SELECT u, lab FROM (
+        SELECT e.u, l.lab,
+               row_number() OVER (
+                   PARTITION BY e.u
+                   ORDER BY count(*) DESC, l.lab
+               ) AS rn
+        FROM und e JOIN l{r - 1} l ON l.u = e.v
+        GROUP BY e.u, l.lab
+    ) WHERE rn = 1
+)""")
+    return (
+        "WITH " + ",".join(ctes) + f"""
+SELECT u AS user_id, CAST(lab AS BIGINT) AS community,
+       CAST(count(*) OVER (PARTITION BY lab) AS BIGINT) AS community_size
+FROM l{_LPA_ROUNDS}
+"""
+    )
+
+
+@op(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("ext", "graph", "iterative", "scale"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA) over
+    the shared-purchase-cents user graph — the near-linear community
+    primitive (Raghavan et al. 2007) for cohort discovery at graph
+    scales where modularity optimization is unaffordable.
+
+    Fully derandomized: classic LPA breaks frequency ties and update
+    order randomly; here every node updates simultaneously each round
+    (synchronous), ties prefer the SMALLEST label, and the round count
+    is fixed (_LPA_ROUNDS) rather than run-to-convergence — synchronous
+    LPA can 2-cycle on bipartite structures, so a convergence loop is
+    not even well-defined. Fixed rounds + total-order ties make the
+    output a pure function of the edge set, which is what lets DuckDB
+    replay the identical unrolled recurrence as a hash-checked oracle.
+
+    Per round: ONE shuffle to group neighbor labels per (node, label)
+    and a WindowGroupLimit-style top-1 per node (count desc, label asc)
+    — no candidate buffering. The edge frame is localCheckpoint-ed once
+    (the shared-subtree discipline of graph_top_similar_user), and each
+    round's label frame is checkpointed so the lineage stays O(1) deep
+    instead of O(rounds) (the propagate_min_label pattern). At 100 TB:
+    rounds are linear shuffles on bounded-degree edges (the [2,8]
+    band-capped build, _pair_edges) — the same shape PowerGraph/GraphX
+    LPA runs, minus the vertex-cut machinery Spark doesn't need here.
+    """
+    e = _pair_edges(spark, sf_dir)
+    und = (
+        e.select(F.col("a").alias("u"), F.col("c").alias("v"))
+        .unionByName(e.select(F.col("c").alias("u"), F.col("a").alias("v")))
+        .repartition("v")
+        .localCheckpoint()
+    )
+    labels = und.select("u").distinct().select("u", F.col("u").alias("lab"))
+    top = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("lab"))
+    for _ in range(_LPA_ROUNDS):
+        nbr = (
+            und.join(labels.select(F.col("u").alias("v"), "lab"), "v")
+            .groupBy("u", "lab")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            nbr.withColumn("rn", F.row_number().over(top))
+            .filter(F.col("rn") == 1)
+            .select("u", "lab")
+            .localCheckpoint()
+        )
+    size_w = Window.partitionBy("lab")
+    return labels.select(
+        F.col("u").alias("user_id"),
+        F.col("lab").cast("bigint").alias("community"),
+        F.count("*").over(size_w).cast("bigint").alias("community_size"),
     )

@@ -10,9 +10,24 @@ makes these answerable on a 1000-executor cluster with one tiny
 exchange. Spark 4.1 ships both as native JVM aggregates
 (``kll_sketch_agg_*`` / ``theta_sketch_agg``).
 
-Estimates are engine-specific (DuckDB has no KLL/theta), so both ops are
-rows-only for the driver; their accuracy contracts are pinned against
-exact answers in tests/test_sketches.py.
+DuckDB has no KLL/theta, but both ops are still hash-checked end to end
+(VERDICT r6 #4) because each has an EXACT law at verification scale:
+
+- theta: a QuickSelect sketch is in exact mode (theta == 1, every key
+  hash retained) while the distinct count stays under its nominal-entry
+  capacity — below that threshold every estimate IS the true
+  cardinality, and intersections/unions of exact sketches are exact.
+  With lgNomEntries=14 (16384 entries) the fixture cohorts (~1.5k
+  distinct customers at sf0.01) are far under capacity, so the whole
+  output frame equals the DuckDB exact-set answer.
+- KLL: estimates are randomized, so the hashed columns are exact
+  percentiles (bitwise-identical interpolation in Spark and DuckDB —
+  both use the type-7 (n-1)*q rule) plus booleans asserting each KLL
+  estimate lies inside a generous exact-quantile rank band (±0.08,
+  ~5x the published k=200 error) — TRUE on both sides.
+
+Tighter accuracy contracts (±1.65%-scale rank error, exact-mode
+equality) stay pinned in tests/test_sketches.py.
 """
 
 from __future__ import annotations
@@ -29,43 +44,155 @@ KLL_K = 200
 
 QUANTILES = (0.5, 0.9, 0.99)
 
+# Rank band for the hash-checked "estimate is sane" booleans: ±8
+# normalized-rank points, ~5x the published k=200 error (1.65% @ 99%
+# conf) — KLL's tail decays exponentially in (band/eps)^2, so a FALSE
+# here is practically impossible while still being a real property of
+# the sketch output. p99's upper band clips at 1.0 (the max).
+KLL_BAND = 0.08
+_BAND_QS = sorted(
+    {q for base in QUANTILES for q in (max(0.0, base - KLL_BAND), base, min(1.0, base + KLL_BAND))}
+)
+_QI = {q: i for i, q in enumerate(_BAND_QS)}
 
-@op("agg_kll_quantile", tags=("ext", "agg", "sketch", "scale"))
-def agg_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _kll_cols(prefix_sk: str = "sk", ex: str = "ex") -> list:
+    """Exact companions + band booleans from a sketch col and an exact
+    percentile array col (order of _BAND_QS)."""
+    out = []
+    for q in QUANTILES:
+        lo = F.col(ex).getItem(_QI[max(0.0, q - KLL_BAND)])
+        hi = F.col(ex).getItem(_QI[min(1.0, q + KLL_BAND)])
+        est = F.kll_sketch_get_quantile_double(prefix_sk, F.lit(q))
+        out.append(
+            F.round(F.col(ex).getItem(_QI[q]), 2).alias(f"exact_p{int(q * 100)}")
+        )
+        out.append(
+            ((est >= lo - F.lit(0.01)) & (est <= hi + F.lit(0.01))).alias(
+                f"kll_p{int(q * 100)}_ok"
+            )
+        )
+    return out
+
+
+_KLL_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+       TRUE AS kll_p50_ok,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS exact_p90,
+       TRUE AS kll_p90_ok,
+       round(quantile_cont(o_totalprice, 0.99), 2) AS exact_p99,
+       TRUE AS kll_p99_ok
+FROM orders GROUP BY 1
+UNION ALL
+SELECT 'ALL', CAST(count(*) AS BIGINT),
+       round(quantile_cont(o_totalprice, 0.5), 2), TRUE,
+       round(quantile_cont(o_totalprice, 0.9), 2), TRUE,
+       round(quantile_cont(o_totalprice, 0.99), 2), TRUE
+FROM orders
+"""
+
+
+@op("agg_kll_quantile", oracle=_KLL_ORACLE, tags=("ext", "agg", "sketch", "scale"))
+def agg_kll_quantile(
+    spark: SparkSession, sf_dir: str, with_exact: bool = True
+) -> DataFrame:
     """Mergeable quantile rollup: per-group KLL sketches merged to ALL.
 
     Builds one KLL(k=200) sketch of o_totalprice per order priority
     (partial aggregation combines map-side: each executor core sketches
     its partition, the exchange carries five ~KB sketches per core), then
-    demonstrates the property exact percentiles lack — the ALL row is
-    ``kll_merge_agg`` over the five group sketches, never a second scan:
-    at runtime the ALL branch binds to the per-group shuffle via
-    ReusedExchange (asserted in tests/test_plans.py).
-    At 100 TB the same two-level plan computes any quantile of any
-    rollup level from one pass; the accuracy contract (±1.65% rank
-    error vs exact) is pinned in tests/test_sketches.py. Rows-only:
-    sketch estimates are engine-specific.
+    demonstrates the property exact percentiles lack — the ALL row's
+    sketch is ``kll_merge_agg`` over the five group sketches, never a
+    second sketch pass: at runtime the ALL branch binds to the per-group
+    shuffle via ReusedExchange (asserted in tests/test_plans.py).
+
+    Verification shape (``with_exact=True``, the registry binding): the
+    output carries exact percentiles (hash-compared against DuckDB
+    ``quantile_cont`` — identical type-7 interpolation) plus booleans
+    pinning each KLL estimate inside the exact q±0.08 rank band, making
+    the op hash-checked rather than rows-only (VERDICT r6 #4). The exact
+    companions buffer each group's values (Spark's ``percentile``), so a
+    100 TB caller wanting only the sketch rollup passes
+    ``with_exact=False`` and gets the original one-pass estimate frame;
+    the two-level sketch plan is identical either way. Accuracy contract
+    (±2.5% rank) stays pinned in tests/test_sketches.py.
     """
     o = load(spark, sf_dir, "orders")
+    if not with_exact:
+        per = o.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.kll_sketch_agg_double("o_totalprice", KLL_K).alias("sk"),
+        )
+        all_row = per.agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.kll_merge_agg_double("sk", KLL_K).alias("sk"),
+        ).select(F.lit("ALL").alias("o_orderpriority"), "n", "sk")
+        both = per.unionByName(all_row)
+        cols = [
+            F.round(
+                F.kll_sketch_get_quantile_double("sk", F.lit(q)), 2
+            ).alias(f"p{int(q * 100)}")
+            for q in QUANTILES
+        ]
+        return both.select("o_orderpriority", "n", *cols)
+
+    qs = F.array(*[F.lit(q) for q in _BAND_QS])
+    # 5-row checkpoint: the union branch consumes (n, sk, ex) while the
+    # ALL-merge branch prunes ex, so the two subtrees are no longer
+    # identical and Catalyst cannot ReusedExchange them — without a cut
+    # the merge branch would re-scan the table. Materializing the 5-row
+    # group frame keeps the sketch side single-scan in this shape too.
     per = o.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n"),
         F.kll_sketch_agg_double("o_totalprice", KLL_K).alias("sk"),
+        F.percentile("o_totalprice", qs).alias("ex"),
+    ).localCheckpoint()
+    # ALL: merged sketch from the per-group shuffle (ReusedExchange) +
+    # exact percentiles over the table (1-row scalar cross join — exact
+    # quantiles do not merge, that asymmetry is the point of the op).
+    all_ex = o.agg(F.percentile("o_totalprice", qs).alias("ex"))
+    all_row = (
+        per.agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.kll_merge_agg_double("sk", KLL_K).alias("sk"),
+        )
+        .crossJoin(all_ex)
+        .select(F.lit("ALL").alias("o_orderpriority"), "n", "sk", "ex")
     )
-    all_row = per.agg(
-        F.sum("n").cast("bigint").alias("n"),
-        F.kll_merge_agg_double("sk", KLL_K).alias("sk"),
-    ).select(F.lit("ALL").alias("o_orderpriority"), "n", "sk")
     both = per.unionByName(all_row)
-    cols = [
-        F.round(
-            F.kll_sketch_get_quantile_double("sk", F.lit(q)), 2
-        ).alias(f"p{int(q * 100)}")
-        for q in QUANTILES
-    ]
-    return both.select("o_orderpriority", "n", *cols)
+    return both.select("o_orderpriority", "n", *_kll_cols())
 
 
-@op("agg_theta_setops", tags=("ext", "agg", "sketch", "scale"))
+# Nominal entries 2^14 = 16384: the sketch stays in EXACT mode (theta=1,
+# estimate == true distinct count) while a cohort's distinct keys stay
+# under capacity — true at every verification scale (≤ ~15k customers at
+# sf0.1), which is what makes this op hash-checkable against DuckDB's
+# exact set algebra (VERDICT r6 #4).
+THETA_LG_K = 14
+
+_THETA_ORACLE = """
+WITH d AS (SELECT DISTINCT o_orderstatus AS s, o_custkey AS k FROM orders),
+cnt AS (SELECT s, count(*) AS c FROM d GROUP BY 1),
+inter AS (
+    SELECT a.s AS sa, b.s AS sb, count(*) AS ci
+    FROM d a JOIN d b ON a.k = b.k AND a.s < b.s
+    GROUP BY 1, 2
+)
+SELECT ca.s AS status_a, cb.s AS status_b,
+       CAST(ca.c AS BIGINT) AS est_a,
+       CAST(cb.c AS BIGINT) AS est_b,
+       CAST(coalesce(ci, 0) AS BIGINT) AS est_inter,
+       CAST(ca.c + cb.c - coalesce(ci, 0) AS BIGINT) AS est_union,
+       CAST(coalesce(ci, 0) * 10000 // (ca.c + cb.c - coalesce(ci, 0))
+            AS BIGINT) AS jaccard_bp
+FROM cnt ca
+JOIN cnt cb ON ca.s < cb.s
+LEFT JOIN inter ON inter.sa = ca.s AND inter.sb = cb.s
+"""
+
+
+@op("agg_theta_setops", oracle=_THETA_ORACLE, tags=("ext", "agg", "sketch", "scale"))
 def agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-set algebra across cohorts via theta sketches.
 
@@ -74,20 +201,27 @@ def agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     union/intersection answer "customers active in BOTH cohorts" without
     ever shuffling customer keys — the exact version is a distinct +
     self-join that moves every key at 100 TB, the sketch version moves
-    KBs. Jaccard falls out as inter/union. Rows-only (estimates are
-    engine-specific); accuracy vs exact distinct counts is pinned in
+    KBs. Jaccard falls out in integer basis points.
+
+    Hash-checked (VERDICT r6 #4) via the sketch's exact-mode law: a
+    QuickSelect theta sketch retains every distinct key hash (theta = 1)
+    until it exceeds its nominal 2^14 entries, and intersections/unions
+    of exact sketches are exact, so below capacity every "estimate"
+    column equals DuckDB's exact distinct-set answer — bit-for-bit, no
+    tolerance. Beyond capacity (real scale) the same columns become
+    ±1/sqrt(k) estimates; that regime's accuracy contract is pinned in
     tests/test_sketches.py.
     """
     o = load(spark, sf_dir, "orders")
     sk = o.groupBy("o_orderstatus").agg(
-        F.theta_sketch_agg("o_custkey").alias("sk")
+        F.theta_sketch_agg("o_custkey", THETA_LG_K).alias("sk")
     )
     a = sk.select(F.col("o_orderstatus").alias("status_a"), F.col("sk").alias("sk_a"))
     b = sk.select(F.col("o_orderstatus").alias("status_b"), F.col("sk").alias("sk_b"))
     pairs = a.join(F.broadcast(b), F.col("status_a") < F.col("status_b"))
-    est = lambda c: F.round(F.theta_sketch_estimate(c), 1)  # noqa: E731
+    est = lambda c: F.round(F.theta_sketch_estimate(c), 0).cast("bigint")  # noqa: E731
     inter = F.theta_intersection("sk_a", "sk_b")
-    union = F.theta_union("sk_a", "sk_b")
+    union = F.theta_union("sk_a", "sk_b", THETA_LG_K)
     return pairs.select(
         "status_a",
         "status_b",
@@ -95,9 +229,13 @@ def agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         est("sk_b").alias("est_b"),
         est(inter).alias("est_inter"),
         est(union).alias("est_union"),
-        F.round(F.theta_sketch_estimate(inter) / F.theta_sketch_estimate(union), 4).alias(
-            "jaccard"
-        ),
+        F.expr(
+            f"cast(round(theta_sketch_estimate(theta_intersection(sk_a, sk_b)), 0) as bigint)"
+            f" * 10000 div "
+            f"cast(round(theta_sketch_estimate(theta_union(sk_a, sk_b, {THETA_LG_K})), 0) as bigint)"
+        )
+        .cast("bigint")
+        .alias("jaccard_bp"),
     )
 
 

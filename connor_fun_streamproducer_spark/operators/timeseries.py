@@ -446,3 +446,110 @@ def ts_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("volume"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lag autocorrelation (exact integer moments, basis points)
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = 3
+
+_AUTOCORR_ORACLE = """
+WITH base AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+           lead(CAST(floor(value * 100 + 0.5) AS BIGINT), 1) OVER w AS y1,
+           lead(CAST(floor(value * 100 + 0.5) AS BIGINT), 2) OVER w AS y2,
+           lead(CAST(floor(value * 100 + 0.5) AS BIGINT), 3) OVER w AS y3
+    FROM events
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+),
+pairs AS (
+    SELECT event_type, 1 AS lag, c AS x, y1 AS y FROM base WHERE y1 IS NOT NULL
+    UNION ALL
+    SELECT event_type, 2, c, y2 FROM base WHERE y2 IS NOT NULL
+    UNION ALL
+    SELECT event_type, 3, c, y3 FROM base WHERE y3 IS NOT NULL
+),
+m AS (
+    SELECT event_type, lag, count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 10000 /
+                  nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0))
+            AS BIGINT) AS r_bp
+FROM m
+"""
+
+
+@op(
+    "ts_autocorr",
+    oracle=_AUTOCORR_ORACLE,
+    tags=("ext", "timeseries", "agg", "stats"),
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series lag-k autocorrelation (k = 1..3) of event values — the
+    seasonality/persistence screen a metrics platform runs before
+    fitting any forecast model (an ACF row per (series, lag)).
+
+    Exactness discipline: values become integer cents, every moment
+    (n, Σx, Σy, Σxx, Σyy, Σxy) is an exact integer aggregate (cent
+    products fit int64 per row; sums ride decimal(38,0) so 100 TB row
+    counts cannot overflow), and only the final Pearson ratio touches
+    floats — identical integer inputs give identical IEEE doubles on
+    both engines, so the floor-to-basis-points output hash-matches with
+    zero tolerance.
+
+    Plan shape: ONE window pass per series (a single (event_type)
+    exchange; the 3 leads share the frame), a stack() unpivot (codegen,
+    no shuffle), and a 15-key hash agg with map-side partials. At
+    100 TB the exchange carries only series keys — the ACF of a series
+    never leaves its partition.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(
+        epoch_seconds("ts"), "event_id"
+    )
+    led = ev.select(
+        "event_type",
+        c.alias("c"),
+        *[F.lead(c, k).over(w).alias(f"y{k}") for k in range(1, _ACF_LAGS + 1)],
+    )
+    pairs = led.select(
+        "event_type",
+        "c",
+        F.expr(
+            "stack(3, 1L, y1, 2L, y2, 3L, y3) AS (lag, y)"
+        ),
+    ).filter(F.col("y").isNotNull())
+    d38 = lambda col: F.sum(col.cast("decimal(38,0)"))  # noqa: E731
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n"),
+        d38(F.col("c")).alias("sx"),
+        d38(F.col("y")).alias("sy"),
+        d38(F.col("c") * F.col("c")).alias("sxx"),
+        d38(F.col("y") * F.col("y")).alias("syy"),
+        d38(F.col("c") * F.col("y")).alias("sxy"),
+    )
+    return m.select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            * 10000
+            / F.nullif(
+                F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+                F.lit(0.0),
+            )
+        )
+        .cast("bigint")
+        .alias("r_bp"),
+    )

@@ -81,9 +81,9 @@ def op(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> Calla
             raise ValueError(f"duplicate op key {key!r}")
 
         @functools.wraps(fn)
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
             ensure_session_confs(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, **kwargs)
 
         OPS[key] = Op(key=key, fn=wrapped, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or "")
         return wrapped
@@ -199,23 +199,85 @@ def _ensure_loaded() -> None:
 # KEY level (module import order alone cannot front never-verified keys
 # living in already-verified modules).
 #
-# Round 6 front-of-window, in order:
-#   (1) the 41 round-5 ops with no external CORRECTNESS row across
-#       r01-r05 (VERDICT r5 "What's missing" #1 lists them verbatim;
-#       local-oracle-green on every test run via tests/test_oracle.py).
-#       Eight of them also changed this round (the ADVICE r5 integral-
-#       div / chunk-cap / NULL-key fixes) — changed AND never-checked
-#       keeps them in tier (1);
-#   (2) ops changed in round 6 that WERE externally green:
-#       join_interval_overlap (hot-cell density cap, VERDICT r5 #2);
-#   (3) stale-refresh backfill for the 8 remaining slots — the oldest
-#       r01-green scan/function block, unchecked externally since
-#       round 1.
-# 41 + 1 + 8 = 50: closing tier (1) makes every registered key
-# externally covered at least once. Everything else keeps its previous
-# relative order behind the window.
+# Round 7 front-of-window, in order:
+#   (1) the 17 round-6 registrations with no external CORRECTNESS row
+#       (VERDICT r6 "What's missing" #1 — staged at key 51+ last round,
+#       DuckDB-oracle-green locally on every test run);
+#   (2) ops changed in round 7 that WERE externally green or rows-only:
+#       graph_jaccard_neighbors (shared-edge-frame checkpoint, VERDICT r6
+#       #3) and agg_kll_quantile / agg_theta_setops (exact companion
+#       columns promote them from rows-only to hash-checked, VERDICT r6
+#       #4);
+#   (3) stale-refresh backfill for the 30 remaining slots — the oldest
+#       externally-green tier (r01 function/set block, the r02 streaming/
+#       serialization block, the r03 relational core), unchecked
+#       externally for 4-6 rounds.
+# 17 + 3 + 30 = 50: closing tier (1) makes every registered key
+# externally covered at least once (VERDICT r6 top_next). Everything
+# else keeps its previous relative order behind the window.
 _WINDOW_PRIORITY = [
-    # -- (1) externally-unverified round-5 registrations (41) ------------
+    # -- (1) externally-unverified round-6 registrations (17) ------------
+    "ts_ohlc_candles",
+    "pipeline_interpurchase_time",
+    "win_pattern_rises",
+    "scan_file_stats_pruning",
+    "sink_delete_vectors",
+    "sink_partition_evolution",
+    "dedup_substring_window",
+    "fn_timestamp_format",
+    "graph_top_similar_user",
+    "multimodal_phash_dedup",
+    "join_asof_tolerance",
+    "sample_negative_pairs",
+    "win_clamped_cumsum",
+    "sink_exactly_once_commitlog",
+    "pipeline_session_paths",
+    "agg_weighted_percentile",
+    "stats_profile_drift",
+    # -- (2) changed in round 7 (checkpoint fix / oracle promotion) ------
+    "graph_jaccard_neighbors",
+    "agg_kll_quantile",
+    "agg_theta_setops",
+    # -- (3) stale-refresh backfill (30): r01 fn/set block, r02 streaming
+    #    block, r03 relational core — oldest external green rows ---------
+    "fn_array",
+    "fn_json",
+    "fn_map",
+    "set_union",
+    "agg_window_count",
+    "enrich_region",
+    "fanout_union",
+    "join_stream_static",
+    "multimodal_cols",
+    "proj_serialize",
+    "route_by_key",
+    "sim_search_topk",
+    "src_config_scan",
+    "stream_dedup",
+    "stream_session",
+    "stream_sliding",
+    "stream_tumbling",
+    "udaf_grouped",
+    "udf_scalar",
+    "udtf_table",
+    "agg_collect",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_hash",
+    "agg_skew_salted",
+    "dedup_exact",
+    "filter_pred",
+    "project_select",
+    "limit_topk",
+    "sort_global",
+    # -- key 51+: NEW in round 7 — never externally checked; first in
+    #    line for the r08 rotation under the freshness rule -------------
+    "graph_label_propagation",       # new: derandomized sync LPA communities
+    "ts_autocorr",                   # new: exact integer-moment lag ACF
+    "dedup_url_canonical",           # new: crawl-frontier URL canonicalization
+    "sink_bloom_index",              # new: bloom-filter point-lookup file skipping
+    # -- behind those: last round's window (r06-green) and everything
+    #    earlier, relative order preserved ------------------------------
     "pipeline_rfm_segments",
     "sample_temperature",
     "scan_schema_merge",
@@ -242,7 +304,6 @@ _WINDOW_PRIORITY = [
     "win_median_rolling",
     "agg_corr_pairs",
     "stream_available_now",
-    "graph_jaccard_neighbors",
     "fn_try_arith",
     "join_point_in_time",
     "sample_bootstrap",
@@ -257,10 +318,7 @@ _WINDOW_PRIORITY = [
     "stats_join_cardinality",
     "win_lorenz_deciles",
     "text_syllable_density",
-    # -- (2) changed in round 6 (re-verify after the cap) ----------------
     "join_interval_overlap",
-    # -- (3) stalest externally-green tier (r01 block, unchecked
-    #    externally since round 1) --------------------------------------
     "scan_parquet",
     "scan_json",
     "scan_csv",
@@ -269,25 +327,6 @@ _WINDOW_PRIORITY = [
     "fn_string",
     "fn_math",
     "fn_date",
-    # -- key 51+: NEW in round 6 — never externally checked; first in
-    #    line for the r07 rotation under the freshness rule -------------
-    "ts_ohlc_candles",               # new: argmin/argmax struct OHLC bars
-    "pipeline_interpurchase_time",   # new: purchase-cadence gaps per user
-    "win_pattern_rises",             # new: 3-consecutive-rises pattern scan
-    "scan_file_stats_pruning",       # new: footer-stats manifest pruning
-    "sink_delete_vectors",           # new: merge-on-read deletion vectors
-    "sink_partition_evolution",      # new: forward-only spec change read
-    "dedup_substring_window",        # new: 64-char window substring dedup
-    "fn_timestamp_format",           # new: format/parse/epoch round trip
-    "graph_top_similar_user",        # new: per-user top-1 jaccard peer
-    "multimodal_phash_dedup",        # new: aHash image near-dup clusters
-    "join_asof_tolerance",           # new: max-staleness as-of (feature age)
-    "sample_negative_pairs",         # new: derandomized contrastive negatives
-    "win_clamped_cumsum",            # new: Skorokhod-reflection floor clamp
-    "sink_exactly_once_commitlog",   # new: idempotent batch-id commit sink
-    "pipeline_session_paths",        # new: in-session navigation hop shares
-    "agg_weighted_percentile",       # new: exact weighted median per group
-    "stats_profile_drift",           # new: cross-era column-profile drift
     # -- behind those: externally green in r01-r05 and unchanged, still
     #    oracle-green locally on every test run ------------------------
     "corpus_decontaminate",

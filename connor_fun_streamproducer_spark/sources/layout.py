@@ -870,3 +870,175 @@ def sink_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("year", "o_orderstatus")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping (point-lookup data skipping)
+# ---------------------------------------------------------------------------
+
+_BLOOM_FILES = 8
+_BLOOM_BITS = 1 << 17  # 16 KiB of bits per file
+_BLOOM_K = 4  # hash functions: xxhash64 seeded 0..3
+# Fixed probe set: TPC-H orderkeys 1..7 and 32..34 exist at every sf; the
+# two 9-digit keys exist at none — absent probes must return no rows AND
+# (with high probability) prune every file.
+_BLOOM_PROBES = [1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 999999937, 999999938]
+
+
+def _bloom_positions(key_col, seed: int):
+    """Bit position of ``key_col`` under hash function ``seed`` — the
+    engine's own xxhash64, so probe-side and build-side agree exactly."""
+    return F.pmod(F.xxhash64(F.lit(seed), key_col), F.lit(_BLOOM_BITS))
+
+
+def bloom_files_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) a key-hash-clustered lineitem layout plus a
+    per-file bloom sidecar: ``data/`` holds _BLOOM_FILES parquet files
+    shuffled on l_orderkey (each key's rows live in exactly one file);
+    ``bloom/`` holds one row per (file, 64-bit word) with the OR of all
+    key-hash bits — the compressed membership summary a manifest carries
+    per data file (Parquet's own optional bloom filters / Delta
+    stats-skipping, reduced to an explicit sidecar)."""
+    root = _scratch_path(sf_dir, "lineitem_bloom_files")
+    if not os.path.isfile(os.path.join(root, "_SUCCESS")):
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+
+        def _build(staging: str) -> None:
+            data = os.path.join(staging, "data")
+            li.repartition(_BLOOM_FILES, "l_orderkey").write.parquet(data)
+            back = (
+                spark.read.parquet(data)
+                .select(
+                    F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias(
+                        "file"
+                    ),
+                    "l_orderkey",
+                )
+                .distinct()
+            )
+            pos = back.select(
+                "file",
+                F.explode(
+                    F.array(
+                        *[
+                            _bloom_positions(F.col("l_orderkey"), s)
+                            for s in range(_BLOOM_K)
+                        ]
+                    )
+                ).alias("pos"),
+            )
+            words = (
+                pos.select(
+                    "file",
+                    (F.col("pos") / 64).cast("bigint").alias("word"),
+                    F.expr("shiftleft(1L, int(pos % 64))").alias("bit"),
+                )
+                .groupBy("file", "word")
+                .agg(F.bit_or("bit").alias("mask"))
+            )
+            words.write.parquet(os.path.join(staging, "bloom"))
+            with open(os.path.join(staging, "_SUCCESS"), "w"):
+                pass
+
+        _atomic_write(_build, root)
+    return root
+
+
+def bloom_candidate_files(spark: SparkSession, root: str, probes: list[int]) -> tuple[list[str], int]:
+    """(data files any probe key might live in, total file count).
+
+    The membership test runs DISTRIBUTED — probe requirements (word,
+    mask) equi-join the bloom sidecar on word per file; a file is a
+    candidate for a key iff every one of its _BLOOM_K required bits is
+    set. Only the candidate FILE LIST (bounded by file count) reaches
+    the driver; no false negatives are possible (same xxhash64 on both
+    sides), false positives only cost an extra file read."""
+    need = (
+        spark.createDataFrame([(k,) for k in probes], "k bigint")
+        .select(
+            "k",
+            F.explode(
+                F.array(*[_bloom_positions(F.col("k"), s) for s in range(_BLOOM_K)])
+            ).alias("pos"),
+        )
+        .select(
+            "k",
+            (F.col("pos") / 64).cast("bigint").alias("word"),
+            F.expr("shiftleft(1L, int(pos % 64))").alias("bit"),
+        )
+    )
+    bloom = spark.read.parquet(os.path.join(root, "bloom"))
+    hits = (
+        bloom.join(F.broadcast(need), "word")
+        .filter((F.col("mask").bitwiseAND(F.col("bit"))) == F.col("bit"))
+        .groupBy("file", "k")
+        .agg(F.count("*").alias("n_bits"))
+        .filter(F.col("n_bits") == _BLOOM_K)
+        .select("file")
+        .distinct()
+    )
+    cand = sorted(r["file"] for r in hits.collect())
+    data = os.path.join(root, "data")
+    total = len(_part_files(data))
+    return [os.path.join(data, f) for f in cand], total
+
+
+@op(
+    "sink_bloom_index",
+    oracle=f"""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_orderkey IN ({", ".join(map(str, _BLOOM_PROBES))})
+    GROUP BY 1
+    """,
+    tags=("ext", "sink", "source", "scale"),
+)
+def sink_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter data skipping for point lookups — the complement of
+    min/max pruning (scan_file_stats_pruning): range stats cannot skip
+    anything for a high-cardinality key scattered uniformly across
+    files (every file's [min,max] spans the domain), but a 16 KiB
+    per-file bloom answers "might this file contain key k?" and prunes
+    every non-matching file.
+
+    Layout: lineitem hash-clustered on l_orderkey into {_BLOOM_FILES}
+    files + a (file, word, mask) bloom sidecar built with the engine's
+    own xxhash64 ({_BLOOM_K} seeds over 2^17 bits). Probing is a
+    distributed semi-join of required bits against the sidecar; the
+    driver receives only the candidate file list, opens just those
+    files, and the residual IN-filter makes the result exact — bloom
+    false positives cost reads, never wrong rows. A present key's file
+    is ALWAYS a candidate (no false negatives), so the oracle over the
+    unpruned table must hash-match; the absent 9-digit probes return
+    nothing. tests/test_plans.py pins that pruning actually bites
+    (candidates < total files).
+
+    At 100 TB this is the manifest-level bloom skipping of Parquet/
+    Delta/Iceberg: planning cost is index-scale (KBs per file), scan
+    cost collapses from all files to the probe's hash cells.
+    """
+    root = bloom_files_root(spark, sf_dir)
+    keep, _total = bloom_candidate_files(spark, root, _BLOOM_PROBES)
+    probes_lit = [F.lit(p) for p in _BLOOM_PROBES]
+    if not keep:  # absent-only probe sets prune everything
+        return spark.createDataFrame(
+            [], "l_orderkey bigint, n_items bigint, revenue_cents bigint"
+        )
+    return (
+        spark.read.parquet(*keep)
+        .filter(F.col("l_orderkey").isin(_BLOOM_PROBES))
+        .groupBy(F.col("l_orderkey").cast("bigint").alias("l_orderkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )

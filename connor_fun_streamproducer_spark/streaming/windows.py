@@ -518,23 +518,14 @@ def sink_exactly_once_commitlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _shutil
 
     _shutil.rmtree(out_dir, ignore_errors=True)
-    _os.makedirs(_os.path.join(out_dir, "commits"), exist_ok=True)
 
-    sdf = events_stream(spark, sf_dir).select("event_id", "event_type")
     replay_ids: list[int] = []
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        commit = _os.path.join(out_dir, "commits", f"commit-{batch_id}")
-        if _os.path.exists(commit):
-            return  # already committed: redelivery is a no-op
-        staged = _os.path.join(out_dir, f"batch={batch_id}.staging")
-        final = _os.path.join(out_dir, f"batch={batch_id}")
-        batch_df.write.mode("overwrite").parquet(staged)
-        _os.rename(staged, final)
-        fd = _os.open(commit, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
-        _os.close(fd)
-        replay_ids.append(batch_id)
+        if exactly_once_write_batch(out_dir, batch_df, batch_id):
+            replay_ids.append(batch_id)
 
+    sdf = events_stream(spark, sf_dir).select("event_id", "event_type")
     q = sdf.writeStream.foreachBatch(write_batch).start()
     try:
         q.processAllAvailable()
@@ -546,17 +537,63 @@ def sink_exactly_once_commitlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SAME handler — all must no-op (any duplicate rows break the hash)
     for bid in list(replay_ids):
         committed = spark.read.parquet(_os.path.join(out_dir, f"batch={bid}"))
-        write_batch(committed, bid)
+        exactly_once_write_batch(out_dir, committed, bid)
+
+    back = exactly_once_read_committed(spark, out_dir)
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+    )
+
+
+def exactly_once_write_batch(out_dir: str, batch_df: DataFrame, batch_id: int) -> bool:
+    """Idempotent, crash-recoverable commit of one micro-batch.
+
+    Protocol: stage → atomic rename → publish ``commit-{id}`` with
+    create-exclusive. Recovery covers every crash point:
+
+    - crash BEFORE rename: a stale ``.staging`` dir remains; it is never
+      read (readers trust only the commit log) and the redelivery
+      overwrites it in place before renaming.
+    - crash BETWEEN rename and commit publish: the final dir exists but
+      is unlogged — invisible to readers. The redelivery must NOT trust
+      it (its completeness is unprovable without the marker) and must
+      not crash on the occupied name: it is torn down and rewritten,
+      then committed. (Without this, ``os.rename`` onto the non-empty
+      dir raises ENOTEMPTY and recovery wedges — the crash-mid-rename
+      test pins it.)
+    - redelivery AFTER commit: pure no-op.
+
+    Returns True iff this call performed the commit.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    _os.makedirs(_os.path.join(out_dir, "commits"), exist_ok=True)
+    commit = _os.path.join(out_dir, "commits", f"commit-{batch_id}")
+    if _os.path.exists(commit):
+        return False  # already committed: redelivery is a no-op
+    staged = _os.path.join(out_dir, f"batch={batch_id}.staging")
+    final = _os.path.join(out_dir, f"batch={batch_id}")
+    if _os.path.exists(final):
+        _shutil.rmtree(final)  # renamed but never logged: untrusted
+    batch_df.write.mode("overwrite").parquet(staged)
+    _os.rename(staged, final)
+    fd = _os.open(commit, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+    _os.close(fd)
+    return True
+
+
+def exactly_once_read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read side of the commit-log sink: exactly the logged batches —
+    stale staging dirs and unlogged final dirs are invisible."""
+    import os as _os
 
     committed_ids = [
         int(f.split("-", 1)[1])
         for f in _os.listdir(_os.path.join(out_dir, "commits"))
         if f.startswith("commit-")
     ]
-    back = spark.read.parquet(
+    return spark.read.parquet(
         *[_os.path.join(out_dir, f"batch={b}") for b in sorted(committed_ids)]
-    )
-    return back.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("event_id").cast("bigint").alias("id_sum"),
     )

@@ -34,6 +34,7 @@ SWEEP = [
     "graph_connected_components",  # iterative fixpoint
     "graph_pagerank_dist",         # iterative float fixpoint
     "graph_top_similar_user",      # wedge join + tie-broken top-1
+    "graph_label_propagation",     # sync LPA, fixed rounds, min-label ties
     "sample_reservoir",            # hash-priority sample
     "sample_negative_pairs",       # hash-probed sampling
     "corpus_shuffle_shard",        # md5-ordered shuffle

@@ -420,3 +420,26 @@ def test_phash_brightness_invariance_on_byte_distinct_copies():
     # and a different scene lands elsewhere
     other = next(iter(_phash_kernel([next(iter(_render_phash_ppm([pd.DataFrame({"doc_id": [8]})])))])))
     assert set(other["phash"]) != set(hashed["phash"])
+
+
+def test_url_canonicalization_collapses_what_exact_dedup_cannot(spark):
+    """Every canonical group must unify exactly the synthesized doc_id
+    pair — two RAW-DISTINCT strings (host case / www / slash / utm /
+    fragment noise) per logical page — i.e. byte-exact URL dedup finds
+    zero duplicates on the same frame while the canonicalizer halves it."""
+    from connor_fun_streamproducer_spark import registry
+    from connor_fun_streamproducer_spark.catalog import load
+
+    registry._ensure_loaded()
+    rows = registry.OPS["dedup_url_canonical"].fn(spark, SF_DIR).collect()
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs // 2
+    for r in rows:
+        assert r["n_docs"] == 2 and r["n_raw_variants"] == 2, r
+        # keeper is the even (lower) id of the pair
+        assert r["keeper_doc_id"] % 2 == 0
+        # canonical form carries no noise axes
+        u = r["canonical_url"]
+        assert "utm_" not in u and "#" not in u and "www." not in u
+        assert u == u.lower() or "?id=" in u  # host lowered; path is /a/N
+        assert not u.split("?")[0].endswith("/")

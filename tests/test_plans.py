@@ -350,15 +350,27 @@ def test_sink_partition_prune_uses_partition_filters(spark):
 def test_agg_kll_quantile_two_level_rollup(spark):
     """Per-group sketches + one merge to ALL: sketch (object) aggregates
     partial-combine on both levels, and at runtime the ALL branch reuses
-    the per-group shuffle instead of re-scanning the table."""
-    df = _q("agg_kll_quantile", spark)
-    assert count_in_plan(df, "Exchange") <= 3
-    # Sketch buffers aggregate via ObjectHashAggregate, partial+final x2.
-    assert count_in_plan(df, "ObjectHashAggregate") >= 4
-    assert count_in_plan(df, "Union") == 1
-    df.collect()
-    executed = df._jdf.queryExecution().executedPlan().toString()
+    the per-group shuffle instead of re-scanning the table (production
+    with_exact=False shape). The r7 verification shape (exact companion
+    columns, VERDICT r6 #4) checkpoints the 5-row group frame instead —
+    the sketch side must still touch the table exactly once."""
+    from connor_fun_streamproducer_spark import registry as _reg
+
+    prod = _reg.OPS["agg_kll_quantile"].fn(spark, SF_DIR, with_exact=False)
+    prod.collect()
+    executed = prod._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+    df = _q("agg_kll_quantile", spark)
+    # Sketch buffers aggregate via ObjectHashAggregate (partial+final);
+    # exact percentile buffers ride the same aggregates.
+    assert count_in_plan(df, "ObjectHashAggregate") >= 2
+    assert count_in_plan(df, "Union") == 1
+    # The checkpointed group frame is an RDD cut, so the only parquet
+    # scan left in this plan is the scalar ALL-exact branch — the sketch
+    # side never re-reads the table.
+    assert count_in_plan(df, "Scan parquet") == 1
+    df.collect()
 
 
 def test_agg_theta_setops_broadcasts_sketch_frame(spark):
@@ -1082,3 +1094,104 @@ def test_weighted_percentile_one_group_exchange(spark):
     key — one exchange carries the whole exact-rank statistic."""
     df = _q("agg_weighted_percentile", spark)
     assert count_in_plan(df, "Exchange") == 1, formatted_plan(df)
+
+
+def test_interval_overlap_sweep_survives_hot_supplier(spark, tmp_path):
+    """VERDICT r6 item 6: the sweep-line docstring claims "a hot supplier
+    costs n·log n, never n²" — measure it. Two synthetic lineitem tables
+    of identical size: one uniform (400 suppliers × 150 intervals), one
+    with a single supplier holding ~30% of all intervals. A quadratic
+    pair enumeration would blow the hot cell up ~5400× relative to a
+    uniform cell; the sweep's hot cost is one partition's larger sort, so
+    wall time must stay within 3× of the uniform case. Exactness under
+    extreme density is pinned by a closed-form supplier: 50 identical
+    intervals = C(50,2) = 1225 overlapping pairs."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from connor_fun_streamproducer_spark.operators.joins import join_interval_overlap
+
+    n_sup, per, n = 400, 150, 400 * 150
+
+    def synth(path, hot: bool):
+        if hot:
+            # supplier 0 takes 30% of the tape; the rest spread evenly
+            hot_n = int(n * 0.3)
+            rest = n - hot_n
+            sup = F.when(F.col("id") < hot_n, F.lit(0)).otherwise(
+                (F.col("id") - hot_n) % (n_sup - 1) + 1
+            )
+        else:
+            sup = F.col("id") % n_sup
+        df = spark.range(n).select(
+            sup.cast("bigint").alias("l_suppkey"),
+            F.timestamp_seconds(
+                F.lit(820454400) + (F.xxhash64("id") % 2000) * 86400
+            ).alias("l_shipdate"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(40)) + 1)
+            .cast("double")
+            .alias("l_quantity"),
+        )
+        # closed-form density pin: 50 byte-identical intervals
+        dense = spark.range(50).select(
+            F.lit(999999).cast("bigint").alias("l_suppkey"),
+            F.timestamp_seconds(F.lit(820454400)).alias("l_shipdate"),
+            F.lit(10.0).alias("l_quantity"),
+        )
+        df.unionByName(dense).write.parquet(str(path))
+
+    synth(tmp_path / "uniform" / "lineitem.parquet", hot=False)
+    synth(tmp_path / "hot" / "lineitem.parquet", hot=True)
+
+    def run(case):
+        t0 = time.monotonic()
+        rows = join_interval_overlap(spark, str(tmp_path / case)).collect()
+        return time.monotonic() - t0, {r["l_suppkey"]: r["n_overlaps"] for r in rows}
+
+    run("uniform")  # warmup (scan caches, codegen)
+    t_uni, r_uni = run("uniform")
+    t_hot, r_hot = run("hot")
+    assert r_uni[999999] == 1225
+    assert r_hot[999999] == 1225
+    # the hot supplier's count must be plausible for ~18k intervals over
+    # 2000 days (linear-ish in local density), and present at all
+    assert r_hot[0] > r_uni[0] > 0
+    assert t_hot < 3 * max(t_uni, 0.2), (t_hot, t_uni)
+
+
+def test_bloom_index_prunes_files_with_no_false_negatives(spark):
+    """sink_bloom_index's contract: (a) pruning bites — present probes
+    keep a strict subset of the data files; (b) absent probes prune
+    EVERYTHING (the 2^17-bit / 4-hash filter at this key density has
+    ~zero false-positive mass); (c) no false negative is possible — every
+    probe key's true rows survive the pruned read (guaranteed by using
+    the same xxhash64 on build and probe; verified row-for-row here)."""
+    from pyspark.sql import functions as F
+
+    from connor_fun_streamproducer_spark.sources.layout import (
+        _BLOOM_PROBES,
+        bloom_candidate_files,
+        bloom_files_root,
+    )
+
+    root = bloom_files_root(spark, SF_DIR)
+    keep, total = bloom_candidate_files(spark, root, _BLOOM_PROBES)
+    assert 0 < len(keep) < total
+    absent = [p for p in _BLOOM_PROBES if p > 10**8]
+    keep_absent, _ = bloom_candidate_files(spark, root, absent)
+    assert keep_absent == []
+    # no false negatives: pruned read == unpruned read for the probes
+    import os
+
+    full = (
+        spark.read.parquet(os.path.join(root, "data"))
+        .filter(F.col("l_orderkey").isin(_BLOOM_PROBES))
+        .count()
+    )
+    pruned = (
+        spark.read.parquet(*keep)
+        .filter(F.col("l_orderkey").isin(_BLOOM_PROBES))
+        .count()
+    )
+    assert full == pruned > 0

@@ -7,87 +7,87 @@ ever unguarded locally, whatever an external harness samples.
 Separately, the external driver verifies ops in registration order with a
 bounded window (each round covers the first 50 keys). The registration
 order is freshness-priority, applied the same rule each round: (1) ops
-never externally checked (round 5 registered 41 keys behind the r05
-window — VERDICT r5 lists them; closing that debt is round 6's top
-order); (2) ops changed this round; (3) the stalest still-green tier.
-This test pins round 6's resulting window.
+never externally checked (round 6 registered 17 keys behind the r06
+window — VERDICT r6 "What's missing" #1; closing that debt is round 7's
+top order); (2) ops changed this round; (3) the stalest still-green tier.
+This test pins round 7's resulting window.
 """
 
 from connor_fun_streamproducer_spark import registry
 
-# The 41 keys with no external CORRECTNESS row across r01-r05 (VERDICT r5
-# "What's missing" #1) — closing this debt makes every registered key
-# externally covered at least once. Eight of them (marked *) also carry
-# this round's ADVICE r5 fixes (integral div / chunk cap / NULL keys), so
-# the rotation doubles as their post-change re-verification.
+# The 17 keys with no external CORRECTNESS row across r01-r06 (VERDICT r6
+# "What's missing" #1) — closing this debt makes every one of the 248
+# registered keys externally covered at least once.
 NEVER_EXTERNALLY_CHECKED = [
-    "pipeline_rfm_segments",
-    "sample_temperature",
-    "scan_schema_merge",
-    "pipeline_abc_pareto",          # * integral-div cum_bp
-    "graph_degree_distribution",
-    "corpus_quality_gate",
-    "sample_group_holdout",
-    "sample_kfold",
-    "dedup_chunk_exact",            # * per-row slots + struct-min keeper
-    "stats_table_profile",
-    "sink_versioned_manifest",
-    "scan_text_roundtrip",
-    "join_asof_nearest",
-    "win_islands_consecutive",
-    "pipeline_yoy_growth",
-    "pipeline_attribution_touch",
-    "text_tokens_bpe_est",
-    "corpus_shuffle_shard",
-    "scan_csv_permissive",
-    "embedding_normalize_l2",
-    "join_stream_stream_outer",
-    "multimodal_audio_energy",
-    "mv_answer_from_rollup",
-    "win_median_rolling",
-    "agg_corr_pairs",
-    "stream_available_now",
-    "graph_jaccard_neighbors",      # * integral-div jaccard_bp
-    "fn_try_arith",
-    "join_point_in_time",
-    "sample_bootstrap",
-    "text_entropy_source",
-    "pipeline_event_transitions",   # * integral-div share_bp
-    "graph_kcore",
-    "pipeline_dau_mau_stickiness",  # * integral-div stickiness_bp
-    "agg_gini_concentration",
-    "pipeline_cohort_ltv",
-    "fn_surrogate_key",             # * explicit NULL-key coalesce
-    "scan_json_multiline",
-    "stats_join_cardinality",       # * integral-div estimated/err_bp
-    "win_lorenz_deciles",           # * integral-div cum_share_bp
-    "text_syllable_density",
+    "ts_ohlc_candles",
+    "pipeline_interpurchase_time",
+    "win_pattern_rises",
+    "scan_file_stats_pruning",
+    "sink_delete_vectors",
+    "sink_partition_evolution",
+    "dedup_substring_window",
+    "fn_timestamp_format",
+    "graph_top_similar_user",       # also changed r7: und localCheckpoint
+    "multimodal_phash_dedup",
+    "join_asof_tolerance",
+    "sample_negative_pairs",
+    "win_clamped_cumsum",
+    "sink_exactly_once_commitlog",
+    "pipeline_session_paths",
+    "agg_weighted_percentile",
+    "stats_profile_drift",
 ]
 
-# Externally green before, but changed this round — re-verify.
-CHANGED_IN_ROUND_6 = [
-    "join_interval_overlap",  # hot-cell density cap (VERDICT r5 #2)
+# Externally green (or rows-only) before, but changed this round —
+# re-verify after the change.
+CHANGED_IN_ROUND_7 = [
+    "graph_jaccard_neighbors",  # shared-edge-frame checkpoint (VERDICT r6 #3)
+    "agg_kll_quantile",         # exact companion columns → hash-checked (r6 #4)
+    "agg_theta_setops",         # exact companion columns → hash-checked (r6 #4)
 ]
 
-# Stalest externally-green tier backfilling the remaining window slots
-# (r01 scan/fn block, unchecked externally since round 1).
+# Stalest externally-green tier backfilling the remaining 30 window slots:
+# the r01 function/set block, the r02 streaming/serialization block, and
+# the r03 relational core — unchecked externally for 4-6 rounds.
 STALE_REFRESH = [
-    "scan_parquet",
-    "scan_json",
-    "scan_csv",
-    "sink_parquet",
-    "scan_binaryfile",
-    "fn_string",
-    "fn_math",
-    "fn_date",
+    "fn_array",
+    "fn_json",
+    "fn_map",
+    "set_union",
+    "agg_window_count",
+    "enrich_region",
+    "fanout_union",
+    "join_stream_static",
+    "multimodal_cols",
+    "proj_serialize",
+    "route_by_key",
+    "sim_search_topk",
+    "src_config_scan",
+    "stream_dedup",
+    "stream_session",
+    "stream_sliding",
+    "stream_tumbling",
+    "udaf_grouped",
+    "udf_scalar",
+    "udtf_table",
+    "agg_collect",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_hash",
+    "agg_skew_salted",
+    "dedup_exact",
+    "filter_pred",
+    "project_select",
+    "limit_topk",
+    "sort_global",
 ]
 
-MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_6 + STALE_REFRESH
+MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_7 + STALE_REFRESH
 
 WINDOW = 50
 
 
-def test_round6_priority_ops_register_inside_driver_window():
+def test_round7_priority_ops_register_inside_driver_window():
     keys = list(registry.queries())
     window = set(keys[:WINDOW])
     missing = [k for k in MUST_BE_IN_WINDOW if k not in window]
@@ -98,7 +98,7 @@ def test_round6_priority_ops_register_inside_driver_window():
 
 
 def test_never_checked_keys_lead_the_window():
-    # The 41 debt keys must come FIRST (before round-6 changes and the
+    # The 17 debt keys must come FIRST (before round-7 changes and the
     # stale refresh), so even a driver window narrower than 50 covers as
     # many of them as possible.
     keys = list(registry.queries())
@@ -106,7 +106,7 @@ def test_never_checked_keys_lead_the_window():
 
 
 def test_window_is_exactly_filled():
-    # 41 debt + 1 changed + 8 stale-refresh = 50: the window carries no
+    # 17 debt + 3 changed + 30 stale-refresh = 50: the window carries no
     # dead slots and no accidental extras.
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
