@@ -595,3 +595,112 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (asymmetric prefix filter)
+# ---------------------------------------------------------------------------
+
+# Containment threshold 9/10, exact integer prefix arithmetic (the
+# jaccard_prefix_candidates discipline: a double round-up would silently
+# shorten the prefix and break completeness).
+_CONTAIN_NUM, _CONTAIN_DEN = 9, 10
+
+_CONTAIN_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(a.toks) AS BIGINT) AS n_a,
+       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
+       CAST(len(list_intersect(a.toks, b.toks)) * 10000 // len(a.toks)
+            AS BIGINT) AS containment_bp
+FROM toks a
+JOIN toks b ON a.source = b.source AND a.doc_id <> b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * 10000 // len(a.toks) >= 9000
+"""
+
+
+@op(
+    "dedup_containment_prefix",
+    oracle=_CONTAIN_ORACLE,
+    tags=("llm", "dedup", "scale"),
+)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL containment dedup: find docs whose token set is ≥90%
+    contained in another doc from the same source — the re-crawl /
+    quote / subset case (C(A→B) = |A∩B| / |A|) that symmetric Jaccard
+    dedup misses by construction: a short page embedded in a long one
+    has high containment but low resemblance.
+
+    Candidate generation is the ASYMMETRIC prefix filter: order each
+    doc's tokens by ascending in-source document frequency; if
+    |A∩B| ≥ ceil(t·|A|) then at most |A| − ceil(t·|A|) of A's tokens
+    are outside B, so A's first |A| − ceil(t·|A|) + 1 rarest tokens
+    must contain a shared one (pigeonhole — recall 1.0, independent of
+    B's length). Only A's PREFIX explodes against the full token index;
+    the per-token join fan-out is prefix_df(tok) × df(tok), bounded by
+    the prefix tokens being the rarest, and the source key blocks the
+    join the way a crawl pipeline partitions by feed. Candidates are
+    then verified EXACTLY (array_intersect on the full distinct-token
+    arrays) and scored in integral basis points — the oracle's all-pairs
+    join over the same blocks proves the completeness claim on every
+    run.
+
+    At 100 TB: two linear shuffles (df count, prefix explode) + the
+    rare-token candidate join + a verify join keyed on doc pairs — the
+    Bayardo'07 shape, never an all-pairs comparison.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    tok = d.select("doc_id", "source", F.explode("toks").alias("tok"))
+    dfc = tok.groupBy("source", "tok").agg(F.count("*").alias("df"))
+    n, num, den = F.col("n"), _CONTAIN_NUM, _CONTAIN_DEN
+    prefix = (
+        tok.join(dfc, ["source", "tok"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n"),
+            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ordered"),
+        )
+        .withColumn("p", n - F.expr(f"({num} * n + {num}) DIV {den}") + 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("slice(ordered, 1, int(p))")).alias("pt"),
+        )
+        .select("doc_id", "source", F.col("pt.tok").alias("tok"))
+    )
+    cands = (
+        prefix.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("toks_a").cast("bigint").alias("n_a"),
+            inter.cast("bigint").alias("n_inter"),
+            F.expr("size(array_intersect(toks_a, toks_b)) * 10000"
+                   " div size(toks_a)")
+            .cast("bigint")
+            .alias("containment_bp"),
+        )
+        .filter(F.col("containment_bp") >= 9000)
+    )

@@ -393,29 +393,39 @@ def _pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-cap discipline of the LSH tiers (llm/dedup.py).
     """
     ev = load(spark, sf_dir, "events")
-    buck = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("b"),
-            "user_id",
-        )
-        .distinct()
+    raw = ev.filter(F.col("event_type") == "purchase").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("b"),
+        "user_id",
     )
+    # Size gate FIRST (count-distinct partials only — no per-bucket state),
+    # so the bounded collect_set below can never see an over-band bucket:
+    # the hot-bucket quadratic blowup stays capped at the source, and the
+    # whole build is 3 exchanges (size agg / banded semi-join reusing the
+    # b partitioning for the set agg / pair distinct) instead of the
+    # former 5-exchange distinct→count→join→self-join→distinct chain.
     sized = (
-        buck.groupBy("b")
-        .agg(F.count("*").alias("n"))
+        raw.groupBy("b")
+        .agg(F.countDistinct("user_id").alias("n"))
         .filter(F.col("n").between(_TRI_BUCKET_MIN, _TRI_BUCKET_MAX))
         .select("b")
     )
-    kept = buck.join(sized, "b")
-    x = kept.select("b", F.col("user_id").alias("a"))
-    y = kept.select("b", F.col("user_id").alias("c"))
-    return (
-        x.join(y, "b")
-        .filter(F.col("a") < F.col("c"))
-        .select("a", "c")
+    pairs = (
+        raw.join(sized, "b")
+        .groupBy("b")
+        .agg(F.sort_array(F.collect_set("user_id")).alias("us"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(us, (u, i) ->"
+                    " transform(slice(us, i + 2, size(us)),"
+                    " v -> struct(u AS a, v AS c))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.c")
         .distinct()
     )
+    return pairs
 
 
 @op(

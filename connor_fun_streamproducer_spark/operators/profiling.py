@@ -470,3 +470,196 @@ def stats_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("ndv * 10000 div n").cast("bigint").alias("distinct_share_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford leading-digit profile (data-quality screen)
+# ---------------------------------------------------------------------------
+
+# floor(log10(1 + 1/d) * 10000) for d = 1..9, precomputed so NO float ever
+# enters either engine — the expected shares are integer literals, the
+# observed shares integral division.
+_BENFORD_BP = {1: 3010, 2: 1760, 3: 1249, 4: 969, 5: 791, 6: 669,
+               7: 579, 8: 511, 9: 457}
+
+_BENFORD_CASE = (
+    "CASE digit " +
+    " ".join(f"WHEN {d} THEN {bp}" for d, bp in _BENFORD_BP.items()) +
+    " END"
+)
+
+_BENFORD_ORACLE = f"""
+WITH vals AS (
+    SELECT 'l_extendedprice' AS column_name,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', CAST(l_quantity AS BIGINT) FROM lineitem
+),
+d AS (
+    SELECT column_name,
+           CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM vals WHERE v > 0
+),
+g AS (
+    SELECT column_name, digit, count(*) AS n FROM d GROUP BY 1, 2
+)
+SELECT column_name, digit, CAST(n AS BIGINT) AS n,
+       CAST(n * 10000 // sum(n) OVER (PARTITION BY column_name) AS BIGINT)
+           AS observed_bp,
+       CAST({_BENFORD_CASE} AS BIGINT) AS expected_bp,
+       CAST(abs(n * 10000 // sum(n) OVER (PARTITION BY column_name)
+                - {_BENFORD_CASE}) AS BIGINT) AS dev_bp
+FROM g
+"""
+
+
+@op(
+    "stats_benford_profile",
+    oracle=_BENFORD_ORACLE,
+    tags=("ext", "stats", "profile"),
+)
+def stats_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit (Benford) profile per numeric column — the
+    data-quality / anomaly screen that flags fabricated or truncated
+    numeric columns: naturally-occurring multiplicative quantities
+    follow P(d) = log10(1 + 1/d), bounded or hand-entered ones don't.
+
+    Zero floats anywhere: the Benford expectations are precomputed
+    integer basis points ({_BENFORD_BP[1]} for digit 1, ...), observed
+    shares are integral division over exact counts, and the leading
+    digit comes from the decimal string of the integer cents — so the
+    output hash-matches DuckDB with no tolerance. The two profiled
+    columns separate on this fixture: l_quantity (uniform 1..50 —
+    bounded support, far from Benford) deviates ~420-500 bp more in
+    total than l_extendedprice (a qty×price product with partial digit
+    mixing) at every scale, pinned by test_benford_contrast.
+
+    Scale: one stacked scan, an 18-key hash agg with map-side partials,
+    and a per-column window over ≤9 rows — nothing grows with the data.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.expr(
+            "stack(2,"
+            " 'l_extendedprice', cast(floor(l_extendedprice * 100 + 0.5) as bigint),"
+            " 'l_quantity', cast(l_quantity as bigint)"
+            ") AS (column_name, v)"
+        )
+    ).filter(F.col("v") > 0)
+    g = (
+        vals.select(
+            "column_name",
+            F.substring(F.col("v").cast("string"), 1, 1).cast("bigint").alias("digit"),
+        )
+        .groupBy("column_name", "digit")
+        .agg(F.count("*").alias("n"))
+    )
+    return g.select(
+        "column_name",
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("n * 10000 div sum(n) OVER (PARTITION BY column_name)")
+        .cast("bigint")
+        .alias("observed_bp"),
+        F.expr(_BENFORD_CASE).cast("bigint").alias("expected_bp"),
+        F.expr(
+            f"abs(n * 10000 div sum(n) OVER (PARTITION BY column_name)"
+            f" - {_BENFORD_CASE})"
+        )
+        .cast("bigint")
+        .alias("dev_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers (median / MAD z-score, exact integer compare)
+# ---------------------------------------------------------------------------
+
+# z = 0.6745 * |x - med| / MAD in DOUBLED integer units: dev2 = 2|x-med|
+# (integer because 2*median of integers is integral), mad4 = 2*median(dev2)
+# = 4*MAD. Then z_bp = 13490 * dev2 // mad4 and the z>=3 gate is the pure
+# integer comparison z_bp >= 30000 — no float ever crosses an engine
+# boundary.
+_MAD_Z_BP = 30000
+
+_MAD_ORACLE = f"""
+WITH base AS (
+    SELECT user_id, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+),
+med AS (
+    SELECT user_id, CAST(2 * median(cents) AS BIGINT) AS m2
+    FROM base GROUP BY 1
+),
+dev AS (
+    SELECT b.user_id, b.event_id, b.cents,
+           abs(2 * b.cents - m.m2) AS dev2
+    FROM base b JOIN med m USING (user_id)
+),
+mad AS (
+    SELECT user_id, CAST(2 * median(dev2) AS BIGINT) AS mad4
+    FROM dev GROUP BY 1
+)
+SELECT d.user_id, d.event_id, d.cents,
+       CAST(13490 * d.dev2 // m.mad4 AS BIGINT) AS z_bp
+FROM dev d JOIN mad m USING (user_id)
+WHERE m.mad4 > 0 AND 13490 * d.dev2 // m.mad4 >= {_MAD_Z_BP}
+"""
+
+
+@op(
+    "stats_mad_outliers",
+    oracle=_MAD_ORACLE,
+    tags=("ext", "stats", "profile"),
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier screen: flag events whose value departs
+    the user's MEDIAN by more than 3 robust z (0.6745·|x−med|/MAD) —
+    the screen that survives exactly the fat-tailed data that breaks
+    mean/stddev z-scores (win_anomaly_zscore's Achilles heel: one
+    outlier inflates σ and hides the rest; the median/MAD pair has a
+    50% breakdown point).
+
+    Exactness: medians of integers are half-integers, so everything is
+    carried in DOUBLED units — dev2 = 2|x−med| and mad4 = 4·MAD are
+    exact integers, the z statistic is one integral division
+    (13490·dev2 div mad4) and the 3σ gate an integer comparison.
+    Constant users (MAD 0) are excluded on both engines.
+
+    Scale: two grouped exact medians (per-user groups — the buffer is
+    one user's events, bounded by per-key activity, the same contract
+    as agg_weighted_percentile) + one broadcast-scale join of two
+    per-user scalars back onto the events. For unbounded keys the KLL
+    tier (agg_kll_quantile) is the sketch alternative.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    med = base.groupBy("user_id").agg(
+        (2 * F.median("cents")).cast("bigint").alias("m2")
+    )
+    dev = base.join(med, "user_id").select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.abs(2 * F.col("cents") - F.col("m2")).alias("dev2"),
+    )
+    mad = dev.groupBy("user_id").agg(
+        (2 * F.median("dev2")).cast("bigint").alias("mad4")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .filter(F.col("mad4") > 0)
+        .select(
+            "user_id",
+            "event_id",
+            "cents",
+            F.expr("13490 * dev2 div mad4").cast("bigint").alias("z_bp"),
+        )
+        .filter(F.col("z_bp") >= _MAD_Z_BP)
+    )

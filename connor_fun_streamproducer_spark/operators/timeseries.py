@@ -553,3 +553,78 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("r_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Diurnal seasonal index (exact integer ratio-of-means)
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH base AS (
+    SELECT event_type,
+           CAST(strftime(ts, '%H') AS BIGINT) AS hour_of_day,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+),
+h AS (
+    SELECT event_type, hour_of_day,
+           count(*) AS n, sum(cents) AS s
+    FROM base GROUP BY 1, 2
+),
+t AS (
+    SELECT event_type, sum(n) AS n_tot, sum(s) AS s_tot FROM h GROUP BY 1
+)
+SELECT h.event_type, h.hour_of_day,
+       CAST(h.n AS BIGINT) AS n,
+       CAST(h.s AS BIGINT) AS sum_cents,
+       CAST(h.s * t.n_tot * 10000 // (h.n * t.s_tot) AS BIGINT)
+           AS seasonal_bp,
+       CAST(h.n * 24 * 10000 // t.n_tot AS BIGINT) AS traffic_bp
+FROM h JOIN t USING (event_type)
+"""
+
+
+@op(
+    "ts_seasonal_index",
+    oracle=_SEASONAL_ORACLE,
+    tags=("ext", "timeseries", "agg"),
+)
+def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event series: the multiplicative
+    seasonal index (hour mean ÷ series mean, in basis points — 10000 =
+    an average hour) plus a traffic share index (hour volume vs uniform)
+    — the classical-decomposition seasonal component, restricted to the
+    season the fixture actually spans (24 diurnal buckets over one
+    month of events).
+
+    The index is a ratio of means computed WITHOUT ever forming a mean:
+    (Σ_h · n_tot · 10⁴) div (n_h · Σ_tot) over exact integer cents —
+    associativity-proof (no float accumulation order), overflow-proof
+    (decimal(38,0) intermediates), and hash-identical cross-engine.
+
+    Scale: two stacked hash aggs on (series, hour) then (series) — the
+    second operates on ≤24 rows per series; the broadcast-scale join
+    back carries two totals per series. Nothing in the plan grows with
+    row count except the first map-side partial.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    h = base.groupBy("event_type", "hour_of_day").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+    )
+    t = h.groupBy("event_type").agg(
+        F.sum("n").alias("n_tot"), F.sum("s").alias("s_tot")
+    )
+    return h.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "hour_of_day",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("bigint").alias("sum_cents"),
+        F.expr("s * n_tot * 10000 div (n * s_tot)").cast("bigint").alias("seasonal_bp"),
+        F.expr("n * 24 * 10000 div n_tot").cast("bigint").alias("traffic_bp"),
+    )

@@ -276,6 +276,10 @@ _WINDOW_PRIORITY = [
     "ts_autocorr",                   # new: exact integer-moment lag ACF
     "dedup_url_canonical",           # new: crawl-frontier URL canonicalization
     "sink_bloom_index",              # new: bloom-filter point-lookup file skipping
+    "dedup_containment_prefix",      # new: directional containment (re-crawl) dedup
+    "stats_benford_profile",         # new: integer-exact leading-digit screen
+    "ts_seasonal_index",             # new: diurnal seasonal/traffic index
+    "stats_mad_outliers",            # new: median/MAD robust z outlier screen
     # -- behind those: last round's window (r06-green) and everything
     #    earlier, relative order preserved ------------------------------
     "pipeline_rfm_segments",

@@ -443,3 +443,18 @@ def test_url_canonicalization_collapses_what_exact_dedup_cannot(spark):
         assert "utm_" not in u and "#" not in u and "www." not in u
         assert u == u.lower() or "?id=" in u  # host lowered; path is /a/N
         assert not u.split("?")[0].endswith("/")
+
+
+def test_containment_is_directional(spark):
+    """The point of containment over Jaccard: C(A→B) is asymmetric. The
+    fixture's re-crawl pairs must include at least one (a,b) where a⊆b
+    passes the 0.9 gate but the reverse direction does not — i.e. the
+    result is NOT closed under pair swap."""
+    rows = registry.OPS["dedup_containment_prefix"].fn(spark, SF_DIR).collect()
+    assert rows, "fixture must contain contained docs"
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    asym = [p for p in pairs if (p[1], p[0]) not in pairs]
+    assert asym, "containment degenerated to a symmetric relation"
+    for r in rows:
+        assert r.containment_bp >= 9000
+        assert 0 < r.n_inter <= r.n_a

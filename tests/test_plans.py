@@ -1195,3 +1195,46 @@ def test_bloom_index_prunes_files_with_no_false_negatives(spark):
         .count()
     )
     assert full == pruned > 0
+
+
+def test_benford_single_scan_partial_agg_tiny_window(spark):
+    """stats_benford_profile must read lineitem ONCE (the stack unpivot
+    is map-side, not a self-union), partial-aggregate the 18-key digit
+    counts before the exchange, and keep the share window on the
+    post-agg rows — nothing after the agg scales with the data."""
+    df = _q("stats_benford_profile", spark)
+    plan = formatted_plan(df)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert count_in_plan(df, "HashAggregate") >= 2
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_mad_outliers_no_cartesian_scalar_joins(spark):
+    """stats_mad_outliers joins two per-user scalar frames back onto the
+    events — both must stay equi-join shaped (never nested-loop) and the
+    exact medians must partial-aggregate per user."""
+    df = _q("stats_mad_outliers", spark)
+    assert_not_in_plan(df, "CartesianProduct")
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+    assert count_in_plan(df, "HashAggregate") + count_in_plan(
+        df, "ObjectHashAggregate"
+    ) >= 2
+
+
+def test_seasonal_index_broadcasts_series_totals(spark):
+    """ts_seasonal_index's totals join carries two scalars per series —
+    it must broadcast, never shuffle the (series, hour) side again."""
+    df = _q("ts_seasonal_index", spark)
+    plan = assert_in_plan(df, "BroadcastHashJoin")
+    assert "SortMergeJoin" not in plan
+
+
+def test_containment_prefix_equi_join_shaped(spark):
+    """dedup_containment_prefix's candidate and verify joins must stay
+    hash-equi-join shaped (the Bayardo prefix-filter shape) — an
+    all-pairs fallback would show as a nested-loop join."""
+    df = _q("dedup_containment_prefix", spark)
+    assert_not_in_plan(df, "CartesianProduct")
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")

@@ -1713,3 +1713,93 @@ def test_graph_fixpoints_deterministic_and_converged_both_scales(spark, sf_dir):
     assert k1 == k2
     # every surviving node meets the core threshold
     assert all(row[-1] >= _KCORE_K for row in k1)
+
+
+def test_benford_contrast_price_vs_quantity(spark):
+    """The two profiled columns separate: l_quantity (uniform 1..50 —
+    bounded support, far from Benford) deviates consistently more than
+    l_extendedprice (a qty×price product with partial digit mixing);
+    the gap is ~420-500 bp at every fixture scale. Shares must be a
+    near-partition of 10000 (floor division loses <9 bp per column)."""
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    rows = registry.OPS["stats_benford_profile"].fn(spark, SF_DIR).collect()
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r.column_name, []).append(r)
+    assert set(by_col) == {"l_extendedprice", "l_quantity"}
+    for col, rs in by_col.items():
+        assert {r.digit for r in rs} == set(range(1, 10))
+        share = sum(r.observed_bp for r in rs)
+        assert 10000 - 9 <= share <= 10000
+    dev = {c: sum(r.dev_bp for r in rs) for c, rs in by_col.items()}
+    assert dev["l_quantity"] > dev["l_extendedprice"] + 300, dev
+
+
+def test_mad_outliers_robust_where_zscore_blinds(spark):
+    """The 50% breakdown claim, demonstrated: a user whose series is
+    [100]*20 + [10**6]*6 has 23% contamination — MAD stays 0-ish on the
+    clean mass... actually MAD=0 excludes; use mild spread. Construct
+    [100,102,...,138]*1 + [10**6]*5: the mean/std z-score of each 10^6
+    point is pulled under 2 by its own mass (sigma inflation), while the
+    median/MAD screen flags all five at z_bp >= 30000."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from connor_fun_streamproducer_spark.operators.profiling import (
+        _MAD_Z_BP,
+    )
+
+    clean = [100 + 2 * i for i in range(20)]
+    big = [10**6] * 5
+    vals = clean + big
+    mu = statistics.mean(vals)
+    sigma = statistics.pstdev(vals)
+    assert all(abs(v - mu) / sigma < 2.1 for v in big)  # σ-screen blind
+
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate(vals)],
+        "user_id long, event_id long, value double",
+    )
+    base = df.select(
+        "user_id", "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    med = base.groupBy("user_id").agg((2 * F.median("cents")).cast("bigint").alias("m2"))
+    dev = base.join(med, "user_id").select(
+        "user_id", "event_id", "cents",
+        F.abs(2 * F.col("cents") - F.col("m2")).alias("dev2"),
+    )
+    mad = dev.groupBy("user_id").agg((2 * F.median("dev2")).cast("bigint").alias("mad4"))
+    out = (
+        dev.join(mad, "user_id")
+        .filter(F.col("mad4") > 0)
+        .withColumn("z_bp", F.expr("13490 * dev2 div mad4"))
+        .filter(F.col("z_bp") >= _MAD_Z_BP)
+        .collect()
+    )
+    flagged = sorted(r.event_id for r in out)
+    assert flagged == list(range(20, 25)), flagged
+
+
+def test_seasonal_index_weighted_mean_law(spark):
+    """Ratio-of-means law: the n-weighted mean of seasonal_bp over a
+    series' hours is 10000 up to floor-division loss (<24 bp), and
+    traffic_bp sums to 24*10000 up to the same loss — per series."""
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    rows = registry.OPS["ts_seasonal_index"].fn(spark, SF_DIR).collect()
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r.event_type, []).append(r)
+    assert len(by_series) == 5
+    for et, rs in by_series.items():
+        assert len(rs) <= 24
+        n_tot = sum(r.n for r in rs)
+        wmean = sum(r.seasonal_bp * r.n for r in rs) / n_tot
+        assert 10000 - 24 <= wmean <= 10000, (et, wmean)
+        tsum = sum(r.traffic_bp for r in rs)
+        assert 24 * 10000 - 24 * 24 <= tsum <= 24 * 10000, (et, tsum)
