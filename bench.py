@@ -82,6 +82,15 @@ EXTENDED = [
     "pipeline_session_paths",
     "join_asof_tolerance",
     "sample_negative_pairs",
+    # round-7 tier
+    "dedup_containment_prefix",
+    "graph_clustering_coefficient",
+    "text_bigram_mi",
+    "win_drawdown",
+    "ts_changepoint_cusum",
+    "stats_mad_outliers",
+    "stats_ks_eras",
+    "embedding_outlier_distance",
 ]
 
 

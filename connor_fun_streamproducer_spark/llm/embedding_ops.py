@@ -154,3 +154,122 @@ def embedding_normalize_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.transform("v", lambda x: F.abs(x) / F.col("nrm"))), 4
         ).alias("unit_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distance-to-centroid outlier screen (exact scaled integers)
+# ---------------------------------------------------------------------------
+
+# Quantization scale for the exact-integer distance arithmetic: 1e-4 units
+# (the repo-wide embedding quantization used by pca/kmeans determinism).
+_OUT_Q = 10_000
+# Outlier gate: the TOP 5% furthest vectors per label (rank * 20 <= n,
+# integral). A mean-multiple gate is degenerate on near-isotropic corpora
+# (every random high-dim vector sits at ~the same distance from its
+# centroid: observed d2/mean in [0.91, 1.11] on the fixture), so the
+# screen quarantines a fixed budget of the furthest instead -- which is
+# also how production curation actually spends review capacity.
+_OUT_TOP_DEN = 20
+
+_OUTLIER_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_OUT_Q} + 0.5) AS BIGINT))
+               AS qv
+    FROM embeddings
+),
+pos AS (
+    SELECT vec_id, label, i, qv[i] AS qx
+    FROM (SELECT vec_id, label, qv, unnest(generate_series(1, {EMB_DIM})) AS i
+          FROM q)
+),
+cent AS (
+    SELECT label, i, sum(qx) AS s, count(*) AS n
+    FROM pos GROUP BY 1, 2
+),
+d AS (
+    SELECT p.vec_id, p.label,
+           sum((p.qx * c.n - c.s) * (p.qx * c.n - c.s)) AS d2_scaled,
+           max(c.n) AS n
+    FROM pos p JOIN cent c ON p.label = c.label AND p.i = c.i
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT vec_id, label, d2_scaled, n,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY d2_scaled DESC, vec_id) AS rk
+    FROM d
+)
+SELECT vec_id, label,
+       CAST(d2_scaled AS BIGINT) AS d2_scaled,
+       rk * {_OUT_TOP_DEN} <= n AS is_outlier
+FROM r
+"""
+
+
+@op(
+    "embedding_outlier_distance",
+    oracle=_OUTLIER_ORACLE,
+    tags=("llm", "embedding", "scale"),
+)
+def embedding_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label distance-to-centroid outlier screen over the embedding
+    corpus: flag the top-5% of vectors furthest from their label
+    centroid — the embedding-space mislabeled-sample / junk-document
+    detector that runs before clustering or contrastive sampling (kmeans
+    assigns everything; this says which assignments not to trust). The
+    gate is RANK-based (a fixed quarantine budget per label) because a
+    mean-multiple threshold is degenerate in high dimension: random
+    vectors concentrate at ~equal distance from the centroid (observed
+    d2/mean spread on the fixture is [0.91, 1.11]), and a fixed budget
+    is how curation review capacity is actually spent.
+
+    Exactness (the scaled-integer discipline): embeddings quantize to
+    1e-4 integer units; the centroid is carried UNDIVIDED as per-dim
+    sums S with count n, so the squared distance in centroid-scaled
+    space — Σ_dim (q·n − S)² — is an exact int64 (|q·n| ≤ 5e4·n; at the
+    64-dim fixture the sum stays ≤ ~1e16), and the outlier gate is the
+    integral rank comparison rk·20 ≤ n on the (d² desc, vec_id) total
+    order — no float ever crosses an engine.
+
+    Scale: one posexplode + (label, dim) hash agg builds the centroid
+    sums (64·|labels| rows — dim-bounded); the distance pass joins that
+    tiny frame back broadcast and aggregates per vector on the SAME
+    (label-derived) keys; the gate is one rank window on the label
+    partitioning. Nothing but the two linear passes scales with corpus
+    size.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {_OUT_Q} + 0.5) as bigint))"
+        ).alias("qv"),
+    )
+    pos = e.select("vec_id", "label", F.posexplode("qv").alias("i0", "qx"))
+    cent = pos.groupBy("label", "i0").agg(
+        F.sum("qx").alias("s"), F.count("*").alias("n")
+    )
+    d = (
+        pos.join(F.broadcast(cent), ["label", "i0"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("qx") * F.col("n") - F.col("s"))
+                * (F.col("qx") * F.col("n") - F.col("s"))
+            ).alias("d2_scaled"),
+            F.max("n").alias("n"),
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    rk = F.row_number().over(
+        _W.partitionBy("label").orderBy(F.desc("d2_scaled"), F.asc("vec_id"))
+    )
+    return d.withColumn("rk", rk).select(
+        "vec_id",
+        "label",
+        F.col("d2_scaled").cast("bigint").alias("d2_scaled"),
+        (F.col("rk") * _OUT_TOP_DEN <= F.col("n")).alias("is_outlier"),
+    )

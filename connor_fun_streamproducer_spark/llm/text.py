@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from connor_fun_streamproducer_spark.catalog import load
 from connor_fun_streamproducer_spark.registry import op
@@ -389,4 +390,93 @@ def text_syllable_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_syll") * 10000 / F.col("n_words"))
         .cast("bigint")
         .alias("syll_per_word_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram association (collocation lift, exact integral)
+# ---------------------------------------------------------------------------
+
+# Minimum bigram occurrences before an association score is emitted —
+# the classical sparse-count guard (PMI explodes on hapax pairs).
+_BIGRAM_MIN_N = 5
+
+_BIGRAM_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM toks)
+),
+n AS (SELECT count(*) AS total FROM bg),
+ab AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+a AS (SELECT w1, count(*) AS n_a FROM bg GROUP BY 1),
+b AS (SELECT w2, count(*) AS n_b FROM bg GROUP BY 1)
+SELECT ab.w1, ab.w2,
+       CAST(ab.n_ab AS BIGINT) AS n_ab,
+       CAST(a.n_a AS BIGINT) AS n_first,
+       CAST(b.n_b AS BIGINT) AS n_second,
+       CAST(ab.n_ab * n.total * 10000 // (a.n_a * b.n_b) AS BIGINT)
+           AS lift_bp
+FROM ab JOIN a USING (w1) JOIN b USING (w2) CROSS JOIN n
+WHERE ab.n_ab >= {_BIGRAM_MIN_N}
+"""
+
+
+@op("text_bigram_mi", oracle=_BIGRAM_ORACLE, tags=("llm", "text", "corpus"))
+def text_bigram_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram association (collocation) table: for every
+    adjacent word pair seen >= _BIGRAM_MIN_N (5) times, its observed count
+    and pointwise-lift against independence — n_ab·N / (n_a·n_b) in
+    integral basis points (10000 = independent; the integer-exact
+    monotone core of PMI, which is just its log). Collocations
+    ("of the", named entities) score high and drive phrase-aware
+    tokenizer vocab and boilerplate phrase mining; tfidf_top_terms
+    ranks single tokens, this scores token ADJACENCY.
+
+    Bigram build is one window ``lead`` over each doc's token positions
+    (posexplode → per-doc lead on the existing (doc_id, pos) order) —
+    no self-join on position. The three marginal frames are hash aggs
+    of the same bigram frame; N is a 1-row scalar cross join. All
+    counts exact integers, lift one integral division — hash-identical
+    cross-engine.
+
+    Scale: the explode is linear in token count; marginals/bigram aggs
+    are partial-combined; the w1/w2 marginal joins are hash joins on
+    word keys (Zipf skew on "the" is real but bounded by the vocab's
+    heavy head — AQE skew-split handles the outliers).
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    bg = (
+        d.select("doc_id", F.posexplode("t").alias("pos", "w1"))
+        .withColumn(
+            "w2",
+            F.lead("w1").over(Window.partitionBy("doc_id").orderBy("pos")),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("w1", "w2")
+    )
+    ab = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    a = bg.groupBy("w1").agg(F.count("*").alias("n_a"))
+    b = bg.groupBy("w2").agg(F.count("*").alias("n_b"))
+    n = bg.agg(F.count("*").alias("total"))
+    return (
+        ab.filter(F.col("n_ab") >= _BIGRAM_MIN_N)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_a").cast("bigint").alias("n_first"),
+            F.col("n_b").cast("bigint").alias("n_second"),
+            F.expr("n_ab * total * 10000 div (n_a * n_b)")
+            .cast("bigint")
+            .alias("lift_bp"),
+        )
     )

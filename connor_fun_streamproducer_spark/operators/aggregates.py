@@ -88,27 +88,94 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("agg_approx", tags=("ext", "agg", "approx"))
-def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+# approx_count_distinct rsd + percentile_approx accuracy used by agg_approx,
+# shared with the band constants below so the verification bands state the
+# SAME contract the production call makes.
+_HLL_RSD = 0.01
+_PA_ACCURACY = 10000
+# Verification bands (with_exact=True): HLL estimate within 3·rsd of exact
+# (observed ≤0.67·rsd at every fixture scale); each percentile_approx value
+# inside the exact q±0.0005 rank band (5× the 1/accuracy rank guarantee).
+_HLL_BAND = 3 * _HLL_RSD
+_PA_RANK_BAND = 0.0005
+
+_APPROX_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS ndv_in_band,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       TRUE AS p50_in_band, TRUE AS p95_in_band, TRUE AS p99_in_band
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@op("agg_approx", oracle=_APPROX_ORACLE, tags=("ext", "agg", "approx"))
+def agg_approx(
+    spark: SparkSession, sf_dir: str, with_exact: bool = True
+) -> DataFrame:
     """Approximate distinct + quantiles — the 100 TB cardinality tools.
 
     HyperLogLog++ (`approx_count_distinct`) and KLL-style quantile sketches
     (`percentile_approx`) are mergeable, so they aggregate in one pass with
-    bounded memory. No DuckDB oracle: sketch internals differ between
-    engines by design → driver records the rows-only check; the exact
-    counterparts are oracle-checked in agg_distinct/agg_percentile.
+    bounded memory; the exact counterparts are oracle-checked in
+    agg_distinct/agg_percentile.
 
-    The three quantiles are projected as scalar columns (not one
-    ARRAY<DOUBLE>) so row canonicalizers that hash per-column values can
-    handle the result.
+    Verification shape (``with_exact=True``, the registry binding; the
+    agg_kll_quantile discipline, VERDICT r6 #4): sketch internals are
+    engine-specific so raw estimates can't hash-match DuckDB — instead the
+    output carries the EXACT companions (count(DISTINCT), type-7
+    percentiles — both hash-compared) plus law booleans pinning each
+    estimate: the HLL count within 3·rsd of exact, each percentile_approx
+    value inside the exact q±0.0005 rank band (the sketch's 1/accuracy
+    rank guarantee with 5× headroom). The exact companions cost a
+    distinct shuffle + per-group sorts, so a 100 TB caller wanting the
+    one-pass sketch frame passes ``with_exact=False`` and gets the
+    original estimates-only shape (quantiles as scalar columns, not one
+    ARRAY, so per-column row canonicalizers can hash the result).
     """
     li = load(spark, sf_dir, "lineitem")
-    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.round(F.element_at(q, 1), 4).alias("p50_approx"),
-        F.round(F.element_at(q, 2), 4).alias("p95_approx"),
-        F.round(F.element_at(q, 3), 4).alias("p99_approx"),
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], _PA_ACCURACY)
+    if not with_exact:
+        return li.groupBy("l_returnflag").agg(
+            F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("approx_parts"),
+            F.round(F.element_at(q, 1), 4).alias("p50_approx"),
+            F.round(F.element_at(q, 2), 4).alias("p95_approx"),
+            F.round(F.element_at(q, 3), 4).alias("p99_approx"),
+        )
+    bands = []
+    for lo, hi in [(0.5 - _PA_RANK_BAND, 0.5 + _PA_RANK_BAND),
+                   (0.95 - _PA_RANK_BAND, 0.95 + _PA_RANK_BAND),
+                   (0.99 - _PA_RANK_BAND, 0.99 + _PA_RANK_BAND)]:
+        bands.extend([F.lit(lo), F.lit(hi)])
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=_HLL_RSD).alias("ac"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        q.alias("qa"),
+        F.percentile("l_extendedprice", F.array(*bands)).alias("qb"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+        ).alias("qe"),
+    )
+    in_band = lambda i: (
+        (F.col("qb")[2 * i] <= F.col("qa")[i])
+        & (F.col("qa")[i] <= F.col("qb")[2 * i + 1])
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("exact_parts").cast("bigint").alias("exact_parts"),
+        (
+            F.abs(F.col("ac") - F.col("exact_parts"))
+            <= _HLL_BAND * F.col("exact_parts")
+        ).alias("ndv_in_band"),
+        F.round(F.col("qe")[0], 4).alias("p50"),
+        F.round(F.col("qe")[1], 4).alias("p95"),
+        F.round(F.col("qe")[2], 4).alias("p99"),
+        in_band(0).alias("p50_in_band"),
+        in_band(1).alias("p95_in_band"),
+        in_band(2).alias("p99_in_band"),
     )
 
 

@@ -239,7 +239,15 @@ def pipeline_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = load(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item")
     )
-    baskets = b.distinct()
+    # The distinct-basket frame feeds FOUR consumers (item_n, both pair
+    # sides, the scalar total): checkpoint it once so the scan+distinct
+    # never replays (graph.py:318 discipline — r6 this op planned 5
+    # parquet scans, 0 reuse; now 1 scan). The pruned `kept` frame is NOT
+    # checkpointed: both pair sides re-derive it with one cheap broadcast
+    # join over the materialized baskets — a second sync barrier costs
+    # more than that replay at every tested scale. At 100 TB substitute
+    # persist(DISK_ONLY) if the lineage cut's re-derive is a concern.
+    baskets = b.distinct().localCheckpoint()
     item_n = (
         baskets.groupBy("item")
         .agg(F.count("*").alias("na"))

@@ -663,3 +663,178 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("z_bp") >= _MAD_Z_BP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test (exact scaled integers)
+# ---------------------------------------------------------------------------
+
+_KS_CUT = "1998-01-01"  # same mid-range era cut as stats_profile_drift
+
+_KS_ORACLE = f"""
+WITH base AS (
+    SELECT o_orderpriority AS grp,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN o_orderdate < TIMESTAMP '{_KS_CUT} 00:00:00'
+                THEN 1 ELSE 0 END AS in_a
+    FROM orders
+),
+v AS (
+    SELECT grp, cents,
+           sum(in_a) AS ca, sum(1 - in_a) AS cb
+    FROM base GROUP BY 1, 2
+),
+tot AS (
+    SELECT grp, sum(ca) AS n1, sum(cb) AS n2 FROM v GROUP BY 1
+),
+cum AS (
+    SELECT v.grp, t.n1, t.n2,
+           sum(v.ca) OVER (PARTITION BY v.grp ORDER BY v.cents) AS cum_a,
+           sum(v.cb) OVER (PARTITION BY v.grp ORDER BY v.cents) AS cum_b
+    FROM v JOIN tot t USING (grp)
+)
+SELECT grp,
+       CAST(n1 AS BIGINT) AS n1,
+       CAST(n2 AS BIGINT) AS n2,
+       CAST(max(abs(n2 * cum_a - n1 * cum_b)) AS BIGINT) AS d_scaled,
+       CAST(max(abs(n2 * cum_a - n1 * cum_b)) * 10000 // (n1 * n2)
+            AS BIGINT) AS d_bp
+FROM cum GROUP BY grp, n1, n2
+"""
+
+
+@op(
+    "stats_ks_eras",
+    oracle=_KS_ORACLE,
+    tags=("ext", "stats", "profile", "scale"),
+)
+def stats_ks_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two ERAS of a
+    measure, per group: D = max_x |ECDF_a(x) − ECDF_b(x)| — the
+    distribution-shift significance test that catches what the
+    profile-drift monitor's min/max/NDV summary can't: a shape change
+    inside an unchanged range (stats_profile_drift flags schema-level
+    drift; this scores the distributions themselves).
+
+    Exactness (the scaled-integer discipline): D is carried multiplied
+    by n1·n2 — d_scaled = max |n2·cumA(x) − n1·cumB(x)| over the merged
+    distinct support — an exact integer; the bp form is one integral
+    division at the end. max over the support equals the sup over ℝ
+    because the ECDF difference only changes at support points.
+
+    Scale: one scan with a map-side era flag, a (grp, value) hash agg
+    that collapses duplicate values BEFORE the window (the support is
+    the window's input, not the row count), one window pass on the
+    (grp) partitioning ordered by value, and a final per-group max —
+    the same single-exchange ladder as the window tier.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderdate") < _KS_CUT, F.lit(1)).otherwise(F.lit(0)).alias("in_a"),
+    )
+    v = base.groupBy("grp", "cents").agg(
+        F.sum("in_a").alias("ca"),
+        F.sum(1 - F.col("in_a")).alias("cb"),
+    )
+    tot = v.groupBy("grp").agg(
+        F.sum("ca").alias("n1"), F.sum("cb").alias("n2")
+    )
+    w = Window.partitionBy("grp").orderBy("cents")
+    cum = v.join(F.broadcast(tot), "grp").select(
+        "grp",
+        "n1",
+        "n2",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    return (
+        cum.groupBy("grp", "n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("n2") * F.col("cum_a") - F.col("n1") * F.col("cum_b"))).alias("d_scaled")
+        )
+        .select(
+            "grp",
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            F.col("d_scaled").cast("bigint").alias("d_scaled"),
+            F.expr("d_scaled * 10000 div (n1 * n2)").cast("bigint").alias("d_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence screen (scaled integral contributions)
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH base AS (
+    SELECT event_type AS a,
+           CAST(strftime(ts, '%H') AS BIGINT) // 6 AS b
+    FROM events
+),
+o AS (SELECT a, b, count(*) AS obs FROM base GROUP BY 1, 2),
+ra AS (SELECT a, sum(obs) AS r FROM o GROUP BY 1),
+cb AS (SELECT b, sum(obs) AS c FROM o GROUP BY 1),
+n AS (SELECT sum(obs) AS total FROM o)
+SELECT o.a, o.b,
+       CAST(o.obs AS BIGINT) AS obs,
+       CAST(ra.r * cb.c // n.total AS BIGINT) AS expected_floor,
+       CAST((o.obs * n.total - ra.r * cb.c)
+            * (o.obs * n.total - ra.r * cb.c)
+            // (ra.r * cb.c * n.total) AS BIGINT) AS chi2_n_scaled
+FROM o JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN n
+"""
+
+
+@op(
+    "stats_chi2_independence",
+    oracle=_CHI2_ORACLE,
+    tags=("ext", "stats", "profile"),
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen for two categoricals (event type ×
+    6-hour day-part): per contingency cell the observed count, floored
+    expected count, and the cell's chi-square contribution SCALED by N —
+    (O·N − r·c)² div (r·c·N), summing to χ²·N — the workload-mix
+    dependence detector (is error traffic concentrated in a day-part?)
+    complementing agg_corr_pairs' numeric-only Pearson matrix.
+
+    Exactness: expected counts are rationals r·c/N that never become
+    floats — the contribution is one integral division of exact integer
+    products per cell, identical cross-engine. DuckDB's `/` on BIGINT
+    yields double, so the oracle uses `//` to match Spark's `div`
+    (ANSI-mode discipline).
+
+    Scale: one scan, a |A|×|B|-cell hash agg with map-side partials, two
+    dim-bounded marginal aggs of the CELL frame (never the data), and a
+    1-row total cross join — nothing after the first agg scales with
+    rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("a"),
+        F.expr("hour(ts) div 6").cast("bigint").alias("b"),
+    )
+    o = base.groupBy("a", "b").agg(F.count("*").alias("obs"))
+    ra = o.groupBy("a").agg(F.sum("obs").alias("r"))
+    cb = o.groupBy("b").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("total"))
+    return (
+        o.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            F.col("obs").cast("bigint").alias("obs"),
+            F.expr("r * c div total").cast("bigint").alias("expected_floor"),
+            F.expr(
+                "(obs * total - r * c) * (obs * total - r * c)"
+                " div (r * c * total)"
+            )
+            .cast("bigint")
+            .alias("chi2_n_scaled"),
+        )
+    )

@@ -229,26 +229,61 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("agg_sketch_merge", tags=("ext", "agg", "approx", "scale"))
-def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+_SKETCH_MERGE_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS merged_in_band
+FROM events
+GROUP BY event_type
+"""
+
+
+@op(
+    "agg_sketch_merge",
+    oracle=_SKETCH_MERGE_ORACLE,
+    tags=("ext", "agg", "approx", "scale"),
+)
+def agg_sketch_merge(
+    spark: SparkSession, sf_dir: str, with_exact: bool = True
+) -> DataFrame:
     """Mergeable HLL sketches: per-day user sketches unioned to a
     per-type total — distinct counting that composes like a sum.
 
     Exact count(DISTINCT) cannot be rolled up (distinct is not
     decomposable); Datasketches HLL is: phase 1 builds one sketch per
     (event_type, day) — at 100 TB these live in the daily rollup table —
-    phase 2 `hll_union_agg` merges them per type and estimates. The
-    estimate is deterministic for fixed input but implementation-specific,
-    so the driver check is rows-only; tests pin the estimate within 5% of
-    the exact distinct count.
+    phase 2 `hll_union_agg` merges them per type and estimates.
+
+    Verification shape (``with_exact=True``, the registry binding; the
+    agg_kll_quantile discipline): the estimate is deterministic for fixed
+    input but implementation-specific, so the hashed output carries the
+    EXACT per-type distinct count plus ``merged_in_band`` pinning the
+    MERGED estimate within 5% of it (observed ≤0.8% at every fixture
+    scale) — proving the union path end-to-end, not just the sketch. A
+    100 TB caller wanting the sketch-only rollup (the point of the op:
+    no distinct shuffle) passes ``with_exact=False`` for the original
+    estimates-only frame; the 5% pin also stays in tests.
     """
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return (
+    merged = (
         daily.groupBy("event_type")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
         .select("event_type", "approx_users")
+    )
+    if not with_exact:
+        return merged
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("merged_in_band"),
     )
 

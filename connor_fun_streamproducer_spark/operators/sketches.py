@@ -365,8 +365,21 @@ CMS_WIDTH = 1024
 CMS_PROBES = tuple(range(1, 11))
 
 
-@op("agg_count_min", tags=("ext", "agg", "sketch", "scale"))
-def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+_CMS_ORACLE = f"""
+SELECT k.l_partkey,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS exact,
+       TRUE AS est_ge_exact, TRUE AS within_band
+FROM (SELECT unnest(generate_series(1, 10)) AS l_partkey) k
+LEFT JOIN (
+    SELECT l_partkey, count(*) AS n FROM lineitem
+    WHERE l_partkey BETWEEN 1 AND 10 GROUP BY 1
+) c USING (l_partkey)
+ORDER BY k.l_partkey
+"""
+
+
+@op("agg_count_min", oracle=_CMS_ORACLE, tags=("ext", "agg", "sketch", "scale"))
+def agg_count_min(spark: SparkSession, sf_dir: str, with_exact: bool = True) -> DataFrame:
     """Count-min frequency estimates for 10 probe part keys over the
     lineitem stream: (l_partkey, est).
 
@@ -386,10 +399,17 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= depth*width-cell grid followed by groupBy(min) — the whole op is two
     bounded exchanges, zero Python.
 
-    xxhash64's placement of keys is engine-specific, so (like KLL and
-    theta) this is the sanctioned rows-only class; the CMS contract —
-    est >= exact for every probe, overshoot <= sum of colliding keys —
-    is pinned exactly in tests/test_sketches.py.
+    xxhash64's placement of keys is engine-specific, so the raw
+    estimates can't hash-match another engine. Verification shape
+    (``with_exact=True``, the registry binding; the agg_kll_quantile
+    discipline): emit each probe's EXACT count (one isin-pushed filter
+    agg — 10 keys, pruned at the scan) plus two law booleans —
+    ``est_ge_exact`` (the CMS one-sided guarantee, true by construction)
+    and ``within_band`` (overshoot ≤ 2N/width: twice the expected
+    collision mass; observed ≤ N/width at every fixture scale). A 100 TB
+    caller wanting the estimates themselves passes ``with_exact=False``
+    for the original (l_partkey, est) frame. The exact overshoot
+    accounting stays pinned in tests/test_sketches.py.
     """
     items = load(spark, sf_dir, "lineitem").select("l_partkey")
     depths = F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
@@ -416,4 +436,23 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.min("n").cast("bigint").alias("est"))
     )
-    return est.orderBy("l_partkey")
+    if not with_exact:
+        return est.orderBy("l_partkey")
+    n_total = items.count()
+    bound = 2 * n_total // CMS_WIDTH
+    exact = (
+        items.filter(F.col("l_partkey").isin([int(k) for k in CMS_PROBES]))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("exact"))
+    )
+    return (
+        est.join(exact, "l_partkey", "left")
+        .fillna(0, ["exact"])
+        .select(
+            "l_partkey",
+            F.col("exact").cast("bigint").alias("exact"),
+            (F.col("est") >= F.col("exact")).alias("est_ge_exact"),
+            (F.col("est") - F.col("exact") <= F.lit(bound)).alias("within_band"),
+        )
+        .orderBy("l_partkey")
+    )

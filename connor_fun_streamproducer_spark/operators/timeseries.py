@@ -628,3 +628,113 @@ def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("s * n_tot * 10000 div (n * s_tot)").cast("bigint").alias("seasonal_bp"),
         F.expr("n * 24 * 10000 div n_tot").cast("bigint").alias("traffic_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint (exact scaled integer cumulative deviation)
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH base AS (
+    SELECT event_type, ts, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+),
+tot AS (
+    SELECT event_type, count(*) AS n_tot, sum(cents) AS s_tot
+    FROM base GROUP BY 1
+),
+pre AS (
+    SELECT b.event_type, b.ts, t.n_tot, t.s_tot,
+           row_number() OVER w AS i,
+           sum(b.cents) OVER w AS prefix
+    FROM base b JOIN tot t USING (event_type)
+    WINDOW w AS (
+        PARTITION BY b.event_type ORDER BY b.ts, b.event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+),
+s AS (
+    SELECT event_type, ts, i, n_tot,
+           n_tot * prefix - i * s_tot AS cusum_scaled,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(n_tot * prefix - i * s_tot) DESC, ts ASC
+           ) AS rn
+    FROM pre
+)
+SELECT event_type,
+       CAST(n_tot AS BIGINT) AS n,
+       CAST(i AS BIGINT) AS cp_index,
+       ts AS cp_ts,
+       CAST(abs(cusum_scaled) AS BIGINT) AS cusum_scaled_abs
+FROM s WHERE rn = 1
+"""
+
+
+@op(
+    "ts_changepoint_cusum",
+    oracle=_CUSUM_ORACLE,
+    tags=("ext", "timeseries", "agg", "stats"),
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single most-likely mean-shift changepoint per series via the CUSUM
+    statistic: the index i maximizing |Σ_{j≤i}(x_j − x̄)| — where a
+    level shift in the series bends the cumulative-deviation curve
+    hardest (Page 1954's screen, the amount-anomaly counterpart of the
+    drift monitor in stats_profile_drift).
+
+    Exactness: the deviation sum is carried SCALED by n_tot —
+    S_i·n_tot = n_tot·prefix_i − i·Σ_tot, an exact integer (the
+    ts_seasonal_index trick: never form a mean) — so the argmax and its
+    magnitude hash-match DuckDB bit-for-bit; ties on |S| break on
+    earliest ts. decimal(38,0) headroom: prefix ≤ ~10^10 cents at 100 TB
+    scale × n_tot keeps within 38 digits for any realistic series.
+
+    Scale: one per-series window pass (row_number and prefix share the
+    frame and its sort), a broadcast totals join, and a top-1 window on
+    the same series partitioning — the argmax never collects the series.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    tot = base.groupBy("event_type").agg(
+        F.count("*").alias("n_tot"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_tot"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = base.select(
+        "event_type",
+        "ts",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("ts", "event_id")).alias("i"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).over(w).alias("prefix"),
+    ).join(F.broadcast(tot), "event_type")
+    s = pre.select(
+        "event_type",
+        "ts",
+        "i",
+        "n_tot",
+        (F.col("n_tot") * F.col("prefix") - F.col("i") * F.col("s_tot")).alias("cusum_scaled"),
+    )
+    top = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("ts").asc()
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_tot").cast("bigint").alias("n"),
+            F.col("i").cast("bigint").alias("cp_index"),
+            F.col("ts").alias("cp_ts"),
+            F.abs(F.col("cusum_scaled")).cast("bigint").alias("cusum_scaled_abs"),
+        )
+    )

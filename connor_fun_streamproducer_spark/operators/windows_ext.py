@@ -557,3 +557,71 @@ def win_clamped_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("balance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Running-peak drawdown (the equity-curve risk window)
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = """
+WITH base AS (
+    SELECT user_id, ts, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+),
+r AS (
+    SELECT user_id, cents,
+           max(cents) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS peak
+    FROM base
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(peak) AS BIGINT) AS peak_cents,
+       CAST(max(peak - cents) AS BIGINT) AS max_drawdown_cents,
+       CAST(max((peak - cents) * 10000 // peak) AS BIGINT) AS max_dd_bp
+FROM r GROUP BY 1
+"""
+
+
+@op("win_drawdown", oracle=_DRAWDOWN_ORACLE, tags=("ext", "window", "timeseries"))
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown of the event-value series: how far (in
+    cents and in basis points of the peak) each user's value has fallen
+    below its running maximum — the equity-curve risk statistic, and the
+    window archetype win_rank/win_frame lack: a RUNNING extremum
+    consumed by a DOWNSTREAM expression in the same pass.
+
+    Exact integers end-to-end: cents via the repo-wide half-up floor,
+    the peak a running max (no accumulation error possible), the bp
+    ratio one integral division per row aggregated with max — so the
+    result hash-matches DuckDB exactly.
+
+    Scale: ONE exchange on user_id; the running max and the final
+    per-user aggregate share that partitioning (the window sort feeds
+    the hash agg without a second shuffle). Peak > 0 always (values are
+    positive cents), so the bp division needs no zero guard.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = base.select(
+        "user_id", "cents", F.max("cents").over(w).alias("peak")
+    )
+    return r.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("peak").cast("bigint").alias("peak_cents"),
+        F.max(F.col("peak") - F.col("cents")).cast("bigint").alias("max_drawdown_cents"),
+        F.max(F.expr("(peak - cents) * 10000 div peak")).cast("bigint").alias("max_dd_bp"),
+    )

@@ -238,6 +238,9 @@ _WINDOW_PRIORITY = [
     "graph_jaccard_neighbors",
     "agg_kll_quantile",
     "agg_theta_setops",
+    "agg_approx",
+    "agg_count_min",
+    "agg_sketch_merge",
     # -- (3) stale-refresh backfill (30): r01 fn/set block, r02 streaming
     #    block, r03 relational core — oldest external green rows ---------
     "fn_array",
@@ -267,9 +270,6 @@ _WINDOW_PRIORITY = [
     "agg_skew_salted",
     "dedup_exact",
     "filter_pred",
-    "project_select",
-    "limit_topk",
-    "sort_global",
     # -- key 51+: NEW in round 7 — never externally checked; first in
     #    line for the r08 rotation under the freshness rule -------------
     "graph_label_propagation",       # new: derandomized sync LPA communities
@@ -280,6 +280,18 @@ _WINDOW_PRIORITY = [
     "stats_benford_profile",         # new: integer-exact leading-digit screen
     "ts_seasonal_index",             # new: diurnal seasonal/traffic index
     "stats_mad_outliers",            # new: median/MAD robust z outlier screen
+    "graph_clustering_coefficient",  # new: local cc from banded triangles, bp-exact
+    "win_drawdown",                  # new: running-peak drawdown, one exchange
+    "ts_changepoint_cusum",          # new: scaled-integer CUSUM mean-shift argmax
+    "text_bigram_mi",                # new: collocation lift over adjacent tokens
+    "stats_ks_eras",                 # new: scaled-integer two-sample KS drift test
+    "stats_chi2_independence",       # new: scaled-integer chi-square screen
+    "embedding_outlier_distance",    # new: rank-gated centroid-distance screen
+    # -- displaced from the r07 stale-refresh tail by the three sketch
+    #    promotions; next stale tier for r08 ----------------------------
+    "project_select",
+    "limit_topk",
+    "sort_global",
     # -- behind those: last round's window (r06-green) and everything
     #    earlier, relative order preserved ------------------------------
     "pipeline_rfm_segments",

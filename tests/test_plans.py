@@ -1238,3 +1238,83 @@ def test_containment_prefix_equi_join_shaped(spark):
     df = _q("dedup_containment_prefix", spark)
     assert_not_in_plan(df, "CartesianProduct")
     assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+
+
+def test_clustering_coefficient_single_edge_build(spark):
+    """graph_clustering_coefficient's degree, wedge, and closure branches
+    must all read the ONE checkpointed edge materialization — a replayed
+    bucket build would show as multiple parquet scans (the r6
+    graph_top_similar_user defect)."""
+    df = _q("graph_clustering_coefficient", spark)
+    plan = formatted_plan(df)
+    assert plan.count("Location: InMemoryFileIndex") == 0, plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_drawdown_window_and_agg_share_one_exchange(spark):
+    """win_drawdown: the running-max window and the per-user aggregate
+    must share a single user_id exchange."""
+    df = _q("win_drawdown", spark)
+    assert count_in_plan(df, "Exchange") == 1, formatted_plan(df)
+
+
+def test_changepoint_one_series_sort_no_collect(spark):
+    """ts_changepoint_cusum: prefix/rank and the argmax top-1 run on the
+    same event_type partitioning; the totals join must broadcast."""
+    df = _q("ts_changepoint_cusum", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bigram_mi_no_position_self_join(spark):
+    """text_bigram_mi builds bigrams with a per-doc lead window — a
+    position self-join or nested-loop would be quadratic in doc length."""
+    df = _q("text_bigram_mi", spark)
+    assert_not_in_plan(df, "CartesianProduct")
+    plan = formatted_plan(df)
+    assert "WindowExec" in plan or "Window" in plan, plan
+
+
+def test_basket_affinity_single_scan_after_checkpoint(spark):
+    """pipeline_basket_affinity's distinct-basket frame feeds four
+    consumers — after the checkpoint the final plan must read only the
+    materialized frame: zero parquet scans (the one real scan happens
+    once, inside the checkpoint job; r6 planned five, zero reuse)."""
+    df = _q("pipeline_basket_affinity", spark)
+    plan = formatted_plan(df)
+    assert plan.count("Location: InMemoryFileIndex") == 0, plan
+
+
+def test_ks_support_collapses_before_window(spark):
+    """stats_ks_eras must aggregate (grp, value) BEFORE the window — the
+    window's input is the distinct support, not the row stream — and the
+    totals join must broadcast."""
+    df = _q("stats_ks_eras", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # partial+final agg pair for the support collapse, before any Window
+    assert count_in_plan(df, "HashAggregate") >= 2
+
+
+def test_chi2_marginals_broadcast(spark):
+    """stats_chi2_independence: marginals and total are dim-bounded —
+    all three joins back onto the cell frame must broadcast."""
+    df = _q("stats_chi2_independence", spark)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_embedding_outlier_centroid_broadcast_and_rank_window(spark):
+    """embedding_outlier_distance: the (label, dim) centroid frame is
+    dim-bounded and must broadcast back onto the exploded corpus; the
+    quarantine gate is one rank window — no extra shuffles, no
+    nested-loop join."""
+    df = _q("embedding_outlier_distance", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert_not_in_plan(df, "CartesianProduct")

@@ -152,7 +152,9 @@ def test_count_min_overestimates_within_collision_mass(spark):
     registry._ensure_loaded()
     est = {
         r["l_partkey"]: r["est"]
-        for r in registry.OPS["agg_count_min"].fn(spark, SF_DIR).collect()
+        for r in registry.OPS["agg_count_min"]
+        .fn(spark, SF_DIR, with_exact=False)
+        .collect()
     }
     exact = dict(
         duckdb.sql(
