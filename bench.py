@@ -91,6 +91,8 @@ EXTENDED = [
     "stats_mad_outliers",
     "stats_ks_eras",
     "embedding_outlier_distance",
+    "dedup_cdc_chunks",
+    "corpus_dedup_pipeline",
 ]
 
 

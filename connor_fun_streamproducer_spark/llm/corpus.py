@@ -518,3 +518,147 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(kept).cast("bigint").alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-frequency class weights (integral bp)
+# ---------------------------------------------------------------------------
+
+_CLASSW_ORACLE = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT sum(n) AS total, count(*) AS k FROM c)
+SELECT c.lang,
+       CAST(c.n AS BIGINT) AS n,
+       CAST(c.n * 10000 // t.total AS BIGINT) AS share_bp,
+       CAST(t.total * 10000 // (t.k * c.n) AS BIGINT) AS weight_bp
+FROM c CROSS JOIN t
+"""
+
+
+@op("sample_class_weights", oracle=_CLASSW_ORACLE, tags=("llm", "sampling"))
+def sample_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class inverse-frequency training weights over the corpus's
+    language classes: weight = N/(k·n_c) in integral basis points
+    (10000 = a balanced class; rarer classes weigh more), plus each
+    class's share — the loss-reweighting / resampling table a training
+    pipeline derives before fitting on imbalanced data (the weighting
+    dual of sample_mix_target's resampling).
+
+    Exact: counts are integers and both ratios integral divisions —
+    hash-identical cross-engine. Scale: one hash agg with map-side
+    partials + a 1-row totals cross join; output is |classes| rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"), F.count("*").alias("k"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("n * 10000 div total").cast("bigint").alias("share_bp"),
+        F.expr("total * 10000 div (k * n)").cast("bigint").alias("weight_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget apportionment (largest-remainder method, exact integers)
+# ---------------------------------------------------------------------------
+
+# Global training-token budget to apportion across sources. Hamilton /
+# largest-remainder: integral quotas first, then the leftover seats go to
+# the largest remainders (ties: source name ascending) — the standard
+# exactly-proportional integer allocation (no float quota ever computed).
+_BUDGET_TOKENS = 1_000_000
+
+_APPORTION_ORACLE = f"""
+WITH toks AS (
+    SELECT source,
+           sum(list_sum(list_transform(string_split(text, ' '),
+               t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))) AS tok
+    FROM documents GROUP BY 1
+),
+t AS (SELECT sum(tok) AS total, count(*) AS k FROM toks),
+q AS (
+    SELECT source, tok,
+           tok * {_BUDGET_TOKENS} // t.total AS floor_alloc,
+           tok * {_BUDGET_TOKENS} % t.total AS remainder,
+           t.total AS total
+    FROM toks CROSS JOIN t
+),
+r AS (
+    SELECT *,
+           row_number() OVER (ORDER BY remainder DESC, source ASC) AS rk,
+           {_BUDGET_TOKENS} - sum(floor_alloc) OVER () AS extra
+    FROM q
+)
+SELECT source,
+       CAST(tok AS BIGINT) AS tok,
+       CAST(floor_alloc AS BIGINT) AS floor_alloc,
+       CAST(floor_alloc + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc
+FROM r
+"""
+
+
+@op(
+    "corpus_budget_apportion",
+    oracle=_APPORTION_ORACLE,
+    tags=("llm", "corpus", "sampling"),
+)
+def corpus_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apportion a global training-token budget across corpus sources by
+    the LARGEST-REMAINDER method: each source gets its integral
+    proportional quota (tok·B div T), then the leftover tokens go one
+    each to the largest remainders — allocations sum EXACTLY to the
+    budget with no source off by more than one token from exact
+    proportionality (the quota property). This is the data-mixing
+    quota table sample_mix_target consumes, computed without a single
+    float (a rounded float share table neither sums to B nor
+    tie-breaks deterministically).
+
+    Per-source token mass is the BPE estimate (ceil(len/4) per word,
+    text_tokens_bpe_est's denomination). Remainder ranking ties break
+    on source name — a total order, hash-stable cross-engine.
+
+    Scale: one scan with per-doc HOF token sums folded into a
+    partial-combined (source) hash agg; everything after operates on
+    |sources| rows (windows over a dim-bounded frame).
+    """
+    d = load(spark, sf_dir, "documents")
+    per_doc = F.aggregate(
+        F.transform(
+            F.split("text", " "),
+            lambda t: F.ceil(F.length(t) / 4.0).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    toks = d.select("source", per_doc.alias("doc_tok")).groupBy("source").agg(
+        F.sum("doc_tok").alias("tok")
+    )
+    t = toks.agg(F.sum("tok").alias("total"), F.count("*").alias("k"))
+    q = toks.crossJoin(F.broadcast(t)).select(
+        "source",
+        "tok",
+        F.expr(f"tok * {_BUDGET_TOKENS} div total").alias("floor_alloc"),
+        F.expr(f"tok * {_BUDGET_TOKENS} % total").alias("remainder"),
+    )
+    wr = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    wall = Window.partitionBy()
+    r = q.select(
+        "source",
+        "tok",
+        "floor_alloc",
+        F.row_number().over(wr).alias("rk"),
+        (F.lit(_BUDGET_TOKENS) - F.sum("floor_alloc").over(wall)).alias("extra"),
+    )
+    return r.select(
+        "source",
+        F.col("tok").cast("bigint").alias("tok"),
+        F.col("floor_alloc").cast("bigint").alias("floor_alloc"),
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )

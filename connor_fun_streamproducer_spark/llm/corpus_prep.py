@@ -468,3 +468,191 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_stop") * 100 >= F.col("n_tok") * 5)
     )
     return sig.select("doc_id", reason.alias("reason"), keep.alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# Survivorship dedup pipeline (quality -> exact -> chunk-share cascade)
+# ---------------------------------------------------------------------------
+
+# Tier thresholds chosen against the fixture's distributions so every tier
+# demonstrably fires: short < 100 chars drops ~7%, chunk-share >= 6000 bp
+# (p90 of the CDC dup-share) drops ~10% of what survives the exact tier.
+_PIPE_MIN_CHARS = 100
+_PIPE_CHUNK_BP = 6000
+_PIPE_CDC_MOD = 16
+
+_PIPE_ORACLE = f"""
+WITH docs AS (SELECT doc_id, text, n_chars FROM documents),
+short AS (SELECT doc_id FROM docs WHERE n_chars < {_PIPE_MIN_CHARS}),
+surv1 AS (SELECT * FROM docs WHERE n_chars >= {_PIPE_MIN_CHARS}),
+ex AS (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+    FROM surv1
+),
+exact_drop AS (SELECT doc_id FROM ex WHERE doc_id <> keeper),
+surv2 AS (SELECT d.* FROM surv1 d ANTI JOIN exact_drop USING (doc_id)),
+tok AS (
+    SELECT doc_id, i AS pos, t[i] AS tok,
+           CASE WHEN CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT)
+                     % {_PIPE_CDC_MOD} = 0 THEN 1 ELSE 0 END AS brk
+    FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                 unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+          FROM surv2)
+),
+cid AS (
+    SELECT doc_id, pos, tok,
+           coalesce(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS chunk_id
+    FROM tok
+),
+chunks AS (
+    SELECT doc_id, chunk_id,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+    FROM cid GROUP BY 1, 2
+),
+share AS (
+    SELECT digest, count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS min_doc
+    FROM chunks GROUP BY 1
+),
+per_doc AS (
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup,
+           min(CASE WHEN s.n_docs > 1 THEN s.min_doc END) AS min_shared
+    FROM chunks c JOIN share s USING (digest)
+    GROUP BY 1
+),
+chunk_drop AS (
+    SELECT doc_id FROM per_doc
+    WHERE n_dup * 10000 >= {_PIPE_CHUNK_BP} * n_chunks
+      AND min_shared < doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN sh.doc_id IS NOT NULL THEN 'dropped_short'
+            WHEN ed.doc_id IS NOT NULL THEN 'dropped_exact_dup'
+            WHEN cd.doc_id IS NOT NULL THEN 'dropped_chunk_dup'
+            ELSE 'kept' END AS status,
+       CAST(CASE WHEN sh.doc_id IS NOT NULL THEN 1
+                 WHEN ed.doc_id IS NOT NULL THEN 2
+                 WHEN cd.doc_id IS NOT NULL THEN 3
+                 ELSE 0 END AS BIGINT) AS tier
+FROM docs d
+LEFT JOIN short sh USING (doc_id)
+LEFT JOIN exact_drop ed USING (doc_id)
+LEFT JOIN chunk_drop cd USING (doc_id)
+"""
+
+
+@op(
+    "corpus_dedup_pipeline",
+    oracle=_PIPE_ORACLE,
+    tags=("llm", "dedup", "corpus", "scale"),
+)
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup survivorship: the cascade a training-data curator
+    actually runs, with a per-document verdict and the TIER that decided
+    it — (doc_id, status, tier): quality gate (too short) → exact dedup
+    (sha256, min-id keeper) → content-defined chunk-share dedup (≥60% of
+    a doc's CDC chunks shared, keeper-protected: a doc only drops if a
+    LOWER-id doc shares a chunk with it, so every duplicate cluster
+    keeps its minimum member). The single-tier ops report each signal;
+    this composes them in the order that minimizes cost — each tier only
+    processes the previous tier's survivors, so the expensive chunk pass
+    runs on the smallest frame.
+
+    Deterministic and fully SQL-expressible: every rule is integral
+    (char counts, min-id keepers, 10000-scaled share compare), so the
+    whole cascade hash-matches the DuckDB oracle — the external proof
+    that tier composition introduces no order-dependence.
+
+    Scale: tier 1 is a map-side filter; tier 2 one digest exchange; tier
+    3 the dedup_cdc_chunks ladder on tier-2 survivors plus a per-digest
+    (count, min-id) agg — all linear shuffles on digests or doc ids,
+    verdict assembly is three anti/left joins on doc_id.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    short = docs.filter(F.col("n_chars") < _PIPE_MIN_CHARS).select("doc_id")
+    surv1 = docs.filter(F.col("n_chars") >= _PIPE_MIN_CHARS)
+    wk = Window.partitionBy(F.sha2("text", 256))
+    exact_drop = (
+        surv1.withColumn("keeper", F.min("doc_id").over(wk))
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    surv2 = surv1.join(exact_drop, "doc_id", "left_anti")
+    tok = surv2.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).withColumn(
+        "brk",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % _PIPE_CDC_MOD
+            == 0
+        ).cast("int"),
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cid = tok.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum("brk").over(wc), F.lit(0)).alias("chunk_id"),
+    )
+    chunks = (
+        cid.groupBy("doc_id", "chunk_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("ps"))
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.expr("transform(ps, x -> x.tok)"), " ")).alias(
+                "digest"
+            ),
+        )
+    )
+    share = chunks.groupBy("digest").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+    )
+    per_doc = (
+        chunks.join(share, "digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("n_docs") > 1).cast("int")).alias("n_dup"),
+            F.min(F.when(F.col("n_docs") > 1, F.col("min_doc"))).alias(
+                "min_shared"
+            ),
+        )
+    )
+    chunk_drop = per_doc.filter(
+        (F.col("n_dup") * 10000 >= _PIPE_CHUNK_BP * F.col("n_chunks"))
+        & (F.col("min_shared") < F.col("doc_id"))
+    ).select("doc_id")
+    sh = short.withColumn("t1", F.lit(1))
+    ed = exact_drop.withColumn("t2", F.lit(1))
+    cd = chunk_drop.withColumn("t3", F.lit(1))
+    return (
+        docs.select("doc_id")
+        .join(sh, "doc_id", "left")
+        .join(ed, "doc_id", "left")
+        .join(cd, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("t1").isNotNull(), F.lit("dropped_short"))
+            .when(F.col("t2").isNotNull(), F.lit("dropped_exact_dup"))
+            .when(F.col("t3").isNotNull(), F.lit("dropped_chunk_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.when(F.col("t1").isNotNull(), F.lit(1))
+            .when(F.col("t2").isNotNull(), F.lit(2))
+            .when(F.col("t3").isNotNull(), F.lit(3))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("tier"),
+        )
+    )

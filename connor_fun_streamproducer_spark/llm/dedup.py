@@ -652,10 +652,22 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare-token candidate join + a verify join keyed on doc pairs — the
     Bayardo'07 shape, never an all-pairs comparison.
     """
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    # Tokenized-docs frame feeds FIVE consumers (the token index, the df
+    # counts, the prefix build, both verify sides): checkpoint it once so
+    # the scan + split + array_distinct never replays (the plan otherwise
+    # carries 5 parquet scans; the tokenize is the CPU-heavy step).
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(F.split("text", " ")).alias("toks"),
+        )
+        .localCheckpoint()
     )
-    tok = d.select("doc_id", "source", F.explode("toks").alias("tok"))
+    tok = d.select(
+        "doc_id", "source", F.size("toks").alias("nb"), F.explode("toks").alias("tok")
+    )
     dfc = tok.groupBy("source", "tok").agg(F.count("*").alias("df"))
     n, num, den = F.col("n"), _CONTAIN_NUM, _CONTAIN_DEN
     prefix = (
@@ -669,17 +681,26 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
+            "n",
             F.explode(F.expr("slice(ordered, 1, int(p))")).alias("pt"),
         )
-        .select("doc_id", "source", F.col("pt.tok").alias("tok"))
+        .select("doc_id", "source", "n", F.col("pt.tok").alias("tok"))
     )
+    # Size guard alongside the token match: |A∩B| ≥ ceil(t·|A|) forces
+    # |B| ≥ ceil(t·|A|) too, so undersized B's are pruned in the join
+    # itself (provably lossless) — on a small-vocab corpus where token
+    # rarity alone prunes weakly, this is the second independent filter.
     cands = (
         prefix.alias("a")
         .join(
             tok.alias("b"),
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (
+                F.col("b.nb")
+                >= F.expr(f"({num} * a.n + {num}) DIV {den}")
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -703,4 +724,126 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("containment_bp"),
         )
         .filter(F.col("containment_bp") >= 9000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (insertion-robust variable chunks)
+# ---------------------------------------------------------------------------
+
+# A token is a chunk BREAKPOINT when its md5-derived integer ≡ 0 (mod 16):
+# expected chunk length 16 tokens, and the boundary depends only on the
+# token itself — so an insertion re-chunks ONLY its local chunk, never the
+# rest of the document (the content-defined-chunking property; fixed-stride
+# windows shift every downstream boundary instead).
+_CDC_MOD = 16
+
+_CDC_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, i AS pos, t[i] AS tok,
+           CASE WHEN CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT)
+                     % {_CDC_MOD} = 0 THEN 1 ELSE 0 END AS brk
+    FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                 unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+          FROM documents)
+),
+cid AS (
+    SELECT doc_id, pos, tok,
+           coalesce(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS chunk_id
+    FROM tok
+),
+chunks AS (
+    SELECT doc_id, chunk_id,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+    FROM cid GROUP BY 1, 2
+),
+share AS (
+    SELECT digest, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks,
+       CAST(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS dup_share_bp
+FROM chunks c JOIN share s USING (digest)
+GROUP BY 1
+"""
+
+
+@op("dedup_cdc_chunks", oracle=_CDC_ORACLE, tags=("llm", "dedup", "scale"))
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: per document, how many of its
+    VARIABLE-length chunks (token spans ending wherever a token's hash ≡
+    0 mod 16) appear verbatim in other documents — the insertion-robust
+    boilerplate detector. ``dedup_chunk_exact`` (fixed 20-token spans)
+    and ``dedup_substring_window`` (fixed 64-char stride) both lose
+    every boundary downstream of a single inserted word; content-defined
+    boundaries depend only on local content, so shared passages re-align
+    and keep matching — the FastCDC/rsync principle applied to token
+    streams.
+
+    Determinism/exactness: the breakpoint predicate is the first 8 hex
+    chars of md5(token) taken as an integer mod 16 — bit-identical in
+    both engines (the repo's derandomized-hash discipline); chunk
+    digests are md5 over the space-joined span; all shares integral.
+
+    Scale: posexplode (map-side) → ONE doc_id exchange shared by the
+    breakpoint-prefix window and the (doc, chunk) digest agg → a digest
+    hash agg for cross-doc counts → broadcast-scale join back. Chunk
+    state is bounded by expected chunk length (16 tokens); nothing is
+    quadratic and no doc's full text crosses the wire (digests only).
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    tok = d.withColumn(
+        "brk",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % _CDC_MOD
+            == 0
+        ).cast("int"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cid = tok.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum("brk").over(w), F.lit(0)).alias("chunk_id"),
+    )
+    chunks = (
+        cid.groupBy("doc_id", "chunk_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("ps"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.md5(F.array_join(F.expr("transform(ps, x -> x.tok)"), " ")).alias(
+                "digest"
+            ),
+        )
+    )
+    share = chunks.groupBy("digest").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(share, "digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum((F.col("n_docs") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.expr(
+                "sum(cast(n_docs > 1 as int)) * 10000 div count(*)"
+            )
+            .cast("bigint")
+            .alias("dup_share_bp"),
+        )
     )

@@ -511,3 +511,68 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Arg-extremal aggregation (max_by / min_by with total-order tie-breaks)
+# ---------------------------------------------------------------------------
+
+# Deterministic scalar ordering keys: cents packs with the row key so ties
+# on the measure break on the LOWEST o_orderkey in both directions. The
+# packing bound (cents < ~9.2e8 at any TPC-H sf, orderkey < 1e10) keeps
+# cents * 1e10 + orderkey inside int64; ANSI mode would THROW (not wrap)
+# if a deployment ever exceeded it — the loud failure is the contract.
+_ARG_PACK = 10_000_000_000
+
+_EXTREMAL_ORACLE = f"""
+WITH o AS (
+    SELECT o_orderpriority, o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(arg_max(o_orderkey,
+                    cents * {_ARG_PACK} + ({_ARG_PACK} - 1 - o_orderkey))
+            AS BIGINT) AS best_orderkey,
+       CAST(max(cents) AS BIGINT) AS best_cents,
+       CAST(arg_min(o_orderkey, cents * {_ARG_PACK} + o_orderkey)
+            AS BIGINT) AS worst_orderkey,
+       CAST(min(cents) AS BIGINT) AS worst_cents
+FROM o GROUP BY 1
+"""
+
+
+@op("agg_extremal_by", oracle=_EXTREMAL_ORACLE, tags=("ext", "agg"))
+def agg_extremal_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-extremal aggregation: per order priority, WHICH order carries
+    the highest (and lowest) total price — ``max_by``/``min_by``, the
+    aggregate form of "top-1 per group" that costs ONE hash aggregate
+    instead of topk_per_group's window sort (the right tool when only
+    the argmax row id is needed, not a ranking).
+
+    Determinism: max_by's documented behavior on ties is arbitrary, so
+    the ordering key packs the measure with the row key (cents·1e10 ±
+    orderkey) into one scalar — ties on cents break on the lowest
+    orderkey in BOTH directions, making the result hash-stable
+    cross-engine (DuckDB arg_max/arg_min take scalar keys only, so the
+    packed key doubles as the oracle-compatible form).
+
+    Scale: one partial-combined hash agg — max_by merges map-side like
+    any algebraic aggregate; the exchange carries one (value, key) pair
+    per (task × group).
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    best_key = F.col("cents") * _ARG_PACK + (_ARG_PACK - 1 - F.col("o_orderkey"))
+    worst_key = F.col("cents") * _ARG_PACK + F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max_by("o_orderkey", best_key).cast("bigint").alias("best_orderkey"),
+        F.max("cents").cast("bigint").alias("best_cents"),
+        F.min_by("o_orderkey", worst_key).cast("bigint").alias("worst_orderkey"),
+        F.min("cents").cast("bigint").alias("worst_cents"),
+    )

@@ -287,6 +287,11 @@ _WINDOW_PRIORITY = [
     "stats_ks_eras",                 # new: scaled-integer two-sample KS drift test
     "stats_chi2_independence",       # new: scaled-integer chi-square screen
     "embedding_outlier_distance",    # new: rank-gated centroid-distance screen
+    "dedup_cdc_chunks",              # new: content-defined chunking dedup (FastCDC-style)
+    "corpus_dedup_pipeline",         # new: quality->exact->chunk survivorship cascade
+    "sample_class_weights",          # new: inverse-frequency class weight table
+    "agg_extremal_by",               # new: max_by/min_by with packed tie-break keys
+    "corpus_budget_apportion",       # new: largest-remainder token-budget quotas
     # -- displaced from the r07 stale-refresh tail by the three sketch
     #    promotions; next stale tier for r08 ----------------------------
     "project_select",

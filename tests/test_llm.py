@@ -458,3 +458,103 @@ def test_containment_is_directional(spark):
     for r in rows:
         assert r.containment_bp >= 9000
         assert 0 < r.n_inter <= r.n_a
+
+
+def test_cdc_chunks_survive_insertion_fixed_stride_does_not(spark):
+    """The content-defined-chunking claim, demonstrated: inserting ONE
+    token near the front of a document preserves all chunk digests
+    except the (at most two) chunks local to the edit, while a
+    fixed-20-token-stride chunking of the same pair loses every
+    boundary downstream of the insertion."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from connor_fun_streamproducer_spark.llm.dedup import _CDC_MOD
+
+    base = registry.OPS  # registry loaded at module import
+    doc = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .orderBy(F.desc("n_chars"))
+        .limit(1)
+        .collect()[0]
+    )
+    words = doc.text.split(" ")
+    assert len(words) > 40
+    edited = " ".join(words[:3] + ["zzinserted"] + words[3:])
+
+    df = spark.createDataFrame(
+        [(0, doc.text), (1, edited)], "doc_id long, text string"
+    )
+
+    def cdc_digests(frame):
+        tok = frame.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        ).withColumn(
+            "brk",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+                % _CDC_MOD
+                == 0
+            ).cast("int"),
+        )
+        w = (
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cid = tok.select(
+            "doc_id", "pos", "tok",
+            F.coalesce(F.sum("brk").over(w), F.lit(0)).alias("chunk_id"),
+        )
+        rows = (
+            cid.groupBy("doc_id", "chunk_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("ps"))
+            .select(
+                "doc_id",
+                F.md5(F.array_join(F.expr("transform(ps, x -> x.tok)"), " ")).alias("digest"),
+            )
+            .collect()
+        )
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r.doc_id, set()).add(r.digest)
+        return out
+
+    cdc = cdc_digests(df)
+    shared_cdc = len(cdc[0] & cdc[1])
+    assert shared_cdc >= len(cdc[0]) - 2, (len(cdc[0]), shared_cdc)
+
+    # fixed stride: chunk i = tokens [20i, 20i+20) — every boundary after
+    # the insertion shifts, so only the pre-edit chunk(s) can survive.
+    def stride_digests(words_list):
+        return {
+            " ".join(words_list[i : i + 20])
+            for i in range(0, len(words_list), 20)
+        }
+    a = stride_digests(words)
+    b = stride_digests(words[:3] + ["zzinserted"] + words[3:])
+    assert len(a & b) <= 1, "fixed stride unexpectedly survived the insertion"
+    assert shared_cdc > len(a & b)
+
+
+def test_dedup_pipeline_verdicts_partition_and_keep_cluster_minima(spark):
+    """Survivorship invariants: every doc gets exactly one verdict;
+    tiers are mutually exclusive by priority; every chunk-dup cluster
+    keeps its minimum member (no cluster is wiped out: each
+    dropped_chunk_dup doc shares a chunk with a LOWER doc id, so the
+    globally-minimum doc of any sharing component is always kept)."""
+    rows = registry.OPS["corpus_dedup_pipeline"].fn(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs
+    by = {}
+    for r in rows:
+        assert r.doc_id not in by, "duplicate verdict"
+        by[r.doc_id] = (r.status, r.tier)
+        assert (r.status == "kept") == (r.tier == 0)
+    statuses = {s for s, _ in by.values()}
+    assert "kept" in statuses and "dropped_short" in statuses
+    assert "dropped_chunk_dup" in statuses  # tier 3 fires on the fixture
+    # keeper protection: the minimum doc_id among tier-0/3 candidates
+    # (i.e. docs that reached tier 3) is never dropped by tier 3.
+    reached_t3 = [d for d, (s, t) in by.items() if t in (0, 3)]
+    assert by[min(reached_t3)][1] == 0

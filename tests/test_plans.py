@@ -1318,3 +1318,23 @@ def test_embedding_outlier_centroid_broadcast_and_rank_window(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_cdc_chunks_digest_shuffle_only(spark):
+    """dedup_cdc_chunks: the breakpoint window and the chunk agg share
+    the doc_id partitioning; cross-doc sharing shuffles digests only —
+    never chunk text — and nothing is nested-loop shaped."""
+    df = _q("dedup_cdc_chunks", spark)
+    assert_not_in_plan(df, "CartesianProduct")
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+    assert count_in_plan(df, "HashAggregate") >= 2
+
+
+def test_extremal_by_single_agg_no_window(spark):
+    """agg_extremal_by must plan as ONE partial/final hash-agg pair on a
+    single exchange — no window sort (that's topk_per_group's cost)."""
+    df = _q("agg_extremal_by", spark)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert count_in_plan(df, "Exchange") == 1, plan
+    assert count_in_plan(df, "HashAggregate") >= 2

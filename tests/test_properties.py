@@ -1887,3 +1887,21 @@ def test_clustering_coefficient_bounds_and_triangle_consistency(spark):
         assert r.degree >= 2
         assert tri.get(r.user_id, 0) == r.triangles
     assert any(r.triangles == 0 for r in cc), "zero-tri nodes must be kept"
+
+
+def test_budget_apportionment_quota_property(spark):
+    """Largest-remainder guarantees: allocations sum exactly to the
+    budget, and every source's allocation is its exact float quota
+    rounded down or up (never off by more than one)."""
+    from connor_fun_streamproducer_spark import registry
+    from connor_fun_streamproducer_spark.llm.corpus import _BUDGET_TOKENS
+
+    registry._ensure_loaded()
+    rows = registry.OPS["corpus_budget_apportion"].fn(spark, SF_DIR).collect()
+    total_tok = sum(r.tok for r in rows)
+    assert sum(r.alloc for r in rows) == _BUDGET_TOKENS
+    for r in rows:
+        exact = r.tok * _BUDGET_TOKENS / total_tok
+        assert r.floor_alloc == (r.tok * _BUDGET_TOKENS) // total_tok
+        assert r.alloc in (r.floor_alloc, r.floor_alloc + 1)
+        assert r.floor_alloc <= exact < r.floor_alloc + 1
