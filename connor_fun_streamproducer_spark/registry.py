@@ -241,7 +241,9 @@ _WINDOW_PRIORITY = [
     "agg_approx",
     "agg_count_min",
     "agg_sketch_merge",
-    # -- (3) stale-refresh backfill (30): r01 fn/set block, r02 streaming
+    "stream_watermark",
+    "stream_late_policy",
+    # -- (3) stale-refresh backfill (25): r01 fn/set block, r02 streaming
     #    block, r03 relational core — oldest external green rows ---------
     "fn_array",
     "fn_json",
@@ -268,8 +270,6 @@ _WINDOW_PRIORITY = [
     "agg_grouping_sets",
     "agg_hash",
     "agg_skew_salted",
-    "dedup_exact",
-    "filter_pred",
     # -- key 51+: NEW in round 7 — never externally checked; first in
     #    line for the r08 rotation under the freshness rule -------------
     "graph_label_propagation",       # new: derandomized sync LPA communities
@@ -297,6 +297,8 @@ _WINDOW_PRIORITY = [
     "project_select",
     "limit_topk",
     "sort_global",
+    "dedup_exact",
+    "filter_pred",
     # -- behind those: last round's window (r06-green) and everything
     #    earlier, relative order preserved ------------------------------
     "pipeline_rfm_segments",

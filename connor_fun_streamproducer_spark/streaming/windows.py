@@ -171,16 +171,36 @@ def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, output_mode="append")
 
 
-@op("stream_watermark", tags=("ext", "streaming"))
+@op(
+    "stream_watermark",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_type, {_BUCKET30} AS window_start, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    wm AS (SELECT max(epoch_us(ts)) - 600000000 AS wm_us FROM events)
+    SELECT event_type, window_start, n
+    FROM w CROSS JOIN wm
+    WHERE epoch_us(window_start) + 30000000 <= wm_us
+    """,
+    tags=("ext", "streaming"),
+)
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling counts in append mode: only finalized windows.
 
     withWatermark(10 min) bounds state and late data: append mode emits a
     window only once the watermark (max event time − 10 min) passes its
-    end, then evicts its state. The emitted set depends on micro-batch
-    watermark progression — correct but not SQL-expressible, hence the
-    rows-only contract check here; exact multi-batch emission/late-drop
-    semantics are asserted in tests/test_streaming.py.
+    end, then evicts its state.
+
+    Hash-checked (promoted r7 from rows-only): with the single-batch file
+    source + ``processAllAvailable`` (which runs the watermark-only
+    no-data finalization batch), the emitted set is DETERMINISTIC —
+    exactly the windows whose end ≤ final watermark = max(ts) − 10 min.
+    The boundary is inclusive: Spark finalizes a window whose end equals
+    the watermark (pinned against a constructed exact-tie stream in
+    tests/test_streaming.py), and the oracle states the same ``<=``.
+    Multi-batch emission/late-drop semantics (which ARE
+    batch-boundary-dependent) stay asserted in tests/test_streaming.py.
     """
     sdf = events_stream(spark, sf_dir)
     agg = (
@@ -324,14 +344,28 @@ def sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("stream_late_policy", tags=("ext", "streaming"))
+@op(
+    "stream_late_policy",
+    oracle=f"""
+    SELECT event_type, {_BUCKET30} AS window_start, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("ext", "streaming"),
+)
 def stream_late_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Output-mode policy demo: the same watermarked aggregation in update
     mode — emits in-progress window revisions every batch (vs append's
     finalized-only, stream_watermark). The memory table holds one revision
     per (window, batch-with-change); the op returns the latest revision
-    per window, which in a drained stream equals the true final counts.
-    Rows-only: revision multiplicity is batch-boundary-dependent.
+    per window.
+
+    Hash-checked (promoted r7 from rows-only): revision MULTIPLICITY is
+    batch-boundary-dependent, but the latest-revision-per-window frame a
+    drained stream leaves behind is not — it equals the true final
+    tumbling counts (update mode never evicts a window from its output
+    before drain), which is plain SQL. The oracle pins exactly that
+    update-vs-append contract: this op's row set is stream_tumbling's
+    full count table, stream_watermark's is the ≤-watermark subset.
     """
     from pyspark.sql.window import Window as W
 

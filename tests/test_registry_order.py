@@ -47,6 +47,8 @@ CHANGED_IN_ROUND_7 = [
     "agg_approx",               # exact companions + law bands → hash-checked
     "agg_count_min",            # exact probes + CMS law bands → hash-checked
     "agg_sketch_merge",         # exact distinct + merge band → hash-checked
+    "stream_watermark",         # finalized-set oracle → hash-checked
+    "stream_late_policy",       # latest-revision oracle → hash-checked
 ]
 
 # Stalest externally-green tier backfilling the remaining 30 window slots:
@@ -78,8 +80,6 @@ STALE_REFRESH = [
     "agg_grouping_sets",
     "agg_hash",
     "agg_skew_salted",
-    "dedup_exact",
-    "filter_pred",
 ]
 
 MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_7 + STALE_REFRESH
@@ -106,10 +106,11 @@ def test_never_checked_keys_lead_the_window():
 
 
 def test_window_is_exactly_filled():
-    # 17 debt + 6 changed + 27 stale-refresh = 50: the window carries no
+    # 17 debt + 8 changed + 25 stale-refresh = 50: the window carries no
     # dead slots and no accidental extras. (project_select/limit_topk/
-    # sort_global yielded their refresh slots to the three sketch
-    # promotions — trivially-shaped r03 greens vs newly-oracled ops.)
+    # sort_global/dedup_exact/filter_pred yielded their refresh slots to
+    # the five sketch/stream promotions — trivially-shaped r03 greens vs
+    # newly-oracled ops.)
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
 

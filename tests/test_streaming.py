@@ -444,3 +444,51 @@ def test_exactly_once_sink_recovers_from_crash_mid_rename(spark, tmp_path):
     assert ids == list(range(400))  # exactly the committed rows, no junk
     # torn staging dirs are gone (consumed by recovery), none linger
     assert not [d for d in os.listdir(out) if d.endswith(".staging")]
+
+
+def test_append_mode_finalizes_window_ending_exactly_at_watermark(spark, tmp_path):
+    """The stream_watermark oracle's boundary direction: a window whose
+    end equals the final watermark EXACTLY (max ts - 10 min lands on the
+    window end) is emitted — Spark's append-mode finalization is `end <=
+    watermark`, so the oracle's `<=` is the right predicate."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from connor_fun_streamproducer_spark.sources.streams import (
+        events_stream,
+        run_to_memory,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + datetime.timedelta(seconds=25), 1, "click", 1.0, "{}"),
+        # max ts 630 s -> watermark 30 s == end of window [0, 30)
+        (3, base + datetime.timedelta(seconds=630), 1, "click", 1.0, "{}"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    d = tmp_path / "tie"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    sdf = events_stream(spark, str(d))
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 seconds").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_memory(agg, output_mode="append")
+    got = {(str(r["ws"]), r["n"]) for r in out.select(F.col("w.start").alias("ws"), "n").collect()}
+    assert ("2024-01-01 00:00:00", 2) in got, got
