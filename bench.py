@@ -93,6 +93,7 @@ EXTENDED = [
     "embedding_outlier_distance",
     "dedup_cdc_chunks",
     "corpus_dedup_pipeline",
+    "graph_modularity",
 ]
 
 

@@ -1088,3 +1088,100 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cc_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the LPA partition (exact scaled integers)
+# ---------------------------------------------------------------------------
+
+def _modularity_oracle() -> str:
+    """The unrolled-LPA label CTEs (same recurrence as _lpa_oracle) plus
+    the per-community modularity decomposition: contribution_scaled =
+    4·m·e_c − d_c², summing to Q·4m² — exact integers throughout."""
+    base = _lpa_oracle()
+    head, _, _tail = base.rpartition("SELECT u AS user_id")
+    return head + f"""
+, lab AS (SELECT u, lab FROM l{_LPA_ROUNDS}),
+m AS (SELECT count(*) AS m FROM e),
+ec AS (
+    SELECT la.lab, count(*) AS e_in
+    FROM e JOIN lab la ON la.u = e.a JOIN lab lc ON lc.u = e.c
+    WHERE la.lab = lc.lab GROUP BY 1
+),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+dc AS (
+    SELECT l.lab, sum(d.d) AS d_sum, count(*) AS n_nodes
+    FROM lab l JOIN deg d USING (u) GROUP BY 1
+)
+SELECT dc.lab AS community,
+       CAST(dc.n_nodes AS BIGINT) AS n_nodes,
+       CAST(coalesce(ec.e_in, 0) AS BIGINT) AS e_in,
+       CAST(dc.d_sum AS BIGINT) AS d_sum,
+       CAST(4 * m.m * coalesce(ec.e_in, 0) - dc.d_sum * dc.d_sum AS BIGINT)
+           AS contrib_scaled
+FROM dc LEFT JOIN ec USING (lab) CROSS JOIN m
+"""
+
+
+@op(
+    "graph_modularity",
+    oracle=_modularity_oracle(),
+    tags=("ext", "graph", "scale"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity decomposition of the LPA community partition: per
+    community its node count, internal edge count, degree mass, and the
+    exact-integer modularity contribution 4·m·e_c − d_c² (their sum is
+    Q·4m², Newman's Q scaled by 4m² so no rational ever becomes a
+    float) — the quality score that says whether the detected
+    communities are denser than chance; LPA detects, this grades.
+
+    Negative contributions mark communities no better than random
+    (d_c²/4m² exceeds their internal-edge share) — exactly the signal a
+    cohort pipeline uses to discard junk clusters before acting on
+    them.
+
+    Scale: the label pass is LPA's (checkpointed edge frame, bounded
+    rounds); scoring adds two hash joins of the edge list against the
+    label frame, a degree agg, and dim-bounded per-community rollups —
+    all linear, partitioned on node/label keys.
+    """
+    labels = graph_label_propagation(spark, sf_dir).select(
+        F.col("user_id").alias("u"), F.col("community").alias("lab")
+    ).localCheckpoint()
+    e = _pair_edges(spark, sf_dir).localCheckpoint()
+    und = e.select(F.col("a").alias("u")).unionByName(
+        e.select(F.col("c").alias("u"))
+    )
+    m = e.count()
+    la = labels.select(F.col("u").alias("a"), F.col("lab").alias("lab_a"))
+    lc = labels.select(F.col("u").alias("c"), F.col("lab").alias("lab_c"))
+    ec = (
+        e.join(la, "a")
+        .join(lc, "c")
+        .filter(F.col("lab_a") == F.col("lab_c"))
+        .groupBy(F.col("lab_a").alias("lab"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    dc = (
+        labels.join(deg, "u")
+        .groupBy("lab")
+        .agg(F.sum("d").alias("d_sum"), F.count("*").alias("n_nodes"))
+    )
+    return (
+        dc.join(ec, "lab", "left")
+        .fillna(0, ["e_in"])
+        .select(
+            F.col("lab").cast("bigint").alias("community"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("e_in").cast("bigint").alias("e_in"),
+            F.col("d_sum").cast("bigint").alias("d_sum"),
+            (
+                4 * F.lit(m) * F.col("e_in")
+                - F.col("d_sum") * F.col("d_sum")
+            )
+            .cast("bigint")
+            .alias("contrib_scaled"),
+        )
+    )

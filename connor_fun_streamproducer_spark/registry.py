@@ -292,6 +292,8 @@ _WINDOW_PRIORITY = [
     "sample_class_weights",          # new: inverse-frequency class weight table
     "agg_extremal_by",               # new: max_by/min_by with packed tie-break keys
     "corpus_budget_apportion",       # new: largest-remainder token-budget quotas
+    "scan_agg_pushdown",             # new: footer-stats aggregate pushdown scan
+    "graph_modularity",              # new: exact scaled-integer modularity of LPA
     # -- displaced from the r07 stale-refresh tail by the three sketch
     #    promotions; next stale tier for r08 ----------------------------
     "project_select",

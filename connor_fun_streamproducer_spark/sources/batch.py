@@ -324,3 +324,70 @@ def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet aggregate pushdown (footer-statistics scan)
+# ---------------------------------------------------------------------------
+
+_AGG_PUSH_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(min(l_extendedprice), 4) AS lo,
+       round(max(l_extendedprice), 4) AS hi,
+       CAST(count(l_quantity) AS BIGINT) AS n_qty
+FROM lineitem
+"""
+
+
+@op(
+    "scan_agg_pushdown",
+    oracle=_AGG_PUSH_ORACLE,
+    tags=("ext", "source", "scale"),
+)
+def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/MIN/MAX answered from parquet FOOTER STATISTICS — the scan
+    never decodes a data page: with ``spark.sql.parquet.aggregatePushdown``
+    on the DSv2 reader, the BatchScan's output IS the aggregate
+    (``PushedAggregation: [COUNT(*), MIN(...), MAX(...)]`` in the plan,
+    asserted in tests/test_plans.py), and each file contributes one
+    pre-aggregated row from metadata. At 100 TB this is the difference
+    between a metadata-latency answer and a full-table scan for the
+    row-count / value-range probes every pipeline health check runs
+    (scan_file_stats_pruning reads the same footers file-at-a-time for
+    pruning; this pushes the whole aggregate into the scan operator).
+
+    Column-level null counts (count(col)) also push down when the footer
+    carries null counts — included to pin that path too.
+
+    The DSv2 switch (``useV1SourceList=""``) is scoped to THIS op: the
+    frame is built under the modified conf and the conf restored before
+    returning — Spark binds the scan implementation at read resolution,
+    so the returned plan keeps its BatchScan while the session's other
+    ops keep their pinned v1 plans.
+    """
+    conf = spark.conf
+    old_v1 = conf.get("spark.sql.sources.useV1SourceList", None)
+    old_push = conf.get("spark.sql.parquet.aggregatePushdown", None)
+    try:
+        conf.set("spark.sql.sources.useV1SourceList", "")
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        li = load(spark, sf_dir, "lineitem")
+        out = li.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("l_extendedprice"), 4).alias("lo"),
+            F.round(F.max("l_extendedprice"), 4).alias("hi"),
+            F.count("l_quantity").cast("bigint").alias("n_qty"),
+        )
+        # Force plan resolution under the scoped confs so the restore
+        # below cannot flip the scan back to v1.
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        if old_v1 is None:
+            conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        if old_push is None:
+            conf.unset("spark.sql.parquet.aggregatePushdown")
+        else:
+            conf.set("spark.sql.parquet.aggregatePushdown", old_push)

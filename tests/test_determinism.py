@@ -43,6 +43,12 @@ SWEEP = [
     "ts_ohlc_candles",             # struct argmin/argmax ties
     "agg_heavy_hitters",           # two-phase MG
     "pipeline_basket_affinity",    # pair lift, integer ratios
+    "graph_modularity",            # LPA labels + edge-label joins (r7)
+    "graph_clustering_coefficient",  # checkpointed wedge/closure (r7)
+    "dedup_containment_prefix",    # prefix filter + size guard (r7)
+    "dedup_cdc_chunks",            # md5-derived breakpoints (r7)
+    "corpus_dedup_pipeline",       # three-tier cascade (r7)
+    "agg_extremal_by",             # packed-key max_by/min_by ties (r7)
 ]
 
 

@@ -1338,3 +1338,27 @@ def test_extremal_by_single_agg_no_window(spark):
     assert "Window" not in plan, plan
     assert count_in_plan(df, "Exchange") == 1, plan
     assert count_in_plan(df, "HashAggregate") >= 2
+
+
+def test_scan_agg_pushdown_answers_from_footers(spark):
+    """scan_agg_pushdown's BatchScan must carry the PushedAggregation —
+    the aggregate is answered from footer statistics, no data pages —
+    and building the frame must not leak the v2-reader conf into the
+    session (other ops keep their pinned v1 plans)."""
+    df = _q("scan_agg_pushdown", spark)
+    plan = formatted_plan(df)
+    assert "PushedAggregation: [COUNT(*)" in plan, plan
+    assert "BatchScan" in plan, plan
+    # conf restored: a fresh v1 op still plans the row-based scan
+    plan2 = formatted_plan(_q("scan_parquet", spark))
+    assert "BatchScan" not in plan2, plan2
+
+
+def test_modularity_linear_joins_only(spark):
+    """graph_modularity: edge-label scoring must stay hash-equi-join
+    shaped over the checkpointed frames — no nested loops, no re-derived
+    parquet scans."""
+    df = _q("graph_modularity", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 0, plan

@@ -1905,3 +1905,30 @@ def test_budget_apportionment_quota_property(spark):
         assert r.floor_alloc == (r.tok * _BUDGET_TOKENS) // total_tok
         assert r.alloc in (r.floor_alloc, r.floor_alloc + 1)
         assert r.floor_alloc <= exact < r.floor_alloc + 1
+
+
+def test_ks_statistic_zero_for_identical_eras(spark):
+    """KS law: if both eras hold EXACTLY the same multiset of values,
+    n2·cumA − n1·cumB is identically zero at every support point —
+    pinning the scaled-integer formula itself (any off-by-one in the
+    cumulative alignment would break this before it breaks the
+    fixture oracle)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    vals = [100, 200, 200, 300, 500, 500, 500, 900]
+    rows = [("g", v, 1) for v in vals] + [("g", v, 0) for v in vals]
+    df = spark.createDataFrame(rows, "grp string, cents long, in_a int")
+    v = df.groupBy("grp", "cents").agg(
+        F.sum("in_a").alias("ca"), F.sum(1 - F.col("in_a")).alias("cb")
+    )
+    tot = v.groupBy("grp").agg(F.sum("ca").alias("n1"), F.sum("cb").alias("n2"))
+    w = Window.partitionBy("grp").orderBy("cents")
+    cum = v.join(tot, "grp").select(
+        "grp", "n1", "n2",
+        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b"),
+    )
+    d = cum.agg(
+        F.max(F.abs(F.col("n2") * F.col("cum_a") - F.col("n1") * F.col("cum_b"))).alias("d")
+    ).collect()[0]["d"]
+    assert d == 0
