@@ -94,6 +94,15 @@ EXTENDED = [
     "dedup_cdc_chunks",
     "corpus_dedup_pipeline",
     "graph_modularity",
+    "graph_assortativity",
+    "win_rolling_corr",
+    "corpus_vocab_coverage",
+    "text_hashing_vectorizer",
+    "ts_sma_crossover",
+    "stats_psi_stability",
+    "dedup_minhash_banded",
+    "sink_snapshot_expire",
+    "text_zipf_alpha",
 ]
 
 

@@ -662,3 +662,76 @@ def corpus_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage: top-K tokens per language + cumulative share
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOPK = 20
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+), counts AS (
+    SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2
+), tot AS (
+    SELECT lang, sum(c) AS n_tok FROM counts GROUP BY 1
+), ranked AS (
+    SELECT lang, w, c,
+           row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rk,
+           sum(c) OVER (PARTITION BY lang ORDER BY c DESC, w
+                        ROWS UNBOUNDED PRECEDING) AS cum_c
+    FROM counts
+)
+SELECT r.lang, r.rk AS rk, r.w AS token,
+       CAST(r.c AS BIGINT) AS c,
+       CAST(r.cum_c AS BIGINT) AS cum_c,
+       CAST(r.cum_c * 10000 // t.n_tok AS BIGINT) AS cum_share_bp
+FROM ranked r JOIN tot t USING (lang)
+WHERE r.rk <= {_VOCAB_TOPK}
+"""
+
+
+@op("corpus_vocab_coverage", oracle=_VOCAB_ORACLE, tags=("llm", "corpus", "scale"))
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vocabulary per language with cumulative corpus coverage
+    in basis points — the head-of-Zipf table tokenizer training reads
+    first (how much of the corpus do the K most frequent types already
+    cover, per language?) and the skew screen that catches templated
+    sources (a 'natural' language head covers far less than a log-spam
+    head at equal K).
+
+    Exact throughout: integer counts, rank totally ordered by
+    (count DESC, token), cumulative sums over that same total order,
+    coverage as floor-division basis points — no floats anywhere.
+
+    Scale: the (lang, token) count is the corpus-sized hash agg (the
+    same partial-agg exchange every vocab build pays); ranking then
+    runs on |langs| x |vocab| COUNTS, not tokens, and the top-K cut is
+    a WindowGroupLimit (running top-K, no full sort materialization).
+    One extra broadcast-scale join against the per-lang totals.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    counts = tok.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("lang").agg(F.sum("c").alias("n_tok"))
+    w_rank = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("w"))
+    ranked = counts.select(
+        "lang",
+        "w",
+        "c",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("c")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_c"),
+    ).filter(F.col("rk") <= _VOCAB_TOPK)
+    return ranked.join(tot, "lang").select(
+        "lang",
+        F.col("rk").cast("bigint").alias("rk"),
+        F.col("w").alias("token"),
+        F.col("c").cast("bigint").alias("c"),
+        F.col("cum_c").cast("bigint").alias("cum_c"),
+        F.expr("cum_c * 10000 div n_tok").cast("bigint").alias("cum_share_bp"),
+    )

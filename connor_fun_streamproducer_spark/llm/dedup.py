@@ -847,3 +847,140 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_share_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH on the cross-engine md5 hash stream (hash-checkable twin)
+# ---------------------------------------------------------------------------
+
+_MHB_HASHES = 16
+_MHB_BANDS = 4
+
+
+def _mhb_oracle() -> str:
+    sig_cols = ",\n           ".join(
+        f"min(CAST(concat('0x', substr(md5(concat('{k}:', t)), 1, 15)) AS UBIGINT))"
+        f" AS mh_{k}"
+        for k in range(_MHB_HASHES)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat(mh_{b * 4}, '_', mh_{b * 4 + 1}, '_', mh_{b * 4 + 2}, '_', "
+        f"mh_{b * 4 + 3})) AS bucket FROM sig"
+        for b in range(_MHB_BANDS)
+    )
+    return f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), sig AS (
+    SELECT doc_id,
+           {sig_cols}
+    FROM tok GROUP BY doc_id
+), bands AS (
+    {band_selects}
+), bmin AS (
+    SELECT band, bucket, min(doc_id) AS bucket_keeper
+    FROM bands GROUP BY 1, 2
+), cand AS (
+    SELECT b.doc_id, min(m.bucket_keeper) AS keeper_doc_id
+    FROM bands b JOIN bmin m USING (band, bucket)
+    GROUP BY b.doc_id
+    HAVING min(m.bucket_keeper) < b.doc_id
+), toks AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+)
+SELECT c.doc_id, c.keeper_doc_id,
+       round(CAST(len(list_intersect(a.toks, k.toks)) AS DOUBLE)
+             / (len(a.toks) + len(k.toks) - len(list_intersect(a.toks, k.toks))),
+             4) AS jaccard
+FROM cand c
+JOIN toks a ON a.doc_id = c.doc_id
+JOIN toks k ON k.doc_id = c.keeper_doc_id
+WHERE CAST(len(list_intersect(a.toks, k.toks)) AS DOUBLE)
+      / (len(a.toks) + len(k.toks) - len(list_intersect(a.toks, k.toks))) > 0.8
+"""
+
+
+@op("dedup_minhash_banded", oracle=_mhb_oracle(), tags=("llm", "dedup", "scale"))
+def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup dedup with EVERY stage externally
+    hash-provable: the hash-checked twin of ``dedup_near_minhash``.
+
+    Same pipeline shape as the production op — 16 min-hashes → 4 bands
+    of 4 → per-(band, bucket) min-doc_id keeper → per-doc min keeper →
+    exact token-Jaccard verify > 0.8 — but the hash functions are the
+    repo's cross-engine md5 stream (llm/splits.py) instead of Spark's
+    engine-private xxhash64: hash k of a token is the first 15 hex
+    digits of ``md5('k:' || token)`` (60 bits, exact in BIGINT/UBIGINT
+    on both engines) and a band's bucket is the md5 of its four
+    signature values — bit-identical in DuckDB, so the banding, keeper
+    assignment, AND verification all land in the external value hash.
+    The production variant keeps xxhash64 (JVM codegen, no string
+    round-trips) — this twin exists to PROVE the LSH pipeline's
+    semantics, closing the "LSH bucket ids are engine-specific" gap in
+    the rows-only tier.
+
+    Scale: identical to dedup_near_minhash — signature build is one
+    explode + one 16-min groupBy (shuffle carries 16 longs per doc),
+    banding is map-side, keeper assignment is two linear shuffles, and
+    in-bucket pairing is never materialized (keeper-star, not Θ(b²)).
+    The md5 tax (16 digests per token vs 16 xxhash64) is the price of
+    cross-engine determinism and is why the xxhash64 variant stays the
+    production path.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{k}:"), F.col("t"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"mh_{k}")
+            for k in range(_MHB_HASHES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "_", *[F.col(f"mh_{b * 4 + r}") for r in range(4)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(_MHB_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    bmin = bands.groupBy("band", "bucket").agg(F.min("doc_id").alias("bucket_keeper"))
+    cand = (
+        bands.join(bmin, ["band", "bucket"])
+        .groupBy("doc_id")
+        .agg(F.min("bucket_keeper").alias("keeper_doc_id"))
+        .filter(F.col("keeper_doc_id") < F.col("doc_id"))
+    )
+    toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    verified = cand.join(
+        toks.withColumnRenamed("doc_id", "keeper_doc_id").withColumnRenamed(
+            "toks", "toks_k"
+        ),
+        "keeper_doc_id",
+    ).join(toks, "doc_id")
+    inter = F.size(F.array_intersect("toks", "toks_k")).cast("double")
+    union = (
+        F.size("toks") + F.size("toks_k") - F.size(F.array_intersect("toks", "toks_k"))
+    )
+    jac = inter / union
+    return verified.filter(jac > 0.8).select(
+        "doc_id", "keeper_doc_id", F.round(jac, 4).alias("jaccard")
+    )

@@ -480,3 +480,163 @@ def text_bigram_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick) over corpus tokens
+# ---------------------------------------------------------------------------
+
+_HASH_DIM = 256
+
+_HASHVEC_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), b AS (
+    SELECT doc_id, w,
+           CAST(concat('0x', substr(md5(w), 1, 8)) AS UBIGINT) % {_HASH_DIM}
+               AS bucket
+    FROM tok
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM b GROUP BY 1
+"""
+
+
+@op("text_hashing_vectorizer", oracle=_HASHVEC_ORACLE, tags=("llm", "text", "scale"))
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): every token maps to one of
+    256 buckets via md5 — the fixed-width bag-of-words
+    featurization that needs NO vocabulary build, no broadcast
+    dictionary, and no second pass; the per-bucket occupancy table this
+    emits (occurrences, distinct types, doc frequency) is both the
+    feature-frequency profile and the collision audit (n_types >> 1 in
+    a hot bucket = collision pressure; grow the dimension).
+
+    The md5-prefix bucket is the repo's standard cross-engine hash
+    stream (llm/splits.py): bit-identical in Spark
+    (``conv(substr(md5(w),1,8),16,10)``) and DuckDB
+    (``CAST('0x'||substr(md5(w),1,8) AS UBIGINT)``), so the whole
+    op is hash-checkable — unlike murmur-based hashes which are
+    engine-private.
+
+    Scale: map-side token explode + hash, then ONE 256-row
+    hash aggregation — the shuffle carries (bucket, token, doc) partial
+    aggregates, bounded by corpus token count; output is
+    dimension-bounded. This is why the hashing trick beats vocab
+    lookup at 100 TB: zero joins against a dictionary that itself
+    needs building, sharding, and versioning.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+        % _HASH_DIM
+    )
+    return (
+        tok.select("doc_id", "w", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occ"),
+            F.countDistinct("w").cast("bigint").alias("n_types"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .select(F.col("bucket").cast("bigint").alias("bucket"), "n_occ", "n_types", "n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope per source (log-log least squares, deterministic float folds)
+# ---------------------------------------------------------------------------
+
+_ZIPF_RANKS = 50
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+), counts AS (
+    SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2
+), ranked AS (
+    SELECT source, c,
+           row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rk
+    FROM counts
+), lists AS (
+    SELECT source, list_sort(list([rk, c])) AS l
+    FROM ranked WHERE rk <= {_ZIPF_RANKS} GROUP BY source
+), m AS (
+    SELECT source,
+           CAST(len(l) AS DOUBLE) AS n,
+           CAST(len(l) AS BIGINT) AS n_ranks,
+           l[1][2] AS top_count,
+           list_reduce(list_transform(l, p -> ln(CAST(p[1] AS DOUBLE))), (a, b) -> a + b) AS sx,
+           list_reduce(list_transform(l, p -> ln(CAST(p[2] AS DOUBLE))), (a, b) -> a + b) AS sy,
+           list_reduce(list_transform(l, p -> ln(CAST(p[1] AS DOUBLE)) * ln(CAST(p[2] AS DOUBLE))), (a, b) -> a + b) AS sxy,
+           list_reduce(list_transform(l, p -> ln(CAST(p[1] AS DOUBLE)) * ln(CAST(p[1] AS DOUBLE))), (a, b) -> a + b) AS sx2
+    FROM lists
+)
+SELECT source, n_ranks, CAST(top_count AS BIGINT) AS top_count,
+       round((n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, 0), 6) + 0.0
+           AS zipf_slope
+FROM m
+"""
+
+
+@op("text_zipf_alpha", oracle=_ZIPF_ORACLE, tags=("llm", "text"))
+def text_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope per source: least-squares slope of ln(count) on
+    ln(rank) over the top-50 token ranks — natural language sits near
+    −1; templated/spam sources flatten (|slope| « 1, the head repeats)
+    or steepen (a few tokens dominate). The corpus-curation twin of
+    text_entropy_source that looks at the SHAPE of the frequency curve
+    rather than its mass.
+
+    Float-determinism discipline, one step past entropy's: the four
+    log moments are LEFT FOLDS over the per-source rank list sorted
+    ascending — Spark's `aggregate` HOF and DuckDB's `list_reduce` add
+    the identical doubles in the identical order (IEEE 0.0 + x = x
+    makes the differing init conventions exact), so the sums are
+    bit-identical by construction, not by luck of partition order.
+    Ranks are totally ordered (count DESC, token).
+
+    Scale: the (source, token) count is the only corpus-sized shuffle
+    (shared with the entropy/vocab tier); the top-50 cut is a
+    WindowGroupLimit over counts and the folds run on 50-element
+    arrays per source — dimension-bounded driver-free math.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    counts = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    w_rank = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("w"))
+    ranked = counts.select(
+        "source", "c", F.row_number().over(w_rank).alias("rk")
+    ).filter(F.col("rk") <= _ZIPF_RANKS)
+    lists = ranked.groupBy("source").agg(
+        F.array_sort(F.collect_list(F.array("rk", "c"))).alias("l")
+    )
+
+    def fold(expr: str):
+        return F.expr(f"aggregate(l, CAST(0.0 AS DOUBLE), (a, p) -> a + {expr})")
+
+    m = lists.select(
+        "source",
+        F.size("l").cast("double").alias("n"),
+        F.size("l").cast("bigint").alias("n_ranks"),
+        F.element_at(F.element_at("l", 1), 2).cast("bigint").alias("top_count"),
+        fold("ln(CAST(p[0] AS DOUBLE))").alias("sx"),
+        fold("ln(CAST(p[1] AS DOUBLE))").alias("sy"),
+        fold("ln(CAST(p[0] AS DOUBLE)) * ln(CAST(p[1] AS DOUBLE))").alias("sxy"),
+        fold("ln(CAST(p[0] AS DOUBLE)) * ln(CAST(p[0] AS DOUBLE))").alias("sx2"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    return m.select(
+        "source",
+        "n_ranks",
+        "top_count",
+        (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
+    )

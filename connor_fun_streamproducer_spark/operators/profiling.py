@@ -838,3 +838,95 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chi2_n_scaled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index between table eras
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT_DATE = "1998-01-01"
+_PSI_BIN_WIDTH = 50000  # dollars per o_totalprice bin
+
+
+def _psi_oracle() -> str:
+    return f"""
+WITH b AS (
+    SELECT CAST(floor(o_totalprice / {_PSI_BIN_WIDTH}) AS BIGINT) AS bin,
+           CASE WHEN o_orderdate < DATE '{_PSI_SPLIT_DATE}' THEN 1 ELSE 0 END
+               AS in_a
+    FROM orders
+), cells AS (
+    SELECT bin,
+           sum(in_a)     AS c_a,
+           sum(1 - in_a) AS c_b
+    FROM b GROUP BY 1
+), tot AS (
+    SELECT sum(c_a) AS n_a, sum(c_b) AS n_b, count(*) AS n_bins FROM cells
+)
+SELECT c.bin,
+       CAST(c.c_a AS BIGINT) AS c_a,
+       CAST(c.c_b AS BIGINT) AS c_b,
+       round((CAST(c.c_a + 1 AS DOUBLE) / (t.n_a + t.n_bins)
+              - CAST(c.c_b + 1 AS DOUBLE) / (t.n_b + t.n_bins))
+             * ln((CAST(c.c_a + 1 AS DOUBLE) / (t.n_a + t.n_bins))
+                  / (CAST(c.c_b + 1 AS DOUBLE) / (t.n_b + t.n_bins))), 6)
+           + 0.0 AS psi_contrib
+FROM cells c CROSS JOIN tot t
+"""
+
+
+@op("stats_psi_stability", oracle=_psi_oracle(), tags=("ext", "profiling", "scale"))
+def stats_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index cells between two eras of the orders
+    table (pre/post 1998): per value-bin, the Laplace-smoothed PSI
+    contribution (p−q)·ln(p/q) — THE industry drift score for deployed
+    models' input features (PSI > 0.25 = retrain trigger). Emitted as
+    per-bin CELLS, not the summed scalar: the consumer sums, and the
+    per-bin view shows WHERE the distribution moved, which the scalar
+    hides.
+
+    Exactness discipline (text_entropy / stats_ks_eras): the bin counts
+    are exact integers and both engines compute the identical float
+    expression once per bin from those identical integers (+1/n+B
+    Laplace smoothing keeps every log finite with empty-era bins);
+    round(6), and `+ 0.0` normalizes IEEE −0.0. No float accumulation
+    anywhere — the only sum is over exact ints.
+
+    Scale: one map-side bin projection + one |bins|-row hash agg, then
+    the era totals come from a whole-frame window over the bounded
+    cells frame — the orders table is scanned exactly once and the
+    window input is |bins| rows, not the table. The same single-pass
+    profile every monitoring job already runs; bins are value-derived
+    so the output is dimension-bounded regardless of table size.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") / _PSI_BIN_WIDTH).cast("bigint").alias("bin"),
+        F.when(F.col("o_orderdate") < F.lit(_PSI_SPLIT_DATE).cast("date"), 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    cells = o.groupBy("bin").agg(
+        F.sum("in_a").alias("c_a"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("c_b"),
+    )
+    # Era totals as a whole-frame window over the |bins|-row cells frame
+    # rather than an agg + cross join: the cells subtree is computed
+    # once (no re-derived second scan of orders) and the window runs on
+    # a dimension-bounded input.
+    wall = Window.partitionBy()
+    c = cells.select(
+        "bin",
+        "c_a",
+        "c_b",
+        F.sum("c_a").over(wall).alias("n_a"),
+        F.sum("c_b").over(wall).alias("n_b"),
+        F.count("*").over(wall).alias("n_bins"),
+    )
+    p = (F.col("c_a") + 1).cast("double") / (F.col("n_a") + F.col("n_bins"))
+    q = (F.col("c_b") + 1).cast("double") / (F.col("n_b") + F.col("n_bins"))
+    return c.select(
+        "bin",
+        F.col("c_a").cast("bigint").alias("c_a"),
+        F.col("c_b").cast("bigint").alias("c_b"),
+        (F.round((p - q) * F.log(p / q), 6) + F.lit(0.0)).alias("psi_contrib"),
+    )

@@ -738,3 +738,107 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("cusum_scaled")).cast("bigint").alias("cusum_scaled_abs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SMA crossover detection (exact cross-multiplied integer sums)
+# ---------------------------------------------------------------------------
+
+_SMA_FAST = 3
+_SMA_SLOW = 7
+
+_SMA_CROSS_ORACLE = f"""
+WITH o AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS sec
+    FROM orders
+), s AS (
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rid,
+           sum(cents) OVER (w ROWS BETWEEN {_SMA_FAST - 1} PRECEDING
+                            AND CURRENT ROW) AS sum_fast,
+           sum(cents) OVER (w ROWS BETWEEN {_SMA_SLOW - 1} PRECEDING
+                            AND CURRENT ROW) AS sum_slow
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY sec, o_orderkey)
+), c AS (
+    SELECT o_custkey, o_orderkey, rid, sum_fast, sum_slow,
+           {_SMA_SLOW} * sum_fast - {_SMA_FAST} * sum_slow AS cmp,
+           lag({_SMA_SLOW} * sum_fast - {_SMA_FAST} * sum_slow)
+               OVER (PARTITION BY o_custkey ORDER BY rid) AS prev_cmp
+    FROM s WHERE rid >= {_SMA_SLOW}
+)
+SELECT o_custkey, o_orderkey, CAST(rid AS BIGINT) AS rid,
+       CAST(sum_fast AS BIGINT) AS sum_fast,
+       CAST(sum_slow AS BIGINT) AS sum_slow,
+       CASE WHEN cmp > 0 THEN 'golden' ELSE 'dead' END AS cross_type
+FROM c
+WHERE prev_cmp IS NOT NULL
+  AND ((cmp > 0 AND prev_cmp <= 0) OR (cmp < 0 AND prev_cmp >= 0))
+"""
+
+
+@op("ts_sma_crossover", oracle=_SMA_CROSS_ORACLE, tags=("ext", "timeseries"))
+def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast/slow moving-average crossover events per customer — the
+    classic trend-shift detector (spend accelerating through its own
+    baseline = 'golden' cross; decelerating = 'dead' cross), emitted
+    only at the crossing rows so the output is events, not the series.
+
+    Exactness: SMA(3) > SMA(7) is evaluated as the cross-multiplied
+    integer comparison 7·sum₃ > 3·sum₇ — the division that makes
+    moving AVERAGES float never happens, so the crossover predicate is
+    exact cents arithmetic on both engines. Partial frames are excluded
+    (rid ≥ 7) rather than averaged over shorter windows; ordering is
+    totally tie-broken by (epoch-sec, orderkey).
+
+    Scale: one (custkey) exchange serves the shared window sort; both
+    trailing sums and the lag read the same WindowExec buffer, O(1)
+    state per row. Crossing rows are a tiny fraction of input — the
+    event-not-series output shape is what keeps a 100 TB detector's
+    sink small.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        epoch_seconds("o_orderdate").alias("sec"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("sec", "o_orderkey")
+    s = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rid"),
+        F.sum("cents")
+        .over(w.rowsBetween(-(_SMA_FAST - 1), Window.currentRow))
+        .alias("sum_fast"),
+        F.sum("cents")
+        .over(w.rowsBetween(-(_SMA_SLOW - 1), Window.currentRow))
+        .alias("sum_slow"),
+    ).filter(F.col("rid") >= _SMA_SLOW)
+    cmp = F.lit(_SMA_SLOW) * F.col("sum_fast") - F.lit(_SMA_FAST) * F.col("sum_slow")
+    wl = Window.partitionBy("o_custkey").orderBy("rid")
+    c = s.select(
+        "o_custkey",
+        "o_orderkey",
+        "rid",
+        "sum_fast",
+        "sum_slow",
+        cmp.alias("cmp"),
+        F.lag(cmp).over(wl).alias("prev_cmp"),
+    )
+    return c.filter(
+        F.col("prev_cmp").isNotNull()
+        & (
+            ((F.col("cmp") > 0) & (F.col("prev_cmp") <= 0))
+            | ((F.col("cmp") < 0) & (F.col("prev_cmp") >= 0))
+        )
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("rid").cast("bigint").alias("rid"),
+        F.col("sum_fast").cast("bigint").alias("sum_fast"),
+        F.col("sum_slow").cast("bigint").alias("sum_slow"),
+        F.when(F.col("cmp") > 0, F.lit("golden")).otherwise(F.lit("dead")).alias("cross_type"),
+    )

@@ -625,3 +625,117 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("peak") - F.col("cents")).cast("bigint").alias("max_drawdown_cents"),
         F.max(F.expr("(peak - cents) * 10000 div peak")).cast("bigint").alias("max_dd_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling Pearson correlation from exact integer moments
+# ---------------------------------------------------------------------------
+
+_ROLLCORR_FRAME = 7
+
+_ROLLCORR_ORACLE = f"""
+WITH li AS (
+    SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM lineitem
+), s AS (
+    SELECT l_suppkey,
+           row_number() OVER w AS rid,
+           count(*)      OVER f AS n_frame,
+           sum(q)        OVER f AS sx,
+           sum(cents)    OVER f AS sy,
+           sum(q * cents) OVER f AS sxy,
+           sum(q * q)    OVER f AS sx2,
+           sum(cents * cents) OVER f AS sy2
+    FROM li
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, q, cents),
+           f AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, q, cents
+                 ROWS BETWEEN {_ROLLCORR_FRAME - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT l_suppkey, CAST(rid AS BIGINT) AS rid,
+       CAST(n_frame AS BIGINT) AS n_frame,
+       CAST(n_frame * sxy - sx * sy AS BIGINT)  AS num,
+       CAST(n_frame * sx2 - sx * sx AS BIGINT)  AS denx,
+       CAST(n_frame * sy2 - sy * sy AS BIGINT)  AS deny,
+       round(CAST(n_frame * sxy - sx * sy AS DOUBLE)
+             / sqrt(nullif(CAST(n_frame * sx2 - sx * sx AS DOUBLE)
+                           * CAST(n_frame * sy2 - sy * sy AS DOUBLE), 0)), 4)
+           + 0.0 AS corr4
+FROM s
+"""
+
+
+@op("win_rolling_corr", oracle=_ROLLCORR_ORACLE, tags=("ext", "window", "scale"))
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between quantity and line revenue
+    over each supplier's last 7 shipments — the co-movement monitor
+    (is this supplier's price tracking volume, or decoupling?) that
+    engines only offer as an unbounded `corr` aggregate, here as a
+    trailing window.
+
+    Exactness discipline (agg_corr_pairs / graph_assortativity): the
+    five frame moments (Σx, Σy, Σxy, Σx², Σy²) are exact bigints in
+    cents, the outputs `num`/`denx`/`deny` are the exact integer
+    correlation decomposition n·Σxy − Σx·Σy etc., and the only float
+    work is one division + sqrt over those identical integers, rounded
+    to 4. All moment magnitudes stay under 2⁵³ by construction
+    (7-row frame × cents ≤ 10⁷), so the double conversion is lossless
+    on both engines. Window order is totally tie-broken down to the
+    value columns — the fixture's duplicate (orderkey, linenumber) rows
+    (TESTDATA quirk) order arbitrarily only among identical rows, which
+    cannot change any frame's multiset.
+
+    Scale: one (suppkey) exchange + one sort feeds ALL six windowed
+    sums in a single WindowExec (same frame spec → one buffer pass);
+    bounded 7-row frames mean O(1) state per row. At 100 TB this is
+    the standard sort-window cost — no joins, no second shuffle.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "q", "cents"]
+    w = Window.partitionBy("l_suppkey").orderBy(*order)
+    f = w.rowsBetween(-(_ROLLCORR_FRAME - 1), Window.currentRow)
+    s = li.select(
+        "l_suppkey",
+        F.row_number().over(w).alias("rid"),
+        F.count("*").over(f).alias("n_frame"),
+        F.sum("q").over(f).alias("sx"),
+        F.sum("cents").over(f).alias("sy"),
+        F.sum(F.col("q") * F.col("cents")).over(f).alias("sxy"),
+        F.sum(F.col("q") * F.col("q")).over(f).alias("sx2"),
+        F.sum(F.col("cents") * F.col("cents")).over(f).alias("sy2"),
+    )
+    num = F.col("n_frame") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n_frame") * F.col("sx2") - F.col("sx") * F.col("sx")
+    deny = F.col("n_frame") * F.col("sy2") - F.col("sy") * F.col("sy")
+    return s.select(
+        "l_suppkey",
+        F.col("rid").cast("bigint").alias("rid"),
+        F.col("n_frame").cast("bigint").alias("n_frame"),
+        num.cast("bigint").alias("num"),
+        denx.cast("bigint").alias("denx"),
+        deny.cast("bigint").alias("deny"),
+        # `+ 0.0` normalizes IEEE -0.0 (DuckDB's round keeps the sign,
+        # Spark's drops it) so the value hash agrees at exact zero.
+        (
+            F.round(
+                num.cast("double")
+                / F.sqrt(
+                    F.nullif(denx.cast("double") * deny.cast("double"), F.lit(0.0))
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("corr4"),
+    )

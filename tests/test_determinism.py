@@ -49,6 +49,11 @@ SWEEP = [
     "dedup_cdc_chunks",            # md5-derived breakpoints (r7)
     "corpus_dedup_pipeline",       # three-tier cascade (r7)
     "agg_extremal_by",             # packed-key max_by/min_by ties (r7)
+    "win_rolling_corr",            # duplicate-row window ties (r7)
+    "corpus_vocab_coverage",       # count-tie rank ordering (r7)
+    "ts_sma_crossover",            # window + lag tie-breaks (r7)
+    "dedup_minhash_banded",        # md5-stream LSH keeper assignment (r7)
+    "text_zipf_alpha",             # sorted-array float folds (r7)
 ]
 
 

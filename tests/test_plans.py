@@ -1362,3 +1362,86 @@ def test_modularity_linear_joins_only(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert plan.count("Location: InMemoryFileIndex") == 0, plan
+
+
+def test_assortativity_single_edge_build(spark):
+    """graph_assortativity: the checkpointed und frame must feed degree
+    and both end-joins without re-deriving the bucket build — no parquet
+    scan survives into the final plan, and the join tier stays
+    hash-equi (no nested loops)."""
+    df = _q("graph_assortativity", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 0, plan
+
+
+def test_rolling_corr_one_exchange_one_window(spark):
+    """win_rolling_corr: all six frame moments + row_number must plan
+    into ONE suppkey exchange feeding WindowExec — no joins, no second
+    shuffle (the shared-frame-spec guarantee the docstring claims)."""
+    df = _q("win_rolling_corr", spark)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert count_in_plan(df, "Exchange") == 1, plan
+    assert "Window" in plan
+
+
+def test_vocab_coverage_running_topk(spark):
+    """corpus_vocab_coverage: the rk <= K cut must plan as
+    WindowGroupLimit (running top-K, no full per-lang sort
+    materialization of the vocabulary)."""
+    df = _q("corpus_vocab_coverage", spark)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hashing_vectorizer_map_side_only(spark):
+    """text_hashing_vectorizer: vocabulary-free means join-free — the
+    plan is explode + hash + aggregate, with the scan pruned to the
+    two consumed columns."""
+    df = _q("text_hashing_vectorizer", spark)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_sma_crossover_one_exchange(spark):
+    """ts_sma_crossover: the trailing-sum window and the lag window
+    share the custkey partitioning — one exchange, two sorts at most,
+    no join."""
+    df = _q("ts_sma_crossover", spark)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert count_in_plan(df, "Exchange") == 1, plan
+
+
+def test_psi_single_scan_no_join(spark):
+    """stats_psi_stability: era totals come from a whole-frame window
+    over the bounded cells frame — orders is scanned exactly once and
+    no join appears (the re-derived-subtree cross-join shape is the
+    anti-pattern this pins against)."""
+    df = _q("stats_psi_stability", spark)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_minhash_banded_no_pair_blowup(spark):
+    """dedup_minhash_banded: keeper-star assignment, never in-bucket
+    pairing — the plan must stay hash-equi-join shaped (no nested
+    loops, no cartesian) all the way through verify."""
+    df = _q("dedup_minhash_banded", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zipf_running_topk(spark):
+    """text_zipf_alpha: the rank <= 50 cut must plan as WindowGroupLimit
+    (running top-K over counts, no full vocabulary sort)."""
+    df = _q("text_zipf_alpha", spark)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -1932,3 +1932,38 @@ def test_ks_statistic_zero_for_identical_eras(spark):
         F.max(F.abs(F.col("n2") * F.col("cum_a") - F.col("n1") * F.col("cum_b"))).alias("d")
     ).collect()[0]["d"]
     assert d == 0
+
+
+def test_snapshot_expire_gc_contract(spark):
+    """sink_snapshot_expire: after GC the expired snapshot must be
+    GONE (its manifest deleted, its files reclaimed) while every
+    retained snapshot still reads completely — reference-counted
+    deletion, not directory cleanup."""
+    import os
+
+    from connor_fun_streamproducer_spark.sources.layout import (
+        _gc_orders_root,
+        read_snapshot,
+    )
+
+    root = _gc_orders_root(spark, SF_DIR)
+    # expired snapshot: manifest physically gone
+    assert not os.path.exists(os.path.join(root, "manifest-1.txt"))
+    # retained snapshots both resolve and agree where they should:
+    # v2 is the compaction of the pre-cut rows, v3 appends the rest
+    v2 = read_snapshot(spark, root, version=2).count()
+    v3 = read_snapshot(spark, root, version=3).count()
+    from connor_fun_streamproducer_spark.catalog import load
+
+    o = load(spark, SF_DIR, "orders")
+    n_early = o.filter(F.col("o_orderdate") < "1997-01-01").count()
+    assert v2 == n_early
+    assert v3 == o.count()
+    # reclaimed files are actually off disk: only 2 live data files
+    data_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(root, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(data_files) == 2, data_files
