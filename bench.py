@@ -103,6 +103,13 @@ EXTENDED = [
     "dedup_minhash_banded",
     "sink_snapshot_expire",
     "text_zipf_alpha",
+    "graph_reciprocity",
+    "stats_cramers_v",
+    "dedup_eval_tiers",
+    "pipeline_backfill_incremental",
+    "pipeline_event_trigrams",
+    "win_time_weighted_avg",
+    "scan_corrupt_quarantine",
 ]
 
 

@@ -857,7 +857,7 @@ _MHB_HASHES = 16
 _MHB_BANDS = 4
 
 
-def _mhb_oracle() -> str:
+def _mhb_oracle(src: str = "documents") -> str:
     sig_cols = ",\n           ".join(
         f"min(CAST(concat('0x', substr(md5(concat('{k}:', t)), 1, 15)) AS UBIGINT))"
         f" AS mh_{k}"
@@ -871,7 +871,7 @@ def _mhb_oracle() -> str:
     )
     return f"""
 WITH tok AS (
-    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM {src}
 ), sig AS (
     SELECT doc_id,
            {sig_cols}
@@ -887,7 +887,7 @@ WITH tok AS (
     GROUP BY b.doc_id
     HAVING min(m.bucket_keeper) < b.doc_id
 ), toks AS (
-    SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM {src}
 )
 SELECT c.doc_id, c.keeper_doc_id,
        round(CAST(len(list_intersect(a.toks, k.toks)) AS DOUBLE)
@@ -928,7 +928,13 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine determinism and is why the xxhash64 variant stays the
     production path.
     """
-    d = load(spark, sf_dir, "documents")
+    return _minhash_banded_pipeline(load(spark, sf_dir, "documents"))
+
+
+def _minhash_banded_pipeline(d: DataFrame) -> DataFrame:
+    """The md5-stream MinHash+LSH pipeline over an arbitrary documents
+    frame — shared by the production-shaped op (full corpus) and the
+    eval harness (fixed slice)."""
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
     )
@@ -983,4 +989,130 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter / union
     return verified.filter(jac > 0.8).select(
         "doc_id", "keeper_doc_id", F.round(jac, 4).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-tier evaluation harness (recall of LSH vs exact ground truth)
+# ---------------------------------------------------------------------------
+
+
+_EVAL_SLICE = 500  # fixed eval budget: truth cost is slice^2 at ANY sf
+
+
+def _dedup_eval_oracle() -> str:
+    # Truth: ANY partner with exact token-Jaccard > 0.8, unblocked
+    # all-pairs over the eval slice. Detected: dedup_minhash_banded's
+    # non-keeper docs (its verify step re-checks exact Jaccard, so
+    # every detected doc must be a truth doc => precision is structural).
+    return f"""
+WITH eval_ids AS (
+    SELECT doc_id FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {_EVAL_SLICE}
+), toks AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+    FROM documents JOIN eval_ids USING (doc_id)
+), truth_pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+          > 0.8
+), truth_docs AS (
+    -- docs with at least one SMALLER-id duplicate partner: the keeper
+    -- contract says exactly these should receive a keeper assignment
+    -- (each cluster's minimum id is the representative and stays)
+    SELECT DISTINCT doc_b AS doc_id FROM truth_pairs
+), sliced AS (
+    SELECT d.* FROM documents d JOIN eval_ids USING (doc_id)
+), det AS ({_mhb_oracle(src="sliced").strip()}),
+detected_docs AS (SELECT DISTINCT doc_id FROM det)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth_docs)    AS n_truth_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM detected_docs) AS n_detected_docs,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM detected_docs d JOIN truth_docs t USING (doc_id)) AS n_caught,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM detected_docs d JOIN truth_docs t USING (doc_id)) * 10000
+       // greatest((SELECT count(*) FROM truth_docs), 1)     AS recall_bp,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM detected_docs d JOIN truth_docs t USING (doc_id)) * 10000
+       // greatest((SELECT count(*) FROM detected_docs), 1)  AS precision_bp
+"""
+
+
+@op("dedup_eval_tiers", oracle=_dedup_eval_oracle(), tags=("llm", "dedup", "eval"))
+def dedup_eval_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation harness: recall and precision of the
+    LSH tier (dedup_minhash_banded) against exact all-pairs Jaccard
+    ground truth, as a one-row DataFrame — the QA gate a production
+    corpus pipeline runs on a SAMPLED eval slice before trusting an
+    approximate dedup tier on the full 100 TB corpus. Ground truth is
+    aligned with the keeper contract: a doc counts as truth-duplicate
+    iff some SMALLER-id partner exceeds Jaccard 0.8 (each cluster's
+    minimum id is the representative and is SUPPOSED to survive, so
+    counting it as "missed" would misread keeper-star semantics as
+    recall loss); detected = assigned a verified keeper. Recall below
+    10000 bp is then genuine band-miss plus single-hop transitive
+    spread — the quantities a production pipeline tunes bands/rounds
+    against.
+
+    The all-pairs ground truth is deliberate and belongs ONLY here:
+    the eval set is a FIXED 500-doc budget drawn by md5 order (the
+    sample_reservoir idiom — unbiased and reproducible), so the truth
+    computation is 500² pair checks at ANY corpus size; an eval harness
+    that avoided all-pairs would be measuring recall against itself.
+    Precision lands at 10000 bp structurally — the banded tier
+    re-verifies with exact Jaccard — so the oracle hash pins that the
+    verify step actually runs; recall below 10000 quantifies band-miss
+    plus keeper-star single-hop loss.
+
+    Scale: truth is O(budget²) regardless of sf; the detected side is
+    the production-shaped LSH pass restricted to the slice. Nothing
+    here is quadratic in the corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    # Fixed-budget eval set: the first _EVAL_SLICE docs in md5 order
+    # (the sample_reservoir idiom) — unbiased, reproducible, and it
+    # caps the all-pairs truth at slice² FOREVER, independent of corpus
+    # size; this is what makes an O(slice²) harness shippable next to
+    # 100 TB ops.
+    eval_ids = (
+        d.select("doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(_EVAL_SLICE)
+    )
+    sliced = d.join(F.broadcast(eval_ids), "doc_id")
+    toks = sliced.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
+    pairs = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(inter / union > 0.8)
+        .select("doc_a", "doc_b")
+    )
+    truth = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    detected = _minhash_banded_pipeline(sliced).select("doc_id").distinct()
+    caught = detected.join(truth, "doc_id")
+    n_truth = truth.agg(F.count("*").alias("v"))
+    n_det = detected.agg(F.count("*").alias("v"))
+    n_caught = caught.agg(F.count("*").alias("v"))
+    row = (
+        n_truth.select(F.col("v").alias("n_truth_docs"))
+        .crossJoin(n_det.select(F.col("v").alias("n_detected_docs")))
+        .crossJoin(n_caught.select(F.col("v").alias("n_caught")))
+    )
+    return row.select(
+        F.col("n_truth_docs").cast("bigint"),
+        F.col("n_detected_docs").cast("bigint"),
+        F.col("n_caught").cast("bigint"),
+        F.expr("n_caught * 10000 div greatest(n_truth_docs, 1)")
+        .cast("bigint")
+        .alias("recall_bp"),
+        F.expr("n_caught * 10000 div greatest(n_detected_docs, 1)")
+        .cast("bigint")
+        .alias("precision_bp"),
     )

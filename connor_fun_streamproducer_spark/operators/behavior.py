@@ -992,3 +992,78 @@ def pipeline_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("n * 10000 div _tot").cast("bigint").alias("share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent 3-event sequences (sequence mining, funnels beyond pairs)
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_TOPK = 10
+
+_TRIGRAM_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type, 1) OVER w AS p1,
+           lag(event_type, 2) OVER w AS p2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+), tri AS (
+    SELECT p2 AS e1, p1 AS e2, event_type AS e3, count(*) AS n
+    FROM seq WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+), ranked AS (
+    SELECT e1, e2, e3, n,
+           row_number() OVER (ORDER BY n DESC, e1, e2, e3) AS rk
+    FROM tri
+)
+SELECT e1, e2, e3, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_TRIGRAM_TOPK}
+"""
+
+
+@op("pipeline_event_trigrams", oracle=_TRIGRAM_ORACLE, tags=("ext", "behavior"))
+def pipeline_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent 3-event sequences across all users — the
+    sequence-mining step past pipeline_event_transitions' pair matrix:
+    pairs say what follows what, trigrams expose the actual journeys
+    (view→click→purchase vs view→click→error) that funnel design and
+    anomaly triage read.
+
+    Two lags over one per-user window produce every consecutive triple
+    in a single pass (no self-joins — the naive sequence join is
+    events³); the count agg is |types|³-bounded and the global top-10
+    is a WindowGroupLimit over that bounded frame with a total-order
+    tie-break (count DESC, then lexicographic triple).
+
+    Scale: one (user) exchange for the lag scan — the same exchange
+    every sessionization op here shares — then dimension-bounded
+    aggregation; nothing downstream scales with rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(epoch_seconds("ts"), F.col("event_id"))
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    tri = (
+        seq.filter(F.col("p2").isNotNull())
+        .groupBy(
+            F.col("p2").alias("e1"),
+            F.col("p1").alias("e2"),
+            F.col("event_type").alias("e3"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wr = Window.orderBy(F.desc("n"), "e1", "e2", "e3")
+    return (
+        tri.select("e1", "e2", "e3", "n", F.row_number().over(wr).alias("rk"))
+        .filter(F.col("rk") <= _TRIGRAM_TOPK)
+        .select(
+            "e1",
+            "e2",
+            "e3",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

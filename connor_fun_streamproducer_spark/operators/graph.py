@@ -1291,3 +1291,79 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)), 6
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocity of the directed event-transition graph
+# ---------------------------------------------------------------------------
+
+_RECIP_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                          event_id) AS prev
+    FROM events
+), e AS (
+    SELECT DISTINCT prev AS src, event_type AS dst
+    FROM seq WHERE prev IS NOT NULL AND prev <> event_type
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_recip,
+       CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS recip_bp
+FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+"""
+
+
+@op("graph_reciprocity", oracle=_RECIP_ORACLE, tags=("ext", "graph"))
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the directed event-transition graph: the share of
+    distinct A→B transition edges whose reverse B→A also occurs — the
+    directed-graph health probe that separates feedback-loop structure
+    (view⇄click, high reciprocity) from one-way funnels (signup→…→
+    purchase, low) before anyone fits a model that assumes either.
+    Complements graph_assortativity (undirected degree mixing) on the
+    DIRECTED graph the pagerank tier already derives.
+
+    Exact: distinct-edge set, one self-equi-join on the reversed key,
+    integer basis points. Self-loops are excluded (trivially
+    reciprocal). Scale: the edge set is |event_type|² -bounded (the
+    transition graph's nodes are TYPES, not users), so everything after
+    the per-user lag scan is dimension-bounded; the lag scan is the
+    same one exchange the pagerank edge build pays.
+    """
+    ev = load(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                epoch_seconds("ts"), F.col("event_id")
+            )
+        )
+        .alias("prev"),
+    )
+    e = (
+        seq.filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("event_type")))
+        .select(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .distinct()
+    )
+    r = e.select(F.col("src").alias("rsrc"), F.col("dst").alias("rdst"))
+    j = e.join(
+        r, (F.col("rsrc") == F.col("dst")) & (F.col("rdst") == F.col("src")), "left"
+    )
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.sum(F.when(F.col("rsrc").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_recip"),
+        F.expr(
+            "sum(CASE WHEN rsrc IS NOT NULL THEN 1 ELSE 0 END) * 10000"
+            " div count(*)"
+        )
+        .cast("bigint")
+        .alias("recip_bp"),
+    )

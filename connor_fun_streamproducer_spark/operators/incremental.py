@@ -815,3 +815,69 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v.attr_value").alias("attr_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-scoped backfill (late data -> recompute only affected partitions)
+# ---------------------------------------------------------------------------
+
+_BACKFILL_MOD = 11  # orderkey % MOD == 0 rows arrive "late"
+
+_BACKFILL_ORACLE = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+GROUP BY 1
+"""
+
+
+@op(
+    "pipeline_backfill_incremental",
+    oracle=_BACKFILL_ORACLE,
+    tags=("ext", "incremental", "scale"),
+)
+def pipeline_backfill_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped backfill: late-arriving rows trigger a recompute
+    of ONLY the monthly rollup partitions they touch; untouched months
+    are spliced through from the maintained view unchanged — the
+    standard production answer when the metric is NOT decomposable
+    (n_distinct customers cannot be maintained by merging partials, so
+    ivm_delta_agg's partial-merge path is unavailable and the choice is
+    recompute-affected vs recompute-everything).
+
+    Mechanics: the maintained view is the rollup of on-time rows; the
+    late delta's distinct months form the (dimension-bounded, broadcast)
+    affected set; affected months recompute from the FULL month slice
+    (on-time + late — at 100 TB this is a partition-pruned read of just
+    those partitions, which is why the rollup is partitioned by month in
+    the first place), everything else left-anti-joins through from the
+    old view. The oracle recomputes the whole table, so the hash-match
+    proves splice == full recompute — no month double-counted, none
+    lost, distinct-counts correct across the splice boundary.
+
+    Scale: work is O(affected partitions + |view|), not O(table); both
+    the affected-set join and the anti-join are broadcasts against a
+    |months|-bounded frame. Exact integer cents throughout.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        (F.col("o_orderkey") % _BACKFILL_MOD == 0).alias("late"),
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("month").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_cust"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+
+    old_view = rollup(o.filter(~F.col("late")))
+    affected = o.filter(F.col("late")).select("month").distinct()
+    recomputed = rollup(o.join(F.broadcast(affected), "month", "left_semi"))
+    untouched = old_view.join(F.broadcast(affected), "month", "left_anti")
+    return untouched.unionByName(recomputed)

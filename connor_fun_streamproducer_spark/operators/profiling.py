@@ -930,3 +930,99 @@ def stats_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_b").cast("bigint").alias("c_b"),
         (F.round((p - q) * F.log(p / q), 6) + F.lit(0.0)).alias("psi_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V effect size (fold-deterministic chi-square scalar)
+# ---------------------------------------------------------------------------
+
+_CRAMER_ORACLE = """
+WITH base AS (
+    SELECT event_type AS a, CAST(hour(ts) // 6 AS BIGINT) AS b FROM events
+), o AS (
+    SELECT a, b, count(*) AS obs FROM base GROUP BY 1, 2
+), ra AS (SELECT a, sum(obs) AS r FROM o GROUP BY 1),
+cb AS (SELECT b, sum(obs) AS c FROM o GROUP BY 1),
+tot AS (
+    SELECT sum(obs) AS n,
+           (SELECT count(*) FROM ra) AS n_a,
+           (SELECT count(*) FROM cb) AS n_b
+    FROM o
+), cells AS (
+    SELECT o.a, o.b, o.obs, ra.r, cb.c FROM o JOIN ra USING (a) JOIN cb USING (b)
+), lst AS (
+    SELECT list_sort(list([obs, r, c])) AS l FROM cells
+)
+SELECT CAST(t.n AS BIGINT) AS n_total,
+       CAST(least(t.n_a - 1, t.n_b - 1) AS BIGINT) AS df_min,
+       round(list_reduce(list_transform(l.l, p ->
+                 (CAST(p[1] AS DOUBLE) * t.n - CAST(p[2] AS DOUBLE) * p[3])
+                 * (CAST(p[1] AS DOUBLE) * t.n - CAST(p[2] AS DOUBLE) * p[3])
+                 / (CAST(p[2] AS DOUBLE) * p[3] * t.n)),
+             (x, y) -> x + y), 6) + 0.0 AS chi2,
+       round(sqrt(list_reduce(list_transform(l.l, p ->
+                 (CAST(p[1] AS DOUBLE) * t.n - CAST(p[2] AS DOUBLE) * p[3])
+                 * (CAST(p[1] AS DOUBLE) * t.n - CAST(p[2] AS DOUBLE) * p[3])
+                 / (CAST(p[2] AS DOUBLE) * p[3] * t.n))
+             , (x, y) -> x + y)
+             / (t.n * least(t.n_a - 1, t.n_b - 1))), 6) + 0.0 AS cramers_v
+FROM lst l CROSS JOIN tot t
+"""
+
+
+@op("stats_cramers_v", oracle=_CRAMER_ORACLE, tags=("ext", "stats", "profile"))
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the [0,1] effect size of the event-type × day-part
+    association: chi-square is unbounded in N (stats_chi2_independence's
+    per-cell screen flags ANY dependence at scale), V = sqrt(χ²/(N·
+    min(r−1,c−1))) answers the question that actually matters at 100 TB
+    row counts: is the dependence LARGE, or merely detectable?
+
+    Float-determinism: χ² is a LEFT FOLD over the per-cell (obs, r, c)
+    triples sorted lexicographically (the text_zipf_alpha discipline) —
+    per-cell terms (obs·N − r·c)²/(r·c·N) are computed from identical
+    exact integers and summed in identical order on both engines; one
+    sqrt + round(6) at the end, −0.0 normalized.
+
+    Scale: everything after the |A|×|B|-cell hash agg runs on the
+    dimension-bounded cell frame — marginals are windows over the
+    cells, not re-derived aggs, so events is scanned exactly once; the
+    fold is a ~20-element array op.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("a"),
+        F.expr("hour(ts) div 6").cast("bigint").alias("b"),
+    )
+    o = base.groupBy("a", "b").agg(F.count("*").alias("obs"))
+    # Marginals as windows over the bounded cell frame (the PSI
+    # discipline): re-deriving them as separate aggs + joins would
+    # replay the corpus-sized cell scan three times.
+    cells = o.select(
+        "a",
+        "b",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("a")).alias("r"),
+        F.sum("obs").over(Window.partitionBy("b")).alias("c"),
+    )
+    lst = cells.agg(
+        F.array_sort(F.collect_list(F.array("obs", "r", "c"))).alias("l"),
+        F.sum("obs").alias("n"),
+        F.countDistinct("a").alias("n_a"),
+        F.countDistinct("b").alias("n_b"),
+    )
+    chi2 = F.expr(
+        "aggregate(l, CAST(0.0 AS DOUBLE), (x, p) -> x +"
+        " (CAST(p[0] AS DOUBLE) * n - CAST(p[1] AS DOUBLE) * p[2])"
+        " * (CAST(p[0] AS DOUBLE) * n - CAST(p[1] AS DOUBLE) * p[2])"
+        " / (CAST(p[1] AS DOUBLE) * p[2] * n))"
+    )
+    df_min = F.least(F.col("n_a") - 1, F.col("n_b") - 1)
+    return lst.select(
+        F.col("n").cast("bigint").alias("n_total"),
+        df_min.cast("bigint").alias("df_min"),
+        (F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
+        (F.round(F.sqrt(chi2 / (F.col("n") * df_min)), 6) + F.lit(0.0)).alias(
+            "cramers_v"
+        ),
+    )

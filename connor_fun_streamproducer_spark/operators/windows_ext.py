@@ -739,3 +739,76 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("corr4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) over irregular event series
+# ---------------------------------------------------------------------------
+
+_TWAP_ORACLE = """
+WITH e AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_bp,
+           event_id
+    FROM events WHERE event_type = 'click'
+), seg AS (
+    SELECT user_id, v_bp,
+           lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) - sec
+               AS dur
+    FROM e
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(v_bp * dur) AS BIGINT) AS weighted_bp_sec,
+       CAST(sum(dur) AS BIGINT) AS total_sec,
+       round(CAST(sum(v_bp * dur) AS DOUBLE)
+             / nullif(CAST(sum(dur) AS DOUBLE) * 10000, 0), 6) + 0.0 AS twap
+FROM seg WHERE dur IS NOT NULL AND dur > 0
+GROUP BY user_id
+"""
+
+
+@op("win_time_weighted_avg", oracle=_TWAP_ORACLE, tags=("ext", "window", "temporal"))
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of each user's click metric — the
+    correct mean for IRREGULARLY sampled series, where the plain mean
+    over-weights bursts: each reading holds until the next one, so its
+    weight is its holding duration (lead(ts) − ts), the step-function
+    integral divided by elapsed time.
+
+    Exactness: readings quantized to basis points, durations in whole
+    seconds → the integral Σ v·dur and the denominator Σ dur are exact
+    bigints; the single float division happens once per user over those
+    identical integers (round 6, −0.0 normalized). Zero-duration
+    segments (same-second readings) are excluded on both engines — the
+    step function assigns them no measure.
+
+    Scale: one (user) exchange + sort for the lead, then a hash agg on
+    the same partitioning — Spark plans no second exchange. The classic
+    feature-store aggregation (sensor/price TWAP) with no interpolation
+    state to carry.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "click").select(
+        "user_id",
+        epoch_seconds("ts").alias("sec"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint").alias("v_bp"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    seg = e.select(
+        "user_id", "v_bp", (F.lead("sec").over(w) - F.col("sec")).alias("dur")
+    ).filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+    return seg.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum(F.col("v_bp") * F.col("dur")).cast("bigint").alias("weighted_bp_sec"),
+        F.sum("dur").cast("bigint").alias("total_sec"),
+        (
+            F.round(
+                F.sum(F.col("v_bp") * F.col("dur")).cast("double")
+                / F.nullif(F.sum("dur").cast("double") * 10000, F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("twap"),
+    )

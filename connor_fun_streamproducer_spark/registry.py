@@ -303,6 +303,13 @@ _WINDOW_PRIORITY = [
     "dedup_minhash_banded",          # new: md5-stream LSH, hash-provable twin
     "sink_snapshot_expire",          # new: snapshot GC + orphan-file reclaim
     "text_zipf_alpha",               # new: Zipf log-log slope, fold-exact floats
+    "graph_reciprocity",             # new: directed transition-graph reciprocity
+    "stats_cramers_v",               # new: fold-deterministic chi2 effect size
+    "dedup_eval_tiers",              # new: LSH recall/precision vs exact truth
+    "pipeline_backfill_incremental", # new: partition-scoped late-data backfill
+    "pipeline_event_trigrams",       # new: top-10 3-event journey sequences
+    "win_time_weighted_avg",         # new: exact-integer TWAP over step series
+    "scan_corrupt_quarantine",       # new: torn-parquet resilience + quarantine
     # -- displaced from the r07 stale-refresh tail by the three sketch
     #    promotions; next stale tier for r08 ----------------------------
     "project_select",

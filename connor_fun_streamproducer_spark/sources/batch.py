@@ -391,3 +391,79 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             conf.unset("spark.sql.parquet.aggregatePushdown")
         else:
             conf.set("spark.sql.parquet.aggregatePushdown", old_push)
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-parquet quarantine (ignoreCorruptFiles resilience contract)
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "scan_corrupt_quarantine",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_files_total,
+           CAST(1 AS BIGINT) AS n_files_corrupt,
+           CAST(count(*) AS BIGINT) AS n_good_rows,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events
+    """,
+    tags=("ext", "source"),
+)
+def scan_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file resilience: a table directory holding two good
+    parquet files and one torn/garbage ``.parquet`` (the truncated
+    upload / bad object-store replica every 100 TB lake eventually
+    grows) is read under ``spark.sql.files.ignoreCorruptFiles`` — the
+    scan survives, yields exactly the good files' rows, and the corrupt
+    member is identified by a footer probe so it can be quarantined
+    rather than silently ignored forever.
+
+    The oracle pins the id-checksum of ALL events rows plus the literal
+    file census (3 files, 1 corrupt): proving the reader dropped the
+    garbage file and only it — the same exactly-the-garbage discipline
+    as scan_csv_permissive, at file granularity instead of row.
+
+    Tolerance is scoped as a per-read datasource option (never the
+    session conf — leaking ignoreCorruptFiles engine-wide would mask
+    real corruption elsewhere); the footer probe reads 8 bytes per file (magic check),
+    which is the metadata-cost quarantine listing a production
+    compactor would persist. Splittability and predicate pushdown on
+    the surviving files are unchanged — resilience costs nothing on the
+    good path.
+    """
+    path = _scratch_dir(sf_dir, "events_parquet_torn")
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+        ev.filter(F.col("event_id") % 2 == 0).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        ev.filter(F.col("event_id") % 2 == 1).repartition(1).write.mode(
+            "append"
+        ).parquet(path)
+        with open(os.path.join(path, "zz-torn.parquet"), "wb") as fh:
+            fh.write(b"PAR1\x00\x13\x37this is not a parquet footer")
+        with open(marker, "w"):
+            pass
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+    )
+
+    def _is_corrupt(p: str) -> bool:
+        with open(p, "rb") as fh:
+            fh.seek(-4, os.SEEK_END)
+            return fh.read(4) != b"PAR1"
+
+    corrupt = [f for f in files if _is_corrupt(os.path.join(path, f))]
+    # Per-READ datasource option, not the session conf: ignoreCorruptFiles
+    # is consulted at execution time, so a set/restore around plan
+    # binding would not survive until collect — and leaking the session
+    # conf would mask real corruption in every other op. The reader
+    # option scopes the tolerance to exactly this scan.
+    good = spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+    return good.agg(
+        F.lit(len(files)).cast("bigint").alias("n_files_total"),
+        F.lit(len(corrupt)).cast("bigint").alias("n_files_corrupt"),
+        F.count("*").cast("bigint").alias("n_good_rows"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+    )

@@ -54,6 +54,9 @@ SWEEP = [
     "ts_sma_crossover",            # window + lag tie-breaks (r7)
     "dedup_minhash_banded",        # md5-stream LSH keeper assignment (r7)
     "text_zipf_alpha",             # sorted-array float folds (r7)
+    "stats_cramers_v",             # sorted-cell chi2 fold (r7)
+    "dedup_eval_tiers",            # all-pairs truth + LSH compose (r7)
+    "pipeline_event_trigrams",     # count-tie topk ordering (r7)
 ]
 
 

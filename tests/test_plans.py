@@ -1445,3 +1445,84 @@ def test_zipf_running_topk(spark):
     plan = formatted_plan(df)
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_reciprocity_dim_bounded_join(spark):
+    """graph_reciprocity: after the per-user lag scan, everything runs
+    on the |event_type|²-bounded distinct edge set — the reverse-edge
+    probe must not be a cartesian product."""
+    df = _q("graph_reciprocity", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_cramers_v_single_cell_agg(spark):
+    """stats_cramers_v: one corpus-sized aggregation (the cell count);
+    marginals and the fold run on the bounded cell frame — no window,
+    no cartesian, and the scan pruned to the two consumed columns."""
+    df = _q("stats_cramers_v", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_dedup_eval_truth_only_on_slice(spark):
+    """dedup_eval_tiers: the all-pairs ground truth is sanctioned ONLY
+    because it runs on the bounded eval slice; the plan must still be
+    join-shaped (range condition on doc ids), not an unconditioned
+    cartesian of the corpus with itself."""
+    df = _q("dedup_eval_tiers", spark)
+    plan = formatted_plan(df)
+    # doc_a < doc_b is a non-equi condition: Spark plans it as a
+    # BroadcastNestedLoopJoin on the slice — assert it stays bounded by
+    # checking the full-corpus token explode feeds only the LSH side.
+    assert "CartesianProduct" not in plan
+
+
+def test_backfill_broadcast_affected_set(spark):
+    """pipeline_backfill_incremental: both the affected-month semi-join
+    and the untouched anti-join must broadcast the dimension-bounded
+    month set — no shuffle of the fact side on the splice path."""
+    df = _q("pipeline_backfill_incremental", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin LeftSemi" in plan.replace("  ", " ") or (
+        "LeftSemi" in plan and "BroadcastExchange" in plan
+    ), plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_trigrams_one_user_exchange(spark):
+    """pipeline_event_trigrams: both lags ride one per-user window (no
+    self-joins — the naive 3-way sequence join is events³); downstream
+    aggregation is |types|³-bounded."""
+    df = _q("pipeline_event_trigrams", spark)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_twap_single_exchange(spark):
+    """win_time_weighted_avg: the lead window and the per-user agg must
+    share one user exchange — no second shuffle, no join."""
+    df = _q("win_time_weighted_avg", spark)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert count_in_plan(df, "Exchange") == 1, plan
+
+
+def test_corrupt_quarantine_survives_and_counts(spark):
+    """scan_corrupt_quarantine: the torn file must be invisible to the
+    scan (ignoreCorruptFiles as a per-read option) AND identified by
+    the footer probe; a plain read of the same dir must still FAIL —
+    proving the tolerance did not leak into the session."""
+    import pytest as _pytest
+
+    from connor_fun_streamproducer_spark.sources.batch import _scratch_dir
+
+    row = _q("scan_corrupt_quarantine", spark).collect()[0]
+    assert row.n_files_total == 3 and row.n_files_corrupt == 1
+    path = _scratch_dir(SF_DIR, "events_parquet_torn")
+    with _pytest.raises(Exception):
+        spark.read.parquet(path).count()
