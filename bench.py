@@ -110,6 +110,9 @@ EXTENDED = [
     "pipeline_event_trigrams",
     "win_time_weighted_avg",
     "scan_corrupt_quarantine",
+    "pipeline_audience_overlap",
+    "stats_ab_proportions",
+    "pipeline_skyline_frontier",
 ]
 
 

