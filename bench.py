@@ -113,6 +113,8 @@ EXTENDED = [
     "pipeline_audience_overlap",
     "stats_ab_proportions",
     "pipeline_skyline_frontier",
+    "sink_write_audit_publish",
+    "embedding_label_distances",
 ]
 
 

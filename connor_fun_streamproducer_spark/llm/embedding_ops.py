@@ -273,3 +273,94 @@ def embedding_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2_scaled").cast("bigint").alias("d2_scaled"),
         (F.col("rk") * _OUT_TOP_DEN <= F.col("n")).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-label centroid distances (class-separability screen)
+# ---------------------------------------------------------------------------
+
+_LBL_Q = 1000  # quantization: exact integer per-dim sums
+
+
+_LABEL_DIST_ORACLE = f"""
+WITH u AS (
+    SELECT label, i, CAST(floor(x * {_LBL_Q} + 0.5) AS BIGINT) AS q
+    FROM (SELECT label, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i FROM embeddings)
+), n AS (
+    SELECT label, count(*) AS n FROM embeddings GROUP BY 1
+), s AS (
+    SELECT label, i, sum(q) AS s FROM u GROUP BY 1, 2
+), pair AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           list_sort(list([a.i, a.s, b.s])) AS l
+    FROM s a JOIN s b ON a.i = b.i AND a.label < b.label
+    GROUP BY 1, 2
+)
+SELECT p.label_a, p.label_b,
+       CAST(na.n AS BIGINT) AS n_a,
+       CAST(nb.n AS BIGINT) AS n_b,
+       round(list_reduce(list_transform(p.l, e ->
+                 (CAST(e[2] AS DOUBLE) / na.n - CAST(e[3] AS DOUBLE) / nb.n)
+                 * (CAST(e[2] AS DOUBLE) / na.n - CAST(e[3] AS DOUBLE) / nb.n)),
+             (x, y) -> x + y) / ({_LBL_Q} * {_LBL_Q}.0), 6) + 0.0 AS dist2
+FROM pair p
+JOIN n na ON na.label = p.label_a
+JOIN n nb ON nb.label = p.label_b
+"""
+
+
+@op("embedding_label_distances", oracle=_LABEL_DIST_ORACLE, tags=("llm", "embedding"))
+def embedding_label_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared distance between every pair of label centroids — the
+    class-separability screen run before trusting labels for training
+    or stratified sampling (centroids that coincide mean the labels
+    carry no geometric signal; one far-out pair flags a mixed or
+    mislabeled class).
+
+    Exactness (embedding_covariance's discipline plus the fold): values
+    quantize to integers, per-(label, dim) SUMS are exact bigints, and
+    the centroid distance folds over the 64 dims in ascending-dim order
+    (sorted-array left fold, text_zipf_alpha) — each per-dim term is
+    the identical double expression over identical exact ints, so the
+    sum is bit-identical across engines; one round(6), −0.0 normalized.
+    Means are never materialized as floats before the fold.
+
+    Scale: one explode-and-sum pass (shuffle carries |labels|×d rows,
+    never vectors), a d-key equi-join of two dim-bounded frames, and
+    45 fold rows. The 100 TB cost is the per-dim aggregation every
+    centroid computation already pays.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.groupBy("label").agg(F.count("*").alias("n"))
+    u = emb.select(
+        "label", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "label",
+        (F.col("i") + 1).alias("i"),  # 1-based to mirror generate_subscripts
+        F.floor(F.col("x") * _LBL_Q + F.lit(0.5)).cast("bigint").alias("q"),
+    )
+    s = u.groupBy("label", "i").agg(F.sum("q").alias("s"))
+    a = s.select(F.col("label").alias("label_a"), "i", F.col("s").alias("sa"))
+    b = s.select(F.col("label").alias("label_b"), "i", F.col("s").alias("sb"))
+    pair = (
+        a.join(b, "i")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.array_sort(F.collect_list(F.array("i", "sa", "sb"))).alias("l"))
+    )
+    na = n.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    out = pair.join(F.broadcast(na), "label_a").join(F.broadcast(nb), "label_b")
+    fold = F.expr(
+        "aggregate(l, CAST(0.0 AS DOUBLE), (x, e) -> x +"
+        " (CAST(e[1] AS DOUBLE) / n_a - CAST(e[2] AS DOUBLE) / n_b)"
+        " * (CAST(e[1] AS DOUBLE) / n_a - CAST(e[2] AS DOUBLE) / n_b))"
+    )
+    return out.select(
+        "label_a",
+        "label_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (F.round(fold / F.lit(float(_LBL_Q) ** 2), 6) + F.lit(0.0)).alias("dist2"),
+    )

@@ -313,6 +313,8 @@ _WINDOW_PRIORITY = [
     "pipeline_audience_overlap",     # new: distinct-user overlap per type pair
     "stats_ab_proportions",          # new: two-proportion z-test (A/B primitive)
     "pipeline_skyline_frontier",     # new: 2-D Pareto skyline via sort-window
+    "sink_write_audit_publish",      # new: WAP staged-snapshot audit gate
+    "embedding_label_distances",     # new: inter-centroid separability screen
     # -- displaced from the r07 stale-refresh tail by the three sketch
     #    promotions; next stale tier for r08 ----------------------------
     "project_select",

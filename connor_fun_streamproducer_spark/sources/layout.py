@@ -1169,3 +1169,118 @@ def sink_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "total_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# Write-Audit-Publish (staged snapshot gated by a quality audit)
+
+
+_WAP_CUT = "1997-06-01"
+
+
+def _wap_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) a WAP table: v1 = pre-cut orders; a GOOD delta
+    (post-cut rows) staged, audited, and published as v2; then a BAD
+    delta (all-NULL keys) staged, FAILED by the audit, and discarded —
+    VERSION must still read 2 and the bad files must never be
+    reachable from any manifest."""
+    root = _scratch_path(sf_dir, "orders_wap_v1")
+    if not os.path.isfile(os.path.join(root, "_SUCCESS")):
+        o = load(spark, sf_dir, "orders")
+
+        def _build(staging: str) -> None:
+            base_dir = os.path.join(staging, "data", "base")
+            good_dir = os.path.join(staging, "data", "delta_good")
+            bad_dir = os.path.join(staging, "data", "delta_bad")
+            o.filter(F.col("o_orderdate") < _WAP_CUT).write.parquet(base_dir)
+            o.filter(F.col("o_orderdate") >= _WAP_CUT).write.parquet(good_dir)
+            # the poisoned batch: NULL order keys (violates the audit)
+            o.filter(F.col("o_orderdate") >= _WAP_CUT).limit(10).select(
+                F.lit(None).cast("bigint").alias("o_orderkey"),
+                *[c for c in o.columns if c != "o_orderkey"],
+            ).write.parquet(bad_dir)
+            rel = lambda d: [os.path.relpath(p, staging) for p in _part_files(d)]
+            base_rel, good_rel = rel(base_dir), rel(good_dir)
+            with open(os.path.join(staging, "manifest-1.txt"), "w") as fh:
+                fh.write("\n".join(base_rel))
+            with open(os.path.join(staging, "VERSION"), "w") as fh:
+                fh.write("1")
+
+            def audit(files: list[str]) -> bool:
+                df = spark.read.parquet(*[os.path.join(staging, f) for f in files])
+                bad = df.filter(F.col("o_orderkey").isNull()).count()
+                return bad == 0 and df.count() > 0
+
+            n_rejected = 0
+            # WAP commit of the good batch: audit the WOULD-BE snapshot
+            if audit(base_rel + good_rel):
+                with open(os.path.join(staging, "manifest-2.txt"), "w") as fh:
+                    fh.write("\n".join(base_rel + good_rel))
+                with open(os.path.join(staging, "VERSION"), "w") as fh:
+                    fh.write("2")
+            # WAP commit of the poisoned batch: audit must REJECT it —
+            # no manifest-3 is ever written, VERSION stays put, and the
+            # staged bad files stay orphans (snapshot-expire's GC tier
+            # is what sweeps them)
+            if not audit(base_rel + good_rel + rel(bad_dir)):
+                n_rejected += 1
+            with open(os.path.join(staging, "WAP_STATS"), "w") as fh:
+                fh.write(f"{n_rejected}\n")
+            with open(os.path.join(staging, "_SUCCESS"), "w"):
+                pass
+
+        _atomic_write(_build, root)
+    return root
+
+
+@op(
+    "sink_write_audit_publish",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS published_version,
+           CAST(1 AS BIGINT) AS n_rejected_batches,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    """,
+    tags=("ext", "sink", "scale"),
+)
+def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish — the staging discipline that keeps bad data
+    out of a 100 TB table instead of cleaning it out afterwards: a
+    batch lands as unreferenced files + a WOULD-BE manifest, a quality
+    audit runs against that staged snapshot (null keys, emptiness —
+    corpus_quality_gate's cousins at the table level), and only a
+    passing audit publishes the VERSION pointer. Readers can never
+    observe an unaudited row because visibility IS the pointer swap.
+
+    The build commits one good batch (audit passes → v2 published) and
+    one poisoned batch (NULL order keys → audit rejects, no manifest,
+    VERSION untouched, files left as orphans for the snapshot-expire
+    GC). The oracle pins the published-version and rejected-batch
+    literals plus the full-table cents checksum: the published table
+    contains exactly the audited rows — nothing from the poisoned
+    batch, nothing lost from the good one.
+
+    Scale: the audit reads ONLY the staged snapshot's files (new batch
+    + base via manifest resolution — in production the audit query is
+    usually delta-only); publish is one pointer rename. Cost scales
+    with the batch, never the table.
+    """
+    root = _wap_root(spark, sf_dir)
+    with open(os.path.join(root, "WAP_STATS")) as fh:
+        n_rejected = int(fh.read().strip())
+    with open(os.path.join(root, "VERSION")) as fh:
+        version = int(fh.read().strip())
+    cur = read_snapshot(spark, root)
+    return cur.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    ).select(
+        F.lit(version).cast("bigint").alias("published_version"),
+        F.lit(n_rejected).cast("bigint").alias("n_rejected_batches"),
+        "n_rows",
+        "total_cents",
+    )

@@ -91,6 +91,7 @@ def test_two_runs_bit_identical_across_partitionings(spark, key):
 # scale: fixpoint round counts and sample strides differ at sf0.01, so
 # scale-dependent nondeterminism would hide at sf0.001 alone.
 SWEEP_SF001 = [
+    "dedup_minhash_banded",
     "graph_connected_components",
     "graph_pagerank_dist",
     "sim_search_pq",

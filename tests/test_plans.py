@@ -1557,3 +1557,13 @@ def test_skyline_no_dominance_join(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin Inner") == 1, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_label_distances_dim_bounded(spark):
+    """embedding_label_distances: the shuffle must carry |labels|×d sum
+    rows, never vectors — one explode pass, dim-key equi-join of
+    bounded frames, broadcast count joins, no cartesian."""
+    df = _q("embedding_label_distances", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan

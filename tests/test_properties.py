@@ -1967,3 +1967,31 @@ def test_snapshot_expire_gc_contract(spark):
         if f.endswith(".parquet")
     ]
     assert len(data_files) == 2, data_files
+
+
+def test_wap_rejected_batch_invisible(spark):
+    """sink_write_audit_publish: the poisoned batch's files must be
+    orphans — unreachable from every manifest — and the published
+    snapshot must contain zero NULL order keys."""
+    import os
+
+    from connor_fun_streamproducer_spark.sources.layout import (
+        _wap_root,
+        read_snapshot,
+    )
+
+    root = _wap_root(spark, SF_DIR)
+    assert not os.path.exists(os.path.join(root, "manifest-3.txt"))
+    referenced = set()
+    for v in (1, 2):
+        with open(os.path.join(root, f"manifest-{v}.txt")) as fh:
+            referenced.update(line for line in fh.read().splitlines() if line)
+    bad_dir = os.path.join(root, "data", "delta_bad")
+    bad_files = {
+        os.path.relpath(os.path.join(bad_dir, f), root)
+        for f in os.listdir(bad_dir)
+        if f.endswith(".parquet")
+    }
+    assert bad_files and not (bad_files & referenced)
+    cur = read_snapshot(spark, root)
+    assert cur.filter(F.col("o_orderkey").isNull()).count() == 0
