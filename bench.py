@@ -115,6 +115,7 @@ EXTENDED = [
     "pipeline_skyline_frontier",
     "sink_write_audit_publish",
     "embedding_label_distances",
+    "embedding_knn_label_purity",
 ]
 
 

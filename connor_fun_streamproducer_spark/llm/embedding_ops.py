@@ -364,3 +364,107 @@ def embedding_label_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_b").cast("bigint").alias("n_b"),
         (F.round(fold / F.lit(float(_LBL_Q) ** 2), 6) + F.lit(0.0)).alias("dist2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out 1-NN label purity (label-noise screen)
+# ---------------------------------------------------------------------------
+
+_KNN_Q = 1000
+_KNN_SLICE = 500  # fixed eval budget (the dedup_eval_tiers discipline)
+
+_KNN_PURITY_ORACLE = f"""
+WITH eval_ids AS (
+    SELECT vec_id FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_KNN_SLICE}
+), e AS (
+    SELECT m.vec_id, m.label,
+           list_transform(m.embedding,
+                          x -> CAST(floor(x * {_KNN_Q} + 0.5) AS BIGINT)) AS q
+    FROM embeddings m JOIN eval_ids USING (vec_id)
+), pair AS (
+    SELECT a.vec_id AS va, a.label AS la, b.vec_id AS vb, b.label AS lb,
+           list_reduce(list_transform(range(1, len(a.q) + 1),
+                                      i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])),
+                       (x, y) -> x + y) AS dist2
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), nn AS (
+    SELECT va, la,
+           min(struct_pack(d := dist2, v := vb, l := lb)) AS best
+    FROM pair GROUP BY 1, 2
+)
+SELECT CAST(la AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN best.l = la THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       CAST(sum(CASE WHEN best.l = la THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS purity_bp
+FROM nn GROUP BY 1
+"""
+
+
+@op("embedding_knn_label_purity", oracle=_KNN_PURITY_ORACLE, tags=("llm", "embedding", "eval"))
+def embedding_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label purity per class — the label-noise
+    screen: for each vector, does its nearest OTHER vector carry the
+    same label? Per-label agreement in basis points. Clean, separable
+    labels score high; purity collapsing toward the 1/|labels| chance
+    line means the labels carry no geometric signal (mislabeled or
+    mixed classes) — run before trusting labels for training,
+    stratified sampling, or eval-set construction.
+
+    Exactness: embeddings quantize to integers, squared distances are
+    exact bigint sums over dims (diff ≤ 2Q, 64 dims — far inside
+    int64), and the neighbor argmin is a lexicographic struct-min on
+    (dist², vec_id) — fully tie-broken, no floats anywhere in the
+    decision path. The distance fold runs in ascending-dim order on
+    both engines, though with integer terms even order is irrelevant.
+
+    Scale: the all-pairs distance matrix is the point of a LOO eval
+    and is bounded by the SAME fixed 500-vector md5 eval budget as
+    dedup_eval_tiers — budget² pairs at any corpus size; the
+    production-scale path for full-corpus kNN is the ANN tier
+    (sim_search_ivf/pq), and THIS op is how you'd audit its labels.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    eval_ids = (
+        emb.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_KNN_SLICE)
+    )
+    e = emb.join(F.broadcast(eval_ids), "vec_id").select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(x * {_KNN_Q} + 0.5) AS BIGINT))"
+        ).alias("q"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("va"), F.col("label").alias("la"), F.col("q").alias("qa")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("q").alias("qb")
+    )
+    pair = a.join(F.broadcast(b), F.col("va") != F.col("vb")).select(
+        "va",
+        "la",
+        "vb",
+        "lb",
+        F.expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("dist2"),
+    )
+    nn = pair.groupBy("va", "la").agg(
+        F.min(F.struct("dist2", "vb", "lb")).alias("best")
+    )
+    return nn.groupBy(F.col("la").cast("bigint").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("best.lb") == F.col("la"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+        F.expr(
+            "sum(CASE WHEN best.lb = la THEN 1 ELSE 0 END) * 10000 div count(*)"
+        )
+        .cast("bigint")
+        .alias("purity_bp"),
+    )

@@ -315,6 +315,7 @@ _WINDOW_PRIORITY = [
     "pipeline_skyline_frontier",     # new: 2-D Pareto skyline via sort-window
     "sink_write_audit_publish",      # new: WAP staged-snapshot audit gate
     "embedding_label_distances",     # new: inter-centroid separability screen
+    "embedding_knn_label_purity",    # new: LOO 1-NN label-noise screen
     # -- displaced from the r07 stale-refresh tail by the three sketch
     #    promotions; next stale tier for r08 ----------------------------
     "project_select",

@@ -1567,3 +1567,12 @@ def test_label_distances_dim_bounded(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_knn_purity_budget_bounded(spark):
+    """embedding_knn_label_purity: the LOO all-pairs distance matrix is
+    sanctioned only under the fixed md5 eval budget — the plan must
+    show the TakeOrdered budget cut feeding the pair join."""
+    df = _q("embedding_knn_label_purity", spark)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
