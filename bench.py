@@ -116,6 +116,8 @@ EXTENDED = [
     "sink_write_audit_publish",
     "embedding_label_distances",
     "embedding_knn_label_purity",
+    "pipeline_segment_migration",
+    "corpus_dup_rate_by_source",
 ]
 
 

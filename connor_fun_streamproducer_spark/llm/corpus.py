@@ -735,3 +735,44 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_c").cast("bigint").alias("cum_c"),
         F.expr("cum_c * 10000 div n_tok").cast("bigint").alias("cum_share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-duplicate rate per source (corpus governance drill-down)
+# ---------------------------------------------------------------------------
+
+_DUP_RATE_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       CAST((count(*) - count(DISTINCT md5(text))) * 10000
+            // count(*) AS BIGINT) AS dup_rate_bp
+FROM documents
+GROUP BY source
+"""
+
+
+@op("corpus_dup_rate_by_source", oracle=_DUP_RATE_ORACLE, tags=("llm", "corpus"))
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the governance drill-down of
+    dedup_exact: which feeds are shipping copies? A crawler stuck in a
+    redirect loop or a vendor double-delivering shows up here as one
+    source's dup_rate_bp spiking long before corpus-wide dedup stats
+    move. Contract decisions (drop the feed, fix upstream) happen at
+    source granularity, which is why this exists next to the
+    corpus-wide op.
+
+    Exact: content identity by md5 digest (the cross-engine hash
+    stream), rates in floor-division basis points. Scale: one scan,
+    digests computed map-side so the (source, digest) distinct
+    aggregation shuffles 16-byte digests instead of documents — the
+    same partial-combined two-phase count-distinct every engine plans.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_unique"),
+        F.expr("(count(*) - count(DISTINCT md5(text))) * 10000 div count(*)")
+        .cast("bigint")
+        .alias("dup_rate_bp"),
+    )

@@ -1216,3 +1216,83 @@ def pipeline_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(F.broadcast(frontier), ["cost_cents", "total_qty"]).select(
         "l_suppkey", "cost_cents", "total_qty"
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer segment migration matrix between eras
+# ---------------------------------------------------------------------------
+
+_MIG_CUT = "1998-01-01"
+_MIG_LOW_CENTS = 20_000_000   # < $200k era spend -> low
+_MIG_HIGH_CENTS = 50_000_000  # >= $500k -> high
+
+_MIGRATION_ORACLE = f"""
+WITH spend AS (
+    SELECT o_custkey,
+           CASE WHEN o_orderdate < DATE '{_MIG_CUT}' THEN 'a' ELSE 'b' END AS era,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1, 2
+), seg AS (
+    SELECT o_custkey, era,
+           CASE WHEN cents < {_MIG_LOW_CENTS} THEN 'low'
+                WHEN cents < {_MIG_HIGH_CENTS} THEN 'mid'
+                ELSE 'high' END AS seg
+    FROM spend
+), m AS (
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+           coalesce(a.seg, 'none') AS seg_a,
+           coalesce(b.seg, 'none') AS seg_b
+    FROM (SELECT * FROM seg WHERE era = 'a') a
+    FULL OUTER JOIN (SELECT * FROM seg WHERE era = 'b') b USING (o_custkey)
+)
+SELECT seg_a, seg_b, CAST(count(*) AS BIGINT) AS n_customers
+FROM m GROUP BY 1, 2
+"""
+
+
+@op("pipeline_segment_migration", oracle=_MIGRATION_ORACLE, tags=("ext", "behavior"))
+def pipeline_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-migration matrix between two eras: each
+    customer's spend tier (low/mid/high on fixed cent thresholds)
+    before and after the cut, counted per (from, to) cell — with
+    'none' rows capturing churn (active→absent) and acquisition
+    (absent→active). The lifecycle flow table every retention team
+    reads before intervening: upgrades, downgrades, and silent churn in
+    one dimension-bounded matrix.
+
+    Fixed VALUE thresholds, not quantiles, keep the segmentation exact
+    integer comparisons (quantile tiers at scale are the KLL sketch
+    tier's job); the era pivot is a full outer join on customer —
+    both sides are per-customer aggregates, so the join input is
+    |customers|, not orders, and the output is a ≤4×4 matrix.
+
+    Scale: two-branch single scan (era is a projected CASE, one
+    groupBy(cust, era) exchange), self-pivot via full outer join on
+    the customer partitioning, then a 16-cell count. Nothing after the
+    first aggregation scales with row count.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderdate") < F.lit(_MIG_CUT).cast("date"), "a")
+        .otherwise("b")
+        .alias("era"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    spend = o.groupBy("o_custkey", "era").agg(F.sum("cents").alias("cents"))
+    seg = spend.select(
+        "o_custkey",
+        "era",
+        F.when(F.col("cents") < _MIG_LOW_CENTS, "low")
+        .when(F.col("cents") < _MIG_HIGH_CENTS, "mid")
+        .otherwise("high")
+        .alias("seg"),
+    )
+    a = seg.filter(F.col("era") == "a").select("o_custkey", F.col("seg").alias("sa"))
+    b = seg.filter(F.col("era") == "b").select("o_custkey", F.col("seg").alias("sb"))
+    m = a.join(b, "o_custkey", "full_outer").select(
+        F.coalesce(F.col("sa"), F.lit("none")).alias("seg_a"),
+        F.coalesce(F.col("sb"), F.lit("none")).alias("seg_b"),
+    )
+    return m.groupBy("seg_a", "seg_b").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )

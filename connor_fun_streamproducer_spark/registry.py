@@ -316,6 +316,8 @@ _WINDOW_PRIORITY = [
     "sink_write_audit_publish",      # new: WAP staged-snapshot audit gate
     "embedding_label_distances",     # new: inter-centroid separability screen
     "embedding_knn_label_purity",    # new: LOO 1-NN label-noise screen
+    "pipeline_segment_migration",    # new: era-to-era spend-tier flow matrix
+    "corpus_dup_rate_by_source",     # new: per-source exact-dup governance
     # -- displaced from the r07 stale-refresh tail by the three sketch
     #    promotions; next stale tier for r08 ----------------------------
     "project_select",

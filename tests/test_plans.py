@@ -1576,3 +1576,23 @@ def test_knn_purity_budget_bounded(spark):
     df = _q("embedding_knn_label_purity", spark)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_segment_migration_cust_level_pivot(spark):
+    """pipeline_segment_migration: the era pivot joins per-customer
+    aggregates (|customers| input), never raw orders — one scan, the
+    full outer join on the customer key, no cartesian."""
+    df = _q("pipeline_segment_migration", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan, plan
+
+
+def test_dup_rate_map_side_digests(spark):
+    """corpus_dup_rate_by_source: the distinct aggregation must shuffle
+    md5 digests, not documents — no window, no join, one scan."""
+    df = _q("corpus_dup_rate_by_source", spark)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
