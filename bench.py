@@ -118,6 +118,7 @@ EXTENDED = [
     "embedding_knn_label_purity",
     "pipeline_segment_migration",
     "corpus_dup_rate_by_source",
+    "stats_key_integrity",
 ]
 
 

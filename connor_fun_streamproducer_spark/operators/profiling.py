@@ -1105,3 +1105,104 @@ def stats_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("x_b * 10000 div n_b").cast("bigint").alias("rate_b_bp"),
         (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-integrity audit (PK uniqueness + FK orphan report)
+# ---------------------------------------------------------------------------
+
+_KEY_INTEGRITY_ORACLE = """
+SELECT 'orders_pk' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_good,
+       CAST((count(*) - count(DISTINCT o_orderkey)) * 10000
+            // count(*) AS BIGINT) AS violations_bp
+FROM orders
+UNION ALL
+SELECT 'lineitem_pk',
+       CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT o_orderkey * 10 + l_linenumber) AS BIGINT),
+       CAST((count(*) - count(DISTINCT o_orderkey * 10 + l_linenumber)) * 10000
+            // count(*) AS BIGINT)
+FROM (SELECT l_orderkey AS o_orderkey, l_linenumber FROM lineitem)
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT)
+FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'orders_fk_customer',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT)
+FROM orders r LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON c.c_custkey = r.o_custkey
+"""
+
+
+@op("stats_key_integrity", oracle=_KEY_INTEGRITY_ORACLE, tags=("ext", "stats", "profile"))
+def stats_key_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-integrity audit: primary-key uniqueness and foreign-key
+    orphan rates as one uniform report (check_name, n_checked, n_good,
+    violations_bp) — the referential contract a lake cannot enforce at
+    write time (no constraints on parquet) and therefore must AUDIT.
+    This fixture's lineitem composite key genuinely carries duplicates
+    (TESTDATA quirk), so the lineitem_pk row is a real non-zero
+    violation measurement, not a vacuous green.
+
+    Each PK check is a two-phase count-distinct (digest-sized shuffle);
+    each FK check is a left join against the broadcast-able distinct
+    parent key set with the orphan count folded map-side. All exact
+    integers, floor-division basis points.
+
+    Scale: the four checks share nothing and each is one scan + one
+    bounded-key join or distinct — at 100 TB these run as the nightly
+    data-contract suite; violations_bp is the alert threshold knob.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+
+    def pk(df: DataFrame, name: str, key) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("bigint").alias("n_checked"),
+            F.countDistinct(key).cast("bigint").alias("n_good"),
+            ((F.count("*") - F.countDistinct(key)) * 10000 / F.count("*"))
+            .cast("bigint")
+            .alias("violations_bp"),
+        ).select("check_name", "n_checked", "n_good", "violations_bp")
+
+    def fk(child: DataFrame, name: str, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
+        p = parent.select(F.col(pkey).alias("__pk")).distinct()
+        j = child.join(F.broadcast(p), child[ckey] == F.col("__pk"), "left")
+        return j.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("bigint").alias("n_checked"),
+            F.sum(F.when(F.col("__pk").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_good"),
+            F.expr(
+                "sum(CASE WHEN __pk IS NULL THEN 1 ELSE 0 END) * 10000"
+                " div count(*)"
+            )
+            .cast("bigint")
+            .alias("violations_bp"),
+        ).select("check_name", "n_checked", "n_good", "violations_bp")
+
+    return (
+        pk(o, "orders_pk", F.col("o_orderkey"))
+        .unionByName(
+            pk(
+                li,
+                "lineitem_pk",
+                F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+            )
+        )
+        .unionByName(fk(li, "lineitem_fk_orders", "l_orderkey", o, "o_orderkey"))
+        .unionByName(fk(o, "orders_fk_customer", "o_custkey", cust, "c_custkey"))
+    )

@@ -318,6 +318,7 @@ _WINDOW_PRIORITY = [
     "embedding_knn_label_purity",    # new: LOO 1-NN label-noise screen
     "pipeline_segment_migration",    # new: era-to-era spend-tier flow matrix
     "corpus_dup_rate_by_source",     # new: per-source exact-dup governance
+    "stats_key_integrity",           # new: PK/FK data-contract audit
     # -- displaced from the r07 stale-refresh tail by the three sketch
     #    promotions; next stale tier for r08 ----------------------------
     "project_select",

@@ -1596,3 +1596,14 @@ def test_dup_rate_map_side_digests(spark):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_key_integrity_broadcast_fk_probes(spark):
+    """stats_key_integrity: FK orphan checks must probe a broadcast
+    distinct parent-key set — the child side never shuffles; PK checks
+    are two-phase distinct aggs. No cartesian anywhere."""
+    df = _q("stats_key_integrity", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin LeftOuter" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
