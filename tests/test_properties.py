@@ -1995,3 +1995,25 @@ def test_wap_rejected_batch_invisible(spark):
     assert bad_files and not (bad_files & referenced)
     cur = read_snapshot(spark, root)
     assert cur.filter(F.col("o_orderkey").isNull()).count() == 0
+
+
+def test_minhash_banded_identical_docs_always_collide(spark):
+    """LSH law on a constructed corpus: token-identical documents have
+    identical minhash signatures, hence identical buckets in EVERY
+    band — the md5-stream pipeline must detect all of them with
+    jaccard 1.0 and assign the min-id keeper; a token-disjoint doc
+    must never be detected."""
+    from connor_fun_streamproducer_spark.llm.dedup import (
+        _minhash_banded_pipeline,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),       # exact token copy
+        (3, "delta gamma beta alpha"),       # same token SET (order-free)
+        (4, "zz yy xx ww vv uu tt ss"),      # disjoint vocabulary
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.keeper_doc_id, r.jaccard) for r in _minhash_banded_pipeline(d).collect()}
+    # docs 2 and 3 collapse onto keeper 1 with exact jaccard 1.0
+    assert got == {2: (1, 1.0), 3: (1, 1.0)}
