@@ -92,6 +92,8 @@ def test_two_runs_bit_identical_across_partitionings(spark, key):
 # scale-dependent nondeterminism would hide at sf0.001 alone.
 SWEEP_SF001 = [
     "dedup_minhash_banded",
+    "dedup_eval_tiers",
+    "embedding_knn_label_purity",
     "graph_connected_components",
     "graph_pagerank_dist",
     "sim_search_pq",
