@@ -228,10 +228,13 @@ def embedding_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness (the scaled-integer discipline): embeddings quantize to
     1e-4 integer units; the centroid is carried UNDIVIDED as per-dim
     sums S with count n, so the squared distance in centroid-scaled
-    space — Σ_dim (q·n − S)² — is an exact int64 (|q·n| ≤ 5e4·n; at the
-    64-dim fixture the sum stays ≤ ~1e16), and the outlier gate is the
-    integral rank comparison rk·20 ≤ n on the (d² desc, vec_id) total
-    order — no float ever crosses an engine.
+    space — Σ_dim (q·n − S)² — is carried in decimal(38,0) (the
+    ts_autocorr discipline: per-term (q·n−S)² ≈ 2.5e9·n² would overflow
+    int64 once a label holds >~7.5k vectors, where DuckDB silently rides
+    HUGEINT), and the outlier gate is the integral rank comparison
+    rk·20 ≤ n on the (d² desc, vec_id) total order — no float ever
+    crosses an engine. The final bigint cast throws under ANSI if the
+    true value exceeds int64, exactly where DuckDB's BIGINT cast errors.
 
     Scale: one posexplode + (label, dim) hash agg builds the centroid
     sums (64·|labels| rows — dim-bounded); the distance pass joins that
@@ -256,8 +259,8 @@ def embedding_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg(
             F.sum(
-                (F.col("qx") * F.col("n") - F.col("s"))
-                * (F.col("qx") * F.col("n") - F.col("s"))
+                (F.col("qx") * F.col("n") - F.col("s")).cast("decimal(19,0)")
+                * (F.col("qx") * F.col("n") - F.col("s")).cast("decimal(19,0)")
             ).alias("d2_scaled"),
             F.max("n").alias("n"),
         )

@@ -1168,14 +1168,22 @@ def stats_key_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
 
     def pk(df: DataFrame, name: str, key) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("check_name"),
-            F.count("*").cast("bigint").alias("n_checked"),
-            F.countDistinct(key).cast("bigint").alias("n_good"),
-            ((F.count("*") - F.countDistinct(key)) * 10000 / F.count("*"))
-            .cast("bigint")
-            .alias("violations_bp"),
-        ).select("check_name", "n_checked", "n_good", "violations_bp")
+        # Integral `div` (not float /-then-cast) so the floor is exact at
+        # any count — same discipline as fk() and the oracle's `//`.
+        return (
+            df.agg(
+                F.count("*").cast("bigint").alias("n_checked"),
+                F.countDistinct(key).cast("bigint").alias("n_good"),
+            )
+            .select(
+                F.lit(name).alias("check_name"),
+                "n_checked",
+                "n_good",
+                F.expr("(n_checked - n_good) * 10000 div n_checked")
+                .cast("bigint")
+                .alias("violations_bp"),
+            )
+        )
 
     def fk(child: DataFrame, name: str, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
         p = parent.select(F.col(pkey).alias("__pk")).distinct()

@@ -422,17 +422,24 @@ def agg_count_min(spark: SparkSession, sf_dir: str, with_exact: bool = True) -> 
         .groupBy("d", "c")
         .agg(F.count("*").alias("n"))
     )
-    probes = spark.createDataFrame(
+    probe_keys = spark.createDataFrame(
         [(int(k),) for k in CMS_PROBES], "l_partkey bigint"
-    ).select(
+    )
+    probes = probe_keys.select(
         "l_partkey", F.explode(depths).alias("d")
     ).select(
         "l_partkey",
         "d",
         F.pmod(F.xxhash64("d", "l_partkey"), F.lit(CMS_WIDTH)).alias("c"),
     )
+    # Probe side drives a LEFT join: a grid cell never incremented holds
+    # an implicit 0, so a probe whose cell is empty reads n=0 (true CMS
+    # semantics — the min must see the zero) instead of dropping the key
+    # or taking min over only its colliding cells. The aggregated grid is
+    # bounded by depth*width cells, so it broadcasts.
     est = (
-        cells.join(F.broadcast(probes), ["d", "c"])
+        probes.join(F.broadcast(cells), ["d", "c"], "left")
+        .fillna(0, ["n"])
         .groupBy("l_partkey")
         .agg(F.min("n").cast("bigint").alias("est"))
     )

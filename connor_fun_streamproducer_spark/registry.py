@@ -199,24 +199,81 @@ def _ensure_loaded() -> None:
 # KEY level (module import order alone cannot front never-verified keys
 # living in already-verified modules).
 #
-# Round 7 front-of-window, in order:
-#   (1) the 17 round-6 registrations with no external CORRECTNESS row
-#       (VERDICT r6 "What's missing" #1 — staged at key 51+ last round,
-#       DuckDB-oracle-green locally on every test run);
-#   (2) ops changed in round 7 that WERE externally green or rows-only:
-#       graph_jaccard_neighbors (shared-edge-frame checkpoint, VERDICT r6
-#       #3) and agg_kll_quantile / agg_theta_setops (exact companion
-#       columns promote them from rows-only to hash-checked, VERDICT r6
-#       #4);
-#   (3) stale-refresh backfill for the 30 remaining slots — the oldest
-#       externally-green tier (r01 function/set block, the r02 streaming/
-#       serialization block, the r03 relational core), unchecked
-#       externally for 4-6 rounds.
-# 17 + 3 + 30 = 50: closing tier (1) makes every registered key
-# externally covered at least once (VERDICT r6 top_next). Everything
-# else keeps its previous relative order behind the window.
+# Round 8 front-of-window, in order:
+#   (1) the 47 round-7 registrations with no external CORRECTNESS row
+#       (VERDICT r7 "What's missing" #1 — staged at key 51+ last round,
+#       DuckDB-oracle-green locally on every test run). Several carry
+#       round-8 changes too (ADVICE fixes to stats_key_integrity /
+#       embedding_outlier_distance / scan_agg_pushdown; the md5-lane trim
+#       to dedup_minhash_banded; the simhash tier in dedup_eval_tiers) —
+#       the window verifies the NEW code;
+#   (2) ops externally green or rows-only before but CHANGED in round 8:
+#       agg_count_min (empty-cell left-join fix, ADVICE r7) and
+#       sim_search_ivf (exact-recall companion columns promote it from
+#       rows-only to hash-checked, VERDICT r7 #3);
+#   (3) stale-refresh backfill for the 1 remaining slot: filter_pred,
+#       the stalest r03-green key.
+# 47 + 2 + 1 = 50: closing tier (1) makes every registered key
+# externally proven at least once (VERDICT r7 top_next). Everything
+# else keeps its previous relative order behind the window;
+# project_select / sort_global / dedup_exact / limit_topk lead the r09
+# stale tier.
 _WINDOW_PRIORITY = [
-    # -- (1) externally-unverified round-6 registrations (17) ------------
+    # -- (1) externally-unverified round-7 registrations (47) ------------
+    "graph_label_propagation",       # derandomized sync LPA communities
+    "ts_autocorr",                   # exact integer-moment lag ACF
+    "dedup_url_canonical",           # crawl-frontier URL canonicalization
+    "sink_bloom_index",              # bloom-filter point-lookup file skipping
+    "dedup_containment_prefix",      # directional containment (re-crawl) dedup
+    "stats_benford_profile",         # integer-exact leading-digit screen
+    "ts_seasonal_index",             # diurnal seasonal/traffic index
+    "stats_mad_outliers",            # median/MAD robust z outlier screen
+    "graph_clustering_coefficient",  # local cc from banded triangles, bp-exact
+    "win_drawdown",                  # running-peak drawdown, one exchange
+    "ts_changepoint_cusum",          # scaled-integer CUSUM mean-shift argmax
+    "text_bigram_mi",                # collocation lift over adjacent tokens
+    "stats_ks_eras",                 # scaled-integer two-sample KS drift test
+    "stats_chi2_independence",       # scaled-integer chi-square screen
+    "embedding_outlier_distance",    # r8: decimal(38,0) accumulator (ADVICE)
+    "dedup_cdc_chunks",              # content-defined chunking dedup (FastCDC-style)
+    "corpus_dedup_pipeline",         # quality->exact->chunk survivorship cascade
+    "sample_class_weights",          # inverse-frequency class weight table
+    "agg_extremal_by",               # max_by/min_by with packed tie-break keys
+    "corpus_budget_apportion",       # largest-remainder token-budget quotas
+    "scan_agg_pushdown",             # footer-stats aggregate pushdown scan
+    "graph_modularity",              # exact scaled-integer modularity of LPA
+    "graph_assortativity",           # exact-moment degree assortativity
+    "win_rolling_corr",              # rolling Pearson from exact moments
+    "corpus_vocab_coverage",         # top-K vocab + cumulative coverage bp
+    "text_hashing_vectorizer",       # md5 feature-hash bucket audit
+    "ts_sma_crossover",              # exact cross-multiplied SMA crossings
+    "stats_psi_stability",           # per-bin Laplace-smoothed PSI cells
+    "dedup_minhash_banded",          # md5-stream LSH twin; r8: 2-digest lanes
+    "sink_snapshot_expire",          # snapshot GC + orphan-file reclaim
+    "text_zipf_alpha",               # Zipf log-log slope, fold-exact floats
+    "graph_reciprocity",             # directed transition-graph reciprocity
+    "stats_cramers_v",               # fold-deterministic chi2 effect size
+    "dedup_eval_tiers",              # LSH recall/precision; r8: + simhash tier
+    "pipeline_backfill_incremental", # partition-scoped late-data backfill
+    "pipeline_event_trigrams",       # top-10 3-event journey sequences
+    "win_time_weighted_avg",         # exact-integer TWAP over step series
+    "scan_corrupt_quarantine",       # torn-parquet resilience + quarantine
+    "pipeline_audience_overlap",     # distinct-user overlap per type pair
+    "stats_ab_proportions",          # two-proportion z-test (A/B primitive)
+    "pipeline_skyline_frontier",     # 2-D Pareto skyline via sort-window
+    "sink_write_audit_publish",      # WAP staged-snapshot audit gate
+    "embedding_label_distances",     # inter-centroid separability screen
+    "embedding_knn_label_purity",    # LOO 1-NN label-noise screen
+    "pipeline_segment_migration",    # era-to-era spend-tier flow matrix
+    "corpus_dup_rate_by_source",     # per-source exact-dup governance
+    "stats_key_integrity",           # PK/FK audit; r8: integral-div pk (ADVICE)
+    # -- (2) changed in round 8 (empty-cell fix / oracle promotion) ------
+    "agg_count_min",
+    "sim_search_ivf",
+    # -- (3) stale-refresh backfill (1): the stalest r03-green key -------
+    "filter_pred",
+    # -- behind the window: the r07 window keys (all externally green in
+    #    r07), relative order preserved ---------------------------------
     "ts_ohlc_candles",
     "pipeline_interpurchase_time",
     "win_pattern_rises",
@@ -234,17 +291,13 @@ _WINDOW_PRIORITY = [
     "pipeline_session_paths",
     "agg_weighted_percentile",
     "stats_profile_drift",
-    # -- (2) changed in round 7 (checkpoint fix / oracle promotion) ------
     "graph_jaccard_neighbors",
     "agg_kll_quantile",
     "agg_theta_setops",
     "agg_approx",
-    "agg_count_min",
     "agg_sketch_merge",
     "stream_watermark",
     "stream_late_policy",
-    # -- (3) stale-refresh backfill (25): r01 fn/set block, r02 streaming
-    #    block, r03 relational core — oldest external green rows ---------
     "fn_array",
     "fn_json",
     "fn_map",
@@ -270,62 +323,11 @@ _WINDOW_PRIORITY = [
     "agg_grouping_sets",
     "agg_hash",
     "agg_skew_salted",
-    # -- key 51+: NEW in round 7 — never externally checked; first in
-    #    line for the r08 rotation under the freshness rule -------------
-    "graph_label_propagation",       # new: derandomized sync LPA communities
-    "ts_autocorr",                   # new: exact integer-moment lag ACF
-    "dedup_url_canonical",           # new: crawl-frontier URL canonicalization
-    "sink_bloom_index",              # new: bloom-filter point-lookup file skipping
-    "dedup_containment_prefix",      # new: directional containment (re-crawl) dedup
-    "stats_benford_profile",         # new: integer-exact leading-digit screen
-    "ts_seasonal_index",             # new: diurnal seasonal/traffic index
-    "stats_mad_outliers",            # new: median/MAD robust z outlier screen
-    "graph_clustering_coefficient",  # new: local cc from banded triangles, bp-exact
-    "win_drawdown",                  # new: running-peak drawdown, one exchange
-    "ts_changepoint_cusum",          # new: scaled-integer CUSUM mean-shift argmax
-    "text_bigram_mi",                # new: collocation lift over adjacent tokens
-    "stats_ks_eras",                 # new: scaled-integer two-sample KS drift test
-    "stats_chi2_independence",       # new: scaled-integer chi-square screen
-    "embedding_outlier_distance",    # new: rank-gated centroid-distance screen
-    "dedup_cdc_chunks",              # new: content-defined chunking dedup (FastCDC-style)
-    "corpus_dedup_pipeline",         # new: quality->exact->chunk survivorship cascade
-    "sample_class_weights",          # new: inverse-frequency class weight table
-    "agg_extremal_by",               # new: max_by/min_by with packed tie-break keys
-    "corpus_budget_apportion",       # new: largest-remainder token-budget quotas
-    "scan_agg_pushdown",             # new: footer-stats aggregate pushdown scan
-    "graph_modularity",              # new: exact scaled-integer modularity of LPA
-    "graph_assortativity",           # new: exact-moment degree assortativity
-    "win_rolling_corr",              # new: rolling Pearson from exact moments
-    "corpus_vocab_coverage",         # new: top-K vocab + cumulative coverage bp
-    "text_hashing_vectorizer",       # new: md5 feature-hash bucket audit
-    "ts_sma_crossover",              # new: exact cross-multiplied SMA crossings
-    "stats_psi_stability",           # new: per-bin Laplace-smoothed PSI cells
-    "dedup_minhash_banded",          # new: md5-stream LSH, hash-provable twin
-    "sink_snapshot_expire",          # new: snapshot GC + orphan-file reclaim
-    "text_zipf_alpha",               # new: Zipf log-log slope, fold-exact floats
-    "graph_reciprocity",             # new: directed transition-graph reciprocity
-    "stats_cramers_v",               # new: fold-deterministic chi2 effect size
-    "dedup_eval_tiers",              # new: LSH recall/precision vs exact truth
-    "pipeline_backfill_incremental", # new: partition-scoped late-data backfill
-    "pipeline_event_trigrams",       # new: top-10 3-event journey sequences
-    "win_time_weighted_avg",         # new: exact-integer TWAP over step series
-    "scan_corrupt_quarantine",       # new: torn-parquet resilience + quarantine
-    "pipeline_audience_overlap",     # new: distinct-user overlap per type pair
-    "stats_ab_proportions",          # new: two-proportion z-test (A/B primitive)
-    "pipeline_skyline_frontier",     # new: 2-D Pareto skyline via sort-window
-    "sink_write_audit_publish",      # new: WAP staged-snapshot audit gate
-    "embedding_label_distances",     # new: inter-centroid separability screen
-    "embedding_knn_label_purity",    # new: LOO 1-NN label-noise screen
-    "pipeline_segment_migration",    # new: era-to-era spend-tier flow matrix
-    "corpus_dup_rate_by_source",     # new: per-source exact-dup governance
-    "stats_key_integrity",           # new: PK/FK data-contract audit
-    # -- displaced from the r07 stale-refresh tail by the three sketch
-    #    promotions; next stale tier for r08 ----------------------------
+    # -- next stale tier for r09 (filter_pred promoted above) -----------
     "project_select",
     "limit_topk",
     "sort_global",
     "dedup_exact",
-    "filter_pred",
     # -- behind those: last round's window (r06-green) and everything
     #    earlier, relative order preserved ------------------------------
     "pipeline_rfm_segments",

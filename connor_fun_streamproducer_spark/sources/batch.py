@@ -363,7 +363,12 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is built under the modified conf and the conf restored before
     returning — Spark binds the scan implementation at read resolution,
     so the returned plan keeps its BatchScan while the session's other
-    ops keep their pinned v1 plans.
+    ops keep their pinned v1 plans. CONCURRENCY CONTRACT: the set/restore
+    window mutates session-wide confs, so any op planned on the SAME
+    SparkSession from another thread during this window would silently
+    bind the DSv2 scan path. Callers planning ops concurrently must hand
+    this op its own ``spark.newSession()`` (shared SparkContext, isolated
+    conf); the registry/driver/test harnesses plan sequentially.
     """
     conf = spark.conf
     old_v1 = conf.get("spark.sql.sources.useV1SourceList", None)

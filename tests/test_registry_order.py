@@ -7,87 +7,89 @@ ever unguarded locally, whatever an external harness samples.
 Separately, the external driver verifies ops in registration order with a
 bounded window (each round covers the first 50 keys). The registration
 order is freshness-priority, applied the same rule each round: (1) ops
-never externally checked (round 6 registered 17 keys behind the r06
-window — VERDICT r6 "What's missing" #1; closing that debt is round 7's
-top order); (2) ops changed this round; (3) the stalest still-green tier.
-This test pins round 7's resulting window.
+never externally checked (round 7 registered 47 keys behind the r07
+window — VERDICT r7 "What's missing" #1; closing that debt is round 8's
+top order and makes every registered key externally proven at least
+once); (2) ops changed this round; (3) the stalest still-green tier.
+This test pins round 8's resulting window.
 """
 
 from connor_fun_streamproducer_spark import registry
 
-# The 17 keys with no external CORRECTNESS row across r01-r06 (VERDICT r6
-# "What's missing" #1) — closing this debt makes every one of the 248
-# registered keys externally covered at least once.
+# The 47 keys with no external CORRECTNESS row across r01-r07 (VERDICT r7
+# "What's missing" #1) — closing this debt makes every registered key
+# externally covered at least once. Several carry round-8 changes, so the
+# window verifies the new code (ADVICE fixes, md5-lane trim, simhash
+# eval tier).
 NEVER_EXTERNALLY_CHECKED = [
-    "ts_ohlc_candles",
-    "pipeline_interpurchase_time",
-    "win_pattern_rises",
-    "scan_file_stats_pruning",
-    "sink_delete_vectors",
-    "sink_partition_evolution",
-    "dedup_substring_window",
-    "fn_timestamp_format",
-    "graph_top_similar_user",       # also changed r7: und localCheckpoint
-    "multimodal_phash_dedup",
-    "join_asof_tolerance",
-    "sample_negative_pairs",
-    "win_clamped_cumsum",
-    "sink_exactly_once_commitlog",
-    "pipeline_session_paths",
-    "agg_weighted_percentile",
-    "stats_profile_drift",
+    "graph_label_propagation",
+    "ts_autocorr",
+    "dedup_url_canonical",
+    "sink_bloom_index",
+    "dedup_containment_prefix",
+    "stats_benford_profile",
+    "ts_seasonal_index",
+    "stats_mad_outliers",
+    "graph_clustering_coefficient",
+    "win_drawdown",
+    "ts_changepoint_cusum",
+    "text_bigram_mi",
+    "stats_ks_eras",
+    "stats_chi2_independence",
+    "embedding_outlier_distance",   # also changed r8: decimal accumulator
+    "dedup_cdc_chunks",
+    "corpus_dedup_pipeline",
+    "sample_class_weights",
+    "agg_extremal_by",
+    "corpus_budget_apportion",
+    "scan_agg_pushdown",            # also changed r8: concurrency contract doc
+    "graph_modularity",             # also changed r8: shared _lpa_labels helper
+    "graph_assortativity",
+    "win_rolling_corr",
+    "corpus_vocab_coverage",
+    "text_hashing_vectorizer",
+    "ts_sma_crossover",
+    "stats_psi_stability",
+    "dedup_minhash_banded",         # also changed r8: 2-digest md5 lanes
+    "sink_snapshot_expire",
+    "text_zipf_alpha",
+    "graph_reciprocity",
+    "stats_cramers_v",
+    "dedup_eval_tiers",             # also changed r8: + simhash tier rows
+    "pipeline_backfill_incremental",
+    "pipeline_event_trigrams",
+    "win_time_weighted_avg",
+    "scan_corrupt_quarantine",
+    "pipeline_audience_overlap",
+    "stats_ab_proportions",
+    "pipeline_skyline_frontier",
+    "sink_write_audit_publish",
+    "embedding_label_distances",
+    "embedding_knn_label_purity",
+    "pipeline_segment_migration",
+    "corpus_dup_rate_by_source",
+    "stats_key_integrity",          # also changed r8: integral-div pk (ADVICE)
 ]
 
 # Externally green (or rows-only) before, but changed this round —
 # re-verify after the change.
-CHANGED_IN_ROUND_7 = [
-    "graph_jaccard_neighbors",  # shared-edge-frame checkpoint (VERDICT r6 #3)
-    "agg_kll_quantile",         # exact companion columns → hash-checked (r6 #4)
-    "agg_theta_setops",         # exact companion columns → hash-checked (r6 #4)
-    "agg_approx",               # exact companions + law bands → hash-checked
-    "agg_count_min",            # exact probes + CMS law bands → hash-checked
-    "agg_sketch_merge",         # exact distinct + merge band → hash-checked
-    "stream_watermark",         # finalized-set oracle → hash-checked
-    "stream_late_policy",       # latest-revision oracle → hash-checked
+CHANGED_IN_ROUND_8 = [
+    "agg_count_min",   # empty-probe-cell left-join fix (ADVICE r7)
+    "sim_search_ivf",  # exact-recall companions → hash-checked (VERDICT r7 #3)
 ]
 
-# Stalest externally-green tier backfilling the remaining 30 window slots:
-# the r01 function/set block, the r02 streaming/serialization block, and
-# the r03 relational core — unchecked externally for 4-6 rounds.
+# Stalest externally-green tier backfilling the remaining window slot:
+# filter_pred has been unchecked externally since round 3.
 STALE_REFRESH = [
-    "fn_array",
-    "fn_json",
-    "fn_map",
-    "set_union",
-    "agg_window_count",
-    "enrich_region",
-    "fanout_union",
-    "join_stream_static",
-    "multimodal_cols",
-    "proj_serialize",
-    "route_by_key",
-    "sim_search_topk",
-    "src_config_scan",
-    "stream_dedup",
-    "stream_session",
-    "stream_sliding",
-    "stream_tumbling",
-    "udaf_grouped",
-    "udf_scalar",
-    "udtf_table",
-    "agg_collect",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_hash",
-    "agg_skew_salted",
+    "filter_pred",
 ]
 
-MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_7 + STALE_REFRESH
+MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_8 + STALE_REFRESH
 
 WINDOW = 50
 
 
-def test_round7_priority_ops_register_inside_driver_window():
+def test_round8_priority_ops_register_inside_driver_window():
     keys = list(registry.queries())
     window = set(keys[:WINDOW])
     missing = [k for k in MUST_BE_IN_WINDOW if k not in window]
@@ -98,7 +100,7 @@ def test_round7_priority_ops_register_inside_driver_window():
 
 
 def test_never_checked_keys_lead_the_window():
-    # The 17 debt keys must come FIRST (before round-7 changes and the
+    # The 47 debt keys must come FIRST (before round-8 changes and the
     # stale refresh), so even a driver window narrower than 50 covers as
     # many of them as possible.
     keys = list(registry.queries())
@@ -106,11 +108,9 @@ def test_never_checked_keys_lead_the_window():
 
 
 def test_window_is_exactly_filled():
-    # 17 debt + 8 changed + 25 stale-refresh = 50: the window carries no
-    # dead slots and no accidental extras. (project_select/limit_topk/
-    # sort_global/dedup_exact/filter_pred yielded their refresh slots to
-    # the five sketch/stream promotions — trivially-shaped r03 greens vs
-    # newly-oracled ops.)
+    # 47 debt + 2 changed + 1 stale-refresh = 50: the window carries no
+    # dead slots and no accidental extras. (project_select/sort_global/
+    # dedup_exact/limit_topk lead the r09 stale tier.)
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
 
