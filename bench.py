@@ -119,6 +119,13 @@ EXTENDED = [
     "pipeline_segment_migration",
     "corpus_dup_rate_by_source",
     "stats_key_integrity",
+    # round 8 additions
+    "dedup_minhash_estimate",
+    "sample_kcenter_coreset",
+    "stats_event_lateness",
+    "corpus_epoch_plan",
+    "stats_mutual_info_cat",
+    "sim_search_lsh",
 ]
 
 

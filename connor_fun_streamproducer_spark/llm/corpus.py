@@ -776,3 +776,140 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup_rate_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch plan: per-source repeat factors + remainder-doc prefix (data mixing)
+# ---------------------------------------------------------------------------
+
+# Equal-share upsampling budget: each source is granted an equal slice of
+# the global training-token budget (rare sources repeat more — the
+# standard upweighting of scarce high-quality sources), then the slice is
+# realized as FULL corpus epochs plus a deterministic md5-prefix of
+# documents covering the remainder.
+_EPOCH_BUDGET = 2_000_000
+
+_EPOCH_PLAN_ORACLE = f"""
+WITH dtok AS (
+    SELECT source, doc_id,
+           list_sum(list_transform(string_split(text, ' '),
+               t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS doc_tok
+    FROM documents
+), toks AS (
+    SELECT source, CAST(sum(doc_tok) AS BIGINT) AS tok FROM dtok GROUP BY 1
+), k AS (SELECT count(*) AS k FROM toks),
+tgt AS (
+    SELECT source, tok,
+           {_EPOCH_BUDGET} // k.k
+           + CASE WHEN row_number() OVER (ORDER BY source) <= {_EPOCH_BUDGET} % k.k
+                  THEN 1 ELSE 0 END AS target
+    FROM toks CROSS JOIN k
+), plan AS (
+    SELECT source, tok, target,
+           target // tok AS full_epochs,
+           target % tok  AS rem_tokens
+    FROM tgt
+), cum AS (
+    SELECT source, doc_tok,
+           sum(doc_tok) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS cs
+    FROM dtok
+), rd AS (
+    SELECT c.source, count(*) AS rem_docs
+    FROM cum c JOIN plan p USING (source)
+    WHERE c.cs <= p.rem_tokens
+    GROUP BY 1
+)
+SELECT p.source,
+       CAST(p.tok AS BIGINT)         AS tok,
+       CAST(p.target AS BIGINT)      AS target,
+       CAST(p.full_epochs AS BIGINT) AS full_epochs,
+       CAST(p.rem_tokens AS BIGINT)  AS rem_tokens,
+       CAST(coalesce(rd.rem_docs, 0) AS BIGINT) AS rem_docs
+FROM plan p LEFT JOIN rd USING (source)
+"""
+
+
+@op(
+    "corpus_epoch_plan",
+    oracle=_EPOCH_PLAN_ORACLE,
+    tags=("llm", "corpus", "sampling"),
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a per-source EPOCH PLAN from an equal-share token
+    budget: full corpus repeats (``full_epochs = target div tok``) plus
+    the remainder realized as a deterministic document prefix — the
+    first ``rem_docs`` docs in md5(doc_id) order whose cumulative BPE
+    tokens fit ``rem_tokens``. This is how a training-data mix is
+    actually EXECUTED once quotas exist (corpus_budget_apportion
+    computes proportional quotas; this op turns a quota into "read the
+    corpus e times, then this exact prefix"): repeat factors >1 upweight
+    scarce sources, <1 subsample abundant ones, and the md5 prefix makes
+    the fractional epoch reproducible and unbiased (the
+    sample_reservoir/corpus_shuffle_shard idiom) instead of
+    "whatever rows came first".
+
+    All-integer arithmetic end to end — equal-share split with
+    largest-remainder-style +1s by source order, integral div/mod,
+    windowed integer cumsums — so the whole plan hash-matches
+    cross-engine.
+
+    Scale: one scan folds per-doc token counts map-side; the plan math
+    runs on |sources| rows; the remainder prefix is one per-source
+    window cumsum (partitioned shuffle on source, the same exchange the
+    downstream shard writer needs anyway).
+    """
+    d = load(spark, sf_dir, "documents")
+    per_doc = F.aggregate(
+        F.transform(
+            F.split("text", " "),
+            lambda t: F.ceil(F.length(t) / 4.0).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dtok = d.select("source", "doc_id", per_doc.alias("doc_tok"))
+    toks = dtok.groupBy("source").agg(F.sum("doc_tok").cast("bigint").alias("tok"))
+    k = toks.agg(F.count("*").alias("k"))
+    wsrc = Window.orderBy("source")
+    tgt = toks.crossJoin(F.broadcast(k)).select(
+        "source",
+        "tok",
+        (
+            F.expr(f"{_EPOCH_BUDGET} div k")
+            + F.when(
+                F.row_number().over(wsrc) <= F.expr(f"{_EPOCH_BUDGET} % k"), 1
+            ).otherwise(0)
+        ).alias("target"),
+    )
+    plan = tgt.select(
+        "source",
+        "tok",
+        "target",
+        F.expr("target div tok").alias("full_epochs"),
+        F.expr("target % tok").alias("rem_tokens"),
+    )
+    wcum = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum = dtok.select("source", F.sum("doc_tok").over(wcum).alias("cs"))
+    rd = (
+        cum.join(F.broadcast(plan.select("source", "rem_tokens")), "source")
+        .filter(F.col("cs") <= F.col("rem_tokens"))
+        .groupBy("source")
+        .agg(F.count("*").alias("rem_docs"))
+    )
+    return (
+        plan.join(rd, "source", "left")
+        .fillna(0, ["rem_docs"])
+        .select(
+            "source",
+            F.col("tok").cast("bigint").alias("tok"),
+            F.col("target").cast("bigint").alias("target"),
+            F.col("full_epochs").cast("bigint").alias("full_epochs"),
+            F.col("rem_tokens").cast("bigint").alias("rem_tokens"),
+            F.col("rem_docs").cast("bigint").alias("rem_docs"),
+        )
+    )

@@ -857,9 +857,19 @@ _MHB_HASHES = 16
 _MHB_BANDS = 4
 
 
-def _mhb_oracle(src: str = "documents") -> str:
+def _mhb_ctes(src: str = "documents") -> str:
+    # 16 hash streams from FOUR md5 digests per token (not 16): digest
+    # g = md5('g:' || token), and stream k reads the 32-bit lane at hex
+    # offset (k%4)*8 of digest k//4. Lane construction must stay in
+    # lockstep with _minhash_banded_pipeline — the whole point of these
+    # oracles is replaying the identical stream. Shared by _mhb_oracle
+    # (the verified dedup output) and _mh_est_oracle (the estimator
+    # audit) so the two can never diverge on the construction.
+    dig_cols = ",\n           ".join(
+        f"md5(concat('{g}:', t)) AS h{g}" for g in range(_MHB_HASHES // 4)
+    )
     sig_cols = ",\n           ".join(
-        f"min(CAST(concat('0x', substr(md5(concat('{k}:', t)), 1, 15)) AS UBIGINT))"
+        f"min(CAST(concat('0x', substr(h{k // 4}, {(k % 4) * 8 + 1}, 8)) AS UBIGINT))"
         f" AS mh_{k}"
         for k in range(_MHB_HASHES)
     )
@@ -872,10 +882,14 @@ def _mhb_oracle(src: str = "documents") -> str:
     return f"""
 WITH tok AS (
     SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM {src}
+), dig AS (
+    SELECT doc_id,
+           {dig_cols}
+    FROM tok
 ), sig AS (
     SELECT doc_id,
            {sig_cols}
-    FROM tok GROUP BY doc_id
+    FROM dig GROUP BY doc_id
 ), bands AS (
     {band_selects}
 ), bmin AS (
@@ -888,7 +902,11 @@ WITH tok AS (
     HAVING min(m.bucket_keeper) < b.doc_id
 ), toks AS (
     SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM {src}
-)
+)"""
+
+
+def _mhb_oracle(src: str = "documents") -> str:
+    return _mhb_ctes(src) + """
 SELECT c.doc_id, c.keeper_doc_id,
        round(CAST(len(list_intersect(a.toks, k.toks)) AS DOUBLE)
              / (len(a.toks) + len(k.toks) - len(list_intersect(a.toks, k.toks))),
@@ -910,39 +928,55 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 4 → per-(band, bucket) min-doc_id keeper → per-doc min keeper →
     exact token-Jaccard verify > 0.8 — but the hash functions are the
     repo's cross-engine md5 stream (llm/splits.py) instead of Spark's
-    engine-private xxhash64: hash k of a token is the first 15 hex
-    digits of ``md5('k:' || token)`` (60 bits, exact in BIGINT/UBIGINT
-    on both engines) and a band's bucket is the md5 of its four
-    signature values — bit-identical in DuckDB, so the banding, keeper
-    assignment, AND verification all land in the external value hash.
-    The production variant keeps xxhash64 (JVM codegen, no string
-    round-trips) — this twin exists to PROVE the LSH pipeline's
-    semantics, closing the "LSH bucket ids are engine-specific" gap in
-    the rows-only tier.
+    engine-private xxhash64: a token yields FOUR salted digests
+    ``md5('g:' || token)`` (g = 0..3) and stream k is the 32-bit hex
+    lane (k%4)·8..(k%4)·8+8 of digest k//4 — 16 independent-enough
+    streams from 4 digests instead of 16 (4× less hashing at identical
+    provability; 32-bit lanes keep spurious min collisions at ~n²/2³³
+    over the vocabulary, negligible where 16-bit lanes would not be). A
+    band's bucket is the md5 of its four signature values —
+    bit-identical in DuckDB, so the banding, keeper assignment, AND
+    verification all land in the external value hash. The production
+    variant keeps xxhash64 (JVM codegen, no string round-trips) — this
+    twin exists to PROVE the LSH pipeline's semantics, closing the "LSH
+    bucket ids are engine-specific" gap in the rows-only tier.
 
     Scale: identical to dedup_near_minhash — signature build is one
     explode + one 16-min groupBy (shuffle carries 16 longs per doc),
     banding is map-side, keeper assignment is two linear shuffles, and
     in-bucket pairing is never materialized (keeper-star, not Θ(b²)).
-    The md5 tax (16 digests per token vs 16 xxhash64) is the price of
-    cross-engine determinism and is why the xxhash64 variant stays the
-    production path.
+    The md5 tax (4 digests per token vs 16 xxhash64 evaluations) is the
+    price of cross-engine determinism and is why the xxhash64 variant
+    stays the production path.
     """
     return _minhash_banded_pipeline(load(spark, sf_dir, "documents"))
 
 
-def _minhash_banded_pipeline(d: DataFrame) -> DataFrame:
-    """The md5-stream MinHash+LSH pipeline over an arbitrary documents
-    frame — shared by the production-shaped op (full corpus) and the
-    eval harness (fixed slice)."""
+def _mhb_stages(d: DataFrame):
+    """(sig, cand, toks) of the md5-stream MinHash+LSH pipeline over an
+    arbitrary documents frame: the signature frame (doc_id, mh_0..15),
+    the pre-verify keeper candidates (doc_id, keeper_doc_id), and the
+    distinct-token arrays — shared by the verified dedup op, the eval
+    harness, and the estimator audit so the construction can never
+    drift between them (one Spark build, one SQL build: _mhb_ctes)."""
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
     )
-    sig = tok.groupBy("doc_id").agg(
+    # Four salted digests per token; each contributes four 32-bit hex
+    # lanes → the 16 min-hash streams (see _mhb_oracle, which replays
+    # the identical lane construction).
+    dig = tok.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{g}:"), F.col("t"))).alias(f"h{g}")
+            for g in range(_MHB_HASHES // 4)
+        ],
+    )
+    sig = dig.groupBy("doc_id").agg(
         *[
             F.min(
                 F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"{k}:"), F.col("t"))), 1, 15),
+                    F.substring(F.col(f"h{k // 4}"), (k % 4) * 8 + 1, 8),
                     16,
                     10,
                 ).cast("long")
@@ -976,6 +1010,14 @@ def _minhash_banded_pipeline(d: DataFrame) -> DataFrame:
         .filter(F.col("keeper_doc_id") < F.col("doc_id"))
     )
     toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    return sig, cand, toks
+
+
+def _minhash_banded_pipeline(d: DataFrame) -> DataFrame:
+    """The md5-stream MinHash+LSH pipeline over an arbitrary documents
+    frame — shared by the production-shaped op (full corpus) and the
+    eval harness (fixed slice)."""
+    _, cand, toks = _mhb_stages(d)
     verified = cand.join(
         toks.withColumnRenamed("doc_id", "keeper_doc_id").withColumnRenamed(
             "toks", "toks_k"
@@ -992,6 +1034,96 @@ def _minhash_banded_pipeline(d: DataFrame) -> DataFrame:
     )
 
 
+def _mh_est_oracle() -> str:
+    match_expr = " + ".join(
+        f"(CASE WHEN sa.mh_{k} = sk.mh_{k} THEN 1 ELSE 0 END)"
+        for k in range(_MHB_HASHES)
+    )
+    return _mhb_ctes("documents") + f"""
+SELECT c.doc_id, c.keeper_doc_id,
+       CAST({match_expr} AS BIGINT) AS match_lanes,
+       CAST(({match_expr}) * {10000 // _MHB_HASHES} AS BIGINT) AS est_bp,
+       CAST(len(list_intersect(a.toks, k.toks)) * 10000
+            // (len(a.toks) + len(k.toks) - len(list_intersect(a.toks, k.toks)))
+            AS BIGINT) AS jaccard_bp,
+       CAST(({match_expr}) * {10000 // _MHB_HASHES}
+            - len(list_intersect(a.toks, k.toks)) * 10000
+              // (len(a.toks) + len(k.toks) - len(list_intersect(a.toks, k.toks)))
+            AS BIGINT) AS err_bp
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_id
+JOIN sig sk ON sk.doc_id = c.keeper_doc_id
+JOIN toks a ON a.doc_id = c.doc_id
+JOIN toks k ON k.doc_id = c.keeper_doc_id
+"""
+
+
+@op("dedup_minhash_estimate", oracle=_mh_est_oracle(), tags=("llm", "dedup", "eval"))
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR audit: for every banded-LSH candidate pair
+    (doc, keeper) — pre-verify, so the full similarity range is
+    observed — emit the signature-agreement Jaccard estimate next to
+    the exact token Jaccard: match_lanes (of 16), est_bp =
+    match_lanes·625, exact jaccard_bp (integral), and signed err_bp.
+    This pins the minhash LAW itself (E[match fraction] = J) on real
+    candidates, externally: dedup_eval_tiers grades the PIPELINE
+    (recall/precision of detection), this grades the ESTIMATOR the
+    pipeline's banding math assumes — the two failure modes a tuned
+    LSH deployment must distinguish (bad bands vs biased estimates).
+
+    All-integer output (lane counts, basis points via integral div):
+    nothing floats across engines. Shares _mhb_stages/_mhb_ctes with
+    the dedup op, so the audited construction is BY CONSTRUCTION the
+    deployed one.
+
+    Scale: the candidate set is the banded pipeline's (linear, keeper-
+    star); the audit adds two broadcast-able signature joins (16 longs
+    per doc) and one token join — no new shuffle shape.
+    """
+    sig, cand, toks = _mhb_stages(load(spark, sf_dir, "documents"))
+    sa = sig.select("doc_id", *[F.col(f"mh_{k}").alias(f"a_{k}") for k in range(_MHB_HASHES)])
+    sk = sig.select(
+        F.col("doc_id").alias("keeper_doc_id"),
+        *[F.col(f"mh_{k}").alias(f"k_{k}") for k in range(_MHB_HASHES)],
+    )
+    tk = toks.withColumnRenamed("doc_id", "keeper_doc_id").withColumnRenamed(
+        "toks", "toks_k"
+    )
+    j = cand.join(sa, "doc_id").join(sk, "keeper_doc_id").join(toks, "doc_id").join(
+        tk, "keeper_doc_id"
+    )
+    match_lanes = sum(
+        [
+            F.when(F.col(f"a_{k}") == F.col(f"k_{k}"), 1).otherwise(0)
+            for k in range(_MHB_HASHES)
+        ],
+        F.lit(0),
+    )
+    inter = F.size(F.array_intersect("toks", "toks_k"))
+    union = F.size("toks") + F.size("toks_k") - inter
+    return j.select(
+        "doc_id",
+        "keeper_doc_id",
+        match_lanes.cast("bigint").alias("match_lanes"),
+        (match_lanes * (10000 // _MHB_HASHES)).cast("bigint").alias("est_bp"),
+        F.expr(
+            "size(array_intersect(toks, toks_k)) * 10000 div "
+            "(size(toks) + size(toks_k) - size(array_intersect(toks, toks_k)))"
+        )
+        .cast("bigint")
+        .alias("jaccard_bp"),
+        (
+            match_lanes * (10000 // _MHB_HASHES)
+            - F.expr(
+                "size(array_intersect(toks, toks_k)) * 10000 div "
+                "(size(toks) + size(toks_k) - size(array_intersect(toks, toks_k)))"
+            )
+        )
+        .cast("bigint")
+        .alias("err_bp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup-tier evaluation harness (recall of LSH vs exact ground truth)
 # ---------------------------------------------------------------------------
@@ -999,12 +1131,80 @@ def _minhash_banded_pipeline(d: DataFrame) -> DataFrame:
 
 _EVAL_SLICE = 500  # fixed eval budget: truth cost is slice^2 at ANY sf
 
+# Cross-engine 60-bit SimHash for the eval harness: per-token bit source
+# is the first-15-hex md5 lane (the repo's provable hash stream); 7 bands
+# over 60 bits (9,9,9,9,8,8,8) pigeonhole-guarantee recall 1.0 for
+# hamming <= _SH_HAMMING_MAX. The production op (dedup_simhash) keeps
+# xxhash64/64-bit — this twin exists so the simhash TIER can be graded
+# externally, exactly like _minhash_banded_pipeline grades the LSH tier.
+_SH_BITS = 60
+_SH_WIDTHS = (9, 9, 9, 9, 8, 8, 8)
+_SH_HAMMING_MAX = 6
+_SH_OFFSETS = tuple(sum(_SH_WIDTHS[:i]) for i in range(len(_SH_WIDTHS)))
+
+
+def _simhash_eval_oracle(src: str) -> str:
+    """DuckDB replay of _simhash60_detected over ``src``: (doc_id) rows
+    of docs having a SMALLER-id partner within hamming <= 6."""
+    sum_cols = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SH_BITS)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SH_BITS)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, fp, {i} AS band, (fp >> {off}) & {(1 << w) - 1} AS bucket"
+        f" FROM shfp"
+        for i, (off, w) in enumerate(zip(_SH_OFFSETS, _SH_WIDTHS))
+    )
+    return f"""
+WITH shtok AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM {src}
+), shh AS (
+    SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+    FROM shtok
+), shsum AS (
+    SELECT doc_id,
+           {sum_cols}
+    FROM shh GROUP BY doc_id
+), shfp AS (
+    SELECT doc_id, CAST({fp_expr} AS BIGINT) AS fp FROM shsum
+), shbands AS (
+    {band_selects}
+), shpairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fp_a,
+                    b.doc_id AS doc_b, b.fp AS fp_b
+    FROM shbands a JOIN shbands b USING (band, bucket)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT DISTINCT doc_b AS doc_id FROM shpairs
+WHERE bit_count(xor(fp_a, fp_b)) <= {_SH_HAMMING_MAX}
+"""
+
 
 def _dedup_eval_oracle() -> str:
     # Truth: ANY partner with exact token-Jaccard > 0.8, unblocked
-    # all-pairs over the eval slice. Detected: dedup_minhash_banded's
-    # non-keeper docs (its verify step re-checks exact Jaccard, so
-    # every detected doc must be a truth doc => precision is structural).
+    # all-pairs over the eval slice. Detected (minhash_banded tier):
+    # dedup_minhash_banded's non-keeper docs (its verify step re-checks
+    # exact Jaccard, so every detected doc must be a truth doc =>
+    # precision is structural). Detected (simhash60 tier): docs with a
+    # smaller-id partner within hamming 6 — NOT re-verified, so its
+    # precision measures how well the hamming band predicts Jaccard.
+    def tier_select(tier: str, det_cte: str) -> str:
+        return f"""
+SELECT '{tier}' AS tier,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth_docs)  AS n_truth_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM {det_cte})   AS n_detected_docs,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM {det_cte} d JOIN truth_docs t USING (doc_id)) AS n_caught,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM {det_cte} d JOIN truth_docs t USING (doc_id)) * 10000
+       // greatest((SELECT count(*) FROM truth_docs), 1)   AS recall_bp,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM {det_cte} d JOIN truth_docs t USING (doc_id)) * 10000
+       // greatest((SELECT count(*) FROM {det_cte}), 1)    AS precision_bp"""
+
     return f"""
 WITH eval_ids AS (
     SELECT doc_id FROM documents
@@ -1026,35 +1226,114 @@ WITH eval_ids AS (
 ), sliced AS (
     SELECT d.* FROM documents d JOIN eval_ids USING (doc_id)
 ), det AS ({_mhb_oracle(src="sliced").strip()}),
-detected_docs AS (SELECT DISTINCT doc_id FROM det)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth_docs)    AS n_truth_docs,
-       (SELECT CAST(count(*) AS BIGINT) FROM detected_docs) AS n_detected_docs,
-       (SELECT CAST(count(*) AS BIGINT)
-        FROM detected_docs d JOIN truth_docs t USING (doc_id)) AS n_caught,
-       (SELECT CAST(count(*) AS BIGINT)
-        FROM detected_docs d JOIN truth_docs t USING (doc_id)) * 10000
-       // greatest((SELECT count(*) FROM truth_docs), 1)     AS recall_bp,
-       (SELECT CAST(count(*) AS BIGINT)
-        FROM detected_docs d JOIN truth_docs t USING (doc_id)) * 10000
-       // greatest((SELECT count(*) FROM detected_docs), 1)  AS precision_bp
+mh_detected AS (SELECT DISTINCT doc_id FROM det),
+sh_detected AS ({_simhash_eval_oracle(src="sliced").strip()})
+{tier_select("minhash_banded", "mh_detected")}
+UNION ALL
+{tier_select("simhash60", "sh_detected")}
 """
+
+
+def _simhash60_detected(d: DataFrame) -> DataFrame:
+    """Docs in ``d`` having a SMALLER-id partner within hamming
+    <= _SH_HAMMING_MAX of the cross-engine 60-bit md5 SimHash — the
+    Spark half of _simhash_eval_oracle, for the eval harness. 7-band
+    search (9,9,9,9,8,8,8 bits): a pair within hamming 6 differs in at
+    most 6 bands, so at least one of the 7 matches exactly — recall 1.0
+    for the claimed distance by pigeonhole, then the exact bit_count
+    filter confirms."""
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+    tokh = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    sums = tokh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(_SH_BITS)
+        ]
+    )
+    fp = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for b in range(_SH_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("fp"),
+    )
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("fp"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("bucket"),
+                    )
+                    for i, (off, w) in enumerate(zip(_SH_OFFSETS, _SH_WIDTHS))
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "fp", "bb.band", "bb.bucket")
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.filter(
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            <= _SH_HAMMING_MAX
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
 
 
 @op("dedup_eval_tiers", oracle=_dedup_eval_oracle(), tags=("llm", "dedup", "eval"))
 def dedup_eval_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup-quality evaluation harness: recall and precision of the
-    LSH tier (dedup_minhash_banded) against exact all-pairs Jaccard
-    ground truth, as a one-row DataFrame — the QA gate a production
-    corpus pipeline runs on a SAMPLED eval slice before trusting an
-    approximate dedup tier on the full 100 TB corpus. Ground truth is
-    aligned with the keeper contract: a doc counts as truth-duplicate
-    iff some SMALLER-id partner exceeds Jaccard 0.8 (each cluster's
-    minimum id is the representative and is SUPPOSED to survive, so
-    counting it as "missed" would misread keeper-star semantics as
-    recall loss); detected = assigned a verified keeper. Recall below
-    10000 bp is then genuine band-miss plus single-hop transitive
-    spread — the quantities a production pipeline tunes bands/rounds
-    against.
+    """Dedup-quality evaluation harness: recall and precision of TWO
+    approximate tiers — the banded MinHash LSH (dedup_minhash_banded)
+    and a 60-bit md5 SimHash with 7-band hamming-6 search — against
+    exact all-pairs Jaccard ground truth, one row per tier — the QA
+    gate a production corpus pipeline runs on a SAMPLED eval slice
+    before trusting an approximate dedup tier on the full 100 TB
+    corpus. Ground truth is aligned with the keeper contract: a doc
+    counts as truth-duplicate iff some SMALLER-id partner exceeds
+    Jaccard 0.8 (each cluster's minimum id is the representative and
+    is SUPPOSED to survive, so counting it as "missed" would misread
+    keeper-star semantics as recall loss); detected = assigned a
+    verified keeper (minhash tier) / has a smaller-id hamming-6
+    partner (simhash tier). Recall below 10000 bp is then genuine
+    band-miss plus single-hop transitive spread — the quantities a
+    production pipeline tunes bands/rounds against. The simhash tier's
+    precision is NOT structural (no Jaccard re-verify): it measures
+    how well hamming-6 on the fingerprint predicts Jaccard>0.8, which
+    is exactly the question one asks before swapping tiers.
 
     The all-pairs ground truth is deliberate and belongs ONLY here:
     the eval set is a FIXED 500-doc budget drawn by md5 order (the
@@ -1081,6 +1360,10 @@ def dedup_eval_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
         .limit(_EVAL_SLICE)
     )
+    # The slice stays a lazy frame (three consumers re-derive a cheap
+    # broadcast-join of 500 ids) so the TakeOrdered budget cut remains
+    # visible in the final plan — the scale argument tests pin it; the
+    # expensive subtree (all-pairs truth) is checkpointed below instead.
     sliced = d.join(F.broadcast(eval_ids), "doc_id")
     toks = sliced.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
@@ -1094,25 +1377,35 @@ def dedup_eval_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(inter / union > 0.8)
         .select("doc_a", "doc_b")
     )
-    truth = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    detected = _minhash_banded_pipeline(sliced).select("doc_id").distinct()
-    caught = detected.join(truth, "doc_id")
-    n_truth = truth.agg(F.count("*").alias("v"))
-    n_det = detected.agg(F.count("*").alias("v"))
-    n_caught = caught.agg(F.count("*").alias("v"))
-    row = (
-        n_truth.select(F.col("v").alias("n_truth_docs"))
-        .crossJoin(n_det.select(F.col("v").alias("n_detected_docs")))
-        .crossJoin(n_caught.select(F.col("v").alias("n_caught")))
-    )
-    return row.select(
-        F.col("n_truth_docs").cast("bigint"),
-        F.col("n_detected_docs").cast("bigint"),
-        F.col("n_caught").cast("bigint"),
-        F.expr("n_caught * 10000 div greatest(n_truth_docs, 1)")
-        .cast("bigint")
-        .alias("recall_bp"),
-        F.expr("n_caught * 10000 div greatest(n_detected_docs, 1)")
-        .cast("bigint")
-        .alias("precision_bp"),
+    # Both tier rows read the truth set: checkpoint so the slice²
+    # all-pairs pass runs once, not per tier.
+    truth = pairs.select(F.col("doc_b").alias("doc_id")).distinct().localCheckpoint()
+
+    def tier_row(tier: str, detected: DataFrame) -> DataFrame:
+        caught = detected.join(truth, "doc_id")
+        n_truth = truth.agg(F.count("*").alias("v"))
+        n_det = detected.agg(F.count("*").alias("v"))
+        n_caught = caught.agg(F.count("*").alias("v"))
+        row = (
+            n_truth.select(F.col("v").alias("n_truth_docs"))
+            .crossJoin(n_det.select(F.col("v").alias("n_detected_docs")))
+            .crossJoin(n_caught.select(F.col("v").alias("n_caught")))
+        )
+        return row.select(
+            F.lit(tier).alias("tier"),
+            F.col("n_truth_docs").cast("bigint"),
+            F.col("n_detected_docs").cast("bigint"),
+            F.col("n_caught").cast("bigint"),
+            F.expr("n_caught * 10000 div greatest(n_truth_docs, 1)")
+            .cast("bigint")
+            .alias("recall_bp"),
+            F.expr("n_caught * 10000 div greatest(n_detected_docs, 1)")
+            .cast("bigint")
+            .alias("precision_bp"),
+        )
+
+    det_mh = _minhash_banded_pipeline(sliced).select("doc_id").distinct()
+    det_sh = _simhash60_detected(sliced)
+    return tier_row("minhash_banded", det_mh).unionByName(
+        tier_row("simhash60", det_sh)
     )

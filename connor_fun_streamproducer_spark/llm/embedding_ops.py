@@ -471,3 +471,122 @@ def embedding_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("purity_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (farthest-point data selection)
+# ---------------------------------------------------------------------------
+
+_KC_K = 8        # coreset size: k driver rounds, each one scan + global top-1
+_KC_Q = 10000    # quantization: exact integer squared distances
+
+
+def _kc_d2_sql(sel_cte: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip(v.qv, (SELECT qv FROM {sel_cte})),"
+        f" p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    ctes = [f"""
+q AS (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(floor(x * {_KC_Q} + 0.5) AS BIGINT)) AS qv
+    FROM embeddings
+),
+s0 AS (
+    SELECT 0 AS sel_round, vec_id, qv, CAST(0 AS BIGINT) AS dist2
+    FROM q ORDER BY vec_id LIMIT 1
+)"""]
+    for r in range(1, _KC_K):
+        terms = ",\n               ".join(_kc_d2_sql(f"s{j}") for j in range(r))
+        least = f"least({terms})" if r > 1 else terms
+        ctes.append(f"""
+m{r} AS (
+    SELECT v.vec_id, v.qv,
+           {least} AS d2
+    FROM q v
+),
+s{r} AS (
+    SELECT {r} AS sel_round, vec_id, qv, d2 AS dist2
+    FROM m{r} ORDER BY d2 DESC, vec_id LIMIT 1
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT sel_round, vec_id, dist2 FROM s{r}" for r in range(_KC_K)
+    )
+    return "WITH " + ",".join(ctes) + "\n" + unions
+
+
+@op(
+    "sample_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    tags=("llm", "sample", "embedding", "scale"),
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus (farthest-point
+    traversal, Gonzalez 1985): seed with the smallest vec_id, then k-1
+    times add the vector FARTHEST from the selected set — the classic
+    2-approximation to the k-center cover, used as a diversity-first
+    data-selection pass (pick maximally-spread exemplars before
+    labeling/training instead of random sampling). Output: one row per
+    selection round — (sel_round, vec_id, dist2), where dist2 is the
+    exact squared distance to the previously-selected set at selection
+    time (the cover radius sequence: its decay says when the corpus is
+    "covered" and selection can stop).
+
+    Exactness: embeddings quantize to 1e-4 integer units, distances are
+    exact int64 sums of squared integer diffs, and every argmax is the
+    total order (dist2 desc, vec_id asc) — the DuckDB oracle unrolls the
+    identical k-round recurrence, so the greedy trajectory itself is
+    hash-checked cross-engine.
+
+    Scale: k driver rounds; each is ONE corpus scan computing
+    min-distance-to-selected (a least() over k broadcast literal
+    vectors — no join, no shuffle) and one global top-1
+    (TakeOrdered). The collect is k rows of codebook size — the
+    bounded-driver contract of _codebook/_routed_queries. At 100 TB:
+    k sequential scans, each embarrassingly parallel; the standard
+    coreset construction shape (GraphX-free farthest-first).
+    """
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, x -> cast(floor(cast(x as double)"
+                f" * {_KC_Q} + 0.5) as bigint))"
+            ).alias("qv"),
+        )
+        .localCheckpoint()  # k scans read one materialization
+    )
+
+    def d2_to(sel_qv: list) -> "F.Column":
+        lit = F.array(*[F.lit(int(x)).cast("long") for x in sel_qv])
+        return F.aggregate(
+            F.zip_with(F.col("qv"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    picked = [(0, int(seed["vec_id"]), 0)]
+    sel_vecs = [list(seed["qv"])]
+    for rnd in range(1, _KC_K):
+        mind = (
+            F.least(*[d2_to(sv) for sv in sel_vecs])
+            if len(sel_vecs) > 1
+            else d2_to(sel_vecs[0])
+        )
+        far = (
+            e.select("vec_id", "qv", mind.alias("d2"))
+            .orderBy(F.desc("d2"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((rnd, int(far["vec_id"]), int(far["d2"])))
+        sel_vecs.append(list(far["qv"]))
+    return spark.createDataFrame(
+        picked, "sel_round bigint, vec_id bigint, dist2 bigint"
+    )

@@ -250,6 +250,31 @@ def _corpus_fingerprint(sf_dir: str) -> str:
 _CODEBOOK_CACHE: dict[str, list[list[float]]] = {}
 
 
+def _fold_norm(v) -> float:
+    """L2 norm as a LEFT-TO-RIGHT float64 fold — the exact summation
+    order Spark's ``aggregate(.., 0.0, (a,x) -> a + x*x)`` and DuckDB's
+    ``list_reduce(list_transform(e, y -> y*y), (a,b) -> a+b)`` both use
+    (0.0 + x == x exactly, so the no-init reduce matches too). numpy's
+    ``linalg.norm`` pairwise/BLAS summation would drift last-ulp from
+    the engines; this fold is bit-identical to both, which is what lets
+    the IVF codebook be replayed inside a SQL oracle."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _round6(x: float) -> float:
+    """round(x, 6) with Spark/DuckDB semantics: HALF_UP on the shortest
+    decimal representation (Spark rounds BigDecimal.valueOf(double),
+    which is Double.toString-based — same as Python's repr)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
 def _codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     """Deterministic coarse codebook: stride-sample ``n_cells_for(n)``
     corpus vectors (excluding the query set) and L2-normalize them, so
@@ -275,16 +300,20 @@ def _codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     )
     cents = []
     for r in rows:
-        v = np.asarray(r["embedding"], dtype=np.float64)
-        n = float(np.linalg.norm(v))
-        cents.append([float(x) for x in (v / n if n > 0 else v)])
+        v = [float(x) for x in r["embedding"]]
+        n = _fold_norm(v)  # fold order matters: see _fold_norm
+        cents.append([x / n for x in v] if n > 0 else v)
     _CODEBOOK_CACHE[fp] = cents
     return cents
 
 
 def _cell_sims(cents: list[list[float]]) -> Column:
     """ARRAY<STRUCT<sim,cell>> of dot products against every centroid —
-    one JVM-side expression; struct ordering makes array_max an argmax."""
+    one JVM-side expression; struct ordering makes array_max an argmax.
+    The sim is ROUNDED to 6 dp before it enters the struct: argmax on
+    raw doubles would flip cells on last-ulp drift between engines,
+    while (round(sim,6) desc, cell desc — array_max's lexicographic
+    tie) is a total order a SQL oracle replays exactly."""
     sims = []
     for i, c in enumerate(cents):
         d = F.aggregate(
@@ -296,7 +325,7 @@ def _cell_sims(cents: list[list[float]]) -> Column:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        sims.append(F.struct(d.alias("sim"), F.lit(i).alias("cell")))
+        sims.append(F.struct(F.round(d, 6).alias("sim"), F.lit(i).alias("cell")))
     return F.array(*sims)
 
 
@@ -325,8 +354,13 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _codebook(spark, sf_dir)
     # Cell count participates in the index identity: a change in the
     # derived codebook cardinality (n_cells_for) must rebuild the layout,
-    # not serve a stale one written under the old geometry.
-    path = os.path.join(_INDEX_ROOT, f"{_corpus_fingerprint(sf_dir)}-c{len(cents)}")
+    # not serve a stale one written under the old geometry. The trailing
+    # version tag is the ASSIGNMENT-RULE identity — v2 = rounded argmax
+    # (see _cell_sims) — so an index written under an older rule can
+    # never be served to code expecting the new one.
+    path = os.path.join(
+        _INDEX_ROOT, f"{_corpus_fingerprint(sf_dir)}-c{len(cents)}-v2"
+    )
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         e = load(spark, sf_dir, "embeddings")
         staging = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -365,7 +399,7 @@ def _routed_queries(spark: SparkSession, sf_dir: str) -> list[tuple]:
     fp = _corpus_fingerprint(sf_dir)
     if fp in _ROUTED_CACHE:
         return _ROUTED_CACHE[fp]
-    C = np.asarray(_codebook(spark, sf_dir), dtype=np.float64)  # n_cells × dim
+    C = _codebook(spark, sf_dir)  # n_cells × dim, already L2-normalized
     n_probe = n_probe_for(len(C))
     qrows = (
         load(spark, sf_dir, "embeddings")
@@ -375,20 +409,118 @@ def _routed_queries(spark: SparkSession, sf_dir: str) -> list[tuple]:
     )
     probes = []
     for r in qrows:
-        v = np.asarray(r["embedding"], dtype=np.float64)
-        order = np.argsort(-(C @ v), kind="stable")[:n_probe]
-        qn = float(np.linalg.norm(v))
-        probes.extend(
-            (r["vec_id"], int(cell), [float(x) for x in r["embedding"]], qn)
-            for cell in order
-        )
+        v = [float(x) for x in r["embedding"]]
+        # Left-fold dots + HALF_UP 6dp rounding + (sim desc, cell asc)
+        # total order: the same routing decision the SQL oracle replays
+        # (a BLAS matmul's summation order would not be) — see
+        # _fold_norm/_round6.
+        sims = []
+        for cell, cent in enumerate(C):
+            acc = 0.0
+            for x, y in zip(v, cent):
+                acc += x * y
+            sims.append((-_round6(acc), cell))
+        order = [cell for _, cell in sorted(sims)[:n_probe]]
+        qn = _fold_norm(v)
+        probes.extend((r["vec_id"], int(cell), v, qn) for cell in order)
     _ROUTED_CACHE[fp] = probes
     return probes
 
 
-@op("sim_search_ivf", tags=("llm", "similarity", "approx", "scale"))
+def _ivf_oracle() -> str:
+    """DuckDB replay of the ENTIRE IVF decision chain — codebook
+    derivation (stride sample → fold-norm L2 normalize), corpus cell
+    assignment (rounded-dot argmax, cell-desc tie), query routing
+    (top-n_probe cells, rounded-dot desc / cell asc), pruned candidate
+    re-rank, and the exact-top-k recall companions. Possible only
+    because every float on the Spark/Python side is produced in the
+    same fold order the SQL computes (_fold_norm/_round6/_cell_sims)
+    and every ordering decision happens on round(·,6) with an integer
+    tie-break."""
+    return f"""
+WITH par AS (
+    SELECT count(*) AS n,
+           greatest({N_CELLS_MIN}, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k
+    FROM embeddings
+), par2 AS (
+    SELECT n, k,
+           greatest(1, (n - {N_QUERIES}) // k) AS stride,
+           greatest(2, CAST(ceil(CAST(k AS DOUBLE) / {PROBE_DIVISOR}) AS BIGINT)) AS npr
+    FROM par
+), cb0 AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           row_number() OVER (ORDER BY vec_id) AS rn
+    FROM embeddings, par2
+    WHERE vec_id >= {N_QUERIES} AND (vec_id - {N_QUERIES}) % stride = 0
+), cb AS (
+    SELECT rn - 1 AS cell,
+           list_transform(e, x -> x / sqrt(list_reduce(
+               list_transform(e, y -> y * y), (a, b) -> a + b))) AS cent
+    FROM cb0, par2 WHERE rn <= k
+), vec AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y),
+                            (a, b) -> a + b)) AS nrm
+    FROM embeddings
+), asn AS (
+    SELECT v.vec_id, v.e, v.nrm, c.cell,
+           row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY round(list_dot_product(v.e, c.cent), 6) DESC, c.cell DESC
+           ) AS rn
+    FROM vec v CROSS JOIN cb c
+), cellmap AS (
+    SELECT vec_id, e, nrm, cell FROM asn WHERE rn = 1
+), probes AS (
+    SELECT v.vec_id AS query_id, c.cell,
+           row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY round(list_dot_product(v.e, c.cent), 6) DESC, c.cell ASC
+           ) AS rn
+    FROM vec v CROSS JOIN cb c WHERE v.vec_id < {N_QUERIES}
+), pr AS (
+    SELECT query_id, cell FROM probes, par2 WHERE rn <= npr
+), cand AS (
+    SELECT p.query_id, m.vec_id AS neighbor_id,
+           list_dot_product(q.e, m.e) / (q.nrm * m.nrm) AS rawsim
+    FROM pr p
+    JOIN cellmap m ON m.cell = p.cell AND m.vec_id <> p.query_id
+    JOIN cellmap q ON q.vec_id = p.query_id
+), ivf AS (
+    SELECT query_id, neighbor_id, round(rawsim, 4) AS sim
+    FROM cand
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(rawsim, 6) DESC, neighbor_id) <= {K}
+), exact AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM embeddings q
+    JOIN embeddings c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY round(
+            list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+            6) DESC,
+        c.vec_id
+    ) <= {K}
+)
+SELECT i.query_id, i.neighbor_id, i.sim,
+       e.neighbor_id IS NOT NULL AS hit,
+       CAST(count(e.neighbor_id) OVER (PARTITION BY i.query_id) * 10000
+            // {K} AS BIGINT) AS recall_bp
+FROM ivf i LEFT JOIN exact e USING (query_id, neighbor_id)
+"""
+
+
+@op(
+    "sim_search_ivf",
+    oracle=_ivf_oracle(),
+    tags=("llm", "similarity", "approx", "scale"),
+)
 def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via IVF coarse quantization + exact re-rank.
+    """ANN top-k via IVF coarse quantization + exact re-rank, with
+    exact-recall companion columns.
 
     Corpus side: read the materialized inverted file (``ivf_index``) and
     keep only the probed cells — a partition-pruned scan, nprobe/N_CELLS
@@ -402,9 +534,15 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero Spark jobs: probe assignments are a tiny literal DataFrame
     broadcast into the corpus join.
 
-    Rows-only for the driver (the sampled codebook is not
-    SQL-expressible); recall vs ``sim_search_topk`` is pinned in
-    tests/test_llm.py.
+    HASH-CHECKED since round 8 (previously rows-only): every decision in
+    the pipeline — stride-sampled codebook, fold-order normalization,
+    rounded-argmax cell assignment, rounded probe routing — is a total
+    order over engine-exact values, so the DuckDB oracle replays the
+    identical index and retrieval (the dedup_minhash_banded discipline
+    applied to ANN). Each row also carries ``hit`` (retrieved neighbor
+    is in the exact top-k) and per-query ``recall_bp`` — recall@k of the
+    IVF probe vs exact brute force measured EXTERNALLY, the number a
+    production pipeline tunes n_probe against.
     """
     idx = ivf_index(spark, sf_dir)
     probes = _routed_queries(spark, sf_dir)
@@ -436,10 +574,28 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc(F.round("sim", 6)), F.asc("neighbor_id"))
-    return (
+    retrieved = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= K)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+    # Exact-recall companions: join against the brute-force top-k (the
+    # tiny N_QUERIES·K truth set) and emit hit + per-query recall@k.
+    exact = sim_search_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(True).alias("hit")
+    )
+    wq = Window.partitionBy("query_id")
+    return (
+        retrieved.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .fillna(False, ["hit"])
+        .withColumn("nh", F.count(F.when(F.col("hit"), 1)).over(wq))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            "hit",
+            F.expr(f"nh * 10000 div {K}").cast("bigint").alias("recall_bp"),
+        )
     )
 
 
@@ -449,20 +605,102 @@ def _hyperplanes(dim: int = 64, n: int = 16, seed: int = 42) -> list[list[float]
     return [[float(v) for v in rng.standard_normal(dim)] for _ in range(n)]
 
 
-@op("sim_search_lsh", tags=("llm", "similarity", "approx"))
+def _lsh_oracle() -> str:
+    """DuckDB replay of sim_search_lsh. The hyperplanes are MODEL
+    CONSTANTS (seed-fixed at import, like a broadcast codebook), so both
+    engines evaluate the same float literals — repr round-trips doubles
+    exactly. Every sign decision happens on round(proj, 6) and every
+    ranking on (round(sim,6), id), so bucket membership and the top-k
+    are total orders the SQL replays bit-for-bit."""
+    planes = _hyperplanes()
+
+    def plane_lit(p: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in p) + "]"
+
+    bucket_exprs = []
+    for g in range(4):
+        bits = " + ".join(
+            f"(CASE WHEN round(list_dot_product(e, {plane_lit(planes[g * 4 + r])}), 6)"
+            f" > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(4)
+        )
+        bucket_exprs.append(f"SELECT vec_id, e, nrm, {g} AS grp, {bits} AS bucket FROM vec")
+    bucket_union = "\n    UNION ALL\n    ".join(bucket_exprs)
+    return f"""
+WITH vec AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y),
+                            (a, b) -> a + b)) AS nrm
+    FROM embeddings
+), bucketed AS (
+    {bucket_union}
+), q AS (
+    SELECT vec_id AS query_id, e AS qe, nrm AS qn, grp, bucket
+    FROM bucketed WHERE vec_id < {N_QUERIES}
+), cand AS (
+    SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id, q.qe, q.qn,
+                    c.e AS ce, c.nrm AS cn
+    FROM bucketed c JOIN q
+      ON c.grp = q.grp AND c.bucket = q.bucket AND c.vec_id <> q.query_id
+), scored AS (
+    SELECT query_id, neighbor_id,
+           list_dot_product(qe, ce) / (qn * cn) AS rawsim
+    FROM cand
+), lsh AS (
+    SELECT query_id, neighbor_id, round(rawsim, 4) AS sim
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(rawsim, 6) DESC, neighbor_id) <= {K}
+), exact AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM embeddings q
+    JOIN embeddings c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY round(
+            list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+            6) DESC,
+        c.vec_id
+    ) <= {K}
+)
+SELECT i.query_id, i.neighbor_id, i.sim,
+       e.neighbor_id IS NOT NULL AS hit,
+       CAST(count(e.neighbor_id) OVER (PARTITION BY i.query_id) * 10000
+            // {K} AS BIGINT) AS recall_bp
+FROM lsh i LEFT JOIN exact e USING (query_id, neighbor_id)
+"""
+
+
+@op(
+    "sim_search_lsh",
+    oracle=_lsh_oracle(),
+    tags=("llm", "similarity", "approx"),
+)
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k: random-hyperplane LSH bucketing + exact re-rank.
+    """ANN top-k: random-hyperplane LSH bucketing + exact re-rank, with
+    exact-recall companion columns.
 
     16 hyperplanes → four 4-bit sign-buckets per vector; query and
     candidate pair up when any group's bucket matches (equi-join on
     (group, bucket)); candidates are re-ranked with the exact kernel and
-    top-k'd. Recall vs the exact op is pinned in tests/test_llm.py.
-    Rows-only for the driver: bucket membership depends on the generated
-    hyperplanes, which the SQL oracle can't regenerate.
+    top-k'd.
+
+    HASH-CHECKED since round 8 (previously rows-only): the hyperplanes
+    are seed-fixed import-time constants, so the oracle embeds the same
+    float literals (the broadcast-codebook pattern — constants need no
+    re-derivation, the DATA pipeline is what's replayed); each sign bit
+    is taken on round(proj,6) so bucket membership is a cross-engine
+    total order, and each output row carries hit + per-query recall_bp
+    vs the exact top-k — the recall a production pipeline tunes
+    group/bit geometry against, measured externally.
     """
     e = load(spark, sf_dir, "embeddings")
     planes = _hyperplanes()
-    # sign bit per plane, packed 4 planes → one 4-bit bucket per group
+    # sign bit per plane, packed 4 planes → one 4-bit bucket per group;
+    # the sign is taken on round(proj, 6) so a last-ulp projection drift
+    # between engines can never flip a bucket (see _lsh_oracle)
     def bucket(group: int) -> Column:
         bits = []
         for r in range(4):
@@ -476,7 +714,9 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
-            bits.append(F.when(proj > 0, F.lit(1 << r)).otherwise(F.lit(0)))
+            bits.append(
+                F.when(F.round(proj, 6) > 0, F.lit(1 << r)).otherwise(F.lit(0))
+            )
         return sum(bits[1:], bits[0])
 
     bucketed = e.select(
@@ -513,10 +753,26 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = cand.withColumn("sim", cosine_expr(F.col("q_emb"), F.col("c_emb")))
     w = Window.partitionBy("query_id").orderBy(F.desc(F.round("sim", 6)), F.asc("neighbor_id"))
-    return (
+    retrieved = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= K)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+    exact = sim_search_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(True).alias("hit")
+    )
+    wq = Window.partitionBy("query_id")
+    return (
+        retrieved.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .fillna(False, ["hit"])
+        .withColumn("nh", F.count(F.when(F.col("hit"), 1)).over(wq))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            "hit",
+            F.expr(f"nh * 10000 div {K}").cast("bigint").alias("recall_bp"),
+        )
     )
 
 

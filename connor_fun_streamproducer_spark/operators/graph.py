@@ -934,6 +934,47 @@ FROM l{_LPA_ROUNDS}
     )
 
 
+def _lpa_labels(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = _LPA_ROUNDS,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """The synchronous-LPA label fixpoint shared by
+    ``graph_label_propagation`` and ``graph_modularity`` — ONE
+    implementation of the recurrence so the detector and its grader can
+    never drift semantically (both oracles unroll the identical SQL via
+    ``_lpa_oracle``). Returns the (u, lab) frame after ``rounds``
+    synchronous updates, localCheckpoint-ed so downstream consumers read
+    a materialization with O(1) lineage.
+
+    ``edges`` lets a caller that already built (and checkpointed) the
+    ``_pair_edges`` frame share it instead of replaying the bucket build.
+    """
+    e = _pair_edges(spark, sf_dir) if edges is None else edges
+    und = (
+        e.select(F.col("a").alias("u"), F.col("c").alias("v"))
+        .unionByName(e.select(F.col("c").alias("u"), F.col("a").alias("v")))
+        .repartition("v")
+        .localCheckpoint()
+    )
+    labels = und.select("u").distinct().select("u", F.col("u").alias("lab"))
+    top = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("lab"))
+    for _ in range(rounds):
+        nbr = (
+            und.join(labels.select(F.col("u").alias("v"), "lab"), "v")
+            .groupBy("u", "lab")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            nbr.withColumn("rn", F.row_number().over(top))
+            .filter(F.col("rn") == 1)
+            .select("u", "lab")
+            .localCheckpoint()
+        )
+    return labels
+
+
 @op(
     "graph_label_propagation",
     oracle=_lpa_oracle(),
@@ -963,28 +1004,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds are linear shuffles on bounded-degree edges (the [2,8]
     band-capped build, _pair_edges) — the same shape PowerGraph/GraphX
     LPA runs, minus the vertex-cut machinery Spark doesn't need here.
+    The fixpoint itself lives in ``_lpa_labels``, shared with
+    ``graph_modularity`` so detector and grader run one recurrence.
     """
-    e = _pair_edges(spark, sf_dir)
-    und = (
-        e.select(F.col("a").alias("u"), F.col("c").alias("v"))
-        .unionByName(e.select(F.col("c").alias("u"), F.col("a").alias("v")))
-        .repartition("v")
-        .localCheckpoint()
-    )
-    labels = und.select("u").distinct().select("u", F.col("u").alias("lab"))
-    top = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("lab"))
-    for _ in range(_LPA_ROUNDS):
-        nbr = (
-            und.join(labels.select(F.col("u").alias("v"), "lab"), "v")
-            .groupBy("u", "lab")
-            .agg(F.count("*").alias("cnt"))
-        )
-        labels = (
-            nbr.withColumn("rn", F.row_number().over(top))
-            .filter(F.col("rn") == 1)
-            .select("u", "lab")
-            .localCheckpoint()
-        )
+    labels = _lpa_labels(spark, sf_dir)
     size_w = Window.partitionBy("lab")
     return labels.select(
         F.col("u").alias("user_id"),
@@ -1142,14 +1165,14 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     them.
 
     Scale: the label pass is LPA's (checkpointed edge frame, bounded
-    rounds); scoring adds two hash joins of the edge list against the
-    label frame, a degree agg, and dim-bounded per-community rollups —
-    all linear, partitioned on node/label keys.
+    rounds — the shared ``_lpa_labels`` helper, handed the already-
+    checkpointed edge frame so the bucket build runs once); scoring adds
+    two hash joins of the edge list against the label frame, a degree
+    agg, and dim-bounded per-community rollups — all linear, partitioned
+    on node/label keys.
     """
-    labels = graph_label_propagation(spark, sf_dir).select(
-        F.col("user_id").alias("u"), F.col("community").alias("lab")
-    ).localCheckpoint()
     e = _pair_edges(spark, sf_dir).localCheckpoint()
+    labels = _lpa_labels(spark, sf_dir, edges=e)
     und = e.select(F.col("a").alias("u")).unionByName(
         e.select(F.col("c").alias("u"))
     )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.catalog import epoch_seconds, load
 from connor_fun_streamproducer_spark.registry import op
 
 PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -1213,4 +1213,186 @@ def stats_key_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(fk(li, "lineitem_fk_orders", "l_orderkey", o, "o_orderkey"))
         .unionByName(fk(o, "orders_fk_customer", "o_custkey", cust, "c_custkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time disorder profile (watermark sizing)
+# ---------------------------------------------------------------------------
+
+_LATENESS_ORACLE = """
+WITH e AS (
+    SELECT event_id, epoch_us(ts) // 1000000 AS s FROM events
+), r AS (
+    SELECT s,
+           max(s) OVER (ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS frontier
+    FROM e
+), l AS (
+    SELECT frontier - s AS late FROM r
+), b AS (
+    SELECT CASE WHEN late = 0     THEN 'on_time'
+                WHEN late <= 60   THEN 'late_1m'
+                WHEN late <= 600  THEN 'late_10m'
+                WHEN late <= 3600 THEN 'late_1h'
+                ELSE                   'late_over_1h' END AS band,
+           late
+    FROM l
+)
+SELECT band,
+       CAST(count(*) AS BIGINT)                              AS n_events,
+       CAST(max(late) AS BIGINT)                             AS max_late_s,
+       CAST(count(*) * 10000 // (SELECT count(*) FROM e) AS BIGINT)
+                                                             AS share_bp
+FROM b GROUP BY band
+"""
+
+
+@op(
+    "stats_event_lateness",
+    oracle=_LATENESS_ORACLE,
+    tags=("ext", "stats", "streaming", "scale"),
+)
+def stats_event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time DISORDER profile of the ingest stream: for every event
+    (in event_id = ingest order), its lateness vs the running event-time
+    frontier max(ts so far) — exactly the quantity a Structured
+    Streaming watermark must exceed to avoid dropping the row — bucketed
+    into operational bands (on-time / ≤1m / ≤10m / ≤1h / worse) with
+    counts, worst case, and basis-point shares. This is how a watermark
+    delay (stream_watermark's 10 min) is CHOSEN: from the measured tail
+    of real disorder, not guessed; re-run per source, it is the
+    data-contract audit for event-time pipelines.
+
+    Exactness: lateness is integer seconds (epoch floor on both
+    engines), bands are integer comparisons, shares integral division —
+    nothing floats.
+
+    Scale: ONE global running-max window is a total order over
+    event_id — a single-partition sort in naive form. That is the
+    honest cost of an exact global frontier; the production variant
+    partitions by source/shard (each shard has its own watermark, as
+    Spark itself tracks per-partition) and this op IS that shape with
+    one shard. The final rollup is 5 rows.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_id", epoch_seconds("ts").alias("s")
+    )
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    late = (F.max("s").over(w) - F.col("s")).alias("late")
+    b = e.select(late).select(
+        F.when(F.col("late") == 0, "on_time")
+        .when(F.col("late") <= 60, "late_1m")
+        .when(F.col("late") <= 600, "late_10m")
+        .when(F.col("late") <= 3600, "late_1h")
+        .otherwise("late_over_1h")
+        .alias("band"),
+        "late",
+    )
+    total = e.count()
+    return b.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("late").cast("bigint").alias("max_late_s"),
+        F.expr(f"count(*) * 10000 div {total}").cast("bigint").alias("share_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between categorical columns (fold-deterministic)
+# ---------------------------------------------------------------------------
+
+_MI_ORACLE = """
+WITH base AS (
+    SELECT lang AS a, source AS b FROM documents
+), o AS (
+    SELECT a, b, count(*) AS obs FROM base GROUP BY 1, 2
+), ra AS (SELECT a, sum(obs) AS r FROM o GROUP BY 1),
+cb AS (SELECT b, sum(obs) AS c FROM o GROUP BY 1),
+tot AS (
+    SELECT sum(obs) AS n,
+           (SELECT count(*) FROM ra) AS n_a,
+           (SELECT count(*) FROM cb) AS n_b,
+           (SELECT count(*) FROM o)  AS n_cells
+    FROM o
+), cells AS (
+    SELECT o.a, o.b, o.obs, ra.r, cb.c FROM o JOIN ra USING (a) JOIN cb USING (b)
+), lst AS (
+    SELECT list_sort(list([obs, r, c])) AS l FROM cells
+)
+SELECT CAST(t.n AS BIGINT)       AS n_total,
+       CAST(t.n_a AS BIGINT)     AS n_a,
+       CAST(t.n_b AS BIGINT)     AS n_b,
+       CAST(t.n_cells AS BIGINT) AS n_cells,
+       round(list_reduce(list_transform(l.l, p ->
+                 (CAST(p[1] AS DOUBLE) / t.n)
+                 * ln(CAST(p[1] AS DOUBLE) * t.n
+                      / (CAST(p[2] AS DOUBLE) * p[3]))),
+             (x, y) -> x + y), 6) + 0.0 AS mi_nats,
+       round(list_reduce(list_transform(l.l, p ->
+                 (CAST(p[1] AS DOUBLE) / t.n)
+                 * ln(CAST(p[1] AS DOUBLE) * t.n
+                      / (CAST(p[2] AS DOUBLE) * p[3]))),
+             (x, y) -> x + y)
+             / ln(CAST(least(t.n_a, t.n_b) AS DOUBLE)), 6) + 0.0
+           AS mi_normalized
+FROM lst l CROSS JOIN tot t
+"""
+
+
+@op("stats_mutual_info_cat", oracle=_MI_ORACLE, tags=("ext", "stats", "profile"))
+def stats_mutual_info_cat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (documents'
+    lang × source): MI = Σ p(a,b)·ln(p(a,b)/(p(a)p(b))) in nats, plus
+    the [0,1] normalization MI/ln(min(|A|,|B|)) — the dependence screen
+    for corpus governance (is language confounded with source? a high
+    value means per-source sampling silently reweights languages) and
+    the feature-redundancy check a modeling pipeline runs next to
+    stats_cramers_v (V grades effect size of the same table; MI grades
+    information overlap — both consume one identical cell frame shape).
+
+    Float-determinism: the MI sum is a LEFT FOLD over per-cell
+    (obs, r, c) triples sorted lexicographically (the cramers_v/
+    zipf_alpha discipline) — each term is a fixed float expression over
+    exact integers, summed in identical order on both engines; round(6)
+    with −0.0 normalized.
+
+    Scale: one scan into an |A|×|B|-bounded cell agg; marginals are
+    windows over the bounded cells; the fold is a ~100-element array
+    op. Zero-count cells contribute nothing by construction (absent
+    from the cell frame), matching the 0·ln0 = 0 convention.
+    """
+    d = load(spark, sf_dir, "documents")
+    o = d.select(F.col("lang").alias("a"), F.col("source").alias("b")).groupBy(
+        "a", "b"
+    ).agg(F.count("*").alias("obs"))
+    cells = o.select(
+        "a",
+        "b",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("a")).alias("r"),
+        F.sum("obs").over(Window.partitionBy("b")).alias("c"),
+    )
+    lst = cells.agg(
+        F.array_sort(F.collect_list(F.array("obs", "r", "c"))).alias("l"),
+        F.sum("obs").alias("n"),
+        F.countDistinct("a").alias("n_a"),
+        F.countDistinct("b").alias("n_b"),
+        F.count("*").alias("n_cells"),
+    )
+    mi = F.expr(
+        "aggregate(l, CAST(0.0 AS DOUBLE), (x, p) -> x +"
+        " (CAST(p[0] AS DOUBLE) / n)"
+        " * ln(CAST(p[0] AS DOUBLE) * n / (CAST(p[1] AS DOUBLE) * p[2])))"
+    )
+    return lst.select(
+        F.col("n").cast("bigint").alias("n_total"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_cells").cast("bigint").alias("n_cells"),
+        (F.round(mi, 6) + F.lit(0.0)).alias("mi_nats"),
+        (
+            F.round(mi / F.log(F.least("n_a", "n_b").cast("double")), 6)
+            + F.lit(0.0)
+        ).alias("mi_normalized"),
     )

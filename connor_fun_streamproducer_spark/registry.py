@@ -323,6 +323,13 @@ _WINDOW_PRIORITY = [
     "agg_grouping_sets",
     "agg_hash",
     "agg_skew_salted",
+    # -- key 51+: NEW in round 8 — never externally checked; first in
+    #    line for the r09 rotation under the freshness rule -------------
+    "dedup_minhash_estimate",   # new: minhash estimator audit (est vs exact J)
+    "sample_kcenter_coreset",   # new: greedy k-center coreset, exact trajectory
+    "stats_event_lateness",     # new: event-time disorder / watermark sizing
+    "corpus_epoch_plan",        # new: per-source epochs + md5 remainder prefix
+    "stats_mutual_info_cat",    # new: lang x source MI, fold-deterministic
     # -- next stale tier for r09 (filter_pred promoted above) -----------
     "project_select",
     "limit_topk",

@@ -57,6 +57,11 @@ SWEEP = [
     "stats_cramers_v",             # sorted-cell chi2 fold (r7)
     "dedup_eval_tiers",            # all-pairs truth + LSH compose (r7)
     "pipeline_event_trigrams",     # count-tie topk ordering (r7)
+    "dedup_minhash_estimate",      # LSH candidates + lane agreement (r8)
+    "sample_kcenter_coreset",      # iterative argmax trajectory (r8)
+    "stats_mutual_info_cat",       # sorted-cell float fold (r8)
+    "corpus_epoch_plan",           # md5-ordered remainder cumsum (r8)
+    "sim_search_lsh",              # rounded sign buckets + recall join (r8)
 ]
 
 
@@ -93,6 +98,9 @@ def test_two_runs_bit_identical_across_partitionings(spark, key):
 SWEEP_SF001 = [
     "dedup_minhash_banded",
     "dedup_eval_tiers",
+    "graph_label_propagation",  # fixed-round sync fixpoint (r8: shared helper)
+    "graph_modularity",         # grades the SAME labels via _lpa_labels (r8)
+    "sample_kcenter_coreset",   # greedy trajectory must not drift (r8)
     "embedding_knn_label_purity",
     "graph_connected_components",
     "graph_pagerank_dist",

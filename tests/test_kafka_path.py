@@ -6,9 +6,9 @@ The reference's entire output side is a Kafka produce
 needs the spark-sql-kafka connector jar and a broker, and this sandbox has
 neither (the jar is not bundled with the pyspark pip distribution, and
 Maven Central is unreachable — ``curl repo1.maven.org`` fails DNS; attempt
-documented in COVERAGE.md; re-attempted in rounds 5, 6 and 7, still
-DNS-blocked (r7: ``urlopen repo1.maven.org`` → "Name or service not
-known") — rounds 6 and 7 also confirmed no kafka/spark-sql-kafka jar
+documented in COVERAGE.md; re-attempted in rounds 5, 6, 7 and 8, still
+DNS-blocked (r8: ``urlopen repo1.maven.org`` → "Name or service not
+known") — rounds 6, 7 and 8 also confirmed no kafka/spark-sql-kafka jar
 exists anywhere on the filesystem to sideload).
 The broker-less transport proof is ``sink_socket_roundtrip``
 (sources/streams.py): the same to_json frame the Kafka sink uses, shipped

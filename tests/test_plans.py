@@ -1607,3 +1607,50 @@ def test_key_integrity_broadcast_fk_probes(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin LeftOuter" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_event_lateness_single_scan_no_join(spark):
+    """stats_event_lateness: one events scan feeds the running-max
+    window and the band rollup — no join, no re-read (the total is a
+    precomputed literal, not a re-derived agg)."""
+    plan = formatted_plan(_q("stats_event_lateness", spark))
+    assert "Join" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_mutual_info_single_scan_bounded_cells(spark):
+    """stats_mutual_info_cat: documents scanned once; marginals are
+    windows over the |A|x|B|-bounded cell frame, never a second scan or
+    a join back."""
+    plan = formatted_plan(_q("stats_mutual_info_cat", spark))
+    assert "Join" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_epoch_plan_broadcasts_the_plan_frame(spark):
+    """corpus_epoch_plan: the |sources|-bounded plan frame broadcasts
+    into the remainder-prefix pass — the corpus side never shuffles for
+    the join — and nothing is a cartesian beyond the 1-row scalar
+    cross."""
+    plan = formatted_plan(_q("corpus_epoch_plan", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_minhash_estimate_no_pair_blowup(spark):
+    """dedup_minhash_estimate: the audit joins signatures/tokens onto
+    the keeper-star candidate frame by doc id — equi-joins only, no
+    cartesian, no bucket-internal pairing."""
+    plan = formatted_plan(_q("dedup_minhash_estimate", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lsh_recall_join_is_broadcast(spark):
+    """sim_search_lsh: the exact-top-k recall companion joins as a
+    broadcast of the tiny truth set (N_QUERIES*K rows) — the candidate
+    side never shuffles for it."""
+    plan = formatted_plan(_q("sim_search_lsh", spark))
+    assert "BroadcastHashJoin LeftOuter" in plan.replace("  ", " ") or (
+        "LeftOuter" in plan and "BroadcastExchange" in plan
+    ), plan

@@ -2017,3 +2017,122 @@ def test_minhash_banded_identical_docs_always_collide(spark):
     got = {r.doc_id: (r.keeper_doc_id, r.jaccard) for r in _minhash_banded_pipeline(d).collect()}
     # docs 2 and 3 collapse onto keeper 1 with exact jaccard 1.0
     assert got == {2: (1, 1.0), 3: (1, 1.0)}
+
+
+def test_kcenter_coreset_trajectory_laws(spark):
+    """sample_kcenter_coreset: the greedy farthest-first trajectory's
+    exact invariants — the cover radius (dist2 at selection) is
+    NON-INCREASING round over round (each pick shrinks or holds the
+    worst gap; Gonzalez's 2-approx argument rests on this), the seed is
+    the smallest vec_id at distance 0, and no vector is picked twice."""
+    from connor_fun_streamproducer_spark.llm.embedding_ops import (
+        sample_kcenter_coreset,
+    )
+
+    rows = sorted(
+        sample_kcenter_coreset(spark, SF_DIR).collect(),
+        key=lambda r: r.sel_round,
+    )
+    e_min = load(spark, SF_DIR, "embeddings").agg(F.min("vec_id")).collect()[0][0]
+    assert rows[0].sel_round == 0 and rows[0].vec_id == e_min and rows[0].dist2 == 0
+    d = [r.dist2 for r in rows[1:]]
+    assert all(a >= b for a, b in zip(d, d[1:])), d
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == len(ids)
+    assert all(r.dist2 > 0 for r in rows[1:])
+
+
+def test_minhash_estimate_covers_verified_pairs(spark):
+    """dedup_minhash_estimate audits the PRE-verify candidate set, so
+    every pair the verified dedup op emits must appear in the estimator
+    output, with est_bp = match_lanes*625 and both bp columns in
+    [0, 10000]."""
+    from connor_fun_streamproducer_spark.llm.dedup import (
+        dedup_minhash_banded,
+        dedup_minhash_estimate,
+    )
+
+    est = {
+        (r.doc_id, r.keeper_doc_id): r
+        for r in dedup_minhash_estimate(spark, SF_DIR).collect()
+    }
+    for r in est.values():
+        assert 0 <= r.match_lanes <= 16
+        assert r.est_bp == r.match_lanes * 625
+        assert 0 <= r.jaccard_bp <= 10000
+        assert r.err_bp == r.est_bp - r.jaccard_bp
+    verified = dedup_minhash_banded(spark, SF_DIR).collect()
+    assert verified, "fixture should contain near-dups"
+    for v in verified:
+        assert (v.doc_id, v.keeper_doc_id) in est
+
+
+def test_event_lateness_partitions_the_stream(spark):
+    """stats_event_lateness: bands partition the events exactly (counts
+    sum to |events|, shares to <= 10000 with integral-floor slack), and
+    the in-order band exists (the frontier row itself is on time)."""
+    from connor_fun_streamproducer_spark.operators.profiling import (
+        stats_event_lateness,
+    )
+
+    rows = stats_event_lateness(spark, SF_DIR).collect()
+    n = load(spark, SF_DIR, "events").count()
+    assert sum(r.n_events for r in rows) == n
+    assert sum(r.share_bp for r in rows) <= 10000
+    bands = {r.band for r in rows}
+    assert "on_time" in bands
+    by = {r.band: r for r in rows}
+    assert by["on_time"].max_late_s == 0
+
+
+def test_epoch_plan_budget_identities(spark):
+    """corpus_epoch_plan: per-source target decomposes exactly into
+    full_epochs*tok + rem_tokens, targets sum exactly to the global
+    budget (equal-share largest-remainder), and the remainder prefix
+    never overshoots its token allowance."""
+    from connor_fun_streamproducer_spark.llm.corpus import (
+        _EPOCH_BUDGET,
+        corpus_epoch_plan,
+    )
+
+    rows = corpus_epoch_plan(spark, SF_DIR).collect()
+    assert sum(r.target for r in rows) == _EPOCH_BUDGET
+    for r in rows:
+        assert r.full_epochs * r.tok + r.rem_tokens == r.target
+        assert 0 <= r.rem_tokens < r.tok
+        assert 0 <= r.rem_docs
+
+
+def test_mutual_info_bounds(spark):
+    """stats_mutual_info_cat: MI >= 0 (Gibbs) up to round-off, and the
+    normalization stays in [0, 1]."""
+    from connor_fun_streamproducer_spark.operators.profiling import (
+        stats_mutual_info_cat,
+    )
+
+    r = stats_mutual_info_cat(spark, SF_DIR).collect()[0]
+    assert r.mi_nats >= -1e-6
+    assert -1e-6 <= r.mi_normalized <= 1.0
+    assert r.n_cells <= r.n_a * r.n_b
+
+
+def test_ann_recall_companions_consistent(spark):
+    """sim_search_ivf / sim_search_lsh recall companions: recall_bp is
+    constant per query and equals 2000 * (hits in the query's rows);
+    hit rows must actually be exact-top-k members."""
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in registry.OPS["sim_search_topk"].fn(spark, SF_DIR).collect()
+    }
+    for key in ("sim_search_ivf", "sim_search_lsh"):
+        rows = registry.OPS[key].fn(spark, SF_DIR).collect()
+        per_q: dict = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append(r)
+            assert r.hit == ((r.query_id, r.neighbor_id) in exact), (key, r)
+        for q, rs in per_q.items():
+            hits = sum(1 for r in rs if r.hit)
+            assert {r.recall_bp for r in rs} == {hits * 2000}, (key, q)
