@@ -126,6 +126,11 @@ EXTENDED = [
     "corpus_epoch_plan",
     "stats_mutual_info_cat",
     "sim_search_lsh",
+    "graph_hits",
+    "ts_holt_forecast",
+    "sample_neyman_alloc",
+    "stats_capture_recapture",
+    "sample_walk_pairs",
 ]
 
 

@@ -913,3 +913,132 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rem_docs").cast("bigint").alias("rem_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation: variance-proportional stratified sample sizes
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 10_000  # total sample size to allocate across sources
+
+_NEYMAN_ORACLE = f"""
+WITH dtok AS (
+    SELECT source,
+           list_sum(list_transform(string_split(text, ' '),
+               t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS x
+    FROM documents
+), m AS (
+    SELECT source,
+           count(*) AS n_h,
+           CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+             - CAST(sum(x) AS HUGEINT) * sum(x) AS var_scaled
+    FROM dtok GROUP BY 1
+), wts AS (
+    SELECT source, n_h,
+           CAST(floor(sqrt(CAST(var_scaled AS DOUBLE))) AS BIGINT) AS w
+    FROM m
+), t AS (SELECT sum(w) AS tw FROM wts),
+q AS (
+    SELECT source, n_h, w,
+           w * {_NEYMAN_BUDGET} // t.tw AS floor_alloc,
+           w * {_NEYMAN_BUDGET} % t.tw AS remainder
+    FROM wts CROSS JOIN t
+), r AS (
+    SELECT *,
+           row_number() OVER (ORDER BY remainder DESC, source ASC) AS rk,
+           {_NEYMAN_BUDGET} - sum(floor_alloc) OVER () AS extra
+    FROM q
+)
+SELECT source,
+       CAST(n_h AS BIGINT) AS n_docs,
+       CAST(w AS BIGINT) AS w_sd_scaled,
+       CAST(floor_alloc + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc,
+       CAST(least(floor_alloc + CASE WHEN rk <= extra THEN 1 ELSE 0 END, n_h)
+            AS BIGINT) AS alloc_capped
+FROM r
+"""
+
+
+@op(
+    "sample_neyman_alloc",
+    oracle=_NEYMAN_ORACLE,
+    tags=("llm", "corpus", "sampling", "stats"),
+)
+def sample_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (optimal) stratified-sample allocation across sources:
+    stratum h gets sample share ∝ N_h·S_h — document count times
+    within-stratum standard deviation (of per-doc BPE token counts) —
+    the allocation minimizing the estimator variance at fixed budget
+    (Neyman 1934). sample_stratified takes equal/proportional shares;
+    this is the statistically-optimal upgrade a measurement pipeline
+    (quality-audit sampling, eval-set construction) actually wants:
+    volatile sources get proportionally more audit budget than uniform
+    ones.
+
+    Exactness: N_h·S_h is derived WITHOUT any float moment —
+    var_scaled = n·Σx² − (Σx)² is an exact integer (HUGEINT/decimal —
+    token sums squared overflow int64 at scale), and the weight is
+    floor(sqrt(·)) = ⌊n·sd⌋, one correctly-rounded sqrt of an exact
+    integer; the budget split is the Hamilton largest-remainder
+    apportionment (corpus_budget_apportion's discipline) with
+    alloc_capped = min(alloc, N_h) reported for the finite-population
+    edge (redistribution of capped overflow is a second Hamilton pass a
+    caller applies if its strata are that skewed).
+
+    Scale: one scan folds per-doc token counts map-side into a
+    3-moment (source) agg; everything downstream is windows over the
+    |sources|-bounded frame.
+    """
+    d = load(spark, sf_dir, "documents")
+    per_doc = F.aggregate(
+        F.transform(
+            F.split("text", " "),
+            lambda t: F.ceil(F.length(t) / 4.0).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    m = (
+        d.select("source", per_doc.alias("x"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_h"),
+            (
+                F.count("*").cast("decimal(38,0)")
+                * F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+                - F.sum("x").cast("decimal(38,0)") * F.sum("x")
+            ).alias("var_scaled"),
+        )
+    )
+    wts = m.select(
+        "source",
+        "n_h",
+        F.floor(F.sqrt(F.col("var_scaled").cast("double"))).cast("bigint").alias("w"),
+    )
+    t = wts.agg(F.sum("w").alias("tw"))
+    q = wts.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_h",
+        "w",
+        F.expr(f"w * {_NEYMAN_BUDGET} div tw").alias("floor_alloc"),
+        F.expr(f"w * {_NEYMAN_BUDGET} % tw").alias("remainder"),
+    )
+    wr = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    wall = Window.partitionBy()
+    r = q.select(
+        "source",
+        "n_h",
+        "w",
+        "floor_alloc",
+        F.row_number().over(wr).alias("rk"),
+        (F.lit(_NEYMAN_BUDGET) - F.sum("floor_alloc").over(wall)).alias("extra"),
+    )
+    alloc = F.col("floor_alloc") + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+    return r.select(
+        "source",
+        F.col("n_h").cast("bigint").alias("n_docs"),
+        F.col("w").cast("bigint").alias("w_sd_scaled"),
+        alloc.cast("bigint").alias("alloc"),
+        F.least(alloc, F.col("n_h")).cast("bigint").alias("alloc_capped"),
+    )

@@ -1390,3 +1390,203 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recip_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities on the bipartite customer -> supplier graph
+# ---------------------------------------------------------------------------
+
+_HITS_ROUNDS = 3  # a1,h1,a2,h2,a3 — decimal(38,0) carries the growth exactly
+_HITS_TOPK = 20
+
+
+def _hits_oracle() -> str:
+    # Unrolled unnormalized HITS: h0 = 1 for every customer; a_k(s) =
+    # Σ_{c->s} h_{k-1}(c); h_k(c) = Σ_{c->s} a_k(s). DuckDB promotes the
+    # sums to HUGEINT; the Spark side carries decimal(38,0) — identical
+    # exact integers. Output is scale-free basis points of the max.
+    rounds = []
+    prev_h = None
+    for k in range(1, _HITS_ROUNDS + 1):
+        src_h = f"JOIN h{k - 1} USING (c)" if prev_h is not None else ""
+        hval = f"h{k - 1}.h" if prev_h is not None else "1"
+        rounds.append(f"""
+a{k} AS (
+    SELECT s, sum({hval}) AS a FROM e {src_h} GROUP BY s
+),
+h{k} AS (
+    SELECT c, sum(a{k}.a) AS h FROM e JOIN a{k} USING (s) GROUP BY c
+)""")
+        prev_h = k
+    return f"""
+WITH e AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),{",".join(rounds)}
+, m AS (SELECT max(a) AS mx FROM a{_HITS_ROUNDS})
+SELECT s AS suppkey,
+       CAST(a * 10000 // m.mx AS BIGINT) AS authority_bp,
+       CAST(row_number() OVER (ORDER BY a DESC, s) AS BIGINT) AS rk
+FROM a{_HITS_ROUNDS} CROSS JOIN m
+QUALIFY row_number() OVER (ORDER BY a DESC, s) <= {_HITS_TOPK}
+"""
+
+
+@op("graph_hits", oracle=_hits_oracle(), tags=("ext", "graph", "iterative", "scale"))
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg) on the bipartite
+    customer→supplier purchase graph: authorities are suppliers bought
+    from by broad customers, hubs are customers buying from strong
+    suppliers — the mutual-reinforcement ranking that degree alone
+    misses (a supplier serving 100 one-shop customers outranks one
+    serving 100 narrow ones under degree, and loses under HITS). The
+    canonical use of the bipartite form: influential-vendor / key-
+    account discovery.
+
+    Derandomized + exact: UNNORMALIZED fixed-round iteration (the usual
+    per-round L2 normalization only rescales the ranking; dropping it
+    keeps every score an exact integer — the graph_pagerank_dist
+    derandomization idea taken further), carried in decimal(38,0)
+    because unnormalized scores grow like (avg degree)^{2k} and would
+    overflow int64 by round 3 at sf0.1 (DuckDB silently rides HUGEINT —
+    the embedding_outlier_distance asymmetry, pre-empted here). Output
+    is scale-free: authority in basis points of the max + dense rank,
+    top-20 — integral div, hash-stable.
+
+    Scale: each half-round is ONE equi-join of the edge list against a
+    node-score frame followed by a hash agg — 2k linear shuffles on
+    (c)/(s) keys, the exact shape GraphX/Pregel would run; the edge
+    frame is localCheckpoint-ed once and reused by all rounds.
+    """
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c"), "o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("l_suppkey").alias("s")
+    )
+    e = o.join(li, "o_orderkey").select("c", "s").distinct().localCheckpoint()
+    h = None  # h0 = 1 implicitly
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        contrib = (
+            e.join(h, "c").select("s", "h") if h is not None
+            else e.select("s", F.lit(1).cast("decimal(38,0)").alias("h"))
+        )
+        a = contrib.groupBy("s").agg(F.sum("h").cast("decimal(38,0)").alias("a"))
+        h = (
+            e.join(a, "s")
+            .groupBy("c")
+            .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
+        )
+    m = a.agg(F.max("a").alias("mx"))
+    w = Window.orderBy(F.desc("a"), F.asc("s"))
+    return (
+        a.crossJoin(F.broadcast(m))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HITS_TOPK)
+        .select(
+            F.col("s").alias("suppkey"),
+            F.expr("CAST(a * 10000 div mx AS BIGINT)").alias("authority_bp"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derandomized random-walk positive pairs (graph-embedding training data)
+# ---------------------------------------------------------------------------
+
+_WALK_STEPS = 4
+
+
+def _walk_oracle() -> str:
+    ctes = ["""
+buck AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+sized AS (SELECT b FROM buck GROUP BY b HAVING count(*) BETWEEN 2 AND 8),
+e AS (
+    SELECT DISTINCT x.user_id AS a, y.user_id AS c
+    FROM buck x JOIN buck y USING (b) JOIN sized USING (b)
+    WHERE x.user_id < y.user_id
+),
+und AS (
+    SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e
+),
+w0 AS (SELECT DISTINCT u AS start, u AS cur FROM und)"""]
+    for k in range(1, _WALK_STEPS + 1):
+        ctes.append(f"""
+w{k} AS (
+    SELECT start, v AS cur FROM (
+        SELECT w.start, e.v,
+               row_number() OVER (
+                   PARTITION BY w.start
+                   ORDER BY md5(concat(w.start, '_', w.cur, '_', {k}, '_', e.v)),
+                            e.v
+               ) AS rn
+        FROM w{k - 1} w JOIN und e ON e.u = w.cur
+    ) WHERE rn = 1
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT start AS user_id, CAST({k} AS BIGINT) AS step,"
+        f" CAST(cur AS BIGINT) AS node_id FROM w{k}"
+        for k in range(1, _WALK_STEPS + 1)
+    )
+    return "WITH " + ",".join(ctes) + "\n" + unions
+
+
+@op(
+    "sample_walk_pairs",
+    oracle=_walk_oracle(),
+    tags=("llm", "graph", "sampling", "scale"),
+)
+def sample_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk positive pairs over the shared-purchase user graph —
+    the DeepWalk/node2vec training-data generator: one fixed-length
+    walk per start node, emitted as (user_id, step, node_id) skip-gram
+    pairs that a graph-embedding trainer consumes as positives (the
+    graph-side sibling of sample_negative_pairs).
+
+    DERANDOMIZED: each step moves to the neighbor minimizing
+    md5(start_cur_step_neighbor) — a hash-driven choice that is
+    uniform-ish over neighbors yet a pure function of the edge set, so
+    walks are reproducible across runs/engines and the DuckDB oracle
+    replays the exact trajectories (the md5-stream discipline applied
+    to walk sampling; true RNG walks could never be hash-checked).
+    Including start in the hash decorrelates walks that cross the same
+    node, like independent per-walk seeds.
+
+    Scale: step k is ONE equi-join of the (start, cur) frontier
+    against the adjacency (partitioned on the walk key) + a top-1
+    window — k linear shuffles total, the Pregel walk shape; frontier
+    width never exceeds the start-node count, and the banded edge
+    build is the shared bounded-degree frame (_pair_edges).
+    """
+    e = _pair_edges(spark, sf_dir)
+    und = (
+        e.select(F.col("a").alias("u"), F.col("c").alias("v"))
+        .unionByName(e.select(F.col("c").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    frontier = und.select(F.col("u").alias("start")).distinct().select(
+        "start", F.col("start").alias("cur")
+    )
+    out = None
+    for k in range(1, _WALK_STEPS + 1):
+        h = F.md5(
+            F.concat_ws("_", F.col("start"), F.col("cur"), F.lit(k), F.col("v"))
+        )
+        top = Window.partitionBy("start").orderBy(h.asc(), F.col("v").asc())
+        frontier = (
+            frontier.join(und, frontier["cur"] == und["u"])
+            .withColumn("rn", F.row_number().over(top))
+            .filter(F.col("rn") == 1)
+            .select("start", F.col("v").alias("cur"))
+            .localCheckpoint()
+        )
+        step_rows = frontier.select(
+            F.col("start").alias("user_id"),
+            F.lit(k).cast("bigint").alias("step"),
+            F.col("cur").cast("bigint").alias("node_id"),
+        )
+        out = step_rows if out is None else out.unionByName(step_rows)
+    return out

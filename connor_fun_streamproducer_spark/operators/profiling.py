@@ -1396,3 +1396,97 @@ def stats_mutual_info_cat(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("mi_normalized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture distinct-population estimate (Chapman estimator)
+# ---------------------------------------------------------------------------
+
+_CR_ORACLE = """
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+    FROM documents
+), halves AS (
+    SELECT t,
+           max(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END)
+               AS in_a,
+           max(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7') THEN 0 ELSE 1 END)
+               AS in_b
+    FROM tok GROUP BY t
+), m AS (
+    SELECT sum(in_a) AS n_a,
+           sum(in_b) AS n_b,
+           sum(in_a * in_b) AS n_both,
+           count(*) AS n_true
+    FROM halves
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST((n_a + 1) * (n_b + 1) // (n_both + 1) - 1 AS BIGINT) AS est_total,
+       CAST(((n_a + 1) * (n_b + 1) // (n_both + 1) - 1 - n_true) * 10000
+            // n_true AS BIGINT) AS err_bp
+FROM m
+"""
+
+
+@op(
+    "stats_capture_recapture",
+    oracle=_CR_ORACLE,
+    tags=("ext", "stats", "scale"),
+)
+def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture estimate of the corpus's total distinct-token
+    population (Chapman's estimator) — split the documents into two
+    md5-halves, count each half's vocabulary and the overlap, and
+    estimate N̂ = (n_a+1)(n_b+1)/(n_both+1) − 1. The census trick for
+    "how many distinct X exist in data too big to scan twice": two
+    cheap independent captures bound the population that a full
+    distinct would cost a giant shuffle to count. Emitted NEXT TO the
+    exact truth (this fixture can afford it) with the signed error in
+    basis points — the estimator audit pattern (dedup_minhash_estimate,
+    dedup_eval_tiers): the op measures its own estimator so a 100 TB
+    deployment knows the bias before trusting the cheap path.
+
+    All-integer arithmetic (membership flags, integral Chapman, bp
+    error) — hash-exact cross-engine.
+
+    Scale: one distinct (doc, token) pass, one (token) agg with
+    map-side combine; the halves are md5-derived (reproducible,
+    unbiased), no second scan, no sampling join.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+    in_a = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .isin(list("01234567"))
+        .cast("int")
+    )
+    halves = tok.select("t", in_a.alias("a")).groupBy("t").agg(
+        F.max("a").alias("in_a"), F.max(1 - F.col("a")).alias("in_b")
+    )
+    m = halves.agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        F.count("*").alias("n_true"),
+    )
+    return m.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_both").cast("bigint").alias("n_both"),
+        F.col("n_true").cast("bigint").alias("n_true"),
+        F.expr("(n_a + 1) * (n_b + 1) div (n_both + 1) - 1")
+        .cast("bigint")
+        .alias("est_total"),
+        F.expr(
+            "((n_a + 1) * (n_b + 1) div (n_both + 1) - 1 - n_true) * 10000"
+            " div n_true"
+        )
+        .cast("bigint")
+        .alias("err_bp"),
+    )

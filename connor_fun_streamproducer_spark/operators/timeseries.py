@@ -842,3 +842,105 @@ def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_slow").cast("bigint").alias("sum_slow"),
         F.when(F.col("cmp") > 0, F.lit("golden")).otherwise(F.lit("dead")).alias("cross_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing (fold-exact level+trend forecast)
+# ---------------------------------------------------------------------------
+
+# alpha = beta = 1/2: exact binary fractions, so every smoothing step is
+# an IEEE-exact halving+add — the fold produces bit-identical doubles on
+# both engines given identical integer inputs in identical order.
+_HOLT_FOLD_SPARK = (
+    "aggregate(slice(v, 2, size(v) - 1), array(v[0], CAST(0.0 AS DOUBLE)),"
+    " (acc, x) -> array("
+    "   0.5D * x + 0.5D * (acc[0] + acc[1]),"
+    "   0.5D * ((0.5D * x + 0.5D * (acc[0] + acc[1])) - acc[0])"
+    "     + 0.5D * acc[1]))"
+)
+
+_HOLT_ORACLE = """
+WITH d AS (
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+    FROM events GROUP BY 1, 2
+), s AS (
+    SELECT event_type,
+           count(*) AS n_days,
+           list([CAST(cents AS DOUBLE), 0.0] ORDER BY day) AS v
+    FROM d GROUP BY 1
+), f AS (
+    SELECT event_type, n_days,
+           list_reduce(v, (acc, p) -> [
+               0.5 * p[1] + 0.5 * (acc[1] + acc[2]),
+               0.5 * ((0.5 * p[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                 + 0.5 * acc[2]
+           ]) AS lb
+    FROM s
+)
+SELECT event_type,
+       CAST(n_days AS BIGINT) AS n_days,
+       round(lb[1], 6) + 0.0 AS level,
+       round(lb[2], 6) + 0.0 AS trend,
+       round(lb[1] + 1 * lb[2], 6) + 0.0 AS forecast_1,
+       round(lb[1] + 2 * lb[2], 6) + 0.0 AS forecast_2,
+       round(lb[1] + 3 * lb[2], 6) + 0.0 AS forecast_3
+FROM f
+"""
+
+
+@op("ts_holt_forecast", oracle=_HOLT_ORACLE, tags=("ext", "timeseries", "forecast"))
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing per event-type daily-revenue
+    series: final level + trend state and 1/2/3-step-ahead forecasts —
+    the trend-aware upgrade of a flat EWMA (win_ewma smooths level
+    only; pipeline_forecast_revenue fits one global line; Holt tracks a
+    LOCAL trend that adapts), the standard capacity-planning
+    short-horizon forecaster.
+
+    Exactness: the recurrence l_t = αy_t + (1−α)(l+b), b_t =
+    β(l_t−l) + (1−β)b is a LEFT FOLD over the day-ordered series with
+    α = β = 1/2 — exact binary fractions, so every step is IEEE-exact
+    halve+add over exact integer cents and the fold is bit-identical
+    cross-engine (the sorted-array fold discipline extended from sums
+    to a 2-state recurrence; acc rides as a [level, trend] pair since
+    DuckDB's reduce requires acc type = element type).
+
+    Scale: the daily rollup is one hash agg (|types|·|days| bounded);
+    the fold runs once per series on a bounded array. A per-KEY
+    variant at 100 TB partitions by key — each series folds
+    independently, no cross-key state.
+    """
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    s = d.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cents))),"
+            " p -> CAST(p.cents AS DOUBLE))"
+        ).alias("v"),
+    )
+    f = s.select(
+        "event_type",
+        "n_days",
+        F.expr(_HOLT_FOLD_SPARK).alias("lb"),
+    )
+    lvl, trd = F.col("lb")[0], F.col("lb")[1]
+    return f.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        (F.round(lvl, 6) + F.lit(0.0)).alias("level"),
+        (F.round(trd, 6) + F.lit(0.0)).alias("trend"),
+        (F.round(lvl + 1 * trd, 6) + F.lit(0.0)).alias("forecast_1"),
+        (F.round(lvl + 2 * trd, 6) + F.lit(0.0)).alias("forecast_2"),
+        (F.round(lvl + 3 * trd, 6) + F.lit(0.0)).alias("forecast_3"),
+    )

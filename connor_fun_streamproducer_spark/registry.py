@@ -330,6 +330,11 @@ _WINDOW_PRIORITY = [
     "stats_event_lateness",     # new: event-time disorder / watermark sizing
     "corpus_epoch_plan",        # new: per-source epochs + md5 remainder prefix
     "stats_mutual_info_cat",    # new: lang x source MI, fold-deterministic
+    "graph_hits",               # new: bipartite HITS, decimal-exact, bp output
+    "ts_holt_forecast",         # new: fold-exact Holt level+trend forecast
+    "sample_neyman_alloc",      # new: variance-proportional sample allocation
+    "stats_capture_recapture",  # new: Chapman distinct-population estimate
+    "sample_walk_pairs",        # new: derandomized DeepWalk positive pairs
     # -- next stale tier for r09 (filter_pred promoted above) -----------
     "project_select",
     "limit_topk",

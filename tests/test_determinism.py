@@ -62,6 +62,9 @@ SWEEP = [
     "stats_mutual_info_cat",       # sorted-cell float fold (r8)
     "corpus_epoch_plan",           # md5-ordered remainder cumsum (r8)
     "sim_search_lsh",              # rounded sign buckets + recall join (r8)
+    "graph_hits",                  # iterative decimal fixpoint, rank ties (r8)
+    "ts_holt_forecast",            # ordered 2-state float fold (r8)
+    "sample_walk_pairs",           # md5-driven walk trajectories (r8)
 ]
 
 

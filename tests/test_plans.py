@@ -1654,3 +1654,30 @@ def test_lsh_recall_join_is_broadcast(spark):
     assert "BroadcastHashJoin LeftOuter" in plan.replace("  ", " ") or (
         "LeftOuter" in plan and "BroadcastExchange" in plan
     ), plan
+
+
+def test_hits_rounds_are_linear_joins(spark):
+    """graph_hits: 3 unrolled rounds = edge-list equi-joins + hash aggs
+    on a checkpointed edge frame — no cartesian, and the edge build
+    (orders x lineitem) materializes once (ExistingRDD in every round's
+    subtree, not a re-derived join)."""
+    plan = formatted_plan(_q("graph_hits", spark))
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_holt_single_scan_bounded_fold(spark):
+    """ts_holt_forecast: one events scan into the |types|x|days| rollup;
+    the recurrence is an array fold, never a self-join or per-step
+    shuffle."""
+    plan = formatted_plan(_q("ts_holt_forecast", spark))
+    assert "Join" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_capture_recapture_single_scan(spark):
+    """stats_capture_recapture: both captures derive from ONE distinct
+    (doc, token) pass — the halves are flags, not separate scans."""
+    plan = formatted_plan(_q("stats_capture_recapture", spark))
+    assert "Join" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan

