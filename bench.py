@@ -131,6 +131,8 @@ EXTENDED = [
     "sample_neyman_alloc",
     "stats_capture_recapture",
     "sample_walk_pairs",
+    "dedup_cluster_canonical",
+    "corpus_cross_source_dup",
 ]
 
 

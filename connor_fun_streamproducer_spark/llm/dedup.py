@@ -1409,3 +1409,169 @@ def dedup_eval_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tier_row("minhash_banded", det_mh).unionByName(
         tier_row("simhash60", det_sh)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster canonicalization (transitive closure of verified pairs)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_cluster_oracle() -> str:
+    return f"""
+WITH RECURSIVE det AS ({_mhb_oracle().strip()}),
+e0 AS (SELECT doc_id AS src, keeper_doc_id AS dst FROM det),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(canonical_id AS BIGINT) AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size,
+       doc_id = canonical_id AS is_canonical
+FROM comp
+"""
+
+
+@op(
+    "dedup_cluster_canonical",
+    oracle=_dedup_cluster_oracle(),
+    tags=("llm", "dedup", "iterative", "scale"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive CLUSTER canonicalization of the verified near-dup
+    pairs: connected components over dedup_minhash_banded's (doc,
+    keeper) graph, each doc mapped to its cluster's minimum id as the
+    canonical representative, with cluster size and an is_canonical
+    survivor flag. This closes the survivorship gap the keeper-star
+    leaves open — A→keeper K1 and B→keeper K2 can be the SAME logical
+    cluster linked through a shared member, and dedup_eval_tiers
+    measures exactly that single-hop spread as recall loss; the
+    closure collapses every chain to one canonical id, which is what a
+    corpus pipeline must store so re-crawls dedup against clusters,
+    not pairs.
+
+    Scale: reuses graph.propagate_min_label — min-label propagation to
+    fixpoint over the pair edges (two keyed exchanges per round on a
+    checkpointed frame, scalar convergence probe, O(cluster diameter)
+    rounds; near-dup clusters are shallow keeper stars, so 2-3 rounds
+    in practice). The oracle replays the identical closure as a
+    recursive CTE over the identical md5-stream pair set — a fully
+    hash-checked iterative dedup op.
+    """
+    from connor_fun_streamproducer_spark.operators.graph import (
+        propagate_min_label,
+    )
+
+    pairs = _minhash_banded_pipeline(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("src"), F.col("keeper_doc_id").alias("dst")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = propagate_min_label(edges, nodes)
+    w = Window.partitionBy("canonical_id")
+    return labels.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("canonical_id"),
+    ).select(
+        "doc_id",
+        "canonical_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (who copies whom)
+# ---------------------------------------------------------------------------
+
+
+def _cross_source_oracle() -> str:
+    # per-pair jaccard re-derived as an exact integral bp (inter*10000 //
+    # union) so the rollup mean is integer arithmetic — an avg() of
+    # doubles would sum in partition order and is not fold-deterministic.
+    return f"""
+WITH det AS ({_mhb_oracle().strip()}),
+src AS (SELECT doc_id, source FROM documents),
+toks2 AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents),
+pair_bp AS (
+    SELECT d.doc_id, d.keeper_doc_id,
+           len(list_intersect(a.toks, k.toks)) * 10000
+           // (len(a.toks) + len(k.toks) - len(list_intersect(a.toks, k.toks)))
+               AS jac_bp
+    FROM det d
+    JOIN toks2 a ON a.doc_id = d.doc_id
+    JOIN toks2 k ON k.doc_id = d.keeper_doc_id
+)
+SELECT a.source AS source_dup, k.source AS source_kept,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(p.jac_bp) // count(*) AS BIGINT) AS avg_jaccard_bp
+FROM pair_bp p
+JOIN src a ON a.doc_id = p.doc_id
+JOIN src k ON k.doc_id = p.keeper_doc_id
+GROUP BY 1, 2
+"""
+
+
+@op(
+    "corpus_cross_source_dup",
+    oracle=_cross_source_oracle(),
+    tags=("llm", "corpus", "dedup"),
+)
+def corpus_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every verified near-dup
+    (doc → keeper) pair, roll up (source of the duplicate, source of
+    the kept doc) with pair counts and mean Jaccard — the provenance
+    question behind dedup ("which feeds mirror which"), the table a
+    crawl operator uses to demote systematically-duplicating sources
+    BEFORE paying to process them (corpus_dup_rate_by_source audits
+    exact dups per source; this maps NEAR-dup flow BETWEEN sources).
+
+    The per-pair similarity is re-derived as an exact integral basis
+    point (inter·10000 div union) so the rollup mean is pure integer
+    arithmetic — an avg() over doubles sums in partition order and is
+    not fold-deterministic, the one float trap a grouped mean hides.
+
+    Scale: the pair set is the banded pipeline's (linear); the rollup
+    adds two broadcast-able source/token joins and a |sources|²-bounded
+    agg.
+    """
+    d = load(spark, sf_dir, "documents")
+    _, cand, toks = _mhb_stages(d)
+    tk = toks.withColumnRenamed("doc_id", "keeper_doc_id").withColumnRenamed(
+        "toks", "toks_k"
+    )
+    verified = cand.join(tk, "keeper_doc_id").join(toks, "doc_id")
+    inter_d = F.size(F.array_intersect("toks", "toks_k")).cast("double")
+    union_d = (
+        F.size("toks") + F.size("toks_k") - F.size(F.array_intersect("toks", "toks_k"))
+    )
+    pairs = verified.filter(inter_d / union_d > 0.8).select(
+        "doc_id",
+        "keeper_doc_id",
+        F.expr(
+            "size(array_intersect(toks, toks_k)) * 10000 div "
+            "(size(toks) + size(toks_k) - size(array_intersect(toks, toks_k)))"
+        ).alias("jac_bp"),
+    )
+    src = d.select("doc_id", "source")
+    a = src.withColumnRenamed("source", "source_dup")
+    k = src.select(
+        F.col("doc_id").alias("keeper_doc_id"),
+        F.col("source").alias("source_kept"),
+    )
+    return (
+        pairs.join(a, "doc_id")
+        .join(k, "keeper_doc_id")
+        .groupBy("source_dup", "source_kept")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.expr("sum(jac_bp) div count(*)").cast("bigint").alias("avg_jaccard_bp"),
+        )
+    )

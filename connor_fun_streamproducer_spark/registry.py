@@ -335,6 +335,8 @@ _WINDOW_PRIORITY = [
     "sample_neyman_alloc",      # new: variance-proportional sample allocation
     "stats_capture_recapture",  # new: Chapman distinct-population estimate
     "sample_walk_pairs",        # new: derandomized DeepWalk positive pairs
+    "dedup_cluster_canonical",  # new: transitive near-dup cluster closure
+    "corpus_cross_source_dup",  # new: who-copies-whom near-dup flow matrix
     # -- next stale tier for r09 (filter_pred promoted above) -----------
     "project_select",
     "limit_topk",

@@ -65,6 +65,8 @@ SWEEP = [
     "graph_hits",                  # iterative decimal fixpoint, rank ties (r8)
     "ts_holt_forecast",            # ordered 2-state float fold (r8)
     "sample_walk_pairs",           # md5-driven walk trajectories (r8)
+    "dedup_cluster_canonical",     # LSH pairs -> min-label fixpoint (r8)
+    "corpus_cross_source_dup",     # integral bp rollup of LSH pairs (r8)
 ]
 
 

@@ -2243,3 +2243,43 @@ def test_walk_pairs_are_real_edges(spark):
         for k in range(1, _WALK_STEPS + 1):
             assert (cur, steps[k]) in adj, (start, k, cur, steps[k])
             cur = steps[k]
+
+
+def test_cluster_canonical_consistency_with_pairs(spark):
+    """dedup_cluster_canonical: every verified pair lands in ONE
+    cluster, the canonical is the cluster minimum, sizes are
+    consistent, and exactly one member per cluster is canonical."""
+    from connor_fun_streamproducer_spark.llm.dedup import (
+        _minhash_banded_pipeline,
+        dedup_cluster_canonical,
+    )
+    from connor_fun_streamproducer_spark.catalog import load as _load
+
+    rows = dedup_cluster_canonical(spark, SF_DIR).collect()
+    comp = {r.doc_id: r.canonical_id for r in rows}
+    sizes: dict = {}
+    for r in rows:
+        sizes.setdefault(r.canonical_id, []).append(r)
+    for cid, members in sizes.items():
+        assert min(m.doc_id for m in members) == cid
+        assert all(m.cluster_size == len(members) for m in members)
+        assert sum(1 for m in members if m.is_canonical) == 1
+    pairs = _minhash_banded_pipeline(_load(spark, SF_DIR, "documents")).collect()
+    for p in pairs:
+        assert comp[p.doc_id] == comp[p.keeper_doc_id], p
+
+
+def test_cross_source_dup_mass_matches_pairs(spark):
+    """corpus_cross_source_dup: the matrix's pair mass equals the
+    verified pair count, and every avg is a valid bp."""
+    from connor_fun_streamproducer_spark.llm.dedup import (
+        _minhash_banded_pipeline,
+        corpus_cross_source_dup,
+    )
+    from connor_fun_streamproducer_spark.catalog import load as _load
+
+    rows = corpus_cross_source_dup(spark, SF_DIR).collect()
+    n_pairs = _minhash_banded_pipeline(_load(spark, SF_DIR, "documents")).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert 8000 <= r.avg_jaccard_bp <= 10000  # verify threshold is 0.8
