@@ -133,6 +133,10 @@ EXTENDED = [
     "sample_walk_pairs",
     "dedup_cluster_canonical",
     "corpus_cross_source_dup",
+    "text_ngram_novelty",
+    "pipeline_new_returning_users",
+    "ts_seasonal_residual_anomaly",
+    "stats_label_impurity",
 ]
 
 

@@ -940,8 +940,11 @@ WITH dtok AS (
 ), t AS (SELECT sum(w) AS tw FROM wts),
 q AS (
     SELECT source, n_h, w,
-           w * {_NEYMAN_BUDGET} // t.tw AS floor_alloc,
-           w * {_NEYMAN_BUDGET} % t.tw AS remainder
+           -- nullif: a degenerate all-constant corpus (total weight 0)
+           -- yields NULL allocations on BOTH engines instead of an ANSI
+           -- throw vs a silent NULL (the repo's div-by-zero discipline)
+           w * {_NEYMAN_BUDGET} // nullif(t.tw, 0) AS floor_alloc,
+           w * {_NEYMAN_BUDGET} % nullif(t.tw, 0) AS remainder
     FROM wts CROSS JOIN t
 ), r AS (
     SELECT *,
@@ -1021,8 +1024,10 @@ def sample_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_h",
         "w",
-        F.expr(f"w * {_NEYMAN_BUDGET} div tw").alias("floor_alloc"),
-        F.expr(f"w * {_NEYMAN_BUDGET} % tw").alias("remainder"),
+        # nullif matches the oracle: degenerate zero total weight -> NULL
+        # allocations on both engines (ANSI div-by-zero would throw here)
+        F.expr(f"w * {_NEYMAN_BUDGET} div nullif(tw, 0)").alias("floor_alloc"),
+        F.expr(f"w * {_NEYMAN_BUDGET} % nullif(tw, 0)").alias("remainder"),
     )
     wr = Window.orderBy(F.desc("remainder"), F.asc("source"))
     wall = Window.partitionBy()

@@ -640,3 +640,93 @@ def text_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_count",
         (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: how much of each document is first-seen content
+# ---------------------------------------------------------------------------
+
+_NOVELTY_N = 3  # token 3-grams: the repo-wide shingle width
+
+_NOVELTY_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+    SELECT DISTINCT doc_id,
+           concat(w[i], ' ', w[i + 1], ' ', w[i + 2]) AS g
+    FROM (SELECT doc_id, w,
+                 unnest(generate_series(1, len(w) - {_NOVELTY_N - 1})) AS i
+          FROM toks WHERE len(w) >= {_NOVELTY_N})
+), first_seen AS (
+    SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+), per_doc AS (
+    SELECT gr.doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS n_novel
+    FROM grams gr JOIN first_seen fs USING (g)
+    GROUP BY gr.doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST(n_novel * 10000 // n_grams AS BIGINT) AS novelty_bp
+FROM per_doc
+"""
+
+
+@op("text_ngram_novelty", oracle=_NOVELTY_ORACLE, tags=("llm", "text", "dedup", "scale"))
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the share of a doc's distinct token
+    3-grams whose FIRST occurrence (min doc_id = ingest order) is this
+    doc — the incremental-content score a curation pipeline ranks by
+    when near-dup tiers say "not a duplicate" but the doc is still
+    mostly recombined boilerplate (novelty ≈ 0 = derivative; ≈ 10000 =
+    genuinely new text). The document-level complement of
+    dedup_substring_window (which finds the REPEATED spans; this
+    credits the unrepeated remainder to its earliest source).
+
+    Exactness: first-seen is min(doc_id) per gram — a total order, no
+    hashes, no floats; novelty is integral basis points.
+
+    Scale: one explode into (doc, gram) distinct pairs, one
+    (gram)-keyed min agg with map-side combine, one join back on the
+    same gram key (co-partitioned, no second shuffle shape) — linear in
+    corpus gram mass, the same exchange budget as dedup_exact. At
+    100 TB, grams would carry a 64-bit hash instead of the string
+    (collision-safe at corpus scale) to shrink the shuffle 10x —
+    deliberately NOT done here so the oracle hashes the literal
+    strings.
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    grams = (
+        toks.filter(F.size("w") >= _NOVELTY_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {_NOVELTY_N}),"
+                    f" i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        F.expr("n_novel * 10000 div n_grams").cast("bigint").alias("novelty_bp"),
+    )

@@ -1296,3 +1296,69 @@ def pipeline_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("seg_a", "seg_b").agg(
         F.count("*").cast("bigint").alias("n_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day (first-seen attribution)
+# ---------------------------------------------------------------------------
+
+_NEW_RET_ORACLE = """
+WITH e AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+), first_seen AS (
+    SELECT user_id, min(day) AS first_day FROM e GROUP BY user_id
+), daily AS (
+    SELECT DISTINCT e.user_id, e.day, f.first_day
+    FROM e JOIN first_seen f USING (user_id)
+)
+SELECT day,
+       CAST(count(*) AS BIGINT)                                   AS dau,
+       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+                                                                  AS new_users,
+       CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+                                                                  AS returning_users,
+       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT)                                AS new_share_bp
+FROM daily GROUP BY day
+"""
+
+
+@op(
+    "pipeline_new_returning_users",
+    oracle=_NEW_RET_ORACLE,
+    tags=("ext", "pipeline", "behavior"),
+)
+def pipeline_new_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into NEW (first-ever activity today) vs
+    RETURNING — the growth-accounting decomposition every product
+    dashboard leads with (DAU alone conflates acquisition with
+    retention; pipeline_dau_mau_stickiness measures the ratio, this
+    attributes each day's count to its driver). First-seen is
+    min(activity day) per user — exact, no sessionization heuristics.
+
+    Scale: one scan → distinct (user, day) pairs; first-seen is one
+    (user)-keyed min agg joined back on the same user key (the
+    text_ngram_novelty first-seen shape on the events axis); the daily
+    rollup is |days|-bounded. All integers, integral share.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    )
+    daily = e.distinct()
+    first_seen = daily.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = daily.join(first_seen, "user_id")
+    return j.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("dau"),
+        F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("returning_users"),
+        F.expr(
+            "sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 10000"
+            " div count(*)"
+        )
+        .cast("bigint")
+        .alias("new_share_bp"),
+    )

@@ -1490,3 +1490,56 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("err_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label impurity per group (Gini impurity of the lang mix per source)
+# ---------------------------------------------------------------------------
+
+_IMPURITY_ORACLE = """
+WITH cells AS (
+    SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+), m AS (
+    SELECT source,
+           sum(c) AS n,
+           sum(c * c) AS ss,
+           count(*) AS n_langs
+    FROM cells GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       CAST((n * n - ss) * 10000 // (n * n) AS BIGINT) AS impurity_bp
+FROM m
+"""
+
+
+@op("stats_label_impurity", oracle=_IMPURITY_ORACLE, tags=("ext", "stats", "profile"))
+def stats_label_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity of each source's language mix: 1 − Σp² in basis
+    points, computed as the exact integer identity (n² − Σc²)·10⁴ div n²
+    — 0 = monolingual source, →10000 = maximally mixed. The per-group
+    companion to stats_mutual_info_cat's global screen: MI says lang
+    and source are confounded overall; this ranks WHICH sources are the
+    mixed ones (a mixed source needs per-doc langid routing, a pure one
+    can be bulk-tagged — a real corpus-routing decision).
+
+    Scale: one scan → |sources|×|langs|-bounded cell agg → 3-moment
+    rollup per source. Pure integers end to end.
+    """
+    cells = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("c"))
+    )
+    m = cells.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.count("*").alias("n_langs"),
+    )
+    return m.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.expr("(n * n - ss) * 10000 div (n * n)").cast("bigint").alias("impurity_bp"),
+    )

@@ -944,3 +944,103 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(lvl + 2 * trd, 6) + F.lit(0.0)).alias("forecast_2"),
         (F.round(lvl + 3 * trd, 6) + F.lit(0.0)).alias("forecast_3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-residual anomaly cells (deseasonalized deviation screen)
+# ---------------------------------------------------------------------------
+
+_SRA_TOPK = 5  # most-deviant day-hour cells per type
+
+_SRA_ORACLE = f"""
+WITH cells AS (
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           count(*) AS c
+    FROM events GROUP BY 1, 2, 3
+), prof AS (
+    SELECT event_type, hr,
+           sum(c) AS hour_total,
+           count(*) AS n_days
+    FROM cells GROUP BY 1, 2
+), dev AS (
+    SELECT c.event_type, c.day, c.hr, c.c,
+           p.hour_total, p.n_days,
+           -- observed/expected in bp: expected per day-cell is
+           -- hour_total/n_days; ratio computed cross-multiplied so the
+           -- division happens once, integrally
+           c.c * p.n_days * 10000 // p.hour_total AS ratio_bp
+    FROM cells c JOIN prof p USING (event_type, hr)
+)
+SELECT event_type, day, hr,
+       CAST(c AS BIGINT) AS c,
+       CAST(ratio_bp AS BIGINT) AS ratio_bp,
+       CAST(abs(ratio_bp - 10000) AS BIGINT) AS dev_bp
+FROM dev
+QUALIFY row_number() OVER (
+    PARTITION BY event_type
+    ORDER BY abs(ratio_bp - 10000) DESC, day, hr
+) <= {_SRA_TOPK}
+"""
+
+
+@op(
+    "ts_seasonal_residual_anomaly",
+    oracle=_SRA_ORACLE,
+    tags=("ext", "timeseries", "stats"),
+)
+def ts_seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESEASONALIZED anomaly screen: the top day-hour cells per event
+    type whose count deviates most from that type's own hourly profile
+    (observed / expected-for-this-hour, in basis points) — the
+    composition ts_seasonal_index implies but doesn't run: raw-count
+    anomaly detection (win_anomaly_zscore) fires on every rush hour;
+    dividing by the diurnal profile first leaves only the genuinely
+    unusual cells (an outage at peak, a bot burst at 4am).
+
+    Exactness: the ratio is integral, cross-multiplied
+    (c·n_days·10000 div hour_total) so no mean is ever materialized as
+    a float; ranking is on |ratio−10000| with (day, hr) tie-break — a
+    total order.
+
+    Scale: one scan → (type, day, hour) hash agg; the profile is a
+    window-free second agg over those bounded cells joined back on the
+    (type, hour) key; top-k per type is a WindowGroupLimit. Nothing
+    but the first agg touches corpus-sized data.
+    """
+    cells = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.hour("ts").cast("bigint").alias("hr"),
+        )
+        .groupBy("event_type", "day", "hr")
+        .agg(F.count("*").alias("c"))
+    )
+    prof = cells.groupBy("event_type", "hr").agg(
+        F.sum("c").alias("hour_total"), F.count("*").alias("n_days")
+    )
+    dev = cells.join(prof, ["event_type", "hr"]).select(
+        "event_type",
+        "day",
+        "hr",
+        "c",
+        F.expr("c * n_days * 10000 div hour_total").alias("ratio_bp"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("ratio_bp") - 10000).desc(), F.col("day").asc(), F.col("hr").asc()
+    )
+    return (
+        dev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SRA_TOPK)
+        .select(
+            "event_type",
+            "day",
+            "hr",
+            F.col("c").cast("bigint").alias("c"),
+            F.col("ratio_bp").cast("bigint").alias("ratio_bp"),
+            F.abs(F.col("ratio_bp") - 10000).cast("bigint").alias("dev_bp"),
+        )
+    )

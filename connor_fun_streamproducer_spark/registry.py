@@ -337,6 +337,10 @@ _WINDOW_PRIORITY = [
     "sample_walk_pairs",        # new: derandomized DeepWalk positive pairs
     "dedup_cluster_canonical",  # new: transitive near-dup cluster closure
     "corpus_cross_source_dup",  # new: who-copies-whom near-dup flow matrix
+    "text_ngram_novelty",       # new: first-seen 3-gram incremental-content score
+    "pipeline_new_returning_users",  # new: DAU growth-accounting split
+    "ts_seasonal_residual_anomaly",  # new: deseasonalized deviation screen
+    "stats_label_impurity",     # new: per-source Gini impurity of lang mix
     # -- next stale tier for r09 (filter_pred promoted above) -----------
     "project_select",
     "limit_topk",

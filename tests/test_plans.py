@@ -1681,3 +1681,20 @@ def test_capture_recapture_single_scan(spark):
     plan = formatted_plan(_q("stats_capture_recapture", spark))
     assert "Join" not in plan, plan
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_ngram_novelty_copartitioned_join(spark):
+    """text_ngram_novelty: the first-seen join reuses the (gram) key the
+    min-agg already shuffled on — the plan must show the join without a
+    cartesian and with one documents scan feeding both branches."""
+    plan = formatted_plan(_q("text_ngram_novelty", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_new_returning_single_scan_shape(spark):
+    """pipeline_new_returning_users: first-seen is a (user)-keyed agg
+    joined back on user — equi-join only, no cartesian."""
+    plan = formatted_plan(_q("pipeline_new_returning_users", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
