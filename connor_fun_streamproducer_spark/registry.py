@@ -208,16 +208,17 @@ def _ensure_loaded() -> None:
 #       to dedup_minhash_banded; the simhash tier in dedup_eval_tiers) —
 #       the window verifies the NEW code;
 #   (2) ops externally green or rows-only before but CHANGED in round 8:
-#       agg_count_min (empty-cell left-join fix, ADVICE r7) and
+#       agg_count_min (empty-cell left-join fix, ADVICE r7),
 #       sim_search_ivf (exact-recall companion columns promote it from
-#       rows-only to hash-checked, VERDICT r7 #3);
-#   (3) stale-refresh backfill for the 1 remaining slot: filter_pred,
-#       the stalest r03-green key.
-# 47 + 2 + 1 = 50: closing tier (1) makes every registered key
+#       rows-only to hash-checked, VERDICT r7 #3), and sim_search_lsh
+#       (same promotion: literal-plane oracle + rounded sign buckets) —
+#       changed-this-round outranks stale refresh under the freshness
+#       rule, so these take the last slots ahead of filter_pred.
+# 47 + 3 = 50: closing tier (1) makes every registered key
 # externally proven at least once (VERDICT r7 top_next). Everything
 # else keeps its previous relative order behind the window;
-# project_select / sort_global / dedup_exact / limit_topk lead the r09
-# stale tier.
+# filter_pred / project_select / sort_global / dedup_exact / limit_topk
+# lead the r09 stale tier.
 _WINDOW_PRIORITY = [
     # -- (1) externally-unverified round-7 registrations (47) ------------
     "graph_label_propagation",       # derandomized sync LPA communities
@@ -267,11 +268,10 @@ _WINDOW_PRIORITY = [
     "pipeline_segment_migration",    # era-to-era spend-tier flow matrix
     "corpus_dup_rate_by_source",     # per-source exact-dup governance
     "stats_key_integrity",           # PK/FK audit; r8: integral-div pk (ADVICE)
-    # -- (2) changed in round 8 (empty-cell fix / oracle promotion) ------
+    # -- (2) changed in round 8 (empty-cell fix / oracle promotions) -----
     "agg_count_min",
     "sim_search_ivf",
-    # -- (3) stale-refresh backfill (1): the stalest r03-green key -------
-    "filter_pred",
+    "sim_search_lsh",
     # -- behind the window: the r07 window keys (all externally green in
     #    r07), relative order preserved ---------------------------------
     "ts_ohlc_candles",
@@ -341,7 +341,8 @@ _WINDOW_PRIORITY = [
     "pipeline_new_returning_users",  # new: DAU growth-accounting split
     "ts_seasonal_residual_anomaly",  # new: deseasonalized deviation screen
     "stats_label_impurity",     # new: per-source Gini impurity of lang mix
-    # -- next stale tier for r09 (filter_pred promoted above) -----------
+    # -- next stale tier for r09 ----------------------------------------
+    "filter_pred",
     "project_select",
     "limit_topk",
     "sort_global",

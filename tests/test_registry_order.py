@@ -76,15 +76,10 @@ NEVER_EXTERNALLY_CHECKED = [
 CHANGED_IN_ROUND_8 = [
     "agg_count_min",   # empty-probe-cell left-join fix (ADVICE r7)
     "sim_search_ivf",  # exact-recall companions → hash-checked (VERDICT r7 #3)
+    "sim_search_lsh",  # literal-plane oracle + rounded sign buckets → hash-checked
 ]
 
-# Stalest externally-green tier backfilling the remaining window slot:
-# filter_pred has been unchecked externally since round 3.
-STALE_REFRESH = [
-    "filter_pred",
-]
-
-MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_8 + STALE_REFRESH
+MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_8
 
 WINDOW = 50
 
@@ -108,9 +103,11 @@ def test_never_checked_keys_lead_the_window():
 
 
 def test_window_is_exactly_filled():
-    # 47 debt + 2 changed + 1 stale-refresh = 50: the window carries no
-    # dead slots and no accidental extras. (project_select/sort_global/
-    # dedup_exact/limit_topk lead the r09 stale tier.)
+    # 47 debt + 3 changed = 50: the window carries no dead slots and no
+    # accidental extras. Changed-this-round outranks stale refresh, so
+    # the LSH promotion took the slot initially earmarked for
+    # filter_pred (which now leads the r09 stale tier with
+    # project_select/sort_global/dedup_exact/limit_topk).
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
 
