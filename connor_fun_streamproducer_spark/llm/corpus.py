@@ -563,6 +563,28 @@ def sample_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Token-budget apportionment (largest-remainder method, exact integers)
 # ---------------------------------------------------------------------------
 
+# The corpus-wide TOKEN DENOMINATION: BPE-estimate tokens per document
+# (ceil(len/4) per whitespace word — text_tokens_bpe_est's rule). Budget
+# apportionment, epoch planning and Neyman allocation must all agree on
+# what a "token" is, so the rule exists exactly once per engine: this
+# SQL fragment for the oracles and _doc_tok_expr() for the Spark side.
+_DOC_TOK_SQL = (
+    "list_sum(list_transform(string_split(text, ' '),\n"
+    "               t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))"
+)
+
+
+def _doc_tok_expr():
+    return F.aggregate(
+        F.transform(
+            F.split("text", " "),
+            lambda t: F.ceil(F.length(t) / 4.0).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
 # Global training-token budget to apportion across sources. Hamilton /
 # largest-remainder: integral quotas first, then the leftover seats go to
 # the largest remainders (ties: source name ascending) — the standard
@@ -572,8 +594,7 @@ _BUDGET_TOKENS = 1_000_000
 _APPORTION_ORACLE = f"""
 WITH toks AS (
     SELECT source,
-           sum(list_sum(list_transform(string_split(text, ' '),
-               t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))) AS tok
+           sum({_DOC_TOK_SQL}) AS tok
     FROM documents GROUP BY 1
 ),
 t AS (SELECT sum(tok) AS total, count(*) AS k FROM toks),
@@ -624,14 +645,7 @@ def corpus_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources| rows (windows over a dim-bounded frame).
     """
     d = load(spark, sf_dir, "documents")
-    per_doc = F.aggregate(
-        F.transform(
-            F.split("text", " "),
-            lambda t: F.ceil(F.length(t) / 4.0).cast("bigint"),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    per_doc = _doc_tok_expr()
     toks = d.select("source", per_doc.alias("doc_tok")).groupBy("source").agg(
         F.sum("doc_tok").alias("tok")
     )
@@ -792,8 +806,7 @@ _EPOCH_BUDGET = 2_000_000
 _EPOCH_PLAN_ORACLE = f"""
 WITH dtok AS (
     SELECT source, doc_id,
-           list_sum(list_transform(string_split(text, ' '),
-               t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS doc_tok
+           {_DOC_TOK_SQL} AS doc_tok
     FROM documents
 ), toks AS (
     SELECT source, CAST(sum(doc_tok) AS BIGINT) AS tok FROM dtok GROUP BY 1
@@ -862,14 +875,7 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream shard writer needs anyway).
     """
     d = load(spark, sf_dir, "documents")
-    per_doc = F.aggregate(
-        F.transform(
-            F.split("text", " "),
-            lambda t: F.ceil(F.length(t) / 4.0).cast("bigint"),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    per_doc = _doc_tok_expr()
     dtok = d.select("source", "doc_id", per_doc.alias("doc_tok"))
     toks = dtok.groupBy("source").agg(F.sum("doc_tok").cast("bigint").alias("tok"))
     k = toks.agg(F.count("*").alias("k"))
@@ -924,8 +930,7 @@ _NEYMAN_BUDGET = 10_000  # total sample size to allocate across sources
 _NEYMAN_ORACLE = f"""
 WITH dtok AS (
     SELECT source,
-           list_sum(list_transform(string_split(text, ' '),
-               t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS x
+           {_DOC_TOK_SQL} AS x
     FROM documents
 ), m AS (
     SELECT source,
@@ -994,14 +999,7 @@ def sample_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|-bounded frame.
     """
     d = load(spark, sf_dir, "documents")
-    per_doc = F.aggregate(
-        F.transform(
-            F.split("text", " "),
-            lambda t: F.ceil(F.length(t) / 4.0).cast("bigint"),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    per_doc = _doc_tok_expr()
     m = (
         d.select("source", per_doc.alias("x"))
         .groupBy("source")

@@ -542,24 +542,26 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical k-round recurrence, so the greedy trajectory itself is
     hash-checked cross-engine.
 
-    Scale: k driver rounds; each is ONE corpus scan computing
-    min-distance-to-selected (a least() over k broadcast literal
-    vectors — no join, no shuffle) and one global top-1
-    (TakeOrdered). The collect is k rows of codebook size — the
-    bounded-driver contract of _codebook/_routed_queries. At 100 TB:
-    k sequential scans, each embarrassingly parallel; the standard
-    coreset construction shape (GraphX-free farthest-first).
+    Scale: k driver rounds; the min-distance-to-selected rides as a
+    COLUMN updated incrementally (least(mind, d2-to-newest-pick) — min
+    over a set IS the running min), so each round is one constant-size
+    map expression over the checkpointed frontier plus one global
+    top-1 (TakeOrdered); no join, no shuffle, and the per-round
+    expression does not grow with k. The collect is k rows of codebook
+    size — the bounded-driver contract of _codebook/_routed_queries.
+    At 100 TB: k sequential scans, each embarrassingly parallel; the
+    standard coreset construction shape (GraphX-free farthest-first).
     """
-    e = (
-        load(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.expr(
-                f"transform(embedding, x -> cast(floor(cast(x as double)"
-                f" * {_KC_Q} + 0.5) as bigint))"
-            ).alias("qv"),
-        )
-        .localCheckpoint()  # k scans read one materialization
+    # lazy: the quantized frame is read once for the seed and once to
+    # build the initial frontier; thereafter every round reads the
+    # checkpointed `cur`, so an eager materialization here would just
+    # duplicate the first frontier checkpoint.
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {_KC_Q} + 0.5) as bigint))"
+        ).alias("qv"),
     )
 
     def d2_to(sel_qv: list) -> "F.Column":
@@ -572,21 +574,22 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seed = e.orderBy("vec_id").limit(1).collect()[0]
     picked = [(0, int(seed["vec_id"]), 0)]
-    sel_vecs = [list(seed["qv"])]
+    # Incremental frontier: carry min-distance-to-selected as a COLUMN
+    # and fold in ONLY the newest pick each round — min over a set is
+    # the running min, so this is algebraically identical to re-taking
+    # least() over every selected vector but keeps the per-round
+    # expression (and its codegen) constant-size instead of growing
+    # linearly with k (quadratic total work in expression evaluation).
+    cur = e.select("vec_id", "qv", d2_to(list(seed["qv"])).alias("mind")).localCheckpoint()
     for rnd in range(1, _KC_K):
-        mind = (
-            F.least(*[d2_to(sv) for sv in sel_vecs])
-            if len(sel_vecs) > 1
-            else d2_to(sel_vecs[0])
-        )
-        far = (
-            e.select("vec_id", "qv", mind.alias("d2"))
-            .orderBy(F.desc("d2"), F.asc("vec_id"))
-            .limit(1)
-            .collect()[0]
-        )
-        picked.append((rnd, int(far["vec_id"]), int(far["d2"])))
-        sel_vecs.append(list(far["qv"]))
+        far = cur.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()[0]
+        picked.append((rnd, int(far["vec_id"]), int(far["mind"])))
+        if rnd < _KC_K - 1:
+            cur = cur.select(
+                "vec_id",
+                "qv",
+                F.least(F.col("mind"), d2_to(list(far["qv"]))).alias("mind"),
+            ).localCheckpoint()
     return spark.createDataFrame(
         picked, "sel_round bigint, vec_id bigint, dist2 bigint"
     )

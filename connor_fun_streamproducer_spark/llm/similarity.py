@@ -45,6 +45,25 @@ from connor_fun_streamproducer_spark.registry import op
 K = 5
 N_QUERIES = 10  # query set: vec_id < 10
 
+# Exact brute-force top-K as a SQL CTE body — the truth side of the ANN
+# recall companions, shared verbatim by _ivf_oracle and _lsh_oracle so
+# the two oracles can never disagree on what "exact" means (the
+# _with_recall_companions twin on the SQL side).
+_EXACT_TOPK_CTE = f"""exact AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM embeddings q
+    JOIN embeddings c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY round(
+            list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+            6) DESC,
+        c.vec_id
+    ) <= {K}
+)"""
+
 
 def _dbl(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -410,6 +429,30 @@ def _exact_topk_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("hit", F.lit(True))
 
 
+def _with_recall_companions(
+    spark: SparkSession, sf_dir: str, retrieved: DataFrame
+) -> DataFrame:
+    """Append hit + per-query recall_bp vs the exact top-K truth to an
+    ANN result frame (query_id, neighbor_id, sim) — ONE implementation
+    shared by sim_search_ivf and sim_search_lsh (the _mhb_stages
+    discipline: recall semantics edited once can never desynchronize
+    the two ops)."""
+    exact = _exact_topk_truth(spark, sf_dir)
+    wq = Window.partitionBy("query_id")
+    return (
+        retrieved.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .fillna(False, ["hit"])
+        .withColumn("nh", F.count(F.when(F.col("hit"), 1)).over(wq))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            "hit",
+            F.expr(f"nh * 10000 div {K}").cast("bigint").alias("recall_bp"),
+        )
+    )
+
+
 def _routed_queries(spark: SparkSession, sf_dir: str) -> list[tuple]:
     """The fixture's query set, routed: (query_id, probed cell, embedding,
     L2 norm) per (query × n_probe). Routing runs driver-side against the
@@ -513,20 +556,7 @@ WITH par AS (
     FROM cand
     QUALIFY row_number() OVER (PARTITION BY query_id
                                ORDER BY round(rawsim, 6) DESC, neighbor_id) <= {K}
-), exact AS (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-    FROM embeddings q
-    JOIN embeddings c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
-    QUALIFY row_number() OVER (
-        PARTITION BY q.vec_id
-        ORDER BY round(
-            list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
-            / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
-               * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
-            6) DESC,
-        c.vec_id
-    ) <= {K}
-)
+), {_EXACT_TOPK_CTE}
 SELECT i.query_id, i.neighbor_id, i.sim,
        e.neighbor_id IS NOT NULL AS hit,
        CAST(count(e.neighbor_id) OVER (PARTITION BY i.query_id) * 10000
@@ -601,23 +631,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= K)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
     )
-    # Exact-recall companions: join against the brute-force top-k (the
-    # tiny N_QUERIES·K truth set, cached per corpus fingerprint) and
-    # emit hit + per-query recall@k.
-    exact = _exact_topk_truth(spark, sf_dir)
-    wq = Window.partitionBy("query_id")
-    return (
-        retrieved.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
-        .fillna(False, ["hit"])
-        .withColumn("nh", F.count(F.when(F.col("hit"), 1)).over(wq))
-        .select(
-            "query_id",
-            "neighbor_id",
-            "sim",
-            "hit",
-            F.expr(f"nh * 10000 div {K}").cast("bigint").alias("recall_bp"),
-        )
-    )
+    return _with_recall_companions(spark, sf_dir, retrieved)
 
 
 def _hyperplanes(dim: int = 64, n: int = 16, seed: int = 42) -> list[list[float]]:
@@ -672,20 +686,7 @@ WITH vec AS (
     FROM scored
     QUALIFY row_number() OVER (PARTITION BY query_id
                                ORDER BY round(rawsim, 6) DESC, neighbor_id) <= {K}
-), exact AS (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-    FROM embeddings q
-    JOIN embeddings c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
-    QUALIFY row_number() OVER (
-        PARTITION BY q.vec_id
-        ORDER BY round(
-            list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
-            / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
-               * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
-            6) DESC,
-        c.vec_id
-    ) <= {K}
-)
+), {_EXACT_TOPK_CTE}
 SELECT i.query_id, i.neighbor_id, i.sim,
        e.neighbor_id IS NOT NULL AS hit,
        CAST(count(e.neighbor_id) OVER (PARTITION BY i.query_id) * 10000
@@ -779,20 +780,7 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= K)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
     )
-    exact = _exact_topk_truth(spark, sf_dir)
-    wq = Window.partitionBy("query_id")
-    return (
-        retrieved.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
-        .fillna(False, ["hit"])
-        .withColumn("nh", F.count(F.when(F.col("hit"), 1)).over(wq))
-        .select(
-            "query_id",
-            "neighbor_id",
-            "sim",
-            "hit",
-            F.expr(f"nh * 10000 div {K}").cast("bigint").alias("recall_bp"),
-        )
-    )
+    return _with_recall_companions(spark, sf_dir, retrieved)
 
 
 # ---------------------------------------------------------------------------

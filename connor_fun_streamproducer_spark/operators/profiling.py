@@ -1469,8 +1469,11 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves = tok.select("t", in_a.alias("a")).groupBy("t").agg(
         F.max("a").alias("in_a"), F.max(1 - F.col("a")).alias("in_b")
     )
+    # n_a rides decimal(38,0): (n_a+1)·(n_b+1) passes int64 at ~3e9
+    # distinct tokens per half — exactly the too-big-to-scan-twice
+    # regime the op exists for — while the oracle rides HUGEINT.
     m = halves.agg(
-        F.sum("in_a").alias("n_a"),
+        F.sum("in_a").cast("decimal(38,0)").alias("n_a"),
         F.sum("in_b").alias("n_b"),
         F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
         F.count("*").alias("n_true"),
@@ -1532,9 +1535,12 @@ def stats_label_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "lang")
         .agg(F.count("*").alias("c"))
     )
+    # decimal(38,0) moments: n²·10⁴ passes int64 at ~960k docs/source
+    # while the DuckDB oracle silently rides HUGEINT — the
+    # embedding_outlier_distance asymmetry, pre-empted the same way.
     m = cells.groupBy("source").agg(
-        F.sum("c").alias("n"),
-        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.sum("c").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("ss"),
         F.count("*").alias("n_langs"),
     )
     return m.select(
