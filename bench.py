@@ -137,6 +137,7 @@ EXTENDED = [
     "pipeline_new_returning_users",
     "ts_seasonal_residual_anomaly",
     "stats_label_impurity",
+    "stats_runs_test",
 ]
 
 

@@ -1549,3 +1549,114 @@ def stats_label_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_langs").cast("bigint").alias("n_langs"),
         F.expr("(n * n - ss) * 10000 div (n * n)").cast("bigint").alias("impurity_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (randomness of day-over-day movement signs)
+# ---------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+WITH d AS (
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+    FROM events GROUP BY 1, 2
+), s AS (
+    SELECT event_type, day,
+           cents - lag(cents) OVER (PARTITION BY event_type ORDER BY day)
+               AS diff
+    FROM d
+), g AS (
+    SELECT event_type, day,
+           CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sgn
+    FROM s WHERE diff IS NOT NULL AND diff <> 0
+), r AS (
+    SELECT event_type, sgn,
+           CASE WHEN lag(sgn) OVER (PARTITION BY event_type ORDER BY day)
+                     IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS new_run
+    FROM g
+), m AS (
+    SELECT event_type,
+           sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)  AS n_pos,
+           sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS n_neg,
+           sum(new_run) AS n_runs,
+           count(*) AS n
+    FROM r GROUP BY 1
+)
+SELECT event_type,
+       CAST(n_pos AS BIGINT)  AS n_pos,
+       CAST(n_neg AS BIGINT)  AS n_neg,
+       CAST(n_runs AS BIGINT) AS n_runs,
+       round((n_runs - (1 + 2.0 * n_pos * n_neg / n))
+             / sqrt(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n)
+                    / (CAST(n AS DOUBLE) * n * (n - 1))), 6) + 0.0 AS z_score
+FROM m
+"""
+
+
+@op("stats_runs_test", oracle=_RUNS_ORACLE, tags=("ext", "stats", "timeseries"))
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the SIGNS of day-over-day revenue
+    changes per event type: too FEW runs = trending/sticky movement,
+    too MANY = oscillation/mean-reversion, |z| ≤ ~1.96 = consistent
+    with random — the randomness audit that decides whether the trend
+    machinery (ts_sma_crossover, ts_holt_forecast) is modeling signal
+    or noise, run BEFORE trusting either.
+
+    Exactness: signs, run boundaries (IS DISTINCT FROM under a
+    day-ordered lag) and the three counts are exact integers; the
+    z-score is one fixed float expression over identical integers,
+    round(6), −0.0-normalized. Zero-diff days are excluded (the
+    standard two-sample reduction).
+
+    Scale: one scan → bounded (type, day) rollup; the lag/run pass is a
+    window over the bounded daily frame; output is |types| rows.
+    """
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    s = d.select(
+        "event_type", "day", (F.col("cents") - F.lag("cents").over(wd)).alias("diff")
+    )
+    g = s.filter(F.col("diff").isNotNull() & (F.col("diff") != 0)).select(
+        "event_type",
+        "day",
+        F.when(F.col("diff") > 0, 1).otherwise(-1).alias("sgn"),
+    )
+    r = g.select(
+        "event_type",
+        "sgn",
+        F.when(
+            ~F.lag("sgn").over(wd).eqNullSafe(F.col("sgn")), 1
+        ).otherwise(0).alias("new_run"),
+    )
+    m = r.groupBy("event_type").agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).alias("n_neg"),
+        F.sum("new_run").alias("n_runs"),
+        F.count("*").alias("n"),
+    )
+    z = (
+        F.col("n_runs") - (1 + 2.0 * F.col("n_pos") * F.col("n_neg") / F.col("n"))
+    ) / F.sqrt(
+        2.0
+        * F.col("n_pos")
+        * F.col("n_neg")
+        * (2.0 * F.col("n_pos") * F.col("n_neg") - F.col("n"))
+        / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+    )
+    return m.select(
+        "event_type",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.col("n_runs").cast("bigint").alias("n_runs"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
+    )

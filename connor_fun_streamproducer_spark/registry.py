@@ -341,6 +341,7 @@ _WINDOW_PRIORITY = [
     "pipeline_new_returning_users",  # new: DAU growth-accounting split
     "ts_seasonal_residual_anomaly",  # new: deseasonalized deviation screen
     "stats_label_impurity",     # new: per-source Gini impurity of lang mix
+    "stats_runs_test",          # new: Wald-Wolfowitz sign-runs randomness audit
     # -- next stale tier for r09 ----------------------------------------
     "filter_pred",
     "project_select",

@@ -67,6 +67,9 @@ SWEEP = [
     "sample_walk_pairs",           # md5-driven walk trajectories (r8)
     "dedup_cluster_canonical",     # LSH pairs -> min-label fixpoint (r8)
     "corpus_cross_source_dup",     # integral bp rollup of LSH pairs (r8)
+    "text_ngram_novelty",          # first-seen min over exploded grams (r8)
+    "ts_seasonal_residual_anomaly",  # deviation top-k tie-breaks (r8)
+    "stats_runs_test",             # lag-window run boundaries + z fold (r8)
 ]
 
 
