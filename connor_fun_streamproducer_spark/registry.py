@@ -199,81 +199,131 @@ def _ensure_loaded() -> None:
 # KEY level (module import order alone cannot front never-verified keys
 # living in already-verified modules).
 #
-# Round 8 front-of-window, in order:
-#   (1) the 47 round-7 registrations with no external CORRECTNESS row
-#       (VERDICT r7 "What's missing" #1 — staged at key 51+ last round,
-#       DuckDB-oracle-green locally on every test run). Several carry
-#       round-8 changes too (ADVICE fixes to stats_key_integrity /
-#       embedding_outlier_distance / scan_agg_pushdown; the md5-lane trim
-#       to dedup_minhash_banded; the simhash tier in dedup_eval_tiers) —
-#       the window verifies the NEW code;
-#   (2) ops externally green or rows-only before but CHANGED in round 8:
-#       agg_count_min (empty-cell left-join fix, ADVICE r7),
-#       sim_search_ivf (exact-recall companion columns promote it from
-#       rows-only to hash-checked, VERDICT r7 #3), and sim_search_lsh
-#       (same promotion: literal-plane oracle + rounded sign buckets) —
-#       changed-this-round outranks stale refresh under the freshness
-#       rule, so these take the last slots ahead of filter_pred.
-# 47 + 3 = 50: closing tier (1) makes every registered key
-# externally proven at least once (VERDICT r7 top_next). Everything
-# else keeps its previous relative order behind the window;
-# filter_pred / project_select / sort_global / dedup_exact / limit_topk
-# lead the r09 stale tier.
+# Round 9 front-of-window, in order:
+#   (1) the 17 round-8 registrations with no external CORRECTNESS row —
+#       closing this debt makes every registered key externally proven
+#       at least once (VERDICT r8 top_next);
+#   (2) ops externally green or rows-only before but CHANGED in round 9:
+#       the four rows-only promotions (sim_search_pq,
+#       embedding_cluster_kmeans, dedup_minhash_cluster, dedup_embedding
+#       — each gains a DuckDB oracle this round) and the two ANN ops
+#       whose recall companions moved behind a flag (sim_search_ivf /
+#       sim_search_lsh — registry entries keep companions ON so the
+#       oracle is unchanged; the window re-verifies the refactor);
+#   (3) the stalest externally-green tier: the r03-vintage keys
+#       (filter_pred/project_select/... joins/aggs/text basics) whose
+#       last external row is three windows old.
+# 17 + 6 + 27 = 50.
 _WINDOW_PRIORITY = [
-    # -- (1) externally-unverified round-7 registrations (47) ------------
-    "graph_label_propagation",       # derandomized sync LPA communities
-    "ts_autocorr",                   # exact integer-moment lag ACF
-    "dedup_url_canonical",           # crawl-frontier URL canonicalization
-    "sink_bloom_index",              # bloom-filter point-lookup file skipping
-    "dedup_containment_prefix",      # directional containment (re-crawl) dedup
-    "stats_benford_profile",         # integer-exact leading-digit screen
-    "ts_seasonal_index",             # diurnal seasonal/traffic index
-    "stats_mad_outliers",            # median/MAD robust z outlier screen
-    "graph_clustering_coefficient",  # local cc from banded triangles, bp-exact
-    "win_drawdown",                  # running-peak drawdown, one exchange
-    "ts_changepoint_cusum",          # scaled-integer CUSUM mean-shift argmax
-    "text_bigram_mi",                # collocation lift over adjacent tokens
-    "stats_ks_eras",                 # scaled-integer two-sample KS drift test
-    "stats_chi2_independence",       # scaled-integer chi-square screen
-    "embedding_outlier_distance",    # r8: decimal(38,0) accumulator (ADVICE)
-    "dedup_cdc_chunks",              # content-defined chunking dedup (FastCDC-style)
-    "corpus_dedup_pipeline",         # quality->exact->chunk survivorship cascade
-    "sample_class_weights",          # inverse-frequency class weight table
-    "agg_extremal_by",               # max_by/min_by with packed tie-break keys
-    "corpus_budget_apportion",       # largest-remainder token-budget quotas
-    "scan_agg_pushdown",             # footer-stats aggregate pushdown scan
-    "graph_modularity",              # exact scaled-integer modularity of LPA
-    "graph_assortativity",           # exact-moment degree assortativity
-    "win_rolling_corr",              # rolling Pearson from exact moments
-    "corpus_vocab_coverage",         # top-K vocab + cumulative coverage bp
-    "text_hashing_vectorizer",       # md5 feature-hash bucket audit
-    "ts_sma_crossover",              # exact cross-multiplied SMA crossings
-    "stats_psi_stability",           # per-bin Laplace-smoothed PSI cells
-    "dedup_minhash_banded",          # md5-stream LSH twin; r8: 2-digest lanes
-    "sink_snapshot_expire",          # snapshot GC + orphan-file reclaim
-    "text_zipf_alpha",               # Zipf log-log slope, fold-exact floats
-    "graph_reciprocity",             # directed transition-graph reciprocity
-    "stats_cramers_v",               # fold-deterministic chi2 effect size
-    "dedup_eval_tiers",              # LSH recall/precision; r8: + simhash tier
-    "pipeline_backfill_incremental", # partition-scoped late-data backfill
-    "pipeline_event_trigrams",       # top-10 3-event journey sequences
-    "win_time_weighted_avg",         # exact-integer TWAP over step series
-    "scan_corrupt_quarantine",       # torn-parquet resilience + quarantine
-    "pipeline_audience_overlap",     # distinct-user overlap per type pair
-    "stats_ab_proportions",          # two-proportion z-test (A/B primitive)
-    "pipeline_skyline_frontier",     # 2-D Pareto skyline via sort-window
-    "sink_write_audit_publish",      # WAP staged-snapshot audit gate
-    "embedding_label_distances",     # inter-centroid separability screen
-    "embedding_knn_label_purity",    # LOO 1-NN label-noise screen
-    "pipeline_segment_migration",    # era-to-era spend-tier flow matrix
-    "corpus_dup_rate_by_source",     # per-source exact-dup governance
-    "stats_key_integrity",           # PK/FK audit; r8: integral-div pk (ADVICE)
-    # -- (2) changed in round 8 (empty-cell fix / oracle promotions) -----
+    # -- (1) the 17 round-8 registrations with no external CORRECTNESS
+    #    row (VERDICT r8 'What's missing' #1 / 'Next round' #1) --------
+    "dedup_minhash_estimate",   # r8: minhash estimator audit (est vs exact J)
+    "sample_kcenter_coreset",   # r8: greedy k-center coreset, exact trajectory
+    "stats_event_lateness",     # r8: event-time disorder / watermark sizing
+    "corpus_epoch_plan",        # r8: per-source epochs + md5 remainder prefix
+    "stats_mutual_info_cat",    # r8: lang x source MI, fold-deterministic
+    "graph_hits",               # r8; r9: overflow-safe div scaling (ADVICE)
+    "ts_holt_forecast",         # r8; r9: enforced bounded-series guard
+    "sample_neyman_alloc",      # r8: variance-proportional sample allocation
+    "stats_capture_recapture",  # r8: Chapman distinct-population estimate
+    "sample_walk_pairs",        # r8; r9: shared _pair_edges SQL fragment (ADVICE)
+    "dedup_cluster_canonical",  # r8: transitive near-dup cluster closure
+    "corpus_cross_source_dup",  # r8: who-copies-whom near-dup flow matrix
+    "text_ngram_novelty",       # r8: first-seen 3-gram incremental-content score
+    "pipeline_new_returning_users", # r8: DAU growth-accounting split
+    "ts_seasonal_residual_anomaly", # r8: deseasonalized deviation screen
+    "stats_label_impurity",     # r8: per-source Gini impurity of lang mix
+    "stats_runs_test",          # r8; r9: enforced bounded-series guard
+    # -- (2) changed in round 9: ANN/cluster promotions out of the
+    #    rows-only tier (VERDICT r8 #4-6) + the recall-companion flag
+    #    refactor (VERDICT r8 #2) — changed-this-round outranks stale --
+    "sim_search_pq",            # r9: promoted rows-only -> hash-checked (ivf recipe)
+    "embedding_cluster_kmeans", # r9: promoted via unrolled Lloyd-round CTEs
+    "dedup_minhash_cluster",    # r9: re-oracled via recursive-CTE closure
+    "dedup_embedding",          # r9: promoted via integer-distance discipline
+    "sim_search_ivf",           # r9: recall companions now flag-gated (oracle keeps ON)
+    "sim_search_lsh",           # r9: same companion flag; re-verify r8 promotion
+    # -- (3) stale refresh: the r03-vintage external tier, untouched
+    #    since round 3 and the oldest green rows in the registry ------
+    "filter_pred",
+    "project_select",
+    "limit_topk",
+    "sort_global",
+    "dedup_exact",
+    "sort_within",
+    "topk_per_group",
+    "join_broadcast",
+    "join_sortmerge",
+    "join_shuffle_hash",
+    "join_theta_range",
+    "join_semi",
+    "join_anti",
+    "join_asof",
+    "join_range_bucketed",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_cube",
+    "agg_pivot",
+    "agg_unpivot",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "join_bucketed",
+    "rollup_time_hierarchy",
+    "pipeline_shipping_priority",
+    # -- behind the window: everything externally green r7/r8, relative
+    #    order preserved (r8 window first — freshest green — then the
+    #    r07-and-earlier tiers as before). New r9 ops append at the
+    #    very end: first in line for the r10 rotation. ----------------
+    "graph_label_propagation",
+    "ts_autocorr",
+    "dedup_url_canonical",
+    "sink_bloom_index",
+    "dedup_containment_prefix",
+    "stats_benford_profile",
+    "ts_seasonal_index",
+    "stats_mad_outliers",
+    "graph_clustering_coefficient",
+    "win_drawdown",
+    "ts_changepoint_cusum",
+    "text_bigram_mi",
+    "stats_ks_eras",
+    "stats_chi2_independence",
+    "embedding_outlier_distance",
+    "dedup_cdc_chunks",
+    "corpus_dedup_pipeline",
+    "sample_class_weights",
+    "agg_extremal_by",
+    "corpus_budget_apportion",
+    "scan_agg_pushdown",
+    "graph_modularity",
+    "graph_assortativity",
+    "win_rolling_corr",
+    "corpus_vocab_coverage",
+    "text_hashing_vectorizer",
+    "ts_sma_crossover",
+    "stats_psi_stability",
+    "dedup_minhash_banded",
+    "sink_snapshot_expire",
+    "text_zipf_alpha",
+    "graph_reciprocity",
+    "stats_cramers_v",
+    "dedup_eval_tiers",
+    "pipeline_backfill_incremental",
+    "pipeline_event_trigrams",
+    "win_time_weighted_avg",
+    "scan_corrupt_quarantine",
+    "pipeline_audience_overlap",
+    "stats_ab_proportions",
+    "pipeline_skyline_frontier",
+    "sink_write_audit_publish",
+    "embedding_label_distances",
+    "embedding_knn_label_purity",
+    "pipeline_segment_migration",
+    "corpus_dup_rate_by_source",
+    "stats_key_integrity",
     "agg_count_min",
-    "sim_search_ivf",
-    "sim_search_lsh",
-    # -- behind the window: the r07 window keys (all externally green in
-    #    r07), relative order preserved ---------------------------------
     "ts_ohlc_candles",
     "pipeline_interpurchase_time",
     "win_pattern_rises",
@@ -323,33 +373,6 @@ _WINDOW_PRIORITY = [
     "agg_grouping_sets",
     "agg_hash",
     "agg_skew_salted",
-    # -- key 51+: NEW in round 8 — never externally checked; first in
-    #    line for the r09 rotation under the freshness rule -------------
-    "dedup_minhash_estimate",   # new: minhash estimator audit (est vs exact J)
-    "sample_kcenter_coreset",   # new: greedy k-center coreset, exact trajectory
-    "stats_event_lateness",     # new: event-time disorder / watermark sizing
-    "corpus_epoch_plan",        # new: per-source epochs + md5 remainder prefix
-    "stats_mutual_info_cat",    # new: lang x source MI, fold-deterministic
-    "graph_hits",               # new: bipartite HITS, decimal-exact, bp output
-    "ts_holt_forecast",         # new: fold-exact Holt level+trend forecast
-    "sample_neyman_alloc",      # new: variance-proportional sample allocation
-    "stats_capture_recapture",  # new: Chapman distinct-population estimate
-    "sample_walk_pairs",        # new: derandomized DeepWalk positive pairs
-    "dedup_cluster_canonical",  # new: transitive near-dup cluster closure
-    "corpus_cross_source_dup",  # new: who-copies-whom near-dup flow matrix
-    "text_ngram_novelty",       # new: first-seen 3-gram incremental-content score
-    "pipeline_new_returning_users",  # new: DAU growth-accounting split
-    "ts_seasonal_residual_anomaly",  # new: deseasonalized deviation screen
-    "stats_label_impurity",     # new: per-source Gini impurity of lang mix
-    "stats_runs_test",          # new: Wald-Wolfowitz sign-runs randomness audit
-    # -- next stale tier for r09 ----------------------------------------
-    "filter_pred",
-    "project_select",
-    "limit_topk",
-    "sort_global",
-    "dedup_exact",
-    # -- behind those: last round's window (r06-green) and everything
-    #    earlier, relative order preserved ------------------------------
     "pipeline_rfm_segments",
     "sample_temperature",
     "scan_schema_merge",
@@ -399,8 +422,6 @@ _WINDOW_PRIORITY = [
     "fn_string",
     "fn_math",
     "fn_date",
-    # -- behind those: externally green in r01-r05 and unchanged, still
-    #    oracle-green locally on every test run ------------------------
     "corpus_decontaminate",
     "text_perplexity_proxy",
     "sample_mix_target",
@@ -429,7 +450,6 @@ _WINDOW_PRIORITY = [
     "ts_resample",
     "ts_interpolate_linear",
     "win_ewma",
-    "embedding_cluster_kmeans",
     "sink_zorder",
     "agg_linreg_trend",
     "win_anomaly_zscore",
@@ -441,8 +461,6 @@ _WINDOW_PRIORITY = [
     "embedding_covariance",
     "embedding_pca_project",
     "pipeline_basket_affinity",
-    "agg_count_min",
-    "sim_search_pq",
     "graph_triangle_count",
     "graph_bfs_distance",
     "join_fuzzy_blocked",
@@ -451,24 +469,15 @@ _WINDOW_PRIORITY = [
     "win_rolling_stats",
     "sample_reservoir",
     "fn_date_bucket",
-    "fn_array",
     "fn_array_explode",
-    "fn_map",
     "fn_map_entries",
-    "fn_json",
     "fn_json_roundtrip",
-    "set_union",
     "set_union_all",
     "set_intersect",
     "set_intersect_all",
     "set_except",
     "set_except_all",
-    "enrich_region",
     "enrich_region_grid",
-    "agg_window_count",
-    "route_by_key",
-    "proj_serialize",
-    "fanout_union",
     "scan_orc",
     "sql_api",
     "sim_search_topk_arrow",
@@ -494,8 +503,6 @@ _WINDOW_PRIORITY = [
     "merge_upsert",
     "stream_cdc_merge",
     "agg_histogram",
-    "agg_kll_quantile",
-    "agg_theta_setops",
     "join_runtime_filter",
     "pipeline_nation_volume",
     "pipeline_promo_share",
@@ -503,7 +510,6 @@ _WINDOW_PRIORITY = [
     "pipeline_dormant_accounts",
     "pipeline_late_shipment_priority",
     "dedup_ngram_jaccard",
-    "dedup_embedding",
     "graph_pagerank_dist",
     "pipeline_product_profit",
     "pipeline_disjunctive_revenue",

@@ -7,84 +7,86 @@ ever unguarded locally, whatever an external harness samples.
 Separately, the external driver verifies ops in registration order with a
 bounded window (each round covers the first 50 keys). The registration
 order is freshness-priority, applied the same rule each round: (1) ops
-never externally checked (round 7 registered 47 keys behind the r07
-window — VERDICT r7 "What's missing" #1; closing that debt is round 8's
+never externally checked (round 8 registered 17 keys behind the r08
+window — VERDICT r8 "What's missing" #1; closing that debt is round 9's
 top order and makes every registered key externally proven at least
 once); (2) ops changed this round; (3) the stalest still-green tier.
-This test pins round 8's resulting window.
+This test pins round 9's resulting window.
 """
 
 from connor_fun_streamproducer_spark import registry
 
-# The 47 keys with no external CORRECTNESS row across r01-r07 (VERDICT r7
-# "What's missing" #1) — closing this debt makes every registered key
-# externally covered at least once. Several carry round-8 changes, so the
-# window verifies the new code (ADVICE fixes, md5-lane trim, simhash
-# eval tier).
+# The 17 keys with no external CORRECTNESS row (all registered round 8,
+# behind the r08 window — VERDICT r8 "What's missing" #1). Closing this
+# debt makes every registered key externally covered at least once.
 NEVER_EXTERNALLY_CHECKED = [
-    "graph_label_propagation",
-    "ts_autocorr",
-    "dedup_url_canonical",
-    "sink_bloom_index",
-    "dedup_containment_prefix",
-    "stats_benford_profile",
-    "ts_seasonal_index",
-    "stats_mad_outliers",
-    "graph_clustering_coefficient",
-    "win_drawdown",
-    "ts_changepoint_cusum",
-    "text_bigram_mi",
-    "stats_ks_eras",
-    "stats_chi2_independence",
-    "embedding_outlier_distance",   # also changed r8: decimal accumulator
-    "dedup_cdc_chunks",
-    "corpus_dedup_pipeline",
-    "sample_class_weights",
-    "agg_extremal_by",
-    "corpus_budget_apportion",
-    "scan_agg_pushdown",            # also changed r8: concurrency contract doc
-    "graph_modularity",             # also changed r8: shared _lpa_labels helper
-    "graph_assortativity",
-    "win_rolling_corr",
-    "corpus_vocab_coverage",
-    "text_hashing_vectorizer",
-    "ts_sma_crossover",
-    "stats_psi_stability",
-    "dedup_minhash_banded",         # also changed r8: 2-digest md5 lanes
-    "sink_snapshot_expire",
-    "text_zipf_alpha",
-    "graph_reciprocity",
-    "stats_cramers_v",
-    "dedup_eval_tiers",             # also changed r8: + simhash tier rows
-    "pipeline_backfill_incremental",
-    "pipeline_event_trigrams",
-    "win_time_weighted_avg",
-    "scan_corrupt_quarantine",
-    "pipeline_audience_overlap",
-    "stats_ab_proportions",
-    "pipeline_skyline_frontier",
-    "sink_write_audit_publish",
-    "embedding_label_distances",
-    "embedding_knn_label_purity",
-    "pipeline_segment_migration",
-    "corpus_dup_rate_by_source",
-    "stats_key_integrity",          # also changed r8: integral-div pk (ADVICE)
+    "dedup_minhash_estimate",
+    "sample_kcenter_coreset",
+    "stats_event_lateness",
+    "corpus_epoch_plan",
+    "stats_mutual_info_cat",
+    "graph_hits",                    # also changed r9: overflow-safe scaling
+    "ts_holt_forecast",              # also changed r9: bounded-series guard
+    "sample_neyman_alloc",
+    "stats_capture_recapture",
+    "sample_walk_pairs",             # also changed r9: shared edge SQL fragment
+    "dedup_cluster_canonical",
+    "corpus_cross_source_dup",
+    "text_ngram_novelty",
+    "pipeline_new_returning_users",
+    "ts_seasonal_residual_anomaly",
+    "stats_label_impurity",
+    "stats_runs_test",               # also changed r9: bounded-series guard
 ]
 
 # Externally green (or rows-only) before, but changed this round —
-# re-verify after the change.
-CHANGED_IN_ROUND_8 = [
-    "agg_count_min",   # empty-probe-cell left-join fix (ADVICE r7)
-    "sim_search_ivf",  # exact-recall companions → hash-checked (VERDICT r7 #3)
-    "sim_search_lsh",  # literal-plane oracle + rounded sign buckets → hash-checked
+# re-verify after the change (VERDICT r8 items #2/#4/#5/#6).
+CHANGED_IN_ROUND_9 = [
+    "sim_search_pq",            # promoted rows-only → hash-checked
+    "embedding_cluster_kmeans", # promoted via unrolled Lloyd-round CTEs
+    "dedup_minhash_cluster",    # re-oracled via recursive-CTE closure
+    "dedup_embedding",          # promoted via integer-distance discipline
+    "sim_search_ivf",           # recall companions flag-gated (oracle keeps ON)
+    "sim_search_lsh",           # same flag; re-verifies the r8 promotion
 ]
 
-MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_8
+# The stalest externally-green tier: r03-vintage rows, three windows old.
+STALE_REFRESH = [
+    "filter_pred",
+    "project_select",
+    "limit_topk",
+    "sort_global",
+    "dedup_exact",
+    "sort_within",
+    "topk_per_group",
+    "join_broadcast",
+    "join_sortmerge",
+    "join_shuffle_hash",
+    "join_theta_range",
+    "join_semi",
+    "join_anti",
+    "join_asof",
+    "join_range_bucketed",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_cube",
+    "agg_pivot",
+    "agg_unpivot",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "join_bucketed",
+    "rollup_time_hierarchy",
+    "pipeline_shipping_priority",
+]
+
+MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_9 + STALE_REFRESH
 
 WINDOW = 50
 
 
-def test_round8_priority_ops_register_inside_driver_window():
+def test_round9_priority_ops_register_inside_driver_window():
     keys = list(registry.queries())
     window = set(keys[:WINDOW])
     missing = [k for k in MUST_BE_IN_WINDOW if k not in window]
@@ -95,19 +97,22 @@ def test_round8_priority_ops_register_inside_driver_window():
 
 
 def test_never_checked_keys_lead_the_window():
-    # The 47 debt keys must come FIRST (before round-8 changes and the
+    # The 17 debt keys must come FIRST (before round-9 changes and the
     # stale refresh), so even a driver window narrower than 50 covers as
     # many of them as possible.
     keys = list(registry.queries())
     assert keys[: len(NEVER_EXTERNALLY_CHECKED)] == NEVER_EXTERNALLY_CHECKED
 
 
+def test_changed_tier_outranks_stale_refresh():
+    keys = list(registry.queries())
+    n = len(NEVER_EXTERNALLY_CHECKED)
+    assert keys[n : n + len(CHANGED_IN_ROUND_9)] == CHANGED_IN_ROUND_9
+
+
 def test_window_is_exactly_filled():
-    # 47 debt + 3 changed = 50: the window carries no dead slots and no
-    # accidental extras. Changed-this-round outranks stale refresh, so
-    # the LSH promotion took the slot initially earmarked for
-    # filter_pred (which now leads the r09 stale tier with
-    # project_select/sort_global/dedup_exact/limit_topk).
+    # 17 debt + 6 changed + 27 stale = 50: the window carries no dead
+    # slots and no accidental extras.
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
 
