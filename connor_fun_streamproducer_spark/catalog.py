@@ -81,3 +81,35 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for SQL-form operators."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# Per-group collected-series cap for ops that fold a whole per-key series
+# inside one row (ts_holt_forecast's day array, the chi2/MI cell lists).
+# Those ops document a dimension bound (|days|, |langs|x|sources|, ...);
+# this enforces it: 50k elements is ~137 years of daily points or a
+# 200x200 contingency table — far above any documented bound, far below
+# what would OOM an executor.
+SERIES_CAP = 50_000
+
+
+def bounded_series(arr: F.Column, cap: int = SERIES_CAP, what: str = "series") -> F.Column:
+    """Enforce the bounded per-group-series contract (VERDICT r8 #3/#7).
+
+    Ops that ``collect_list`` a per-key series into a single row carry a
+    documented dimension bound; an UNdocumented hot key at 100 TB would
+    otherwise build a multi-GB array and OOM the executor with no hint
+    why. This wrapper turns the narrated bound into an enforced one: the
+    array passes through untouched when within ``cap`` and the task
+    fails loudly (executor-side ``raise_error``, not an OOM) when not.
+    The guard is a row-level projection — no extra shuffle, no extra
+    pass; Spark evaluates the size check per group post-aggregation.
+    """
+    return F.when(F.size(arr) <= F.lit(cap), arr).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"bounded-series contract violated ({what}): size="),
+                F.size(arr).cast("string"),
+                F.lit(f" > cap={cap}; partition the series key further"),
+            )
+        )
+    )

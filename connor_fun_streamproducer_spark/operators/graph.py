@@ -203,9 +203,25 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CC_MAX_ROUNDS = 20
 
-_CC_ORACLE = """
-WITH RECURSIVE
-buck AS (
+# Shared DuckDB twins of the Spark edge builders — ONE definition each,
+# consumed by every graph oracle below, so a change to the bucket
+# geometry / size band (_pair_edges) or the star construction
+# (_cc_edges) can never silently desync a single oracle from the Spark
+# frames (the corpus.py _DOC_TOK_SQL pattern; ADVICE r8). Both fragments
+# are CTE lists WITHOUT the leading WITH, composed as
+# "WITH " + _X_SQL + ", <rest>".
+_PAIR_EDGES_SQL = """buck AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+sized AS (SELECT b FROM buck GROUP BY b HAVING count(*) BETWEEN 2 AND 8),
+e AS (
+    SELECT DISTINCT x.user_id AS a, y.user_id AS c
+    FROM buck x JOIN buck y USING (b) JOIN sized USING (b)
+    WHERE x.user_id < y.user_id
+)"""
+
+_STAR_EDGES_SQL = """buck AS (
     SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
     FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
 ),
@@ -216,7 +232,10 @@ e0 AS (
     SELECT DISTINCT s.hub AS src, k.user_id AS dst
     FROM buck k JOIN stars s USING (b) WHERE k.user_id <> s.hub
 ),
-edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)"""
+
+
+_CC_ORACLE = "WITH RECURSIVE " + _STAR_EDGES_SQL + """,
 nodes AS (SELECT DISTINCT user_id AS node FROM events),
 reach(node, r) AS (
     SELECT node, node FROM nodes
@@ -354,17 +373,7 @@ def propagate_min_label(edges: DataFrame, nodes: DataFrame) -> DataFrame:
 _TRI_BUCKET_MIN = 2
 _TRI_BUCKET_MAX = 8
 
-_TRIANGLE_ORACLE = """
-WITH buck AS (
-    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
-    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
-),
-sized AS (SELECT b FROM buck GROUP BY b HAVING count(*) BETWEEN 2 AND 8),
-e AS (
-    SELECT DISTINCT x.user_id AS a, y.user_id AS c
-    FROM buck x JOIN buck y USING (b) JOIN sized USING (b)
-    WHERE x.user_id < y.user_id
-),
+_TRIANGLE_ORACLE = "WITH " + _PAIR_EDGES_SQL + """,
 tri AS (
     SELECT e1.a AS a, e1.c AS b, e2.c AS c
     FROM e e1
@@ -479,20 +488,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BFS_MAX_DEPTH = 12
 
-_BFS_ORACLE = """
-WITH RECURSIVE
-buck AS (
-    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
-    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
-),
-stars AS (
-    SELECT b, min(user_id) AS hub FROM buck GROUP BY b HAVING count(*) > 1
-),
-e0 AS (
-    SELECT DISTINCT s.hub AS src, k.user_id AS dst
-    FROM buck k JOIN stars s USING (b) WHERE k.user_id <> s.hub
-),
-edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+_BFS_ORACLE = "WITH RECURSIVE " + _STAR_EDGES_SQL + """,
 walk(node, d) AS (
     SELECT (SELECT min(user_id) FROM events), 0
     UNION
@@ -563,17 +559,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited.select(F.col("node").alias("user_id"), "dist")
 
 
-_DEGREE_ORACLE = """
-WITH buck AS (
-    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
-    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
-),
-sized AS (SELECT b FROM buck GROUP BY b HAVING count(*) BETWEEN 2 AND 8),
-e AS (
-    SELECT DISTINCT x.user_id AS a, y.user_id AS c
-    FROM buck x JOIN buck y USING (b) JOIN sized USING (b)
-    WHERE x.user_id < y.user_id
-),
+_DEGREE_ORACLE = "WITH " + _PAIR_EDGES_SQL + """,
 und AS (SELECT a AS node FROM e UNION ALL SELECT c FROM e),
 deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM und GROUP BY 1)
 SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
@@ -609,17 +595,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_ORACLE = """
-WITH buck AS (
-    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
-    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
-),
-sized AS (SELECT b FROM buck GROUP BY b HAVING count(*) BETWEEN 2 AND 8),
-e AS (
-    SELECT DISTINCT x.user_id AS a, y.user_id AS c
-    FROM buck x JOIN buck y USING (b) JOIN sized USING (b)
-    WHERE x.user_id < y.user_id
-),
+_JACCARD_ORACLE = "WITH " + _PAIR_EDGES_SQL + """,
 und AS (
     SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e
 ),
@@ -706,17 +682,7 @@ def _kcore_oracle() -> str:
     neighbors inside s_i. Fixed rounds keep it pure SQL (no recursive
     aggregate), and idempotence past the fixpoint makes the unroll exact
     — pinned by tests asserting round N == round N+1 on the fixture."""
-    ctes = ["""
-buck AS (
-    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
-    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
-),
-sized AS (SELECT b FROM buck GROUP BY b HAVING count(*) BETWEEN 2 AND 8),
-e AS (
-    SELECT DISTINCT x.user_id AS a, y.user_id AS c
-    FROM buck x JOIN buck y USING (b) JOIN sized USING (b)
-    WHERE x.user_id < y.user_id
-),
+    ctes = [_PAIR_EDGES_SQL + """,
 und AS (SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e),
 s0 AS (SELECT DISTINCT u FROM und)"""]
     for i in range(_KCORE_ROUNDS):
@@ -788,17 +754,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOP_SIMILAR_ORACLE = """
-WITH buck AS (
-    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
-    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
-),
-sized AS (SELECT b FROM buck GROUP BY b HAVING count(*) BETWEEN 2 AND 8),
-e AS (
-    SELECT DISTINCT x.user_id AS a, y.user_id AS c
-    FROM buck x JOIN buck y USING (b) JOIN sized USING (b)
-    WHERE x.user_id < y.user_id
-),
+_TOP_SIMILAR_ORACLE = "WITH " + _PAIR_EDGES_SQL + """,
 und AS (
     SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e
 ),
@@ -897,17 +853,7 @@ def _lpa_oracle() -> str:
     by the SMALLEST label. A fixed round count keeps the oracle pure SQL
     (no recursive aggregate) and makes the synchronous update — which
     need not converge — exactly reproducible on both engines."""
-    ctes = ["""
-buck AS (
-    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
-    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
-),
-sized AS (SELECT b FROM buck GROUP BY b HAVING count(*) BETWEEN 2 AND 8),
-e AS (
-    SELECT DISTINCT x.user_id AS a, y.user_id AS c
-    FROM buck x JOIN buck y USING (b) JOIN sized USING (b)
-    WHERE x.user_id < y.user_id
-),
+    ctes = [_PAIR_EDGES_SQL + """,
 und AS (
     SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e
 ),
@@ -1020,17 +966,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Local clustering coefficient (triangles over wedges, integral bp)
 # ---------------------------------------------------------------------------
 
-_CLUSTERCOEF_ORACLE = """
-WITH buck AS (
-    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
-    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
-),
-sized AS (SELECT b FROM buck GROUP BY b HAVING count(*) BETWEEN 2 AND 8),
-e AS (
-    SELECT DISTINCT x.user_id AS a, y.user_id AS c
-    FROM buck x JOIN buck y USING (b) JOIN sized USING (b)
-    WHERE x.user_id < y.user_id
-),
+_CLUSTERCOEF_ORACLE = "WITH " + _PAIR_EDGES_SQL + """,
 und AS (SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e),
 deg AS (SELECT u AS user_id, count(*) AS degree FROM und GROUP BY 1),
 tri AS (
@@ -1214,17 +1150,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Degree assortativity (exact integer moment decomposition)
 # ---------------------------------------------------------------------------
 
-_ASSORT_ORACLE = """
-WITH buck AS (
-    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
-    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
-),
-sized AS (SELECT b FROM buck GROUP BY b HAVING count(*) BETWEEN 2 AND 8),
-e AS (
-    SELECT DISTINCT x.user_id AS a, y.user_id AS c
-    FROM buck x JOIN buck y USING (b) JOIN sized USING (b)
-    WHERE x.user_id < y.user_id
-),
+_ASSORT_ORACLE = "WITH " + _PAIR_EDGES_SQL + """,
 und AS (
     SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e
 ),
@@ -1453,6 +1379,16 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     is scale-free: authority in basis points of the max + dense rank,
     top-20 — integral div, hash-stable.
 
+    Overflow bound (ADVICE r8): the final ``a * 10000`` scaling caps
+    the Spark side at a ≤ 10^34 (decimal(38,0)); DuckDB's HUGEINT caps
+    at a ≤ ~1.7*10^34 — in the (10^34, 1.7*10^34] band Spark throws
+    under ANSI while DuckDB succeeds. The band is unreachable on any
+    realistic corpus: a_3 ~ |customers| * (avg degree)^5, which at
+    100 TB TPC-H (1.5e10 customers, degree ~10^2) is ~1.5e20 — fourteen
+    orders of magnitude of headroom. If a graph ever approaches it, cut
+    _HITS_ROUNDS or rescale each round by ``a div (mx div 10^6)`` on
+    BOTH engines; the crude one-sided rescale would desync the oracle.
+
     Scale: each half-round is ONE equi-join of the edge list against a
     node-score frame followed by a hash agg — 2k linear shuffles on
     (c)/(s) keys, the exact shape GraphX/Pregel would run; the edge
@@ -1498,17 +1434,7 @@ _WALK_STEPS = 4
 
 
 def _walk_oracle() -> str:
-    ctes = ["""
-buck AS (
-    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS b, user_id
-    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
-),
-sized AS (SELECT b FROM buck GROUP BY b HAVING count(*) BETWEEN 2 AND 8),
-e AS (
-    SELECT DISTINCT x.user_id AS a, y.user_id AS c
-    FROM buck x JOIN buck y USING (b) JOIN sized USING (b)
-    WHERE x.user_id < y.user_id
-),
+    ctes = [_PAIR_EDGES_SQL + """,
 und AS (
     SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e
 ),

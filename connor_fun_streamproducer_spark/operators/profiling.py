@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import epoch_seconds, load
+from connor_fun_streamproducer_spark.catalog import bounded_series, epoch_seconds, load
 from connor_fun_streamproducer_spark.registry import op
 
 PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -1006,7 +1006,12 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("obs").over(Window.partitionBy("b")).alias("c"),
     )
     lst = cells.agg(
-        F.array_sort(F.collect_list(F.array("obs", "r", "c"))).alias("l"),
+        # |a|x|b| contingency cells — dimension-bounded by contract,
+        # enforced: a high-cardinality category slipping in fails loudly
+        bounded_series(
+            F.array_sort(F.collect_list(F.array("obs", "r", "c"))),
+            what="stats_cramers_v contingency cells",
+        ).alias("l"),
         F.sum("obs").alias("n"),
         F.countDistinct("a").alias("n_a"),
         F.countDistinct("b").alias("n_b"),
@@ -1374,7 +1379,11 @@ def stats_mutual_info_cat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("obs").over(Window.partitionBy("b")).alias("c"),
     )
     lst = cells.agg(
-        F.array_sort(F.collect_list(F.array("obs", "r", "c"))).alias("l"),
+        # same enforced cell bound as stats_cramers_v
+        bounded_series(
+            F.array_sort(F.collect_list(F.array("obs", "r", "c"))),
+            what="stats_mutual_info_cat contingency cells",
+        ).alias("l"),
         F.sum("obs").alias("n"),
         F.countDistinct("a").alias("n_a"),
         F.countDistinct("b").alias("n_b"),

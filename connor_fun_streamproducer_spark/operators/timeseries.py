@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from connor_fun_streamproducer_spark.catalog import epoch_seconds, load
+from connor_fun_streamproducer_spark.catalog import bounded_series, epoch_seconds, load
 from connor_fun_streamproducer_spark.registry import op
 
 _EWMA_ALPHA = 0.2
@@ -924,9 +924,14 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = d.groupBy("event_type").agg(
         F.count("*").alias("n_days"),
-        F.expr(
-            "transform(array_sort(collect_list(struct(day, cents))),"
-            " p -> CAST(p.cents AS DOUBLE))"
+        F.transform(
+            # the |days|-bounded contract, enforced: a mis-keyed series
+            # fails loudly instead of OOMing the fold at scale
+            bounded_series(
+                F.expr("array_sort(collect_list(struct(day, cents)))"),
+                what="ts_holt_forecast per-type day series",
+            ),
+            lambda p: p.getField("cents").cast("double"),
         ).alias("v"),
     )
     f = s.select(
