@@ -31,10 +31,12 @@ Spark-first design (Lloyd's algorithm, no MLlib dependency, no RDDs):
 
 The reference has no clustering (its stream is unmodeled payload —
 regionSpout.go:152); this is EXT-tier corpus tooling per SURVEY §2.
-Iterative fixpoint ⇒ no single-statement ANSI oracle (sanctioned
-rows-only check); tests/test_llm.py pins determinism, convergence
-(monotone non-increasing inertia), and exact agreement with a NumPy
-re-implementation on the same init.
+HASH-CHECKED since round 9: the fixpoint unrolls into a DuckDB oracle
+(_kmeans_oracle) because centroid updates are order-free integer sums
+of 1e-6-quantized inputs and every assignment is a (round(d2,6), cid)
+total order; tests/test_llm.py additionally pins determinism,
+convergence (monotone non-increasing inertia), and exact agreement
+with a NumPy re-implementation of the same recurrence on the same init.
 """
 
 from __future__ import annotations
@@ -57,7 +59,14 @@ def _quantize(x: float) -> float:
 
 
 def _assign_expr(centroids: list[list[float]]):
-    """(dist, cid) argmin over centroid literals — pure JVM HOFs."""
+    """(cluster, dist) argmin over centroid literals — pure JVM HOFs.
+
+    The argmin compares (round(d2, 6), cid) — the cross-engine total
+    order of the ivf/pq discipline (round 9): bit-identical fold d2s
+    make raw comparison safe in principle, but the rounded decision is
+    the proven recipe and costs one extra struct field. The raw d2
+    rides along as the third field (never compared — (dr, cid) is
+    unique) and is what the chosen row reports as ``dist``."""
     candidates = []
     for cid, c in enumerate(centroids):
         carr = F.array(*[F.lit(float(v)) for v in c])
@@ -66,7 +75,11 @@ def _assign_expr(centroids: list[list[float]]):
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        candidates.append(F.struct(d.alias("dist"), F.lit(cid).alias("cid")))
+        candidates.append(
+            F.struct(
+                F.round(d, 6).alias("dr"), F.lit(cid).alias("cid"), d.alias("dist")
+            )
+        )
     best = F.array_min(F.array(*candidates))
     return best["cid"].alias("cluster"), best["dist"].alias("dist")
 
@@ -82,7 +95,19 @@ def kmeans_assignments(
     """
     base = (
         load(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
+        .select(
+            "vec_id",
+            "embedding",
+            # 1e-6-quantized integer inputs for the centroid update: a
+            # distributed DOUBLE mean depends on partial-sum order, but
+            # an INTEGER sum is order-free and exact — so the update is
+            # bit-reproducible across runs, partitionings, and engines
+            # (round 9; what lets the fixpoint be SQL-oracled at all)
+            F.transform(
+                "embedding",
+                lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast("bigint"),
+            ).alias("xq"),
+        )
         .cache()
     )
     seed_rows = base.orderBy("vec_id").limit(k).collect()  # k rows — dim-scale
@@ -92,24 +117,33 @@ def kmeans_assignments(
     assigned = None
     for _ in range(n_iters):
         cluster_col, dist_col = _assign_expr(centroids)
-        assigned = base.select("vec_id", "embedding", cluster_col, dist_col)
-        # One shuffle: element-wise mean + inertia, map-side partials first.
+        assigned = base.select("vec_id", "embedding", "xq", cluster_col, dist_col)
+        # One shuffle: element-wise integer sums + counts, map-side
+        # partials first (decimal(38,0) — int64 would overflow the sum
+        # of 1e6-scaled units on a 100 TB hot cluster).
         stats = (
-            assigned.select("cluster", F.posexplode("embedding").alias("pos", "x"))
+            assigned.select("cluster", F.posexplode("xq").alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+                F.count("*").alias("cnt"),
+            )
         )
         upd = (
             stats.groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "s", "cnt"))).alias("ms"))
             .collect()
-        )  # k rows of k×dim means — bounded collect, codebook contract
+        )  # k rows of k×dim sums — bounded collect, codebook contract
         inertia = (
             assigned.agg(F.sum("dist").alias("i")).collect()[0]["i"]
         )
         inertia_history.append(round(inertia, 2))
         for r in upd:
-            centroids[r.cluster] = [_quantize(float(s.m)) for s in r.ms]
+            # float(Decimal) / cnt / 1e6: every step is the identical
+            # correctly-rounded conversion both SQL engines perform
+            centroids[r.cluster] = [
+                _quantize(float(s.s) / s.cnt / 1e6) for s in r.ms
+            ]
     # The cache is an ITERATION-scope artifact: release it before
     # returning, or it leaks session-wide — every later plan over the
     # same embeddings scan silently swaps to InMemoryTableScan (observed
@@ -120,21 +154,112 @@ def kmeans_assignments(
     return assigned.select("vec_id", "cluster", "dist"), inertia_history
 
 
-@op("embedding_cluster_kmeans", oracle=None, tags=("ext", "llm", "iterative", "scale"))
+def _kmeans_oracle() -> str:
+    """DuckDB replay of the full quantized-Lloyd fixpoint — N_ITERS
+    unrolled rounds (the sample_kcenter_coreset proof that driver-
+    iterative ops are oracle-able, applied to Lloyd; VERDICT r8 #5).
+    Replayable because every decision is a total order (round(d2,6) +
+    cid tie) and every centroid derives from ORDER-FREE integer sums of
+    1e-6-quantized inputs — the one place a distributed float mean
+    would desync engines is exactly the place the op carries integers."""
+    k, iters = K_CLUSTERS, N_ITERS
+    D2R = (
+        "round(list_reduce(list_transform(range(64), d ->"
+        " (v.e[d+1]-c.c[d+1])*(v.e[d+1]-c.c[d+1])), (a,b) -> a+b), 6)"
+    )
+    D2RAW = (
+        "list_reduce(list_transform(range(64), d ->"
+        " (v.e[d+1]-c.c[d+1])*(v.e[d+1]-c.c[d+1])), (a,b) -> a+b)"
+    )
+    rounds = []
+    for t in range(1, iters):  # iters-1 updates: the final round only assigns
+        rounds.append(f"""
+a{t} AS (
+    SELECT vec_id, xq, cid FROM (
+        SELECT v.vec_id, v.xq, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {D2R} ASC, c.cid ASC) AS ar
+        FROM vec v CROSS JOIN c{t - 1} c
+    ) WHERE ar = 1
+),
+s{t} AS (
+    SELECT cid, pos, sum(xq[pos + 1]) AS s, count(*) AS cnt
+    FROM a{t} CROSS JOIN dims GROUP BY cid, pos
+),
+n{t} AS (
+    SELECT cid, list(CAST(s AS DOUBLE) / cnt / 1e6 ORDER BY pos) AS mraw
+    FROM s{t} GROUP BY cid
+),
+c{t} AS (
+    SELECT p.cid,
+           CASE WHEN n.mraw IS NULL THEN p.c
+                ELSE list_transform(n.mraw, x -> floor(x * 1e4 + 0.5) / 1e4)
+           END AS c
+    FROM c{t - 1} p LEFT JOIN n{t} n USING (cid)
+)""")
+    return f"""
+WITH vec AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS xq
+    FROM embeddings
+), dims AS (SELECT unnest(range(64)) AS pos
+), c0 AS (
+    SELECT rn - 1 AS cid, list_transform(e, x -> floor(x * 1e4 + 0.5) / 1e4) AS c
+    FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, e
+          FROM vec ORDER BY vec_id LIMIT {k})
+),{",".join(rounds)},
+af AS (
+    SELECT vec_id, cid, dq FROM (
+        SELECT v.vec_id, c.cid,
+               CAST(floor({D2RAW} * 1e6 + 0.5) AS BIGINT) AS dq,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {D2R} ASC, c.cid ASC) AS ar
+        FROM vec v CROSS JOIN c{iters - 1} c
+    ) WHERE ar = 1
+)
+SELECT CAST(cid AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       floor(CAST(sum(dq) AS DOUBLE) / 1e4 + 0.5) / 100 AS inertia
+FROM af GROUP BY cid
+"""
+
+
+@op(
+    "embedding_cluster_kmeans",
+    oracle=_kmeans_oracle(),
+    tags=("ext", "llm", "iterative", "scale"),
+)
 def embedding_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster summary after 4 deterministic Lloyd rounds (k=8).
 
     Returns (cluster, n_members, inertia) — cluster sizes and the
-    quantized within-cluster sum of squared distances. Row shape is
-    O(k), stable across runs by construction (quantized centroids +
-    struct-ordered argmin tie-break).
+    within-cluster sum of 1e-6-quantized squared distances, in currency
+    of 0.01. Row shape is O(k), stable across runs by construction
+    (quantized centroids + rounded struct-ordered argmin tie-break).
+
+    HASH-CHECKED since round 9 (previously rows-only): the four Lloyd
+    rounds unroll into the oracle as CTEs; centroid updates are exact
+    integer sums (order-free) over 1e-6-quantized inputs divided and
+    1e-4-quantized identically on both engines, and per-row distances
+    quantize to integers before the cross-row sum — no distributed
+    float accumulation anywhere in the checked output.
     """
     assigned, _ = kmeans_assignments(spark, sf_dir)
     return (
         assigned.groupBy("cluster")
         .agg(
             F.count("*").cast("bigint").alias("n_members"),
-            (F.floor(F.sum("dist") * 100 + 0.5) / 100).alias("inertia"),
+            F.sum(
+                F.floor(F.col("dist") * 1e6 + F.lit(0.5)).cast("decimal(38,0)")
+            ).alias("sq"),
+        )
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_members",
+            (F.floor(F.col("sq").cast("double") / 1e4 + F.lit(0.5)) / 100).alias(
+                "inertia"
+            ),
         )
         .orderBy("cluster")
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from connor_fun_streamproducer_spark.catalog import load
 from connor_fun_streamproducer_spark.registry import op
@@ -592,4 +593,90 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).localCheckpoint()
     return spark.createDataFrame(
         picked, "sel_round bigint, vec_id bigint, dist2 bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension moment profile (dead/degenerate dimension screen)
+# ---------------------------------------------------------------------------
+
+_DIM_ORACLE = """
+WITH q AS (
+    SELECT vec_id, d.pos,
+           CAST(floor(CAST(embedding AS DOUBLE[])[d.pos + 1] * 1e6 + 0.5)
+                AS BIGINT) AS x
+    FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS pos) d
+), m AS (
+    SELECT pos, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2 FROM q GROUP BY pos
+), v AS (
+    SELECT pos, n,
+           CAST(s1 AS DOUBLE) / n / 1e6 AS mean_raw,
+           (CAST(s2 AS DOUBLE) / n
+            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / 1e12
+               AS var_raw
+    FROM m
+)
+SELECT CAST(pos AS BIGINT) AS dim,
+       CAST(n AS BIGINT) AS n,
+       round(mean_raw, 6) + 0.0 AS mean,
+       round(var_raw, 6) + 0.0 AS variance,
+       CAST(row_number() OVER (ORDER BY round(var_raw, 6) DESC, pos) AS BIGINT)
+           AS var_rank
+FROM v
+"""
+
+
+@op("embedding_dim_profile", oracle=_DIM_ORACLE, tags=("llm", "embedding", "stats"))
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance profile of the embedding matrix with
+    a variance rank — the dead/degenerate-dimension screen run before
+    anything consumes the vectors: a near-zero-variance dimension is
+    wasted payload (or a collapsed encoder head), a huge-variance one
+    dominates unnormalized L2 retrieval; either is invisible to the
+    row-level QA ops (outlier-distance, knn-purity) because it is a
+    COLUMN pathology. embedding_covariance builds the full Gramian for
+    PCA; this is the O(dim) diagonal profile cheap enough to run on
+    every ingest batch.
+
+    Exact: moments are integer sums of 1e-6-quantized values
+    (decimal(38,0) — order-free, the embedding_covariance discipline),
+    so mean/variance are single fixed float expressions over identical
+    exact integers on both engines; round(·,6), −0.0-normalized, and
+    the rank ties on (variance, dim).
+
+    Scale: one posexplode pass (the columnar-profile shape) into a
+    64-key hash agg — map-side partials absorb everything; output is
+    |dim| rows.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast("bigint"),
+            )
+        ).alias("pos", "x")
+    )
+    m = q.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("s2"),
+    )
+    mean_raw = F.col("s1").cast("double") / F.col("n") / F.lit(1e6)
+    var_raw = (
+        F.col("s2").cast("double") / F.col("n")
+        - (F.col("s1").cast("double") / F.col("n"))
+        * (F.col("s1").cast("double") / F.col("n"))
+    ) / F.lit(1e12)
+    v = m.select(
+        F.col("pos").cast("bigint").alias("dim"),
+        F.col("n").cast("bigint").alias("n"),
+        (F.round(mean_raw, 6) + F.lit(0.0)).alias("mean"),
+        (F.round(var_raw, 6) + F.lit(0.0)).alias("variance"),
+        F.round(var_raw, 6).alias("_vr"),
+    )
+    w = Window.orderBy(F.desc("_vr"), F.asc("dim"))
+    return v.select(
+        "dim", "n", "mean", "variance",
+        F.row_number().over(w).cast("bigint").alias("var_rank"),
     )

@@ -492,21 +492,26 @@ def _routed_queries(spark: SparkSession, sf_dir: str) -> list[tuple]:
     return probes
 
 
-def _ivf_oracle() -> str:
-    """DuckDB replay of the ENTIRE IVF decision chain — codebook
-    derivation (stride sample → fold-norm L2 normalize), corpus cell
-    assignment (rounded-dot argmax, cell-desc tie), query routing
-    (top-n_probe cells, rounded-dot desc / cell asc), pruned candidate
-    re-rank, and the exact-top-k recall companions. Possible only
-    because every float on the Spark/Python side is produced in the
-    same fold order the SQL computes (_fold_norm/_round6/_cell_sims)
-    and every ordering decision happens on round(·,6) with an integer
-    tie-break."""
+def _ivf_cellmap_ctes() -> str:
+    """par0 → cellmap: DuckDB replay of the IVF codebook derivation
+    (stride sample → fold-norm L2 normalize, integer-exact cell count)
+    and corpus cell assignment (rounded-dot argmax, cell-desc tie — the
+    v2 index rule). ONE definition shared by _ivf_oracle and
+    _embdedup_oracle so the two can never disagree on what the index
+    contains (the _mhb_ctes discipline)."""
     return f"""
-WITH par AS (
-    SELECT count(*) AS n,
-           greatest({N_CELLS_MIN}, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k
+WITH par0 AS (
+    SELECT count(*) AS n, CAST(floor(sqrt(count(*))) AS BIGINT) AS s
     FROM embeddings
+), par AS (
+    -- integer-exact isqrt: floor(sqrt(double)) can drift ±1 from
+    -- math.isqrt near perfect squares at ~4.5e15 rows; the two CASE
+    -- corrections pin k to the Python side's value at any n (ADVICE r8)
+    SELECT n,
+           greatest({N_CELLS_MIN},
+                    s - (CASE WHEN s * s > n THEN 1 ELSE 0 END)
+                      + (CASE WHEN (s + 1) * (s + 1) <= n THEN 1 ELSE 0 END)) AS k
+    FROM par0
 ), par2 AS (
     SELECT n, k,
            greatest(1, (n - {N_QUERIES}) // k) AS stride,
@@ -517,11 +522,16 @@ WITH par AS (
            row_number() OVER (ORDER BY vec_id) AS rn
     FROM embeddings, par2
     WHERE vec_id >= {N_QUERIES} AND (vec_id - {N_QUERIES}) % stride = 0
-), cb AS (
-    SELECT rn - 1 AS cell,
-           list_transform(e, x -> x / sqrt(list_reduce(
-               list_transform(e, y -> y * y), (a, b) -> a + b))) AS cent
+), cbn AS (
+    SELECT rn, e,
+           sqrt(list_reduce(list_transform(e, y -> y * y), (a, b) -> a + b)) AS nrm
     FROM cb0, par2 WHERE rn <= k
+), cb AS (
+    -- zero-norm guard mirrors _codebook: a zero vector stays raw instead
+    -- of becoming NaN centroids and desyncing the engines (ADVICE r8)
+    SELECT rn - 1 AS cell,
+           CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS cent
+    FROM cbn
 ), vec AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
            sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y),
@@ -535,8 +545,20 @@ WITH par AS (
            ) AS rn
     FROM vec v CROSS JOIN cb c
 ), cellmap AS (
-    SELECT vec_id, e, nrm, cell FROM asn WHERE rn = 1
-), probes AS (
+    SELECT vec_id, e, nrm, cell FROM asn WHERE rn = 1)
+"""
+
+
+def _ivf_oracle() -> str:
+    """DuckDB replay of the ENTIRE IVF decision chain — the shared
+    codebook/cell-assignment replay (_ivf_cellmap_ctes), query routing
+    (top-n_probe cells, rounded-dot desc / cell asc), pruned candidate
+    re-rank, and the exact-top-k recall companions. Possible only
+    because every float on the Spark/Python side is produced in the
+    same fold order the SQL computes (_fold_norm/_round6/_cell_sims)
+    and every ordering decision happens on round(·,6) with an integer
+    tie-break."""
+    return _ivf_cellmap_ctes() + f""", probes AS (
     SELECT v.vec_id AS query_id, c.cell,
            row_number() OVER (
                PARTITION BY v.vec_id
@@ -570,7 +592,9 @@ FROM ivf i LEFT JOIN exact e USING (query_id, neighbor_id)
     oracle=_ivf_oracle(),
     tags=("llm", "similarity", "approx", "scale"),
 )
-def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_search_ivf(
+    spark: SparkSession, sf_dir: str, with_recall: bool = True
+) -> DataFrame:
     """ANN top-k via IVF coarse quantization + exact re-rank, with
     exact-recall companion columns.
 
@@ -595,6 +619,15 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is in the exact top-k) and per-query ``recall_bp`` — recall@k of the
     IVF probe vs exact brute force measured EXTERNALLY, the number a
     production pipeline tunes n_probe against.
+
+    ``with_recall=False`` is the PRODUCTION serving path (bench headline
+    since round 9): the same pruned retrieval without the recall join,
+    so no exact-top-k truth set is ever built — an approximate op must
+    not carry an O(corpus) exact pass in its hot path (the
+    ``with_exact=False`` discipline of the sketch tier, VERDICT r8 #2).
+    The registry/oracle entry keeps companions ON: the hash check
+    depends on them, and the eval artifact is cached per corpus
+    fingerprint so the suite pays the exact pass once.
     """
     idx = ivf_index(spark, sf_dir)
     probes = _routed_queries(spark, sf_dir)
@@ -631,6 +664,8 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= K)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
     )
+    if not with_recall:
+        return retrieved
     return _with_recall_companions(spark, sf_dir, retrieved)
 
 
@@ -700,7 +735,9 @@ FROM lsh i LEFT JOIN exact e USING (query_id, neighbor_id)
     oracle=_lsh_oracle(),
     tags=("llm", "similarity", "approx"),
 )
-def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_search_lsh(
+    spark: SparkSession, sf_dir: str, with_recall: bool = True
+) -> DataFrame:
     """ANN top-k: random-hyperplane LSH bucketing + exact re-rank, with
     exact-recall companion columns.
 
@@ -717,6 +754,9 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order, and each output row carries hit + per-query recall_bp
     vs the exact top-k — the recall a production pipeline tunes
     group/bit geometry against, measured externally.
+
+    ``with_recall=False`` is the production serving path: same bucketed
+    retrieval, no exact-truth join (see sim_search_ivf).
     """
     e = load(spark, sf_dir, "embeddings")
     planes = _hyperplanes()
@@ -780,6 +820,8 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= K)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
     )
+    if not with_recall:
+        return retrieved
     return _with_recall_companions(spark, sf_dir, retrieved)
 
 
@@ -795,16 +837,34 @@ _PQ_ITERS = 5
 _PQ_SHORTLIST = 16 * K  # ADC shortlist width before exact re-rank
 
 
+_PQ_BOOKS_CACHE: dict[str, "np.ndarray"] = {}
+
+
 def _pq_codebooks(spark: SparkSession, sf_dir: str) -> "np.ndarray":
     """Train M per-subspace codebooks driver-side on a stride-sampled
     subset — the production PQ pattern (codebooks train on a sample,
     never the corpus) and the repo's bounded-collect contract: the
-    sample is _PQ_SAMPLE rows however large the corpus. Deterministic:
-    stride sampling by vec_id, first-k init, fixed iteration count,
-    1e-4-quantized centroids (the kmeans fixpoint discipline of
-    llm/clustering.py)."""
+    sample is _PQ_SAMPLE rows however large the corpus. Deterministic
+    AND oracle-replayable (round 9, the ivf recipe): stride sampling by
+    vec_id, first-k init, fixed iteration count, every float produced
+    by the exact left-fold program the SQL oracle re-runs —
+
+    - d2 accumulates dim-by-dim in index order (never a BLAS/pairwise
+      ``.sum(axis=2)``, which drifts last-ulp from a SQL fold);
+    - the assignment argmin is taken on round(d2, 6) with a centroid-
+      index tie (a cross-engine total order, per the ivf discipline);
+    - cluster means left-fold members in sample (rn) order and divide
+      by the count; empty clusters keep the previous centroid;
+    - centroids quantize to the 1e-4 grid (floor(x*1e4+0.5)/1e4 — the
+      kmeans fixpoint discipline of llm/clustering.py), idempotent so
+      carried-forward centroids re-quantize to themselves.
+
+    Cached per corpus fingerprint (train once, broadcast everywhere)."""
+    fp = _corpus_fingerprint(sf_dir)
+    if fp in _PQ_BOOKS_CACHE:
+        return _PQ_BOOKS_CACHE[fp]
     e = load(spark, sf_dir, "embeddings")
-    n = e.count()
+    n = _corpus_rows(spark, sf_dir)
     stride = max(1, n // _PQ_SAMPLE)
     sample = (
         e.filter(F.col("vec_id") % stride == 0)
@@ -818,27 +878,63 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> "np.ndarray":
         sub = x[:, m * PQ_SUB : (m + 1) * PQ_SUB]
         cents = sub[:PQ_K].copy()
         for _ in range(_PQ_ITERS):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(PQ_K):
-                mask = assign == c
-                if mask.any():
-                    cents[c] = sub[mask].mean(axis=0)
-            cents = np.floor(cents * 1e4 + 0.5) / 1e4
+            # d2 per (row, centroid): dim-order left fold, vectorized
+            # across rows only (each scalar's add chain matches the SQL
+            # list_reduce exactly)
+            cols = []
+            for j in range(PQ_K):
+                acc = np.zeros(len(sub))
+                for d in range(PQ_SUB):
+                    t = sub[:, d] - cents[j, d]
+                    acc = acc + t * t
+                cols.append(acc)
+            d2 = np.stack(cols, axis=1)
+            d2r = np.vectorize(_round6)(d2)
+            assign = d2r.argmin(axis=1)  # first-min == centroid-asc tie
+            new = cents.copy()
+            for j in range(PQ_K):
+                idx = np.nonzero(assign == j)[0]  # ascending rn order
+                if len(idx):
+                    accv = np.zeros(PQ_SUB)
+                    for i in idx:  # rn-ordered left fold, like list(ORDER BY rn)
+                        accv = accv + sub[i]
+                    new[j] = accv / len(idx)
+            cents = np.floor(new * 1e4 + 0.5) / 1e4
         books.append(cents)
-    return np.stack(books)  # (M, K, SUB)
+    out = np.stack(books)  # (M, K, SUB)
+    _PQ_BOOKS_CACHE[fp] = out
+    return out
+
+
+def _pq_self_norms(books: "np.ndarray") -> list[list[float]]:
+    """``||c_{m,j}||²`` via the dim-order left fold (NOT ``(b**2).sum()``,
+    whose pairwise summation the SQL oracle could not replay)."""
+    norms = []
+    for m in range(PQ_M):
+        row = []
+        for j in range(PQ_K):
+            acc = 0.0
+            for d in range(PQ_SUB):
+                acc += float(books[m][j][d]) * float(books[m][j][d])
+            row.append(acc)
+        norms.append(row)
+    return norms
 
 
 def _pq_encode_kernel(books: "np.ndarray"):
-    """Arrow encode pass: per batch, ONE BLAS matmul per subspace gives
-    all M×K distances at once; argmin picks the byte code. The
+    """Arrow encode pass: per batch, all M×K distances vectorized across
+    ROWS with the per-scalar add chain kept in dim order — each score is
+    the identical left fold the SQL oracle computes, so the argmin code
+    assignment is bit-for-bit replayable (no rounding needed: both
+    engines run the same float program on the same literals). The
     expression-tree alternative (M*K zip_with/aggregate candidates per
     row) is pure JVM but codegens a 256-branch expression that ran 10×
-    slower at sf0.1 — this is the measured crossover where an Arrow
-    kernel beats whole-stage codegen (same trade as sim_search_topk_arrow).
+    slower at sf0.1 — the measured crossover where an Arrow kernel beats
+    whole-stage codegen (same trade as sim_search_topk_arrow).
     Per-subspace ``||x-c||² = -2 x·c + ||c||²`` (the ``||x||²`` term is
-    constant per row and drops out of the argmin)."""
-    norms = [(books[m] ** 2).sum(axis=1) for m in range(PQ_M)]
+    constant per row and drops out of the argmin); ties take the lowest
+    centroid index (argmin first-hit == the oracle's ``j ASC`` tie)."""
+    norms = _pq_self_norms(books)
 
     def kernel(batches):
         import pandas as pd
@@ -850,14 +946,138 @@ def _pq_encode_kernel(books: "np.ndarray"):
             out = {"neighbor_id": pdf["vec_id"].to_numpy()}
             for m in range(PQ_M):
                 sub = x[:, m * PQ_SUB : (m + 1) * PQ_SUB]
-                scores = -2.0 * (sub @ books[m].T) + norms[m][None, :]
+                cols = []
+                for j in range(PQ_K):
+                    acc = np.zeros(len(sub))
+                    for d in range(PQ_SUB):
+                        acc = acc + sub[:, d] * books[m][j][d]
+                    cols.append(-2.0 * acc + norms[m][j])
+                scores = np.stack(cols, axis=1)
                 out[f"m{m}"] = scores.argmin(axis=1).astype("int32")
             yield pd.DataFrame(out)
 
     return kernel
 
 
-@op("sim_search_pq", tags=("llm", "similarity", "approx", "scale"))
+def _pq_oracle() -> str:
+    """DuckDB replay of the ENTIRE PQ decision chain — codebook training
+    (stride sample → first-k init → _PQ_ITERS unrolled Lloyd rounds with
+    round(d2,6)+j-asc assignment, rn-ordered mean folds, 1e-4 centroid
+    quantization), corpus code assignment (bit-exact score folds, j-asc
+    tie), driver-side ADC tables, shortlist ranking, and the exact
+    cosine re-rank. Possible because every float on the Spark/Python
+    side is produced by the same left-fold program over the same
+    literals (see _pq_codebooks/_pq_encode_kernel): training decisions
+    get the defensive round(·,6) total order; downstream scores compare
+    bit-identical derivations, so raw DESC + id tie-breaks suffice
+    (the sim_search_topk precedent)."""
+    it_ctes = []
+    D2 = (
+        "round(list_reduce(list_transform(range({SUB}), d ->"
+        " (s.x[d+1]-c.c[d+1])*(s.x[d+1]-c.c[d+1])), (a,b) -> a+b), 6)"
+    ).format(SUB=PQ_SUB)
+    for t in range(1, _PQ_ITERS + 1):
+        it_ctes.append(f"""
+a{t} AS (
+    SELECT rn, m, j, x FROM (
+        SELECT s.rn, s.m, c.j, s.x,
+               row_number() OVER (
+                   PARTITION BY s.m, s.rn
+                   ORDER BY {D2} ASC, c.j ASC
+               ) AS ar
+        FROM subs s JOIN c{t - 1} c USING (m)
+    ) WHERE ar = 1
+),
+g{t} AS (
+    SELECT m, j, list(x ORDER BY rn) AS L, count(*) AS cnt
+    FROM a{t} GROUP BY m, j
+),
+c{t} AS (
+    SELECT p.m, p.j,
+           list_transform(range({PQ_SUB}), d ->
+               floor(COALESCE(
+                   list_reduce(list_transform(n.L, v -> v[d+1]), (a,b) -> a+b)
+                       / n.cnt,
+                   p.c[d+1]) * 1e4 + 0.5) / 1e4) AS c
+    FROM c{t - 1} p LEFT JOIN g{t} n USING (m, j)
+)""")
+    iters = ",".join(it_ctes)
+    return f"""
+WITH par AS (
+    SELECT greatest(1, count(*) // {_PQ_SAMPLE}) AS stride FROM embeddings
+), samp AS (
+    SELECT row_number() OVER (ORDER BY vec_id) AS rn,
+           CAST(embedding AS DOUBLE[]) AS e
+    FROM embeddings, par WHERE vec_id % stride = 0
+    ORDER BY vec_id LIMIT {_PQ_SAMPLE}
+), ms AS (SELECT unnest(range({PQ_M})) AS m
+), subs AS (
+    SELECT rn, m, list_slice(e, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS x
+    FROM samp CROSS JOIN ms
+), c0 AS (
+    SELECT m, rn - 1 AS j, x AS c FROM subs WHERE rn <= {PQ_K}
+),{iters},
+bn AS (
+    SELECT m, j, c,
+           list_reduce(list_transform(range({PQ_SUB}), d -> c[d+1]*c[d+1]),
+                       (a,b) -> a+b) AS n2
+    FROM c{_PQ_ITERS}
+), vec AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), vsub AS (
+    SELECT vec_id, m, list_slice(e, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS x
+    FROM vec CROSS JOIN ms
+), enc AS (
+    SELECT vec_id, m, j FROM (
+        SELECT v.vec_id, v.m, b.j,
+               row_number() OVER (
+                   PARTITION BY v.vec_id, v.m
+                   ORDER BY (-2 * list_reduce(list_transform(range({PQ_SUB}),
+                                 d -> v.x[d+1]*b.c[d+1]), (a,b) -> a+b)) + b.n2 ASC,
+                            b.j ASC
+               ) AS ar
+        FROM vsub v JOIN bn b USING (m)
+    ) WHERE ar = 1
+), qtab AS (
+    SELECT v.vec_id AS query_id, v.m, b.j,
+           list_reduce(list_transform(range({PQ_SUB}), d -> v.x[d+1]*b.c[d+1]),
+                       (a,b) -> a+b) AS tv,
+           b.n2
+    FROM vsub v JOIN bn b USING (m) WHERE v.vec_id < {N_QUERIES}
+), qn AS (
+    SELECT vec_id AS query_id, sqrt(list_dot_product(e, e)) AS q_norm
+    FROM vec WHERE vec_id < {N_QUERIES}
+), adc AS (
+    SELECT t.query_id, e2.vec_id AS neighbor_id,
+           list_reduce(list(t.tv ORDER BY t.m), (a,b) -> a+b) AS dotp,
+           list_reduce(list(t.n2 ORDER BY t.m), (a,b) -> a+b) AS nn
+    FROM enc e2 JOIN qtab t ON t.m = e2.m AND t.j = e2.j
+    WHERE e2.vec_id <> t.query_id
+    GROUP BY t.query_id, e2.vec_id
+), sl AS (
+    SELECT query_id, neighbor_id
+    FROM adc JOIN qn USING (query_id)
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY dotp / (sqrt(nn) * q_norm) DESC, neighbor_id ASC
+    ) <= {_PQ_SHORTLIST}
+), rer AS (
+    SELECT s.query_id, s.neighbor_id,
+           list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))) AS rawsim
+    FROM sl s
+    JOIN vec q ON q.vec_id = s.query_id
+    JOIN vec c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, round(rawsim, 4) AS sim
+FROM rer
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY round(rawsim, 6) DESC, neighbor_id) <= {K}
+"""
+
+
+@op("sim_search_pq", oracle=_pq_oracle(), tags=("llm", "similarity", "approx", "scale"))
 def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via product quantization: four 16-dim subspace codebooks,
     asymmetric-distance (ADC) scoring from per-query lookup tables, and
@@ -876,16 +1096,22 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
       subspace dot products plus the codebook self-norm table; the scan
       then scores a row with 8 ``element_at`` lookups + adds instead
       of a 64-mult dot product, the ADC trick (Jégou et al. 2011);
-    - the shortlist (16K per query) re-ranks with the EXACT cosine
+    - the shortlist (16·K per query) re-ranks with the EXACT cosine
       kernel via one broadcast-semi join back to the full vectors, so
       precision at the top is exact even though candidate scoring is
       quantized. In production the scan side composes with the IVF
       partition pruning above (IVF-PQ); here it stays unpruned so this
       op measures PQ in isolation.
 
-    Rows-only for the driver (codebooks are sample-trained, not
-    SQL-expressible); recall vs the exact op is pinned in
-    tests/test_llm.py.
+    HASH-CHECKED since round 9 (previously rows-only): the k-means
+    training itself is unrolled into the oracle as _PQ_ITERS CTE rounds
+    — stride sample, first-k init, round(d2,6)+index-asc assignment,
+    rn-ordered mean folds, 1e-4-quantized centroids (the
+    sample_kcenter_coreset proof that driver-iterative training is
+    oracle-able, applied to Lloyd iteration; VERDICT r8 #4). Every
+    downstream float (codes, ADC tables, norms) derives from the same
+    left-fold program on both engines. Recall vs the exact op is
+    additionally pinned in tests/test_llm.py.
     """
     books = _pq_codebooks(spark, sf_dir)
     e = load(spark, sf_dir, "embeddings")
@@ -901,20 +1127,22 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
-    self_norm = [
-        [float((books[m, j] ** 2).sum()) for j in range(PQ_K)] for m in range(PQ_M)
-    ]
+    # Fold-order norms/dots (NOT (b**2).sum() / @ — BLAS pairwise
+    # summation would drift last-ulp from the oracle's list_reduce).
+    self_norm = _pq_self_norms(books)
     q_data = []
     for r in q_rows:
-        qv = np.asarray(r["embedding"], dtype="float64")
-        tables = [
-            [
-                float(qv[m * PQ_SUB : (m + 1) * PQ_SUB] @ books[m, j])
-                for j in range(PQ_K)
-            ]
-            for m in range(PQ_M)
-        ]
-        q_data.append((int(r["vec_id"]), *tables, float(np.linalg.norm(qv))))
+        qv = [float(v) for v in r["embedding"]]
+        tables = []
+        for m in range(PQ_M):
+            row = []
+            for j in range(PQ_K):
+                acc = 0.0
+                for d in range(PQ_SUB):
+                    acc += qv[m * PQ_SUB + d] * float(books[m][j][d])
+                row.append(acc)
+            tables.append(row)
+        q_data.append((int(r["vec_id"]), *tables, _fold_norm(qv)))
     q_df = spark.createDataFrame(
         q_data,
         schema="query_id bigint, "
@@ -956,4 +1184,103 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= K)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binarized (sign-bit) Hamming ANN
+# ---------------------------------------------------------------------------
+
+
+def _sign_word_expr(w: int) -> Column:
+    """32-bit sign word w of the embedding: bit b set iff dimension
+    32·w + b is positive after round(·, 6) — the LSH sign discipline
+    (a last-ulp negative zero can never flip a bit cross-engine)."""
+    bits = [
+        F.when(
+            F.round(F.element_at(_dbl(F.col("embedding")), 32 * w + b + 1), 6) > 0,
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        for b in range(32)
+    ]
+    return sum(bits[1:], bits[0]).cast("long")
+
+
+def _hamming_oracle() -> str:
+    def word(w: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN round(e[{32 * w + b + 1}], 6) > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(32)
+        )
+        return f"CAST({bits} AS BIGINT) AS w{w}"
+
+    return f"""
+WITH vec AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), sig AS (
+    SELECT vec_id, {word(0)}, {word(1)} FROM vec
+), q AS (
+    SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM sig
+    WHERE vec_id < {N_QUERIES}
+), scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           bit_count(xor(q.q0, c.w0)) + bit_count(xor(q.q1, c.w1)) AS hamming
+    FROM sig c CROSS JOIN q
+    WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY hamming ASC, neighbor_id ASC) <= {K}
+"""
+
+
+@op(
+    "sim_search_hamming",
+    oracle=_hamming_oracle(),
+    tags=("llm", "similarity", "approx", "scale"),
+)
+def sim_search_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding ANN: 64-dim vectors collapse to 64 SIGN BITS
+    (two 32-bit words) and top-k runs on Hamming distance — the
+    cheapest tier of the similarity family (below PQ): scoring a
+    candidate is two XOR+popcount integer ops instead of a 64-mult
+    float dot, and the at-rest payload is 8 bytes/vector (a 32×
+    compression). The standard first-pass filter for billion-scale
+    retrieval (sign-random-projection / ITQ family); sim_search_lsh
+    already proved sign-bucket EQUALITY pairing — this op RANKS by full
+    sign-profile distance, the retrieval such bit signatures exist for.
+
+    Fully integer end-to-end (bits from round(dim, 6) > 0 like the LSH
+    buckets; distances/ranks are ints) — hash-checked from birth, no
+    recall-companion machinery needed. Ties break (hamming, neighbor)
+    ASC on both engines.
+
+    Scale: corpus scan × broadcast query signatures — the
+    sim_search_topk plan shape with an 8-byte payload and an integer
+    kernel; at 100 TB this is the candidate-generation pass whose
+    shortlist the exact/PQ tiers re-rank.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    sig = e.select("vec_id", _sign_word_expr(0).alias("w0"), _sign_word_expr(1).alias("w1"))
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    scored = (
+        sig.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("q0").bitwiseXOR(F.col("w0")))
+                + F.bit_count(F.col("q1").bitwiseXOR(F.col("w1")))
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "hamming")
     )

@@ -208,9 +208,12 @@ def test_dedup_exact_detects_planted_duplicates(spark):
 
 def test_minhash_cluster_is_fixpoint_and_consistent(spark):
     """Cluster labels must be a fixpoint of min-propagation (one more
-    round changes nothing) and every single-hop keeper edge must land in
-    one cluster."""
-    from pyspark.sql import functions as F
+    round changes nothing) and every single-hop keeper edge of the SAME
+    md5 bucket stream (dedup_minhash_banded's candidates, pre-verify)
+    must land in one cluster — since round 9 the cluster op closes the
+    md5-lane bucket graph, not the xxhash64 one."""
+    from connor_fun_streamproducer_spark.catalog import load as _load
+    from connor_fun_streamproducer_spark.llm.dedup import _mhb_stages
 
     clusters = registry.OPS["dedup_minhash_cluster"].fn(spark, SF_DIR)
     label_by_doc = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
@@ -220,12 +223,13 @@ def test_minhash_cluster_is_fixpoint_and_consistent(spark):
         by_cluster.setdefault(c, []).append(doc)
     for c, docs in by_cluster.items():
         assert c <= min(docs), (c, min(docs))
-    # single-hop keeper edges are intra-cluster
-    hop = registry.OPS["dedup_near_minhash"].fn(spark, SF_DIR).collect()
-    for r in hop:
+    # single-hop shared-bucket keeper edges are intra-cluster, and every
+    # endpoint of the candidate graph is clustered at all
+    _, cand, _, _ = _mhb_stages(_load(spark, SF_DIR, "documents"))
+    for r in cand.collect():
         a, b = r["keeper_doc_id"], r["doc_id"]
-        if a in label_by_doc and b in label_by_doc:
-            assert label_by_doc[a] == label_by_doc[b], (a, b)
+        assert a in label_by_doc and b in label_by_doc, (a, b)
+        assert label_by_doc[a] == label_by_doc[b], (a, b)
 
 
 def test_jaccard_prefix_candidates_scale_linearly_on_skewed_block_key(spark):
@@ -387,14 +391,37 @@ def test_kmeans_converges_deterministically_and_matches_numpy(spark):
     def q(arr):
         return np.floor(arr * _Q + 0.5) / _Q
 
+    def round6(x):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    # Same fold-order recurrence as the engine (round 9): d2 accumulates
+    # dim-by-dim (not BLAS .sum(axis=2)), the argmin decision is on
+    # round(d2, 6), and means come from exact integer sums of the
+    # 1e-6-quantized inputs.
+    Xq = np.floor(X * 1e6 + 0.5).astype(np.int64)
     C = q(X[:K_CLUSTERS].copy())
+    n_rows, dim = X.shape
     for _ in range(N_ITERS):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)  # argmin takes lowest index on ties
+        d2 = np.zeros((n_rows, K_CLUSTERS))
+        for j in range(K_CLUSTERS):
+            acc = np.zeros(n_rows)
+            for d in range(dim):
+                t = X[:, d] - C[j, d]
+                acc = acc + t * t
+            d2[:, j] = acc
+        d2r = np.vectorize(round6)(d2)
+        assign = d2r.argmin(axis=1)  # argmin takes lowest index on ties
         for c in range(K_CLUSTERS):
-            members = X[assign == c]
+            members = np.nonzero(assign == c)[0]
             if len(members):
-                C[c] = q(members.mean(axis=0))
+                s = Xq[members].sum(axis=0, dtype=object)  # exact int sums
+                C[c] = q(
+                    np.array([float(int(v)) / len(members) / 1e6 for v in s])
+                )
     expected = sorted(zip(ids.tolist(), assign.tolist()))
     assert rows == expected
 
