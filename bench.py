@@ -153,6 +153,24 @@ EXTENDED = [
     "ts_seasonal_residual_anomaly",
     "stats_label_impurity",
     "stats_runs_test",
+    # round 9 additions
+    "dedup_simhash_banded",
+    "dedup_threshold_sweep",
+    "sim_search_hamming",
+    "embedding_dim_profile",
+    "corpus_lang_confusion",
+    "stats_ljung_box",
+    "ts_peak_concurrency",
+    "ts_croston",
+    "stats_trimmed_mean",
+    "sample_systematic",
+    "embedding_cluster_kmeans",
+    "dedup_minhash_cluster",
+    "dedup_embedding",
+    "corpus_split_leakage",
+    "pipeline_order_lead_time",
+    "pipeline_revenue_hhi",
+    "ts_dow_effects",
 ]
 
 

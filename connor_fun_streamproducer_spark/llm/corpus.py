@@ -1045,3 +1045,69 @@ def sample_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         alloc.cast("bigint").alias("alloc"),
         F.least(alloc, F.col("n_h")).cast("bigint").alias("alloc_capped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Systematic (every k-th) sampling per stratum
+# ---------------------------------------------------------------------------
+
+_SYS_STRIDE = 10  # keep every 10th doc per stratum (10% systematic sample)
+
+_SYSTEMATIC_ORACLE = f"""
+WITH ranked AS (
+    SELECT source, doc_id,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM documents
+)
+SELECT source, doc_id,
+       CAST(rk AS BIGINT) AS rk,
+       CAST(((n + {_SYS_STRIDE} - 1) // {_SYS_STRIDE}) AS BIGINT)
+           AS stratum_quota
+FROM ranked WHERE rk % {_SYS_STRIDE} = 1
+"""
+
+
+@op("sample_systematic", oracle=_SYSTEMATIC_ORACLE, tags=("llm", "sampling"))
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic sampling per source stratum: rank docs by
+    md5(doc_id) (a deterministic shuffle — the sample_reservoir digest
+    order) and keep every {k}-th — ceil(n/k) docs per stratum EXACTLY,
+    evenly spaced through the hash order. The guarantee Bernoulli
+    hashing (sample_split/sample_stratified) cannot give: those keep
+    each doc independently, so a small stratum's realized count
+    varies ±binomial noise; systematic spacing pins the count, which
+    is what quota-ed eval sets and per-source budget caps need
+    (sample_neyman_alloc decides HOW MANY per stratum; this is the
+    operator that then draws exactly that shape).
+
+    Exact: the order is the md5-digest total order (tie: doc_id), the
+    keep rule is an integer modulus on the rank, and the quota column
+    is an integral ceiling — nothing floats.
+
+    Scale: one exchange on the stratum key for the rank window; the
+    digest order means adversarial/clustered doc_ids cannot bias which
+    docs survive (every k-th in HASH space is a uniform-ish draw, the
+    classic systematic-sampling trap of sorted frames avoided).
+    """
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    return ranked.filter(F.col("rk") % _SYS_STRIDE == 1).select(
+        "source",
+        "doc_id",
+        F.col("rk").cast("bigint").alias("rk"),
+        F.expr(f"(n + {_SYS_STRIDE} - 1) div {_SYS_STRIDE}")
+        .cast("bigint")
+        .alias("stratum_quota"),
+    )

@@ -1449,9 +1449,12 @@ def dedup_eval_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _dedup_cluster_oracle() -> str:
-    return f"""
-WITH RECURSIVE det AS ({_mhb_oracle().strip()}),
+def _cluster_comp_ctes() -> str:
+    """WITH-body through ``comp`` (doc_id, canonical_id): the verified-
+    pair transitive closure — ONE definition shared by
+    _dedup_cluster_oracle and _split_leakage_oracle (the _mhb_ctes
+    discipline applied to the closure itself)."""
+    return f"""WITH RECURSIVE det AS ({_mhb_oracle().strip()}),
 e0 AS (SELECT doc_id AS src, keeper_doc_id AS dst FROM det),
 edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
@@ -1460,7 +1463,11 @@ reach(node, r) AS (
     UNION
     SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
 ),
-comp AS (SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node)
+comp AS (SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node)"""
+
+
+def _dedup_cluster_oracle() -> str:
+    return _cluster_comp_ctes() + """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(canonical_id AS BIGINT) AS canonical_id,
        CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size,
@@ -1848,4 +1855,92 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jac_band_bp").cast("bigint").alias("jac_band_bp"),
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
         F.sum("n_pairs").over(w).cast("bigint").alias("n_pairs_at_or_above"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval split leakage through near-dup clusters
+# ---------------------------------------------------------------------------
+
+
+def _split_leakage_oracle() -> str:
+    from connor_fun_streamproducer_spark.llm.corpus import _KEY_REDUCE, _SPLIT_MULT
+
+    return _cluster_comp_ctes() + f""",
+mem AS (
+    SELECT doc_id, canonical_id,
+           CASE WHEN ((doc_id % {_KEY_REDUCE}) * {_SPLIT_MULT}) % 1000 < 900
+                    THEN 'train'
+                WHEN ((doc_id % {_KEY_REDUCE}) * {_SPLIT_MULT}) % 1000 < 950
+                    THEN 'valid'
+                ELSE 'test' END AS split
+    FROM comp
+),
+x AS (
+    SELECT DISTINCT a.canonical_id, a.split AS split_a, b.split AS split_b
+    FROM mem a JOIN mem b
+      ON a.canonical_id = b.canonical_id AND a.split < b.split
+)
+SELECT x.split_a, x.split_b,
+       CAST(count(DISTINCT x.canonical_id) AS BIGINT) AS n_clusters_spanning,
+       CAST(count(DISTINCT m.doc_id) AS BIGINT) AS n_docs_contaminated
+FROM x JOIN mem m
+  ON m.canonical_id = x.canonical_id AND m.split = x.split_b
+GROUP BY 1, 2
+"""
+
+
+@op(
+    "corpus_split_leakage",
+    oracle=_split_leakage_oracle(),
+    tags=("llm", "corpus", "dedup", "sampling"),
+)
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-dup CLUSTERS that span two train/valid/
+    test splits, per split pair, with the count of contaminated docs on
+    the second split — the compositional check that makes eval numbers
+    trustworthy. Hash-splitting (sample_split) is doc-independent by
+    design, which is exactly why a near-duplicate PAIR routinely lands
+    on both sides of the split: the model sees the train copy, the eval
+    copy stops measuring generalization. corpus_decontaminate catches
+    verbatim n-gram overlap against a fixed benchmark; this audits the
+    production split against the corpus's OWN near-dup structure
+    (dedup_cluster_canonical's closure), which is where most leakage
+    actually lives.
+
+    Exact: clusters are the verified-pair closure (shared
+    _cluster_comp_ctes — this oracle and dedup_cluster_canonical's can
+    never diverge on what a cluster is); splits are the sample_split
+    Knuth-hash rule via its OWN constants; the matrix is distinct
+    counts over (pair, cluster) — all integers.
+
+    Scale: cluster frame is candidate-set-linear; the pair expansion is
+    per-cluster over ≤3 split labels (bounded 3×2 matrix output); the
+    split column is a map-side projection.
+    """
+    from connor_fun_streamproducer_spark.llm.corpus import _KEY_REDUCE, _SPLIT_MULT
+
+    labels = dedup_cluster_canonical(spark, sf_dir).select("doc_id", "canonical_id")
+    bucket = ((F.col("doc_id") % _KEY_REDUCE) * _SPLIT_MULT) % 1000
+    split = (
+        F.when(bucket < 900, F.lit("train"))
+        .when(bucket < 950, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    mem = labels.select("doc_id", "canonical_id", split.alias("split"))
+    a = mem.select("canonical_id", F.col("split").alias("split_a"))
+    b = mem.select("canonical_id", F.col("split").alias("split_b"))
+    x = (
+        a.join(b, "canonical_id")
+        .filter(F.col("split_a") < F.col("split_b"))
+        .distinct()
+    )
+    m2 = mem.select("canonical_id", F.col("split").alias("split_b"), "doc_id")
+    return (
+        x.join(m2, ["canonical_id", "split_b"])
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.countDistinct("canonical_id").cast("bigint").alias("n_clusters_spanning"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs_contaminated"),
+        )
     )

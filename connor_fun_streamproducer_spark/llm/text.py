@@ -107,23 +107,36 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op(
-    "text_langid",
-    oracle="""
-    WITH scores AS (
+def _langid_scores_sql() -> str:
+    """The marker-count scores CTE body + guess CASE, generated from
+    _MARKERS — ONE source for the Spark markers and every langid oracle
+    (text_langid + corpus_lang_confusion), the _DOC_TOK_SQL pattern."""
+    def in_list(lang: str) -> str:
+        return ", ".join(f"'{m}'" for m in _MARKERS[lang])
+
+    return f"""scores AS (
         SELECT doc_id, lang,
                len(list_filter(string_split(text, ' '),
-                   t -> t IN ('the', 'and', 'of', 'fast')))     AS s_en,
+                   t -> t IN ({in_list("en")})))     AS s_en,
                len(list_filter(string_split(text, ' '),
-                   t -> t IN ('der', 'und', 'von', 'schnell'))) AS s_de,
+                   t -> t IN ({in_list("de")}))) AS s_de,
                len(list_filter(string_split(text, ' '),
-                   t -> t IN ('le', 'et', 'de', 'vite')))       AS s_fr
+                   t -> t IN ({in_list("fr")})))       AS s_fr
         FROM documents
-    )
-    SELECT doc_id, lang AS labeled_lang,
-           CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+    )"""
+
+
+_LANGID_GUESS_SQL = """CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
                 WHEN s_de >= s_fr THEN 'de'
-                ELSE 'fr' END AS guessed_lang,
+                ELSE 'fr' END"""
+
+
+
+@op(
+    "text_langid",
+    oracle="WITH " + _langid_scores_sql() + f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {_LANGID_GUESS_SQL} AS guessed_lang,
            CAST(greatest(s_en, s_de, s_fr) AS INTEGER) AS marker_hits
     FROM scores
     """,
@@ -729,4 +742,74 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_grams").cast("bigint").alias("n_grams"),
         F.col("n_novel").cast("bigint").alias("n_novel"),
         F.expr("n_novel * 10000 div n_grams").cast("bigint").alias("novelty_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declared-vs-detected language confusion matrix (labeling governance)
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_oracle() -> str:
+    return "WITH " + _langid_scores_sql() + f"""
+, g AS (
+    SELECT lang AS labeled_lang, {_LANGID_GUESS_SQL} AS guessed_lang
+    FROM scores
+), cells AS (
+    SELECT labeled_lang, guessed_lang, count(*) AS n_docs FROM g GROUP BY 1, 2
+)
+SELECT labeled_lang, guessed_lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs * 10000
+            // sum(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT)
+           AS share_bp,
+       labeled_lang = guessed_lang AS agree
+FROM cells
+"""
+
+
+@op(
+    "corpus_lang_confusion",
+    oracle=_lang_confusion_oracle(),
+    tags=("llm", "text", "corpus", "stats"),
+)
+def corpus_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix: for every
+    (labeled_lang, guessed_lang) cell, the doc count, its share of the
+    labeled language in basis points, and an agreement flag — the
+    labeling-governance rollup of text_langid (which emits per-doc
+    verdicts nobody reads at corpus scale). Off-diagonal mass is
+    either mislabeled ingest metadata or detector weakness — both
+    things a corpus owner must quantify per SOURCE OF TRUTH before
+    stratifying training mixes by language (sample_mix_target trusts
+    the label; this measures how much it should).
+
+    Exact: the marker scores and guess CASE come from ONE generated
+    fragment shared with text_langid's oracle (_langid_scores_sql — an
+    edit to the marker lists can never desync the two); cells and
+    shares are integer counts and integral division.
+
+    Scale: one documents scan -> |langs|² hash agg; the share window
+    runs on the dim-bounded cell frame.
+    """
+    d = load(spark, sf_dir, "documents")
+    s_en, s_de, s_fr = _marker_count("en"), _marker_count("de"), _marker_count("fr")
+    guess = (
+        F.when((s_en >= s_de) & (s_en >= s_fr), F.lit("en"))
+        .when(s_de >= s_fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    cells = (
+        d.select(F.col("lang").alias("labeled_lang"), guess.alias("guessed_lang"))
+        .groupBy("labeled_lang", "guessed_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return cells.select(
+        "labeled_lang",
+        "guessed_lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.expr("n_docs * 10000 div sum(n_docs) OVER (PARTITION BY labeled_lang)")
+        .cast("bigint")
+        .alias("share_bp"),
+        (F.col("labeled_lang") == F.col("guessed_lang")).alias("agree"),
     )

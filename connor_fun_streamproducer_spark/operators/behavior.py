@@ -1362,3 +1362,113 @@ def pipeline_new_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("new_share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-to-ship lead time (exact rank percentiles per order priority)
+# ---------------------------------------------------------------------------
+
+_LEAD_SLA_DAYS = 90  # order-to-ship SLA for the miss-rate column
+
+_LEAD_TIME_ORACLE = f"""
+WITH d AS (
+    SELECT o.o_orderpriority,
+           CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS lead_days,
+           CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                    > {_LEAD_SLA_DAYS} THEN 1 ELSE 0 END AS late,
+           row_number() OVER (
+               PARTITION BY o.o_orderpriority
+               ORDER BY CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT),
+                        l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey
+           ) AS rk,
+           count(*) OVER (PARTITION BY o.o_orderpriority) AS n
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), cuts AS (
+    SELECT o_orderpriority,
+           max(n) AS n,
+           sum(late) AS n_late,
+           min(CASE WHEN rk = (n + 1) // 2 THEN lead_days END) AS p50_days,
+           min(CASE WHEN rk = (n * 9 + 9) // 10 THEN lead_days END) AS p90_days,
+           min(CASE WHEN rk = (n * 99 + 99) // 100 THEN lead_days END) AS p99_days
+    FROM d GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n,
+       CAST(p50_days AS BIGINT) AS p50_days,
+       CAST(p90_days AS BIGINT) AS p90_days,
+       CAST(p99_days AS BIGINT) AS p99_days,
+       CAST(n_late * 10000 // n AS BIGINT) AS late_bp
+FROM cuts
+"""
+
+
+@op(
+    "pipeline_order_lead_time",
+    oracle=_LEAD_TIME_ORACLE,
+    tags=("ext", "pipeline", "stats"),
+)
+def pipeline_order_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time SLA profile per order priority: exact
+    p50/p90/p99 of orderdate→shipdate days plus the 90-day SLA-miss
+    rate in basis points — the fulfillment-latency distribution behind
+    every delivery promise. pipeline_late_shipment_priority finds WHICH
+    late orders hurt; this is the latency DISTRIBUTION per priority
+    class, tails included — means hide exactly the p99 an SLA is
+    written against. (Fixtures carry no l_receiptdate/l_shipmode —
+    FIXTURES.md — so the latency is the order→ship leg per priority,
+    the same rank-percentile machinery either way.)
+
+    Exact: lead days are integer date arithmetic; percentiles are
+    rank-indexed picks on the (days, orderkey, linenumber, partkey,
+    suppkey) total order (duplicate (orderkey, linenumber) rows exist
+    in the fixture — the extra key columns keep the order total);
+    ceil(q·n) ranks, no interpolation, no floats; the miss rate is
+    integral basis points.
+
+    Scale: the orderkey equi-join is the one fact-fact shuffle; the
+    rank window exchanges on the 5-value priority key (coarse — the
+    same rank-pick form runs per (priority, week) when finer
+    partitioning is needed), then a dim-bounded agg.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    days = F.datediff("l_shipdate", "o_orderdate").cast("bigint")
+    wp = Window.partitionBy("o_orderpriority")
+    d = j.select(
+        "o_orderpriority",
+        days.alias("lead_days"),
+        F.when(days > _LEAD_SLA_DAYS, 1).otherwise(0).alias("late"),
+        F.row_number()
+        .over(
+            Window.partitionBy("o_orderpriority").orderBy(
+                days.asc(),
+                F.col("l_orderkey").asc(),
+                F.col("l_linenumber").asc(),
+                F.col("l_partkey").asc(),
+                F.col("l_suppkey").asc(),
+            )
+        )
+        .alias("rk"),
+        F.count("*").over(wp).alias("n"),
+    )
+    pick = lambda cond: F.min(F.when(cond, F.col("lead_days")))  # noqa: E731
+    cuts = d.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n"),
+        F.sum("late").alias("n_late"),
+        pick(F.col("rk") == F.expr("(n + 1) div 2")).alias("p50_days"),
+        pick(F.col("rk") == F.expr("(n * 9 + 9) div 10")).alias("p90_days"),
+        pick(F.col("rk") == F.expr("(n * 99 + 99) div 100")).alias("p99_days"),
+    )
+    return cuts.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("p50_days").cast("bigint").alias("p50_days"),
+        F.col("p90_days").cast("bigint").alias("p90_days"),
+        F.col("p99_days").cast("bigint").alias("p99_days"),
+        F.expr("n_late * 10000 div n").cast("bigint").alias("late_bp"),
+    )

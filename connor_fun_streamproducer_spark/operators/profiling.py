@@ -1669,3 +1669,185 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_runs").cast("bigint").alias("n_runs"),
         (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed / winsorized mean (robust location screen)
+# ---------------------------------------------------------------------------
+
+_TRIM_BP = 1000  # trim 10% from each tail
+
+_TRIMMED_ORACLE = f"""
+WITH v AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT),
+                                       event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+), lim AS (
+    SELECT event_type, cents, rk, n,
+           n * {_TRIM_BP} // 10000 AS k
+    FROM v
+), agg AS (
+    SELECT event_type,
+           max(n) AS n,
+           max(k) AS n_trim_each,
+           sum(CASE WHEN rk > k AND rk <= n - k THEN cents ELSE 0 END) AS s_trim,
+           sum(CASE WHEN rk > k AND rk <= n - k THEN 1 ELSE 0 END) AS c_trim,
+           sum(CASE WHEN rk <= k THEN 0 WHEN rk > n - k THEN 0 ELSE cents END
+               + CASE WHEN rk <= k THEN lo ELSE 0 END
+               + CASE WHEN rk > n - k THEN hi ELSE 0 END) AS s_win
+    FROM (
+        SELECT l.*,
+               min(CASE WHEN rk = k + 1 THEN cents END)
+                   OVER (PARTITION BY event_type) AS lo,
+               min(CASE WHEN rk = n - k THEN cents END)
+                   OVER (PARTITION BY event_type) AS hi
+        FROM lim l
+    )
+    GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_trim_each AS BIGINT) AS n_trim_each,
+       round(CAST(s_trim AS DOUBLE) / c_trim / 100, 6) + 0.0 AS trimmed_mean,
+       round(CAST(s_win AS DOUBLE) / n / 100, 6) + 0.0 AS winsorized_mean
+FROM agg
+"""
+
+
+@op("stats_trimmed_mean", oracle=_TRIMMED_ORACLE, tags=("ext", "stats", "profile"))
+def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed and winsorized means of event value per type — the
+    robust location pair that brackets the plain mean: trimming DROPS
+    each tail's k = n·10% values, winsorizing CLAMPS them to the cut
+    values. stats_mad_outliers flags the outliers; these report what
+    the center looks like with and without their influence — the two
+    numbers a metrics owner compares against avg() to decide whether a
+    KPI moved or one whale did.
+
+    Exact: ranks are a (cents, event_id) total order, so which rows
+    fall in a tail is never float-ambiguous; the cut values lo/hi are
+    rank-indexed picks (k+1 and n−k); sums are exact integer cents and
+    only the final mean divisions touch doubles (identical exact
+    inputs → identical IEEE results, round 6, −0.0-normalized).
+
+    Scale: one exchange on the series key for the rank window, then a
+    hash agg — the stats_mad_outliers shape without the second pass
+    (rank bounds replace the grouped-median join).
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    wp = Window.partitionBy("event_type")
+    v = ev.select(
+        "event_type",
+        cents.alias("cents"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(cents.asc(), F.col("event_id").asc()))
+        .alias("rk"),
+        F.count("*").over(wp).alias("n"),
+    ).withColumn("k", F.expr(f"n * {_TRIM_BP} div 10000"))
+    cuts = v.select(
+        "*",
+        F.min(F.when(F.col("rk") == F.col("k") + 1, F.col("cents"))).over(wp).alias("lo"),
+        F.min(F.when(F.col("rk") == F.col("n") - F.col("k"), F.col("cents"))).over(wp).alias("hi"),
+    )
+    in_core = (F.col("rk") > F.col("k")) & (F.col("rk") <= F.col("n") - F.col("k"))
+    agg = cuts.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("n_trim_each"),
+        F.sum(F.when(in_core, F.col("cents")).otherwise(0)).alias("s_trim"),
+        F.sum(F.when(in_core, 1).otherwise(0)).alias("c_trim"),
+        F.sum(
+            F.when(F.col("rk") <= F.col("k"), F.col("lo"))
+            .when(F.col("rk") > F.col("n") - F.col("k"), F.col("hi"))
+            .otherwise(F.col("cents"))
+        ).alias("s_win"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_trim_each").cast("bigint").alias("n_trim_each"),
+        (F.round(F.col("s_trim").cast("double") / F.col("c_trim") / 100, 6) + F.lit(0.0)).alias(
+            "trimmed_mean"
+        ),
+        (F.round(F.col("s_win").cast("double") / F.col("n") / 100, 6) + F.lit(0.0)).alias(
+            "winsorized_mean"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration (Herfindahl index) per nation
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH rev AS (
+    SELECT n.n_name AS nation, o.o_custkey,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents * cents) * 10000 // (sum(cents) * sum(cents)) AS BIGINT)
+           AS hhi_bp,
+       CAST(max(cents) * 10000 // sum(cents) AS BIGINT) AS top1_share_bp
+FROM rev GROUP BY nation
+"""
+
+
+@op("pipeline_revenue_hhi", oracle=_HHI_ORACLE, tags=("ext", "pipeline", "stats"))
+def pipeline_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation: the Herfindahl–Hirschman index
+    of customer revenue shares (Σ shareᵢ², in basis points) plus the
+    top-customer share — the account-concentration risk metric that a
+    Gini/Lorenz read (agg_gini_concentration, win_lorenz_deciles)
+    complements but does not replace: HHI is the antitrust/portfolio
+    standard with absolute thresholds (2500 bp = 'highly
+    concentrated'), so it travels across nations of different sizes.
+
+    Exact: per-customer revenue in integer cents; HHI cross-multiplied
+    as (Σ c²)·10⁴ div (Σ c)² — all integer in decimal(38,0)/HUGEINT, no
+    share float ever materializes. Bound: Σc² ≤ (Σc)² needs (Σc)²·10⁴ ≤
+    10³⁸ ⇒ per-nation revenue ≤ 10¹⁷ cents (a quadrillion dollars) —
+    documented headroom, not a live risk.
+
+    Scale: the join tree is the TPC-H snowflake (broadcast nation /
+    customer dims at their tiers), one (nation, customer) agg, then a
+    dim-bounded nation rollup.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    rev = (
+        li.select(F.col("l_orderkey").alias("o_orderkey"), cents.alias("c0"))
+        .join(o, "o_orderkey")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_custkey")
+        .agg(F.sum("c0").alias("cents"))
+    )
+    d38 = lambda col: F.sum(col.cast("decimal(38,0)"))  # noqa: E731
+    return rev.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.expr(
+            "CAST(sum(CAST(cents * cents AS DECIMAL(38,0))) * 10000"
+            " div (sum(CAST(cents AS DECIMAL(38,0)))"
+            "      * sum(CAST(cents AS DECIMAL(38,0)))) AS BIGINT)"
+        ).alias("hhi_bp"),
+        F.expr(
+            "CAST(max(cents) * 10000 div sum(CAST(cents AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("top1_share_bp"),
+    )

@@ -454,8 +454,10 @@ def ts_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ACF_LAGS = 3
 
-_AUTOCORR_ORACLE = """
-WITH base AS (
+# Lag-pair moment CTEs (base -> pairs -> m) shared by _AUTOCORR_ORACLE
+# and _LJUNG_BOX_ORACLE — one definition of the ACF moment stream, the
+# graph-oracle _PAIR_EDGES_SQL discipline.
+_ACF_MOMENTS_SQL = """base AS (
     SELECT event_type,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
            lead(CAST(floor(value * 100 + 0.5) AS BIGINT), 1) OVER w AS y1,
@@ -477,7 +479,9 @@ m AS (
            sum(x) AS sx, sum(y) AS sy,
            sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
     FROM pairs GROUP BY 1, 2
-)
+)"""
+
+_AUTOCORR_ORACLE = "WITH " + _ACF_MOMENTS_SQL + """
 SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
        CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 10000 /
                   nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
@@ -1048,4 +1052,398 @@ def ts_seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ratio_bp").cast("bigint").alias("ratio_bp"),
             F.abs(F.col("ratio_bp") - 10000).cast("bigint").alias("dev_bp"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau whiteness test (composes the ACF moments)
+# ---------------------------------------------------------------------------
+
+# chi-square(3 df) 95% critical value — the fixed literal both engines
+# compare the ROUNDED Q statistic against.
+_LB_CRIT_3DF = 7.814728
+
+_LB_RHO_SQL = """r AS (
+    SELECT event_type, lag,
+           CAST(n * sxy - sx * sy AS DOUBLE) /
+           nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) AS rho
+    FROM m
+),
+p AS (
+    SELECT event_type,
+           max(CASE WHEN lag = 1 THEN rho END) AS r1,
+           max(CASE WHEN lag = 2 THEN rho END) AS r2,
+           max(CASE WHEN lag = 3 THEN rho END) AS r3
+    FROM r GROUP BY 1
+),
+tot AS (SELECT event_type, count(*) AS nn FROM events GROUP BY 1)"""
+
+_LJUNG_BOX_ORACLE = (
+    "WITH " + _ACF_MOMENTS_SQL + ",\n" + _LB_RHO_SQL + f"""
+SELECT p.event_type,
+       CAST(t.nn AS BIGINT) AS n,
+       round(CAST(t.nn AS DOUBLE) * (t.nn + 2)
+             * (r1*r1/(t.nn-1) + r2*r2/(t.nn-2) + r3*r3/(t.nn-3)), 6) + 0.0
+           AS q_stat,
+       round(CAST(t.nn AS DOUBLE) * (t.nn + 2)
+             * (r1*r1/(t.nn-1) + r2*r2/(t.nn-2) + r3*r3/(t.nn-3)), 6)
+           > {_LB_CRIT_3DF} AS reject_whiteness
+FROM p JOIN tot t USING (event_type)
+"""
+)
+
+
+@op(
+    "stats_ljung_box",
+    oracle=_LJUNG_BOX_ORACLE,
+    tags=("ext", "timeseries", "stats"),
+)
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test per event-type value series: the
+    single Q statistic over the first 3 lag autocorrelations, with the
+    5% chi-square(3) rejection verdict — the whiteness gate that turns
+    ts_autocorr's 15-row ACF table into the one yes/no a pipeline
+    branches on (white noise → skip the forecast models entirely;
+    stats_runs_test asks the same of the SIGN sequence, this asks it
+    of the magnitudes).
+
+    Exact: the lag moments are ts_autocorr's integer aggregates (ONE
+    shared construction, Spark and SQL — _ACF_MOMENTS_SQL); each rho
+    and the Q polynomial are single fixed-shape float expressions over
+    identical exact integers, and the verdict compares the ROUNDED Q
+    against the fixed critical literal, so the boolean is a cross-
+    engine total order.
+
+    Scale: same one-window + 15-key agg as ts_autocorr, plus a
+    |types|-row count join.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(epoch_seconds("ts"), "event_id")
+    led = ev.select(
+        "event_type",
+        c.alias("c"),
+        *[F.lead(c, k).over(w).alias(f"y{k}") for k in range(1, _ACF_LAGS + 1)],
+    )
+    pairs = led.select(
+        "event_type",
+        "c",
+        F.expr("stack(3, 1L, y1, 2L, y2, 3L, y3) AS (lag, y)"),
+    ).filter(F.col("y").isNotNull())
+    d38 = lambda col: F.sum(col.cast("decimal(38,0)"))  # noqa: E731
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n"),
+        d38(F.col("c")).alias("sx"),
+        d38(F.col("y")).alias("sy"),
+        d38(F.col("c") * F.col("c")).alias("sxx"),
+        d38(F.col("y") * F.col("y")).alias("syy"),
+        d38(F.col("c") * F.col("y")).alias("sxy"),
+    )
+    rho = m.select(
+        "event_type",
+        "lag",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.nullif(
+                F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("rho"),
+    )
+    piv = rho.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("rho"))).alias(f"r{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    tot = ev.groupBy("event_type").agg(F.count("*").alias("nn"))
+    q_expr = (
+        "round(CAST(nn AS DOUBLE) * (nn + 2)"
+        " * (r1*r1/(nn-1) + r2*r2/(nn-2) + r3*r3/(nn-3)), 6)"
+    )
+    return (
+        piv.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.col("nn").cast("bigint").alias("n"),
+            (F.expr(q_expr) + F.lit(0.0)).alias("q_stat"),
+            (F.expr(q_expr) > F.lit(_LB_CRIT_3DF)).alias("reject_whiteness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (sweep-line max overlap per day)
+# ---------------------------------------------------------------------------
+
+_CONC_WINDOW_S = 900  # each event holds a 15-minute activity interval
+
+_PEAK_CONC_ORACLE = f"""
+WITH pts AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(floor(epoch(ts)) AS BIGINT) AS t, 1 AS delta
+    FROM events
+    UNION ALL
+    SELECT CAST(date_trunc('day', ts) AS DATE),
+           CAST(floor(epoch(ts)) AS BIGINT) + {_CONC_WINDOW_S}, -1
+    FROM events
+), run AS (
+    SELECT day, t, delta,
+           sum(delta) OVER (PARTITION BY day
+                            ORDER BY t ASC, delta ASC
+                            ROWS UNBOUNDED PRECEDING) AS conc
+    FROM pts
+), mx AS (
+    SELECT day, max(conc) AS peak FROM run GROUP BY day
+)
+SELECT r.day, CAST(m.peak AS BIGINT) AS peak_concurrency,
+       CAST(min(r.t) AS BIGINT) AS first_peak_epoch
+FROM run r JOIN mx m ON m.day = r.day AND r.conc = m.peak
+GROUP BY r.day, m.peak
+"""
+
+
+@op("ts_peak_concurrency", oracle=_PEAK_CONC_ORACLE, tags=("ext", "timeseries"))
+def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak concurrency by sweep line: each event opens a
+    15-minute activity interval; +1/−1 boundary points, sorted, running
+    sum, per-day max and the first instant it is reached — the
+    capacity-planning number (how many sessions must the system hold
+    AT ONCE) that hourly rollups (ts_seasonal_index) structurally
+    underestimate because they average within the bucket.
+
+    Exact: boundary points are integer epoch seconds; the sweep orders
+    (t ASC, delta ASC) so a −1 closing at instant t applies before a +1
+    opening at t (adjacent intervals don't double-count — the
+    conservative convention, identical both engines); peak and its
+    first epoch are integer min/max.
+
+    Scale: one exchange on day (the sweep key), a running-sum window,
+    and a dim-bounded max join. Days are independent — at 100 TB the
+    sweep parallelizes across the date partition; intervals never
+    materialize, only their two boundary points.
+    """
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    t = epoch_seconds("ts")
+    pts = ev.select(day, t.alias("t"), F.lit(1).alias("delta")).unionByName(
+        ev.select(
+            day,
+            (t + F.lit(_CONC_WINDOW_S)).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    wrun = (
+        Window.partitionBy("day")
+        .orderBy(F.asc("t"), F.asc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("conc", F.sum("delta").over(wrun))
+    mx = run.groupBy("day").agg(F.max("conc").alias("peak"))
+    return (
+        run.join(mx, "day")
+        .filter(F.col("conc") == F.col("peak"))
+        .groupBy("day", "peak")
+        .agg(F.min("t").cast("bigint").alias("first_peak_epoch"))
+        .select(
+            "day",
+            F.col("peak").cast("bigint").alias("peak_concurrency"),
+            "first_peak_epoch",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Croston intermittent-demand forecast (fold-exact 3-state recurrence)
+# ---------------------------------------------------------------------------
+
+# alpha = 1/2 (exact binary fraction) over the dense HOURLY grid: the
+# per-type event counts are intermittent at hour granularity (zeros
+# dominate), which is the regime Croston exists for — plain exponential
+# smoothing biases toward zero there.
+_CROSTON_ORACLE = """
+WITH hrs AS (
+    SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+), span AS (
+    SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS mn,
+           max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS mx
+    FROM events
+), grid AS (
+    SELECT t.event_type, g.h
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN (SELECT unnest(generate_series(mn, mx)) AS h FROM span) g
+), dense AS (
+    SELECT g.event_type, g.h,
+           CAST(coalesce(hrs.cnt, 0) AS DOUBLE) AS x
+    FROM grid g LEFT JOIN hrs ON hrs.event_type = g.event_type AND hrs.h = g.h
+), s AS (
+    SELECT event_type,
+           count(*) AS n_hours,
+           sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS n_demand,
+           list([x, 0.0, 0.0] ORDER BY h) AS v
+    FROM dense GROUP BY 1
+), f AS (
+    -- acc = [z_level, q_interval, gap]; element p carries x in p[1].
+    -- Demand hour: z' = x/2 + z/2, q' = (gap+1)/2 + q/2, gap resets.
+    -- Idle hour: gap increments, z/q carry. First element IS the init
+    -- (x0, 0, 0) — the same degenerate start the Spark fold uses.
+    SELECT event_type, n_hours, n_demand,
+           list_reduce(v, (acc, p) -> CASE WHEN p[1] > 0 THEN
+               [0.5 * p[1] + 0.5 * acc[1],
+                0.5 * (acc[3] + 1) + 0.5 * acc[2],
+                0.0]
+           ELSE [acc[1], acc[2], acc[3] + 1] END) AS zq
+    FROM s
+)
+SELECT event_type,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(n_demand AS BIGINT) AS n_demand,
+       round(zq[1], 6) + 0.0 AS z_level,
+       round(zq[2], 6) + 0.0 AS q_interval,
+       round(zq[1] / nullif(zq[2], 0.0), 6) + 0.0 AS demand_rate
+FROM f
+"""
+
+_CROSTON_FOLD_SPARK = (
+    "aggregate(slice(v, 2, size(v) - 1), array(v[0], CAST(0.0 AS DOUBLE),"
+    " CAST(0.0 AS DOUBLE)),"
+    " (acc, x) -> IF(x > 0D,"
+    "   array(0.5D * x + 0.5D * acc[0],"
+    "         0.5D * (acc[2] + 1D) + 0.5D * acc[1],"
+    "         0D),"
+    "   array(acc[0], acc[1], acc[2] + 1D)))"
+)
+
+
+@op("ts_croston", oracle=_CROSTON_ORACLE, tags=("ext", "timeseries", "forecast"))
+def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast per event type over the
+    dense hourly grid: smoothed demand size z', smoothed inter-demand
+    interval q', and the demand rate z'/q' — the forecaster for series
+    where most buckets are ZERO (spare parts, rare event types, long-
+    tail SKUs), where plain smoothing (win_ewma) and trend models
+    (ts_holt_forecast) both bias toward zero because they average over
+    the idle buckets instead of modeling them as an interval process.
+
+    Exactness: α = 1/2, so each update is an IEEE-exact halve+add over
+    doubles derived from exact integer counts; the recurrence is a
+    LEFT FOLD over the hour-ordered dense series with a 3-slot state
+    [z, q, gap] (the _HOLT_FOLD_SPARK pair-state discipline extended to
+    a branching 3-state — DuckDB's reduce carries [x,0,0] triples so
+    acc and element types match). Gap counting and the demand flag are
+    integer decisions on exact values.
+
+    Scale: the dense grid is |types| × span-hours (wall-clock bounded,
+    enforced by bounded_series); the rollup before it is one hash agg
+    on (type, hour) — the grid never scales with |events|.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", epoch_seconds("ts").alias("te")
+    )
+    ev = ev.select("event_type", F.expr("te div 3600").alias("h"))
+    hrs = ev.groupBy("event_type", "h").agg(F.count("*").alias("cnt"))
+    span = ev.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(span)).select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("h")
+    )
+    dense = grid.join(hrs, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("double").alias("x"),
+    )
+    s = dense.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum(F.when(F.col("x") > 0, 1).otherwise(0)).alias("n_demand"),
+        F.transform(
+            bounded_series(
+                F.expr("array_sort(collect_list(struct(h, x)))"),
+                what="ts_croston per-type hourly series",
+            ),
+            lambda p: p.getField("x"),
+        ).alias("v"),
+    )
+    f = s.select(
+        "event_type",
+        "n_hours",
+        "n_demand",
+        F.expr(_CROSTON_FOLD_SPARK).alias("zq"),
+    )
+    return f.select(
+        "event_type",
+        F.col("n_hours").cast("bigint").alias("n_hours"),
+        F.col("n_demand").cast("bigint").alias("n_demand"),
+        (F.round(F.col("zq")[0], 6) + F.lit(0.0)).alias("z_level"),
+        (F.round(F.col("zq")[1], 6) + F.lit(0.0)).alias("q_interval"),
+        (F.round(F.col("zq")[0] / F.nullif(F.col("zq")[1], F.lit(0.0)), 6) + F.lit(0.0)).alias(
+            "demand_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week multiplicative effects (weekly seasonality screen)
+# ---------------------------------------------------------------------------
+
+_DOW_ORACLE = """
+WITH base AS (
+    SELECT event_type,
+           CAST(strftime(ts, '%w') AS BIGINT) AS dow,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), d AS (
+    SELECT event_type, dow, count(*) AS n, sum(cents) AS s
+    FROM base GROUP BY 1, 2
+)
+SELECT event_type, CAST(dow AS BIGINT) AS dow,
+       CAST(n AS BIGINT) AS n,
+       CAST(s * sum(n) OVER (PARTITION BY event_type) * 10000
+            // (n * sum(s) OVER (PARTITION BY event_type)) AS BIGINT)
+           AS effect_bp
+FROM d
+"""
+
+
+@op("ts_dow_effects", oracle=_DOW_ORACLE, tags=("ext", "timeseries", "stats"))
+def ts_dow_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week multiplicative effects per event type: mean revenue
+    on each weekday relative to the type's overall mean, as a
+    cross-multiplied integral ratio (10000 = no effect) — the WEEKLY
+    seasonality row that completes the calendar set (ts_seasonal_index
+    profiles hour-of-day; deseasonalized anomaly screens divide by it;
+    weekend-vs-weekday structure lives at neither granularity).
+
+    Exact: dow is integer (0 = Sunday on both engines: DuckDB
+    strftime('%w'), Spark dayofweek−1); the effect is
+    (Σ_dow cents · n_type) · 10⁴ div (n_dow · Σ_type cents) — one
+    integral division, no float means.
+
+    Scale: one scan → (type, dow) hash agg (≤ 7·|types| cells), totals
+    as windows over the cell frame — one scan, no join at all.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    d = base.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    # type totals as windows over the <=7x|types| cell frame — one scan,
+    # no self-join, the exchange on event_type is dim-bounded
+    return d.select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "s * sum(n) OVER (PARTITION BY event_type) * 10000"
+            " div (n * sum(s) OVER (PARTITION BY event_type))"
+        )
+        .cast("bigint")
+        .alias("effect_bp"),
     )

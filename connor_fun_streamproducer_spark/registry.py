@@ -521,6 +521,22 @@ _WINDOW_PRIORITY = [
     "join_asof_sorted",
     "stream_topk_windows",
     "fn_xml_roundtrip",
+    # -- NEW in round 9 — never externally checked; first in line for
+    #    the r10 rotation under the freshness rule --------------------
+    "dedup_simhash_banded",     # new: md5-lane SimHash hash-checked twin
+    "dedup_threshold_sweep",    # new: Jaccard-band threshold survival curve
+    "sim_search_hamming",       # new: sign-bit binarized Hamming top-k
+    "embedding_dim_profile",    # new: per-dimension moment/dead-dim screen
+    "corpus_lang_confusion",    # new: declared-vs-detected language matrix
+    "stats_ljung_box",          # new: portmanteau whiteness gate over ACF
+    "ts_peak_concurrency",      # new: sweep-line daily max-overlap
+    "ts_croston",               # new: intermittent-demand 3-state fold
+    "stats_trimmed_mean",       # new: trimmed/winsorized robust location
+    "sample_systematic",        # new: md5-rank every-k-th stratum draw
+    "corpus_split_leakage",     # new: near-dup clusters spanning train/eval
+    "pipeline_order_lead_time", # new: rank-exact lead-time percentiles
+    "pipeline_revenue_hhi",     # new: integer HHI concentration per nation
+    "ts_dow_effects",           # new: weekday multiplicative effect bp
 ]
 
 

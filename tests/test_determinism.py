@@ -70,6 +70,20 @@ SWEEP = [
     "text_ngram_novelty",          # first-seen min over exploded grams (r8)
     "ts_seasonal_residual_anomaly",  # deviation top-k tie-breaks (r8)
     "stats_runs_test",             # lag-window run boundaries + z fold (r8)
+    "dedup_simhash_banded",        # md5-lane majority bits + band keepers (r9)
+    "dedup_threshold_sweep",       # LSH candidates + cumulative window (r9)
+    "sim_search_hamming",          # sign-bit words, hamming-tie top-k (r9)
+    "embedding_dim_profile",       # integer moments + variance-rank ties (r9)
+    "embedding_cluster_kmeans",    # unrolled Lloyd, integer-sum updates (r9)
+    "dedup_minhash_cluster",       # bucket-star min-label fixpoint (r9)
+    "dedup_embedding",             # cell blocks + rounded threshold (r9)
+    "stats_ljung_box",             # ACF moments -> Q polynomial (r9)
+    "ts_croston",                  # ordered 3-state float fold (r9)
+    "ts_peak_concurrency",         # sweep-line ties at equal instants (r9)
+    "stats_trimmed_mean",          # rank-cut tails, duplicate cents ties (r9)
+    "sample_systematic",           # md5-rank stride picks (r9)
+    "corpus_split_leakage",        # closure x split-hash compose (r9)
+    "pipeline_order_lead_time",    # rank-indexed percentile picks (r9)
 ]
 
 

@@ -1698,3 +1698,84 @@ def test_new_returning_single_scan_shape(spark):
     plan = formatted_plan(_q("pipeline_new_returning_users", spark))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_simhash_banded_keeper_star_shape(spark):
+    """dedup_simhash_banded: band pairing is keeper-star equi-joins —
+    no cartesian / nested-loop pair materialization anywhere, one
+    documents scan feeding the fingerprint build."""
+    plan = formatted_plan(_q("dedup_simhash_banded", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_hamming_broadcast_query_side(spark):
+    """sim_search_hamming: corpus scan × broadcast signatures — the
+    query side must never shuffle the corpus."""
+    plan = formatted_plan(_q("sim_search_hamming", spark))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dim_profile_partial_aggregation(spark):
+    """embedding_dim_profile: the 64-key moment agg must partial-combine
+    before its exchange (map-side sums absorb the posexplode blowup)."""
+    plan = formatted_plan(_q("embedding_dim_profile", spark))
+    assert "partial_sum" in plan or "HashAggregate" in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_peak_concurrency_single_exchange_on_day(spark):
+    """ts_peak_concurrency: the sweep is windowed on the day key; no
+    cartesian, and the max join stays an equi-join."""
+    plan = formatted_plan(_q("ts_peak_concurrency", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_croston_fold_no_self_join(spark):
+    """ts_croston: the recurrence is an array fold over the dense grid —
+    the only join is the grid left-join, never a per-step shuffle."""
+    plan = formatted_plan(_q("ts_croston", spark))
+    assert "CartesianProduct" not in plan
+    # dense grid = types x span: one broadcast of the 1-row span frame
+    assert "raise_error" in _q("ts_croston", spark)._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_trimmed_mean_single_rank_exchange(spark):
+    """stats_trimmed_mean: one exchange on the series key serves rank,
+    count and cut windows; no join at all."""
+    plan = formatted_plan(_q("stats_trimmed_mean", spark))
+    assert "Join" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_systematic_sample_single_window(spark):
+    """sample_systematic: stratum rank + modulus filter — no join, one
+    scan."""
+    plan = formatted_plan(_q("sample_systematic", spark))
+    assert "Join" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_lead_time_one_fact_join_one_window(spark):
+    """pipeline_order_lead_time: the orderkey equi-join is the only
+    fact-fact shuffle; no cartesian."""
+    plan = formatted_plan(_q("pipeline_order_lead_time", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_revenue_hhi_broadcasts_dims(spark):
+    """pipeline_revenue_hhi: customer/nation dims broadcast — the fact
+    side never shuffles for them."""
+    plan = formatted_plan(_q("pipeline_revenue_hhi", spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dow_effects_totals_from_cells(spark):
+    """ts_dow_effects: one events scan — type totals derive from the
+    (type, dow) cells, never a second pass."""
+    plan = formatted_plan(_q("ts_dow_effects", spark))
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
