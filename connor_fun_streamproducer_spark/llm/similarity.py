@@ -1079,7 +1079,8 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 
 @op("sim_search_pq", oracle=_pq_oracle(), tags=("llm", "similarity", "approx", "scale"))
 def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via product quantization: four 16-dim subspace codebooks,
+    """ANN top-k via product quantization: eight 8-dim subspace
+    codebooks (PQ_M=8 × PQ_SUB=8, PQ_K=32 centroids each),
     asymmetric-distance (ADC) scoring from per-query lookup tables, and
     exact re-rank of the shortlist. Completes the ANN tier's standard
     index family: brute (topk), Arrow-BLAS (topk_arrow), IVF, LSH, PQ.

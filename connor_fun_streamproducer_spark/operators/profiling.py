@@ -1815,9 +1815,11 @@ def pipeline_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact: per-customer revenue in integer cents; HHI cross-multiplied
     as (Σ c²)·10⁴ div (Σ c)² — all integer in decimal(38,0)/HUGEINT, no
-    share float ever materializes. Bound: Σc² ≤ (Σc)² needs (Σc)²·10⁴ ≤
-    10³⁸ ⇒ per-nation revenue ≤ 10¹⁷ cents (a quadrillion dollars) —
-    documented headroom, not a live risk.
+    share float ever materializes; the square widens to decimal BEFORE
+    multiplying (a raw BIGINT cents² overflows at ~3·10⁹ cents — one
+    $30M customer — caught in the r9 self-review). Bound after
+    widening: (Σc)²·10⁴ ≤ 10³⁸ ⇒ per-nation revenue ≤ 10¹⁷ cents (a
+    quadrillion dollars) — documented headroom, not a live risk.
 
     Scale: the join tree is the TPC-H snowflake (broadcast nation /
     customer dims at their tiers), one (nation, customer) agg, then a
@@ -1842,12 +1844,14 @@ def pipeline_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.groupBy("nation").agg(
         F.count("*").cast("bigint").alias("n_customers"),
         F.expr(
-            "CAST(sum(CAST(cents * cents AS DECIMAL(38,0))) * 10000"
+            # the square must widen BEFORE multiplying: cents*cents in
+            # BIGINT overflows at ~$30M lifetime revenue per customer
+            "CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents) * 10000"
             " div (sum(CAST(cents AS DECIMAL(38,0)))"
             "      * sum(CAST(cents AS DECIMAL(38,0)))) AS BIGINT)"
         ).alias("hhi_bp"),
         F.expr(
-            "CAST(max(cents) * 10000 div sum(CAST(cents AS DECIMAL(38,0)))"
-            " AS BIGINT)"
+            "CAST(CAST(max(cents) AS DECIMAL(38,0)) * 10000"
+            " div sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("top1_share_bp"),
     )

@@ -454,6 +454,36 @@ def ts_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ACF_LAGS = 3
 
+
+def _acf_moment_frame(ev: DataFrame) -> DataFrame:
+    """(event_type, lag, n, sx, sy, sxx, syy, sxy) — the exact integer
+    lag-pair moments. ONE Spark build shared by ts_autocorr and
+    stats_ljung_box, mirroring the shared _ACF_MOMENTS_SQL the two
+    oracles consume (r9 self-review: only the SQL side had been
+    factored; an edit to one Spark copy would have silently desynced
+    the other from the shared oracle fragment)."""
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(epoch_seconds("ts"), "event_id")
+    led = ev.select(
+        "event_type",
+        c.alias("c"),
+        *[F.lead(c, k).over(w).alias(f"y{k}") for k in range(1, _ACF_LAGS + 1)],
+    )
+    pairs = led.select(
+        "event_type",
+        "c",
+        F.expr("stack(3, 1L, y1, 2L, y2, 3L, y3) AS (lag, y)"),
+    ).filter(F.col("y").isNotNull())
+    d38 = lambda col: F.sum(col.cast("decimal(38,0)"))  # noqa: E731
+    return pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n"),
+        d38(F.col("c")).alias("sx"),
+        d38(F.col("y")).alias("sy"),
+        d38(F.col("c") * F.col("c")).alias("sxx"),
+        d38(F.col("y") * F.col("y")).alias("syy"),
+        d38(F.col("c") * F.col("y")).alias("sxy"),
+    )
+
 # Lag-pair moment CTEs (base -> pairs -> m) shared by _AUTOCORR_ORACLE
 # and _LJUNG_BOX_ORACLE — one definition of the ACF moment stream, the
 # graph-oracle _PAIR_EDGES_SQL discipline.
@@ -515,32 +545,7 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the exchange carries only series keys — the ACF of a series
     never leaves its partition.
     """
-    ev = load(spark, sf_dir, "events")
-    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-    w = Window.partitionBy("event_type").orderBy(
-        epoch_seconds("ts"), "event_id"
-    )
-    led = ev.select(
-        "event_type",
-        c.alias("c"),
-        *[F.lead(c, k).over(w).alias(f"y{k}") for k in range(1, _ACF_LAGS + 1)],
-    )
-    pairs = led.select(
-        "event_type",
-        "c",
-        F.expr(
-            "stack(3, 1L, y1, 2L, y2, 3L, y3) AS (lag, y)"
-        ),
-    ).filter(F.col("y").isNotNull())
-    d38 = lambda col: F.sum(col.cast("decimal(38,0)"))  # noqa: E731
-    m = pairs.groupBy("event_type", "lag").agg(
-        F.count("*").alias("n"),
-        d38(F.col("c")).alias("sx"),
-        d38(F.col("y")).alias("sy"),
-        d38(F.col("c") * F.col("c")).alias("sxx"),
-        d38(F.col("y") * F.col("y")).alias("syy"),
-        d38(F.col("c") * F.col("y")).alias("sxy"),
-    )
+    m = _acf_moment_frame(load(spark, sf_dir, "events"))
     return m.select(
         "event_type",
         F.col("lag").cast("bigint").alias("lag"),
@@ -1119,27 +1124,7 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|-row count join.
     """
     ev = load(spark, sf_dir, "events")
-    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-    w = Window.partitionBy("event_type").orderBy(epoch_seconds("ts"), "event_id")
-    led = ev.select(
-        "event_type",
-        c.alias("c"),
-        *[F.lead(c, k).over(w).alias(f"y{k}") for k in range(1, _ACF_LAGS + 1)],
-    )
-    pairs = led.select(
-        "event_type",
-        "c",
-        F.expr("stack(3, 1L, y1, 2L, y2, 3L, y3) AS (lag, y)"),
-    ).filter(F.col("y").isNotNull())
-    d38 = lambda col: F.sum(col.cast("decimal(38,0)"))  # noqa: E731
-    m = pairs.groupBy("event_type", "lag").agg(
-        F.count("*").alias("n"),
-        d38(F.col("c")).alias("sx"),
-        d38(F.col("y")).alias("sy"),
-        d38(F.col("c") * F.col("c")).alias("sxx"),
-        d38(F.col("y") * F.col("y")).alias("syy"),
-        d38(F.col("c") * F.col("y")).alias("sxy"),
-    )
+    m = _acf_moment_frame(ev)
     rho = m.select(
         "event_type",
         "lag",
@@ -1181,27 +1166,36 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONC_WINDOW_S = 900  # each event holds a 15-minute activity interval
 
 _PEAK_CONC_ORACLE = f"""
-WITH pts AS (
-    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-           CAST(floor(epoch(ts)) AS BIGINT) AS t, 1 AS delta
-    FROM events
+WITH ev AS (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+), pts AS (
+    SELECT t // 86400 AS d, t, 1 AS delta FROM ev
     UNION ALL
-    SELECT CAST(date_trunc('day', ts) AS DATE),
-           CAST(floor(epoch(ts)) AS BIGINT) + {_CONC_WINDOW_S}, -1
-    FROM events
+    SELECT (t + {_CONC_WINDOW_S}) // 86400, t + {_CONC_WINDOW_S}, -1 FROM ev
+    UNION ALL
+    -- day-start sentinel: carries the pre-midnight open level into the
+    -- day's peak candidates (delta 0; closes at exactly midnight sort
+    -- before it, opens after)
+    SELECT DISTINCT t // 86400, (t // 86400) * 86400, 0 FROM ev
+), offs AS (
+    SELECT d,
+           coalesce(sum(ddelta) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+    FROM (SELECT d, sum(delta) AS ddelta FROM pts GROUP BY d)
 ), run AS (
-    SELECT day, t, delta,
-           sum(delta) OVER (PARTITION BY day
-                            ORDER BY t ASC, delta ASC
-                            ROWS UNBOUNDED PRECEDING) AS conc
-    FROM pts
+    SELECT p.d, p.t,
+           o.carry + sum(p.delta) OVER (PARTITION BY p.d
+                                        ORDER BY p.t ASC, p.delta ASC
+                                        ROWS UNBOUNDED PRECEDING) AS conc
+    FROM pts p JOIN offs o USING (d)
 ), mx AS (
-    SELECT day, max(conc) AS peak FROM run GROUP BY day
+    SELECT d, max(conc) AS peak FROM run GROUP BY d
 )
-SELECT r.day, CAST(m.peak AS BIGINT) AS peak_concurrency,
+SELECT DATE '1970-01-01' + CAST(r.d AS INTEGER) AS day,
+       CAST(m.peak AS BIGINT) AS peak_concurrency,
        CAST(min(r.t) AS BIGINT) AS first_peak_epoch
-FROM run r JOIN mx m ON m.day = r.day AND r.conc = m.peak
-GROUP BY r.day, m.peak
+FROM run r JOIN mx m ON m.d = r.d AND r.conc = m.peak
+GROUP BY r.d, m.peak
 """
 
 
@@ -1214,41 +1208,61 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     AT ONCE) that hourly rollups (ts_seasonal_index) structurally
     underestimate because they average within the bucket.
 
-    Exact: boundary points are integer epoch seconds; the sweep orders
-    (t ASC, delta ASC) so a −1 closing at instant t applies before a +1
-    opening at t (adjacent intervals don't double-count — the
-    conservative convention, identical both engines); peak and its
-    first epoch are integer min/max.
+    Midnight is NOT a reset (r9 self-review): each boundary point lands
+    on ITS OWN day (a close after midnight decrements the next day),
+    every day carries in the net open level of all prior days (one
+    cumulative window over the tiny per-day frame), and a delta-0
+    day-start sentinel makes the carried level itself a peak candidate
+    — so 100 sessions open at 23:55 are correctly part of day D+1's
+    00:05 peak. Intervals are ≤ {_CONC_WINDOW_S} s, so a day with any
+    carried-in interval necessarily has boundary points (and thus a
+    sentinel).
 
-    Scale: one exchange on day (the sweep key), a running-sum window,
-    and a dim-bounded max join. Days are independent — at 100 TB the
-    sweep parallelizes across the date partition; intervals never
-    materialize, only their two boundary points.
+    Exact: integer epoch seconds and day indexes; the sweep orders
+    (t ASC, delta ASC) so a −1 closing at instant t applies before the
+    sentinel and any +1 opening at t (adjacent intervals don't
+    double-count); peak, carry, and first epoch are integer arithmetic.
+
+    Scale: one exchange on the day key for the sweep window; the carry
+    frame is |days| rows (dim-bounded cumsum + broadcast join back).
+    Days remain independently parallel; only their net deltas serialize.
     """
-    ev = load(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    t = epoch_seconds("ts")
-    pts = ev.select(day, t.alias("t"), F.lit(1).alias("delta")).unionByName(
-        ev.select(
-            day,
-            (t + F.lit(_CONC_WINDOW_S)).alias("t"),
-            F.lit(-1).alias("delta"),
-        )
+    ev = load(spark, sf_dir, "events").select(epoch_seconds("ts").alias("t"))
+    opens = ev.select(
+        F.expr("t div 86400").alias("d"), "t", F.lit(1).alias("delta")
+    )
+    closes = ev.select(
+        F.expr(f"(t + {_CONC_WINDOW_S}) div 86400").alias("d"),
+        (F.col("t") + F.lit(_CONC_WINDOW_S)).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    sentinels = (
+        ev.select(F.expr("t div 86400").alias("d"))
+        .distinct()
+        .select("d", (F.col("d") * 86400).alias("t"), F.lit(0).alias("delta"))
+    )
+    pts = opens.unionByName(closes).unionByName(sentinels)
+    dd = pts.groupBy("d").agg(F.sum("delta").alias("ddelta"))
+    wcarry = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    offs = dd.select(
+        "d", F.coalesce(F.sum("ddelta").over(wcarry), F.lit(0)).alias("carry")
     )
     wrun = (
-        Window.partitionBy("day")
+        Window.partitionBy("d")
         .orderBy(F.asc("t"), F.asc("delta"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = pts.withColumn("conc", F.sum("delta").over(wrun))
-    mx = run.groupBy("day").agg(F.max("conc").alias("peak"))
+    run = pts.join(F.broadcast(offs), "d").withColumn(
+        "conc", F.col("carry") + F.sum("delta").over(wrun)
+    )
+    mx = run.groupBy("d").agg(F.max("conc").alias("peak"))
     return (
-        run.join(mx, "day")
+        run.join(mx, "d")
         .filter(F.col("conc") == F.col("peak"))
-        .groupBy("day", "peak")
+        .groupBy("d", "peak")
         .agg(F.min("t").cast("bigint").alias("first_peak_epoch"))
         .select(
-            "day",
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")).alias("day"),
             F.col("peak").cast("bigint").alias("peak_concurrency"),
             "first_peak_epoch",
         )
@@ -1441,8 +1455,11 @@ def ts_dow_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dow").cast("bigint").alias("dow"),
         F.col("n").cast("bigint").alias("n"),
         F.expr(
-            "s * sum(n) OVER (PARTITION BY event_type) * 10000"
-            " div (n * sum(s) OVER (PARTITION BY event_type))"
+            # decimal widening: cents x row-count x 10^4 overflows int64
+            # at scale; DuckDB's sum() already rides HUGEINT
+            "CAST(s AS DECIMAL(38,0)) * sum(n) OVER (PARTITION BY event_type)"
+            " * 10000 div (CAST(n AS DECIMAL(38,0))"
+            " * sum(CAST(s AS DECIMAL(38,0))) OVER (PARTITION BY event_type))"
         )
         .cast("bigint")
         .alias("effect_bp"),

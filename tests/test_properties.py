@@ -2326,3 +2326,35 @@ def test_bounded_series_guard_is_in_the_hot_ops_plans(spark):
         # remove a raise_error, so its presence here proves enforcement
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "raise_error" in plan, f"{key} lost its bounded-series guard"
+
+
+def test_peak_concurrency_carries_across_midnight(spark, tmp_path):
+    """r9 self-review scenario: sessions open just before midnight must
+    count toward the NEXT day's peak (a day-partitioned sweep with no
+    carry reports the post-midnight burst alone)."""
+    import pandas as pd
+
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    base = pd.Timestamp("2024-03-01 23:59:30")
+    rows = [
+        # three opens 30s before midnight — their 15-min intervals span it
+        *[
+            dict(event_id=i, ts=base, user_id=i, event_type="view", value=1.0,
+                 props="{}")
+            for i in range(3)
+        ],
+        # one open at 00:05 next day: true concurrency there is 4
+        dict(event_id=9, ts=pd.Timestamp("2024-03-02 00:05:00"), user_id=9,
+             event_type="view", value=1.0, props="{}"),
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    out = {
+        str(r["day"]): (r["peak_concurrency"], r["first_peak_epoch"])
+        for r in registry.OPS["ts_peak_concurrency"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out["2024-03-01"][0] == 3
+    # day 2's peak is 4 (3 carried-in + 1 new), first reached at 00:05
+    assert out["2024-03-02"][0] == 4
+    assert out["2024-03-02"][1] == int(pd.Timestamp("2024-03-02 00:05:00").timestamp())
