@@ -171,6 +171,9 @@ EXTENDED = [
     "pipeline_order_lead_time",
     "pipeline_revenue_hhi",
     "ts_dow_effects",
+    "embedding_cluster_label_mix",
+    "ts_theil_sen",
+    "ts_forecast_backtest",
 ]
 
 

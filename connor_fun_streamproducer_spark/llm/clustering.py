@@ -154,7 +154,7 @@ def kmeans_assignments(
     return assigned.select("vec_id", "cluster", "dist"), inertia_history
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_af_ctes() -> str:
     """DuckDB replay of the full quantized-Lloyd fixpoint — N_ITERS
     unrolled rounds (the sample_kcenter_coreset proof that driver-
     iterative ops are oracle-able, applied to Lloyd; VERDICT r8 #5).
@@ -217,7 +217,14 @@ af AS (
                                   ORDER BY {D2R} ASC, c.cid ASC) AS ar
         FROM vec v CROSS JOIN c{iters - 1} c
     ) WHERE ar = 1
-)
+)"""
+
+
+def _kmeans_oracle() -> str:
+    """Final rollup over the shared assignment replay (_kmeans_af_ctes),
+    so any oracle composing on the clustering (embedding_cluster_label_mix)
+    reuses the identical fixpoint definition."""
+    return _kmeans_af_ctes() + """
 SELECT CAST(cid AS BIGINT) AS cluster,
        CAST(count(*) AS BIGINT) AS n_members,
        floor(CAST(sum(dq) AS DOUBLE) / 1e4 + 0.5) / 100 AS inertia
@@ -262,4 +269,66 @@ def embedding_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-cluster label composition (semdedup curation table)
+# ---------------------------------------------------------------------------
+
+
+def _label_mix_oracle() -> str:
+    return _kmeans_af_ctes() + """,
+lab AS (SELECT vec_id, label FROM embeddings),
+cells AS (
+    SELECT a.cid, l.label, count(*) AS n
+    FROM af a JOIN lab l USING (vec_id) GROUP BY 1, 2
+)
+SELECT CAST(cid AS BIGINT) AS cluster,
+       CAST(label AS BIGINT) AS label,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * 10000 // sum(n) OVER (PARTITION BY cid) AS BIGINT) AS share_bp
+FROM cells
+"""
+
+
+@op(
+    "embedding_cluster_label_mix",
+    oracle=_label_mix_oracle(),
+    tags=("ext", "llm", "iterative", "stats"),
+)
+def embedding_cluster_label_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label composition per k-means cluster: (cluster, label, count,
+    within-cluster share in basis points) — the table semdedup-style
+    curation actually reads: a cluster dominated by one label is a
+    candidate for per-cluster downsampling (redundant mass), a
+    high-entropy cluster is kept whole, and a label split across many
+    clusters signals that the embedding space doesn't separate it.
+    embedding_cluster_kmeans reports cluster sizes/inertia (geometry);
+    this joins the SAME assignment against the labels (semantics) —
+    the composition step between clustering and sample_mix_target.
+
+    Exact: the assignment replays through the shared _kmeans_af_ctes
+    (this oracle and embedding_cluster_kmeans's can never disagree on
+    what cluster a vector is in); counts and shares are integers and
+    integral division.
+
+    Scale: one label join on the assignment frame + a k×|labels|
+    bounded agg; the share window runs on that dim-bounded cell frame.
+    """
+    assigned, _ = kmeans_assignments(spark, sf_dir)
+    lab = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cells = (
+        assigned.select("vec_id", "cluster")
+        .join(lab, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    return cells.select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("label").cast("bigint").alias("label"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("n * 10000 div sum(n) OVER (PARTITION BY cluster)")
+        .cast("bigint")
+        .alias("share_bp"),
     )

@@ -1464,3 +1464,227 @@ def ts_dow_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("effect_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes, bounded series)
+# ---------------------------------------------------------------------------
+
+_THEIL_SEN_ORACLE = """
+WITH d AS (
+    SELECT event_type,
+           CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS di,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+    FROM events GROUP BY 1, 2
+), pr AS (
+    SELECT a.event_type,
+           CAST(b.cents - a.cents AS DOUBLE) / (b.di - a.di) AS slope,
+           a.di AS d1, b.di AS d2,
+           row_number() OVER (
+               PARTITION BY a.event_type
+               ORDER BY CAST(b.cents - a.cents AS DOUBLE) / (b.di - a.di),
+                        a.di, b.di
+           ) AS rk,
+           count(*) OVER (PARTITION BY a.event_type) AS np
+    FROM d a JOIN d b ON a.event_type = b.event_type AND a.di < b.di
+), agg AS (
+    SELECT event_type, max(np) AS n_pairs,
+           min(CASE WHEN rk = (np + 1) // 2 THEN slope END) AS sen
+    FROM pr GROUP BY event_type
+), nd AS (SELECT event_type, count(*) AS n_days FROM d GROUP BY 1)
+SELECT a.event_type,
+       CAST(nd.n_days AS BIGINT) AS n_days,
+       CAST(a.n_pairs AS BIGINT) AS n_pairs,
+       round(a.sen, 6) + 0.0 AS sen_slope_cents_per_day
+FROM agg a JOIN nd USING (event_type)
+"""
+
+
+@op("ts_theil_sen", oracle=_THEIL_SEN_ORACLE, tags=("ext", "timeseries", "stats"))
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the MEDIAN of all pairwise
+    day-slopes of the daily-revenue series — a 29%-breakdown trend
+    estimate that one promo spike cannot bend, where the least-squares
+    line (agg_linreg_trend) moves with every outlier; comparing the two
+    slopes' signs is the standard 'is this trend real' cross-check.
+
+    Exact: slopes are double divisions of exact integer cent/day deltas
+    (identical inputs → identical IEEE doubles both engines); the
+    median is a rank-indexed pick on the (slope, day_i, day_j) total
+    order — the stats_trimmed_mean discipline — and only the final
+    round(·,6) touches presentation.
+
+    Scale: the pair frame is |days|² PER TYPE over the bounded daily
+    rollup (30-90 days → ≤ ~8k pairs/type; the quadratic is in the
+    DIMENSION, not the data — the dedup_eval_tiers bounded-quadratic
+    contract). The rank window exchanges once on the type key.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.datediff(F.date_trunc("day", F.col("ts")).cast("date"),
+                       F.lit("1970-01-01").cast("date")).cast("bigint").alias("di"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "di")
+        .agg(F.sum("c").alias("cents"))
+        # the bounded |types|x|days| rollup feeds three consumers (both
+        # pair sides + the day count): materialize it once so events
+        # scans ONCE, not three times (plan-asserted)
+        .localCheckpoint(eager=True)
+    )
+    a = d.select("event_type", F.col("di").alias("d1"), F.col("cents").alias("c1"))
+    b = d.select("event_type", F.col("di").alias("d2"), F.col("cents").alias("c2"))
+    slope = (F.col("c2") - F.col("c1")).cast("double") / (F.col("d2") - F.col("d1"))
+    pr = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            slope.alias("slope"),
+            "d1",
+            "d2",
+            F.row_number()
+            .over(
+                Window.partitionBy("event_type").orderBy(
+                    slope.asc(), F.col("d1").asc(), F.col("d2").asc()
+                )
+            )
+            .alias("rk"),
+            F.count("*").over(Window.partitionBy("event_type")).alias("np"),
+        )
+    )
+    agg = pr.groupBy("event_type").agg(
+        F.max("np").alias("n_pairs"),
+        F.min(F.when(F.col("rk") == F.expr("(np + 1) div 2"), F.col("slope"))).alias("sen"),
+    )
+    nd = d.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    return (
+        agg.join(F.broadcast(nd), "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (F.round(F.col("sen"), 6) + F.lit(0.0)).alias("sen_slope_cents_per_day"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt backtest (holdout-last-3 forecast accuracy)
+# ---------------------------------------------------------------------------
+
+_BACKTEST_H = 3
+
+_BACKTEST_ORACLE = f"""
+WITH d AS (
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+    FROM events GROUP BY 1, 2
+), s AS (
+    SELECT event_type,
+           count(*) AS n_days,
+           list([CAST(cents AS DOUBLE), 0.0] ORDER BY day) AS v
+    FROM d GROUP BY 1
+), f AS (
+    SELECT event_type, n_days, v,
+           list_reduce(list_slice(v, 1, n_days - {_BACKTEST_H}), (acc, p) -> [
+               0.5 * p[1] + 0.5 * (acc[1] + acc[2]),
+               0.5 * ((0.5 * p[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                 + 0.5 * acc[2]
+           ]) AS lb
+    FROM s WHERE n_days > {_BACKTEST_H + 1}
+), h AS (
+    SELECT event_type, n_days, hz,
+           lb[1] + hz * lb[2] AS fc,
+           v[n_days - {_BACKTEST_H} + hz][1] AS actual
+    FROM f CROSS JOIN (SELECT unnest(range(1, {_BACKTEST_H + 1})) AS hz)
+)
+SELECT event_type,
+       CAST(hz AS BIGINT) AS horizon,
+       round(fc, 6) + 0.0 AS forecast_cents,
+       round(actual, 6) + 0.0 AS actual_cents,
+       CAST(floor(abs(fc - actual) * 10000 / nullif(abs(actual), 0.0))
+            AS BIGINT) AS ape_bp
+FROM h
+"""
+
+
+@op(
+    "ts_forecast_backtest",
+    oracle=_BACKTEST_ORACLE,
+    tags=("ext", "timeseries", "forecast"),
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout backtest of the Holt forecaster: re-fit on the series
+    MINUS its last 3 days, forecast those days, and report per-horizon
+    absolute percentage error in basis points — the accountability step
+    that turns ts_holt_forecast from 'a forecast' into 'a forecast with
+    a measured error bar'. No forecasting op should ship without its
+    backtest twin; this is that twin, and the per-horizon APE is the
+    number a capacity planner multiplies headroom by.
+
+    Exact: the SAME alpha=1/2 IEEE-exact fold as ts_holt_forecast, run
+    on the array SLICE (train split = a list operation, not a second
+    scan); actuals are array picks; the APE ratio is one fixed float
+    expression floored to integral bp.
+
+    Scale: identical to ts_holt_forecast — one bounded daily rollup,
+    one per-series fold; the 3 horizons explode from a literal range.
+    """
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    s = d.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.transform(
+            bounded_series(
+                F.expr("array_sort(collect_list(struct(day, cents)))"),
+                what="ts_forecast_backtest per-type day series",
+            ),
+            lambda p: p.getField("cents").cast("double"),
+        ).alias("v"),
+    ).filter(F.col("n_days") > _BACKTEST_H + 1)
+    fold = (
+        f"aggregate(slice(slice(v, 1, n_days - {_BACKTEST_H}), 2,"
+        f" n_days - {_BACKTEST_H} - 1), array(v[0], CAST(0.0 AS DOUBLE)),"
+        " (acc, x) -> array("
+        "   0.5D * x + 0.5D * (acc[0] + acc[1]),"
+        "   0.5D * ((0.5D * x + 0.5D * (acc[0] + acc[1])) - acc[0])"
+        "     + 0.5D * acc[1]))"
+    )
+    f = s.select("event_type", "n_days", "v", F.expr(fold).alias("lb"))
+    h = f.select(
+        "event_type",
+        "n_days",
+        "v",
+        "lb",
+        F.explode(F.array(*[F.lit(i) for i in range(1, _BACKTEST_H + 1)])).alias("hz"),
+    ).select(
+        "event_type",
+        "hz",
+        (F.col("lb")[0] + F.col("hz") * F.col("lb")[1]).alias("fc"),
+        F.expr(f"v[n_days - {_BACKTEST_H} + hz - 1]").alias("actual"),
+    )
+    return h.select(
+        "event_type",
+        F.col("hz").cast("bigint").alias("horizon"),
+        (F.round(F.col("fc"), 6) + F.lit(0.0)).alias("forecast_cents"),
+        (F.round(F.col("actual"), 6) + F.lit(0.0)).alias("actual_cents"),
+        F.floor(
+            F.abs(F.col("fc") - F.col("actual")) * 10000
+            / F.nullif(F.abs(F.col("actual")), F.lit(0.0))
+        )
+        .cast("bigint")
+        .alias("ape_bp"),
+    )

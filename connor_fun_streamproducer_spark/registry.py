@@ -537,6 +537,9 @@ _WINDOW_PRIORITY = [
     "pipeline_order_lead_time", # new: rank-exact lead-time percentiles
     "pipeline_revenue_hhi",     # new: integer HHI concentration per nation
     "ts_dow_effects",           # new: weekday multiplicative effect bp
+    "embedding_cluster_label_mix",  # new: per-cluster label composition
+    "ts_theil_sen",             # new: median-of-slopes robust trend
+    "ts_forecast_backtest",     # new: holdout APE of the Holt forecaster
 ]
 
 

@@ -84,6 +84,9 @@ SWEEP = [
     "sample_systematic",           # md5-rank stride picks (r9)
     "corpus_split_leakage",        # closure x split-hash compose (r9)
     "pipeline_order_lead_time",    # rank-indexed percentile picks (r9)
+    "embedding_cluster_label_mix", # kmeans fixpoint + label join (r9)
+    "ts_theil_sen",                # slope-tie rank median (r9)
+    "ts_forecast_backtest",        # sliced 2-state float fold (r9)
 ]
 
 

@@ -1779,3 +1779,33 @@ def test_dow_effects_totals_from_cells(spark):
     (type, dow) cells, never a second pass."""
     plan = formatted_plan(_q("ts_dow_effects", spark))
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_theil_sen_pair_join_is_equi_on_type(spark):
+    """ts_theil_sen: the |days|^2 pair frame builds from an equi-join on
+    the type key over the bounded daily rollup — never a cartesian over
+    events."""
+    plan = formatted_plan(_q("ts_theil_sen", spark))
+    assert "CartesianProduct" not in plan
+    # the daily rollup is checkpointed: events scans once, the three
+    # consumers read the materialized |types|x|days| frame
+    assert plan.count("Location: InMemoryFileIndex") == 0, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_forecast_backtest_single_scan_fold(spark):
+    """ts_forecast_backtest: same one-scan rollup + array fold shape as
+    ts_holt_forecast — the train split is a list slice, not a second
+    scan; the bounded-series guard is in the plan."""
+    df = _q("ts_forecast_backtest", spark)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "raise_error" in df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_cluster_label_mix_bounded_join(spark):
+    """embedding_cluster_label_mix: the label join runs on the
+    assignment frame (vec_id equi-join), no cartesian."""
+    plan = formatted_plan(_q("embedding_cluster_label_mix", spark))
+    assert "CartesianProduct" not in plan
