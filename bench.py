@@ -174,6 +174,9 @@ EXTENDED = [
     "embedding_cluster_label_mix",
     "ts_theil_sen",
     "ts_forecast_backtest",
+    "corpus_mix_kl_drift",
+    "text_js_divergence_sources",
+    "sample_downweight_duplicates",
 ]
 
 

@@ -1111,3 +1111,99 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("stratum_quota"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-mix KL drift between ingest eras
+# ---------------------------------------------------------------------------
+
+_KL_ORACLE = """
+WITH ranked AS (
+    SELECT lang, source,
+           row_number() OVER (ORDER BY doc_id) AS rk,
+           count(*) OVER () AS n
+    FROM documents
+), cells AS (
+    SELECT lang, source,
+           sum(CASE WHEN rk <= n // 2 THEN 1 ELSE 0 END) AS c0,
+           sum(CASE WHEN rk > n // 2 THEN 1 ELSE 0 END) AS c1
+    FROM ranked GROUP BY 1, 2
+), lst AS (
+    SELECT list_sort(list([c0, c1])) AS l,
+           count(*) AS n_cells,
+           sum(c0) + count(*) AS t0,
+           sum(c1) + count(*) AS t1
+    FROM cells
+)
+SELECT CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(t0 - n_cells AS BIGINT) AS n_docs_era0,
+       CAST(t1 - n_cells AS BIGINT) AS n_docs_era1,
+       round(list_reduce(list_transform(l, p ->
+           (CAST(p[2] + 1 AS DOUBLE) / t1)
+           * ln((CAST(p[2] + 1 AS DOUBLE) / t1)
+                / (CAST(p[1] + 1 AS DOUBLE) / t0))), (a, b) -> a + b), 6) + 0.0
+           AS kl_forward_nats,
+       round(list_reduce(list_transform(l, p ->
+           (CAST(p[1] + 1 AS DOUBLE) / t0)
+           * ln((CAST(p[1] + 1 AS DOUBLE) / t0)
+                / (CAST(p[2] + 1 AS DOUBLE) / t1))), (a, b) -> a + b), 6) + 0.0
+           AS kl_reverse_nats
+FROM lst
+"""
+
+
+@op("corpus_mix_kl_drift", oracle=_KL_ORACLE, tags=("llm", "corpus", "stats"))
+def corpus_mix_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of the (lang × source) corpus mix between the first
+    and second ingest half (doc_id order) — the composition-drift gate
+    a corpus owner checks before assuming yesterday's mix targets still
+    describe today's feed. stats_psi_stability watches EVENT value
+    distributions; this watches the CORPUS's categorical composition,
+    both directions (forward KL spikes when new mass appears, reverse
+    when mass vanishes). Laplace+1 smoothing keeps cells one era never
+    saw finite.
+
+    Exact: cell counts are integers; each KL is a float fold over the
+    LEXICOGRAPHICALLY SORTED cell array (the stats_mutual_info_cat
+    discipline — sort order is over the [c0, c1] values themselves, so
+    the fold order is deterministic without a key column), every term
+    derived from exact ints and two scalar totals.
+
+    Scale: one scan → global rank (at 100 TB the era split is the
+    ingest-date partition, not a rank) → |langs|·|sources| cells; the
+    folds run on that dim-bounded array.
+    """
+    d = load(spark, sf_dir, "documents")
+    ranked = d.select(
+        "lang",
+        "source",
+        F.row_number().over(Window.orderBy("doc_id")).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    cells = ranked.groupBy("lang", "source").agg(
+        F.sum(F.when(F.col("rk") <= F.expr("n div 2"), 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("rk") > F.expr("n div 2"), 1).otherwise(0)).alias("c1"),
+    )
+    lst = cells.agg(
+        F.array_sort(F.collect_list(F.array("c0", "c1"))).alias("l"),
+        F.count("*").alias("n_cells"),
+        (F.sum("c0") + F.count("*")).alias("t0"),
+        (F.sum("c1") + F.count("*")).alias("t1"),
+    )
+    kl_fwd = F.expr(
+        "aggregate(l, CAST(0.0 AS DOUBLE), (a, p) -> a +"
+        " (CAST(p[1] + 1 AS DOUBLE) / t1)"
+        " * ln((CAST(p[1] + 1 AS DOUBLE) / t1) / (CAST(p[0] + 1 AS DOUBLE) / t0)))"
+    )
+    kl_rev = F.expr(
+        "aggregate(l, CAST(0.0 AS DOUBLE), (a, p) -> a +"
+        " (CAST(p[0] + 1 AS DOUBLE) / t0)"
+        " * ln((CAST(p[0] + 1 AS DOUBLE) / t0) / (CAST(p[1] + 1 AS DOUBLE) / t1)))"
+    )
+    return lst.select(
+        F.col("n_cells").cast("bigint").alias("n_cells"),
+        (F.col("t0") - F.col("n_cells")).cast("bigint").alias("n_docs_era0"),
+        (F.col("t1") - F.col("n_cells")).cast("bigint").alias("n_docs_era1"),
+        (F.round(kl_fwd, 6) + F.lit(0.0)).alias("kl_forward_nats"),
+        (F.round(kl_rev, 6) + F.lit(0.0)).alias("kl_reverse_nats"),
+    )

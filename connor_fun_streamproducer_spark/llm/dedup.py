@@ -1944,3 +1944,59 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").cast("bigint").alias("n_docs_contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: per-doc training weights from near-dup cluster sizes
+# ---------------------------------------------------------------------------
+
+
+def _downweight_oracle() -> str:
+    return _cluster_comp_ctes() + """,
+sizes AS (
+    SELECT canonical_id, count(*) AS sz FROM comp GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.sz, 1) AS BIGINT) AS cluster_size,
+       CAST(10000 // coalesce(s.sz, 1) AS BIGINT) AS weight_bp
+FROM documents d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+LEFT JOIN sizes s ON s.canonical_id = c.canonical_id
+"""
+
+
+@op(
+    "sample_downweight_duplicates",
+    oracle=_downweight_oracle(),
+    tags=("llm", "dedup", "sampling"),
+)
+def sample_downweight_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: per-doc training weight = 1/cluster_size (basis
+    points) from the verified near-dup closure — each cluster
+    contributes ONE document's worth of gradient mass spread over its
+    members, instead of hard-dropping all but the keeper. The standard
+    middle ground when near-dups carry complementary fragments (drops
+    lose them) but full weight over-trains the duplicated content;
+    singletons keep weight 10000. Downstream, sample_temperature/
+    sample_mix_target consume exactly this kind of per-row weight.
+
+    Exact: cluster sizes come from the shared closure
+    (_cluster_comp_ctes — the same clusters dedup_cluster_canonical and
+    corpus_split_leakage see); the weight is one integral division.
+
+    Scale: closure frame is candidate-set-linear; the weight join-back
+    is one (doc_id) equi-join against documents, map-side after
+    broadcast at dim scale and a plain shuffle join at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    labels = dedup_cluster_canonical(spark, sf_dir).select(
+        "doc_id", "canonical_id", "cluster_size"
+    )
+    return (
+        d.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.expr("10000 div coalesce(cluster_size, 1)").cast("bigint").alias("weight_bp"),
+        )
+    )

@@ -813,3 +813,121 @@ def corpus_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("share_bp"),
         (F.col("labeled_lang") == F.col("guessed_lang")).alias("agree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen–Shannon divergence between per-source unigram distributions
+# ---------------------------------------------------------------------------
+
+_JSD_VOCAB_K = 200  # shared global vocab: top-K tokens by corpus count
+
+_JSD_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS t FROM documents
+), vocab AS (
+    SELECT t FROM tok GROUP BY t
+    ORDER BY count(*) DESC, t LIMIT {_JSD_VOCAB_K}
+), vr AS (
+    SELECT t, row_number() OVER (ORDER BY t) AS vid FROM vocab
+), cnt AS (
+    SELECT tok.source, vr.vid, count(*) AS c
+    FROM tok JOIN vr USING (t) GROUP BY 1, 2
+), srcs AS (SELECT DISTINCT source FROM documents
+), grid AS (
+    SELECT s.source, v.vid, coalesce(c.c, 0) AS c
+    FROM srcs s CROSS JOIN vr v
+    LEFT JOIN cnt c ON c.source = s.source AND c.vid = v.vid
+), vecs AS (
+    SELECT source, list(c ORDER BY vid) AS v,
+           sum(c) + count(*) AS tt
+    FROM grid GROUP BY source
+), pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.v AS va, b.v AS vb, a.tt AS ta, b.tt AS tb
+    FROM vecs a JOIN vecs b ON a.source < b.source
+)
+SELECT source_a, source_b,
+       round(list_reduce(list_transform(range(len(va)), i ->
+           0.5 * ((CAST(va[i+1] + 1 AS DOUBLE) / ta)
+                  * ln((CAST(va[i+1] + 1 AS DOUBLE) / ta)
+                       / (0.5 * ((CAST(va[i+1] + 1 AS DOUBLE) / ta)
+                                 + (CAST(vb[i+1] + 1 AS DOUBLE) / tb)))))
+           + 0.5 * ((CAST(vb[i+1] + 1 AS DOUBLE) / tb)
+                    * ln((CAST(vb[i+1] + 1 AS DOUBLE) / tb)
+                         / (0.5 * ((CAST(va[i+1] + 1 AS DOUBLE) / ta)
+                                   + (CAST(vb[i+1] + 1 AS DOUBLE) / tb)))))),
+           (a, b) -> a + b), 6) + 0.0 AS jsd_nats
+FROM pairs
+"""
+
+
+@op(
+    "text_js_divergence_sources",
+    oracle=_JSD_ORACLE,
+    tags=("llm", "text", "corpus", "stats"),
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between every source pair's unigram
+    distribution over the shared top-{_JSD_VOCAB_K} corpus vocabulary —
+    the symmetric, bounded (≤ ln 2) corpus-similarity matrix behind
+    mix design: two sources with near-zero JSD are redundant feeds
+    (dedup them against each other — corpus_cross_source_dup will show
+    the flow), while a high-JSD source adds genuine distributional
+    coverage. tfidf_top_terms ranks WHAT distinguishes a source; this
+    scores HOW FAR each pair is apart, in nats.
+
+    Exact: the vocab is a (count DESC, token) total-order top-K; counts
+    densify onto the vocab grid (zeros explicit, Laplace+1), each
+    source's vector folds in vocab-id order, and every JSD term derives
+    from exact ints and two scalar totals — one fixed-shape float fold
+    per pair (the corpus_mix_kl_drift discipline, pairwise).
+
+    Scale: token counting is one explode + (source, vid) agg; vectors
+    are |sources| rows of K ints; the pair frame is |sources|²-bounded.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("t"))
+        .limit(_JSD_VOCAB_K)
+    )
+    vr = vocab.select(
+        "t", F.row_number().over(Window.orderBy("t")).alias("vid")
+    )
+    cnt = tok.join(vr, "t").groupBy("source", "vid").agg(F.count("*").alias("c"))
+    srcs = d.select("source").distinct()
+    grid = (
+        srcs.crossJoin(F.broadcast(vr.select("vid")))
+        .join(cnt, ["source", "vid"], "left")
+        .select("source", "vid", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    vecs = grid.groupBy("source").agg(
+        F.expr("transform(array_sort(collect_list(struct(vid, c))), s -> s.c)").alias("v"),
+        # +count(*): the realized vocab can be smaller than the top-K cap
+        (F.sum("c") + F.count("*")).alias("tt"),
+    )
+    a = vecs.select(
+        F.col("source").alias("source_a"), F.col("v").alias("va"), F.col("tt").alias("ta")
+    )
+    b = vecs.select(
+        F.col("source").alias("source_b"), F.col("v").alias("vb"), F.col("tt").alias("tb")
+    )
+    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+    jsd = F.expr(
+        "aggregate(sequence(0, size(va) - 1), CAST(0.0 AS DOUBLE), (a, i) -> a +"
+        " 0.5 * ((CAST(va[i] + 1 AS DOUBLE) / ta)"
+        "        * ln((CAST(va[i] + 1 AS DOUBLE) / ta)"
+        "             / (0.5 * ((CAST(va[i] + 1 AS DOUBLE) / ta)"
+        "                       + (CAST(vb[i] + 1 AS DOUBLE) / tb)))))"
+        " + 0.5 * ((CAST(vb[i] + 1 AS DOUBLE) / tb)"
+        "          * ln((CAST(vb[i] + 1 AS DOUBLE) / tb)"
+        "               / (0.5 * ((CAST(va[i] + 1 AS DOUBLE) / ta)"
+        "                         + (CAST(vb[i] + 1 AS DOUBLE) / tb))))))"
+    )
+    return pairs.select(
+        "source_a", "source_b", (F.round(jsd, 6) + F.lit(0.0)).alias("jsd_nats")
+    )

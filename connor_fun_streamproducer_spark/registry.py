@@ -540,6 +540,9 @@ _WINDOW_PRIORITY = [
     "embedding_cluster_label_mix",  # new: per-cluster label composition
     "ts_theil_sen",             # new: median-of-slopes robust trend
     "ts_forecast_backtest",     # new: holdout APE of the Holt forecaster
+    "corpus_mix_kl_drift",      # new: two-sided KL of the corpus mix by era
+    "text_js_divergence_sources",  # new: pairwise source JSD matrix
+    "sample_downweight_duplicates",  # new: 1/cluster_size soft-dedup weights
 ]
 
 

@@ -87,6 +87,9 @@ SWEEP = [
     "embedding_cluster_label_mix", # kmeans fixpoint + label join (r9)
     "ts_theil_sen",                # slope-tie rank median (r9)
     "ts_forecast_backtest",        # sliced 2-state float fold (r9)
+    "corpus_mix_kl_drift",         # sorted-cell KL folds (r9)
+    "text_js_divergence_sources",  # vocab-rank JSD folds, count-tie top-K (r9)
+    "sample_downweight_duplicates",  # closure sizes -> weights (r9)
 ]
 
 

@@ -55,6 +55,12 @@ SNAPSHOT_KEYS = [
     "win_clamped_cumsum",
     "ts_ohlc_candles",
     "pipeline_session_paths",
+    # round-9 tier: the new dedup/ANN/sweep shapes
+    "dedup_simhash_banded",
+    "sim_search_hamming",
+    "dedup_minhash_cluster",
+    "ts_peak_concurrency",
+    "ts_theil_sen",
 ]
 
 
