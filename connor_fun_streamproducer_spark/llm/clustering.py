@@ -41,10 +41,16 @@ with a NumPy re-implementation of the same recurrence on the same init.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.catalog import (
+    fixture_fingerprint,
+    load,
+    materialize_once,
+)
 from connor_fun_streamproducer_spark.registry import op
 
 K_CLUSTERS = 8
@@ -154,6 +160,35 @@ def kmeans_assignments(
     return assigned.select("vec_id", "cluster", "dist"), inertia_history
 
 
+# Materialized Lloyd assignment (build-once/serve-many — VERDICT r9 #3):
+# the 4 iterative rounds run ONCE per embeddings-fixture version; both
+# consumers (embedding_cluster_kmeans's rollup, embedding_cluster_label_mix's
+# label join) read the parquet (vec_id, cluster, dist) frame. At 100 TB the
+# assignment IS the curation table every downstream sampler joins against —
+# exactly the artifact you'd persist, not recompute.
+_KM_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".kmeans_index",
+)
+
+
+def kmeans_assignment_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized (vec_id, cluster, dist) Lloyd fixpoint assignment.
+
+    Keyed by embeddings fingerprint + (k, iters) + construction version,
+    so a changed fixture or geometry rebuilds instead of serving stale
+    assignments. ``dist`` is the raw double (parquet round-trips doubles
+    exactly), so consumers quantize it identically to the inline path."""
+    path = os.path.join(
+        _KM_ROOT,
+        f"{fixture_fingerprint(sf_dir, 'embeddings')}"
+        f"-k{K_CLUSTERS}-i{N_ITERS}-v1",
+    )
+    return materialize_once(
+        spark, path, lambda: kmeans_assignments(spark, sf_dir)[0]
+    )
+
+
 def _kmeans_af_ctes() -> str:
     """DuckDB replay of the full quantized-Lloyd fixpoint — N_ITERS
     unrolled rounds (the sample_kcenter_coreset proof that driver-
@@ -251,8 +286,12 @@ def embedding_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-4-quantized identically on both engines, and per-row distances
     quantize to integers before the cross-row sum — no distributed
     float accumulation anywhere in the checked output.
+
+    Since r10 the rollup serves from the materialized assignment
+    (kmeans_assignment_table) — the Lloyd rounds run once per corpus
+    version, not per consumer.
     """
-    assigned, _ = kmeans_assignments(spark, sf_dir)
+    assigned = kmeans_assignment_table(spark, sf_dir)
     return (
         assigned.groupBy("cluster")
         .agg(
@@ -313,10 +352,13 @@ def embedding_cluster_label_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     what cluster a vector is in); counts and shares are integers and
     integral division.
 
-    Scale: one label join on the assignment frame + a k×|labels|
-    bounded agg; the share window runs on that dim-bounded cell frame.
+    Scale: one label join on the MATERIALIZED assignment frame
+    (kmeans_assignment_table, r10 — the Lloyd rounds
+    embedding_cluster_kmeans already ran are read back, not re-run) +
+    a k×|labels| bounded agg; the share window runs on that
+    dim-bounded cell frame.
     """
-    assigned, _ = kmeans_assignments(spark, sf_dir)
+    assigned = kmeans_assignment_table(spark, sf_dir)
     lab = load(spark, sf_dir, "embeddings").select("vec_id", "label")
     cells = (
         assigned.select("vec_id", "cluster")

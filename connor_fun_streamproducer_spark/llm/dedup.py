@@ -19,11 +19,17 @@ with their quality pinned by tests/test_llm.py instead.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.catalog import (
+    fixture_fingerprint,
+    load,
+    materialize_once,
+)
 from connor_fun_streamproducer_spark.registry import op
 
 # --- shared token helpers (JVM-side) -------------------------------------
@@ -979,8 +985,19 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     The md5 tax (4 digests per token vs 16 xxhash64 evaluations) is the
     price of cross-engine determinism and is why the xxhash64 variant
     stays the production path.
+
+    Since r10 the op serves from the materialized candidate artifact
+    (neardup_candidates — build-once/serve-many): the verify predicate
+    and rounding re-derive from the stored exact (n_inter, n_union)
+    integers, bit-identical to the inline pipeline
+    (_minhash_banded_pipeline, kept for arbitrary-frame eval harnesses).
     """
-    return _minhash_banded_pipeline(load(spark, sf_dir, "documents"))
+    jac = _verified_jac()
+    return (
+        neardup_candidates(spark, sf_dir)
+        .filter(jac > 0.8)
+        .select("doc_id", "keeper_doc_id", F.round(jac, 4).alias("jaccard"))
+    )
 
 
 def _mhb_stages(d: DataFrame):
@@ -1065,6 +1082,130 @@ def _minhash_banded_pipeline(d: DataFrame) -> DataFrame:
     return verified.filter(jac > 0.8).select(
         "doc_id", "keeper_doc_id", F.round(jac, 4).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized near-dup artifacts (build-once/serve-many — VERDICT r9 #2)
+# ---------------------------------------------------------------------------
+#
+# Before round 10 every closure consumer (dedup_cluster_canonical,
+# corpus_split_leakage, sample_downweight_duplicates, corpus_cross_source_dup,
+# dedup_minhash_cluster, dedup_threshold_sweep) re-ran the full MinHash
+# pipeline — tokenize → 4 md5 digests/token → 16-min signatures → banding →
+# verify — from the raw parquet, an O(corpus) re-tokenization per consumer
+# at 100 TB. These three artifacts are written ONCE per documents-fixture
+# fingerprint (the ivf_index pattern) and every consumer reads parquet:
+#
+#   bands      (doc_id, band, bucket)                  — the LSH bucket stream
+#   candidates (doc_id, keeper_doc_id, n_inter, n_union) — ALL banded
+#              candidates with their exact token-overlap integers; every
+#              consumer re-derives its own predicate (jac > 0.8, integral
+#              bp, band curves) from the SAME integers, so no threshold or
+#              rounding semantics are baked into the artifact
+#   closure    (doc_id, canonical_id)                  — min-label fixpoint
+#              over the verified (> 0.8) pairs
+#
+# The oracles are unchanged: DuckDB replays the full construction from the
+# raw tables, which is exactly what makes the artifact contents themselves
+# externally hash-verified through their consumers.
+
+_NDI_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".neardup_index",
+)
+# version tags bump when the artifact's CONSTRUCTION rule changes, so an
+# index written under an older rule is never served to newer code
+_NDI_BANDS_V = "bands-v1"
+_NDI_CAND_V = "cand-v1"
+_NDI_CLOSURE_V = "closure-v1"
+
+
+def _ndi_path(sf_dir: str, tag: str) -> str:
+    return os.path.join(_NDI_ROOT, f"{fixture_fingerprint(sf_dir, 'documents')}-{tag}")
+
+
+def neardup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, band, bucket) LSH bucket stream."""
+
+    def build() -> DataFrame:
+        _, _, _, bands = _mhb_stages(load(spark, sf_dir, "documents"))
+        return bands
+
+    return materialize_once(spark, _ndi_path(sf_dir, _NDI_BANDS_V), build)
+
+
+def neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized scored candidates (doc_id, keeper_doc_id, n_inter,
+    n_union): every banded candidate pair with its exact distinct-token
+    intersection/union sizes. Builds FROM the materialized bands (one
+    tokenization for the verify arrays, zero for the bucket stream)."""
+
+    def build() -> DataFrame:
+        bands = neardup_bands(spark, sf_dir)
+        bmin = bands.groupBy("band", "bucket").agg(
+            F.min("doc_id").alias("bucket_keeper")
+        )
+        cand = (
+            bands.join(bmin, ["band", "bucket"])
+            .groupBy("doc_id")
+            .agg(F.min("bucket_keeper").alias("keeper_doc_id"))
+            .filter(F.col("keeper_doc_id") < F.col("doc_id"))
+        )
+        toks = load(spark, sf_dir, "documents").select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        )
+        tk = toks.withColumnRenamed("doc_id", "keeper_doc_id").withColumnRenamed(
+            "toks", "toks_k"
+        )
+        inter = F.size(F.array_intersect("toks", "toks_k"))
+        return (
+            cand.join(tk, "keeper_doc_id")
+            .join(toks, "doc_id")
+            .select(
+                "doc_id",
+                "keeper_doc_id",
+                inter.cast("bigint").alias("n_inter"),
+                (F.size("toks") + F.size("toks_k") - inter)
+                .cast("bigint")
+                .alias("n_union"),
+            )
+        )
+
+    return materialize_once(spark, _ndi_path(sf_dir, _NDI_CAND_V), build)
+
+
+def _verified_jac() -> F.Column:
+    """The shared verify predicate's raw double — n_inter/n_union exactly
+    as _minhash_banded_pipeline computes it (double ÷ int), so ``> 0.8``
+    over the artifact is bit-identical to the inline pipeline's filter."""
+    return F.col("n_inter").cast("double") / F.col("n_union")
+
+
+def neardup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, canonical_id) — min-label fixpoint over the
+    verified (> 0.8) candidate pairs. The iterative rounds run once per
+    corpus version; the three closure consumers read parquet."""
+
+    def build() -> DataFrame:
+        from connor_fun_streamproducer_spark.operators.graph import (
+            propagate_min_label,
+        )
+
+        pairs = (
+            neardup_candidates(spark, sf_dir)
+            .filter(_verified_jac() > 0.8)
+            .select(F.col("doc_id").alias("src"), F.col("keeper_doc_id").alias("dst"))
+        )
+        edges = pairs.union(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        return propagate_min_label(edges, nodes).select(
+            F.col("node").cast("bigint").alias("doc_id"),
+            F.col("component").cast("bigint").alias("canonical_id"),
+        )
+
+    return materialize_once(spark, _ndi_path(sf_dir, _NDI_CLOSURE_V), build)
 
 
 def _mh_est_oracle() -> str:
@@ -1494,31 +1635,18 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pipeline must store so re-crawls dedup against clusters,
     not pairs.
 
-    Scale: reuses graph.propagate_min_label — min-label propagation to
-    fixpoint over the pair edges (two keyed exchanges per round on a
-    checkpointed frame, scalar convergence probe, O(cluster diameter)
-    rounds; near-dup clusters are shallow keeper stars, so 2-3 rounds
-    in practice). The oracle replays the identical closure as a
-    recursive CTE over the identical md5-stream pair set — a fully
-    hash-checked iterative dedup op.
+    Scale: serves from the materialized closure artifact
+    (neardup_closure, r10 — graph.propagate_min_label's fixpoint runs
+    ONCE per corpus version during the artifact build: two keyed
+    exchanges per round on a checkpointed frame, scalar convergence
+    probe, O(cluster diameter) rounds; near-dup clusters are shallow
+    keeper stars, so 2-3 rounds in practice). The oracle replays the
+    identical closure as a recursive CTE over the identical md5-stream
+    pair set — a fully hash-checked iterative dedup op.
     """
-    from connor_fun_streamproducer_spark.operators.graph import (
-        propagate_min_label,
-    )
-
-    pairs = _minhash_banded_pipeline(load(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("src"), F.col("keeper_doc_id").alias("dst")
-    )
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    labels = propagate_min_label(edges, nodes)
+    labels = neardup_closure(spark, sf_dir)
     w = Window.partitionBy("canonical_id")
     return labels.select(
-        F.col("node").cast("bigint").alias("doc_id"),
-        F.col("component").cast("bigint").alias("canonical_id"),
-    ).select(
         "doc_id",
         "canonical_id",
         F.count("*").over(w).cast("bigint").alias("cluster_size"),
@@ -1578,27 +1706,19 @@ def corpus_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — an avg() over doubles sums in partition order and is
     not fold-deterministic, the one float trap a grouped mean hides.
 
-    Scale: the pair set is the banded pipeline's (linear); the rollup
-    adds two broadcast-able source/token joins and a |sources|²-bounded
-    agg.
+    Scale: the pair set serves from the materialized candidate artifact
+    (neardup_candidates, r10 — no re-tokenization); the rollup adds two
+    broadcast-able source joins and a |sources|²-bounded agg.
     """
     d = load(spark, sf_dir, "documents")
-    _, cand, toks, _ = _mhb_stages(d)
-    tk = toks.withColumnRenamed("doc_id", "keeper_doc_id").withColumnRenamed(
-        "toks", "toks_k"
-    )
-    verified = cand.join(tk, "keeper_doc_id").join(toks, "doc_id")
-    inter_d = F.size(F.array_intersect("toks", "toks_k")).cast("double")
-    union_d = (
-        F.size("toks") + F.size("toks_k") - F.size(F.array_intersect("toks", "toks_k"))
-    )
-    pairs = verified.filter(inter_d / union_d > 0.8).select(
-        "doc_id",
-        "keeper_doc_id",
-        F.expr(
-            "size(array_intersect(toks, toks_k)) * 10000 div "
-            "(size(toks) + size(toks_k) - size(array_intersect(toks, toks_k)))"
-        ).alias("jac_bp"),
+    pairs = (
+        neardup_candidates(spark, sf_dir)
+        .filter(_verified_jac() > 0.8)
+        .select(
+            "doc_id",
+            "keeper_doc_id",
+            F.expr("n_inter * 10000 div n_union").alias("jac_bp"),
+        )
     )
     src = d.select("doc_id", "source")
     a = src.withColumnRenamed("source", "source_dup")
@@ -1821,23 +1941,12 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream as the verified dedup op, so the sweep grades exactly the
     pairs production sees), integer banding, one cumulative window.
 
-    Scale: candidate-set-linear (never all-pairs); the rollup is
-    |10000/step| rows and the window runs on that tiny frame.
+    Scale: candidate-set-linear (never all-pairs) and served from the
+    materialized candidate artifact (neardup_candidates, r10); the
+    rollup is |10000/step| rows and the window runs on that tiny frame.
     """
-    d = load(spark, sf_dir, "documents")
-    _, cand, toks, _ = _mhb_stages(d)
-    tk = toks.withColumnRenamed("doc_id", "keeper_doc_id").withColumnRenamed(
-        "toks", "toks_k"
-    )
-    jac = (
-        cand.join(tk, "keeper_doc_id")
-        .join(toks, "doc_id")
-        .select(
-            F.expr(
-                "size(array_intersect(toks, toks_k)) * 10000 div "
-                "(size(toks) + size(toks_k) - size(array_intersect(toks, toks_k)))"
-            ).alias("jac_bp")
-        )
+    jac = neardup_candidates(spark, sf_dir).select(
+        F.expr("n_inter * 10000 div n_union").alias("jac_bp")
     )
     banded = (
         jac.select(
@@ -1914,13 +2023,14 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Knuth-hash rule via its OWN constants; the matrix is distinct
     counts over (pair, cluster) — all integers.
 
-    Scale: cluster frame is candidate-set-linear; the pair expansion is
-    per-cluster over ≤3 split labels (bounded 3×2 matrix output); the
-    split column is a map-side projection.
+    Scale: the cluster frame serves from the materialized closure
+    artifact (neardup_closure, r10 — no pipeline re-run); the pair
+    expansion is per-cluster over ≤3 split labels (bounded 3×2 matrix
+    output); the split column is a map-side projection.
     """
     from connor_fun_streamproducer_spark.llm.corpus import _KEY_REDUCE, _SPLIT_MULT
 
-    labels = dedup_cluster_canonical(spark, sf_dir).select("doc_id", "canonical_id")
+    labels = neardup_closure(spark, sf_dir)
     bucket = ((F.col("doc_id") % _KEY_REDUCE) * _SPLIT_MULT) % 1000
     split = (
         F.when(bucket < 900, F.lit("train"))
@@ -1984,13 +2094,17 @@ def sample_downweight_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_cluster_comp_ctes — the same clusters dedup_cluster_canonical and
     corpus_split_leakage see); the weight is one integral division.
 
-    Scale: closure frame is candidate-set-linear; the weight join-back
+    Scale: the closure frame serves from the materialized artifact
+    (neardup_closure, r10 — no pipeline re-run); the weight join-back
     is one (doc_id) equi-join against documents, map-side after
     broadcast at dim scale and a plain shuffle join at 100 TB.
     """
     d = load(spark, sf_dir, "documents").select("doc_id")
-    labels = dedup_cluster_canonical(spark, sf_dir).select(
-        "doc_id", "canonical_id", "cluster_size"
+    sizes = neardup_closure(spark, sf_dir).groupBy("canonical_id").agg(
+        F.count("*").alias("sz")
+    )
+    labels = neardup_closure(spark, sf_dir).join(sizes, "canonical_id").select(
+        "doc_id", "canonical_id", F.col("sz").alias("cluster_size")
     )
     return (
         d.join(labels, "doc_id", "left")
@@ -1999,4 +2113,188 @@ def sample_downweight_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cluster_size"), F.lit(1)).cast("bigint").alias("cluster_size"),
             F.expr("10000 div coalesce(cluster_size, 1)").cast("bigint").alias("weight_bp"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-size profile (dedup capacity planning over the shared closure)
+# ---------------------------------------------------------------------------
+
+
+def _cluster_profile_oracle() -> str:
+    return _cluster_comp_ctes() + """,
+sizes AS (SELECT canonical_id, count(*) AS sz FROM comp GROUP BY 1)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs,
+       CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+FROM sizes GROUP BY sz
+"""
+
+
+@op(
+    "dedup_cluster_size_profile",
+    oracle=_cluster_profile_oracle(),
+    tags=("llm", "dedup", "stats"),
+)
+def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of near-dup cluster sizes over the verified closure:
+    per size, how many clusters, how many member docs, and how many a
+    hard dedup would remove (size − 1 per cluster) — the capacity-
+    planning table read BEFORE running the drop (corpus shrink factor,
+    skew of duplication mass). corpus_dup_rate_by_source answers "who
+    duplicates"; this answers "how concentrated is the duplication" —
+    one giant cluster and ten thousand pairs need different strategies
+    (a mega-cluster usually means boilerplate, not true copies).
+
+    Exact: clusters from the shared closure artifact (neardup_closure —
+    the identical _cluster_comp_ctes clusters every other consumer
+    sees); the histogram is pure integer counting.
+
+    Scale: the closure frame is candidate-set-linear; the profile is
+    two hash aggs whose output is |distinct sizes| rows.
+    """
+    sizes = (
+        neardup_closure(spark, sf_dir)
+        .groupBy("canonical_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    return sizes.groupBy("sz").agg(
+        F.count("*").alias("_n")
+    ).select(
+        F.col("sz").cast("bigint").alias("cluster_size"),
+        F.col("_n").cast("bigint").alias("n_clusters"),
+        (F.col("sz") * F.col("_n")).cast("bigint").alias("n_docs"),
+        ((F.col("sz") - 1) * F.col("_n")).cast("bigint").alias("n_removable"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Effective sample size after soft dedup (per source)
+# ---------------------------------------------------------------------------
+
+
+def _ess_oracle() -> str:
+    return _cluster_comp_ctes() + """,
+sizes AS (SELECT canonical_id, count(*) AS sz FROM comp GROUP BY 1),
+w AS (
+    SELECT d.doc_id, d.source,
+           10000 // coalesce(s.sz, 1) AS wbp
+    FROM documents d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    LEFT JOIN sizes s ON s.canonical_id = c.canonical_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(wbp) AS BIGINT) AS sum_weight_bp,
+       CAST(sum(wbp) * sum(wbp) * 100 // sum(wbp * wbp) AS BIGINT)
+           AS ess_docs_x100
+FROM w GROUP BY source
+"""
+
+
+@op(
+    "sample_effective_size",
+    oracle=_ess_oracle(),
+    tags=("llm", "dedup", "sampling", "stats"),
+)
+def sample_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size per source under the soft-dedup
+    weights: ESS = (Σw)²/Σw² over sample_downweight_duplicates' exact
+    1/cluster_size weights — the number that tells a data-mixing plan
+    how many INDEPENDENT documents a source really contributes after
+    duplication is discounted (a source of 10k docs in one near-dup
+    cluster is worth ~1). corpus_budget_apportion allocates on raw
+    counts; feeding it ESS instead is the standard correction.
+
+    Exact: weights are the shared integral basis points (10000 div
+    cluster_size) over the shared closure artifact; ESS is one integral
+    cross-multiplied division ((Σw)²·100 div Σw²) — centi-docs, all
+    integers, no float anywhere.
+
+    Scale: one (doc_id) join of documents against the closure frame +
+    a |sources|-key agg; Σw and Σw² are order-free integer partials.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sizes = (
+        neardup_closure(spark, sf_dir)
+        .groupBy("canonical_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    labels = neardup_closure(spark, sf_dir).join(sizes, "canonical_id")
+    w = d.join(labels.select("doc_id", "sz"), "doc_id", "left").select(
+        "source",
+        F.expr("10000 div coalesce(sz, 1)").alias("wbp"),
+    )
+    return w.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("wbp").cast("bigint").alias("sum_weight_bp"),
+        F.expr("sum(wbp) * sum(wbp) * 100 div sum(wbp * wbp)")
+        .cast("bigint")
+        .alias("ess_docs_x100"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup storage savings (per source, from the shared closure)
+# ---------------------------------------------------------------------------
+
+
+def _savings_oracle() -> str:
+    return _cluster_comp_ctes() + """,
+keep AS (
+    SELECT d.doc_id, d.source, d.n_chars,
+           CASE WHEN c.doc_id IS NOT NULL AND c.doc_id <> c.canonical_id
+                THEN 1 ELSE 0 END AS dropped
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(dropped * n_chars) AS BIGINT) AS dropped_chars,
+       CAST(sum(dropped) AS BIGINT) AS n_dropped,
+       CAST(sum(dropped * n_chars) * 10000 // sum(n_chars) AS BIGINT)
+           AS savings_bp
+FROM keep GROUP BY source
+"""
+
+
+@op(
+    "corpus_dedup_savings",
+    oracle=_savings_oracle(),
+    tags=("llm", "dedup", "corpus"),
+)
+def corpus_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage/compute savings a hard near-dup dedup would realize, per
+    source: total chars, chars on non-canonical cluster members (what a
+    drop removes), and the savings rate in basis points — the cost-side
+    complement to dedup_cluster_size_profile (how much smaller does the
+    corpus get, and WHOSE bytes go). n_chars is the fixture's stored
+    length column, so the projection never touches text.
+
+    Exact: canonical membership from the shared closure artifact;
+    sums and the integral savings rate are order-free integers.
+
+    Scale: one (doc_id) left join against the closure + a |sources|-key
+    agg; the scan prunes to (doc_id, source, n_chars).
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    lab = neardup_closure(spark, sf_dir)
+    keep = d.join(lab, "doc_id", "left").select(
+        "source",
+        "n_chars",
+        F.when(
+            F.col("canonical_id").isNotNull()
+            & (F.col("doc_id") != F.col("canonical_id")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("dropped"),
+    )
+    return keep.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.col("dropped") * F.col("n_chars")).cast("bigint").alias("dropped_chars"),
+        F.sum("dropped").cast("bigint").alias("n_dropped"),
+        F.expr("sum(dropped * n_chars) * 10000 div sum(n_chars)")
+        .cast("bigint")
+        .alias("savings_bp"),
     )

@@ -620,8 +620,12 @@ SELECT CAST(pos AS BIGINT) AS dim,
        CAST(n AS BIGINT) AS n,
        round(mean_raw, 6) + 0.0 AS mean,
        round(var_raw, 6) + 0.0 AS variance,
-       CAST(row_number() OVER (ORDER BY round(var_raw, 6) DESC, pos) AS BIGINT)
-           AS var_rank
+       -- rank key is +0.0-normalized like the output column: Spark's sort
+       -- is Double.compare (-0.0 < 0.0) while DuckDB's treats them equal,
+       -- so an un-normalized -0.0 variance could rank differently on
+       -- exactly the dead-dimension rows this op surfaces (r10 ADVICE)
+       CAST(row_number() OVER (ORDER BY round(var_raw, 6) + 0.0 DESC, pos)
+            AS BIGINT) AS var_rank
 FROM v
 """
 
@@ -673,7 +677,7 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         (F.round(mean_raw, 6) + F.lit(0.0)).alias("mean"),
         (F.round(var_raw, 6) + F.lit(0.0)).alias("variance"),
-        F.round(var_raw, 6).alias("_vr"),
+        (F.round(var_raw, 6) + F.lit(0.0)).alias("_vr"),
     )
     w = Window.orderBy(F.desc("_vr"), F.asc("dim"))
     return v.select(

@@ -182,11 +182,12 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, cluster_id = min doc of the component) for docs in
     multi-doc clusters; singletons are implicit keepers.
     """
-    from connor_fun_streamproducer_spark.llm.dedup import _mhb_stages
+    from connor_fun_streamproducer_spark.llm.dedup import neardup_bands
     from connor_fun_streamproducer_spark.operators.graph import propagate_min_label
 
-    d = load(spark, sf_dir, "documents")
-    _, _, _, bands = _mhb_stages(d)
+    # bands serve from the materialized artifact (r10 — the md5-lane
+    # construction runs once per corpus version, not per consumer)
+    bands = neardup_bands(spark, sf_dir)
     hub = (
         bands.groupBy("band", "bucket")
         .agg(F.min("doc_id").alias("hub"), F.count("*").alias("n"))

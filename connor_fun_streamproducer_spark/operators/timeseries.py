@@ -1068,12 +1068,25 @@ def ts_seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare the ROUNDED Q statistic against.
 _LB_CRIT_3DF = 7.814728
 
-_LB_RHO_SQL = """r AS (
-    SELECT event_type, lag,
-           CAST(n * sxy - sx * sy AS DOUBLE) /
-           nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) AS rho
-    FROM m
+# rho is the STANDARD ACF estimator (r10 ADVICE fix): deviations from
+# the single full-series mean, denominator = full-series variance —
+# the estimator the Ljung-Box chi-square calibration is defined for.
+# Cross-multiplied by n² so every term stays an exact integer:
+#   rho_k = (n²·Σxy − n·S1·(Σx+Σy) + (n−k)·S1²) / (n²·S2 − n·S1²)
+_LB_RHO_SQL = """tot AS (
+    SELECT event_type, count(*) AS nn,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s1,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+               * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s2
+    FROM events GROUP BY 1
+),
+r AS (
+    SELECT m.event_type, m.lag,
+           CAST(t.nn * t.nn * m.sxy - t.nn * t.s1 * (m.sx + m.sy)
+                + (t.nn - m.lag) * t.s1 * t.s1 AS DOUBLE)
+           / nullif(CAST(t.nn * t.nn * t.s2 - t.nn * t.s1 * t.s1 AS DOUBLE),
+                    0.0) AS rho
+    FROM m JOIN tot t USING (event_type)
 ),
 p AS (
     SELECT event_type,
@@ -1081,8 +1094,7 @@ p AS (
            max(CASE WHEN lag = 2 THEN rho END) AS r2,
            max(CASE WHEN lag = 3 THEN rho END) AS r3
     FROM r GROUP BY 1
-),
-tot AS (SELECT event_type, count(*) AS nn FROM events GROUP BY 1)"""
+)"""
 
 _LJUNG_BOX_ORACLE = (
     "WITH " + _ACF_MOMENTS_SQL + ",\n" + _LB_RHO_SQL + f"""
@@ -1113,29 +1125,42 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats_runs_test asks the same of the SIGN sequence, this asks it
     of the magnitudes).
 
-    Exact: the lag moments are ts_autocorr's integer aggregates (ONE
-    shared construction, Spark and SQL — _ACF_MOMENTS_SQL); each rho
-    and the Q polynomial are single fixed-shape float expressions over
-    identical exact integers, and the verdict compares the ROUNDED Q
-    against the fixed critical literal, so the boolean is a cross-
-    engine total order.
+    Exact: the lag cross-moments are ts_autocorr's integer aggregates
+    (ONE shared construction, Spark and SQL — _ACF_MOMENTS_SQL); rho is
+    the STANDARD ACF estimator — deviations from the single full-series
+    mean, denominator the full-series variance (r10 ADVICE fix: the
+    chi-square(3) calibration is defined for this estimator, not the
+    per-lag Pearson variant) — cross-multiplied by n² so numerator and
+    denominator stay exact integers; rho and the Q polynomial are single
+    fixed-shape float expressions over identical exact integers, and the
+    verdict compares the ROUNDED Q against the fixed critical literal,
+    so the boolean is a cross-engine total order.
 
     Scale: same one-window + 15-key agg as ts_autocorr, plus a
     |types|-row count join.
     """
     ev = load(spark, sf_dir, "events")
     m = _acf_moment_frame(ev)
-    rho = m.select(
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    tot = ev.select("event_type", c.alias("c")).groupBy("event_type").agg(
+        F.count("*").alias("nn"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
+    )
+    j = m.join(F.broadcast(tot), "event_type")
+    num = (
+        F.col("nn") * F.col("nn") * F.col("sxy")
+        - F.col("nn") * F.col("s1") * (F.col("sx") + F.col("sy"))
+        + (F.col("nn") - F.col("lag")) * F.col("s1") * F.col("s1")
+    )
+    den = (
+        F.col("nn") * F.col("nn") * F.col("s2")
+        - F.col("nn") * F.col("s1") * F.col("s1")
+    )
+    rho = j.select(
         "event_type",
         "lag",
-        (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / F.nullif(
-                F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
-                F.lit(0.0),
-            )
-        ).alias("rho"),
+        (num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0))).alias("rho"),
     )
     piv = rho.groupBy("event_type").agg(
         *[
@@ -1143,7 +1168,6 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in (1, 2, 3)
         ]
     )
-    tot = ev.groupBy("event_type").agg(F.count("*").alias("nn"))
     q_expr = (
         "round(CAST(nn AS DOUBLE) * (nn + 2)"
         " * (r1*r1/(nn-1) + r2*r2/(nn-2) + r3*r3/(nn-3)), 6)"
@@ -1175,8 +1199,15 @@ WITH ev AS (
     UNION ALL
     -- day-start sentinel: carries the pre-midnight open level into the
     -- day's peak candidates (delta 0; closes at exactly midnight sort
-    -- before it, opens after)
-    SELECT DISTINCT t // 86400, (t // 86400) * 86400, 0 FROM ev
+    -- before it, opens after). Derived from ALL boundary-point days —
+    -- opens AND closes — so a day whose only points are carried-in
+    -- closes (sessions opened late the prior day) still gets one
+    -- (r10 ADVICE fix: open-only sentinels missed close-only days).
+    SELECT DISTINCT d, d * 86400, 0 FROM (
+        SELECT t // 86400 AS d FROM ev
+        UNION ALL
+        SELECT (t + {_CONC_WINDOW_S}) // 86400 FROM ev
+    )
 ), offs AS (
     SELECT d,
            coalesce(sum(ddelta) OVER (ORDER BY d
@@ -1214,9 +1245,10 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative window over the tiny per-day frame), and a delta-0
     day-start sentinel makes the carried level itself a peak candidate
     — so 100 sessions open at 23:55 are correctly part of day D+1's
-    00:05 peak. Intervals are ≤ {_CONC_WINDOW_S} s, so a day with any
-    carried-in interval necessarily has boundary points (and thus a
-    sentinel).
+    00:05 peak. Sentinels are derived from ALL boundary-point days —
+    opens UNION closes — so a day whose only points are carried-in
+    closes (no events of its own) still nominates its midnight carry
+    level as a peak candidate (r10 ADVICE fix).
 
     Exact: integer epoch seconds and day indexes; the sweep orders
     (t ASC, delta ASC) so a −1 closing at instant t applies before the
@@ -1237,7 +1269,8 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).alias("delta"),
     )
     sentinels = (
-        ev.select(F.expr("t div 86400").alias("d"))
+        opens.select("d")
+        .unionByName(closes.select("d"))
         .distinct()
         .select("d", (F.col("d") * 86400).alias("t"), F.lit(0).alias("delta"))
     )
@@ -1687,4 +1720,245 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("ape_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-period periodogram (integer-exact spectral screen)
+# ---------------------------------------------------------------------------
+
+_PGRAM_PERIODS = (24, 12, 6)  # hours: diurnal + its first two harmonics
+
+
+def _pgram_tables() -> dict[int, tuple[list[int], list[int]]]:
+    """Per period P: the 1e6-quantized cos/sin tables over phase m=0..P-1.
+
+    Generated ONCE here and embedded as literals in BOTH the Spark
+    expression and the DuckDB oracle — the engines never call their own
+    libm trig (whose last-ulp behavior differs); every per-term product
+    is exact-integer × exact-integer."""
+    import math
+
+    out = {}
+    for p in _PGRAM_PERIODS:
+        qc = [math.floor(math.cos(2 * math.pi * m / p) * 1e6 + 0.5) for m in range(p)]
+        qs = [math.floor(math.sin(2 * math.pi * m / p) * 1e6 + 0.5) for m in range(p)]
+        out[p] = (qc, qs)
+    return out
+
+
+def _pgram_oracle() -> str:
+    tabs = _pgram_tables()
+    per_p = []
+    for p, (qc, qs) in tabs.items():
+        per_p.append(
+            f"SELECT {p} AS period_h, [{', '.join(map(str, qc))}] AS qc,"
+            f" [{', '.join(map(str, qs))}] AS qs"
+        )
+    return f"""
+WITH hrs AS (
+    SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+), span AS (
+    SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS mn,
+           max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS mx
+    FROM events
+), grid AS (
+    SELECT t.event_type, g.h
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN (SELECT unnest(generate_series(mn, mx)) AS h FROM span) g
+), dense AS (
+    SELECT g.event_type, g.h, coalesce(hrs.cnt, 0) AS c
+    FROM grid g LEFT JOIN hrs ON hrs.event_type = g.event_type AND hrs.h = g.h
+), tot AS (
+    SELECT event_type, count(*) AS n, sum(c) AS s FROM dense GROUP BY 1
+), tabs AS ({' UNION ALL '.join(per_p)}),
+ab AS (
+    SELECT d.event_type, p.period_h,
+           sum((t.n * d.c - t.s) * p.qc[CAST(d.h % p.period_h AS INTEGER) + 1]) AS a,
+           sum((t.n * d.c - t.s) * p.qs[CAST(d.h % p.period_h AS INTEGER) + 1]) AS b,
+           max(t.n) AS n
+    FROM dense d
+    JOIN tot t USING (event_type)
+    CROSS JOIN tabs p
+    GROUP BY 1, 2
+)
+SELECT event_type, CAST(period_h AS BIGINT) AS period_h,
+       CAST(a // (n * n // 2) AS BIGINT) AS amp_cos_u,
+       CAST(b // (n * n // 2) AS BIGINT) AS amp_sin_u,
+       round((CAST(a // (n * n // 2) AS DOUBLE) * CAST(a // (n * n // 2) AS DOUBLE)
+            + CAST(b // (n * n // 2) AS DOUBLE) * CAST(b // (n * n // 2) AS DOUBLE))
+             / 1e12, 4) + 0.0 AS power_c2
+FROM ab
+"""
+
+
+@op("ts_periodogram_fixed", oracle=_pgram_oracle(), tags=("ext", "timeseries", "stats"))
+def ts_periodogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-period periodogram over the dense hourly count grid: for
+    each event type and candidate period P ∈ {24, 12, 6} hours, the
+    mean-removed Fourier amplitudes at frequency 1/P and their power —
+    the spectral screen that says WHICH cycle dominates, where
+    ts_seasonal_index (given the 24 h hypothesis) profiles its shape
+    and ts_dow_effects asks the weekly question. A flat series scores
+    ~0 everywhere; a diurnal one scores high at 24 and its harmonics.
+
+    Exact: the trig tables are 1e6-quantized literals generated once
+    and shared verbatim by both engines (no libm in either plan); the
+    mean is removed by cross-multiplication (n·c − S — never a float
+    mean); A and B are order-free integer sums (decimal(38,0) /
+    HUGEINT); amplitudes are integral divisions and the power is one
+    fixed float expression over those two exact integers.
+
+    Scale: the dense grid is |types| × span-hours (dim-bounded — the
+    croston grid); one hash agg per (type, period) after a phase-table
+    broadcast. Nothing corpus-sized shuffles.
+    """
+    tabs = _pgram_tables()
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", (epoch_seconds("ts") / 3600).cast("bigint").alias("h")
+    )
+    hrs = ev.groupBy("event_type", "h").agg(F.count("*").alias("cnt"))
+    span = ev.agg(F.min("h").alias("mn"), F.max("h").alias("mx")).collect()[0]
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                hrs.sparkSession.range(span["mn"], span["mx"] + 1).select(
+                    F.col("id").alias("h")
+                )
+            )
+        )
+    )
+    dense = grid.join(hrs, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("cnt", F.lit(0)).alias("c")
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("c").alias("s")
+    )
+    rows = []
+    for p, (qc, qs) in tabs.items():
+        rows.append(
+            F.struct(
+                F.lit(p).alias("period_h"),
+                F.array(*[F.lit(v) for v in qc]).alias("qc"),
+                F.array(*[F.lit(v) for v in qs]).alias("qs"),
+            )
+        )
+    ptab = dense.sparkSession.range(1).select(
+        F.explode(F.array(*rows)).alias("t")
+    ).select("t.period_h", "t.qc", "t.qs")
+    dev = (F.col("n") * F.col("c") - F.col("s")).cast("decimal(38,0)")
+    m1 = (F.col("h") % F.col("period_h")).cast("int") + 1
+    ab = (
+        dense.join(tot, "event_type")
+        .crossJoin(F.broadcast(ptab))
+        .groupBy("event_type", "period_h")
+        .agg(
+            F.sum(dev * F.element_at("qc", m1).cast("decimal(38,0)")).alias("a"),
+            F.sum(dev * F.element_at("qs", m1).cast("decimal(38,0)")).alias("b"),
+            F.max("n").alias("n"),
+        )
+    )
+    amp_c = F.expr("CAST(a AS DECIMAL(38,0)) div CAST(n * n div 2 AS DECIMAL(38,0))")
+    amp_s = F.expr("CAST(b AS DECIMAL(38,0)) div CAST(n * n div 2 AS DECIMAL(38,0))")
+    return ab.select(
+        "event_type",
+        F.col("period_h").cast("bigint").alias("period_h"),
+        amp_c.cast("bigint").alias("amp_cos_u"),
+        amp_s.cast("bigint").alias("amp_sin_u"),
+        (
+            F.round(
+                (
+                    amp_c.cast("double") * amp_c.cast("double")
+                    + amp_s.cast("double") * amp_s.cast("double")
+                )
+                / F.lit(1e12),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("power_c2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap profile (rank-exact percentiles)
+# ---------------------------------------------------------------------------
+
+_GAPS_ORACLE = """
+WITH t AS (
+    SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS te, event_id
+    FROM events
+), g AS (
+    SELECT event_type,
+           te - lag(te) OVER (PARTITION BY event_type
+                              ORDER BY te, event_id) AS gap
+    FROM t
+), gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+r AS (
+    SELECT event_type, gap,
+           row_number() OVER (PARTITION BY event_type ORDER BY gap) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM gg
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(min(gap) AS BIGINT) AS min_gap_s,
+       CAST(max(gap) AS BIGINT) AS max_gap_s,
+       CAST(max(CASE WHEN rk = (n + 1) // 2 THEN gap END) AS BIGINT)
+           AS median_gap_s,
+       CAST(max(CASE WHEN rk = (n * 9 + 9) // 10 THEN gap END) AS BIGINT)
+           AS p90_gap_s
+FROM r GROUP BY event_type
+"""
+
+
+@op("ts_event_gaps", oracle=_GAPS_ORACLE, tags=("ext", "timeseries", "stats"))
+def ts_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap profile per event type: count, min, max, and
+    rank-exact median/p90 of the seconds between consecutive events —
+    the arrival-process table that sizes stream watermarks
+    (stats_event_lateness measures disorder; this measures sparsity),
+    detects feed outages (max gap ≫ p90), and calibrates session
+    timeouts (win_sessionize's 30-min constant should dominate p90).
+    pipeline_interpurchase_time asks this of ORDER dates per customer;
+    this asks it of the raw event stream per type.
+
+    Exact: gaps are integer epoch-second differences over the
+    (te, event_id) total order; percentiles are VALUES AT RANKS (lower
+    median at (n+1) div 2, p90 at ceil(0.9 n)) — the value at a rank is
+    deterministic regardless of how ties order, and everything is
+    integer.
+
+    Scale: ONE window pass per series (single (event_type) exchange —
+    the ts_autocorr shape) plus a rank window over the same partitioning
+    (no second exchange: same key) and a |types|-key agg.
+    """
+    t = load(spark, sf_dir, "events").select(
+        "event_type", epoch_seconds("ts").alias("te"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("te", "event_id")
+    g = t.select(
+        "event_type", (F.col("te") - F.lag("te").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap")
+    wn = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type",
+        "gap",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.min("gap").cast("bigint").alias("min_gap_s"),
+        F.max("gap").cast("bigint").alias("max_gap_s"),
+        F.max(F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("gap")))
+        .cast("bigint")
+        .alias("median_gap_s"),
+        F.max(F.when(F.col("rk") == F.expr("(n * 9 + 9) div 10"), F.col("gap")))
+        .cast("bigint")
+        .alias("p90_gap_s"),
     )

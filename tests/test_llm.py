@@ -585,3 +585,73 @@ def test_dedup_pipeline_verdicts_partition_and_keep_cluster_minima(spark):
     # (i.e. docs that reached tier 3) is never dropped by tier 3.
     reached_t3 = [d for d, (s, t) in by.items() if t in (0, 3)]
     assert by[min(reached_t3)][1] == 0
+
+
+def test_rows_only_twins_pinned_to_hash_proven_twins(spark):
+    """VERDICT r9 #7: the rows-only production twins (xxhash64
+    dedup_near_minhash / dedup_simhash) are pinned to their externally
+    hash-proven md5 twins (dedup_minhash_banded / dedup_simhash_banded).
+
+    A strict candidate-superset does NOT hold between hash families —
+    each family's banding misses a different sliver of true pairs — so
+    the pins are (a) PRECISION 1.0: every verified minhash pair from
+    EITHER twin re-checks as true token-Jaccard > 0.8 (the verify stage
+    is the same exact computation, so this is the invariant that cannot
+    drift), and (b) detection overlap: the doc sets the two families
+    flag agree to >= 85% (Jaccard of sets) on the fixture, so the
+    production twin cannot silently diverge from the proven pipeline."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = {
+        r.doc_id: set(r.text.split(" ")) for r in docs.select("doc_id", "text").collect()
+    }
+
+    def true_jac(a, b):
+        ta, tb = toks[a], toks[b]
+        return len(ta & tb) / len(ta | tb)
+
+    md5_pairs = _pairs(
+        registry.OPS["dedup_minhash_banded"].fn(spark, SF_DIR), "doc_id", "keeper_doc_id"
+    )
+    xx_pairs = _pairs(
+        registry.OPS["dedup_near_minhash"].fn(spark, SF_DIR), "doc_id", "keeper_doc_id"
+    )
+    for a, b in md5_pairs | xx_pairs:
+        assert true_jac(a, b) > 0.8, f"verified pair ({a},{b}) fails exact re-check"
+    d_md5 = {d for p in md5_pairs for d in p}
+    d_xx = {d for p in xx_pairs for d in p}
+    overlap = len(d_md5 & d_xx) / len(d_md5 | d_xx)
+    assert overlap >= 0.85, f"minhash twin doc-detection overlap {overlap:.3f} < 0.85"
+
+    # SimHash twins: hamming distances are family-specific (different
+    # hash bits, 60- vs 64-bit fingerprints), so detection sets diverge
+    # legitimately on borderline pairs. Each twin is pinned to what its
+    # construction guarantees: docs with IDENTICAL distinct-token sets
+    # have identical fingerprints in ANY family, and the production twin
+    # emits ALL-PAIRS within a band, so it must detect every planted
+    # exact-token-set dup pair (hamming 0 agrees on every band). The md5
+    # twin's keeper-star can reroute an exact dup to a dissimilar keeper
+    # (the documented single-hop recall trade dedup_eval_tiers measures),
+    # so it carries a count floor, not pair-exactness.
+    exact_dups = set()
+    by_tokset: dict[frozenset, int] = {}
+    for doc_id in sorted(toks):
+        key = frozenset(toks[doc_id])
+        if key in by_tokset:
+            exact_dups.add((by_tokset[key], doc_id))
+        else:
+            by_tokset[key] = doc_id
+    assert exact_dups, "fixture lost its planted exact duplicates"
+    sh_xx = _pairs(registry.OPS["dedup_simhash"].fn(spark, SF_DIR))
+    for a, b in exact_dups:
+        assert (a, b) in sh_xx, f"production simhash twin missed exact dup ({a},{b})"
+    sh_md5 = _pairs(
+        registry.OPS["dedup_simhash_banded"].fn(spark, SF_DIR), "doc_id", "keeper_doc_id"
+    )
+    det_md5 = {d for p in sh_md5 for d in p}
+    n_flagged = sum(1 for _, b in exact_dups if b in det_md5)
+    assert n_flagged >= len(exact_dups) // 4, (
+        f"md5 simhash twin flags {n_flagged}/{len(exact_dups)} planted dups — "
+        "keeper-star recall collapsed below its pinned floor"
+    )

@@ -2358,3 +2358,32 @@ def test_peak_concurrency_carries_across_midnight(spark, tmp_path):
     # day 2's peak is 4 (3 carried-in + 1 new), first reached at 00:05
     assert out["2024-03-02"][0] == 4
     assert out["2024-03-02"][1] == int(pd.Timestamp("2024-03-02 00:05:00").timestamp())
+
+
+def test_peak_concurrency_close_only_day(spark, tmp_path):
+    """r10 ADVICE scenario: a day whose ONLY boundary points are closes
+    (sessions carried in from the prior day, no events of its own) must
+    still report the carried-in midnight level as its peak — sentinels
+    come from opens UNION closes, not opens alone."""
+    import pandas as pd
+
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    base = pd.Timestamp("2024-03-01 23:59:30")
+    rows = [
+        # three opens 30s before midnight; day 2 has NO events of its own,
+        # only the three carried-in closes at 00:14:30
+        dict(event_id=i, ts=base, user_id=i, event_type="view", value=1.0,
+             props="{}")
+        for i in range(3)
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    out = {
+        str(r["day"]): (r["peak_concurrency"], r["first_peak_epoch"])
+        for r in registry.OPS["ts_peak_concurrency"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out["2024-03-01"][0] == 3
+    # day 2's true peak is the carried-in 3, first at midnight (sentinel)
+    assert out["2024-03-02"][0] == 3
+    assert out["2024-03-02"][1] == int(pd.Timestamp("2024-03-02 00:00:00").timestamp())
