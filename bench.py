@@ -177,6 +177,30 @@ EXTENDED = [
     "corpus_mix_kl_drift",
     "text_js_divergence_sources",
     "sample_downweight_duplicates",
+    # round-10 tier (incl. the artifact-serving closure consumers)
+    "dedup_cluster_canonical",
+    "dedup_cluster_size_profile",
+    "sample_effective_size",
+    "corpus_dedup_savings",
+    "corpus_cross_source_dup",
+    "ts_periodogram_fixed",
+    "ts_event_gaps",
+    "stats_welch_ttest",
+    "stats_srm_check",
+    "pipeline_part_velocity",
+    "text_ttr_by_source",
+    "embedding_norm_profile",
+    "ts_mann_kendall",
+    "ts_var_es",
+    "pipeline_order_aging",
+    "win_ratio_to_report",
+    "dedup_exact_normalized",
+    "sample_ipw_weights",
+    "ts_pacf",
+    "pipeline_discount_depth",
+    "pipeline_returns_rate",
+    "graph_component_sizes",
+    "sim_margin_profile",
 ]
 
 

@@ -1207,3 +1207,69 @@ def corpus_mix_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(kl_fwd, 6) + F.lit(0.0)).alias("kl_forward_nats"),
         (F.round(kl_rev, 6) + F.lit(0.0)).alias("kl_reverse_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-propensity weights toward a uniform source mix
+# ---------------------------------------------------------------------------
+
+_IPW_CAP_BP = 50_000  # weight cap: no source gets more than 5x nominal mass
+
+_IPW_ORACLE = f"""
+WITH c AS (
+    SELECT source, count(*) AS n FROM documents GROUP BY 1
+), t AS (
+    SELECT sum(n) AS total, count(*) AS k FROM c
+), w AS (
+    SELECT c.source, c.n, t.total, t.k,
+           t.total * 10000 // (c.n * t.k) AS weight_bp
+    FROM c CROSS JOIN t
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(weight_bp AS BIGINT) AS weight_bp,
+       CAST(least(weight_bp, {_IPW_CAP_BP}) AS BIGINT) AS weight_capped_bp,
+       CAST(n * least(weight_bp, {_IPW_CAP_BP}) // 10000 AS BIGINT)
+           AS effective_docs
+FROM w
+"""
+
+
+@op("sample_ipw_weights", oracle=_IPW_ORACLE, tags=("llm", "sampling", "corpus"))
+def sample_ipw_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity weights that rebalance the corpus toward a
+    UNIFORM source mix: weight_bp = total·10⁴ div (n_source·k), capped
+    at 5× nominal so a tiny source cannot dominate the gradient, plus
+    the effective document mass each source contributes after capping —
+    the WEIGHTING alternative to sample_mix_target's resampling (keep
+    every row, reweight the loss) and the upstream input
+    sample_effective_size audits. The cap is the standard IPW-clipping
+    trade: bounded variance for a small, visible bias.
+
+    Exact: counts are integers; the weight, cap, and effective mass
+    are integral cross-multiplied divisions — no float anywhere.
+
+    Scale: one |sources|-key agg + a 1-row total broadcast back; the
+    per-doc application downstream is a broadcast-join map (this op
+    emits the dim-bounded weight table, not a reweighted corpus).
+    """
+    c = load(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"), F.count("*").alias("k"))
+    w = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n",
+        F.expr("total * 10000 div (n * k)").alias("weight_bp"),
+    )
+    return w.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("weight_bp").cast("bigint").alias("weight_bp"),
+        F.least(F.col("weight_bp"), F.lit(_IPW_CAP_BP))
+        .cast("bigint")
+        .alias("weight_capped_bp"),
+        F.expr(f"n * least(weight_bp, {_IPW_CAP_BP}) div 10000")
+        .cast("bigint")
+        .alias("effective_docs"),
+    )

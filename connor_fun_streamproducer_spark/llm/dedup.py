@@ -1208,6 +1208,48 @@ def neardup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_once(spark, _ndi_path(sf_dir, _NDI_CLOSURE_V), build)
 
 
+_NDI_BUCKET_CLOSURE_V = "bucket-closure-v1"
+
+
+def neardup_bucket_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, cluster_id) — min-label fixpoint over the
+    PRE-verification shared-bucket star graph (dedup_minhash_cluster's
+    blocking clusters). Separate from neardup_closure: that one closes
+    the verified (> 0.8) pair graph, this closes the raw candidate
+    blocking graph — the two ends of the candidate-then-verify funnel."""
+
+    def build() -> DataFrame:
+        from connor_fun_streamproducer_spark.operators.graph import (
+            propagate_min_label,
+        )
+
+        bands = neardup_bands(spark, sf_dir)
+        hub = (
+            bands.groupBy("band", "bucket")
+            .agg(F.min("doc_id").alias("hub"), F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .drop("n")
+        )
+        e0 = (
+            bands.join(hub, ["band", "bucket"])
+            .filter(F.col("doc_id") != F.col("hub"))
+            .select(F.col("hub").alias("src"), F.col("doc_id").alias("dst"))
+            .distinct()
+        )
+        edges = e0.union(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        return propagate_min_label(edges, nodes).select(
+            F.col("node").cast("bigint").alias("doc_id"),
+            F.col("component").cast("bigint").alias("cluster_id"),
+        )
+
+    return materialize_once(
+        spark, _ndi_path(sf_dir, _NDI_BUCKET_CLOSURE_V), build
+    )
+
+
 def _mh_est_oracle() -> str:
     match_expr = " + ".join(
         f"(CASE WHEN sa.mh_{k} = sk.mh_{k} THEN 1 ELSE 0 END)"
@@ -2297,4 +2339,69 @@ def corpus_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(dropped * n_chars) * 10000 div sum(n_chars)")
         .cast("bigint")
         .alias("savings_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalization-aware exact dedup (reformatted byte-distinct copies)
+# ---------------------------------------------------------------------------
+
+_NORM_EXACT_ORACLE = """
+WITH n AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS digest
+    FROM documents
+), g AS (
+    SELECT doc_id, digest,
+           min(doc_id) OVER (PARTITION BY digest) AS keeper_doc_id,
+           count(*) OVER (PARTITION BY digest) AS n_members
+    FROM n
+)
+SELECT doc_id, keeper_doc_id, digest, CAST(n_members AS BIGINT) AS n_members
+FROM g WHERE doc_id <> keeper_doc_id
+"""
+
+
+@op("dedup_exact_normalized", oracle=_NORM_EXACT_ORACLE, tags=("llm", "dedup"))
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over NORMALIZED text: lowercase, strip
+    non-alphanumerics, collapse runs of spaces, trim, md5 — catching
+    the byte-distinct trivially-reformatted copies (case flips,
+    punctuation churn, double spacing) that dedup_exact's raw digest
+    misses by construction, at exactly the same one-shuffle cost. Sits
+    between dedup_exact (byte-identical only) and the MinHash tier
+    (pays candidate verification for real edits): a crawl pipeline runs
+    all three as successive gates, cheapest first.
+
+    Exact: the normalization chain is identical regex semantics in both
+    engines (DuckDB needs the explicit 'g' flag; Spark replaces all
+    matches by default) and md5 is md5 everywhere, so the digest —
+    and therefore keeper assignment and member counts — hash-match.
+
+    Scale: one map-side normalization + digest, one window over the
+    digest exchange (equivalently a groupBy) — the dedup_exact shape,
+    shuffling 32-byte digests, never text.
+    """
+    n = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                    " +",
+                    " ",
+                )
+            )
+        ).alias("digest"),
+    )
+    w = Window.partitionBy("digest")
+    g = n.select(
+        "doc_id",
+        "digest",
+        F.min("doc_id").over(w).alias("keeper_doc_id"),
+        F.count("*").over(w).cast("bigint").alias("n_members"),
+    )
+    return g.filter(F.col("doc_id") != F.col("keeper_doc_id")).select(
+        "doc_id", "keeper_doc_id", "digest", "n_members"
     )

@@ -684,3 +684,68 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim", "n", "mean", "variance",
         F.row_number().over(w).cast("bigint").alias("var_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Norm-profile histogram (unnormalized-retrieval QA, per label)
+# ---------------------------------------------------------------------------
+
+_NORM_BUCKET = 200_000  # bucket width over the 1e-6-quantized squared norm
+                        # scale (1e12 per unit): 0.2 units of ||x||²
+
+_NORM_PROFILE_ORACLE = f"""
+WITH q AS (
+    SELECT label,
+           list_reduce(list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)
+                    * CAST(floor(x * 1e6 + 0.5) AS BIGINT)), (a, b) -> a + b)
+               AS n2q
+    FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(n2q // (CAST({_NORM_BUCKET} AS BIGINT) * 1000000) AS BIGINT) AS norm2_bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM q GROUP BY 1, 2
+"""
+
+
+@op(
+    "embedding_norm_profile",
+    oracle=_NORM_PROFILE_ORACLE,
+    tags=("llm", "embedding", "stats"),
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of squared L2 norms per label — the unnormalized-
+    retrieval QA table: cosine retrieval is norm-blind, but dot-product
+    retrieval (and every distance-based clustering here) is dominated
+    by whichever rows carry outsized norms. A label whose norm
+    histogram sits in a different band is invisible to the per-
+    DIMENSION screen (embedding_dim_profile) and to the centroid-
+    distance outlier screen (which assumes comparable scales) — this is
+    the per-ROW scale check run before choosing cosine vs dot.
+
+    Exact: the squared norm is an order-free integer fold of
+    1e-6-quantized components (the embedding_covariance discipline —
+    never a float sum); bucketing is integral division. No sqrt
+    anywhere, so no libm.
+
+    Scale: map-only fold per row → (label, bucket) hash agg;
+    output is |labels| × |occupied buckets| rows.
+    """
+    q = load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x * x,
+        ).alias("n2q"),
+    )
+    return q.groupBy(
+        F.col("label").cast("bigint").alias("label"),
+        F.expr(f"n2q div ({_NORM_BUCKET}L * 1000000L)")
+        .cast("bigint")
+        .alias("norm2_bucket"),
+    ).agg(F.count("*").cast("bigint").alias("n"))

@@ -1285,3 +1285,86 @@ def sim_search_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-margin profile (top-1 vs top-2 separation per query)
+# ---------------------------------------------------------------------------
+
+_MARGIN_ORACLE = f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+               AS sim
+    FROM embeddings q
+    JOIN embeddings c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+), r AS (
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(sim, 6) DESC, neighbor_id) AS rk
+    FROM scored
+)
+SELECT query_id,
+       max(CASE WHEN rk = 1 THEN neighbor_id END) AS top1_id,
+       round(max(CASE WHEN rk = 1 THEN sim6 END), 6) + 0.0 AS sim_top1,
+       round(max(CASE WHEN rk = 2 THEN sim6 END), 6) + 0.0 AS sim_top2,
+       round(max(CASE WHEN rk = 1 THEN sim6 END)
+             - max(CASE WHEN rk = 2 THEN sim6 END), 6) + 0.0 AS margin
+FROM r GROUP BY query_id
+"""
+
+
+@op(
+    "sim_margin_profile",
+    oracle=_MARGIN_ORACLE,
+    tags=("llm", "similarity", "eval"),
+)
+def sim_margin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-margin profile: per query, the exact top-1 neighbor and
+    the cosine GAP to the runner-up — the confidence signal retrieval
+    QA reads before trusting nearest-neighbor labels (a margin near
+    zero means the top hit is interchangeable with the next one: ANN
+    approximation error, label propagation, and dedup keeper choice all
+    become coin flips exactly there). The recall companions measure
+    whether ANN FINDS the true top-k; this measures whether the top-k
+    was ever well-separated to begin with.
+
+    Exact: the same brute-force cosine and (round(sim,6), neighbor_id)
+    rank order as sim_search_topk (one construction both engines
+    replay); top-1/top-2 picks are values at ranks, and the margin is
+    a difference of two identically-rounded doubles, re-rounded.
+
+    Scale: corpus scan × broadcast query set (the sim_search_topk
+    plan) + one rank window per query — |queries| rows out.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6).alias("sim6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim6"), F.asc("neighbor_id"))
+    r = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
+    return r.groupBy("query_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("neighbor_id"))).alias("top1_id"),
+        (F.round(F.max(F.when(F.col("rk") == 1, F.col("sim6"))), 6) + F.lit(0.0)).alias(
+            "sim_top1"
+        ),
+        (F.round(F.max(F.when(F.col("rk") == 2, F.col("sim6"))), 6) + F.lit(0.0)).alias(
+            "sim_top2"
+        ),
+        (
+            F.round(
+                F.max(F.when(F.col("rk") == 1, F.col("sim6")))
+                - F.max(F.when(F.col("rk") == 2, F.col("sim6"))),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("margin"),
+    )

@@ -931,3 +931,55 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "source_a", "source_b", (F.round(jsd, 6) + F.lit(0.0)).alias("jsd_nats")
     )
+
+
+# ---------------------------------------------------------------------------
+# Type-token ratio per source (template/spam screen)
+# ---------------------------------------------------------------------------
+
+_TTR_ORACLE = """
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+), s AS (
+    SELECT source, count(*) AS n_tokens, count(DISTINCT t) AS n_types
+    FROM tok GROUP BY 1
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(n_types * 10000 // n_tokens AS BIGINT) AS ttr_bp
+FROM s
+"""
+
+
+@op("text_ttr_by_source", oracle=_TTR_ORACLE, tags=("llm", "text", "stats"))
+def text_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per source: distinct token types over total
+    tokens, in basis points — the cheapest template detector there is.
+    A natural-prose source holds a TTR band; a log-spam or
+    machine-templated source collapses toward a handful of types
+    repeated endlessly (low TTR), and a random-id-heavy source inflates
+    past it (high TTR). corpus_vocab_coverage profiles the head of the
+    distribution per language; this is the one-number-per-SOURCE gate a
+    crawler applies before paying for the deeper screens.
+
+    Exact: token stream is the shared whitespace split; counts and the
+    integral ratio are order-free integers.
+
+    Scale: one explode → (source, token) agg for distinct types plus a
+    map-side total — the same single corpus-sized exchange shape as
+    text_entropy_source; output is |sources| rows.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    s = tok.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("t").alias("n_types"),
+    )
+    return s.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.expr("n_types * 10000 div n_tokens").cast("bigint").alias("ttr_bp"),
+    )

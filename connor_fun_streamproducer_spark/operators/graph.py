@@ -1516,3 +1516,53 @@ def sample_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = step_rows if out is None else out.unionByName(step_rows)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Component-size histogram (community structure at a glance)
+# ---------------------------------------------------------------------------
+
+_COMP_SIZES_ORACLE = (
+    "WITH comp AS (" + _CC_ORACLE.strip() + """)
+SELECT CAST(sz AS BIGINT) AS component_size,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(sz * count(*) AS BIGINT) AS n_users
+FROM (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+GROUP BY sz
+"""
+)
+
+
+@op(
+    "graph_component_sizes",
+    oracle=_COMP_SIZES_ORACLE,
+    tags=("ext", "graph", "iterative", "stats"),
+)
+def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of connected-component sizes over the shared-purchase
+    user graph: per size, how many components and how many users live
+    in them — the one-glance community structure readout (a giant
+    component plus dust is a different product than many mid-size
+    communities), and the sanity gate before any per-component
+    computation is budgeted (the largest component bounds every
+    component-local algorithm's worst partition).
+    dedup_cluster_size_profile asks this of near-dup clusters; this
+    asks it of the user graph.
+
+    Exact: labels are the same min-label fixpoint
+    graph_connected_components runs (shared _cc_edges construction +
+    propagate_min_label; the oracle nests the identical recursive-CTE
+    closure); the histogram is pure integer counting.
+
+    Scale: the closure is the CC cost (checkpointed rounds); the
+    profile adds two hash aggs over the |nodes| label frame with
+    |distinct sizes| rows out.
+    """
+    edges, nodes = _cc_edges(spark, sf_dir)
+    labels = propagate_min_label(edges, nodes)
+    sizes = labels.groupBy("component").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("sz").agg(F.count("*").alias("_n")).select(
+        F.col("sz").cast("bigint").alias("component_size"),
+        F.col("_n").cast("bigint").alias("n_components"),
+        (F.col("sz") * F.col("_n")).cast("bigint").alias("n_users"),
+    )

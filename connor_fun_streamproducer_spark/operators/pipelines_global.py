@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.catalog import epoch_seconds, load
 from connor_fun_streamproducer_spark.registry import op
 
 
@@ -530,4 +530,276 @@ def pipeline_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Part revenue velocity (top movers, rank-exact)
+# ---------------------------------------------------------------------------
+
+_VELOCITY_ORACLE = """
+WITH r AS (
+    SELECT l_partkey,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)))
+               AS rev_cbp,
+           count(DISTINCT date_trunc('day', l_shipdate)) AS active_days,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY 1
+), v AS (
+    SELECT l_partkey AS p_partkey, rev_cbp, active_days, n_lines,
+           rev_cbp // active_days AS velocity_cbp
+    FROM r
+)
+SELECT v.p_partkey, p.p_brand,
+       CAST(v.rev_cbp AS BIGINT) AS revenue_cbp,
+       CAST(v.active_days AS BIGINT) AS active_days,
+       CAST(v.n_lines AS BIGINT) AS n_lines,
+       CAST(v.velocity_cbp AS BIGINT) AS velocity_cbp
+FROM v JOIN part p USING (p_partkey)
+ORDER BY v.velocity_cbp DESC, v.p_partkey ASC
+LIMIT 20
+"""
+
+
+@op("pipeline_part_velocity", oracle=_VELOCITY_ORACLE, tags=("ext", "pipeline"))
+def pipeline_part_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by revenue VELOCITY — discounted revenue per active
+    shipping day — the inventory-turns ranking a merchandiser reads
+    instead of raw revenue: a part that sells its total in 3 days is a
+    different stocking problem from one that dribbles the same total
+    over a year (pipeline_product_profit ranks totals; ABC/Pareto ranks
+    concentration; this ranks SPEED).
+
+    Exact: revenue in centi-basis-points (cents × (10000 − discount
+    bp) — two integer quantizations, zero float products), velocity an
+    integral division by the distinct-day count, top-k on the
+    (velocity, partkey) total order.
+
+    Scale: one lineitem scan → per-part hash agg (map-side partials;
+    the distinct-day count is a per-part re-agg, same key so no second
+    exchange), broadcast part join for the brand, global top-k via
+    TakeOrdered — the scan dominates, nothing else is corpus-sized.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        (
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+            * (
+                F.lit(10000)
+                - F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("bigint")
+            )
+        ).alias("line_cbp"),
+        F.date_trunc("day", "l_shipdate").alias("ship_day"),
+    )
+    r = li.groupBy("p_partkey").agg(
+        F.sum(F.col("line_cbp").cast("decimal(38,0)")).alias("rev_cbp"),
+        F.countDistinct("ship_day").alias("active_days"),
+        F.count("*").alias("n_lines"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    v = r.join(F.broadcast(p), "p_partkey").select(
+        "p_partkey",
+        "p_brand",
+        F.col("rev_cbp").cast("bigint").alias("revenue_cbp"),
+        F.col("active_days").cast("bigint").alias("active_days"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.expr("CAST(rev_cbp div active_days AS BIGINT)").alias("velocity_cbp"),
+    )
+    return v.orderBy(F.desc("velocity_cbp"), F.asc("p_partkey")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Open-order aging buckets (receivables-style aging by priority)
+# ---------------------------------------------------------------------------
+
+_AGING_ORACLE = """
+WITH anchor AS (
+    SELECT CAST(floor(epoch(max(o_orderdate))) AS BIGINT) // 86400 AS mx
+    FROM orders
+), aged AS (
+    SELECT o_orderpriority, o_orderstatus,
+           mx - CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS age_d,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders CROSS JOIN anchor
+), b AS (
+    SELECT o_orderpriority, o_orderstatus,
+           CASE WHEN age_d <= 30 THEN 0 WHEN age_d <= 90 THEN 1
+                WHEN age_d <= 365 THEN 2 ELSE 3 END AS age_bucket,
+           cents
+    FROM aged
+)
+SELECT o_orderpriority, o_orderstatus,
+       CAST(age_bucket AS BIGINT) AS age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM b GROUP BY 1, 2, 3
+"""
+
+
+@op("pipeline_order_aging", oracle=_AGING_ORACLE, tags=("ext", "pipeline"))
+def pipeline_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Receivables-style order aging: count and value per (priority,
+    status, age bucket) where age is days from the order date to the
+    newest order in the table, bucketed 0-30 / 31-90 / 91-365 / 365+ —
+    the working-capital table an operations review opens with ("what
+    is still OPEN and how long has it sat, weighted by money, split by
+    the priority we promised"). pipeline_order_lead_time profiles how
+    long fulfilment TOOK; this profiles what is still AGING now.
+
+    Exact: the anchor is the integer day of max(o_orderdate) (a 1-row
+    broadcast, never a wall clock — reruns are reproducible); ages are
+    integer day differences, buckets integer CASE, money integer cents.
+
+    Scale: one scan → a 1-row anchor agg broadcast back → a
+    |priorities|×|statuses|×4-key hash agg with map-side partials.
+    """
+    o = load(spark, sf_dir, "orders")
+    day = (epoch_seconds("o_orderdate") / 86400).cast("bigint")
+    anchor = o.agg(F.max(day).alias("mx"))
+    aged = o.crossJoin(F.broadcast(anchor)).select(
+        "o_orderpriority",
+        "o_orderstatus",
+        (F.col("mx") - day).alias("age_d"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    b = aged.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.when(F.col("age_d") <= 30, 0)
+        .when(F.col("age_d") <= 90, 1)
+        .when(F.col("age_d") <= 365, 2)
+        .otherwise(3)
+        .cast("bigint")
+        .alias("age_bucket"),
+        "cents",
+    )
+    return b.groupBy("o_orderpriority", "o_orderstatus", "age_bucket").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discount-depth histogram by brand (pricing-policy audit)
+# ---------------------------------------------------------------------------
+
+_DISCOUNT_ORACLE = """
+WITH b AS (
+    SELECT p.p_brand,
+           CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT) // 100 AS disc_pct,
+           CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT p_brand,
+       CAST(disc_pct AS BIGINT) AS disc_pct,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(cents) AS BIGINT) AS gross_cents,
+       CAST(sum(cents * disc_pct) // 100 AS BIGINT) AS given_away_cents
+FROM b GROUP BY 1, 2
+"""
+
+
+@op("pipeline_discount_depth", oracle=_DISCOUNT_ORACLE, tags=("ext", "pipeline"))
+def pipeline_discount_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-depth histogram per brand: line counts, gross revenue,
+    and the money given away at each whole-percent discount level — the
+    pricing-policy audit ("who discounts how deep, and what does it
+    cost") that pipeline_promo_share's single promo/non-promo ratio
+    can't see: two brands with equal promo share can have completely
+    different depth profiles, and depth is where margin goes.
+
+    Exact: the discount becomes integral whole percents (bp div 100),
+    prices integer cents, and the given-away figure is an exact
+    cross-multiplied integral division — no float money anywhere.
+
+    Scale: one lineitem scan → broadcast part join (dim) →
+    |brands|×|depths| hash agg with map-side partials.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) div 100"
+        ).alias("disc_pct"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "disc_pct")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("cents").cast("bigint").alias("gross_cents"),
+            F.expr("sum(cents * disc_pct) div 100")
+            .cast("bigint")
+            .alias("given_away_cents"),
+        )
+        .select(
+            "p_brand",
+            F.col("disc_pct").cast("bigint").alias("disc_pct"),
+            "n_lines",
+            "gross_cents",
+            "given_away_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Return-rate table by brand and month (quality drift signal)
+# ---------------------------------------------------------------------------
+
+_RETURNS_ORACLE = """
+WITH b AS (
+    SELECT p.p_brand,
+           CAST(date_trunc('month', l.l_shipdate) AS DATE) AS ship_month,
+           CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+           CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT p_brand, ship_month,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(ret) AS BIGINT) AS n_returned,
+       CAST(sum(ret) * 10000 // count(*) AS BIGINT) AS return_rate_bp,
+       CAST(sum(ret * cents) AS BIGINT) AS returned_cents
+FROM b GROUP BY 1, 2
+"""
+
+
+@op("pipeline_returns_rate", oracle=_RETURNS_ORACLE, tags=("ext", "pipeline"))
+def pipeline_returns_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate table per (brand, ship month): line counts, returned
+    lines, the integral return rate in basis points, and the returned
+    money — the quality-drift signal a supplier review runs monthly (a
+    brand whose return rate climbs is a quality or mis-listing problem
+    long before revenue shows it). The month axis is what makes it a
+    DRIFT table rather than pipeline_product_profit's static rollup.
+
+    Exact: the flag is an integer indicator, money integer cents, the
+    rate an integral division — all order-free.
+
+    Scale: one lineitem scan → broadcast part join →
+    |brands|×|months| hash agg with map-side partials.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "ship_month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("ret").cast("bigint").alias("n_returned"),
+            F.expr("sum(ret) * 10000 div count(*)")
+            .cast("bigint")
+            .alias("return_rate_bp"),
+            F.sum(F.col("ret") * F.col("cents")).cast("bigint").alias("returned_cents"),
+        )
     )

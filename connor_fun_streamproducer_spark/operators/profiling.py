@@ -1855,3 +1855,201 @@ def pipeline_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("top1_share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t-test between time eras (per event type)
+# ---------------------------------------------------------------------------
+
+# two-sided 5% critical value for the normal approximation (the Welch dof
+# on these series is large; both engines compare the ROUNDED statistic
+# against this fixed literal)
+_WELCH_CRIT = 1.959964
+
+_WELCH_ORACLE = f"""
+WITH b AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS te,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), span AS (
+    SELECT (min(te) + max(te)) // 2 AS mid FROM b
+), m AS (
+    SELECT event_type,
+           CASE WHEN te < mid THEN 0 ELSE 1 END AS era,
+           count(*) AS n, sum(cents) AS s1, sum(cents * cents) AS s2
+    FROM b CROSS JOIN span GROUP BY 1, 2
+), p AS (
+    SELECT event_type,
+           max(CASE WHEN era = 0 THEN n END) AS na,
+           max(CASE WHEN era = 0 THEN s1 END) AS sa,
+           max(CASE WHEN era = 0 THEN s2 END) AS qa,
+           max(CASE WHEN era = 1 THEN n END) AS nb,
+           max(CASE WHEN era = 1 THEN s1 END) AS sb,
+           max(CASE WHEN era = 1 THEN s2 END) AS qb
+    FROM m GROUP BY 1
+    HAVING max(CASE WHEN era = 0 THEN n END) >= 2
+       AND max(CASE WHEN era = 1 THEN n END) >= 2
+), t AS (
+    SELECT event_type, na, nb,
+           (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+           / nullif(sqrt(
+               (CAST(qa AS DOUBLE) / na
+                - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na))
+                   / (na - 1)
+             + (CAST(qb AS DOUBLE) / nb
+                - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb))
+                   / (nb - 1)), 0.0) AS tstat
+    FROM p
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_era_a,
+       CAST(nb AS BIGINT) AS n_era_b,
+       round(tstat / 100, 6) + 0.0 AS t_stat_cents,
+       abs(round(tstat / 100, 6)) > {_WELCH_CRIT} AS reject_equal_means
+FROM t
+"""
+
+
+@op("stats_welch_ttest", oracle=_WELCH_ORACLE, tags=("ext", "stats"))
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test of event values between the first and
+    second half of the observed time span, per event type — the
+    unequal-variance location test behind every "did the metric move
+    between eras" question. stats_ks_eras compares whole DISTRIBUTIONS
+    (any shape change); this is the sharper, parametric MEAN test with
+    its own variance per era (Welch, not pooled — eras routinely differ
+    in spread too). The dof is large on these series, so the verdict
+    compares against the fixed normal 5% critical value.
+
+    Exact: per-era moments (n, Σc, Σc²) are integer cents aggregates
+    (the ts_autocorr discipline); the era boundary is the integer
+    midpoint of the epoch span; the statistic is one fixed-shape float
+    expression over those exact integers, rounded before the verdict
+    literal comparison — cross-engine total order. (Wait-free caveat
+    documented: sqrt/division float steps are identical IEEE given
+    identical integer inputs.)
+
+    Scale: one scan → (type, era) hash agg with map-side partials
+    (the span probe is a 1-row agg); output is |types| rows.
+    """
+    b = load(spark, sf_dir, "events").select(
+        "event_type",
+        epoch_seconds("ts").alias("te"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    span = b.agg(
+        F.expr("(min(te) + max(te)) div 2").alias("mid")
+    ).collect()[0]["mid"]  # 1-row probe: the era boundary literal
+    m = b.select(
+        "event_type",
+        F.when(F.col("te") < F.lit(span), F.lit(0)).otherwise(F.lit(1)).alias("era"),
+        "cents",
+    ).groupBy("event_type", "era").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("s2"),
+    )
+    p = (
+        m.groupBy("event_type")
+        .agg(
+            *[
+                F.max(F.when(F.col("era") == e, F.col(c))).alias(f"{a}{t}")
+                for e, t in ((0, "a"), (1, "b"))
+                for c, a in (("n", "n"), ("s1", "s"), ("s2", "q"))
+            ]
+        )
+        .filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+    )
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    va = (F.col("qa").cast("double") / F.col("na") - ma * ma) / (F.col("na") - 1)
+    vb = (F.col("qb").cast("double") / F.col("nb") - mb * mb) / (F.col("nb") - 1)
+    tstat = (ma - mb) / F.nullif(F.sqrt(va + vb), F.lit(0.0))
+    return p.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_era_a"),
+        F.col("nb").cast("bigint").alias("n_era_b"),
+        (F.round(tstat / 100, 6) + F.lit(0.0)).alias("t_stat_cents"),
+        (F.abs(F.round(tstat / 100, 6)) > F.lit(_WELCH_CRIT)).alias(
+            "reject_equal_means"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch check over a deterministic 50/50 assignment
+# ---------------------------------------------------------------------------
+
+_SRM_CRIT = 3.841459  # chi-square(1 df) 95% critical value
+
+_SRM_ORACLE = f"""
+WITH a AS (
+    SELECT event_type,
+           CAST(CAST('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 8)
+                AS UBIGINT) % 2 AS INTEGER) AS arm
+    FROM events
+), c AS (
+    SELECT event_type,
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+    FROM a GROUP BY 1
+)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_arm_a,
+       CAST(n_b AS BIGINT) AS n_arm_b,
+       round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6) + 0.0
+           AS chi2_stat,
+       round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+           > {_SRM_CRIT} AS srm_detected
+FROM c
+"""
+
+
+@op("stats_srm_check", oracle=_SRM_ORACLE, tags=("ext", "stats"))
+def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check: assign every event's user to a
+    deterministic 50/50 arm (md5 of the salted user id — the
+    sample_split hashing discipline, so assignment is reproducible and
+    engine-independent) and chi-square(1 df) test the per-event-type
+    arm counts against the designed 50/50 — the FIRST gate of any A/B
+    readout (stats_ab_proportions compares outcome rates; it is
+    meaningless if the assignment itself is skewed, which is exactly
+    what SRM detects: routing bugs, bot traffic landing in one arm,
+    crash-biased logging).
+
+    Exact: the arm is an integer parity of an md5 hex lane (identical
+    string → identical digest in both engines); counts are integers;
+    the chi-square for a 2-cell equal-split design reduces to
+    (n_a − n_b)²/(n_a + n_b) — one fixed float division, rounded before
+    the fixed critical-value comparison.
+
+    Scale: map-side md5 + a |types|-key hash agg; no joins, no windows.
+    """
+    a = load(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("srm:"), F.col("user_id").cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("arm"),
+    )
+    c = a.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    chi2 = F.round(
+        ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))).cast("double")
+        / (F.col("n_a") + F.col("n_b")),
+        6,
+    )
+    return c.select(
+        "event_type",
+        F.col("n_a").cast("bigint").alias("n_arm_a"),
+        F.col("n_b").cast("bigint").alias("n_arm_b"),
+        (chi2 + F.lit(0.0)).alias("chi2_stat"),
+        (chi2 > F.lit(_SRM_CRIT)).alias("srm_detected"),
+    )

@@ -182,31 +182,11 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, cluster_id = min doc of the component) for docs in
     multi-doc clusters; singletons are implicit keepers.
     """
-    from connor_fun_streamproducer_spark.llm.dedup import neardup_bands
-    from connor_fun_streamproducer_spark.operators.graph import propagate_min_label
+    from connor_fun_streamproducer_spark.llm.dedup import neardup_bucket_closure
 
-    # bands serve from the materialized artifact (r10 — the md5-lane
-    # construction runs once per corpus version, not per consumer)
-    bands = neardup_bands(spark, sf_dir)
-    hub = (
-        bands.groupBy("band", "bucket")
-        .agg(F.min("doc_id").alias("hub"), F.count("*").alias("n"))
-        .filter(F.col("n") > 1)
-        .drop("n")
-    )
-    e0 = (
-        bands.join(hub, ["band", "bucket"])
-        .filter(F.col("doc_id") != F.col("hub"))
-        .select(F.col("hub").alias("src"), F.col("doc_id").alias("dst"))
-        .distinct()
-    )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    labels = propagate_min_label(edges, nodes)
-    return labels.select(
-        F.col("node").cast("bigint").alias("doc_id"),
-        F.col("component").cast("bigint").alias("cluster_id"),
-    )
+    # the star-edge build and min-label fixpoint run once per corpus
+    # version inside the materialized artifact (r10); serving is a scan
+    return neardup_bucket_closure(spark, sf_dir)
 
 
 @op(

@@ -1962,3 +1962,322 @@ def ts_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p90_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (the TEST to ts_theil_sen's estimator)
+# ---------------------------------------------------------------------------
+
+_MK_CRIT = 1.959964  # two-sided 5% normal critical value
+
+_MK_ORACLE = f"""
+WITH daily AS (
+    SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+    FROM events GROUP BY 1, 2
+), pairs AS (
+    SELECT a.event_type,
+           CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sg
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.d < b.d
+), s AS (
+    SELECT event_type, sum(sg) AS s_stat FROM pairs GROUP BY 1
+), n AS (
+    SELECT event_type, count(*) AS nd FROM daily GROUP BY 1
+), ties AS (
+    SELECT event_type, sum(t * (t - 1) * (2 * t + 5)) AS tie_adj
+    FROM (SELECT event_type, c, count(*) AS t FROM daily GROUP BY 1, 2)
+    GROUP BY 1
+), z AS (
+    SELECT n.event_type, n.nd, s.s_stat,
+           nd * (nd - 1) * (2 * nd + 5) - coalesce(t.tie_adj, 0) AS var18,
+           CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                ELSE 0.0 END
+           / nullif(sqrt(CAST(nd * (nd - 1) * (2 * nd + 5)
+                              - coalesce(t.tie_adj, 0) AS DOUBLE) / 18), 0.0)
+               AS zval
+    FROM n JOIN s USING (event_type) LEFT JOIN ties t USING (event_type)
+)
+SELECT event_type,
+       CAST(nd AS BIGINT) AS n_days,
+       CAST(s_stat AS BIGINT) AS s_stat,
+       CAST(var18 AS BIGINT) AS var_s_x18,
+       round(zval, 6) + 0.0 AS z_stat,
+       abs(round(zval, 6)) > {_MK_CRIT} AS reject_no_trend
+FROM z
+"""
+
+
+@op("ts_mann_kendall", oracle=_MK_ORACLE, tags=("ext", "timeseries", "stats"))
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend TEST per event type over the daily
+    revenue series: S = Σ sign(later − earlier) over all day pairs, the
+    tie-corrected variance, and the 5% normal verdict — the hypothesis
+    test to ts_theil_sen's slope ESTIMATOR (the pair in which trend
+    results are actually reported: MK says WHETHER, Theil-Sen says HOW
+    MUCH; both are rank-based, so one outlier day moves neither).
+
+    Exact: daily cents are integer sums; every pair sign is an integer
+    comparison; S, n, and the ×18-scaled tie-corrected variance are
+    exact integers; z is one fixed float expression (with the standard
+    ±1 continuity correction) rounded before the fixed critical-value
+    comparison.
+
+    Scale: the pair frame is |days|²-per-type over the dim-bounded
+    daily rollup (the ts_theil_sen budget — |days| is a calendar
+    dimension, not a data dimension); everything corpus-sized stops at
+    the first (type, day) hash agg.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            epoch_seconds("ts").alias("te"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+        .select("event_type", F.expr("te div 86400").alias("d"), "cents")
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("c"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(F.col("b.c") > F.col("a.c"), 1)
+        .when(F.col("b.c") < F.col("a.c"), -1)
+        .otherwise(0)
+        .alias("sg"),
+    )
+    s = pairs.groupBy("event_type").agg(F.sum("sg").alias("s_stat"))
+    n = daily.groupBy("event_type").agg(F.count("*").alias("nd"))
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_adj")
+        )
+    )
+    j = n.join(s, "event_type").join(ties, "event_type", "left")
+    var18 = (
+        F.col("nd") * (F.col("nd") - 1) * (2 * F.col("nd") + 5)
+        - F.coalesce(F.col("tie_adj"), F.lit(0))
+    )
+    zval = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    ) / F.nullif(F.sqrt(var18.cast("double") / 18), F.lit(0.0))
+    return j.select(
+        "event_type",
+        F.col("nd").cast("bigint").alias("n_days"),
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        var18.cast("bigint").alias("var_s_x18"),
+        (F.round(zval, 6) + F.lit(0.0)).alias("z_stat"),
+        (F.abs(F.round(zval, 6)) > F.lit(_MK_CRIT)).alias("reject_no_trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Value-at-risk / expected shortfall of the daily revenue (rank-exact)
+# ---------------------------------------------------------------------------
+
+_VAR_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+    FROM events GROUP BY 1, 2
+), r AS (
+    SELECT event_type, c,
+           row_number() OVER (PARTITION BY event_type ORDER BY c, d) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+), k AS (SELECT event_type, greatest(1, (n * 5 + 99) // 100) AS kk, n
+         FROM r GROUP BY event_type, n)
+SELECT r.event_type,
+       CAST(max(r.n) AS BIGINT) AS n_days,
+       CAST(max(k.kk) AS BIGINT) AS k_tail,
+       CAST(max(CASE WHEN r.rk = k.kk THEN r.c END) AS BIGINT) AS var5_cents,
+       CAST(sum(CASE WHEN r.rk <= k.kk THEN r.c ELSE 0 END) // max(k.kk)
+            AS BIGINT) AS es5_cents
+FROM r JOIN k USING (event_type)
+GROUP BY r.event_type
+"""
+
+
+@op("ts_var_es", oracle=_VAR_ORACLE, tags=("ext", "timeseries", "stats"))
+def ts_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% value-at-risk and expected shortfall of the DAILY revenue per
+    event type: the worst-tail day at rank ceil(0.05·n) and the mean of
+    the days at or below it — the capacity/budget floor question
+    ("how bad is a bad day, and how bad are the bad days on average")
+    that win_drawdown (path-dependent peak-to-trough) and
+    win_anomaly_zscore (pointwise) don't answer. ES over VaR because ES
+    sees HOW far the tail days fall, not just where the cut is.
+
+    Exact: daily cents are integer sums; VaR is a VALUE AT RANK over
+    the (c, d) total order; ES is an integral division of the exact
+    tail sum by the tail count.
+
+    Scale: dim-bounded daily rollup → one rank window per type (the
+    ts_event_gaps shape) → |types| rows out.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            epoch_seconds("ts").alias("te"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+        .select("event_type", F.expr("te div 86400").alias("d"), "cents")
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("c"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("c", "d")
+    wn = Window.partitionBy("event_type")
+    r = daily.select(
+        "event_type",
+        "c",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    ).withColumn("kk", F.greatest(F.lit(1), F.expr("(n * 5 + 99) div 100")))
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.max("kk").cast("bigint").alias("k_tail"),
+        F.max(F.when(F.col("rk") == F.col("kk"), F.col("c")))
+        .cast("bigint")
+        .alias("var5_cents"),
+        F.expr("sum(CASE WHEN rk <= kk THEN c ELSE 0 END) div max(kk)")
+        .cast("bigint")
+        .alias("es5_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation (Durbin-Levinson over the shared ACF moments)
+# ---------------------------------------------------------------------------
+
+# rho uses the STANDARD ACF estimator (the stats_ljung_box construction):
+# deviations from the single full-series mean, full-series variance
+# denominator, cross-multiplied by n² so both operands are exact integers.
+_PACF_ORACLE = """
+WITH base AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+           lead(CAST(floor(value * 100 + 0.5) AS BIGINT), 1) OVER w AS y1,
+           lead(CAST(floor(value * 100 + 0.5) AS BIGINT), 2) OVER w AS y2,
+           lead(CAST(floor(value * 100 + 0.5) AS BIGINT), 3) OVER w AS y3
+    FROM events
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+),
+pairs AS (
+    SELECT event_type, 1 AS lag, c AS x, y1 AS y FROM base WHERE y1 IS NOT NULL
+    UNION ALL
+    SELECT event_type, 2, c, y2 FROM base WHERE y2 IS NOT NULL
+    UNION ALL
+    SELECT event_type, 3, c, y3 FROM base WHERE y3 IS NOT NULL
+),
+m AS (
+    SELECT event_type, lag, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy
+    FROM pairs GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type, count(*) AS nn,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s1,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+               * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s2
+    FROM events GROUP BY 1
+),
+r AS (
+    SELECT m.event_type, m.lag,
+           CAST(t.nn * t.nn * m.sxy - t.nn * t.s1 * (m.sx + m.sy)
+                + (t.nn - m.lag) * t.s1 * t.s1 AS DOUBLE)
+           / nullif(CAST(t.nn * t.nn * t.s2 - t.nn * t.s1 * t.s1 AS DOUBLE),
+                    0.0) AS rho
+    FROM m JOIN tot t USING (event_type)
+),
+p AS (
+    SELECT event_type,
+           max(CASE WHEN lag = 1 THEN rho END) AS r1,
+           max(CASE WHEN lag = 2 THEN rho END) AS r2,
+           max(CASE WHEN lag = 3 THEN rho END) AS r3
+    FROM r GROUP BY 1
+)
+SELECT event_type,
+       round(r1, 6) + 0.0 AS pacf_1,
+       round((r2 - r1 * r1) / nullif(1 - r1 * r1, 0.0), 6) + 0.0 AS pacf_2,
+       round((r3 - r1 * r2
+                 - ((r2 - r1 * r1) / nullif(1 - r1 * r1, 0.0))
+                   * (r2 - r1 * r1))
+             / nullif(1 - r1 * r1
+                 - ((r2 - r1 * r1) / nullif(1 - r1 * r1, 0.0))
+                   * (r2 - r1 * r1), 0.0), 6) + 0.0 AS pacf_3
+FROM p
+"""
+
+
+@op("ts_pacf", oracle=_PACF_ORACLE, tags=("ext", "timeseries", "stats"))
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1-3) per event-type value series
+    via the Durbin-Levinson recursion over the standard ACF estimates —
+    the AR-order selector: the ACF of an AR(1) decays forever (every
+    lag looks correlated through lag 1), the PACF cuts off sharply at
+    the true order, which is the plot an analyst reads before fitting
+    anything. Completes the correlation toolkit: ts_autocorr (raw ACF),
+    stats_ljung_box (whiteness gate), this (order selection).
+
+    Exact: the same integer lag moments and full-series moments as
+    stats_ljung_box (rho is the standard estimator, cross-multiplied by
+    n² to stay integral); the Durbin-Levinson φ22/φ33 recursions are
+    fixed-shape float expressions over those identical doubles,
+    rounded to 6 dp on both engines.
+
+    Scale: one window pass per series + a 15-key agg (the ts_autocorr
+    plan) + a |types|-row moment join.
+    """
+    ev = load(spark, sf_dir, "events")
+    m = _acf_moment_frame(ev)
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    tot = ev.select("event_type", c.alias("c")).groupBy("event_type").agg(
+        F.count("*").alias("nn"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
+    )
+    j = m.join(F.broadcast(tot), "event_type")
+    num = (
+        F.col("nn") * F.col("nn") * F.col("sxy")
+        - F.col("nn") * F.col("s1") * (F.col("sx") + F.col("sy"))
+        + (F.col("nn") - F.col("lag")) * F.col("s1") * F.col("s1")
+    )
+    den = (
+        F.col("nn") * F.col("nn") * F.col("s2")
+        - F.col("nn") * F.col("s1") * F.col("s1")
+    )
+    rho = j.select(
+        "event_type",
+        "lag",
+        (num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0))).alias("rho"),
+    )
+    p = rho.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("rho"))).alias(f"r{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi22 = (r2 - r1 * r1) / F.nullif(F.lit(1) - r1 * r1, F.lit(0.0))
+    phi33 = (r3 - r1 * r2 - phi22 * (r2 - r1 * r1)) / F.nullif(
+        F.lit(1) - r1 * r1 - phi22 * (r2 - r1 * r1), F.lit(0.0)
+    )
+    return p.select(
+        "event_type",
+        (F.round(r1, 6) + F.lit(0.0)).alias("pacf_1"),
+        (F.round(phi22, 6) + F.lit(0.0)).alias("pacf_2"),
+        (F.round(phi33, 6) + F.lit(0.0)).alias("pacf_3"),
+    )

@@ -812,3 +812,69 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: each day's share of its month, per series
+# ---------------------------------------------------------------------------
+
+_RTR_ORACLE = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(date_trunc('month', ts) AS DATE) AS month,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+    FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, day,
+       CAST(cents AS BIGINT) AS cents,
+       CAST(sum(cents) OVER (PARTITION BY event_type, month) AS BIGINT)
+           AS month_cents,
+       CAST(cents * 10000 // sum(cents) OVER (PARTITION BY event_type, month)
+            AS BIGINT) AS share_bp
+FROM daily
+"""
+
+
+@op("win_ratio_to_report", oracle=_RTR_ORACLE, tags=("ext", "window"))
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT: each day's revenue as basis points of its
+    month's total, per event type — the classic report-share analytic
+    (Oracle's RATIO_TO_REPORT, Teradata's ratio window) every finance
+    rollup uses to answer "which days carried the month". win_frame
+    computes running sums; this is the whole-partition-denominator
+    shape, which is its own window pattern (unbounded frame feeding a
+    division, not an accumulation).
+
+    Exact: daily cents are integer sums; the share is an integral
+    division against the exact month window sum — no float anywhere.
+
+    Scale: the corpus-sized work stops at the (type, day) hash agg;
+    the month window runs over the dim-bounded daily frame on the same
+    (event_type) exchange.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.date_trunc("month", "ts").cast("date").alias("month"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "day", "month")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = Window.partitionBy("event_type", "month")
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("cents").cast("bigint").alias("cents"),
+        F.sum("cents").over(w).cast("bigint").alias("month_cents"),
+        F.expr("cents * 10000").cast("bigint").alias("_num"),
+    ).select(
+        "event_type",
+        "day",
+        "cents",
+        "month_cents",
+        F.expr("_num div month_cents").cast("bigint").alias("share_bp"),
+    )

@@ -199,52 +199,106 @@ def _ensure_loaded() -> None:
 # KEY level (module import order alone cannot front never-verified keys
 # living in already-verified modules).
 #
-# Round 9 front-of-window, in order:
-#   (1) the 17 round-8 registrations with no external CORRECTNESS row —
+# Round 10 front-of-window, in order:
+#   (1) the 20 round-9 registrations with no external CORRECTNESS row —
 #       closing this debt makes every registered key externally proven
-#       at least once (VERDICT r8 top_next);
-#   (2) ops externally green or rows-only before but CHANGED in round 9:
-#       the four rows-only promotions (sim_search_pq,
-#       embedding_cluster_kmeans, dedup_minhash_cluster, dedup_embedding
-#       — each gains a DuckDB oracle this round) and the two ANN ops
-#       whose recall companions moved behind a flag (sim_search_ivf /
-#       sim_search_lsh — registry entries keep companions ON so the
-#       oracle is unchanged; the window re-verifies the refactor);
-#   (3) the stalest externally-green tier: the r03-vintage keys
-#       (filter_pred/project_select/... joins/aggs/text basics) whose
-#       last external row is three windows old.
-# 17 + 6 + 27 = 50.
+#       at least once (VERDICT r9 top_next);
+#   (2) ops externally green before but CHANGED in round 10: the five
+#       near-dup/k-means materialization consumers now serving from the
+#       write-once artifacts (oracles unchanged; the window re-verifies
+#       the serving-path refactor);
+#   (3) ops NEW in round 10, placed INSIDE the window so they gain an
+#       external row this round instead of carrying debt to r11 (the
+#       structural fix for the debt shape flagged in r8 and r9);
+#   (4) the stalest externally-green tier: the r01-vintage set ops and
+#       r03/r04-vintage window/stream/scan keys.
+# 20 + 5 + 10 + 15 = 50.
 _WINDOW_PRIORITY = [
-    # -- (1) the 17 round-8 registrations with no external CORRECTNESS
-    #    row (VERDICT r8 'What's missing' #1 / 'Next round' #1) --------
-    "dedup_minhash_estimate",   # r8: minhash estimator audit (est vs exact J)
-    "sample_kcenter_coreset",   # r8: greedy k-center coreset, exact trajectory
-    "stats_event_lateness",     # r8: event-time disorder / watermark sizing
-    "corpus_epoch_plan",        # r8: per-source epochs + md5 remainder prefix
-    "stats_mutual_info_cat",    # r8: lang x source MI, fold-deterministic
-    "graph_hits",               # r8; r9: overflow-safe div scaling (ADVICE)
-    "ts_holt_forecast",         # r8; r9: enforced bounded-series guard
-    "sample_neyman_alloc",      # r8: variance-proportional sample allocation
-    "stats_capture_recapture",  # r8: Chapman distinct-population estimate
-    "sample_walk_pairs",        # r8; r9: shared _pair_edges SQL fragment (ADVICE)
-    "dedup_cluster_canonical",  # r8: transitive near-dup cluster closure
-    "corpus_cross_source_dup",  # r8: who-copies-whom near-dup flow matrix
-    "text_ngram_novelty",       # r8: first-seen 3-gram incremental-content score
-    "pipeline_new_returning_users", # r8: DAU growth-accounting split
-    "ts_seasonal_residual_anomaly", # r8: deseasonalized deviation screen
-    "stats_label_impurity",     # r8: per-source Gini impurity of lang mix
-    "stats_runs_test",          # r8; r9: enforced bounded-series guard
-    # -- (2) changed in round 9: ANN/cluster promotions out of the
-    #    rows-only tier (VERDICT r8 #4-6) + the recall-companion flag
-    #    refactor (VERDICT r8 #2) — changed-this-round outranks stale --
-    "sim_search_pq",            # r9: promoted rows-only -> hash-checked (ivf recipe)
-    "embedding_cluster_kmeans", # r9: promoted via unrolled Lloyd-round CTEs
-    "dedup_minhash_cluster",    # r9: re-oracled via recursive-CTE closure
-    "dedup_embedding",          # r9: promoted via integer-distance discipline
-    "sim_search_ivf",           # r9: recall companions now flag-gated (oracle keeps ON)
-    "sim_search_lsh",           # r9: same companion flag; re-verify r8 promotion
-    # -- (3) stale refresh: the r03-vintage external tier, untouched
-    #    since round 3 and the oldest green rows in the registry ------
+    # -- (1) the 20 round-9 registrations with no external CORRECTNESS row (VERDICT r9 'What's missing' #2 / 'Next round' #1) --
+    "dedup_simhash_banded",
+    "dedup_threshold_sweep",
+    "sim_search_hamming",
+    "embedding_dim_profile",
+    "corpus_lang_confusion",
+    "stats_ljung_box",
+    "ts_peak_concurrency",
+    "ts_croston",
+    "stats_trimmed_mean",
+    "sample_systematic",
+    "corpus_split_leakage",
+    "pipeline_order_lead_time",
+    "pipeline_revenue_hhi",
+    "ts_dow_effects",
+    "embedding_cluster_label_mix",
+    "ts_theil_sen",
+    "ts_forecast_backtest",
+    "corpus_mix_kl_drift",
+    "text_js_divergence_sources",
+    "sample_downweight_duplicates",
+    # -- (2) externally green before but CHANGED in round 10: the near-dup materialization consumers (artifact serving path; oracles unchanged) --
+    "dedup_minhash_banded",
+    "dedup_cluster_canonical",
+    "corpus_cross_source_dup",
+    "dedup_minhash_cluster",
+    "embedding_cluster_kmeans",
+    # -- (3) NEW in round 10 — inside the window so they gain an external row THIS round instead of carrying debt to r11 --
+    "dedup_cluster_size_profile",
+    "sample_effective_size",
+    "corpus_dedup_savings",
+    "ts_periodogram_fixed",
+    "ts_event_gaps",
+    "stats_welch_ttest",
+    "stats_srm_check",
+    "pipeline_part_velocity",
+    "text_ttr_by_source",
+    "embedding_norm_profile",
+    "ts_mann_kendall",
+    "ts_var_es",
+    "pipeline_order_aging",
+    "win_ratio_to_report",
+    "dedup_exact_normalized",
+    "sample_ipw_weights",
+    "ts_pacf",
+    "pipeline_discount_depth",
+    "pipeline_returns_rate",
+    "graph_component_sizes",
+    "sim_margin_profile",
+    # -- (4) stale refresh: the r01/r03/r04-vintage keys with the oldest external green rows --
+    "set_intersect",
+    "set_except",
+    "win_rank",
+    "win_frame",
+    # -- behind the window: everything externally green r4-r9, relative order preserved; first in line for the r11 rotation --
+    "win_analytic",
+    "rate_stagger",
+    "stream_stateful",
+    "join_stream_stream",
+    "scan_orc",
+    "sql_api",
+    "sim_search_topk_arrow",
+    "join_skew_salted",
+    "multimodal_framesample",
+    "multimodal_resize",
+    "fn_xml_roundtrip",
+    "dedup_minhash_estimate",
+    "sample_kcenter_coreset",
+    "stats_event_lateness",
+    "corpus_epoch_plan",
+    "stats_mutual_info_cat",
+    "graph_hits",
+    "ts_holt_forecast",
+    "sample_neyman_alloc",
+    "stats_capture_recapture",
+    "sample_walk_pairs",
+    "text_ngram_novelty",
+    "pipeline_new_returning_users",
+    "ts_seasonal_residual_anomaly",
+    "stats_label_impurity",
+    "stats_runs_test",
+    "sim_search_pq",
+    "dedup_embedding",
+    "sim_search_ivf",
+    "sim_search_lsh",
     "filter_pred",
     "project_select",
     "limit_topk",
@@ -272,10 +326,6 @@ _WINDOW_PRIORITY = [
     "join_bucketed",
     "rollup_time_hierarchy",
     "pipeline_shipping_priority",
-    # -- behind the window: everything externally green r7/r8, relative
-    #    order preserved (r8 window first — freshest green — then the
-    #    r07-and-earlier tiers as before). New r9 ops append at the
-    #    very end: first in line for the r10 rotation. ----------------
     "graph_label_propagation",
     "ts_autocorr",
     "dedup_url_canonical",
@@ -304,7 +354,6 @@ _WINDOW_PRIORITY = [
     "text_hashing_vectorizer",
     "ts_sma_crossover",
     "stats_psi_stability",
-    "dedup_minhash_banded",
     "sink_snapshot_expire",
     "text_zipf_alpha",
     "graph_reciprocity",
@@ -473,17 +522,9 @@ _WINDOW_PRIORITY = [
     "fn_map_entries",
     "fn_json_roundtrip",
     "set_union_all",
-    "set_intersect",
     "set_intersect_all",
-    "set_except",
     "set_except_all",
     "enrich_region_grid",
-    "scan_orc",
-    "sql_api",
-    "sim_search_topk_arrow",
-    "join_skew_salted",
-    "multimodal_framesample",
-    "multimodal_resize",
     "text_chunk",
     "text_repetition",
     "sample_split",
@@ -520,29 +561,17 @@ _WINDOW_PRIORITY = [
     "fn_conditional",
     "join_asof_sorted",
     "stream_topk_windows",
-    "fn_xml_roundtrip",
-    # -- NEW in round 9 — never externally checked; first in line for
-    #    the r10 rotation under the freshness rule --------------------
-    "dedup_simhash_banded",     # new: md5-lane SimHash hash-checked twin
-    "dedup_threshold_sweep",    # new: Jaccard-band threshold survival curve
-    "sim_search_hamming",       # new: sign-bit binarized Hamming top-k
-    "embedding_dim_profile",    # new: per-dimension moment/dead-dim screen
-    "corpus_lang_confusion",    # new: declared-vs-detected language matrix
-    "stats_ljung_box",          # new: portmanteau whiteness gate over ACF
-    "ts_peak_concurrency",      # new: sweep-line daily max-overlap
-    "ts_croston",               # new: intermittent-demand 3-state fold
-    "stats_trimmed_mean",       # new: trimmed/winsorized robust location
-    "sample_systematic",        # new: md5-rank every-k-th stratum draw
-    "corpus_split_leakage",     # new: near-dup clusters spanning train/eval
-    "pipeline_order_lead_time", # new: rank-exact lead-time percentiles
-    "pipeline_revenue_hhi",     # new: integer HHI concentration per nation
-    "ts_dow_effects",           # new: weekday multiplicative effect bp
-    "embedding_cluster_label_mix",  # new: per-cluster label composition
-    "ts_theil_sen",             # new: median-of-slopes robust trend
-    "ts_forecast_backtest",     # new: holdout APE of the Holt forecaster
-    "corpus_mix_kl_drift",      # new: two-sided KL of the corpus mix by era
-    "text_js_divergence_sources",  # new: pairwise source JSD matrix
-    "sample_downweight_duplicates",  # new: 1/cluster_size soft-dedup weights
+    "stream_stateful_tws",
+    "pipeline_shipping_priority_bucketed",
+    "pipeline_local_supplier_volume",
+    "pipeline_returned_items",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "sink_kafka",
+    "src_stream_geo",
+    "src_rate",
+    "sink_foreachbatch",
+    "stream_health_monitor",
 ]
 
 

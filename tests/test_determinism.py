@@ -90,6 +90,27 @@ SWEEP = [
     "corpus_mix_kl_drift",         # sorted-cell KL folds (r9)
     "text_js_divergence_sources",  # vocab-rank JSD folds, count-tie top-K (r9)
     "sample_downweight_duplicates",  # closure sizes -> weights (r9)
+    "dedup_cluster_size_profile",  # closure-size histogram (r10)
+    "sample_effective_size",       # integral ESS over closure weights (r10)
+    "corpus_dedup_savings",        # canonical-membership char rollup (r10)
+    "ts_periodogram_fixed",        # shared integer trig-table folds (r10)
+    "ts_event_gaps",               # gap rank picks under duplicate gaps (r10)
+    "stats_welch_ttest",           # era integer moments -> t polynomial (r10)
+    "stats_srm_check",             # md5-parity arm counts (r10)
+    "pipeline_part_velocity",      # velocity-tie top-k ordering (r10)
+    "text_ttr_by_source",          # distinct-type counting (r10)
+    "embedding_norm_profile",      # integer norm² fold + bucketing (r10)
+    "ts_mann_kendall",             # pair-sign sums + tie-corrected z (r10)
+    "ts_var_es",                   # rank-cut tail picks under value ties (r10)
+    "pipeline_order_aging",        # anchored integer age bucketing (r10)
+    "win_ratio_to_report",         # whole-partition-denominator window (r10)
+    "dedup_exact_normalized",      # regex-normalized digest keeper stars (r10)
+    "sample_ipw_weights",          # capped integral reweighting (r10)
+    "ts_pacf",                     # Durbin-Levinson float recursion (r10)
+    "pipeline_discount_depth",     # integral cross-multiplied money (r10)
+    "pipeline_returns_rate",       # indicator-rate integral division (r10)
+    "graph_component_sizes",       # CC fixpoint -> size histogram (r10)
+    "sim_margin_profile",          # rank-1/2 picks under rounded-sim ties (r10)
 ]
 
 

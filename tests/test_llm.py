@@ -655,3 +655,45 @@ def test_rows_only_twins_pinned_to_hash_proven_twins(spark):
         f"md5 simhash twin flags {n_flagged}/{len(exact_dups)} planted dups — "
         "keeper-star recall collapsed below its pinned floor"
     )
+
+
+def test_materialized_artifacts_rebuild_on_fixture_change(spark, tmp_path):
+    """The write-once near-dup artifacts are keyed by the documents
+    fixture's (path, mtime, size) fingerprint: the same directory serves
+    the cached artifact, and REWRITING the fixture under the same path
+    must produce a different fingerprint (so consumers rebuild instead
+    of silently serving stale candidates)."""
+    import time
+
+    import pandas as pd
+
+    from connor_fun_streamproducer_spark.catalog import fixture_fingerprint
+    from connor_fun_streamproducer_spark.llm.dedup import neardup_candidates
+
+    docs = pd.DataFrame(
+        [
+            dict(doc_id=i, text=f"alpha beta gamma delta{i} epsilon zeta",
+                 lang="en", source="s0", n_chars=40)
+            for i in range(6)
+        ]
+        + [  # a planted near-dup pair
+            dict(doc_id=100, text="one two three four five six seven eight nine ten",
+                 lang="en", source="s0", n_chars=50),
+            dict(doc_id=101, text="one two three four five six seven eight nine ten",
+                 lang="en", source="s0", n_chars=50),
+        ]
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    fp1 = fixture_fingerprint(str(tmp_path), "documents")
+    c1 = neardup_candidates(spark, str(tmp_path))
+    pairs1 = {(r.doc_id, r.keeper_doc_id) for r in c1.collect()}
+    assert (101, 100) in pairs1
+    # second call serves the SAME artifact (fingerprint unchanged)
+    assert fixture_fingerprint(str(tmp_path), "documents") == fp1
+    # rewrite the fixture: mtime (and likely size) change -> new identity
+    time.sleep(0.01)
+    docs.iloc[:4].to_parquet(tmp_path / "documents.parquet", index=False)
+    fp2 = fixture_fingerprint(str(tmp_path), "documents")
+    assert fp2 != fp1
+    pairs2 = {(r.doc_id, r.keeper_doc_id) for r in neardup_candidates(spark, str(tmp_path)).collect()}
+    assert (101, 100) not in pairs2  # rebuilt against the new corpus

@@ -61,6 +61,14 @@ SNAPSHOT_KEYS = [
     "dedup_minhash_cluster",
     "ts_peak_concurrency",
     "ts_theil_sen",
+    # round-10 tier: artifact-serving closure consumers (the plan IS the
+    # point — a regression here re-inlines the O(corpus) pipeline) + the
+    # new integer-fold shapes
+    "dedup_cluster_canonical",
+    "sample_effective_size",
+    "pipeline_part_velocity",
+    "ts_periodogram_fixed",
+    "embedding_norm_profile",
 ]
 
 

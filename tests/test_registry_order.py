@@ -7,86 +7,103 @@ ever unguarded locally, whatever an external harness samples.
 Separately, the external driver verifies ops in registration order with a
 bounded window (each round covers the first 50 keys). The registration
 order is freshness-priority, applied the same rule each round: (1) ops
-never externally checked (round 8 registered 17 keys behind the r08
-window — VERDICT r8 "What's missing" #1; closing that debt is round 9's
-top order and makes every registered key externally proven at least
-once); (2) ops changed this round; (3) the stalest still-green tier.
-This test pins round 9's resulting window.
+never externally checked; (2) ops changed this round; (3) ops NEW this
+round (inside the window since round 10, so new work is externally proven
+the round it lands instead of carrying one round of debt); (4) the stalest
+still-green tier. This test pins round 10's resulting window.
 """
 
 from connor_fun_streamproducer_spark import registry
 
-# The 17 keys with no external CORRECTNESS row (all registered round 8,
-# behind the r08 window — VERDICT r8 "What's missing" #1). Closing this
+# The 20 keys with no external CORRECTNESS row (all registered round 9,
+# behind the r09 window — VERDICT r9 "What's missing" #2). Closing this
 # debt makes every registered key externally covered at least once.
 NEVER_EXTERNALLY_CHECKED = [
-    "dedup_minhash_estimate",
-    "sample_kcenter_coreset",
-    "stats_event_lateness",
-    "corpus_epoch_plan",
-    "stats_mutual_info_cat",
-    "graph_hits",                    # also changed r9: overflow-safe scaling
-    "ts_holt_forecast",              # also changed r9: bounded-series guard
-    "sample_neyman_alloc",
-    "stats_capture_recapture",
-    "sample_walk_pairs",             # also changed r9: shared edge SQL fragment
+    "dedup_simhash_banded",
+    "dedup_threshold_sweep",         # also changed r10: artifact serving path
+    "sim_search_hamming",
+    "embedding_dim_profile",         # also changed r10: -0.0 rank key (ADVICE)
+    "corpus_lang_confusion",
+    "stats_ljung_box",               # also changed r10: standard ACF rho (ADVICE)
+    "ts_peak_concurrency",           # also changed r10: close-only-day sentinel (ADVICE)
+    "ts_croston",
+    "stats_trimmed_mean",
+    "sample_systematic",
+    "corpus_split_leakage",          # also changed r10: artifact serving path
+    "pipeline_order_lead_time",
+    "pipeline_revenue_hhi",
+    "ts_dow_effects",
+    "embedding_cluster_label_mix",   # also changed r10: materialized assignment
+    "ts_theil_sen",
+    "ts_forecast_backtest",
+    "corpus_mix_kl_drift",
+    "text_js_divergence_sources",
+    "sample_downweight_duplicates",  # also changed r10: artifact serving path
+]
+
+# Externally green before, but changed in round 10 — the near-dup /
+# k-means materialization consumers now serve from write-once artifacts
+# (VERDICT r9 #2/#3); oracles are unchanged, the window re-verifies the
+# serving-path refactor.
+CHANGED_IN_ROUND_10 = [
+    "dedup_minhash_banded",
     "dedup_cluster_canonical",
     "corpus_cross_source_dup",
-    "text_ngram_novelty",
-    "pipeline_new_returning_users",
-    "ts_seasonal_residual_anomaly",
-    "stats_label_impurity",
-    "stats_runs_test",               # also changed r9: bounded-series guard
+    "dedup_minhash_cluster",
+    "embedding_cluster_kmeans",
 ]
 
-# Externally green (or rows-only) before, but changed this round —
-# re-verify after the change (VERDICT r8 items #2/#4/#5/#6).
-CHANGED_IN_ROUND_9 = [
-    "sim_search_pq",            # promoted rows-only → hash-checked
-    "embedding_cluster_kmeans", # promoted via unrolled Lloyd-round CTEs
-    "dedup_minhash_cluster",    # re-oracled via recursive-CTE closure
-    "dedup_embedding",          # promoted via integer-distance discipline
-    "sim_search_ivf",           # recall companions flag-gated (oracle keeps ON)
-    "sim_search_lsh",           # same flag; re-verifies the r8 promotion
+# NEW in round 10 — inside the window so they gain an external row THIS
+# round (the structural fix for the carry-one-round-of-debt shape the r8
+# and r9 verdicts both flagged).
+NEW_IN_ROUND_10 = [
+    "dedup_cluster_size_profile",
+    "sample_effective_size",
+    "corpus_dedup_savings",
+    "ts_periodogram_fixed",
+    "ts_event_gaps",
+    "stats_welch_ttest",
+    "stats_srm_check",
+    "pipeline_part_velocity",
+    "text_ttr_by_source",
+    "embedding_norm_profile",
+    "ts_mann_kendall",
+    "ts_var_es",
+    "pipeline_order_aging",
+    "win_ratio_to_report",
+    "dedup_exact_normalized",
+    "sample_ipw_weights",
+    "ts_pacf",
+    "pipeline_discount_depth",
+    "pipeline_returns_rate",
+    "graph_component_sizes",
+    "sim_margin_profile",
 ]
 
-# The stalest externally-green tier: r03-vintage rows, three windows old.
+# The stalest externally-green tier: r01-vintage set ops (last green row
+# nine windows old) and the r03/r04-vintage window/stream/scan keys.
+# (Eleven r03/r04-vintage keys — sql_api, sim_search_topk_arrow,
+# join_skew_salted, multimodal_framesample, multimodal_resize,
+# fn_xml_roundtrip, win_analytic, rate_stagger, stream_stateful,
+# join_stream_stream, scan_orc — ceded their slots to the second and
+# third round-10 op batches; they lead the behind-window section for
+# the r11 rotation. Stale refresh is the LOWEST rung of the freshness
+# rule, so new-op slots always win the trade.)
 STALE_REFRESH = [
-    "filter_pred",
-    "project_select",
-    "limit_topk",
-    "sort_global",
-    "dedup_exact",
-    "sort_within",
-    "topk_per_group",
-    "join_broadcast",
-    "join_sortmerge",
-    "join_shuffle_hash",
-    "join_theta_range",
-    "join_semi",
-    "join_anti",
-    "join_asof",
-    "join_range_bucketed",
-    "agg_percentile",
-    "agg_rollup",
-    "agg_cube",
-    "agg_pivot",
-    "agg_unpivot",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "join_bucketed",
-    "rollup_time_hierarchy",
-    "pipeline_shipping_priority",
+    "set_intersect",
+    "set_except",
+    "win_rank",
+    "win_frame",
 ]
 
-MUST_BE_IN_WINDOW = NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_9 + STALE_REFRESH
+MUST_BE_IN_WINDOW = (
+    NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_10 + NEW_IN_ROUND_10 + STALE_REFRESH
+)
 
 WINDOW = 50
 
 
-def test_round9_priority_ops_register_inside_driver_window():
+def test_round10_priority_ops_register_inside_driver_window():
     keys = list(registry.queries())
     window = set(keys[:WINDOW])
     missing = [k for k in MUST_BE_IN_WINDOW if k not in window]
@@ -97,22 +114,24 @@ def test_round9_priority_ops_register_inside_driver_window():
 
 
 def test_never_checked_keys_lead_the_window():
-    # The 17 debt keys must come FIRST (before round-9 changes and the
+    # The 20 debt keys must come FIRST (before round-10 changes and the
     # stale refresh), so even a driver window narrower than 50 covers as
     # many of them as possible.
     keys = list(registry.queries())
     assert keys[: len(NEVER_EXTERNALLY_CHECKED)] == NEVER_EXTERNALLY_CHECKED
 
 
-def test_changed_tier_outranks_stale_refresh():
+def test_changed_tier_outranks_new_and_stale():
     keys = list(registry.queries())
     n = len(NEVER_EXTERNALLY_CHECKED)
-    assert keys[n : n + len(CHANGED_IN_ROUND_9)] == CHANGED_IN_ROUND_9
+    assert keys[n : n + len(CHANGED_IN_ROUND_10)] == CHANGED_IN_ROUND_10
+    m = n + len(CHANGED_IN_ROUND_10)
+    assert keys[m : m + len(NEW_IN_ROUND_10)] == NEW_IN_ROUND_10
 
 
 def test_window_is_exactly_filled():
-    # 17 debt + 6 changed + 27 stale = 50: the window carries no dead
-    # slots and no accidental extras.
+    # 20 debt + 5 changed + 21 new + 4 stale = 50: the window carries no
+    # dead slots and no accidental extras.
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
 
@@ -133,3 +152,11 @@ def test_window_priority_keys_all_exist():
     registry._ensure_loaded()
     missing = [k for k in registry._WINDOW_PRIORITY if k not in registry.OPS]
     assert not missing, f"_WINDOW_PRIORITY names unregistered ops: {missing}"
+
+
+def test_window_priority_covers_every_registered_key():
+    """The r10 rotation regenerated the full priority list; every
+    registered key must appear exactly once so the behind-window order
+    (the r11 rotation's input) is fully pinned, not import-order luck."""
+    registry._ensure_loaded()
+    assert sorted(registry._WINDOW_PRIORITY) == sorted(registry.OPS)
