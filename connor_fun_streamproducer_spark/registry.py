@@ -212,7 +212,8 @@ def _ensure_loaded() -> None:
 #       structural fix for the debt shape flagged in r8 and r9);
 #   (4) the stalest externally-green tier: the r01-vintage set ops and
 #       r03/r04-vintage window/stream/scan keys.
-# 20 + 5 + 10 + 15 = 50.
+# 20 + 9 + 21 = 50 (the stale-refresh tier ceded every slot to the
+# changed and new tiers this round — it is the lowest rung of the rule).
 _WINDOW_PRIORITY = [
     # -- (1) the 20 round-9 registrations with no external CORRECTNESS row (VERDICT r9 'What's missing' #2 / 'Next round' #1) --
     "dedup_simhash_banded",
@@ -241,6 +242,10 @@ _WINDOW_PRIORITY = [
     "corpus_cross_source_dup",
     "dedup_minhash_cluster",
     "embedding_cluster_kmeans",
+    "dedup_minhash_estimate",
+    "graph_connected_components",
+    "graph_label_propagation",
+    "graph_modularity",
     # -- (3) NEW in round 10 — inside the window so they gain an external row THIS round instead of carrying debt to r11 --
     "dedup_cluster_size_profile",
     "sample_effective_size",
@@ -264,11 +269,11 @@ _WINDOW_PRIORITY = [
     "graph_component_sizes",
     "sim_margin_profile",
     # -- (4) stale refresh: the r01/r03/r04-vintage keys with the oldest external green rows --
+    # -- behind the window: everything externally green r4-r9, relative order preserved; first in line for the r11 rotation --
     "set_intersect",
     "set_except",
     "win_rank",
     "win_frame",
-    # -- behind the window: everything externally green r4-r9, relative order preserved; first in line for the r11 rotation --
     "win_analytic",
     "rate_stagger",
     "stream_stateful",
@@ -280,7 +285,6 @@ _WINDOW_PRIORITY = [
     "multimodal_framesample",
     "multimodal_resize",
     "fn_xml_roundtrip",
-    "dedup_minhash_estimate",
     "sample_kcenter_coreset",
     "stats_event_lateness",
     "corpus_epoch_plan",
@@ -326,7 +330,6 @@ _WINDOW_PRIORITY = [
     "join_bucketed",
     "rollup_time_hierarchy",
     "pipeline_shipping_priority",
-    "graph_label_propagation",
     "ts_autocorr",
     "dedup_url_canonical",
     "sink_bloom_index",
@@ -347,7 +350,6 @@ _WINDOW_PRIORITY = [
     "agg_extremal_by",
     "corpus_budget_apportion",
     "scan_agg_pushdown",
-    "graph_modularity",
     "graph_assortativity",
     "win_rolling_corr",
     "corpus_vocab_coverage",
@@ -504,7 +506,6 @@ _WINDOW_PRIORITY = [
     "win_anomaly_zscore",
     "fn_bitwise",
     "agg_heavy_hitters",
-    "graph_connected_components",
     "pipeline_retention_cohort",
     "pipeline_funnel_conversion",
     "embedding_covariance",

@@ -1242,13 +1242,13 @@ def test_containment_prefix_equi_join_shaped(spark):
 
 def test_clustering_coefficient_single_edge_build(spark):
     """graph_clustering_coefficient's degree, wedge, and closure branches
-    must all read the ONE checkpointed edge materialization — a replayed
-    bucket build would show as multiple parquet scans (the r6
-    graph_top_similar_user defect)."""
+    must all read the materialized pair-edges ARTIFACT (r10: a write-once
+    .graph_index parquet) — a replayed bucket build would show as scans
+    of the raw events fixture (the r6 graph_top_similar_user defect)."""
     df = _q("graph_clustering_coefficient", spark)
     plan = formatted_plan(df)
-    assert plan.count("Location: InMemoryFileIndex") == 0, plan
-    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+    assert ".graph_index" in plan, plan
+    assert "events.parquet" not in plan, plan
     assert_not_in_plan(df, "CartesianProduct")
 
 
@@ -1356,23 +1356,28 @@ def test_scan_agg_pushdown_answers_from_footers(spark):
 
 def test_modularity_linear_joins_only(spark):
     """graph_modularity: edge-label scoring must stay hash-equi-join
-    shaped over the checkpointed frames — no nested loops, no re-derived
-    parquet scans."""
+    shaped over the materialized artifacts (r10: pair-edges + LPA labels
+    from .graph_index) — no nested loops, no re-derived events scans."""
     df = _q("graph_modularity", spark)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
-    assert plan.count("Location: InMemoryFileIndex") == 0, plan
+    assert ".graph_index" in plan, plan
+    assert "events.parquet" not in plan, plan
 
 
 def test_assortativity_single_edge_build(spark):
-    """graph_assortativity: the checkpointed und frame must feed degree
-    and both end-joins without re-deriving the bucket build — no parquet
-    scan survives into the final plan, and the join tier stays
-    hash-equi (no nested loops)."""
+    """graph_assortativity: degree and both end-joins must feed from the
+    materialized pair-edges artifact (r10) without re-deriving the
+    bucket build — no events scan survives into the final plan, and the
+    join tier stays hash-equi (no nested loops)."""
     df = _q("graph_assortativity", spark)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
-    assert plan.count("Location: InMemoryFileIndex") == 0, plan
+    # the und frame is checkpointed AFTER reading the artifact, so the
+    # final plan reads either the .graph_index parquet or the checkpoint
+    # RDD — never the raw events fixture
+    assert ".graph_index" in plan or "ExistingRDD" in plan, plan
+    assert "events.parquet" not in plan, plan
 
 
 def test_rolling_corr_one_exchange_one_window(spark):

@@ -51,6 +51,12 @@ CHANGED_IN_ROUND_10 = [
     "corpus_cross_source_dup",
     "dedup_minhash_cluster",
     "embedding_cluster_kmeans",
+    # second materialization wave: signature/fingerprint artifacts and the
+    # shared graph constructions (pair edges, CC labels, LPA fixpoint)
+    "dedup_minhash_estimate",
+    "graph_connected_components",
+    "graph_label_propagation",
+    "graph_modularity",
 ]
 
 # NEW in round 10 — inside the window so they gain an external row THIS
@@ -80,21 +86,19 @@ NEW_IN_ROUND_10 = [
     "sim_margin_profile",
 ]
 
-# The stalest externally-green tier: r01-vintage set ops (last green row
-# nine windows old) and the r03/r04-vintage window/stream/scan keys.
-# (Eleven r03/r04-vintage keys — sql_api, sim_search_topk_arrow,
-# join_skew_salted, multimodal_framesample, multimodal_resize,
-# fn_xml_roundtrip, win_analytic, rate_stagger, stream_stateful,
-# join_stream_stream, scan_orc — ceded their slots to the second and
-# third round-10 op batches; they lead the behind-window section for
-# the r11 rotation. Stale refresh is the LOWEST rung of the freshness
-# rule, so new-op slots always win the trade.)
-STALE_REFRESH = [
-    "set_intersect",
-    "set_except",
-    "win_rank",
-    "win_frame",
-]
+# The stale-refresh tier ceded EVERY slot this round: 20 debt + 9 changed
+# + 21 new fills all 50. The fifteen r01/r03/r04-vintage keys that would
+# have refreshed (set ops, win_rank/frame/analytic, rate_stagger,
+# stream_stateful, join_stream_stream, scan_orc, sql_api,
+# sim_search_topk_arrow, join_skew_salted, multimodal_framesample/resize,
+# fn_xml_roundtrip) lead the behind-window section for the r11 rotation —
+# stale refresh is the LOWEST rung of the freshness rule, so changed/new
+# slots always win the trade. The remaining serving-path-changed graph ops
+# (triangle_count, top_similar_user, clustering_coefficient,
+# jaccard_neighbors, kcore, degree_distribution, assortativity,
+# walk_pairs, dedup_simhash_banded's fp artifact is in-window via the debt
+# tier) have unchanged oracles and local green rows; they rotate in r11.
+STALE_REFRESH: list[str] = []
 
 MUST_BE_IN_WINDOW = (
     NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_10 + NEW_IN_ROUND_10 + STALE_REFRESH
@@ -130,7 +134,7 @@ def test_changed_tier_outranks_new_and_stale():
 
 
 def test_window_is_exactly_filled():
-    # 20 debt + 5 changed + 21 new + 4 stale = 50: the window carries no
+    # 20 debt + 9 changed + 21 new = 50: the window carries no
     # dead slots and no accidental extras.
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
