@@ -749,3 +749,72 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("norm2_bucket"),
     ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Exact-duplicate vector audit (quantized-digest dedup of the vector space)
+# ---------------------------------------------------------------------------
+
+_VEC_EXACT_ORACLE = """
+WITH q AS (
+    SELECT label,
+           md5(array_to_string(list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS VARCHAR)),
+               ',')) AS digest
+    FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS n_dup_vectors
+FROM q GROUP BY 1
+"""
+
+
+@op(
+    "dedup_vector_exact",
+    oracle=_VEC_EXACT_ORACLE,
+    tags=("llm", "embedding", "dedup"),
+)
+def dedup_vector_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate VECTOR audit per label: total vs distinct
+    1e-6-quantized embeddings and the duplicate surplus — the
+    vector-space twin of dedup_exact. Identical embeddings usually mean
+    an upstream bug (the same row embedded twice, a collapsed encoder
+    emitting one point, a retry double-write), and they silently bias
+    every centroid, k-NN vote, and IVF cell they land in —
+    dedup_embedding finds NEAR vectors at blocking cost; this finds
+    byte-equal ones at one-shuffle cost and runs first.
+
+    Exact: the digest is md5 over the comma-joined 1e-6-quantized
+    integer components (the repo-wide quantization, so "equal" means
+    equal at the precision every other embedding op already uses);
+    counts are integers.
+
+    Scale: map-side quantize+digest → |labels|-key agg with
+    count-distinct partials; shuffles carry 32-byte digests, never
+    vectors (the dedup_exact posture).
+    """
+    q = load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "embedding",
+                    lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5))
+                    .cast("bigint")
+                    .cast("string"),
+                ),
+            )
+        ).alias("digest"),
+    )
+    return q.groupBy("label").agg(
+        F.count("*").alias("_n"),
+        F.countDistinct("digest").alias("_d"),
+    ).select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("_n").cast("bigint").alias("n_vectors"),
+        F.col("_d").cast("bigint").alias("n_distinct"),
+        (F.col("_n") - F.col("_d")).cast("bigint").alias("n_dup_vectors"),
+    )

@@ -983,3 +983,91 @@ def text_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_types").cast("bigint").alias("n_types"),
         F.expr("n_types * 10000 div n_tokens").cast("bigint").alias("ttr_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch-Kincaid readability grade per source
+# ---------------------------------------------------------------------------
+
+_FK_ORACLE = """
+WITH d AS (
+    SELECT source,
+           len(string_split(text, ' ')) AS w,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+           list_sum(list_transform(string_split(text, ' '),
+               t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1)))
+               AS syl
+    FROM documents
+), agg AS (
+    SELECT source, sum(w) AS words, sum(s) AS sents, sum(syl) AS sylls,
+           count(*) AS n_docs
+    FROM d GROUP BY 1
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(words AS BIGINT) AS n_words,
+       CAST(sents AS BIGINT) AS n_sentences,
+       CAST(sylls AS BIGINT) AS n_syllables,
+       round(0.39 * (CAST(words AS DOUBLE) / sents)
+             + 11.8 * (CAST(sylls AS DOUBLE) / words) - 15.59, 4) + 0.0
+           AS fk_grade
+FROM agg
+"""
+
+
+@op("text_readability_fk", oracle=_FK_ORACLE, tags=("llm", "text", "stats"))
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level per source from exact integer counts
+    of words, sentence terminators (floored at 1 per doc), and
+    vowel-group syllables — the one-number reading-difficulty screen a
+    curriculum/mix designer reads next to quality scores: grade ~5-9 is
+    typical prose, negative or >20 flags non-language content that
+    slipped past text_quality's ratio gates (tables, code, minified
+    blobs). Composes text_syllable_density's vowel-run heuristic with a
+    sentence count under the same cross-engine regex discipline.
+
+    Exact: the three counts are order-free integer sums; the FK
+    polynomial is one fixed float expression over those integers,
+    rounded on both engines.
+
+    Scale: map-only regex folds inside codegen → |sources|-key agg.
+    """
+    toks = F.split("text", " ")
+    syll = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)), F.lit(1)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.size(toks).cast("long").alias("w"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+            F.lit(1),
+        ).cast("long").alias("s"),
+        syll.alias("syl"),
+    )
+    agg = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w").alias("words"),
+        F.sum("s").alias("sents"),
+        F.sum("syl").alias("sylls"),
+    )
+    fk = (
+        F.lit(0.39) * (F.col("words").cast("double") / F.col("sents"))
+        + F.lit(11.8) * (F.col("sylls").cast("double") / F.col("words"))
+        - F.lit(15.59)
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("words").cast("bigint").alias("n_words"),
+        F.col("sents").cast("bigint").alias("n_sentences"),
+        F.col("sylls").cast("bigint").alias("n_syllables"),
+        (F.round(fk, 4) + F.lit(0.0)).alias("fk_grade"),
+    )

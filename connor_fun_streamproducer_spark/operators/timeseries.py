@@ -2281,3 +2281,62 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(phi22, 6) + F.lit(0.0)).alias("pacf_2"),
         (F.round(phi33, 6) + F.lit(0.0)).alias("pacf_3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Outage windows (gap intervals above the feed-break threshold)
+# ---------------------------------------------------------------------------
+
+_OUTAGE_MIN_S = 3600  # a 1h silence on any event type is a feed break here
+
+_OUTAGE_ORACLE = f"""
+WITH t AS (
+    SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS te, event_id
+    FROM events
+), g AS (
+    SELECT event_type,
+           lag(te) OVER (PARTITION BY event_type
+                         ORDER BY te, event_id) AS prev_te,
+           te
+    FROM t
+)
+SELECT event_type,
+       CAST(prev_te AS BIGINT) AS outage_start_epoch,
+       CAST(te AS BIGINT) AS outage_end_epoch,
+       CAST(te - prev_te AS BIGINT) AS gap_s
+FROM g WHERE te - prev_te >= {_OUTAGE_MIN_S}
+"""
+
+
+@op("ts_outage_windows", oracle=_OUTAGE_ORACLE, tags=("ext", "timeseries"))
+def ts_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concrete outage intervals per event type: every silence of
+    ≥ 1 hour between consecutive events, as (start, end, duration) rows
+    — the incident TABLE behind ts_event_gaps' summary statistics (the
+    profile says "p90 gap is 40 s, max is 3 h"; this says WHEN the 3 h
+    hole was, which is what an on-call review and a backfill job both
+    need). The fixed threshold plays the role of the alert rule; the
+    gap profile is how it gets tuned.
+
+    Exact: integer epoch seconds over the (te, event_id) total order —
+    one lag, one integer filter, no aggregation at all.
+
+    Scale: ONE window pass per series (the ts_event_gaps exchange);
+    output is |outages| rows, which is small by definition of the
+    threshold.
+    """
+    t = load(spark, sf_dir, "events").select(
+        "event_type", epoch_seconds("ts").alias("te"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("te", "event_id")
+    g = t.select(
+        "event_type",
+        F.lag("te").over(w).alias("prev_te"),
+        "te",
+    )
+    return g.filter(F.col("te") - F.col("prev_te") >= _OUTAGE_MIN_S).select(
+        "event_type",
+        F.col("prev_te").cast("bigint").alias("outage_start_epoch"),
+        F.col("te").cast("bigint").alias("outage_end_epoch"),
+        (F.col("te") - F.col("prev_te")).cast("bigint").alias("gap_s"),
+    )

@@ -573,6 +573,12 @@ _WINDOW_PRIORITY = [
     "src_rate",
     "sink_foreachbatch",
     "stream_health_monitor",
+    # -- NEW late in round 10, behind the full window — never
+    #    externally checked; FIRST in line for the r11 rotation --
+    "text_readability_fk",
+    "ts_outage_windows",
+    "dedup_vector_exact",
+
 ]
 
 

@@ -111,6 +111,9 @@ SWEEP = [
     "pipeline_returns_rate",       # indicator-rate integral division (r10)
     "graph_component_sizes",       # CC fixpoint -> size histogram (r10)
     "sim_margin_profile",          # rank-1/2 picks under rounded-sim ties (r10)
+    "text_readability_fk",         # regex folds + fixed FK polynomial (r10)
+    "ts_outage_windows",           # lag over (te, event_id) total order (r10)
+    "dedup_vector_exact",          # quantized-digest distinct counting (r10)
 ]
 
 

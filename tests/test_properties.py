@@ -2387,3 +2387,36 @@ def test_peak_concurrency_close_only_day(spark, tmp_path):
     # day 2's true peak is the carried-in 3, first at midnight (sentinel)
     assert out["2024-03-02"][0] == 3
     assert out["2024-03-02"][1] == int(pd.Timestamp("2024-03-02 00:00:00").timestamp())
+
+
+def test_var_es_tail_ordering_and_mann_kendall_monotone(spark, tmp_path):
+    """Structural invariants of the r10 risk/trend ops: expected
+    shortfall can never exceed VaR (the tail mean is a mean of values
+    at-or-below the cut), and a strictly increasing daily series drives
+    Mann-Kendall to its maximum S = n(n-1)/2 with a rejection verdict."""
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    rows = []
+    eid = 0
+    for day in range(30):
+        # strictly increasing daily revenue: 1 event/day, value = day+1
+        rows.append(
+            dict(event_id=eid, ts=pd.Timestamp("2024-01-01") + pd.Timedelta(days=day),
+                 user_id=1, event_type="buy", value=float(day + 1), props="{}")
+        )
+        eid += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+
+    var_es = registry.OPS["ts_var_es"].fn(spark, str(tmp_path)).collect()
+    assert len(var_es) == 1
+    r = var_es[0]
+    assert r["es5_cents"] <= r["var5_cents"]
+    # n=30 -> k = ceil(1.5) = 2; tail = days 1,2 -> var = 200c, es = 150c
+    assert r["k_tail"] == 2 and r["var5_cents"] == 200 and r["es5_cents"] == 150
+
+    mk = registry.OPS["ts_mann_kendall"].fn(spark, str(tmp_path)).collect()[0]
+    n = 30
+    assert mk["s_stat"] == n * (n - 1) // 2  # every pair ascending
+    assert mk["reject_no_trend"] is True or mk["reject_no_trend"] == True  # noqa: E712
