@@ -121,13 +121,12 @@ def _ensure_loaded() -> None:
     # which checks ops in registration order with a bounded (first-50)
     # window. Since round 4 the order is controlled at KEY level by
     # _WINDOW_PRIORITY below (module import order alone could not front
-    # never-verified keys living in already-verified modules); the same
+    # never-verified keys living in already-verified modules); the
     # freshness rule applies every round: (1) keys never externally
-    # checked, (2) keys changed/added this round, (3) the stalest
-    # externally-green tier. tests/test_registry_order.py pins the
-    # resulting window. Round 4 fronts the 34 round-3 registrations that
-    # sat behind the r03 window, then this round's changes/additions (16
-    # inside the window; later round-4 ops sit at key 51+ for round 5).
+    # checked, (2) keys changed this round, (3) keys NEW this round
+    # (inside the window since round 10, so new work is externally
+    # proven the round it lands), (4) the stalest externally-green
+    # tier. tests/test_registry_order.py pins the resulting window.
     from connor_fun_streamproducer_spark.llm import text  # noqa: F401
     from connor_fun_streamproducer_spark.streaming import stateful  # noqa: F401
     from connor_fun_streamproducer_spark.sources import streams as _sources_streams  # noqa: F401
