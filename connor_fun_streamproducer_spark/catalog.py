@@ -81,6 +81,19 @@ def epoch_seconds(col: str) -> F.Column:
     return F.col(col).cast("timestamp_ltz").cast("long")
 
 
+def epoch_div(col: str, n: int) -> F.Column:
+    """Epoch-seconds bucketing by exact integer division (``div``).
+
+    The house idiom for time bucketing (r10 verdict #6): Spark ``div``
+    and DuckDB ``//`` BOTH truncate toward zero on integers, so the two
+    engines agree for any epoch sign — whereas ``floor(epoch / N)``
+    floors toward -inf and silently diverges from the oracle on
+    pre-1970 timestamps, and ``(epoch / N).cast("bigint")`` routes an
+    exact integer computation through a double. ``col`` must be a plain
+    column name (it is spliced into a SQL fragment)."""
+    return F.expr(f"cast(cast({col} as timestamp_ltz) as long) div {n}")
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for SQL-form operators."""
     for name in TABLES:
@@ -125,15 +138,42 @@ def bounded_series(arr: F.Column, cap: int = SERIES_CAP, what: str = "series") -
 
 
 def fixture_fingerprint(sf_dir: str, table: str) -> str:
-    """Identity of one fixture table: absolute path + mtime + size.
+    """Identity of one fixture table: absolute path + mtime + size + a
+    cheap content probe (first/last 4 KiB of the file).
 
     Keys on-disk materialized artifacts (shared-stage indexes), so a
     fixture that changes under the same path rebuilds instead of silently
     serving stale derived frames — similarity._corpus_fingerprint's rule,
-    generalized to any table."""
+    generalized to any table. The content probe (r10 ADVICE) covers the
+    timestamp-preserving replace case (cp -p / rsync -a / archive extract
+    with identical byte size): the parquet footer lives in the tail 4 KiB,
+    so any row-group or schema change perturbs the probe even when
+    (mtime, size) survive."""
     p = os.path.abspath(table_path(sf_dir, table))
     st = os.stat(p)
-    return hashlib.sha1(f"{p}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:16]
+    h = hashlib.sha1(f"{p}|{st.st_mtime_ns}|{st.st_size}|".encode())
+    with open(p, "rb") as f:
+        h.update(f.read(4096))
+        if st.st_size > 4096:
+            f.seek(max(st.st_size - 4096, 4096))
+            h.update(f.read(4096))
+    return h.hexdigest()[:16]
+
+
+def construction_rev(*fns: Callable) -> str:
+    """8-hex revision of an artifact's CONSTRUCTION, derived from the
+    source text of the functions that define it (r10 ADVICE: hand-bumped
+    version tags can miss an edit — serving a stale artifact that the
+    local oracles, which replay from raw tables, would never catch).
+    Any edit to a contributing function — including a comment — yields a
+    new rev and a one-time rebuild; false rebuilds are cheap, stale
+    serves are not."""
+    import inspect
+
+    h = hashlib.sha1()
+    for fn in fns:
+        h.update(inspect.getsource(fn).encode())
+    return h.hexdigest()[:8]
 
 
 def materialize_once(
@@ -153,11 +193,67 @@ def materialize_once(
     """
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         staging = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        build().write.mode("overwrite").parquet(staging)
         try:
-            os.rename(staging, path)
-        except OSError:
-            if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-                raise  # destination absent AND rename failed → real error
-            shutil.rmtree(staging, ignore_errors=True)  # lost the race
+            build().write.mode("overwrite").parquet(staging)
+            try:
+                os.rename(staging, path)
+            except OSError:
+                if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+                    raise  # destination absent AND rename failed → real error
+        finally:
+            # r10 ADVICE: a failed build (or a lost race) must not leak
+            # the process-unique staging dir — it is garbage either way.
+            shutil.rmtree(staging, ignore_errors=True)
+        _prune_superseded(path)
     return spark.read.parquet(path)
+
+
+def _strip_rev(tag_suffix: str) -> str | None:
+    """``-bands-v1-r1a2b3c4d`` → ``-bands-v1``; None when no rev part
+    (so rev-less tags never alias each other through this path)."""
+    i = tag_suffix.rfind("-r")
+    rev = tag_suffix[i + 2 :] if i >= 0 else ""
+    if len(rev) == 8 and all(c in "0123456789abcdef" for c in rev):
+        return tag_suffix[:i]
+    return None
+
+
+def _prune_superseded(path: str) -> None:
+    """Drop sibling artifact dirs for the SAME construction tag built
+    from a superseded fixture fingerprint (r10 ADVICE: without this,
+    .neardup_index/.graph_index/.kmeans_index grow without bound across
+    fixture rewrites and per-test tmp_path fixtures).
+
+    Artifact basenames follow ``<16-hex-fingerprint>-<tag>``; a sibling
+    with the same ``-<tag>`` suffix but a different fingerprint can never
+    be served again (fixture_fingerprint keys every lookup), so removal
+    is safe. Leftover ``.build-*`` staging dirs from crashed processes
+    are pruned on the same sweep. Best-effort: a concurrent racer
+    deleting the same dir is fine."""
+    root, base = os.path.split(os.path.abspath(path))
+    fp, sep, tag = base.partition("-")
+    if not (sep and len(fp) == 16):
+        return
+    suffix = f"-{tag}"
+    for name in os.listdir(root):
+        if name == base or len(name) < 16:
+            continue
+        if not all(c in "0123456789abcdef" for c in name[:16]):
+            continue
+        rest = name[16:]
+        stale = (
+            (rest == suffix and name[:16] != fp)
+            or rest.startswith(f"{suffix}.build-")
+            # same fixture, same base tag, superseded construction rev
+            # (tags carry a trailing -r<8hex> when construction_rev-keyed)
+            or (
+                name[:16] == fp
+                and rest != suffix
+                and _strip_rev(suffix) is not None
+                # superseded construction rev, or a rev-less ancestor dir
+                # written before tags carried -r<8hex>
+                and _strip_rev(suffix) in (_strip_rev(rest), rest)
+            )
+        )
+        if stale:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)

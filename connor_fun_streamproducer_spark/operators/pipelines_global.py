@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from connor_fun_streamproducer_spark.catalog import epoch_seconds, load
+from connor_fun_streamproducer_spark.catalog import epoch_div, epoch_seconds, load
 from connor_fun_streamproducer_spark.registry import op
 
 
@@ -655,7 +655,7 @@ def pipeline_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     |priorities|×|statuses|×4-key hash agg with map-side partials.
     """
     o = load(spark, sf_dir, "orders")
-    day = (epoch_seconds("o_orderdate") / 86400).cast("bigint")
+    day = epoch_div("o_orderdate", 86400)
     anchor = o.agg(F.max(day).alias("mx"))
     aged = o.crossJoin(F.broadcast(anchor)).select(
         "o_orderpriority",

@@ -1905,8 +1905,8 @@ WITH b AS (
 SELECT event_type,
        CAST(na AS BIGINT) AS n_era_a,
        CAST(nb AS BIGINT) AS n_era_b,
-       round(tstat / 100, 6) + 0.0 AS t_stat_cents,
-       abs(round(tstat / 100, 6)) > {_WELCH_CRIT} AS reject_equal_means
+       round(tstat, 6) + 0.0 AS t_stat,
+       abs(round(tstat, 6)) > {_WELCH_CRIT} AS reject_equal_means
 FROM t
 """
 
@@ -1928,7 +1928,10 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression over those exact integers, rounded before the verdict
     literal comparison — cross-engine total order. (Wait-free caveat
     documented: sqrt/division float steps are identical IEEE given
-    identical integer inputs.)
+    identical integer inputs.) The t statistic is dimensionless — the
+    cents scale cancels between the mean difference and the standard
+    error — so it is reported raw (r10 verdict fix: an erroneous /100
+    made the 5% verdict effectively test |t| > 196).
 
     Scale: one scan → (type, era) hash agg with map-side partials
     (the span probe is a 1-row agg); output is |types| rows.
@@ -1970,8 +1973,8 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("na").cast("bigint").alias("n_era_a"),
         F.col("nb").cast("bigint").alias("n_era_b"),
-        (F.round(tstat / 100, 6) + F.lit(0.0)).alias("t_stat_cents"),
-        (F.abs(F.round(tstat / 100, 6)) > F.lit(_WELCH_CRIT)).alias(
+        (F.round(tstat, 6) + F.lit(0.0)).alias("t_stat"),
+        (F.abs(F.round(tstat, 6)) > F.lit(_WELCH_CRIT)).alias(
             "reject_equal_means"
         ),
     )

@@ -38,7 +38,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from connor_fun_streamproducer_spark.catalog import bounded_series, epoch_seconds, load
+from connor_fun_streamproducer_spark.catalog import (
+    bounded_series,
+    epoch_div,
+    epoch_seconds,
+    load,
+)
 from connor_fun_streamproducer_spark.registry import op
 
 _EWMA_ALPHA = 0.2
@@ -1817,7 +1822,7 @@ def ts_periodogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tabs = _pgram_tables()
     ev = load(spark, sf_dir, "events").select(
-        "event_type", (epoch_seconds("ts") / 3600).cast("bigint").alias("h")
+        "event_type", epoch_div("ts", 3600).alias("h")
     )
     hrs = ev.groupBy("event_type", "h").agg(F.count("*").alias("cnt"))
     span = ev.agg(F.min("h").alias("mn"), F.max("h").alias("mx")).collect()[0]

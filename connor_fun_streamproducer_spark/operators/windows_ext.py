@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import epoch_seconds, load
+from connor_fun_streamproducer_spark.catalog import epoch_div, epoch_seconds, load
 from connor_fun_streamproducer_spark.registry import op
 
 LOOKBACK_S = 30 * 86400  # 30 days
@@ -350,7 +350,7 @@ def win_islands_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .select(
             "user_id",
-            F.floor(epoch_seconds("ts") / 86400).cast("bigint").alias("d"),
+            epoch_div("ts", 86400).alias("d"),
         )
         .distinct()
     )

@@ -283,6 +283,27 @@ def _socket_lines_roundtrip(
             f"{len(payload_lines)} rows would be unreachable"
         )
     payload = ("\n".join(payload_lines) + "\n").encode()
+    return _socket_serve_roundtrip(
+        spark, lambda: iter((payload,)), len(payload_lines), transform, op_name
+    )
+
+
+def _socket_serve_roundtrip(
+    spark: SparkSession,
+    make_chunks,
+    n_expected: int,
+    transform,
+    op_name: str,
+):
+    """Server/poll core of the socket harness. ``make_chunks() ->
+    Iterator[bytes]`` is invoked PER CONNECTION and streamed chunk by
+    chunk, so the server never holds more than one chunk in memory —
+    callers with large payloads hand it a file reader over a
+    Spark-written spill (sink_socket_roundtrip), not a collected list
+    (r10 verdict #5: no full-table driver materialization; backpressure
+    is the TCP send buffer — sendall blocks the producer thread when the
+    Spark socket source falls behind, nothing is buffered beyond the
+    chunk in flight)."""
 
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -305,7 +326,8 @@ def _socket_lines_roundtrip(
                     conn, _ = srv.accept()
                 except socket.timeout:
                     continue
-                conn.sendall(payload)
+                for chunk in make_chunks():
+                    conn.sendall(chunk)
                 conns.append(conn)
         finally:
             for c in conns:
@@ -325,16 +347,16 @@ def _socket_lines_roundtrip(
         # loud failure — a partial table would otherwise surface as a
         # confusing oracle hash mismatch downstream.
         deadline = time.monotonic() + 120
-        while time.monotonic() < deadline and spark.table(qname).count() < len(payload_lines):
+        while time.monotonic() < deadline and spark.table(qname).count() < n_expected:
             if q.exception() is not None:
                 raise RuntimeError(
                     f"{op_name}: streaming query failed mid-poll (port {port})"
                 ) from q.exception()
             time.sleep(0.2)
         seen = spark.table(qname).count()
-        if seen < len(payload_lines):
+        if seen < n_expected:
             raise RuntimeError(
-                f"{op_name}: poll deadline expired with {seen}/{len(payload_lines)} "
+                f"{op_name}: poll deadline expired with {seen}/{n_expected} "
                 f"rows in the memory sink (port {port}); socket source never "
                 "delivered the full payload"
             )
@@ -411,27 +433,56 @@ def sink_socket_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     and double precision survive the wire exactly. Re-delivery on
     reconnect is made idempotent by keyed dropDuplicates (at-least-once
     → exactly-once), the same posture src_socket pins.
+
+    The transport server never materializes the table on the driver
+    (r10 verdict #5): the serialized frame is SPARK-written to a local
+    spill directory (executors serialize in parallel) and the producer
+    thread streams the part files in 64 KiB chunks — driver memory is
+    one chunk regardless of row count, and TCP backpressure (sendall
+    blocking) paces the producer against the consumer.
     """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
     from connor_fun_streamproducer_spark.catalog import load as _load
 
     ev = _load(spark, sf_dir, "events").filter(F.col("event_id") < _ROUNDTRIP_MAX_ID)
-    lines = [
-        r["line"]
-        for r in ev.select(
-            F.to_json(F.struct("event_id", "event_type", "value")).alias("line")
-        ).collect()
-    ]
-    schema = "event_id BIGINT, event_type STRING, value DOUBLE"
-    parsed = _socket_lines_roundtrip(
-        spark,
-        lines,
-        lambda raw: (
-            raw.select(F.from_json(F.col("value"), schema).alias("r"))
-            .select("r.*")
-            .dropDuplicates(["event_id"])
-        ),
-        "sink_socket_roundtrip",
+    ser = ev.select(
+        F.to_json(F.struct("event_id", "event_type", "value")).alias("value")
     )
+    spill = _tempfile.mkdtemp(prefix="sock_spill_")
+    try:
+        ser.write.mode("overwrite").text(spill)
+        parts = sorted(_glob.glob(_os.path.join(spill, "part-*")))
+        # poll target: the key is unique by construction, so expected
+        # rows == serialized rows (a scalar agg, never a collect)
+        n_expected = ev.count()
+
+        def chunks():
+            for p in parts:
+                with open(p, "rb") as f:
+                    while True:
+                        chunk = f.read(65536)
+                        if not chunk:
+                            break
+                        yield chunk
+
+        schema = "event_id BIGINT, event_type STRING, value DOUBLE"
+        parsed = _socket_serve_roundtrip(
+            spark,
+            chunks,
+            n_expected,
+            lambda raw: (
+                raw.select(F.from_json(F.col("value"), schema).alias("r"))
+                .select("r.*")
+                .dropDuplicates(["event_id"])
+            ),
+            "sink_socket_roundtrip",
+        )
+    finally:
+        _shutil.rmtree(spill, ignore_errors=True)
     return parsed.select(
         "event_id", "event_type", F.round("value", 6).alias("value")
     )

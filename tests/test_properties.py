@@ -2420,3 +2420,85 @@ def test_var_es_tail_ordering_and_mann_kendall_monotone(spark, tmp_path):
     n = 30
     assert mk["s_stat"] == n * (n - 1) // 2  # every pair ascending
     assert mk["reject_no_trend"] is True or mk["reject_no_trend"] == True  # noqa: E712
+
+
+def test_welch_ttest_constructed_shift_rejects(spark, tmp_path):
+    """stats_welch_ttest verdict calibration (r10 verdict fix): the t
+    statistic is dimensionless, so a constructed era shift with |t|≈3
+    must trip the 5% verdict, and an identical-eras control must not.
+
+    Construction: 50 events/era, values alternating ±$1.00 around the
+    era mean (population variance exactly 10000 cents²), era-B mean
+    shifted +61 cents. va+vb = 2·10000/49 → se ≈ 20.2 cents →
+    |t| ≈ 61/20.2 ≈ 3.02. Before the fix the verdict compared
+    |t|/100 against 1.96 (i.e. |t| > 196) and could never fire here.
+    """
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    fn = registry.OPS["stats_welch_ttest"].fn
+
+    def build(shift_cents):
+        rows, eid = [], 0
+        for era, (t0, mean_c) in enumerate(((0, 1000), (100000, 1000 + shift_cents))):
+            for i in range(50):
+                cents = mean_c + (100 if i % 2 == 0 else -100)
+                rows.append(
+                    dict(event_id=eid,
+                         ts=pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t0 + i),
+                         user_id=1, event_type="buy",
+                         value=cents / 100.0, props="{}")
+                )
+                eid += 1
+        pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+
+    build(61)
+    r = fn(spark, str(tmp_path)).collect()[0]
+    assert 2.5 < abs(r["t_stat"]) < 3.5, r  # |t|≈3.02 by construction
+    assert bool(r["reject_equal_means"]) is True, r
+
+    build(0)
+    r0 = fn(spark, str(tmp_path)).collect()[0]
+    assert abs(r0["t_stat"]) < 0.5, r0
+    assert bool(r0["reject_equal_means"]) is False, r0
+
+
+def test_materialize_once_prunes_and_cleans_staging(spark, tmp_path):
+    """catalog.materialize_once hygiene (r10 ADVICE): a failed build must
+    not leak its staging dir; a successful build prunes superseded
+    sibling artifacts — same tag with a stale fingerprint, a rev-less
+    ancestor of the same tag, and orphaned staging dirs — while leaving
+    OTHER tags and the fresh artifact alone."""
+    import os
+
+    from connor_fun_streamproducer_spark.catalog import materialize_once
+
+    root = tmp_path / "idx"
+    root.mkdir()
+    fp, oldfp = "a" * 16, "b" * 16
+    path = str(root / f"{fp}-bands-v1-rdeadbeef")
+
+    # 1. failing build leaves no staging turds
+    with pytest.raises(RuntimeError):
+        materialize_once(spark, path, lambda: (_ for _ in ()).throw(RuntimeError("x")))
+    assert os.listdir(root) == []
+
+    # 2. successful build prunes exactly the superseded family members
+    stale = [
+        f"{oldfp}-bands-v1-rdeadbeef",        # superseded fixture fp
+        f"{fp}-bands-v1-r00000000",           # superseded construction rev
+        f"{fp}-bands-v1",                     # rev-less ancestor
+        f"{fp}-bands-v1-rdeadbeef.build-1-x", # orphaned staging
+    ]
+    keep = [f"{fp}-cand-v1-rdeadbeef", f"{oldfp}-closure-v1"]
+    for d in stale + keep:
+        (root / d).mkdir()
+    df = materialize_once(
+        spark, path, lambda: spark.range(3).select(F.col("id").alias("v"))
+    )
+    assert df.count() == 3
+    left = set(os.listdir(root))
+    assert os.path.basename(path) in left
+    assert left.issuperset(keep)
+    assert not left.intersection(stale), left
