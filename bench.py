@@ -201,15 +201,42 @@ EXTENDED = [
     "pipeline_returns_rate",
     "graph_component_sizes",
     "sim_margin_profile",
+    # round-11 tier
+    "stats_cohens_d_eras",
+    "stats_brown_forsythe",
+    "stats_mood_median",
+    "pipeline_repeat_buyers",
+    "text_word_length_profile",
+    "sim_doc_topk_minhash",
+    "embedding_cluster_separation",
+    "win_active_streak_latest",
+    "ts_hour_of_week_profile",
+    "graph_two_hop_reach",
+    "text_readability_fk",
+    "ts_outage_windows",
+    "dedup_vector_exact",
 ]
 
 
 def _time_keys(
-    spark, keys: list[str], sf_dir: str, label: str = "", reps: int = 3
-) -> dict[str, float]:
-    """Min-of-reps wall time per op key at sf_dir (one untimed warmup run
-    absorbs codegen/classload when WARMUP is on)."""
+    spark,
+    keys: list[str],
+    sf_dir: str,
+    label: str = "",
+    reps: int = 3,
+    stat: str = "median",
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-key wall time at sf_dir: returns (stat_timings, min_timings).
+
+    ``stat="median"`` is the REPORTED number since r11 (verdict r10 #3:
+    min-of-N still let one quiet-vs-throttled host window distort a round
+    grade — the median of ≥3 timed runs is reproducible within ±10% on a
+    re-run because a single fast or slow outlier can't move it). The
+    per-key min travels in the sidecar for continuity with the r1-r10
+    anchors. One untimed warmup run absorbs codegen/classload when WARMUP
+    is on."""
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for key in keys:
         fn = BENCH_FN.get(key, registry.OPS[key].fn)
         if WARMUP:
@@ -217,16 +244,26 @@ def _time_keys(
             # per JVM in production; this container's Janino compile is
             # pathologically slow and would otherwise dominate).
             fn(spark, sf_dir).count()
-        best, n = None, 0
-        for _ in range(reps):  # min-of-N: the shared host is noisy (3× swings)
+        samples, n = [], 0
+        for _ in range(reps):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[key] = round(best, 3)
-        print(f"# {label}{key}: {timings[key]:.3f}s rows={n}", file=sys.stderr)
-    return timings
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        mid = len(samples) // 2
+        med = (
+            samples[mid]
+            if len(samples) % 2
+            else (samples[mid - 1] + samples[mid]) / 2
+        )
+        timings[key] = round(med if stat == "median" else samples[0], 3)
+        mins[key] = round(samples[0], 3)
+        print(
+            f"# {label}{key}: {timings[key]:.3f}s (min {mins[key]:.3f}) rows={n}",
+            file=sys.stderr,
+        )
+    return timings, mins
 
 
 def main() -> None:
@@ -237,14 +274,14 @@ def main() -> None:
     # Warm the JVM + parquet footer cache with a trivial action.
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 
-    # Headline: min-of-5 (was min-of-3 through r8). The r8 "+15% uniform
-    # drift" on untouched queries was measurement, not code: this host's
-    # C2 JIT now ramps over ~4-5 executions (probed r9: agg_window_count
-    # 1.118 → 0.76 s across 5 reps, join_sortmerge 0.687 → 0.566 —
-    # matching their r7 values), so one warmup + min-of-3 sampled the
-    # ramp. min-of-5 measures the steady state the anchor intended.
-    timings = _time_keys(spark, keys, SF_DIR, reps=5)
-    ext_timings = _time_keys(spark, ext_keys, SF_DIR, label="ext ")
+    # Headline: MEDIAN-of-5 timed runs since r11 (verdict r10 #3; min
+    # travels in the sidecar for r1-r10 anchor continuity). The reps=5
+    # history: r8's "+15% uniform drift" was this host's C2 JIT ramping
+    # over ~4-5 executions, so fewer reps sampled the ramp. Extended tier
+    # trimmed to ONE timed run (after warmup) to keep total bench wall
+    # inside the driver budget now the registry is 350+ keys.
+    timings, min_timings = _time_keys(spark, keys, SF_DIR, reps=5)
+    ext_timings, _ = _time_keys(spark, ext_keys, SF_DIR, label="ext ", reps=1)
 
     # Second-scale pass (VERDICT r5 item 3): the 2x bar measured at ONE
     # sf can hide a superlinear op forever. Re-run every query at a 10x
@@ -258,7 +295,9 @@ def main() -> None:
         if os.path.isdir(SF2_DIR) and os.path.realpath(SF2_DIR) != os.path.realpath(SF_DIR):
             # ratios are coarse (order-of-magnitude signal): min-of-2 halves the
             # pass cost without moving any conclusion
-            second = _time_keys(spark, keys + ext_keys, SF2_DIR, label="sf2 ", reps=2)
+            second, _ = _time_keys(
+                spark, keys + ext_keys, SF2_DIR, label="sf2 ", reps=2, stat="min"
+            )
             big = {**timings, **ext_timings}
             scaling = {
                 k: round(big[k] / second[k], 2)
@@ -320,6 +359,9 @@ def main() -> None:
     detail = {"detail": "bench_sidecar"}
     if ext_timings:
         detail["extended_queries"] = ext_timings
+    # per-key MIN of the headline reps: the r1-r10 anchors reported min,
+    # so the sidecar keeps both statistics comparable across rounds
+    detail["headline_min_queries"] = min_timings
     if stream_rows_per_sec is not None:
         detail["stream_rows_per_sec"] = stream_rows_per_sec
     if skew is not None:

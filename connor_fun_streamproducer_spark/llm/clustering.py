@@ -376,3 +376,108 @@ def embedding_cluster_label_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-cluster separation (pairwise centroid distances of the final
+# partition)
+# ---------------------------------------------------------------------------
+
+_SEP_ORACLE = _kmeans_af_ctes() + """
+, st AS (
+    SELECT a.cid, pos, sum(v.xq[pos + 1]) AS s, count(*) AS cnt
+    FROM af a JOIN vec v USING (vec_id) CROSS JOIN dims
+    GROUP BY 1, 2
+), cm AS (
+    SELECT cid,
+           list(floor(CAST(s AS DOUBLE) / cnt / 1e6 * 1e4 + 0.5) / 1e4
+                ORDER BY pos) AS c,
+           max(cnt) AS n
+    FROM st GROUP BY cid
+)
+SELECT CAST(a.cid AS BIGINT) AS cluster_a,
+       CAST(b.cid AS BIGINT) AS cluster_b,
+       CAST(a.n AS BIGINT) AS n_a,
+       CAST(b.n AS BIGINT) AS n_b,
+       round(sqrt(list_reduce(list_transform(range(64),
+             d -> (a.c[d+1] - b.c[d+1]) * (a.c[d+1] - b.c[d+1])),
+             (x, y) -> x + y)), 6) + 0.0 AS l2_dist
+FROM cm a JOIN cm b ON a.cid < b.cid
+"""
+
+
+@op(
+    "embedding_cluster_separation",
+    oracle=_SEP_ORACLE,
+    tags=("ext", "llm", "iterative", "scale"),
+)
+def embedding_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise L2 distances between the centroids of the FINAL k-means
+    partition — the separation matrix a curator reads next to
+    embedding_cluster_kmeans's inertia: low inertia with two centroids
+    nearly coincident means k is too high (merge them); one cluster far
+    from all others is the outlier pocket embedding_outlier_distance
+    flags per-vector. Centroids here are the means of the final
+    assignment (the partition the artifact serves), computed with the
+    SAME quantized integer-sum rule as the Lloyd update, so the matrix
+    describes exactly the clustering consumers see.
+
+    Exact: member sums are 1e-6-quantized integer aggregates
+    (decimal(38,0)); means quantize to 1e4 like every Lloyd round; the
+    64-term squared-distance fold runs in fixed dimension order on both
+    engines (identical IEEE adds), sqrt is correctly rounded, rounded
+    to 6 before compare.
+
+    Scale: one assignment⋈embeddings equi-join (the artifact serves the
+    assignment — no Lloyd replay), one (cluster, dim) hash agg, then a
+    k-row self-join (k² = 28 pairs at k=8 — driver-scale by the
+    codebook contract).
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast("bigint"),
+        ).alias("xq"),
+    )
+    asg = kmeans_assignment_table(spark, sf_dir).select("vec_id", "cluster")
+    st = (
+        asg.join(emb, "vec_id")
+        .select("cluster", F.posexplode("xq").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    cm = st.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s", "cnt"))),
+            lambda m: F.floor(
+                m["s"].cast("double") / m["cnt"] / 1e6 * 1e4 + F.lit(0.5)
+            )
+            / 1e4,
+        ).alias("c"),
+        F.max("cnt").alias("n"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    a = cm.select(
+        F.col("cluster").alias("cluster_a"), F.col("c").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = cm.select(
+        F.col("cluster").alias("cluster_b"), F.col("c").alias("cb"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("cluster_a") < F.col("cluster_b"))
+        .select(
+            F.col("cluster_a").cast("bigint").alias("cluster_a"),
+            F.col("cluster_b").cast("bigint").alias("cluster_b"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (F.round(F.sqrt(d2), 6) + F.lit(0.0)).alias("l2_dist"),
+        )
+    )

@@ -2504,3 +2504,97 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter(F.col("doc_id") != F.col("keeper_doc_id")).select(
         "doc_id", "keeper_doc_id", "digest", "n_members"
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k most-similar documents per document, from MinHash lane agreement
+# ---------------------------------------------------------------------------
+
+_SIMDOC_TOPK = 3
+_SIMDOC_MIN_LANES = 4  # at least one band's worth of agreement
+
+_SIMDOC_ORACLE = _mhb_ctes() + f"""
+, lanes AS (
+    {" UNION ALL ".join(f"SELECT doc_id, {k} AS k, mh_{k} AS v FROM sig" for k in range(16))}
+), pairs AS (
+    SELECT a.doc_id, b.doc_id AS neighbor_doc_id, count(*) AS n_shared_lanes
+    FROM lanes a JOIN lanes b ON a.k = b.k AND a.v = b.v
+                             AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_SIMDOC_MIN_LANES}
+), ranked AS (
+    SELECT doc_id, neighbor_doc_id, n_shared_lanes,
+           CAST(n_shared_lanes * 10000 // 16 AS BIGINT) AS est_jaccard_bp,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n_shared_lanes DESC, neighbor_doc_id)
+               AS rk
+    FROM pairs
+)
+SELECT doc_id, neighbor_doc_id,
+       CAST(n_shared_lanes AS BIGINT) AS n_shared_lanes,
+       est_jaccard_bp, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_SIMDOC_TOPK}
+"""
+
+
+@op("sim_doc_topk_minhash", oracle=_SIMDOC_ORACLE, tags=("llm", "dedup", "scale"))
+def sim_doc_topk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most-similar OTHER documents per document, scored by
+    MinHash lane agreement (shared lanes / 16 ≈ Jaccard) — the document
+    "related items" primitive, and the exploratory view the dedup
+    THRESHOLD ops deliberately hide: dedup_minhash_banded answers "is
+    this a duplicate (> 0.8)", this answers "what are its nearest
+    neighbors and HOW near", which is what a curator looks at before
+    choosing that threshold. Pairs must agree on ≥ 4 of 16 lanes
+    (est. Jaccard ≥ 0.25) to bound the output (stated, not silent).
+
+    Exact: lanes are the md5-stream signature (the materialized
+    neardup_signatures artifact — build once, serve many); agreement
+    counts are integers; the estimate is integral basis points; the
+    per-doc top-k is a row_number over the (count desc, neighbor asc)
+    total order.
+
+    Scale: the pair generation is a 16-way lane-bucket equi-join on
+    (lane, value) — posting lists are the docs sharing a 32-bit min-hash
+    value, i.e. near-duplicates plus vanishing random collisions
+    (~n²/2³³ over the vocab), never an all-pairs product; the agg and
+    rank window both key on doc_id.
+    """
+    sig = neardup_signatures(spark, sf_dir)
+    lanes = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"mh_{k}") for k in range(_MHB_HASHES)])).alias(
+            "k", "v"
+        ),
+    )
+    pairs = (
+        lanes.alias("a")
+        .join(
+            lanes.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("neighbor_doc_id"),
+        )
+        .agg(F.count("*").alias("n_shared_lanes"))
+        .filter(F.col("n_shared_lanes") >= _SIMDOC_MIN_LANES)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_shared_lanes").desc(), F.col("neighbor_doc_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SIMDOC_TOPK)
+        .select(
+            "doc_id",
+            "neighbor_doc_id",
+            F.col("n_shared_lanes").cast("bigint").alias("n_shared_lanes"),
+            F.expr(f"n_shared_lanes * 10000 div {_MHB_HASHES}")
+            .cast("bigint")
+            .alias("est_jaccard_bp"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

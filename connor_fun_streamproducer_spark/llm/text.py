@@ -1071,3 +1071,77 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sylls").cast("bigint").alias("n_syllables"),
         (F.round(fk, 4) + F.lit(0.0)).alias("fk_grade"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Word-length profile per source (morphology-level quality signal)
+# ---------------------------------------------------------------------------
+
+# band edges in characters; compared on exact integer lengths
+_WLEN_SHORT_MAX = 3
+_WLEN_LONG_MIN = 7
+
+_WLEN_ORACLE = f"""
+WITH w AS (
+    SELECT source, len(tok) AS wl
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    WHERE len(tok) > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       round(CAST(sum(wl) AS DOUBLE) / count(*), 6) + 0.0 AS avg_word_len,
+       CAST(sum(CASE WHEN wl <= {_WLEN_SHORT_MAX} THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS short_share_bp,
+       CAST(sum(CASE WHEN wl >= {_WLEN_LONG_MIN} THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS long_share_bp,
+       CAST(max(wl) AS BIGINT) AS max_word_len
+FROM w GROUP BY source
+"""
+
+
+@op("text_word_length_profile", oracle=_WLEN_ORACLE, tags=("llm", "text"))
+def text_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-length distribution per source: mean length, short-word
+    (≤3 chars) and long-word (≥7 chars) shares, and the longest token —
+    the morphology-level quality axis the token-count ops don't see.
+    Machine-generated or boilerplate text skews short-and-uniform;
+    OCR/concatenation damage shows up as absurd max_word_len; a corpus
+    mixer reads these bands next to text_quality's stopword ratios to
+    catch sources whose WORDS are wrong, not just their documents.
+    (text_ttr_by_source profiles vocabulary REUSE; this profiles the
+    shape of the words themselves — independent failure modes.)
+
+    Exact: token lengths are integers off the same whitespace split
+    every text op uses (empty tokens from runs of spaces are dropped,
+    stated on both sides); band shares are integral basis points; only
+    the mean divides, over exact integer sums, rounded.
+
+    Scale: map-only explode → per-source hash agg with map-side
+    partials; no joins, no windows; output is |sources| rows.
+    """
+    w = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .select("source", F.length("tok").alias("wl"))
+    )
+    return w.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        (
+            F.round(F.sum("wl").cast("double") / F.count("*"), 6) + F.lit(0.0)
+        ).alias("avg_word_len"),
+        F.expr(
+            f"sum(CASE WHEN wl <= {_WLEN_SHORT_MAX} THEN 1 ELSE 0 END) * 10000"
+            " div count(*)"
+        )
+        .cast("bigint")
+        .alias("short_share_bp"),
+        F.expr(
+            f"sum(CASE WHEN wl >= {_WLEN_LONG_MIN} THEN 1 ELSE 0 END) * 10000"
+            " div count(*)"
+        )
+        .cast("bigint")
+        .alias("long_share_bp"),
+        F.max("wl").cast("bigint").alias("max_word_len"),
+    )

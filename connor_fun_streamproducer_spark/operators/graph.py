@@ -1647,3 +1647,76 @@ def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_n").cast("bigint").alias("n_components"),
         (F.col("sz") * F.col("_n")).cast("bigint").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-hop reach per node (friends-of-friends audience size)
+# ---------------------------------------------------------------------------
+
+_TWO_HOP_ORACLE = "WITH " + _PAIR_EDGES_SQL + """,
+und AS (SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e),
+two AS (
+    SELECT DISTINCT x.u, y.v AS w
+    FROM und x JOIN und y ON x.v = y.u
+    WHERE y.v <> x.u
+),
+strict2 AS (
+    SELECT t.u, t.w FROM two t
+    LEFT JOIN und n ON n.u = t.u AND n.v = t.w
+    WHERE n.u IS NULL
+),
+deg AS (SELECT u, count(*) AS n_neighbors FROM und GROUP BY 1)
+SELECT d.u AS user_id,
+       CAST(d.n_neighbors AS BIGINT) AS n_neighbors,
+       CAST(coalesce(s.n2, 0) AS BIGINT) AS n_two_hop
+FROM deg d
+LEFT JOIN (SELECT u, count(*) AS n2 FROM strict2 GROUP BY 1) s ON s.u = d.u
+"""
+
+
+@op("graph_two_hop_reach", oracle=_TWO_HOP_ORACLE, tags=("ext", "graph", "scale"))
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per node of the shared-purchase graph: direct-neighbor count and
+    the number of distinct nodes at EXACTLY distance two (reachable via
+    a neighbor, not a neighbor themselves, not self) — the
+    friends-of-friends audience size behind invite-reach estimates and
+    the growth-potential feature collaborative filters use (many 2-hop
+    contacts but few direct ones = an under-connected node in a dense
+    region). graph_bfs_distance walks from ONE source; this profiles
+    every node's 2-ball at once.
+
+    Exact: pure set arithmetic on the materialized pair-edge artifact —
+    distinct 2-paths minus direct edges minus self; integer counts.
+
+    Scale: one edge⋈edge equi-join on the shared endpoint (the artifact
+    serves the edge list — no bucket replay), a distinct, an anti-join
+    against the direct edges, and two hash aggs — all exchanging on
+    node keys. The wedge fan-out is Σ deg(v)², the same budget
+    graph_triangle_count's size band already caps at the source.
+    """
+    e = _pair_edges(spark, sf_dir)
+    und = e.select(F.col("a").alias("u"), F.col("c").alias("v")).unionAll(
+        e.select(F.col("c").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()
+    two = (
+        und.alias("x")
+        .join(und.alias("y"), F.col("x.v") == F.col("y.u"))
+        .filter(F.col("y.v") != F.col("x.u"))
+        .select(F.col("x.u").alias("u"), F.col("y.v").alias("w"))
+        .distinct()
+    )
+    strict2 = two.join(
+        und.select(F.col("u").alias("du"), F.col("v").alias("dv")),
+        (F.col("u") == F.col("du")) & (F.col("w") == F.col("dv")),
+        "left_anti",
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("n_neighbors"))
+    n2 = strict2.groupBy("u").agg(F.count("*").alias("n2"))
+    return (
+        deg.join(n2, "u", "left")
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("n_neighbors").cast("bigint").alias("n_neighbors"),
+            F.coalesce(F.col("n2"), F.lit(0)).cast("bigint").alias("n_two_hop"),
+        )
+    )

@@ -803,3 +803,68 @@ def pipeline_returns_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ret") * F.col("cents")).cast("bigint").alias("returned_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Part-level repeat-buyer rate (retention at the product grain)
+# ---------------------------------------------------------------------------
+
+_REPEAT_ORACLE = """
+WITH bo AS (
+    SELECT l.l_partkey AS partkey, o.o_custkey AS custkey,
+           count(DISTINCT l.l_orderkey) AS n_orders
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+)
+SELECT partkey,
+       CAST(count(*) AS BIGINT) AS n_buyers,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repeat_buyers,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS repeat_bp
+FROM bo GROUP BY 1
+HAVING count(*) >= 3
+"""
+
+
+@op("pipeline_repeat_buyers", oracle=_REPEAT_ORACLE, tags=("ext", "pipeline"))
+def pipeline_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate at the PRODUCT grain: per part, how many
+    distinct customers bought it at all and how many came back for it
+    in a second distinct order — product-level retention, the signal
+    behind reorder forecasting and assortment decisions. The user-grain
+    retention ops (pipeline_retention_cohort, pipeline_interpurchase_
+    time) answer "do customers come back"; this answers "which PRODUCTS
+    bring them back", which is a different ranking entirely. Parts with
+    fewer than 3 buyers are suppressed (rate noise floor, stated).
+
+    Exact: distinct-order counts and the 2-order repeat predicate are
+    pure integers; the rate is integral basis points (10000·k div n).
+
+    Scale: the orderkey equi-join is the one fact-fact shuffle; the
+    (partkey, custkey) distinct-count agg runs as standard two-phase
+    partial/final; the part-level rollup reuses the partkey
+    partitioning. Output is bounded by |part|.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bo = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_partkey").alias("partkey"), F.col("o_custkey").alias("custkey"))
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+    rep = F.when(F.col("n_orders") >= 2, 1).otherwise(0)
+    return (
+        bo.groupBy("partkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buyers"),
+            F.sum(rep).cast("bigint").alias("n_repeat_buyers"),
+            F.expr(
+                "sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 10000"
+                " div count(*)"
+            )
+            .cast("bigint")
+            .alias("repeat_bp"),
+        )
+        .filter(F.col("n_buyers") >= 3)
+    )

@@ -2056,3 +2056,425 @@ def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (chi2 + F.lit(0.0)).alias("chi2_stat"),
         (chi2 > F.lit(_SRM_CRIT)).alias("srm_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Era effect size (Cohen's d) per event type — the welch companion
+# ---------------------------------------------------------------------------
+
+# |d| magnitude thresholds (Cohen 1988), compared against the ROUNDED d
+_COHEN_SMALL, _COHEN_MEDIUM, _COHEN_LARGE = 0.2, 0.5, 0.8
+
+_COHEN_ORACLE = f"""
+WITH b AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS te,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), span AS (
+    SELECT (min(te) + max(te)) // 2 AS mid FROM b
+), m AS (
+    SELECT event_type,
+           CASE WHEN te < mid THEN 0 ELSE 1 END AS era,
+           count(*) AS n, sum(cents) AS s1, sum(cents * cents) AS s2
+    FROM b CROSS JOIN span GROUP BY 1, 2
+), p AS (
+    SELECT event_type,
+           max(CASE WHEN era = 0 THEN n END) AS na,
+           max(CASE WHEN era = 0 THEN s1 END) AS sa,
+           max(CASE WHEN era = 0 THEN s2 END) AS qa,
+           max(CASE WHEN era = 1 THEN n END) AS nb,
+           max(CASE WHEN era = 1 THEN s1 END) AS sb,
+           max(CASE WHEN era = 1 THEN s2 END) AS qb
+    FROM m GROUP BY 1
+    HAVING max(CASE WHEN era = 0 THEN n END) >= 2
+       AND max(CASE WHEN era = 1 THEN n END) >= 2
+), d AS (
+    SELECT event_type, na, nb,
+           (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+           / nullif(sqrt(
+               ((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+              + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb))
+               / (na + nb - 2)), 0.0) AS dv
+    FROM p
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_era_a,
+       CAST(nb AS BIGINT) AS n_era_b,
+       round(dv, 6) + 0.0 AS cohens_d,
+       CASE WHEN abs(round(dv, 6)) >= {_COHEN_LARGE} THEN 'large'
+            WHEN abs(round(dv, 6)) >= {_COHEN_MEDIUM} THEN 'medium'
+            WHEN abs(round(dv, 6)) >= {_COHEN_SMALL} THEN 'small'
+            ELSE 'negligible' END AS magnitude
+FROM d
+"""
+
+
+@op("stats_cohens_d_eras", oracle=_COHEN_ORACLE, tags=("ext", "stats"))
+def stats_cohens_d_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size of event value between the
+    first and second half of the observed span, per event type — the
+    "how BIG did the metric move" companion to stats_welch_ttest's
+    "did it move at all": a t statistic grows with √n, so at corpus
+    scale everything is significant; d divides the mean shift by the
+    pooled standard deviation and stays comparable across types and
+    sample sizes (Cohen 1988 magnitude bands reported alongside).
+
+    Exact: the same per-era integer cents moments as the welch op (the
+    cents scale cancels in d exactly as it does in t); pooled variance
+    uses the (n_a+n_b−2)-dof pooled sum of squares; one fixed-shape
+    float expression over exact integers, rounded before the banded
+    magnitude CASE — cross-engine total order on both columns.
+
+    Scale: one scan → (type, era) hash agg with map-side partials; the
+    era boundary is a 1-row probe; output is |types| rows.
+    """
+    b = load(spark, sf_dir, "events").select(
+        "event_type",
+        epoch_seconds("ts").alias("te"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    span = b.agg(F.expr("(min(te) + max(te)) div 2").alias("mid")).collect()[0][
+        "mid"
+    ]  # 1-row probe: the era boundary literal
+    m = b.select(
+        "event_type",
+        F.when(F.col("te") < F.lit(span), F.lit(0)).otherwise(F.lit(1)).alias("era"),
+        "cents",
+    ).groupBy("event_type", "era").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("s2"),
+    )
+    p = (
+        m.groupBy("event_type")
+        .agg(
+            *[
+                F.max(F.when(F.col("era") == e, F.col(c))).alias(f"{a}{t}")
+                for e, t in ((0, "a"), (1, "b"))
+                for c, a in (("n", "n"), ("s1", "s"), ("s2", "q"))
+            ]
+        )
+        .filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+    )
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    ssa = F.col("qa").cast("double") - F.col("sa").cast("double") * F.col("sa") / F.col("na")
+    ssb = F.col("qb").cast("double") - F.col("sb").cast("double") * F.col("sb") / F.col("nb")
+    dv = (ma - mb) / F.nullif(
+        F.sqrt((ssa + ssb) / (F.col("na") + F.col("nb") - 2)), F.lit(0.0)
+    )
+    rd = F.round(dv, 6)
+    return p.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_era_a"),
+        F.col("nb").cast("bigint").alias("n_era_b"),
+        (rd + F.lit(0.0)).alias("cohens_d"),
+        F.when(F.abs(rd) >= _COHEN_LARGE, F.lit("large"))
+        .when(F.abs(rd) >= _COHEN_MEDIUM, F.lit("medium"))
+        .when(F.abs(rd) >= _COHEN_SMALL, F.lit("small"))
+        .otherwise(F.lit("negligible"))
+        .alias("magnitude"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown–Forsythe spread test between time eras (per event type)
+# ---------------------------------------------------------------------------
+
+# F(1, inf) 5% critical value = z²; both engines compare the ROUNDED F
+_BF_CRIT = 3.841459
+
+_BF_ORACLE = f"""
+WITH b AS (
+    SELECT event_type, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS te,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), span AS (
+    SELECT (min(te) + max(te)) // 2 AS mid FROM b
+), e AS (
+    SELECT event_type, event_id, cents,
+           CASE WHEN te < mid THEN 0 ELSE 1 END AS era
+    FROM b CROSS JOIN span
+), r AS (
+    SELECT event_type, era, cents,
+           row_number() OVER (PARTITION BY event_type, era
+                              ORDER BY cents, event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type, era) AS ne
+    FROM e
+), z AS (
+    SELECT event_type, era,
+           abs(cents - min(CASE WHEN rk = (ne + 1) // 2 THEN cents END)
+                       OVER (PARTITION BY event_type, era)) AS zv
+    FROM r
+), m AS (
+    SELECT event_type, era, count(*) AS n, sum(zv) AS sz, sum(zv * zv) AS qz
+    FROM z GROUP BY 1, 2
+), p AS (
+    SELECT event_type,
+           max(CASE WHEN era = 0 THEN n END) AS na,
+           max(CASE WHEN era = 0 THEN sz END) AS sa,
+           max(CASE WHEN era = 0 THEN qz END) AS qa,
+           max(CASE WHEN era = 1 THEN n END) AS nb,
+           max(CASE WHEN era = 1 THEN sz END) AS sb,
+           max(CASE WHEN era = 1 THEN qz END) AS qb
+    FROM m GROUP BY 1
+    HAVING max(CASE WHEN era = 0 THEN n END) >= 2
+       AND max(CASE WHEN era = 1 THEN n END) >= 2
+), f AS (
+    SELECT event_type, na, nb,
+           (na + nb - 2)
+           * (na * pow(CAST(sa AS DOUBLE) / na
+                       - (CAST(sa AS DOUBLE) + sb) / (na + nb), 2)
+            + nb * pow(CAST(sb AS DOUBLE) / nb
+                       - (CAST(sa AS DOUBLE) + sb) / (na + nb), 2))
+           / nullif((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)
+                  + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb), 0.0)
+               AS fstat
+    FROM p
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_era_a,
+       CAST(nb AS BIGINT) AS n_era_b,
+       round(fstat, 6) + 0.0 AS bf_stat,
+       round(fstat, 6) > {_BF_CRIT} AS reject_equal_spread
+FROM f
+"""
+
+
+@op("stats_brown_forsythe", oracle=_BF_ORACLE, tags=("ext", "stats"))
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test of equal SPREAD of event values between the
+    first and second half of the observed span, per event type — the
+    variance sibling of stats_welch_ttest (mean) and stats_ks_eras
+    (whole distribution): a metric whose center held but whose tails
+    widened is a different production incident than a level shift, and
+    the BF statistic (one-way ANOVA on |x − median| deviations) is the
+    robust spread test that survives the heavy tails real event values
+    have (classic Levene's mean-centering does not).
+
+    Exact: per-(type, era) medians are rank-indexed picks over the
+    (cents, event_id) total order (lower median, never a float
+    midpoint); |x − med| deviations are integers; per-era moments
+    (n, Σz, Σz²) are exact integer aggregates; F is one fixed-shape
+    float expression over those integers, rounded before the
+    F(1,∞) 5% verdict literal.
+
+    Scale: one scan → a (type, era) rank window (one exchange) → hash
+    agg with map-side partials; the era boundary is a 1-row probe;
+    output is |types| rows.
+    """
+    b = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        epoch_seconds("ts").alias("te"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    span = b.agg(F.expr("(min(te) + max(te)) div 2").alias("mid")).collect()[0]["mid"]
+    e = b.select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.when(F.col("te") < F.lit(span), F.lit(0)).otherwise(F.lit(1)).alias("era"),
+    )
+    wp = Window.partitionBy("event_type", "era")
+    r = e.select(
+        "event_type",
+        "era",
+        "cents",
+        F.row_number()
+        .over(wp.orderBy(F.col("cents").asc(), F.col("event_id").asc()))
+        .alias("rk"),
+        F.count("*").over(wp).alias("ne"),
+    )
+    z = r.select(
+        "event_type",
+        "era",
+        F.abs(
+            F.col("cents")
+            - F.min(
+                F.when(F.col("rk") == F.expr("(ne + 1) div 2"), F.col("cents"))
+            ).over(wp)
+        ).alias("zv"),
+    )
+    m = z.groupBy("event_type", "era").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("zv").cast("decimal(38,0)")).alias("sz"),
+        F.sum((F.col("zv") * F.col("zv")).cast("decimal(38,0)")).alias("qz"),
+    )
+    p = (
+        m.groupBy("event_type")
+        .agg(
+            *[
+                F.max(F.when(F.col("era") == er, F.col(c))).alias(f"{a}{t}")
+                for er, t in ((0, "a"), (1, "b"))
+                for c, a in (("n", "n"), ("sz", "s"), ("qz", "q"))
+            ]
+        )
+        .filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sa_d = F.col("sa").cast("double")
+    sb_d = F.col("sb").cast("double")
+    grand = (sa_d + F.col("sb")) / (na + nb)
+    between = na * F.pow(sa_d / na - grand, 2) + nb * F.pow(sb_d / nb - grand, 2)
+    within = (F.col("qa").cast("double") - sa_d * F.col("sa") / na) + (
+        F.col("qb").cast("double") - sb_d * F.col("sb") / nb
+    )
+    fstat = (na + nb - 2) * between / F.nullif(within, F.lit(0.0))
+    rf = F.round(fstat, 6)
+    return p.select(
+        "event_type",
+        na.cast("bigint").alias("n_era_a"),
+        nb.cast("bigint").alias("n_era_b"),
+        (rf + F.lit(0.0)).alias("bf_stat"),
+        (rf > F.lit(_BF_CRIT)).alias("reject_equal_spread"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test between time eras (per event type)
+# ---------------------------------------------------------------------------
+
+# chi-square(1 df) 95% critical value; both engines compare the ROUNDED stat
+_MOOD_CRIT = 3.841459
+
+_MOOD_ORACLE = f"""
+WITH b AS (
+    SELECT event_type, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS te,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), span AS (
+    SELECT (min(te) + max(te)) // 2 AS mid FROM b
+), e AS (
+    SELECT event_type, event_id, cents,
+           CASE WHEN te < mid THEN 0 ELSE 1 END AS era
+    FROM b CROSS JOIN span
+), r AS (
+    SELECT event_type, era, cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cents, event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS nt
+    FROM e
+), cl AS (
+    SELECT event_type, era,
+           CASE WHEN cents > min(CASE WHEN rk = (nt + 1) // 2 THEN cents END)
+                            OVER (PARTITION BY event_type)
+                THEN 1 ELSE 0 END AS above
+    FROM r
+), c AS (
+    SELECT event_type,
+           sum(CASE WHEN era = 0 AND above = 1 THEN 1 ELSE 0 END) AS a,
+           sum(CASE WHEN era = 0 AND above = 0 THEN 1 ELSE 0 END) AS c2,
+           sum(CASE WHEN era = 1 AND above = 1 THEN 1 ELSE 0 END) AS b2,
+           sum(CASE WHEN era = 1 AND above = 0 THEN 1 ELSE 0 END) AS d
+    FROM cl GROUP BY 1
+    HAVING sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) >= 2
+       AND sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) >= 2
+), f AS (
+    SELECT event_type, a, b2, c2, d,
+           CAST(a + b2 + c2 + d AS DOUBLE)
+           * (CAST(a AS DOUBLE) * d - CAST(b2 AS DOUBLE) * c2)
+           * (CAST(a AS DOUBLE) * d - CAST(b2 AS DOUBLE) * c2)
+           / nullif(CAST(a + b2 AS DOUBLE) * (c2 + d) * (a + c2) * (b2 + d),
+                    0.0) AS chi2
+    FROM c
+)
+SELECT event_type,
+       CAST(a + c2 AS BIGINT) AS n_era_a,
+       CAST(b2 + d AS BIGINT) AS n_era_b,
+       CAST(a AS BIGINT) AS n_above_a,
+       CAST(b2 AS BIGINT) AS n_above_b,
+       round(chi2, 6) + 0.0 AS mood_chi2,
+       round(chi2, 6) > {_MOOD_CRIT} AS reject_equal_medians
+FROM f
+"""
+
+
+@op("stats_mood_median", oracle=_MOOD_ORACLE, tags=("ext", "stats"))
+def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of event values between the first and second
+    half of the observed span, per event type — the nonparametric
+    location test that completes the era suite: welch (parametric
+    mean), brown_forsythe (spread), ks (shape), mood (median — robust
+    to ANY value distribution because it only asks "above or below the
+    pooled median", the right test when values are heavy-tailed enough
+    that the mean is the wrong summary).
+
+    Construction: the POOLED per-type median is a rank-indexed pick
+    over the (cents, event_id) total order (lower median — ties with
+    the median count as "not above", stated, not float-fudged); the
+    2×2 era×above table is exact integer counts; the chi-square is one
+    fixed-shape float expression (products of counts stay inside
+    double's exact-integer range at fixture scale and round identically
+    past it — the IEEE ops are shape-identical on both engines),
+    rounded before the chi²(1) 5% verdict literal.
+
+    Scale: one scan → a per-type rank window (one exchange) → hash agg
+    with map-side partials; output is |types| rows.
+    """
+    b = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        epoch_seconds("ts").alias("te"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    span = b.agg(F.expr("(min(te) + max(te)) div 2").alias("mid")).collect()[0]["mid"]
+    e = b.select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.when(F.col("te") < F.lit(span), F.lit(0)).otherwise(F.lit(1)).alias("era"),
+    )
+    wt = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "era",
+        "cents",
+        F.row_number()
+        .over(wt.orderBy(F.col("cents").asc(), F.col("event_id").asc()))
+        .alias("rk"),
+        F.count("*").over(wt).alias("nt"),
+    )
+    cl = r.select(
+        "event_type",
+        "era",
+        (
+            F.col("cents")
+            > F.min(
+                F.when(F.col("rk") == F.expr("(nt + 1) div 2"), F.col("cents"))
+            ).over(wt)
+        )
+        .cast("int")
+        .alias("above"),
+    )
+    c = (
+        cl.groupBy("event_type")
+        .agg(
+            F.sum(F.when((F.col("era") == 0) & (F.col("above") == 1), 1).otherwise(0)).alias("a"),
+            F.sum(F.when((F.col("era") == 0) & (F.col("above") == 0), 1).otherwise(0)).alias("c2"),
+            F.sum(F.when((F.col("era") == 1) & (F.col("above") == 1), 1).otherwise(0)).alias("b2"),
+            F.sum(F.when((F.col("era") == 1) & (F.col("above") == 0), 1).otherwise(0)).alias("d"),
+        )
+        .filter((F.col("a") + F.col("c2") >= 2) & (F.col("b2") + F.col("d") >= 2))
+    )
+    a, b2, c2, d = F.col("a"), F.col("b2"), F.col("c2"), F.col("d")
+    det = a.cast("double") * d - b2.cast("double") * c2
+    chi2 = (
+        (a + b2 + c2 + d).cast("double")
+        * det
+        * det
+        / F.nullif((a + b2).cast("double") * (c2 + d) * (a + c2) * (b2 + d), F.lit(0.0))
+    )
+    rc = F.round(chi2, 6)
+    return c.select(
+        "event_type",
+        (a + c2).cast("bigint").alias("n_era_a"),
+        (b2 + d).cast("bigint").alias("n_era_b"),
+        a.cast("bigint").alias("n_above_a"),
+        b2.cast("bigint").alias("n_above_b"),
+        (rc + F.lit(0.0)).alias("mood_chi2"),
+        (rc > F.lit(_MOOD_CRIT)).alias("reject_equal_medians"),
+    )

@@ -2345,3 +2345,62 @@ def ts_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("te").cast("bigint").alias("outage_end_epoch"),
         (F.col("te") - F.col("prev_te")).cast("bigint").alias("gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-week load profile per event type (dow × hour seasonality matrix)
+# ---------------------------------------------------------------------------
+
+_HOW_ORACLE = """
+WITH b AS (
+    SELECT event_type,
+           ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7) * 24
+           + (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS how
+    FROM events
+)
+SELECT event_type,
+       CAST(how AS BIGINT) AS how,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * 10000 //
+            sum(count(*)) OVER (PARTITION BY event_type) AS BIGINT)
+           AS share_bp
+FROM b GROUP BY 1, 2
+"""
+
+
+@op("ts_hour_of_week_profile", oracle=_HOW_ORACLE, tags=("ext", "timeseries"))
+def ts_hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event volume by hour-of-week slot (dow·24 + hour, Monday-anchored
+    via the epoch-day + 4 offset: day 0 = 1970-01-01 was a Thursday) per
+    event type — the 168-cell seasonality matrix behind capacity
+    planning and anomaly baselines. ts_dow_effects aggregates to the 7
+    day-of-week cells; real load curves have within-day structure
+    (nightly batch vs lunchtime peak) that only the hour grain shows,
+    and ts_outage_windows' gap detector needs exactly this matrix to
+    distinguish "quiet Sunday 3am" from "outage".
+
+    Exact: day and hour buckets are integer div over epoch seconds;
+    dow is integer mod (epoch-positive fixtures; both engines'
+    %-on-negatives follow the dividend, so even pre-1970 rows agree);
+    shares are integral basis points over a per-type window sum.
+
+    Scale: one scan → (type, how) hash agg with map-side partials →
+    a |types|-keyed window over ≤168·|types| aggregated rows. Nothing
+    row-scale crosses the second exchange.
+    """
+    b = load(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            (epoch_div("ts", 86400) + 4) % 7 * 24
+            + epoch_div("ts", 3600) % 24
+        ).alias("how"),
+    )
+    g = b.groupBy("event_type", "how").agg(F.count("*").alias("n"))
+    return g.select(
+        "event_type",
+        F.col("how").cast("bigint").alias("how"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("n * 10000 div sum(n) OVER (PARTITION BY event_type)")
+        .cast("bigint")
+        .alias("share_bp"),
+    )

@@ -878,3 +878,74 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month_cents",
         F.expr("_num div month_cents").cast("bigint").alias("share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Current (trailing) activity streak per user — the live-streak counter
+# ---------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH d AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+    FROM events
+), v AS (
+    SELECT user_id, day,
+           day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+    FROM d
+), g AS (
+    SELECT user_id, grp, count(*) AS streak_days, max(day) AS last_day,
+           row_number() OVER (PARTITION BY user_id ORDER BY max(day) DESC)
+               AS rk
+    FROM v GROUP BY 1, 2
+)
+SELECT user_id, CAST(last_day AS BIGINT) AS last_day,
+       CAST(streak_days AS BIGINT) AS streak_days
+FROM g WHERE rk = 1
+"""
+
+
+@op("win_active_streak_latest", oracle=_STREAK_ORACLE, tags=("ext", "window"))
+def win_active_streak_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: the length of the TRAILING run of consecutive active
+    days ending at their most recent active day — the live streak
+    counter (as of each user's own last activity, never a wall clock —
+    reruns are reproducible). win_islands_consecutive enumerates ALL
+    historical runs; engagement features and streak-based nudges only
+    want the current one, and joining the full island list to find it
+    re-derives this op badly.
+
+    Exact: epoch-day buckets by integer div; the gaps-and-islands
+    day − row_number group key is pure integer arithmetic; the latest
+    island per user is a rank pick on max(day) (distinct by
+    construction — islands can't share a max day).
+
+    Scale: one distinct on (user, day) (two-phase), one rank window and
+    one hash agg, all exchanging on user_id — a single partitioning
+    reused end to end. Output is |users| rows.
+    """
+    d = (
+        load(spark, sf_dir, "events")
+        .select("user_id", epoch_div("ts", 86400).alias("day"))
+        .distinct()
+    )
+    v = d.withColumn(
+        "grp",
+        F.col("day")
+        - F.row_number().over(Window.partitionBy("user_id").orderBy("day")),
+    )
+    g = v.groupBy("user_id", "grp").agg(
+        F.count("*").alias("streak_days"), F.max("day").alias("last_day")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("last_day").desc())
+    )
+    return (
+        g.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("last_day").cast("bigint").alias("last_day"),
+            F.col("streak_days").cast("bigint").alias("streak_days"),
+        )
+    )

@@ -214,69 +214,66 @@ def _ensure_loaded() -> None:
 # 20 + 9 + 21 = 50 (the stale-refresh tier ceded every slot to the
 # changed and new tiers this round — it is the lowest rung of the rule).
 _WINDOW_PRIORITY = [
-    # -- (1) the 20 round-9 registrations with no external CORRECTNESS row (VERDICT r9 'What's missing' #2 / 'Next round' #1) --
-    "dedup_simhash_banded",
-    "dedup_threshold_sweep",
-    "sim_search_hamming",
-    "embedding_dim_profile",
-    "corpus_lang_confusion",
-    "stats_ljung_box",
-    "ts_peak_concurrency",
-    "ts_croston",
-    "stats_trimmed_mean",
-    "sample_systematic",
-    "corpus_split_leakage",
-    "pipeline_order_lead_time",
-    "pipeline_revenue_hhi",
-    "ts_dow_effects",
-    "embedding_cluster_label_mix",
-    "ts_theil_sen",
-    "ts_forecast_backtest",
-    "corpus_mix_kl_drift",
-    "text_js_divergence_sources",
-    "sample_downweight_duplicates",
-    # -- (2) externally green before but CHANGED in round 10: the near-dup materialization consumers (artifact serving path; oracles unchanged) --
-    "dedup_minhash_banded",
-    "dedup_cluster_canonical",
-    "corpus_cross_source_dup",
-    "dedup_minhash_cluster",
-    "embedding_cluster_kmeans",
-    "dedup_minhash_estimate",
-    "graph_connected_components",
-    "graph_label_propagation",
-    "graph_modularity",
-    # -- (3) NEW in round 10 — inside the window so they gain an external row THIS round instead of carrying debt to r11 --
-    "dedup_cluster_size_profile",
-    "sample_effective_size",
-    "corpus_dedup_savings",
-    "ts_periodogram_fixed",
-    "ts_event_gaps",
+    # -- r11 front-of-window (the driver checks the first 50 keys) --
+    # (1) never externally checked (registered r10 after the window pin)
+    "text_readability_fk",
+    "ts_outage_windows",
+    "dedup_vector_exact",
+    # (2) changed this round: the welch /100 verdict fix, the PPJoin
+    #     positional-filter rewrite, the spill-streaming socket transport,
+    #     and every op whose epoch bucketing moved to exact integer div
     "stats_welch_ttest",
-    "stats_srm_check",
-    "pipeline_part_velocity",
-    "text_ttr_by_source",
-    "embedding_norm_profile",
-    "ts_mann_kendall",
-    "ts_var_es",
+    "dedup_containment_prefix",
+    "sink_socket_roundtrip",
+    "ts_periodogram_fixed",
     "pipeline_order_aging",
-    "win_ratio_to_report",
-    "dedup_exact_normalized",
-    "sample_ipw_weights",
-    "ts_pacf",
-    "pipeline_discount_depth",
-    "pipeline_returns_rate",
-    "graph_component_sizes",
-    "sim_margin_profile",
-    # -- (4) stale refresh: the r01/r03/r04-vintage keys with the oldest external green rows --
-    # -- behind the window: everything externally green r4-r9, relative order preserved; first in line for the r11 rotation --
-    "set_intersect",
+    "pipeline_dau_mau_stickiness",
+    "pipeline_cohort_ltv",
+    "pipeline_retention_cohort",
+    "win_islands_consecutive",
+    "join_interval_overlap",
+    # (3) NEW this round (inside the window per the r10 policy)
+    "stats_cohens_d_eras",
+    "stats_brown_forsythe",
+    "stats_mood_median",
+    "pipeline_repeat_buyers",
+    "text_word_length_profile",
+    "sim_doc_topk_minhash",
+    "embedding_cluster_separation",
+    "win_active_streak_latest",
+    "ts_hour_of_week_profile",
+    "graph_two_hop_reach",
+    # (4) stale refresh: ALL 27 remaining r1/r2/r3-vintage keys — after
+    #     this round no key's latest external check predates r4
+    "fn_array_explode",
+    "fn_date_bucket",
+    "fn_json_roundtrip",
+    "fn_map_entries",
     "set_except",
-    "win_rank",
-    "win_frame",
-    "win_analytic",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union_all",
+    "enrich_region_grid",
+    "sink_foreachbatch",
+    "sink_kafka",
+    "src_rate",
+    "src_stream_geo",
+    "stream_health_monitor",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "join_stream_stream",
+    "pipeline_local_supplier_volume",
+    "pipeline_returned_items",
+    "pipeline_shipping_priority_bucketed",
     "rate_stagger",
     "stream_stateful",
-    "join_stream_stream",
+    "stream_stateful_tws",
+    "win_analytic",
+    "win_frame",
+    "win_rank",
+    # -- behind the window: staleness-ordered (latest external check asc,
+    #    then prior relative order) so the r12 rotation input is pinned --
     "scan_orc",
     "sql_api",
     "sim_search_topk_arrow",
@@ -284,96 +281,130 @@ _WINDOW_PRIORITY = [
     "multimodal_framesample",
     "multimodal_resize",
     "fn_xml_roundtrip",
-    "sample_kcenter_coreset",
-    "stats_event_lateness",
-    "corpus_epoch_plan",
-    "stats_mutual_info_cat",
-    "graph_hits",
-    "ts_holt_forecast",
-    "sample_neyman_alloc",
-    "stats_capture_recapture",
-    "sample_walk_pairs",
-    "text_ngram_novelty",
-    "pipeline_new_returning_users",
-    "ts_seasonal_residual_anomaly",
-    "stats_label_impurity",
-    "stats_runs_test",
-    "sim_search_pq",
-    "dedup_embedding",
-    "sim_search_ivf",
-    "sim_search_lsh",
-    "filter_pred",
-    "project_select",
-    "limit_topk",
-    "sort_global",
-    "dedup_exact",
-    "sort_within",
-    "topk_per_group",
-    "join_broadcast",
-    "join_sortmerge",
-    "join_shuffle_hash",
-    "join_theta_range",
-    "join_semi",
-    "join_anti",
-    "join_asof",
-    "join_range_bucketed",
-    "agg_percentile",
-    "agg_rollup",
-    "agg_cube",
-    "agg_pivot",
-    "agg_unpivot",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "join_bucketed",
-    "rollup_time_hierarchy",
-    "pipeline_shipping_priority",
-    "ts_autocorr",
-    "dedup_url_canonical",
-    "sink_bloom_index",
-    "dedup_containment_prefix",
-    "stats_benford_profile",
-    "ts_seasonal_index",
-    "stats_mad_outliers",
-    "graph_clustering_coefficient",
-    "win_drawdown",
-    "ts_changepoint_cusum",
-    "text_bigram_mi",
-    "stats_ks_eras",
-    "stats_chi2_independence",
-    "embedding_outlier_distance",
-    "dedup_cdc_chunks",
-    "corpus_dedup_pipeline",
-    "sample_class_weights",
-    "agg_extremal_by",
-    "corpus_budget_apportion",
-    "scan_agg_pushdown",
-    "graph_assortativity",
-    "win_rolling_corr",
-    "corpus_vocab_coverage",
-    "text_hashing_vectorizer",
-    "ts_sma_crossover",
-    "stats_psi_stability",
-    "sink_snapshot_expire",
-    "text_zipf_alpha",
-    "graph_reciprocity",
-    "stats_cramers_v",
-    "dedup_eval_tiers",
-    "pipeline_backfill_incremental",
-    "pipeline_event_trigrams",
-    "win_time_weighted_avg",
-    "scan_corrupt_quarantine",
-    "pipeline_audience_overlap",
-    "stats_ab_proportions",
-    "pipeline_skyline_frontier",
-    "sink_write_audit_publish",
-    "embedding_label_distances",
-    "embedding_knn_label_purity",
-    "pipeline_segment_migration",
-    "corpus_dup_rate_by_source",
-    "stats_key_integrity",
-    "agg_count_min",
+    "text_chunk",
+    "text_repetition",
+    "sample_split",
+    "sample_stratified",
+    "corpus_stats",
+    "tfidf_top_terms",
+    "corpus_pack",
+    "text_pii_scrub",
+    "text_boilerplate",
+    "text_normalize",
+    "embedding_pool",
+    "embedding_quantize",
+    "fn_url",
+    "graph_pagerank",
+    "win_range_interval",
+    "win_sessionize",
+    "merge_upsert",
+    "stream_cdc_merge",
+    "agg_histogram",
+    "join_runtime_filter",
+    "pipeline_nation_volume",
+    "pipeline_promo_share",
+    "pipeline_large_volume_orders",
+    "pipeline_dormant_accounts",
+    "pipeline_late_shipment_priority",
+    "dedup_ngram_jaccard",
+    "graph_pagerank_dist",
+    "pipeline_product_profit",
+    "pipeline_disjunctive_revenue",
+    "merge_scd2",
+    "pipeline_top_supplier",
+    "win_distribution",
+    "agg_stats_moments",
+    "fn_conditional",
+    "join_asof_sorted",
+    "stream_topk_windows",
+    "corpus_decontaminate",
+    "text_perplexity_proxy",
+    "sample_mix_target",
+    "join_asof_left",
+    "agg_bitmap_distinct",
+    "win_fill_forward",
+    "fn_geo_haversine",
+    "sink_compaction",
+    "ivm_delta_agg",
+    "agg_mode_per_key",
+    "join_null_safe",
+    "pipeline_customer_distribution",
+    "pipeline_mincost_supplier",
+    "pipeline_important_part_share",
+    "pipeline_supplier_part_counts",
+    "pipeline_small_qty_revenue",
+    "pipeline_promotion_suppliers",
+    "pipeline_waiting_suppliers",
+    "pipeline_market_share",
+    "multimodal_decode",
+    "sink_partition_prune",
+    "src_socket",
+    "pipeline_forecast_revenue",
+    "pipeline_shipmode_priority",
+    "ts_resample",
+    "ts_interpolate_linear",
+    "win_ewma",
+    "sink_zorder",
+    "agg_linreg_trend",
+    "win_anomaly_zscore",
+    "fn_bitwise",
+    "agg_heavy_hitters",
+    "pipeline_funnel_conversion",
+    "embedding_covariance",
+    "embedding_pca_project",
+    "pipeline_basket_affinity",
+    "graph_triangle_count",
+    "graph_bfs_distance",
+    "join_fuzzy_blocked",
+    "snapshot_diff",
+    "win_cumulative_distinct",
+    "win_rolling_stats",
+    "sample_reservoir",
+    "pipeline_rfm_segments",
+    "sample_temperature",
+    "scan_schema_merge",
+    "pipeline_abc_pareto",
+    "graph_degree_distribution",
+    "corpus_quality_gate",
+    "sample_group_holdout",
+    "sample_kfold",
+    "dedup_chunk_exact",
+    "stats_table_profile",
+    "sink_versioned_manifest",
+    "scan_text_roundtrip",
+    "join_asof_nearest",
+    "pipeline_yoy_growth",
+    "pipeline_attribution_touch",
+    "text_tokens_bpe_est",
+    "corpus_shuffle_shard",
+    "scan_csv_permissive",
+    "embedding_normalize_l2",
+    "join_stream_stream_outer",
+    "multimodal_audio_energy",
+    "mv_answer_from_rollup",
+    "win_median_rolling",
+    "agg_corr_pairs",
+    "stream_available_now",
+    "fn_try_arith",
+    "join_point_in_time",
+    "sample_bootstrap",
+    "text_entropy_source",
+    "pipeline_event_transitions",
+    "graph_kcore",
+    "agg_gini_concentration",
+    "fn_surrogate_key",
+    "scan_json_multiline",
+    "stats_join_cardinality",
+    "win_lorenz_deciles",
+    "text_syllable_density",
+    "scan_parquet",
+    "scan_json",
+    "scan_csv",
+    "sink_parquet",
+    "scan_binaryfile",
+    "fn_string",
+    "fn_math",
+    "fn_date",
     "ts_ohlc_candles",
     "pipeline_interpurchase_time",
     "win_pattern_rises",
@@ -423,161 +454,142 @@ _WINDOW_PRIORITY = [
     "agg_grouping_sets",
     "agg_hash",
     "agg_skew_salted",
-    "pipeline_rfm_segments",
-    "sample_temperature",
-    "scan_schema_merge",
-    "pipeline_abc_pareto",
-    "graph_degree_distribution",
-    "corpus_quality_gate",
-    "sample_group_holdout",
-    "sample_kfold",
-    "dedup_chunk_exact",
-    "stats_table_profile",
-    "sink_versioned_manifest",
-    "scan_text_roundtrip",
-    "join_asof_nearest",
-    "win_islands_consecutive",
-    "pipeline_yoy_growth",
-    "pipeline_attribution_touch",
-    "text_tokens_bpe_est",
-    "corpus_shuffle_shard",
-    "scan_csv_permissive",
-    "embedding_normalize_l2",
-    "join_stream_stream_outer",
-    "multimodal_audio_energy",
-    "mv_answer_from_rollup",
-    "win_median_rolling",
-    "agg_corr_pairs",
-    "stream_available_now",
-    "fn_try_arith",
-    "join_point_in_time",
-    "sample_bootstrap",
-    "text_entropy_source",
-    "pipeline_event_transitions",
-    "graph_kcore",
-    "pipeline_dau_mau_stickiness",
-    "agg_gini_concentration",
-    "pipeline_cohort_ltv",
-    "fn_surrogate_key",
-    "scan_json_multiline",
-    "stats_join_cardinality",
-    "win_lorenz_deciles",
-    "text_syllable_density",
-    "join_interval_overlap",
-    "scan_parquet",
-    "scan_json",
-    "scan_csv",
-    "sink_parquet",
-    "scan_binaryfile",
-    "fn_string",
-    "fn_math",
-    "fn_date",
-    "corpus_decontaminate",
-    "text_perplexity_proxy",
-    "sample_mix_target",
-    "join_asof_left",
-    "agg_bitmap_distinct",
-    "win_fill_forward",
-    "fn_geo_haversine",
-    "sink_compaction",
-    "ivm_delta_agg",
-    "agg_mode_per_key",
-    "join_null_safe",
-    "pipeline_customer_distribution",
-    "pipeline_mincost_supplier",
-    "pipeline_important_part_share",
-    "pipeline_supplier_part_counts",
-    "pipeline_small_qty_revenue",
-    "pipeline_promotion_suppliers",
-    "pipeline_waiting_suppliers",
-    "pipeline_market_share",
-    "multimodal_decode",
-    "sink_partition_prune",
-    "sink_socket_roundtrip",
-    "src_socket",
-    "pipeline_forecast_revenue",
-    "pipeline_shipmode_priority",
-    "ts_resample",
-    "ts_interpolate_linear",
-    "win_ewma",
-    "sink_zorder",
-    "agg_linreg_trend",
-    "win_anomaly_zscore",
-    "fn_bitwise",
-    "agg_heavy_hitters",
-    "pipeline_retention_cohort",
-    "pipeline_funnel_conversion",
-    "embedding_covariance",
-    "embedding_pca_project",
-    "pipeline_basket_affinity",
-    "graph_triangle_count",
-    "graph_bfs_distance",
-    "join_fuzzy_blocked",
-    "snapshot_diff",
-    "win_cumulative_distinct",
-    "win_rolling_stats",
-    "sample_reservoir",
-    "fn_date_bucket",
-    "fn_array_explode",
-    "fn_map_entries",
-    "fn_json_roundtrip",
-    "set_union_all",
-    "set_intersect_all",
-    "set_except_all",
-    "enrich_region_grid",
-    "text_chunk",
-    "text_repetition",
-    "sample_split",
-    "sample_stratified",
-    "corpus_stats",
-    "tfidf_top_terms",
-    "corpus_pack",
-    "text_pii_scrub",
-    "text_boilerplate",
-    "text_normalize",
-    "embedding_pool",
-    "embedding_quantize",
-    "fn_url",
-    "graph_pagerank",
-    "win_range_interval",
-    "win_sessionize",
-    "merge_upsert",
-    "stream_cdc_merge",
-    "agg_histogram",
-    "join_runtime_filter",
-    "pipeline_nation_volume",
-    "pipeline_promo_share",
-    "pipeline_large_volume_orders",
-    "pipeline_dormant_accounts",
-    "pipeline_late_shipment_priority",
-    "dedup_ngram_jaccard",
-    "graph_pagerank_dist",
-    "pipeline_product_profit",
-    "pipeline_disjunctive_revenue",
-    "merge_scd2",
-    "pipeline_top_supplier",
-    "win_distribution",
-    "agg_stats_moments",
-    "fn_conditional",
-    "join_asof_sorted",
-    "stream_topk_windows",
-    "stream_stateful_tws",
-    "pipeline_shipping_priority_bucketed",
-    "pipeline_local_supplier_volume",
-    "pipeline_returned_items",
-    "dedup_near_minhash",
-    "dedup_simhash",
-    "sink_kafka",
-    "src_stream_geo",
-    "src_rate",
-    "sink_foreachbatch",
-    "stream_health_monitor",
-    # -- NEW late in round 10, behind the full window — never
-    #    externally checked; FIRST in line for the r11 rotation --
-    "text_readability_fk",
-    "ts_outage_windows",
-    "dedup_vector_exact",
-
+    "ts_autocorr",
+    "dedup_url_canonical",
+    "sink_bloom_index",
+    "stats_benford_profile",
+    "ts_seasonal_index",
+    "stats_mad_outliers",
+    "graph_clustering_coefficient",
+    "win_drawdown",
+    "ts_changepoint_cusum",
+    "text_bigram_mi",
+    "stats_ks_eras",
+    "stats_chi2_independence",
+    "embedding_outlier_distance",
+    "dedup_cdc_chunks",
+    "corpus_dedup_pipeline",
+    "sample_class_weights",
+    "agg_extremal_by",
+    "corpus_budget_apportion",
+    "scan_agg_pushdown",
+    "graph_assortativity",
+    "win_rolling_corr",
+    "corpus_vocab_coverage",
+    "text_hashing_vectorizer",
+    "ts_sma_crossover",
+    "stats_psi_stability",
+    "sink_snapshot_expire",
+    "text_zipf_alpha",
+    "graph_reciprocity",
+    "stats_cramers_v",
+    "dedup_eval_tiers",
+    "pipeline_backfill_incremental",
+    "pipeline_event_trigrams",
+    "win_time_weighted_avg",
+    "scan_corrupt_quarantine",
+    "pipeline_audience_overlap",
+    "stats_ab_proportions",
+    "pipeline_skyline_frontier",
+    "sink_write_audit_publish",
+    "embedding_label_distances",
+    "embedding_knn_label_purity",
+    "pipeline_segment_migration",
+    "corpus_dup_rate_by_source",
+    "stats_key_integrity",
+    "agg_count_min",
+    "sample_kcenter_coreset",
+    "stats_event_lateness",
+    "corpus_epoch_plan",
+    "stats_mutual_info_cat",
+    "graph_hits",
+    "ts_holt_forecast",
+    "sample_neyman_alloc",
+    "stats_capture_recapture",
+    "sample_walk_pairs",
+    "text_ngram_novelty",
+    "pipeline_new_returning_users",
+    "ts_seasonal_residual_anomaly",
+    "stats_label_impurity",
+    "stats_runs_test",
+    "sim_search_pq",
+    "dedup_embedding",
+    "sim_search_ivf",
+    "sim_search_lsh",
+    "filter_pred",
+    "project_select",
+    "limit_topk",
+    "sort_global",
+    "dedup_exact",
+    "sort_within",
+    "topk_per_group",
+    "join_broadcast",
+    "join_sortmerge",
+    "join_shuffle_hash",
+    "join_theta_range",
+    "join_semi",
+    "join_anti",
+    "join_asof",
+    "join_range_bucketed",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_cube",
+    "agg_pivot",
+    "agg_unpivot",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "join_bucketed",
+    "rollup_time_hierarchy",
+    "pipeline_shipping_priority",
+    "dedup_simhash_banded",
+    "dedup_threshold_sweep",
+    "sim_search_hamming",
+    "embedding_dim_profile",
+    "corpus_lang_confusion",
+    "stats_ljung_box",
+    "ts_peak_concurrency",
+    "ts_croston",
+    "stats_trimmed_mean",
+    "sample_systematic",
+    "corpus_split_leakage",
+    "pipeline_order_lead_time",
+    "pipeline_revenue_hhi",
+    "ts_dow_effects",
+    "embedding_cluster_label_mix",
+    "ts_theil_sen",
+    "ts_forecast_backtest",
+    "corpus_mix_kl_drift",
+    "text_js_divergence_sources",
+    "sample_downweight_duplicates",
+    "dedup_minhash_banded",
+    "dedup_cluster_canonical",
+    "corpus_cross_source_dup",
+    "dedup_minhash_cluster",
+    "embedding_cluster_kmeans",
+    "dedup_minhash_estimate",
+    "graph_connected_components",
+    "graph_label_propagation",
+    "graph_modularity",
+    "dedup_cluster_size_profile",
+    "sample_effective_size",
+    "corpus_dedup_savings",
+    "ts_event_gaps",
+    "stats_srm_check",
+    "pipeline_part_velocity",
+    "text_ttr_by_source",
+    "embedding_norm_profile",
+    "ts_mann_kendall",
+    "ts_var_es",
+    "win_ratio_to_report",
+    "dedup_exact_normalized",
+    "sample_ipw_weights",
+    "ts_pacf",
+    "pipeline_discount_depth",
+    "pipeline_returns_rate",
+    "graph_component_sizes",
+    "sim_margin_profile",
 ]
 
 

@@ -114,6 +114,16 @@ SWEEP = [
     "text_readability_fk",         # regex folds + fixed FK polynomial (r10)
     "ts_outage_windows",           # lag over (te, event_id) total order (r10)
     "dedup_vector_exact",          # quantized-digest distinct counting (r10)
+    "stats_cohens_d_eras",         # era integer moments -> d polynomial (r11)
+    "stats_brown_forsythe",        # rank-pick medians + |z| moments -> F (r11)
+    "stats_mood_median",           # pooled rank-pick median + 2x2 chi2 (r11)
+    "pipeline_repeat_buyers",      # two-level distinct-count rollup (r11)
+    "text_word_length_profile",    # explode lengths, integral bands (r11)
+    "sim_doc_topk_minhash",        # lane-bucket pairs, count-tie top-k (r11)
+    "embedding_cluster_separation",  # Lloyd artifact + quantized means (r11)
+    "win_active_streak_latest",    # islands grp key + max-day rank pick (r11)
+    "ts_hour_of_week_profile",     # integer div/mod buckets + window share (r11)
+    "graph_two_hop_reach",         # wedge join + anti-join set counts (r11)
 ]
 
 

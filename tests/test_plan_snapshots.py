@@ -69,6 +69,13 @@ SNAPSHOT_KEYS = [
     "pipeline_part_velocity",
     "ts_periodogram_fixed",
     "embedding_norm_profile",
+    # round-11 tier: the PPJoin candidate join, the signature-artifact
+    # lane join, the Lloyd-artifact separation matrix, and the wedge
+    # join (artifact serving + fan-out shapes worth drift-pinning)
+    "dedup_containment_prefix",
+    "sim_doc_topk_minhash",
+    "embedding_cluster_separation",
+    "graph_two_hop_reach",
 ]
 
 

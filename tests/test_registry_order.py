@@ -10,104 +10,95 @@ order is freshness-priority, applied the same rule each round: (1) ops
 never externally checked; (2) ops changed this round; (3) ops NEW this
 round (inside the window since round 10, so new work is externally proven
 the round it lands instead of carrying one round of debt); (4) the stalest
-still-green tier. This test pins round 10's resulting window.
+still-green tier. This test pins round 11's resulting window.
 """
 
 from connor_fun_streamproducer_spark import registry
 
-# The 20 keys with no external CORRECTNESS row (all registered round 9,
-# behind the r09 window — VERDICT r9 "What's missing" #2). Closing this
-# debt makes every registered key externally covered at least once.
+# The 3 keys with no external CORRECTNESS row (registered r10 after the
+# window pin; locally oracle-green since — VERDICT r10 "What's missing" #2).
 NEVER_EXTERNALLY_CHECKED = [
-    "dedup_simhash_banded",
-    "dedup_threshold_sweep",         # also changed r10: artifact serving path
-    "sim_search_hamming",
-    "embedding_dim_profile",         # also changed r10: -0.0 rank key (ADVICE)
-    "corpus_lang_confusion",
-    "stats_ljung_box",               # also changed r10: standard ACF rho (ADVICE)
-    "ts_peak_concurrency",           # also changed r10: close-only-day sentinel (ADVICE)
-    "ts_croston",
-    "stats_trimmed_mean",
-    "sample_systematic",
-    "corpus_split_leakage",          # also changed r10: artifact serving path
-    "pipeline_order_lead_time",
-    "pipeline_revenue_hhi",
-    "ts_dow_effects",
-    "embedding_cluster_label_mix",   # also changed r10: materialized assignment
-    "ts_theil_sen",
-    "ts_forecast_backtest",
-    "corpus_mix_kl_drift",
-    "text_js_divergence_sources",
-    "sample_downweight_duplicates",  # also changed r10: artifact serving path
+    "text_readability_fk",
+    "ts_outage_windows",
+    "dedup_vector_exact",
 ]
 
-# Externally green before, but changed in round 10 — the near-dup /
-# k-means materialization consumers now serve from write-once artifacts
-# (VERDICT r9 #2/#3); oracles are unchanged, the window re-verifies the
-# serving-path refactor.
-CHANGED_IN_ROUND_10 = [
-    "dedup_minhash_banded",
-    "dedup_cluster_canonical",
-    "corpus_cross_source_dup",
-    "dedup_minhash_cluster",
-    "embedding_cluster_kmeans",
-    # second materialization wave: signature/fingerprint artifacts and the
-    # shared graph constructions (pair edges, CC labels, LPA fixpoint)
-    "dedup_minhash_estimate",
-    "graph_connected_components",
-    "graph_label_propagation",
-    "graph_modularity",
-]
-
-# NEW in round 10 — inside the window so they gain an external row THIS
-# round (the structural fix for the carry-one-round-of-debt shape the r8
-# and r9 verdicts both flagged).
-NEW_IN_ROUND_10 = [
-    "dedup_cluster_size_profile",
-    "sample_effective_size",
-    "corpus_dedup_savings",
-    "ts_periodogram_fixed",
-    "ts_event_gaps",
+# Externally green before, but changed in round 11: the stats_welch_ttest
+# /100 verdict fix (the round's headline bug), the PPJoin positional-filter
+# rewrite of the containment candidate join, the spill-streaming socket
+# transport (no more driver collect), and every op whose epoch bucketing
+# moved from float-floor/double-cast to exact integer div (VERDICT r10
+# #1/#4/#5/#6).
+CHANGED_IN_ROUND_11 = [
     "stats_welch_ttest",
-    "stats_srm_check",
-    "pipeline_part_velocity",
-    "text_ttr_by_source",
-    "embedding_norm_profile",
-    "ts_mann_kendall",
-    "ts_var_es",
+    "dedup_containment_prefix",
+    "sink_socket_roundtrip",
+    "ts_periodogram_fixed",
     "pipeline_order_aging",
-    "win_ratio_to_report",
-    "dedup_exact_normalized",
-    "sample_ipw_weights",
-    "ts_pacf",
-    "pipeline_discount_depth",
-    "pipeline_returns_rate",
-    "graph_component_sizes",
-    "sim_margin_profile",
+    "pipeline_dau_mau_stickiness",
+    "pipeline_cohort_ltv",
+    "pipeline_retention_cohort",
+    "win_islands_consecutive",
+    "join_interval_overlap",
 ]
 
-# The stale-refresh tier ceded EVERY slot this round: 20 debt + 9 changed
-# + 21 new fills all 50. The fifteen r01/r03/r04-vintage keys that would
-# have refreshed (set ops, win_rank/frame/analytic, rate_stagger,
-# stream_stateful, join_stream_stream, scan_orc, sql_api,
-# sim_search_topk_arrow, join_skew_salted, multimodal_framesample/resize,
-# fn_xml_roundtrip) lead the behind-window section for the r11 rotation —
-# stale refresh is the LOWEST rung of the freshness rule, so changed/new
-# slots always win the trade. The remaining serving-path-changed graph ops
-# (triangle_count, top_similar_user, clustering_coefficient,
-# jaccard_neighbors, kcore, degree_distribution, assortativity,
-# walk_pairs, dedup_simhash_banded's fp artifact is in-window via the debt
-# tier) have unchanged oracles and local green rows; they rotate in r11.
-STALE_REFRESH: list[str] = []
+# NEW in round 11 — inside the window so they gain an external row THIS
+# round (standing policy since r10).
+NEW_IN_ROUND_11 = [
+    "stats_cohens_d_eras",
+    "stats_brown_forsythe",
+    "stats_mood_median",
+    "pipeline_repeat_buyers",
+    "text_word_length_profile",
+    "sim_doc_topk_minhash",
+    "embedding_cluster_separation",
+    "win_active_streak_latest",
+    "ts_hour_of_week_profile",
+    "graph_two_hop_reach",
+]
+
+# Stale refresh fills the remaining 27 slots with EVERY key whose latest
+# external check predates r4 (9 r1-vintage, 6 r2 — including the four
+# rows-only streaming keys the r10 verdict asked to re-run — and 12 r3):
+# after this round the merged latest-check view has no key older than r4.
+STALE_REFRESH = [
+    "fn_array_explode",
+    "fn_date_bucket",
+    "fn_json_roundtrip",
+    "fn_map_entries",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union_all",
+    "enrich_region_grid",
+    "sink_foreachbatch",
+    "sink_kafka",
+    "src_rate",
+    "src_stream_geo",
+    "stream_health_monitor",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "join_stream_stream",
+    "pipeline_local_supplier_volume",
+    "pipeline_returned_items",
+    "pipeline_shipping_priority_bucketed",
+    "rate_stagger",
+    "stream_stateful",
+    "stream_stateful_tws",
+    "win_analytic",
+    "win_frame",
+    "win_rank",
+]
 
 MUST_BE_IN_WINDOW = (
-    NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_10 + NEW_IN_ROUND_10 + STALE_REFRESH
+    NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_11 + NEW_IN_ROUND_11 + STALE_REFRESH
 )
 
 WINDOW = 50
 
 
-def test_round10_priority_ops_register_inside_driver_window():
+def test_round11_priority_ops_register_inside_driver_window():
     keys = list(registry.queries())
     window = set(keys[:WINDOW])
     missing = [k for k in MUST_BE_IN_WINDOW if k not in window]
@@ -118,7 +109,7 @@ def test_round10_priority_ops_register_inside_driver_window():
 
 
 def test_never_checked_keys_lead_the_window():
-    # The 20 debt keys must come FIRST (before round-10 changes and the
+    # The debt keys must come FIRST (before this round's changes and the
     # stale refresh), so even a driver window narrower than 50 covers as
     # many of them as possible.
     keys = list(registry.queries())
@@ -128,13 +119,13 @@ def test_never_checked_keys_lead_the_window():
 def test_changed_tier_outranks_new_and_stale():
     keys = list(registry.queries())
     n = len(NEVER_EXTERNALLY_CHECKED)
-    assert keys[n : n + len(CHANGED_IN_ROUND_10)] == CHANGED_IN_ROUND_10
-    m = n + len(CHANGED_IN_ROUND_10)
-    assert keys[m : m + len(NEW_IN_ROUND_10)] == NEW_IN_ROUND_10
+    assert keys[n : n + len(CHANGED_IN_ROUND_11)] == CHANGED_IN_ROUND_11
+    m = n + len(CHANGED_IN_ROUND_11)
+    assert keys[m : m + len(NEW_IN_ROUND_11)] == NEW_IN_ROUND_11
 
 
 def test_window_is_exactly_filled():
-    # 20 debt + 9 changed + 21 new = 50: the window carries no
+    # 3 debt + 10 changed + 10 new + 27 stale = 50: the window carries no
     # dead slots and no accidental extras.
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
@@ -159,8 +150,8 @@ def test_window_priority_keys_all_exist():
 
 
 def test_window_priority_covers_every_registered_key():
-    """The r10 rotation regenerated the full priority list; every
+    """The rotation regenerates the full priority list each round; every
     registered key must appear exactly once so the behind-window order
-    (the r11 rotation's input) is fully pinned, not import-order luck."""
+    (the next rotation's input) is fully pinned, not import-order luck."""
     registry._ensure_loaded()
     assert sorted(registry._WINDOW_PRIORITY) == sorted(registry.OPS)
