@@ -152,11 +152,26 @@ def fixture_fingerprint(sf_dir: str, table: str) -> str:
     p = os.path.abspath(table_path(sf_dir, table))
     st = os.stat(p)
     h = hashlib.sha1(f"{p}|{st.st_mtime_ns}|{st.st_size}|".encode())
-    with open(p, "rb") as f:
-        h.update(f.read(4096))
-        if st.st_size > 4096:
-            f.seek(max(st.st_size - 4096, 4096))
+    if os.path.isdir(p):
+        # Spark-written table: a directory of part files. Fold every
+        # member's (name, mtime, size) plus a content probe of the first
+        # part in name order (deterministic across listdir orders).
+        parts = sorted(
+            f for f in os.listdir(p) if not f.startswith((".", "_"))
+        )
+        for name in parts:
+            mst = os.stat(os.path.join(p, name))
+            h.update(f"{name}|{mst.st_mtime_ns}|{mst.st_size}|".encode())
+        probe = os.path.join(p, parts[0]) if parts else None
+    else:
+        probe = p
+    if probe is not None:
+        pst = os.stat(probe)
+        with open(probe, "rb") as f:
             h.update(f.read(4096))
+            if pst.st_size > 4096:
+                f.seek(max(pst.st_size - 4096, 4096))
+                h.update(f.read(4096))
     return h.hexdigest()[:16]
 
 

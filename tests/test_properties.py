@@ -2502,3 +2502,39 @@ def test_materialize_once_prunes_and_cleans_staging(spark, tmp_path):
     assert os.path.basename(path) in left
     assert left.issuperset(keep)
     assert not left.intersection(stale), left
+
+
+def test_fixture_fingerprint_handles_spark_written_dirs(spark, tmp_path):
+    """fixture_fingerprint must work for BOTH fixture shapes: the
+    driver's single-file tables and Spark-written directory tables
+    (scale probes, artifact consumers over .scratch replicas) — and the
+    content probe must change when a part file's bytes change under a
+    preserved (mtime, size)."""
+    import os
+
+    from connor_fun_streamproducer_spark.catalog import fixture_fingerprint
+
+    spark.range(10).selectExpr("id AS doc_id").write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    fp1 = fixture_fingerprint(str(tmp_path), "documents")
+    assert fp1 == fixture_fingerprint(str(tmp_path), "documents")
+    # rewrite with different contents -> different fingerprint
+    spark.range(11).selectExpr("id AS doc_id").write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    fp2 = fixture_fingerprint(str(tmp_path), "documents")
+    assert fp2 != fp1
+    # file-shaped table: flipping one byte with preserved mtime+size must
+    # still change the fingerprint (the content-probe case)
+    d = tmp_path / "f"
+    d.mkdir()
+    f = d / "events.parquet"
+    f.write_bytes(b"A" * 64)
+    st = os.stat(f)
+    fa = fixture_fingerprint(str(d), "events")
+    f.write_bytes(b"A" * 63 + b"B")
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))
+    fb = fixture_fingerprint(str(d), "events")
+    assert st.st_size == os.stat(f).st_size
+    assert fa != fb
