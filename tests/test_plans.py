@@ -1814,3 +1814,52 @@ def test_cluster_label_mix_bounded_join(spark):
     assignment frame (vec_id equi-join), no cartesian."""
     plan = formatted_plan(_q("embedding_cluster_label_mix", spark))
     assert "CartesianProduct" not in plan
+
+
+def test_sim_doc_topk_serves_signature_artifact(spark):
+    """sim_doc_topk_minhash must read the materialized .neardup_index
+    signature parquet — a replayed md5-lane signature build would show
+    as a documents scan feeding the lane join."""
+    plan = formatted_plan(_q("sim_doc_topk_minhash", spark))
+    assert ".neardup_index" in plan, plan
+    assert "documents.parquet" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_separation_serves_lloyd_artifact(spark):
+    """embedding_cluster_separation: the assignment comes from the
+    .kmeans_index artifact (no Lloyd replay — the 4 iterative rounds
+    must not appear), and the k-row centroid self-join broadcasts."""
+    plan = formatted_plan(_q("embedding_cluster_separation", spark))
+    assert ".kmeans_index" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_two_hop_reach_serves_pair_edge_artifact(spark):
+    """graph_two_hop_reach: wedge join + anti-join both read the
+    .graph_index pair-edge parquet (or its checkpoint), never the raw
+    events fixture."""
+    plan = formatted_plan(_q("graph_two_hop_reach", spark))
+    assert ".graph_index" in plan or "ExistingRDD" in plan, plan
+    assert "events.parquet" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_positional_filter_in_join(spark):
+    """dedup_containment_prefix: the PPJoin positional bound must
+    evaluate INSIDE the candidate hash join (a residual predicate on the
+    position columns), not as a post-join filter over materialized
+    fan-out — and the join stays equi-shaped."""
+    df = _q("dedup_containment_prefix", spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the residual predicate rides the join condition: both position
+    # columns appear in a join's condition line, not in a Filter above it
+    import re
+
+    join_conds = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln or re.search(r"condition", ln, re.I)
+    ]
+    assert any("ia" in ln and "jb" in ln for ln in join_conds), plan
