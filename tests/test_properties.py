@@ -2538,3 +2538,63 @@ def test_fixture_fingerprint_handles_spark_written_dirs(spark, tmp_path):
     fb = fixture_fingerprint(str(d), "events")
     assert st.st_size == os.stat(f).st_size
     assert fa != fb
+
+
+def test_era_suite_constructed_shifts(spark, tmp_path):
+    """Calibration of the r11 era suite on constructed fixtures — each
+    test must FIRE on the effect it exists for and stay QUIET on the
+    null, so a welch-style dead-verdict bug (r10) can't hide in any of
+    them.
+
+    Era A: 50 values alternating ±$1.00 around $10.00.
+    - spread case: era B alternates ±$3.00 around $10.00 (same mean,
+      3× the deviation) → brown_forsythe rejects, welch/mood must not.
+    - location case: era B alternates ±$1.00 around $11.00 → mood and
+      cohens_d (large) fire; brown_forsythe must not (same spread).
+    """
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+
+    def build(amp_b, mean_b):
+        rows, eid = [], 0
+        for t0, mean_c, amp in ((0, 1000, 100), (100000, mean_b, amp_b)):
+            for i in range(50):
+                cents = mean_c + (amp if i % 2 == 0 else -amp)
+                rows.append(
+                    dict(event_id=eid,
+                         ts=pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t0 + i),
+                         user_id=1, event_type="buy",
+                         value=cents / 100.0, props="{}")
+                )
+                eid += 1
+        pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+
+    bf = registry.OPS["stats_brown_forsythe"].fn
+    mood = registry.OPS["stats_mood_median"].fn
+    cohen = registry.OPS["stats_cohens_d_eras"].fn
+
+    build(amp_b=300, mean_b=1000)  # spread tripled, mean unchanged
+    r = bf(spark, str(tmp_path)).collect()[0]
+    assert bool(r["reject_equal_spread"]) is True, r
+    rm = mood(spark, str(tmp_path)).collect()[0]
+    assert bool(rm["reject_equal_medians"]) is False, rm
+
+    # mean +$3, spread unchanged (a ±$1 shift is invisible to Mood on
+    # this two-point fixture: both eras straddle the pooled median
+    # symmetrically — the shift must clear the alternation amplitude)
+    build(amp_b=100, mean_b=1300)
+    r = bf(spark, str(tmp_path)).collect()[0]
+    assert bool(r["reject_equal_spread"]) is False, r
+    rm = mood(spark, str(tmp_path)).collect()[0]
+    assert bool(rm["reject_equal_medians"]) is True, rm
+    rc = cohen(spark, str(tmp_path)).collect()[0]
+    # |d| = 300 cents / ~100.5 cents sd ≈ 3.0 → 'large'
+    assert rc["magnitude"] == "large" and abs(rc["cohens_d"]) > 0.8, rc
+
+    build(amp_b=100, mean_b=1000)  # null: identical eras
+    assert bool(bf(spark, str(tmp_path)).collect()[0]["reject_equal_spread"]) is False
+    assert bool(mood(spark, str(tmp_path)).collect()[0]["reject_equal_medians"]) is False
+    rc0 = cohen(spark, str(tmp_path)).collect()[0]
+    assert rc0["magnitude"] == "negligible", rc0
