@@ -148,10 +148,19 @@ def fixture_fingerprint(sf_dir: str, table: str) -> str:
     timestamp-preserving replace case (cp -p / rsync -a / archive extract
     with identical byte size): the parquet footer lives in the tail 4 KiB,
     so any row-group or schema change perturbs the probe even when
-    (mtime, size) survive."""
+    (mtime, size) survive.
+
+    Layout: first 8 hex = the source PATH identity, last 8 = the
+    content/mtime/size state. The split is what makes pruning safe:
+    a REWRITE of the same fixture path changes only the tail (its old
+    artifact is superseded — prune it), while a DIFFERENT live fixture
+    (sf0.1 vs sf0.01, a test's tmp_path) differs in the head and is
+    never touched. Without the split, the first r11 prune draft deleted
+    the other scale factor's artifact on every bench second-sf pass —
+    measured as a 2× extended-tier blowup before the fix."""
     p = os.path.abspath(table_path(sf_dir, table))
     st = os.stat(p)
-    h = hashlib.sha1(f"{p}|{st.st_mtime_ns}|{st.st_size}|".encode())
+    h = hashlib.sha1(f"{st.st_mtime_ns}|{st.st_size}|".encode())
     if os.path.isdir(p):
         # Spark-written table: a directory of part files. Fold every
         # member's (name, mtime, size) plus a content probe of the first
@@ -172,7 +181,7 @@ def fixture_fingerprint(sf_dir: str, table: str) -> str:
             if pst.st_size > 4096:
                 f.seek(max(pst.st_size - 4096, 4096))
                 h.update(f.read(4096))
-    return h.hexdigest()[:16]
+    return hashlib.sha1(p.encode()).hexdigest()[:8] + h.hexdigest()[:8]
 
 
 def construction_rev(*fns: Callable) -> str:
@@ -192,7 +201,10 @@ def construction_rev(*fns: Callable) -> str:
 
 
 def materialize_once(
-    spark: SparkSession, path: str, build: Callable[[], DataFrame]
+    spark: SparkSession,
+    path: str,
+    build: Callable[[], DataFrame],
+    source: str | None = None,
 ) -> DataFrame:
     """Write ``build()`` to parquet at ``path`` exactly once and serve it.
 
@@ -205,11 +217,19 @@ def materialize_once(
     ``os.rename``s it into place, so a concurrent reader sees either no
     artifact (and builds its own identical staging copy) or a complete
     one; a losing racer's rename fails and its staging dir is discarded.
+
+    ``source`` (the fixture file/dir the artifact derives from) is
+    recorded in a ``_SOURCE`` marker so later prunes can retire artifacts
+    whose fixture no longer exists on disk (per-test tmp_path fixtures —
+    the unbounded-growth case the path-head rule alone can't cover).
     """
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         staging = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         try:
             build().write.mode("overwrite").parquet(staging)
+            if source is not None:
+                with open(os.path.join(staging, "_SOURCE"), "w") as f:
+                    f.write(os.path.abspath(source))
             try:
                 os.rename(staging, path)
             except OSError:
@@ -239,12 +259,17 @@ def _prune_superseded(path: str) -> None:
     .neardup_index/.graph_index/.kmeans_index grow without bound across
     fixture rewrites and per-test tmp_path fixtures).
 
-    Artifact basenames follow ``<16-hex-fingerprint>-<tag>``; a sibling
-    with the same ``-<tag>`` suffix but a different fingerprint can never
-    be served again (fixture_fingerprint keys every lookup), so removal
-    is safe. Leftover ``.build-*`` staging dirs from crashed processes
-    are pruned on the same sweep. Best-effort: a concurrent racer
-    deleting the same dir is fine."""
+    Artifact basenames follow ``<16-hex-fingerprint>-<tag>`` where the
+    fingerprint's first 8 hex are the source PATH identity and the last 8
+    its content state (fixture_fingerprint). A sibling is superseded —
+    and safe to remove — only when it shares the path head AND the tag
+    but differs in the content tail (the same fixture file, rewritten):
+    other LIVE fixtures (a different scale factor, a test tmp_path)
+    differ in the head and are never touched. Also pruned: this exact
+    artifact's crashed ``.build-*`` staging leftovers, and same-
+    fingerprint dirs whose construction rev (trailing ``-r<8hex>``) is
+    superseded. Best-effort: a concurrent racer deleting the same dir is
+    fine."""
     root, base = os.path.split(os.path.abspath(path))
     fp, sep, tag = base.partition("-")
     if not (sep and len(fp) == 16):
@@ -257,18 +282,33 @@ def _prune_superseded(path: str) -> None:
             continue
         rest = name[16:]
         stale = (
-            (rest == suffix and name[:16] != fp)
-            or rest.startswith(f"{suffix}.build-")
-            # same fixture, same base tag, superseded construction rev
-            # (tags carry a trailing -r<8hex> when construction_rev-keyed)
+            # same fixture path, same tag, superseded content state
+            (rest == suffix and name[:8] == fp[:8] and name[8:16] != fp[8:16])
+            # this artifact's own crashed staging leftovers
+            or (name[:16] == fp and rest.startswith(f"{suffix}.build-"))
+            # same fixture+content, same base tag, superseded construction
+            # rev (tags carry a trailing -r<8hex> when construction_rev-keyed)
             or (
                 name[:16] == fp
                 and rest != suffix
                 and _strip_rev(suffix) is not None
-                # superseded construction rev, or a rev-less ancestor dir
-                # written before tags carried -r<8hex>
+                # superseded rev, or a rev-less ancestor dir written
+                # before tags carried -r<8hex>
                 and _strip_rev(suffix) in (_strip_rev(rest), rest)
             )
+            # any-tag sibling whose recorded source fixture is GONE from
+            # disk (per-test tmp_path artifacts after the test run ends)
+            or _source_vanished(os.path.join(root, name))
         )
         if stale:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+def _source_vanished(artifact_dir: str) -> bool:
+    marker = os.path.join(artifact_dir, "_SOURCE")
+    try:
+        with open(marker) as f:
+            src = f.read().strip()
+    except OSError:
+        return False  # no marker (pre-r11 artifact / foreign dir): keep
+    return bool(src) and not os.path.exists(src)

@@ -50,6 +50,7 @@ from connor_fun_streamproducer_spark.catalog import (
     fixture_fingerprint,
     load,
     materialize_once,
+    table_path,
 )
 from connor_fun_streamproducer_spark.registry import op
 
@@ -187,7 +188,8 @@ def kmeans_assignment_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"-k{K_CLUSTERS}-i{N_ITERS}-v1-r{construction_rev(kmeans_assignments)}",
     )
     return materialize_once(
-        spark, path, lambda: kmeans_assignments(spark, sf_dir)[0]
+        spark, path, lambda: kmeans_assignments(spark, sf_dir)[0],
+        source=table_path(sf_dir, "embeddings"),
     )
 
 

@@ -29,6 +29,7 @@ from connor_fun_streamproducer_spark.catalog import (
     fixture_fingerprint,
     load,
     materialize_once,
+    table_path,
 )
 from connor_fun_streamproducer_spark.registry import op
 
@@ -1214,7 +1215,10 @@ def neardup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         _, _, _, bands = _mhb_stages(load(spark, sf_dir, "documents"))
         return bands
 
-    return materialize_once(spark, _ndi_path(sf_dir, _NDI_BANDS_V), build)
+    return materialize_once(
+        spark, _ndi_path(sf_dir, _NDI_BANDS_V), build,
+        source=table_path(sf_dir, "documents"),
+    )
 
 
 def neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1254,7 +1258,10 @@ def neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return materialize_once(spark, _ndi_path(sf_dir, _NDI_CAND_V), build)
+    return materialize_once(
+        spark, _ndi_path(sf_dir, _NDI_CAND_V), build,
+        source=table_path(sf_dir, "documents"),
+    )
 
 
 def _verified_jac() -> F.Column:
@@ -1288,7 +1295,10 @@ def neardup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("component").cast("bigint").alias("canonical_id"),
         )
 
-    return materialize_once(spark, _ndi_path(sf_dir, _NDI_CLOSURE_V), build)
+    return materialize_once(
+        spark, _ndi_path(sf_dir, _NDI_CLOSURE_V), build,
+        source=table_path(sf_dir, "documents"),
+    )
 
 
 _NDI_BUCKET_CLOSURE_V = "bucket-closure-v1"
@@ -1305,7 +1315,10 @@ def neardup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig, _, _, _ = _mhb_stages(load(spark, sf_dir, "documents"))
         return sig
 
-    return materialize_once(spark, _ndi_path(sf_dir, _NDI_SIG_V), build)
+    return materialize_once(
+        spark, _ndi_path(sf_dir, _NDI_SIG_V), build,
+        source=table_path(sf_dir, "documents"),
+    )
 
 
 def neardup_bucket_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1343,7 +1356,8 @@ def neardup_bucket_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return materialize_once(
-        spark, _ndi_path(sf_dir, _NDI_BUCKET_CLOSURE_V), build
+        spark, _ndi_path(sf_dir, _NDI_BUCKET_CLOSURE_V), build,
+        source=table_path(sf_dir, "documents"),
     )
 
 
@@ -1395,7 +1409,10 @@ def neardup_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
 
-    return materialize_once(spark, _ndi_path(sf_dir, _NDI_SHFP_V), build)
+    return materialize_once(
+        spark, _ndi_path(sf_dir, _NDI_SHFP_V), build,
+        source=table_path(sf_dir, "documents"),
+    )
 
 
 def _mh_est_oracle() -> str:

@@ -24,6 +24,7 @@ from connor_fun_streamproducer_spark.catalog import (
     fixture_fingerprint,
     load,
     materialize_once,
+    table_path,
 )
 from connor_fun_streamproducer_spark.registry import op
 
@@ -382,7 +383,10 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, nodes = _cc_edges(spark, sf_dir)
         return propagate_min_label(edges, nodes)
 
-    return materialize_once(spark, _graph_path(sf_dir, "cc-labels-v1"), build)
+    return materialize_once(
+        spark, _graph_path(sf_dir, "cc-labels-v1"), build,
+        source=table_path(sf_dir, "events"),
+    )
 
 
 def propagate_min_label(edges: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -498,7 +502,10 @@ def _pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    return materialize_once(spark, _graph_path(sf_dir, "pair-edges-v1"), build)
+    return materialize_once(
+        spark, _graph_path(sf_dir, "pair-edges-v1"), build,
+        source=table_path(sf_dir, "events"),
+    )
 
 
 @op(
@@ -971,6 +978,7 @@ def _lpa_labels(
             spark,
             _graph_path(sf_dir, f"lpa-labels-r{rounds}-v1"),
             lambda: _lpa_labels(spark, sf_dir, rounds, _pair_edges(spark, sf_dir)),
+            source=table_path(sf_dir, "events"),
         )
     # edges=None with a non-default rounds still means "build the edge
     # frame yourself" (r10 ADVICE: the materialization refactor must not

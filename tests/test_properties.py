@@ -2476,7 +2476,10 @@ def test_materialize_once_prunes_and_cleans_staging(spark, tmp_path):
 
     root = tmp_path / "idx"
     root.mkdir()
-    fp, oldfp = "a" * 16, "b" * 16
+    # fingerprint layout: 8-hex path head + 8-hex content tail
+    fp = "a" * 8 + "1" * 8        # this fixture path, current content
+    oldfp = "a" * 8 + "2" * 8     # SAME path, superseded content
+    otherfp = "b" * 8 + "1" * 8   # a DIFFERENT live fixture path
     path = str(root / f"{fp}-bands-v1-rdeadbeef")
 
     # 1. failing build leaves no staging turds
@@ -2486,20 +2489,41 @@ def test_materialize_once_prunes_and_cleans_staging(spark, tmp_path):
 
     # 2. successful build prunes exactly the superseded family members
     stale = [
-        f"{oldfp}-bands-v1-rdeadbeef",        # superseded fixture fp
+        f"{oldfp}-bands-v1-rdeadbeef",        # same path, rewritten fixture
         f"{fp}-bands-v1-r00000000",           # superseded construction rev
         f"{fp}-bands-v1",                     # rev-less ancestor
         f"{fp}-bands-v1-rdeadbeef.build-1-x", # orphaned staging
     ]
-    keep = [f"{fp}-cand-v1-rdeadbeef", f"{oldfp}-closure-v1"]
+    keep = [
+        f"{fp}-cand-v1-rdeadbeef",            # different artifact kind
+        f"{otherfp}-bands-v1-rdeadbeef",      # different LIVE fixture (sf0.01
+                                              # next to sf0.1 — never touched)
+        f"{oldfp}-closure-v1",                # different kind, old content
+    ]
     for d in stale + keep:
         (root / d).mkdir()
+    # a same-tag sibling whose recorded _SOURCE fixture no longer exists
+    # (a dead tmp_path artifact) must go; one whose source LIVES must stay
+    dead_src = tmp_path / "gone.parquet"
+    live_src = tmp_path / "alive.parquet"
+    live_src.write_bytes(b"x")
+    for head, src in (("c" * 8, dead_src), ("d" * 8, live_src)):
+        d = root / f"{head}{'9' * 8}-bands-v1-rdeadbeef"
+        d.mkdir()
+        (d / "_SOURCE").write_text(str(src))
+    stale.append(f"{'c' * 8}{'9' * 8}-bands-v1-rdeadbeef")
+    keep.append(f"{'d' * 8}{'9' * 8}-bands-v1-rdeadbeef")
+
     df = materialize_once(
-        spark, path, lambda: spark.range(3).select(F.col("id").alias("v"))
+        spark,
+        path,
+        lambda: spark.range(3).select(F.col("id").alias("v")),
+        source=str(live_src),
     )
     assert df.count() == 3
     left = set(os.listdir(root))
     assert os.path.basename(path) in left
+    assert (root / os.path.basename(path) / "_SOURCE").read_text() == str(live_src)
     assert left.issuperset(keep)
     assert not left.intersection(stale), left
 
