@@ -697,3 +697,35 @@ def test_materialized_artifacts_rebuild_on_fixture_change(spark, tmp_path):
     assert fp2 != fp1
     pairs2 = {(r.doc_id, r.keeper_doc_id) for r in neardup_candidates(spark, str(tmp_path)).collect()}
     assert (101, 100) not in pairs2  # rebuilt against the new corpus
+
+
+def test_sim_doc_topk_planted_duplicates_rank_first(spark, tmp_path):
+    """sim_doc_topk_minhash ground truth: planted exact-token duplicates
+    share all 16 md5 lanes and must be each other's rank-1 neighbor at
+    est_jaccard_bp = 10000; unrelated docs with disjoint vocab must not
+    pair at all (< 4 shared lanes)."""
+    import pandas as pd
+
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    rows = [
+        dict(doc_id=1, text="alpha beta gamma delta epsilon zeta", lang="en",
+             source="s0", n_chars=36),
+        dict(doc_id=2, text="zeta epsilon delta gamma beta alpha", lang="en",
+             source="s0", n_chars=36),  # same token SET -> same signature
+        dict(doc_id=3, text="uno dos tres cuatro cinco seis", lang="es",
+             source="s0", n_chars=30),  # disjoint vocab
+        dict(doc_id=4, text="eins zwei drei vier funf sechs", lang="de",
+             source="s0", n_chars=30),  # disjoint vocab
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    out = registry.OPS["sim_doc_topk_minhash"].fn(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}, out  # disjoint-vocab docs never pair
+    for d, other in ((1, 2), (2, 1)):
+        top = sorted(by_doc[d], key=lambda r: r.rk)[0]
+        assert top.neighbor_doc_id == other
+        assert top.n_shared_lanes == 16 and top.est_jaccard_bp == 10000
