@@ -2524,28 +2524,32 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Top-k most-similar documents per document, from MinHash lane agreement
+# Top-k most-similar documents per document, from MinHash band candidates
 # ---------------------------------------------------------------------------
 
 _SIMDOC_TOPK = 3
-_SIMDOC_MIN_LANES = 4  # at least one band's worth of agreement
+_SIMDOC_MIN_LANES = 4    # quality floor on the reported estimate
+_SIMDOC_BUCKET_CAP = 256  # degenerate-template bucket cutoff (stated)
 
 _SIMDOC_ORACLE = _mhb_ctes() + f"""
-, lanes AS (
-    {" UNION ALL ".join(f"SELECT doc_id, {k} AS k, mh_{k} AS v FROM sig" for k in range(16))}
+, sized AS (
+    SELECT band, bucket FROM bands GROUP BY 1, 2
+    HAVING count(*) BETWEEN 2 AND {_SIMDOC_BUCKET_CAP}
+), cp AS (
+    SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+    FROM bands x JOIN bands y USING (band, bucket) JOIN sized USING (band, bucket)
+    WHERE x.doc_id <> y.doc_id
 ), pairs AS (
-    SELECT a.doc_id, b.doc_id AS neighbor_doc_id, count(*) AS n_shared_lanes
-    FROM lanes a JOIN lanes b ON a.k = b.k AND a.v = b.v
-                             AND a.doc_id <> b.doc_id
-    GROUP BY 1, 2
-    HAVING count(*) >= {_SIMDOC_MIN_LANES}
+    SELECT cp.da AS doc_id, cp.db AS neighbor_doc_id,
+           (CASE WHEN a.mh_0 = b.mh_0 THEN 1 ELSE 0 END) + (CASE WHEN a.mh_1 = b.mh_1 THEN 1 ELSE 0 END) + (CASE WHEN a.mh_2 = b.mh_2 THEN 1 ELSE 0 END) + (CASE WHEN a.mh_3 = b.mh_3 THEN 1 ELSE 0 END) + (CASE WHEN a.mh_4 = b.mh_4 THEN 1 ELSE 0 END) + (CASE WHEN a.mh_5 = b.mh_5 THEN 1 ELSE 0 END) + (CASE WHEN a.mh_6 = b.mh_6 THEN 1 ELSE 0 END) + (CASE WHEN a.mh_7 = b.mh_7 THEN 1 ELSE 0 END) + (CASE WHEN a.mh_8 = b.mh_8 THEN 1 ELSE 0 END) + (CASE WHEN a.mh_9 = b.mh_9 THEN 1 ELSE 0 END) + (CASE WHEN a.mh_10 = b.mh_10 THEN 1 ELSE 0 END) + (CASE WHEN a.mh_11 = b.mh_11 THEN 1 ELSE 0 END) + (CASE WHEN a.mh_12 = b.mh_12 THEN 1 ELSE 0 END) + (CASE WHEN a.mh_13 = b.mh_13 THEN 1 ELSE 0 END) + (CASE WHEN a.mh_14 = b.mh_14 THEN 1 ELSE 0 END) + (CASE WHEN a.mh_15 = b.mh_15 THEN 1 ELSE 0 END) AS n_shared_lanes
+    FROM cp JOIN sig a ON a.doc_id = cp.da JOIN sig b ON b.doc_id = cp.db
 ), ranked AS (
     SELECT doc_id, neighbor_doc_id, n_shared_lanes,
            CAST(n_shared_lanes * 10000 // 16 AS BIGINT) AS est_jaccard_bp,
            row_number() OVER (PARTITION BY doc_id
                               ORDER BY n_shared_lanes DESC, neighbor_doc_id)
                AS rk
-    FROM pairs
+    FROM pairs WHERE n_shared_lanes >= {_SIMDOC_MIN_LANES}
 )
 SELECT doc_id, neighbor_doc_id,
        CAST(n_shared_lanes AS BIGINT) AS n_shared_lanes,
@@ -2556,47 +2560,71 @@ FROM ranked WHERE rk <= {_SIMDOC_TOPK}
 
 @op("sim_doc_topk_minhash", oracle=_SIMDOC_ORACLE, tags=("llm", "dedup", "scale"))
 def sim_doc_topk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k most-similar OTHER documents per document, scored by
-    MinHash lane agreement (shared lanes / 16 ≈ Jaccard) — the document
-    "related items" primitive, and the exploratory view the dedup
-    THRESHOLD ops deliberately hide: dedup_minhash_banded answers "is
-    this a duplicate (> 0.8)", this answers "what are its nearest
-    neighbors and HOW near", which is what a curator looks at before
-    choosing that threshold. Pairs must agree on ≥ 4 of 16 lanes
-    (est. Jaccard ≥ 0.25) to bound the output (stated, not silent).
+    """Top-k most-similar OTHER documents per document — the "related
+    items" primitive, and the exploratory view the dedup THRESHOLD ops
+    deliberately hide: dedup_minhash_banded answers "is this a duplicate
+    (> 0.8)", this answers "what are its nearest neighbors and HOW
+    near", which is what a curator looks at before choosing that
+    threshold.
 
-    Exact: lanes are the md5-stream signature (the materialized
-    neardup_signatures artifact — build once, serve many); agreement
-    counts are integers; the estimate is integral basis points; the
-    per-doc top-k is a row_number over the (count desc, neighbor asc)
-    total order.
+    Candidates are LSH RETRIEVAL semantics: pairs sharing at least one
+    full 4-lane band bucket (the same banding the dedup tier trusts),
+    scored exactly afterwards as shared-lanes/16 by comparing the two
+    16-long signature ROWS — no per-lane explode join. A first draft
+    paired on ANY single lane agreement and went quadratic on this
+    fixture's small vocabulary (5k docs collapse into 185 lane buckets,
+    max 3923 docs → 248M join rows, 102 s at sf0.1); single-lane
+    agreement carries no information when most of the corpus shares the
+    min-token anyway. Two stated bounds: buckets larger than
+    _SIMDOC_BUCKET_CAP are skipped (a bucket holding >5% of the corpus
+    is a degenerate template cluster — dedup_minhash_cluster already
+    reports its membership; "top-3 neighbors" inside it is noise), and
+    reported pairs must still agree on ≥ 4 of 16 lanes.
 
-    Scale: the pair generation is a 16-way lane-bucket equi-join on
-    (lane, value) — posting lists are the docs sharing a 32-bit min-hash
-    value, i.e. near-duplicates plus vanishing random collisions
-    (~n²/2³³ over the vocab), never an all-pairs product; the agg and
-    rank window both key on doc_id.
+    Exact: bands and signatures are the materialized md5-stream
+    artifacts (build once, serve many); lane agreement is 16 integer
+    equality terms over the signature rows; the estimate is integral
+    basis points; the per-doc top-k is a row_number over the
+    (count desc, neighbor asc) total order.
+
+    Scale: size-gate the band buckets FIRST (count agg), then one
+    bucket equi-join bounded by cap²·|buckets|, two doc_id equi-joins
+    against the 16-long signature rows, and a doc_id rank window — the
+    graph_triangle_count band discipline applied to retrieval.
     """
     sig = neardup_signatures(spark, sf_dir)
-    lanes = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"mh_{k}") for k in range(_MHB_HASHES)])).alias(
-            "k", "v"
-        ),
+    bands = neardup_bands(spark, sf_dir)
+    sized = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n").between(2, _SIMDOC_BUCKET_CAP))
+        .select("band", "bucket")
+    )
+    cp = (
+        bands.alias("x")
+        .join(sized, ["band", "bucket"])
+        .join(
+            bands.alias("y").select(
+                "band", "bucket", F.col("doc_id").alias("db")
+            ),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_id") != F.col("db"))
+        .select(F.col("doc_id").alias("da"), "db")
+        .distinct()
+    )
+    shared = sum(
+        F.when(F.col(f"a.mh_{k}") == F.col(f"b.mh_{k}"), 1).otherwise(0)
+        for k in range(_MHB_HASHES)
     )
     pairs = (
-        lanes.alias("a")
-        .join(
-            lanes.alias("b"),
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        cp.join(sig.alias("a"), F.col("da") == F.col("a.doc_id"))
+        .join(sig.alias("b"), F.col("db") == F.col("b.doc_id"))
+        .select(
+            F.col("da").alias("doc_id"),
+            F.col("db").alias("neighbor_doc_id"),
+            shared.alias("n_shared_lanes"),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("b.doc_id").alias("neighbor_doc_id"),
-        )
-        .agg(F.count("*").alias("n_shared_lanes"))
         .filter(F.col("n_shared_lanes") >= _SIMDOC_MIN_LANES)
     )
     w = Window.partitionBy("doc_id").orderBy(
