@@ -215,6 +215,14 @@ EXTENDED = [
     "text_readability_fk",
     "ts_outage_windows",
     "dedup_vector_exact",
+    "stats_mann_whitney",
+    "stats_cliff_delta",
+    "ts_bollinger_breakout",
+    "sample_pps_systematic",
+    "text_hapax_rate",
+    "pipeline_price_volume_bridge",
+    "pipeline_discount_elasticity",
+    "graph_degree_gini",
 ]
 
 

@@ -1273,3 +1273,90 @@ def sample_ipw_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("effective_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PPS (probability-proportional-to-size) systematic sampling per stratum
+# ---------------------------------------------------------------------------
+
+_PPS_DIVISOR = 10  # per-stratum quota = max(1, n_docs div 10)
+
+_PPS_ORACLE = f"""
+WITH w AS (
+    SELECT source, doc_id, n_chars,
+           sum(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum,
+           sum(n_chars) OVER (PARTITION BY source) AS tot,
+           greatest(1, count(*) OVER (PARTITION BY source)
+                        // {_PPS_DIVISOR}) AS q
+    FROM documents
+), m AS (
+    SELECT source, doc_id, n_chars, q,
+           (cum * q) // tot - ((cum - n_chars) * q) // tot AS n_draws
+    FROM w
+)
+SELECT source, doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_draws AS BIGINT) AS n_draws,
+       CAST(q AS BIGINT) AS stratum_quota
+FROM m WHERE n_draws >= 1
+"""
+
+
+@op("sample_pps_systematic", oracle=_PPS_ORACLE, tags=("llm", "sampling"))
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size systematic draw per stratum:
+    docs are laid out on a per-source line in md5(doc_id) order, each
+    occupying an interval equal to its n_chars weight, and the quota's
+    q equally-spaced thresholds pick whoever they land on — long docs
+    proportionally more likely, the estimator behind size-biased corpus
+    audits (inspect bytes, not documents: a 1% PPS sample covers ~1% of
+    the BYTES, where sample_systematic's equal-probability draw
+    over-represents short docs). A doc wider than one spacing can catch
+    several thresholds: it comes back ONCE with its multiplicity in
+    n_draws (certainty-selection handled, not silently deduplicated —
+    Σ n_draws = q exactly, per stratum).
+
+    Exact: the selection rule floor(cum·q/W) − floor((cum−w)·q/W) is
+    integer division over exact integer cumulative weights under the
+    md5-digest total order (the sample_systematic shuffle discipline) —
+    nothing floats, no per-row randomness.
+
+    Scale: one exchange on the stratum key serves the running sum, the
+    stratum totals, and the quota (three frames, one partitioning);
+    output is Σ quotas rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source")
+    wo = ws.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    w = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("n_chars").over(ws).alias("tot"),
+        F.greatest(
+            F.lit(1), F.expr(f"count(*) OVER (PARTITION BY source) div {_PPS_DIVISOR}")
+        ).alias("q"),
+    )
+    m = w.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        "q",
+        (
+            F.expr("(cum * q) div tot") - F.expr("((cum - n_chars) * q) div tot")
+        ).alias("n_draws"),
+    )
+    return m.filter(F.col("n_draws") >= 1).select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_draws").cast("bigint").alias("n_draws"),
+        F.col("q").cast("bigint").alias("stratum_quota"),
+    )

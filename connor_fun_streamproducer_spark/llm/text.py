@@ -1145,3 +1145,56 @@ def text_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("long_share_bp"),
         F.max("wl").cast("bigint").alias("max_word_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomenon rate per source (lexical-richness tail)
+# ---------------------------------------------------------------------------
+
+_HAPAX_ORACLE = """
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+), c AS (
+    SELECT source, t, count(*) AS cnt FROM tok GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS hapax_share_bp
+FROM c GROUP BY 1
+"""
+
+
+@op("text_hapax_rate", oracle=_HAPAX_ORACLE, tags=("llm", "text"))
+def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomenon rate per source: the share of a source's vocab
+    that occurs exactly ONCE — the tail-end lexical-richness signal the
+    head statistics miss. text_ttr_by_source's type/token ratio and
+    text_zipf_alpha's head slope both move slowly when a template
+    source pads itself with unique serial numbers or when natural prose
+    is diluted by boilerplate; the hapax share moves first (natural
+    language sits near ~40-60% hapax vocab; machine templates collapse
+    it, id-spam inflates it toward 100%), which is why Zipf-era corpus
+    linguistics treats it as the standard richness tail statistic.
+
+    Exact: the shared whitespace tokenization; counts and the integral
+    basis-point share are order-free integers.
+
+    Scale: one explode → (source, token) hash agg (the corpus-sized
+    exchange, identical shape to text_ttr_by_source) → map-side
+    per-source rollup of the type-grain rows; output is |sources| rows.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    c = tok.groupBy("source", "t").agg(F.count("*").alias("cnt"))
+    return c.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum((F.col("cnt") == 1).cast("int")).cast("bigint").alias("n_hapax"),
+        F.expr("sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 10000 div count(*)")
+        .cast("bigint")
+        .alias("hapax_share_bp"),
+    )

@@ -1728,3 +1728,78 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n2"), F.lit(0)).cast("bigint").alias("n_two_hop"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of the degree distribution (hub inequality, one row)
+# ---------------------------------------------------------------------------
+
+_DEGREE_GINI_ORACLE = "WITH " + _PAIR_EDGES_SQL + """,
+und AS (SELECT a AS node FROM e UNION ALL SELECT c FROM e),
+deg AS (SELECT node, count(*) AS d FROM und GROUP BY 1),
+r AS (
+    SELECT d, row_number() OVER (ORDER BY d, node) AS i FROM deg
+), s AS (
+    SELECT count(*) AS n, sum(d) AS sd, sum(i * d) AS sid,
+           max(d) AS dmax FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_nodes,
+       CAST(sd // 2 AS BIGINT) AS n_edges,
+       CAST(dmax AS BIGINT) AS max_degree,
+       round((2.0 * sid - (CAST(n AS DOUBLE) + 1) * sd)
+             / (CAST(n AS DOUBLE) * sd), 6) + 0.0 AS degree_gini
+FROM s WHERE sd > 0
+"""
+
+
+@op("graph_degree_gini", oracle=_DEGREE_GINI_ORACLE, tags=("ext", "graph"))
+def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of the degree distribution over the
+    shared-purchase user graph — the one-number hub-inequality read
+    that graph_degree_distribution's full histogram summarizes badly:
+    Gini ≈ 0 means load (and any per-node fan-out cost) spreads evenly;
+    Gini → 1 means a handful of hubs own the edges, which is exactly
+    when the wedge-join family (triangles, two-hop, jaccard) needs its
+    hub caps. The same statistic agg_gini_concentration computes over
+    customer revenue, applied to graph topology.
+
+    Exact: G = (2·Σ i·dᵢ − (n+1)·Σd) / (n·Σd) over degrees sorted
+    ascending with rank i under the (d, node) total order — Σ i·dᵢ is
+    invariant within tie blocks (equal d's swap positions freely), so
+    the rational is exact integers and one rounded division.
+
+    Scale: degree agg is the standard two-phase hash agg; the rank
+    window orders |nodes| scalar rows (node-count-bounded, the
+    win_lorenz_deciles posture) and the final fold is a 1-row agg.
+    """
+    e = _pair_edges(spark, sf_dir)
+    und = e.select(F.col("a").alias("node")).unionAll(
+        e.select(F.col("c").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count("*").alias("d"))
+    r = deg.select(
+        "d",
+        F.row_number()
+        .over(Window.orderBy(F.col("d").asc(), F.col("node").asc()))
+        .alias("i"),
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("i") * F.col("d")).alias("sid"),
+        F.max("d").alias("dmax"),
+    ).filter(F.col("sd") > 0)
+    n, sd = F.col("n"), F.col("sd")
+    return s.select(
+        n.cast("bigint").alias("n_nodes"),
+        F.expr("sd div 2").cast("bigint").alias("n_edges"),
+        F.col("dmax").cast("bigint").alias("max_degree"),
+        (
+            F.round(
+                (F.lit(2.0) * F.col("sid") - (n.cast("double") + 1) * sd)
+                / (n.cast("double") * sd),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("degree_gini"),
+    )

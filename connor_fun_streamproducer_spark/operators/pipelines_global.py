@@ -868,3 +868,206 @@ def pipeline_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_buyers") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Price/volume bridge per brand between shipping-year eras
+# ---------------------------------------------------------------------------
+
+_BRIDGE_ORACLE = """
+WITH b AS (
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+           l_partkey,
+           CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT) AS cents
+    FROM lineitem
+), span AS (
+    SELECT (min(yr) + max(yr)) // 2 AS mid FROM b
+), m AS (
+    SELECT p.p_brand,
+           CASE WHEN yr <= mid THEN 0 ELSE 1 END AS era,
+           sum(qty) AS q, sum(cents) AS r
+    FROM b JOIN part p ON p.p_partkey = b.l_partkey
+    CROSS JOIN span GROUP BY 1, 2
+), p AS (
+    SELECT p_brand,
+           max(CASE WHEN era = 0 THEN q END) AS qa,
+           max(CASE WHEN era = 0 THEN r END) AS ra,
+           max(CASE WHEN era = 1 THEN q END) AS qb,
+           max(CASE WHEN era = 1 THEN r END) AS rb
+    FROM m GROUP BY 1
+    HAVING max(CASE WHEN era = 0 THEN q END) > 0
+       AND max(CASE WHEN era = 1 THEN q END) > 0
+)
+SELECT p_brand,
+       CAST(qa AS BIGINT) AS qty_a, CAST(qb AS BIGINT) AS qty_b,
+       CAST(ra AS BIGINT) AS rev_cents_a, CAST(rb AS BIGINT) AS rev_cents_b,
+       round(CAST(ra AS DOUBLE) * (qb - qa) / qa / 100.0, 2) + 0.0
+           AS volume_effect,
+       round((CAST(rb AS DOUBLE) - CAST(ra AS DOUBLE) * qb / qa) / 100.0, 2)
+           + 0.0 AS price_effect
+FROM p
+"""
+
+
+@op("pipeline_price_volume_bridge", oracle=_BRIDGE_ORACLE, tags=("ext", "pipeline"))
+def pipeline_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume bridge per brand between the first and second half
+    of the shipping-year span: the revenue delta decomposed into "we
+    sold MORE units" (volume effect, old unit price × quantity change)
+    and "we sold at DIFFERENT unit prices" (price effect, the rest) —
+    the first chart in any revenue review, because "revenue is up 8%"
+    means opposite things when units are up 12% with prices eroding vs
+    units flat with prices raised. Decomposition convention (stated,
+    since three exist): volume at era-A price, price at era-B volume —
+    volume_effect = P_a·ΔQ, price_effect = Q_b·(P_b − P_a), which sum
+    to ΔR exactly in the unrounded algebra.
+
+    Exact: per-(brand, era) quantity and revenue-cents sums are integer
+    aggregates; the era boundary is the integer midpoint of the year
+    span (1-row probe); the two effects are fixed-shape rationals of
+    those integers, rounded to dollars on both engines. rev/qty columns
+    stay exact integers so the rounding never touches the reconciliation
+    inputs.
+
+    Scale: one fact scan → broadcast part join (brand is a part
+    attribute) → (brand, era) hash agg with map-side partials → |brands|
+    pivot. Nothing bigger than |brands|·2 crosses the second exchange.
+    """
+    b = load(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("int").alias("yr"),
+        "l_partkey",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("qty"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+    mid = b.agg(F.expr("(min(yr) + max(yr)) div 2").alias("mid")).collect()[0][
+        "mid"
+    ]  # 1-row probe: the era boundary literal
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        b.join(F.broadcast(p), b.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            F.when(F.col("yr") <= F.lit(mid), F.lit(0)).otherwise(F.lit(1)).alias("era"),
+            "qty",
+            "cents",
+        )
+        .groupBy("p_brand", "era")
+        .agg(F.sum("qty").alias("q"), F.sum("cents").alias("r"))
+    )
+    pv = (
+        m.groupBy("p_brand")
+        .agg(
+            F.max(F.when(F.col("era") == 0, F.col("q"))).alias("qa"),
+            F.max(F.when(F.col("era") == 0, F.col("r"))).alias("ra"),
+            F.max(F.when(F.col("era") == 1, F.col("q"))).alias("qb"),
+            F.max(F.when(F.col("era") == 1, F.col("r"))).alias("rb"),
+        )
+        .filter((F.col("qa") > 0) & (F.col("qb") > 0))
+    )
+    qa, qb, ra, rb = F.col("qa"), F.col("qb"), F.col("ra"), F.col("rb")
+    return pv.select(
+        "p_brand",
+        qa.cast("bigint").alias("qty_a"),
+        qb.cast("bigint").alias("qty_b"),
+        ra.cast("bigint").alias("rev_cents_a"),
+        rb.cast("bigint").alias("rev_cents_b"),
+        (F.round(ra.cast("double") * (qb - qa) / qa / 100.0, 2) + F.lit(0.0)).alias(
+            "volume_effect"
+        ),
+        (
+            F.round((rb.cast("double") - ra.cast("double") * qb / qa) / 100.0, 2)
+            + F.lit(0.0)
+        ).alias("price_effect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discount elasticity of demand per brand (OLS slope, exact integer moments)
+# ---------------------------------------------------------------------------
+
+_ELASTICITY_ORACLE = """
+WITH b AS (
+    SELECT p.p_brand,
+           CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc_bp,
+           CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), g AS (
+    SELECT p_brand,
+           count(*) AS n,
+           sum(disc_bp) AS sx, sum(qty) AS sy,
+           sum(disc_bp * qty) AS sxy, sum(disc_bp * disc_bp) AS sxx
+    FROM b GROUP BY 1
+    HAVING count(*) >= 2
+), s AS (
+    SELECT p_brand, n, sy,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0)
+               AS slope
+    FROM g
+)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n_lines,
+       round(CAST(sy AS DOUBLE) / n, 4) + 0.0 AS mean_qty,
+       round(slope * 100, 6) + 0.0 AS slope_qty_per_pct,
+       round(slope * 100, 6) > 0 AS demand_responds
+FROM s
+"""
+
+
+@op("pipeline_discount_elasticity", oracle=_ELASTICITY_ORACLE, tags=("ext", "pipeline"))
+def pipeline_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount elasticity per brand: the OLS slope of line quantity on
+    discount — does a deeper discount actually MOVE more units for this
+    brand, and by how many units per discount point?
+    pipeline_discount_depth shows how much margin each discount band
+    gives away; this is the other half of that pricing review (spend
+    without volume response = pure margin leak). Positive slope =
+    demand responds; the magnitude ranks brands by promotional
+    efficiency.
+
+    Exact: discount in integer basis points and integral quantity make
+    all five regression moments (n, Σx, Σy, Σxy, Σx²) exact integer
+    aggregates (the agg_linreg_trend discipline on a money axis); the
+    slope is one fixed-shape float expression over them, reported per
+    PERCENTAGE point (×100), rounded before the sign verdict.
+
+    Scale: one fact scan → broadcast part join → |brands| hash agg with
+    map-side partials. The slope needs no second pass — sufficient
+    statistics only.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("bigint").alias("disc_bp"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("qty"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("disc_bp").alias("sx"),
+            F.sum("qty").alias("sy"),
+            F.sum(F.col("disc_bp") * F.col("qty")).alias("sxy"),
+            F.sum(F.col("disc_bp") * F.col("disc_bp")).alias("sxx"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n.cast("double") * F.col("sxy") - sx.cast("double") * sy) / F.nullif(
+        n.cast("double") * F.col("sxx") - sx.cast("double") * sx, F.lit(0.0)
+    )
+    rs = F.round(slope * 100, 6)
+    return g.select(
+        "p_brand",
+        n.cast("bigint").alias("n_lines"),
+        (F.round(sy.cast("double") / n, 4) + F.lit(0.0)).alias("mean_qty"),
+        (rs + F.lit(0.0)).alias("slope_qty_per_pct"),
+        (rs > 0).alias("demand_responds"),
+    )

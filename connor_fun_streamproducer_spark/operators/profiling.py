@@ -2478,3 +2478,298 @@ def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rc + F.lit(0.0)).alias("mood_chi2"),
         (rc > F.lit(_MOOD_CRIT)).alias("reject_equal_medians"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney rank-sum test between time eras (per event type)
+# ---------------------------------------------------------------------------
+
+# normal 5% two-sided critical value; both engines compare the ROUNDED z
+_MW_CRIT = 1.959964
+
+_MW_ORACLE = f"""
+WITH b AS (
+    SELECT event_type, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS te,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), span AS (
+    SELECT (min(te) + max(te)) // 2 AS mid FROM b
+), e AS (
+    SELECT event_type, event_id, cents,
+           CASE WHEN te < mid THEN 0 ELSE 1 END AS era
+    FROM b CROSS JOIN span
+), rk AS (
+    SELECT event_type, era, cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cents, event_id) AS r
+    FROM e
+), r AS (
+    SELECT event_type, era,
+           min(r) OVER (PARTITION BY event_type ORDER BY cents
+                        RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+         + max(r) OVER (PARTITION BY event_type ORDER BY cents
+                        RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS r2,
+           count(*) OVER (PARTITION BY event_type ORDER BY cents
+                          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS t
+    FROM rk
+), g AS (
+    SELECT event_type,
+           sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS na,
+           sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS nb,
+           sum(CASE WHEN era = 0 THEN r2 ELSE 0 END) AS ra2,
+           sum(t * t - 1) AS tie3
+    FROM r GROUP BY 1
+    HAVING sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) >= 2
+       AND sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) >= 2
+), z AS (
+    SELECT event_type, na, nb,
+           ra2 - na * (na + 1) AS u2,
+           (CAST(ra2 - na * (na + 1) AS DOUBLE) - CAST(na AS DOUBLE) * nb)
+           / nullif(2.0 * sqrt(
+               CAST(na AS DOUBLE) * nb / 12.0
+               * ((na + nb + 1)
+                  - CAST(tie3 AS DOUBLE)
+                    / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))), 0.0) AS zs
+    FROM g
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_era_a,
+       CAST(nb AS BIGINT) AS n_era_b,
+       CAST(u2 AS BIGINT) AS u_doubled,
+       round(zs, 6) + 0.0 AS z_stat,
+       abs(round(zs, 6)) > {_MW_CRIT} AS reject_equal_location
+FROM z
+"""
+
+
+@op("stats_mann_whitney", oracle=_MW_ORACLE, tags=("ext", "stats"))
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test of event values between
+    the first and second half of the observed span, per event type —
+    the distribution-free LOCATION test the era suite was missing:
+    welch assumes the mean is a faithful summary, mood throws away all
+    rank information except above/below one median; the rank-sum test
+    keeps the full pooled ordering and is the standard choice when
+    values are skewed or heavy-tailed but you still want power against
+    a shift.
+
+    Exact: doubled average ranks are INTEGERS (2·avg-rank of a tie
+    group = min(rn) + max(rn) over the group under the (cents,
+    event_id) total order), so the doubled rank sum and doubled U
+    (u_doubled = 2U = 2R_a − n_a(n_a+1)) are exact integer aggregates;
+    the tie correction Σ(t³−t) folds per-row as Σ(t²−1); z is one
+    fixed-shape float expression over those integers (normal
+    approximation with tie-corrected variance, no continuity
+    correction on either engine), rounded before the 5% verdict
+    literal.
+
+    Scale: one scan → a per-type rank window + a (type, cents) tie
+    window (same exchange — both key on event_type first) → hash agg
+    with map-side partials; output is |types| rows.
+    """
+    b = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        epoch_seconds("ts").alias("te"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    span = b.agg(F.expr("(min(te) + max(te)) div 2").alias("mid")).collect()[0][
+        "mid"
+    ]  # 1-row probe: the era boundary literal
+    e = b.select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.when(F.col("te") < F.lit(span), F.lit(0)).otherwise(F.lit(1)).alias("era"),
+    )
+    wt = Window.partitionBy("event_type")
+    rk = e.select(
+        "event_type",
+        "era",
+        "cents",
+        F.row_number()
+        .over(wt.orderBy(F.col("cents").asc(), F.col("event_id").asc()))
+        .alias("r"),
+    )
+    # tie-group min/max/count via the PEER frame of a cents-ordered RANGE
+    # window — same event_type partitioning as the rank window, so the
+    # whole rank+tie stage is ONE exchange (a (type, cents) partitionBy
+    # would force a second)
+    wg = wt.orderBy("cents").rangeBetween(Window.currentRow, Window.currentRow)
+    r = rk.select(
+        "event_type",
+        "era",
+        (F.min("r").over(wg) + F.max("r").over(wg)).alias("r2"),
+        F.count("*").over(wg).alias("t"),
+    )
+    g = (
+        r.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("nb"),
+            F.sum(F.when(F.col("era") == 0, F.col("r2")).otherwise(0)).alias("ra2"),
+            F.sum(F.col("t") * F.col("t") - 1).alias("tie3"),
+        )
+        .filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u2 = F.col("ra2") - na * (na + 1)
+    zs = (u2.cast("double") - na.cast("double") * nb) / F.nullif(
+        F.lit(2.0)
+        * F.sqrt(
+            na.cast("double") * nb / F.lit(12.0)
+            * (
+                (na + nb + 1)
+                - F.col("tie3").cast("double")
+                / ((na + nb).cast("double") * (na + nb - 1))
+            )
+        ),
+        F.lit(0.0),
+    )
+    rz = F.round(zs, 6)
+    return g.select(
+        "event_type",
+        na.cast("bigint").alias("n_era_a"),
+        nb.cast("bigint").alias("n_era_b"),
+        u2.cast("bigint").alias("u_doubled"),
+        (rz + F.lit(0.0)).alias("z_stat"),
+        (F.abs(rz) > F.lit(_MW_CRIT)).alias("reject_equal_location"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta ordinal effect size between time eras (per event type)
+# ---------------------------------------------------------------------------
+
+# |delta| magnitude thresholds (Romano et al. 2006), vs the ROUNDED delta
+_CLIFF_SMALL, _CLIFF_MEDIUM, _CLIFF_LARGE = 0.147, 0.33, 0.474
+
+_CLIFF_ORACLE = f"""
+WITH b AS (
+    SELECT event_type, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS te,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), span AS (
+    SELECT (min(te) + max(te)) // 2 AS mid FROM b
+), e AS (
+    SELECT event_type, event_id, cents,
+           CASE WHEN te < mid THEN 0 ELSE 1 END AS era
+    FROM b CROSS JOIN span
+), rk AS (
+    SELECT event_type, era, cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cents, event_id) AS r
+    FROM e
+), r AS (
+    SELECT event_type, era,
+           min(r) OVER (PARTITION BY event_type ORDER BY cents
+                        RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+         + max(r) OVER (PARTITION BY event_type ORDER BY cents
+                        RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS r2
+    FROM rk
+), g AS (
+    SELECT event_type,
+           sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS na,
+           sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS nb,
+           sum(CASE WHEN era = 0 THEN r2 ELSE 0 END) AS ra2
+    FROM r GROUP BY 1
+    HAVING sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) >= 1
+       AND sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) >= 1
+), d AS (
+    SELECT event_type, na, nb,
+           CAST(ra2 - na * (na + 1) - na * nb AS DOUBLE)
+           / (CAST(na AS DOUBLE) * nb) AS dv
+    FROM g
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_era_a,
+       CAST(nb AS BIGINT) AS n_era_b,
+       round(dv, 6) + 0.0 AS cliff_delta,
+       CASE WHEN abs(round(dv, 6)) >= {_CLIFF_LARGE} THEN 'large'
+            WHEN abs(round(dv, 6)) >= {_CLIFF_MEDIUM} THEN 'medium'
+            WHEN abs(round(dv, 6)) >= {_CLIFF_SMALL} THEN 'small'
+            ELSE 'negligible' END AS magnitude
+FROM d
+"""
+
+
+@op("stats_cliff_delta", oracle=_CLIFF_ORACLE, tags=("ext", "stats"))
+def stats_cliff_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size of event values between the
+    first and second half of the observed span, per event type — the
+    nonparametric companion to stats_mann_whitney exactly as
+    stats_cohens_d_eras companions stats_welch_ttest: the rank-sum z
+    grows with √n (at corpus scale everything is "significant"), while
+    δ = P(a > b) − P(a < b) is the probability a random era-A value
+    exceeds a random era-B value minus the reverse — scale-free,
+    n-free, in [−1, 1], with the Romano et al. (2006) magnitude bands.
+
+    Exact: δ = (2U − n_a·n_b)/(n_a·n_b) where 2U is the same integer
+    doubled rank-sum statistic as the rank-sum op (ties counted half,
+    exactly, via doubled average ranks) — so the numerator and
+    denominator are exact integers and δ is one exact rational rounded
+    to 6 before the banded magnitude CASE. No variance, no
+    approximation: this IS the population quantity, computed, not
+    estimated.
+
+    Scale: identical exchange profile to stats_mann_whitney (per-type
+    rank window + tie window + hash agg); output is |types| rows.
+    """
+    b = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        epoch_seconds("ts").alias("te"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    span = b.agg(F.expr("(min(te) + max(te)) div 2").alias("mid")).collect()[0][
+        "mid"
+    ]  # 1-row probe: the era boundary literal
+    e = b.select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.when(F.col("te") < F.lit(span), F.lit(0)).otherwise(F.lit(1)).alias("era"),
+    )
+    wt = Window.partitionBy("event_type")
+    rk = e.select(
+        "event_type",
+        "era",
+        "cents",
+        F.row_number()
+        .over(wt.orderBy(F.col("cents").asc(), F.col("event_id").asc()))
+        .alias("r"),
+    )
+    # PEER-frame tie handling — see stats_mann_whitney: one exchange
+    wg = wt.orderBy("cents").rangeBetween(Window.currentRow, Window.currentRow)
+    r = rk.select(
+        "event_type",
+        "era",
+        (F.min("r").over(wg) + F.max("r").over(wg)).alias("r2"),
+    )
+    g = (
+        r.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("nb"),
+            F.sum(F.when(F.col("era") == 0, F.col("r2")).otherwise(0)).alias("ra2"),
+        )
+        .filter((F.col("na") >= 1) & (F.col("nb") >= 1))
+    )
+    na, nb = F.col("na"), F.col("nb")
+    dv = (F.col("ra2") - na * (na + 1) - na * nb).cast("double") / (
+        na.cast("double") * nb
+    )
+    rd = F.round(dv, 6)
+    return g.select(
+        "event_type",
+        na.cast("bigint").alias("n_era_a"),
+        nb.cast("bigint").alias("n_era_b"),
+        (rd + F.lit(0.0)).alias("cliff_delta"),
+        F.when(F.abs(rd) >= _CLIFF_LARGE, F.lit("large"))
+        .when(F.abs(rd) >= _CLIFF_MEDIUM, F.lit("medium"))
+        .when(F.abs(rd) >= _CLIFF_SMALL, F.lit("small"))
+        .otherwise(F.lit("negligible"))
+        .alias("magnitude"),
+    )

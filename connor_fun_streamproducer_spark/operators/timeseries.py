@@ -2404,3 +2404,112 @@ def ts_hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger-band breakout days per type (trailing window, integer-exact)
+# ---------------------------------------------------------------------------
+
+_BOLL_W = 7  # trailing days in the band (full-window rows only)
+
+_BOLL_ORACLE = f"""
+WITH d AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+    FROM events GROUP BY 1, 2
+), w AS (
+    SELECT event_type, day, CAST(x AS HUGEINT) AS x,
+           sum(CAST(x AS HUGEINT)) OVER tw AS s,
+           sum(CAST(x AS HUGEINT) * x) OVER tw AS q,
+           count(*) OVER tw AS m
+    FROM d
+    WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN {_BOLL_W} PRECEDING AND 1 PRECEDING)
+), f AS (
+    SELECT event_type,
+           CASE WHEN m = {_BOLL_W} THEN 1 ELSE 0 END AS eval,
+           CASE WHEN m = {_BOLL_W}
+                 AND ({_BOLL_W} * x - s) > 0
+                 AND ({_BOLL_W} * x - s) * ({_BOLL_W} * x - s)
+                     * ({_BOLL_W} - 1)
+                     > 4 * {_BOLL_W} * ({_BOLL_W} * q - s * s)
+                THEN 1 ELSE 0 END AS up,
+           CASE WHEN m = {_BOLL_W}
+                 AND ({_BOLL_W} * x - s) < 0
+                 AND ({_BOLL_W} * x - s) * ({_BOLL_W} * x - s)
+                     * ({_BOLL_W} - 1)
+                     > 4 * {_BOLL_W} * ({_BOLL_W} * q - s * s)
+                THEN 1 ELSE 0 END AS down
+    FROM w
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(eval) AS BIGINT) AS n_eval,
+       CAST(sum(up) AS BIGINT) AS n_up,
+       CAST(sum(down) AS BIGINT) AS n_down
+FROM f GROUP BY 1
+"""
+
+
+@op("ts_bollinger_breakout", oracle=_BOLL_ORACLE, tags=("ext", "ts"))
+def ts_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout counter per event type: a day whose total
+    (in cents) leaves the ±2-sample-sd band of the TRAILING 7 observed
+    days is a breakout (up or down) — the volatility-scaled alternative
+    to win_anomaly_zscore's global z: a $10k day is an anomaly on a
+    quiet series and noise on a volatile one, and the trailing window
+    (current day EXCLUDED) makes it a genuine out-of-sample detector
+    rather than a band that inflates itself on the spike day.
+
+    Exact: |x − μ| > 2s over the trailing n=7 days is algebra over the
+    window's integer sums — (n·x − S)²·(n−1) > 4n·(nQ − S²) with
+    S = Σx, Q = Σx² — so the comparison is INTEGER on both engines
+    (decimal(38,0) here, HUGEINT in DuckDB); no float enters at any
+    point, not even a rounded one. Only full 7-day windows count as
+    evaluated (m = 7), so series boundaries can't fake calm.
+
+    Scale: one scan → (type, day) hash agg with map-side partials →
+    one per-type window over the |types|·|days| daily rows → |types|
+    final agg. The window input is day-grain, not event-grain.
+    """
+    n = F.lit(_BOLL_W)
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            epoch_div("ts", 86400).alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("decimal(38,0)").alias("x"))
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_BOLL_W, -1)
+    )
+    w = d.select(
+        "event_type",
+        "x",
+        F.sum("x").over(tw).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(tw).alias("q"),
+        F.count("*").over(tw).alias("m"),
+    )
+    dev = n * F.col("x") - F.col("s")  # decimal: n·x − S
+    burst = (dev * dev * (n - 1)) > (
+        F.lit(4) * n * (n * F.col("q") - F.col("s") * F.col("s"))
+    )
+    full = F.col("m") == _BOLL_W
+    f = w.select(
+        "event_type",
+        full.cast("int").alias("eval"),
+        (full & (dev > 0) & burst).cast("int").alias("up"),
+        (full & (dev < 0) & burst).cast("int").alias("down"),
+    )
+    return f.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("eval").cast("bigint").alias("n_eval"),
+        F.sum("up").cast("bigint").alias("n_up"),
+        F.sum("down").cast("bigint").alias("n_down"),
+    )

@@ -243,8 +243,22 @@ _WINDOW_PRIORITY = [
     "win_active_streak_latest",
     "ts_hour_of_week_profile",
     "graph_two_hop_reach",
-    # (4) stale refresh: ALL 27 remaining r1/r2/r3-vintage keys — after
-    #     this round no key's latest external check predates r4
+    # (3b) NEW in the second half of the round (same policy: inside the
+    #      window the round they land; each displaces one r3-vintage
+    #      hash-proven stale-refresh slot — tier 4 is the lowest rung,
+    #      and every displaced key is re-proven locally each pytest run)
+    "stats_mann_whitney",
+    "stats_cliff_delta",
+    "ts_bollinger_breakout",
+    "sample_pps_systematic",
+    "text_hapax_rate",
+    "pipeline_price_volume_bridge",
+    "pipeline_discount_elasticity",
+    "graph_degree_gini",
+    # (4) stale refresh: 19 of the 27 r1/r2/r3-vintage keys (ALL r1/r2
+    #     keys incl. the four rows-only streaming keys kept; 8 r3-vintage
+    #     hash-proven keys ceded their slot to tier 3b and front the r12
+    #     rotation from the top of the behind-window list below)
     "fn_array_explode",
     "fn_date_bucket",
     "fn_json_roundtrip",
@@ -262,9 +276,11 @@ _WINDOW_PRIORITY = [
     "stream_health_monitor",
     "dedup_near_minhash",
     "dedup_simhash",
-    "join_stream_stream",
     "pipeline_local_supplier_volume",
     "pipeline_returned_items",
+    # -- behind the window: staleness-ordered (latest external check asc,
+    #    then prior relative order) so the r12 rotation input is pinned --
+    # r3-vintage keys displaced by tier 3b this round: first in line r12
     "pipeline_shipping_priority_bucketed",
     "rate_stagger",
     "stream_stateful",
@@ -272,8 +288,7 @@ _WINDOW_PRIORITY = [
     "win_analytic",
     "win_frame",
     "win_rank",
-    # -- behind the window: staleness-ordered (latest external check asc,
-    #    then prior relative order) so the r12 rotation input is pinned --
+    "join_stream_stream",
     "scan_orc",
     "sql_api",
     "sim_search_topk_arrow",

@@ -117,6 +117,14 @@ SWEEP = [
     "stats_cohens_d_eras",         # era integer moments -> d polynomial (r11)
     "stats_brown_forsythe",        # rank-pick medians + |z| moments -> F (r11)
     "stats_mood_median",           # pooled rank-pick median + 2x2 chi2 (r11)
+    "stats_mann_whitney",          # doubled-rank integers + tie-corrected z (r11)
+    "stats_cliff_delta",           # exact rational of doubled rank-sum (r11)
+    "ts_bollinger_breakout",       # all-integer trailing band compare (r11)
+    "sample_pps_systematic",       # integral threshold crossings in hash order (r11)
+    "text_hapax_rate",             # count-of-count integers per source (r11)
+    "pipeline_price_volume_bridge",  # era pivot + fixed rational effects (r11)
+    "pipeline_discount_elasticity",  # integer regression moments -> slope (r11)
+    "graph_degree_gini",           # rank-weighted degree sum invariance (r11)
     "pipeline_repeat_buyers",      # two-level distinct-count rollup (r11)
     "text_word_length_profile",    # explode lengths, integral bands (r11)
     "sim_doc_topk_minhash",        # lane-bucket pairs, count-tie top-k (r11)

@@ -1863,3 +1863,46 @@ def test_containment_positional_filter_in_join(spark):
         if "Join" in ln or re.search(r"condition", ln, re.I)
     ]
     assert any("ia" in ln and "jb" in ln for ln in join_conds), plan
+
+
+def test_rank_sum_pair_single_exchange(spark):
+    """stats_mann_whitney / stats_cliff_delta: the rank window and the
+    tie-group PEER-frame window share the per-type partitioning AND the
+    (cents, event_id) sort — one exchange, one sort, then the final agg
+    reuses the partitioning (a (type, cents) partitionBy would cost a
+    second exchange; the RANGE CURRENT ROW..CURRENT ROW frame is the
+    single-exchange form of per-tie-group min/max/count)."""
+    for key in ("stats_mann_whitney", "stats_cliff_delta"):
+        df = _q(key, spark)
+        assert count_in_plan(df, "Exchange") == 1, key
+        plan = formatted_plan(df)
+        assert plan.count("Sort ") <= 1, (key, plan)
+
+
+def test_brand_pipelines_broadcast_part(spark):
+    """price_volume_bridge / discount_elasticity: part is a dim — the
+    fact side must not shuffle for the join."""
+    for key in ("pipeline_price_volume_bridge", "pipeline_discount_elasticity"):
+        plan = formatted_plan(_q(key, spark))
+        assert "BroadcastHashJoin" in plan, (key, plan)
+        assert "SortMergeJoin" not in plan, (key, plan)
+
+
+def test_bollinger_window_is_day_grain(spark):
+    """ts_bollinger_breakout: the trailing-band window must consume the
+    (type, day) AGGREGATE, not the event stream — partial+final agg
+    pair below the Window, and exactly two exchanges (day agg, final
+    type agg reuses the window partitioning)."""
+    df = _q("ts_bollinger_breakout", spark)
+    plan = formatted_plan(df)
+    wpos = plan.find("Window")
+    assert wpos > 0, plan
+    assert "HashAggregate" in plan[wpos:], plan  # agg below the window
+    assert count_in_plan(df, "Exchange") <= 2, plan
+
+
+def test_pps_single_stratum_exchange(spark):
+    """sample_pps_systematic: running sum, stratum total, and quota are
+    three frames over ONE source-key partitioning — one exchange."""
+    df = _q("sample_pps_systematic", spark)
+    assert count_in_plan(df, "Exchange") == 1, formatted_plan(df)

@@ -2598,12 +2598,20 @@ def test_era_suite_constructed_shifts(spark, tmp_path):
     bf = registry.OPS["stats_brown_forsythe"].fn
     mood = registry.OPS["stats_mood_median"].fn
     cohen = registry.OPS["stats_cohens_d_eras"].fn
+    mw = registry.OPS["stats_mann_whitney"].fn
+    cliff = registry.OPS["stats_cliff_delta"].fn
 
     build(amp_b=300, mean_b=1000)  # spread tripled, mean unchanged
     r = bf(spark, str(tmp_path)).collect()[0]
     assert bool(r["reject_equal_spread"]) is True, r
     rm = mood(spark, str(tmp_path)).collect()[0]
     assert bool(rm["reject_equal_medians"]) is False, rm
+    # rank-sum and delta are LOCATION measures: a pure spread change is
+    # pairwise-symmetric (n_gt == n_lt), so both must stay quiet
+    rw = mw(spark, str(tmp_path)).collect()[0]
+    assert bool(rw["reject_equal_location"]) is False, rw
+    rcd = cliff(spark, str(tmp_path)).collect()[0]
+    assert rcd["magnitude"] == "negligible" and rcd["cliff_delta"] == 0.0, rcd
 
     # mean +$3, spread unchanged (a ±$1 shift is invisible to Mood on
     # this two-point fixture: both eras straddle the pooled median
@@ -2616,9 +2624,71 @@ def test_era_suite_constructed_shifts(spark, tmp_path):
     rc = cohen(spark, str(tmp_path)).collect()[0]
     # |d| = 300 cents / ~100.5 cents sd ≈ 3.0 → 'large'
     assert rc["magnitude"] == "large" and abs(rc["cohens_d"]) > 0.8, rc
+    rw = mw(spark, str(tmp_path)).collect()[0]
+    assert bool(rw["reject_equal_location"]) is True, rw
+    # era A values {900, 1100}, era B {1200, 1400}: every B beats every
+    # A, so delta = P(a>b) - P(a<b) = -1 exactly — the 'computed, not
+    # estimated' claim, pinned
+    rcd = cliff(spark, str(tmp_path)).collect()[0]
+    assert rcd["cliff_delta"] == -1.0 and rcd["magnitude"] == "large", rcd
 
     build(amp_b=100, mean_b=1000)  # null: identical eras
     assert bool(bf(spark, str(tmp_path)).collect()[0]["reject_equal_spread"]) is False
     assert bool(mood(spark, str(tmp_path)).collect()[0]["reject_equal_medians"]) is False
     rc0 = cohen(spark, str(tmp_path)).collect()[0]
     assert rc0["magnitude"] == "negligible", rc0
+    assert bool(mw(spark, str(tmp_path)).collect()[0]["reject_equal_location"]) is False
+    rcd0 = cliff(spark, str(tmp_path)).collect()[0]
+    assert rcd0["cliff_delta"] == 0.0 and rcd0["magnitude"] == "negligible", rcd0
+
+
+def test_pps_draws_sum_to_quota(spark):
+    """sample_pps_systematic: Σ n_draws per stratum must equal the
+    stratum quota EXACTLY (telescoping floor sums), and every weight
+    must be positive-representable — the certainty-unit multiplicity
+    accounting, not approximately."""
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    df = registry.OPS["sample_pps_systematic"].fn(spark, SF_DIR).toPandas()
+    assert len(df) > 0
+    g = df.groupby("source").agg(
+        draws=("n_draws", "sum"), q=("stratum_quota", "first")
+    )
+    assert (g["draws"] == g["q"]).all(), g[g["draws"] != g["q"]]
+    assert (df["n_draws"] >= 1).all()
+
+
+def test_bollinger_constructed_breakout(spark, tmp_path):
+    """ts_bollinger_breakout calibration: a flat daily series has a
+    zero-width band and NO breakouts (dev = 0 fails the strict >); a
+    single spiked day after 7 flat days is exactly one upside breakout;
+    a crashed day exactly one downside."""
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    fn = registry.OPS["ts_bollinger_breakout"].fn
+
+    def build(day9_cents):
+        rows = []
+        for day in range(9):
+            cents = day9_cents if day == 8 else 500
+            rows.append(
+                dict(event_id=day, ts=pd.Timestamp("2024-01-01")
+                     + pd.Timedelta(days=day), user_id=1,
+                     event_type="buy", value=cents / 100.0, props="{}")
+            )
+        pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+
+    build(500)  # flat: 9 days, 2 evaluable, zero breakouts
+    r = fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_days"], r["n_eval"], r["n_up"], r["n_down"]) == (9, 2, 0, 0), r
+
+    build(5000)  # spike: strictly above the zero-width band
+    r = fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_up"], r["n_down"]) == (1, 0), r
+
+    build(5)  # crash
+    r = fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_up"], r["n_down"]) == (0, 1), r
