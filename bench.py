@@ -223,6 +223,14 @@ EXTENDED = [
     "pipeline_price_volume_bridge",
     "pipeline_discount_elasticity",
     "graph_degree_gini",
+    "stats_quantile_ci",
+    "ts_seasonality_strength",
+    "corpus_quality_token_curve",
+    "ts_dispersion_index",
+    "corpus_source_overlap_jaccard",
+    "graph_rich_club_coefficient",
+    "embedding_isotropy_pairs",
+    "ts_seasonal_naive_error",
 ]
 
 

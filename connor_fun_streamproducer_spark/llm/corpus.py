@@ -1360,3 +1360,84 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_draws").cast("bigint").alias("n_draws"),
         F.col("q").cast("bigint").alias("stratum_quota"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise vocabulary Jaccard between sources (set overlap, full vocab)
+# ---------------------------------------------------------------------------
+
+_SRC_JACCARD_ORACLE = """
+WITH st AS (
+    SELECT DISTINCT source, unnest(string_split(text, ' ')) AS t
+    FROM documents
+), sz AS (
+    SELECT source, count(*) AS v FROM st GROUP BY 1
+), pairs AS (
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+    FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       CAST(za.v AS BIGINT) AS vocab_a,
+       CAST(zb.v AS BIGINT) AS vocab_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common * 10000 // (za.v + zb.v - n_common) AS BIGINT)
+           AS jaccard_bp
+FROM pairs JOIN sz za ON za.source = src_a JOIN sz zb ON zb.source = src_b
+"""
+
+
+@op("corpus_source_overlap_jaccard", oracle=_SRC_JACCARD_ORACLE, tags=("llm", "corpus"))
+def corpus_source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise FULL-VOCABULARY Jaccard between sources — the set-
+    overlap companion to text_js_divergence_sources' distributional
+    distance: JSD weighs shared tokens by frequency and so barely moves
+    when two crawls share a long tail of identical rare vocabulary
+    (mirror sites, re-hosted archives); set Jaccard is exactly the
+    mirror detector, and together the two separate "same topics" (high
+    JSD-similarity, modest Jaccard) from "same underlying corpus"
+    (high both).
+
+    Exact: distinct (source, token) pairs, integer intersection counts,
+    inclusion–exclusion union, integral-div basis points.
+
+    Scale: the distinct agg is the corpus-sized exchange; the
+    intersection join fans out per token by the number of sources
+    carrying it (≤ |sources|, so ≤ |sources|² pair rows per token) and
+    aggregates to |sources|²/2 rows; the size join broadcasts. Same
+    join-on-token shape as text_js_divergence_sources.
+    """
+    st = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+    )
+    sz = st.groupBy("source").agg(F.count("*").alias("v"))
+    a = st.alias("a")
+    b = st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("v").alias("va")))
+    zb = F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("v").alias("vb")))
+    return (
+        pairs.join(za, "src_a")
+        .join(zb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("va").cast("bigint").alias("vocab_a"),
+            F.col("vb").cast("bigint").alias("vocab_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.expr("n_common * 10000 div (va + vb - n_common)")
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
+    )

@@ -656,3 +656,100 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-cut token budget curve (what a gate threshold costs in tokens)
+# ---------------------------------------------------------------------------
+
+_CURVE_BAND = 1000  # quality_bp band width -> <=21 curve rows
+
+_CURVE_ORACLE = f"""
+WITH sig AS (
+    SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis,
+           CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a', 'of', 'and', 'in', 'to'))) AS BIGINT)
+               AS n_stop
+    FROM documents
+), q AS (
+    SELECT n_tok,
+           (n_dis * 10000 // n_tok + n_stop * 10000 // n_tok)
+               // {_CURVE_BAND} AS band
+    FROM sig WHERE n_tok > 0
+), b AS (
+    SELECT band, count(*) AS n_docs, sum(n_tok) AS n_tokens
+    FROM q GROUP BY 1
+)
+SELECT CAST(band AS BIGINT) AS quality_band,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+       CAST(sum(n_tokens) OVER w * 10000
+            // sum(n_tokens) OVER () AS BIGINT) AS cum_token_share_bp
+FROM b
+WINDOW w AS (ORDER BY band DESC ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+
+@op("corpus_quality_token_curve", oracle=_CURVE_ORACLE, tags=("llm", "corpus"))
+def corpus_quality_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curve over a quality score: for every quality band,
+    how many documents and tokens sit there, and what cumulative share
+    of the corpus' TOKENS survives if the gate keeps that band and
+    better. corpus_quality_gate answers "what does THIS threshold
+    drop"; this is the table you read before choosing the threshold —
+    training budgets are token-denominated, and a cut that drops 30% of
+    documents can cost 5% or 60% of tokens depending on where short
+    docs sit on the score.
+
+    Score (stated, integral): distinct-token share + stopword share,
+    both in basis points (the two gate signals that are RATES rather
+    than length cutoffs), banded into {_CURVE_BAND}-bp steps — ≤21 curve
+    rows by construction.
+
+    Exact: integer cross-multiplied shares (the gate discipline), the
+    cumulative window runs over the ≤21 banded rows, and the share is
+    an integral-div basis-point column.
+
+    Scale: map-only signal projection → ≤21-key hash agg → a window
+    over the banded rows (bounded, the win_lorenz_deciles posture).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sig = d.select(
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_dis"),
+        F.size(F.filter(toks, lambda t: t.isin(list(_GATE_STOPWORDS))))
+        .cast("bigint")
+        .alias("n_stop"),
+    ).filter(F.col("n_tok") > 0)
+    q = sig.select(
+        "n_tok",
+        F.expr(
+            f"(n_dis * 10000 div n_tok + n_stop * 10000 div n_tok)"
+            f" div {_CURVE_BAND}"
+        ).alias("band"),
+    )
+    b = q.groupBy("band").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    wc = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return b.select(
+        F.col("band").cast("bigint").alias("quality_band"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_docs").over(wc).cast("bigint").alias("cum_docs"),
+        F.expr(
+            "sum(n_tokens) OVER (ORDER BY band DESC ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) * 10000 div sum(n_tokens) OVER ()"
+        )
+        .cast("bigint")
+        .alias("cum_token_share_bp"),
+    )

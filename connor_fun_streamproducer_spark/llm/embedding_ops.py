@@ -818,3 +818,112 @@ def dedup_vector_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_d").cast("bigint").alias("n_distinct"),
         (F.col("_n") - F.col("_d")).cast("bigint").alias("n_dup_vectors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotropy audit: cosine distribution over deterministic random-ish pairs
+# ---------------------------------------------------------------------------
+
+_ISO_BUCKETS = 64   # md5 buckets; pairs form within a bucket only
+_ISO_PER_BUCKET = 8  # first k vectors per bucket pair up: <=64*28 pairs
+
+
+_ISO_ORACLE = f"""
+WITH b AS (
+    SELECT vec_id, embedding,
+           CAST(CAST('0x' || substr(md5('iso:' || CAST(vec_id AS VARCHAR)), 1, 8)
+                AS UBIGINT) % {_ISO_BUCKETS} AS BIGINT) AS bkt
+    FROM embeddings
+), r AS (
+    SELECT vec_id, embedding, bkt,
+           row_number() OVER (PARTITION BY bkt ORDER BY vec_id) AS rk
+    FROM b
+    QUALIFY rk <= {_ISO_PER_BUCKET}
+), p AS (
+    SELECT round(
+               list_dot_product(CAST(x.embedding AS DOUBLE[]),
+                                CAST(y.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+                                        CAST(x.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]),
+                                        CAST(y.embedding AS DOUBLE[])))),
+               6) AS cos
+    FROM r x JOIN r y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+)
+SELECT CAST(floor(cos * 10) AS BIGINT) AS cos_band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(floor(abs(cos) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS abs_cos_sum_u
+FROM p GROUP BY 1
+"""
+
+
+@op("embedding_isotropy_pairs", oracle=_ISO_ORACLE, tags=("llm", "embedding"))
+def embedding_isotropy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit of the embedding space: the distribution of
+    cosine similarity over a deterministic sample of UNRELATED pairs,
+    banded into 0.1-wide cos bands. Isotropic embeddings put random
+    pairs near cos ≈ 0; a collapsed or anisotropic encoder (the classic
+    "all embeddings share a dominant direction" failure) shifts the
+    whole histogram toward +1, which silently breaks every
+    cosine-threshold op downstream (dedup_embedding's threshold,
+    sim_margin_profile's margins). embedding_dim_profile finds DEAD
+    dimensions; this finds the common-direction failure that per-dim
+    moments can't see.
+
+    Pair sample (stated, deterministic): vectors land in {_ISO_BUCKETS}
+    md5 buckets and only the first {_ISO_PER_BUCKET} per bucket (by
+    vec_id) pair up — ≤ {_ISO_BUCKETS}·28 pairs regardless of corpus
+    size, and the md5 keying makes the pairs as-if-random without any
+    RNG to coordinate across engines.
+
+    Exact: band edges cut on the ROUNDED cosine (the dedup_embedding
+    discipline); per-band counts are integers; the per-band |cos| sum is an
+    INTEGER micro-unit aggregate (1e-6-quantized after the round — the
+    order-free form; no float passes through an aggregate).
+
+    Scale: map-side bucketing → a {_ISO_BUCKETS}-key rank window over
+    ≤{_ISO_PER_BUCKET} kept rows per bucket → a bounded self-join —
+    constant work at any corpus size.
+    """
+    from connor_fun_streamproducer_spark.llm.similarity import cosine_expr
+
+    b = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("iso:"), F.col("vec_id").cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % _ISO_BUCKETS
+        ).alias("bkt"),
+    )
+    r = (
+        b.select(
+            "vec_id",
+            "embedding",
+            "bkt",
+            F.row_number()
+            .over(Window.partitionBy("bkt").orderBy("vec_id"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= _ISO_PER_BUCKET)
+    )
+    x = r.alias("x")
+    y = r.alias("y")
+    p = x.join(
+        y,
+        (F.col("x.bkt") == F.col("y.bkt")) & (F.col("x.vec_id") < F.col("y.vec_id")),
+    ).select(
+        F.round(cosine_expr(F.col("x.embedding"), F.col("y.embedding")), 6).alias("cos")
+    )
+    return p.groupBy(
+        F.floor(F.col("cos") * 10).cast("bigint").alias("cos_band")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.floor(F.abs(F.col("cos")) * 1000000 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("abs_cos_sum_u"),
+    )

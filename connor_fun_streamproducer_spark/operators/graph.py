@@ -1803,3 +1803,94 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("degree_gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient of the top-decile-degree nodes (one row)
+# ---------------------------------------------------------------------------
+
+_RICH_CLUB_ORACLE = "WITH " + _PAIR_EDGES_SQL + """,
+und AS (SELECT a AS node FROM e UNION ALL SELECT c FROM e),
+deg AS (SELECT node, count(*) AS d FROM und GROUP BY 1),
+nn AS (SELECT count(*) AS n, count(*) // 10 AS k0 FROM deg),
+club AS (
+    SELECT node FROM (
+        SELECT node, row_number() OVER (ORDER BY d DESC, node) AS rk
+        FROM deg
+    ) JOIN nn ON rk <= greatest(2, k0)
+), ce AS (
+    SELECT count(*) AS m_club
+    FROM e JOIN club x ON e.a = x.node JOIN club y ON e.c = y.node
+), tot AS (SELECT count(*) AS m FROM e)
+SELECT CAST(nn.n AS BIGINT) AS n_nodes,
+       CAST(greatest(2, nn.k0) AS BIGINT) AS club_size,
+       CAST(ce.m_club AS BIGINT) AS club_edges,
+       round(2.0 * ce.m_club
+             / (greatest(2, nn.k0) * (greatest(2, nn.k0) - 1)), 6) + 0.0
+           AS club_density,
+       round(2.0 * tot.m / (CAST(nn.n AS DOUBLE) * (nn.n - 1)), 6) + 0.0
+           AS graph_density
+FROM nn, ce, tot WHERE nn.n >= 2
+"""
+
+
+@op("graph_rich_club_coefficient", oracle=_RICH_CLUB_ORACLE, tags=("ext", "graph"))
+def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient: edge density AMONG the top-decile-degree
+    nodes vs the whole graph's density — do the hubs graph_degree_gini
+    flags form their own tightly-wired club (club_density ≫
+    graph_density: an elite core, the assortative-hub regime) or fan
+    out to the periphery (hub-and-spoke)? The distinction decides
+    whether hub-capping a wedge join loses a dense core's worth of
+    triangles or just trims spokes.
+
+    Exact: the club is a rank pick over the (degree DESC, node) total
+    order (size = max(2, ⌊n/10⌋)); both densities are exact integer
+    edge counts over fixed rationals, rounded.
+
+    Scale: degree agg + a node-count-bounded rank window (the
+    degree_gini posture); club membership joins back to the edge list
+    as two broadcast semi-joins (club is n/10 node ids); 1-row output.
+    """
+    e = _pair_edges(spark, sf_dir)
+    und = e.select(F.col("a").alias("node")).unionAll(
+        e.select(F.col("c").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count("*").alias("d"))
+    nn = deg.agg(
+        F.count("*").alias("n"), F.expr("count(*) div 10").alias("k0")
+    ).collect()[0]  # 1-row probe: club size literal
+    n, k = int(nn["n"]), max(2, int(nn["k0"]))
+    if n < 2:  # degenerate graph: densities undefined (oracle: WHERE n >= 2)
+        return spark.createDataFrame(
+            [],
+            "n_nodes bigint, club_size bigint, club_edges bigint,"
+            " club_density double, graph_density double",
+        )
+    club = (
+        deg.select(
+            "node",
+            F.row_number()
+            .over(Window.orderBy(F.col("d").desc(), F.col("node").asc()))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+        .select("node")
+    )
+    m_club = (
+        e.join(F.broadcast(club.withColumnRenamed("node", "a")), "a")
+        .join(F.broadcast(club.withColumnRenamed("node", "c")), "c")
+        .agg(F.count("*").alias("m_club"))
+    )
+    m = e.agg(F.count("*").alias("m"))
+    return m_club.crossJoin(m).select(
+        F.lit(n).cast("bigint").alias("n_nodes"),
+        F.lit(k).cast("bigint").alias("club_size"),
+        F.col("m_club").cast("bigint").alias("club_edges"),
+        (F.round(2.0 * F.col("m_club") / (k * (k - 1)), 6) + F.lit(0.0)).alias(
+            "club_density"
+        ),
+        (
+            F.round(2.0 * F.col("m") / (float(n) * (n - 1)), 6) + F.lit(0.0)
+        ).alias("graph_density"),
+    )

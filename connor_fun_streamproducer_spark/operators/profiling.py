@@ -2773,3 +2773,107 @@ def stats_cliff_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("negligible"))
         .alias("magnitude"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-free median confidence interval per event type
+# ---------------------------------------------------------------------------
+
+# normal 5% two-sided critical value for the order-statistic rank formula
+_QCI_Z = 1.959964
+
+_QCI_ORACLE = f"""
+WITH b AS (
+    SELECT event_type, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), r AS (
+    SELECT event_type, cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cents, event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM b
+), k AS (
+    SELECT event_type, cents, rk, n,
+           greatest(1, CAST(floor((n - {_QCI_Z} * sqrt(n)) / 2)
+                            AS BIGINT)) AS lo
+    FROM r
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS BIGINT)
+           AS median_cents,
+       CAST(min(CASE WHEN rk = lo THEN cents END) AS BIGINT) AS ci_lo_cents,
+       CAST(min(CASE WHEN rk = least(n, n + 1 - lo) THEN cents END) AS BIGINT)
+           AS ci_hi_cents
+FROM k GROUP BY 1 HAVING max(n) >= 2
+"""
+
+
+@op("stats_quantile_ci", oracle=_QCI_ORACLE, tags=("ext", "stats"))
+def stats_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free ~95% confidence interval for the median of
+    event value, per event type — the error bar every median in every
+    dashboard should carry and almost never does. No normality, no
+    bootstrap resampling (sample_bootstrap is the generic machinery;
+    this is the closed form): the classic order-statistic interval
+    picks the values at ranks (n ± z·√n)/2, exact to the binomial
+    argument that the count of observations below the true median is
+    Binomial(n, ½).
+
+    Exact: ranks come from the (cents, event_id) total order; the rank
+    cutoffs are floor/clamp over one fixed-shape float expression of
+    the integer n (identical IEEE on both engines); the reported values
+    are rank PICKS of integer cents — never an interpolated float. The
+    lower median convention matches stats_mood_median.
+
+    Scale: one scan → one per-type rank window (one exchange) → hash
+    agg; output is |types| rows.
+    """
+    b = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    wt = Window.partitionBy("event_type")
+    r = b.select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(wt.orderBy(F.col("cents").asc(), F.col("event_id").asc()))
+        .alias("rk"),
+        F.count("*").over(wt).alias("n"),
+    )
+    k = r.select(
+        "event_type",
+        "cents",
+        "rk",
+        "n",
+        F.greatest(
+            F.lit(1),
+            F.floor((F.col("n") - _QCI_Z * F.sqrt(F.col("n"))) / 2).cast("bigint"),
+        ).alias("lo"),
+    )
+    return (
+        k.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.min(
+                F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("cents"))
+            )
+            .cast("bigint")
+            .alias("median_cents"),
+            F.min(F.when(F.col("rk") == F.col("lo"), F.col("cents")))
+            .cast("bigint")
+            .alias("ci_lo_cents"),
+            F.min(
+                F.when(
+                    F.col("rk") == F.least(F.col("n"), F.col("n") + 1 - F.col("lo")),
+                    F.col("cents"),
+                )
+            )
+            .cast("bigint")
+            .alias("ci_hi_cents"),
+        )
+        .filter(F.col("n") >= 2)
+    )

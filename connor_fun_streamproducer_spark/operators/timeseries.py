@@ -2513,3 +2513,306 @@ def ts_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("up").cast("bigint").alias("n_up"),
         F.sum("down").cast("bigint").alias("n_down"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality strength per type (one-way ANOVA on daily totals)
+# ---------------------------------------------------------------------------
+
+# F(k-1, inf) 5% critical values = chi2(k-1, .95)/(k-1), k = dows present
+_DOW_F_CRIT_CASE = (
+    "CASE k WHEN 2 THEN 3.841459 WHEN 3 THEN 2.995732 WHEN 4 THEN 2.604909"
+    " WHEN 5 THEN 2.371932 WHEN 6 THEN 2.214100 ELSE 2.098598 END"
+)
+
+# fixed 7-column dow pivot: the float SSB is a fixed-SHAPE expression over
+# exact integer per-dow moments (order-free), never a float AGGREGATE
+_SB_TERMS_SQL = " + ".join(
+    f"(CASE WHEN n{i} > 0 THEN CAST(s{i} AS DOUBLE) * s{i} / n{i}"
+    f" ELSE 0.0 END)"
+    for i in range(7)
+)
+_N_SUM_SQL = " + ".join(f"n{i}" for i in range(7))
+_S_SUM_SQL = " + ".join(f"s{i}" for i in range(7))
+_K_SUM_SQL = " + ".join(f"(CASE WHEN n{i} > 0 THEN 1 ELSE 0 END)" for i in range(7))
+
+_SEASON_STRENGTH_ORACLE = f"""
+WITH d AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+    FROM events GROUP BY 1, 2
+), g AS (
+    SELECT event_type, (day + 4) % 7 AS dow,
+           count(*) AS nd,
+           sum(CAST(x AS HUGEINT)) AS sd,
+           sum(CAST(x AS HUGEINT) * x) AS qd
+    FROM d GROUP BY 1, 2
+), p AS (
+    SELECT event_type,
+           {", ".join(
+               f"coalesce(max(CASE WHEN dow = {i} THEN nd END), 0) AS n{i},"
+               f" coalesce(max(CASE WHEN dow = {i} THEN sd END), 0) AS s{i}"
+               for i in range(7)
+           )},
+           sum(qd) AS q
+    FROM g GROUP BY 1
+), t AS (
+    SELECT event_type,
+           {_K_SUM_SQL} AS k,
+           {_N_SUM_SQL} AS n,
+           {_S_SUM_SQL} AS s,
+           q,
+           {_SB_TERMS_SQL} AS sb
+    FROM p
+), f AS (
+    SELECT event_type, k, n,
+           (sb - CAST(s AS DOUBLE) * s / n) AS ssb,
+           (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) AS sst
+    FROM t WHERE k >= 2 AND n > k
+)
+SELECT event_type,
+       CAST(k AS BIGINT) AS n_dows,
+       CAST(n AS BIGINT) AS n_days,
+       round(ssb / nullif(sst, 0.0), 6) + 0.0 AS eta_sq,
+       round((ssb / (k - 1)) / nullif((sst - ssb) / (n - k), 0.0), 6) + 0.0
+           AS f_stat,
+       round((ssb / (k - 1)) / nullif((sst - ssb) / (n - k), 0.0), 6)
+           > {_DOW_F_CRIT_CASE} AS weekly_seasonal
+FROM f
+"""
+
+
+@op("ts_seasonality_strength", oracle=_SEASON_STRENGTH_ORACLE, tags=("ext", "ts"))
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of a series' day-to-day variance the weekly cycle
+    explains, per event type: one-way ANOVA of day-of-week on daily
+    totals. ts_dow_effects reports the per-weekday multipliers; this is
+    the missing effect-size + verdict layer over the same grouping —
+    eta² (SSB/SST, the variance share the 7 dow means absorb) and the
+    F test against F(k−1, ∞), which is what decides whether a forecast
+    or an anomaly baseline should carry a weekly term at all. The k-way
+    generalization of the era suite's 2-group tests.
+
+    Exact: daily totals are integer cents; per-(type, dow) moments are
+    exact integer aggregates pivoted into a FIXED 7-column layout (the
+    era-pivot idiom widened to k groups), so SSB/SST/F are fixed-SHAPE
+    float expressions over exact integers — no float ever passes
+    through an order-dependent aggregate. Rounded before the
+    dof-matched critical-value CASE (chi²(k−1)/(k−1) literals).
+
+    Scale: one scan → (type, day) hash agg → (type, dow) hash agg
+    (≤7 rows per type) → |types| pivot. All partial-combined; nothing
+    beyond the daily grain crosses an exchange.
+    """
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            epoch_div("ts", 86400).alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("x"))
+    )
+    g = d.groupBy("event_type", ((F.col("day") + 4) % 7).alias("dow")).agg(
+        F.count("*").alias("nd"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sd"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("qd"),
+    )
+    piv = [
+        c
+        for i in range(7)
+        for c in (
+            F.coalesce(
+                F.max(F.when(F.col("dow") == i, F.col("nd"))), F.lit(0)
+            ).alias(f"n{i}"),
+            F.coalesce(
+                F.max(F.when(F.col("dow") == i, F.col("sd"))),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias(f"s{i}"),
+        )
+    ]
+    p = g.groupBy("event_type").agg(*piv, F.sum("qd").alias("q"))
+    t = p.select(
+        "event_type",
+        F.expr(_K_SUM_SQL).alias("k"),
+        F.expr(_N_SUM_SQL).alias("n"),
+        F.expr(_S_SUM_SQL).alias("s"),
+        "q",
+        F.expr(_SB_TERMS_SQL).alias("sb"),
+    ).filter((F.col("k") >= 2) & (F.col("n") > F.col("k")))
+    k, n = F.col("k"), F.col("n")
+    ssb = F.col("sb") - F.col("s").cast("double") * F.col("s") / n
+    sst = F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / n
+    fstat = (ssb / (k - 1)) / F.nullif((sst - ssb) / (n - k), F.lit(0.0))
+    rf = F.round(fstat, 6)
+    return t.select(
+        "event_type",
+        k.cast("bigint").alias("n_dows"),
+        n.cast("bigint").alias("n_days"),
+        (F.round(ssb / F.nullif(sst, F.lit(0.0)), 6) + F.lit(0.0)).alias("eta_sq"),
+        (rf + F.lit(0.0)).alias("f_stat"),
+        (rf > F.expr(_DOW_F_CRIT_CASE)).alias("weekly_seasonal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index of dispersion of daily event counts per type (burstiness classifier)
+# ---------------------------------------------------------------------------
+
+# one-sided normal 5% for the chi2(n-1)/(n-1) large-sample approximation
+_DISP_Z = 1.644854
+
+_DISPERSION_ORACLE = f"""
+WITH d AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+           count(*) AS c
+    FROM events GROUP BY 1, 2
+), m AS (
+    SELECT event_type, count(*) AS n, sum(c) AS s, sum(c * c) AS q
+    FROM d GROUP BY 1 HAVING count(*) >= 2 AND sum(c) > 0
+), v AS (
+    SELECT event_type, n, s,
+           (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+           / (CAST(s AS DOUBLE) / n) AS disp
+    FROM m
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       round(CAST(s AS DOUBLE) / n, 4) + 0.0 AS mean_per_day,
+       round(disp, 6) + 0.0 AS dispersion_index,
+       round(disp, 6) > 1 + {_DISP_Z} * sqrt(2.0 / (n - 1)) AS overdispersed
+FROM v
+"""
+
+
+@op("ts_dispersion_index", oracle=_DISPERSION_ORACLE, tags=("ext", "ts"))
+def ts_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of DAILY EVENT
+    COUNTS per type — the one-number burstiness classifier: a Poisson
+    arrival stream has D ≈ 1; D ≫ 1 means bursty/clumped arrivals
+    (campaigns, incidents, batch jobs), D ≪ 1 means something is
+    rate-limiting the stream. Sits upstream of the alerting ops:
+    win_anomaly_zscore assumes roughly stable noise, and knowing D
+    tells you whether a Poisson or a negative-binomial baseline is the
+    right null for a count series.
+
+    Exact: daily counts and their moments (n, Σc, Σc²) are exact
+    integer aggregates; D is one fixed-shape float expression, rounded
+    before the verdict. The verdict threshold is the large-sample
+    normal approximation of the chi-square index-of-dispersion test —
+    (n−1)·D ~ chi²(n−1) under Poisson, so D > 1 + z·√(2/(n−1)) at
+    one-sided 5% (stated approximation, identical shape both engines).
+
+    Scale: one scan → (type, day) hash agg → |types| moment agg, all
+    partial-combined.
+    """
+    d = (
+        load(spark, sf_dir, "events")
+        .select("event_type", epoch_div("ts", 86400).alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("c"))
+    )
+    m = (
+        d.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("q"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("s") > 0))
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    disp = (
+        (q.cast("double") - s.cast("double") * s / n) / (n - 1)
+    ) / (s.cast("double") / n)
+    rd = F.round(disp, 6)
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        (F.round(s.cast("double") / n, 4) + F.lit(0.0)).alias("mean_per_day"),
+        (rd + F.lit(0.0)).alias("dispersion_index"),
+        (rd > 1 + _DISP_Z * F.sqrt(F.lit(2.0) / (n - 1))).alias("overdispersed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive vs naive-1 forecast error per type (which baseline to beat)
+# ---------------------------------------------------------------------------
+
+_SNAIVE_ORACLE = """
+WITH d AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+    FROM events GROUP BY 1, 2
+), j AS (
+    SELECT c.event_type, c.x, p1.x AS x1, p7.x AS x7
+    FROM d c
+    JOIN d p1 ON p1.event_type = c.event_type AND p1.day = c.day - 1
+    JOIN d p7 ON p7.event_type = c.event_type AND p7.day = c.day - 7
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs(x - x1)) * 10000 // sum(x) AS BIGINT) AS wmape_naive1_bp,
+       CAST(sum(abs(x - x7)) * 10000 // sum(x) AS BIGINT) AS wmape_naive7_bp,
+       sum(abs(x - x7)) < sum(abs(x - x1)) AS weekly_naive_wins
+FROM j GROUP BY 1 HAVING sum(x) > 0
+"""
+
+
+@op("ts_seasonal_naive_error", oracle=_SNAIVE_ORACLE, tags=("ext", "ts"))
+def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two baselines every forecast must beat, scored against each
+    other per type: naive-1 (tomorrow = today) vs seasonal-naive-7
+    (tomorrow = same weekday last week), as weighted MAPE over the days
+    where BOTH predictions exist. If the weekly naive wins, the series
+    has exploitable weekly structure (ts_seasonality_strength's eta²
+    says how much; this says whether it beats plain persistence) and
+    ts_holt_forecast/ts_forecast_backtest should carry a seasonal term;
+    if naive-1 wins, level persistence dominates and a seasonal model
+    is fitting noise. WMAPE is the revenue-weighted error — the
+    forecast-review convention that keeps quiet days from dominating.
+
+    Exact: daily cents totals, integer absolute-error sums, integral
+    basis-point division, integer comparison for the verdict — nothing
+    floats. Predictions join by DAY ARITHMETIC (day−1, day−7), not row
+    offsets, so observation gaps can't silently misalign the lags.
+
+    Scale: one scan → (type, day) hash agg → two self-equi-joins on the
+    (type, day) key (same partitioning, day-grain inputs) → |types|
+    rollup with map-side partials.
+    """
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            epoch_div("ts", 86400).alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("x"))
+    )
+    c = d.alias("c")
+    p1 = d.select("event_type", (F.col("day") + 1).alias("day"), F.col("x").alias("x1"))
+    p7 = d.select("event_type", (F.col("day") + 7).alias("day"), F.col("x").alias("x7"))
+    j = c.join(p1, ["event_type", "day"]).join(p7, ["event_type", "day"])
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum(F.abs(F.col("x") - F.col("x1"))).alias("sae1"),
+            F.sum(F.abs(F.col("x") - F.col("x7"))).alias("sae7"),
+            F.sum("x").alias("sx"),
+        )
+        .filter(F.col("sx") > 0)
+        .select(
+            "event_type",
+            "n_days",
+            F.expr("sae1 * 10000 div sx").cast("bigint").alias("wmape_naive1_bp"),
+            F.expr("sae7 * 10000 div sx").cast("bigint").alias("wmape_naive7_bp"),
+            (F.col("sae7") < F.col("sae1")).alias("weekly_naive_wins"),
+        )
+    )

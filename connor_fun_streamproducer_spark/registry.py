@@ -255,19 +255,21 @@ _WINDOW_PRIORITY = [
     "pipeline_price_volume_bridge",
     "pipeline_discount_elasticity",
     "graph_degree_gini",
-    # (4) stale refresh: 19 of the 27 r1/r2/r3-vintage keys (ALL r1/r2
-    #     keys incl. the four rows-only streaming keys kept; 8 r3-vintage
-    #     hash-proven keys ceded their slot to tier 3b and front the r12
-    #     rotation from the top of the behind-window list below)
-    "fn_array_explode",
-    "fn_date_bucket",
-    "fn_json_roundtrip",
+    "stats_quantile_ci",
+    "ts_seasonality_strength",
+    "corpus_quality_token_curve",
+    "ts_dispersion_index",
+    "corpus_source_overlap_jaccard",
+    "graph_rich_club_coefficient",
+    "embedding_isotropy_pairs",
+    "ts_seasonal_naive_error",
+    # (4) stale refresh: 16 of the 27 r1/r2/r3-vintage keys (the four
+    #     rows-only streaming keys and both rows-only dedup keys kept;
+    #     11 hash-proven stale keys ceded their slot to tier 3b and
+    #     front the r12 rotation from the top of the behind-window list)
     "fn_map_entries",
     "set_except",
-    "set_except_all",
     "set_intersect",
-    "set_intersect_all",
-    "set_union_all",
     "enrich_region_grid",
     "sink_foreachbatch",
     "sink_kafka",
@@ -276,11 +278,19 @@ _WINDOW_PRIORITY = [
     "stream_health_monitor",
     "dedup_near_minhash",
     "dedup_simhash",
-    "pipeline_local_supplier_volume",
-    "pipeline_returned_items",
     # -- behind the window: staleness-ordered (latest external check asc,
     #    then prior relative order) so the r12 rotation input is pinned --
-    # r3-vintage keys displaced by tier 3b this round: first in line r12
+    # keys displaced by tier 3b this round: first in line r12 (the
+    #     *_all set variants' non-_all siblings stayed in-window and
+    #     exercise the same module paths)
+    "pipeline_local_supplier_volume",
+    "pipeline_returned_items",
+    "fn_array_explode",
+    "fn_date_bucket",
+    "fn_json_roundtrip",
+    "set_except_all",
+    "set_intersect_all",
+    "set_union_all",
     "pipeline_shipping_priority_bucketed",
     "rate_stagger",
     "stream_stateful",

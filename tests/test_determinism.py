@@ -125,6 +125,14 @@ SWEEP = [
     "pipeline_price_volume_bridge",  # era pivot + fixed rational effects (r11)
     "pipeline_discount_elasticity",  # integer regression moments -> slope (r11)
     "graph_degree_gini",           # rank-weighted degree sum invariance (r11)
+    "stats_quantile_ci",           # order-statistic rank picks (r11)
+    "ts_seasonality_strength",     # fixed 7-col pivot, order-free SSB (r11)
+    "corpus_quality_token_curve",  # banded integral shares + bounded window (r11)
+    "ts_dispersion_index",         # integer count moments -> fixed D (r11)
+    "corpus_source_overlap_jaccard",  # distinct-set intersections, integral bp (r11)
+    "graph_rich_club_coefficient",   # rank-pick club + integer edge counts (r11)
+    "embedding_isotropy_pairs",    # md5-bucket pairs, integer micro-unit sums (r11)
+    "ts_seasonal_naive_error",     # day-arithmetic lags, integral WMAPE (r11)
     "pipeline_repeat_buyers",      # two-level distinct-count rollup (r11)
     "text_word_length_profile",    # explode lengths, integral bands (r11)
     "sim_doc_topk_minhash",        # lane-bucket pairs, count-tie top-k (r11)

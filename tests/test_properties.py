@@ -2692,3 +2692,85 @@ def test_bollinger_constructed_breakout(spark, tmp_path):
     build(5)  # crash
     r = fn(spark, str(tmp_path)).collect()[0]
     assert (r["n_up"], r["n_down"]) == (0, 1), r
+
+
+def test_quantile_ci_constructed_exact_ranks(spark, tmp_path):
+    """stats_quantile_ci on cents 1..100: median is the rank-50 pick
+    (lower median), and the order-statistic cutoffs are rank 40 =
+    floor((100 − 1.959964·10)/2) and rank 61 = 101 − 40 — pinned
+    against the closed form, not against the engine."""
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    rows = [
+        dict(event_id=i, ts=pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+             user_id=1, event_type="buy", value=(i + 1) / 100.0, props="{}")
+        for i in range(100)
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    r = registry.OPS["stats_quantile_ci"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["median_cents"], r["ci_lo_cents"], r["ci_hi_cents"]) == (
+        100, 50, 40, 61,
+    ), r
+
+
+def test_seasonality_strength_constructed_weekend(spark, tmp_path):
+    """ts_seasonality_strength: 28 days with a 10× weekend level (plus a
+    small per-day drift so within-group variance is nonzero — SSW = 0
+    makes F degenerate-NULL by the nullif guard, the documented edge)
+    must read weekly_seasonal=True with eta² near 1; the drift-only
+    series must stay quiet with small eta²."""
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    fn = registry.OPS["ts_seasonality_strength"].fn
+
+    def build(weekend_cents):
+        rows = []
+        for day in range(28):
+            ts = pd.Timestamp("2024-01-01") + pd.Timedelta(days=day)
+            cents = (weekend_cents if ts.dayofweek >= 5 else 500) + day
+            rows.append(dict(event_id=day, ts=ts, user_id=1,
+                             event_type="buy", value=cents / 100.0, props="{}"))
+        pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+
+    build(5000)
+    r = fn(spark, str(tmp_path)).collect()[0]
+    assert bool(r["weekly_seasonal"]) is True and r["eta_sq"] > 0.9, r
+
+    build(500)  # pure linear drift: dow means differ only by the 0..6 offset
+    r = fn(spark, str(tmp_path)).collect()[0]
+    assert bool(r["weekly_seasonal"]) is False and r["eta_sq"] < 0.1, r
+
+
+def test_dispersion_index_constructed(spark, tmp_path):
+    """ts_dispersion_index: a constant-rate day grid has D = 0 (quiet);
+    one 100-event burst day in a 1/day month must trip the
+    overdispersion verdict."""
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    fn = registry.OPS["ts_dispersion_index"].fn
+
+    def build(burst):
+        rows, eid = [], 0
+        for day in range(30):
+            k = burst if day == 15 else 1
+            for j in range(k):
+                rows.append(dict(
+                    event_id=eid,
+                    ts=pd.Timestamp("2024-01-01") + pd.Timedelta(days=day, seconds=j),
+                    user_id=1, event_type="buy", value=1.0, props="{}"))
+                eid += 1
+        pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+
+    build(1)
+    r = fn(spark, str(tmp_path)).collect()[0]
+    assert r["dispersion_index"] == 0.0 and not r["overdispersed"], r
+
+    build(100)
+    r = fn(spark, str(tmp_path)).collect()[0]
+    assert r["dispersion_index"] > 50 and bool(r["overdispersed"]) is True, r

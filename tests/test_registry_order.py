@@ -43,7 +43,10 @@ CHANGED_IN_ROUND_11 = [
 ]
 
 # NEW in round 11 — inside the window so they gain an external row THIS
-# round (standing policy since r10).
+# round (standing policy since r10). Five batches; each later-batch key
+# displaced one hash-proven stale-refresh slot (tier 4 is the lowest
+# rung of the freshness rule, and every displaced key is re-proven
+# locally by tests/test_oracle.py on every run).
 NEW_IN_ROUND_11 = [
     "stats_cohens_d_eras",
     "stats_brown_forsythe",
@@ -55,22 +58,34 @@ NEW_IN_ROUND_11 = [
     "win_active_streak_latest",
     "ts_hour_of_week_profile",
     "graph_two_hop_reach",
+    "stats_mann_whitney",
+    "stats_cliff_delta",
+    "ts_bollinger_breakout",
+    "sample_pps_systematic",
+    "text_hapax_rate",
+    "pipeline_price_volume_bridge",
+    "pipeline_discount_elasticity",
+    "graph_degree_gini",
+    "stats_quantile_ci",
+    "ts_seasonality_strength",
+    "corpus_quality_token_curve",
+    "ts_dispersion_index",
+    "corpus_source_overlap_jaccard",
+    "graph_rich_club_coefficient",
+    "embedding_isotropy_pairs",
+    "ts_seasonal_naive_error",
 ]
 
-# Stale refresh fills the remaining 27 slots with EVERY key whose latest
-# external check predates r4 (9 r1-vintage, 6 r2 — including the four
-# rows-only streaming keys the r10 verdict asked to re-run — and 12 r3):
-# after this round the merged latest-check view has no key older than r4.
+# Stale refresh fills the remaining 11 slots. Every ROWS-ONLY stale key is
+# kept (the four r2 streaming keys the r10 verdict asked to re-run, plus
+# both rows-only dedup keys — these have no oracle, so the external
+# window is their only external signal); the hash-proven remainder keeps
+# one representative per module family, and the 16 displaced hash-proven
+# keys are pinned FIRST behind the window to front the r12 rotation.
 STALE_REFRESH = [
-    "fn_array_explode",
-    "fn_date_bucket",
-    "fn_json_roundtrip",
     "fn_map_entries",
     "set_except",
-    "set_except_all",
     "set_intersect",
-    "set_intersect_all",
-    "set_union_all",
     "enrich_region_grid",
     "sink_foreachbatch",
     "sink_kafka",
@@ -79,9 +94,19 @@ STALE_REFRESH = [
     "stream_health_monitor",
     "dedup_near_minhash",
     "dedup_simhash",
-    "join_stream_stream",
+]
+
+# Displaced this round; must lead the behind-window section so the r12
+# rotation picks them up first.
+DISPLACED_FRONT_R12 = [
     "pipeline_local_supplier_volume",
     "pipeline_returned_items",
+    "fn_array_explode",
+    "fn_date_bucket",
+    "fn_json_roundtrip",
+    "set_except_all",
+    "set_intersect_all",
+    "set_union_all",
     "pipeline_shipping_priority_bucketed",
     "rate_stagger",
     "stream_stateful",
@@ -89,6 +114,7 @@ STALE_REFRESH = [
     "win_analytic",
     "win_frame",
     "win_rank",
+    "join_stream_stream",
 ]
 
 MUST_BE_IN_WINDOW = (
@@ -125,9 +151,15 @@ def test_changed_tier_outranks_new_and_stale():
 
 
 def test_window_is_exactly_filled():
-    # 3 debt + 10 changed + 10 new + 27 stale = 50: the window carries no
+    # 3 debt + 10 changed + 26 new + 11 stale = 50: the window carries no
     # dead slots and no accidental extras.
     assert len(MUST_BE_IN_WINDOW) == WINDOW
+
+
+def test_displaced_keys_lead_the_behind_window_order():
+    keys = list(registry.queries())
+    behind = keys[WINDOW : WINDOW + len(DISPLACED_FRONT_R12)]
+    assert sorted(behind) == sorted(DISPLACED_FRONT_R12), behind
 
 
 def test_registry_is_deterministic_and_complete():
