@@ -231,6 +231,8 @@ EXTENDED = [
     "graph_rich_club_coefficient",
     "embedding_isotropy_pairs",
     "ts_seasonal_naive_error",
+    "embedding_centroid_drift",
+    "sim_search_radius",
 ]
 
 

@@ -927,3 +927,117 @@ def embedding_isotropy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("abs_cos_sum_u"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid drift between corpus halves (embedding drift monitor)
+# ---------------------------------------------------------------------------
+
+_DRIFT_Q = 10000  # 1e-4 embedding quantization (the outlier_distance scale)
+
+_DRIFT_ORACLE = f"""
+WITH b AS (
+    SELECT vec_id, label, embedding,
+           (SELECT (min(vec_id) + max(vec_id)) // 2 FROM embeddings) AS mid
+    FROM embeddings
+), pos AS (
+    SELECT label,
+           CASE WHEN vec_id < mid THEN 0 ELSE 1 END AS era,
+           i AS i0,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * {_DRIFT_Q} + 0.5)
+                AS BIGINT) AS qx
+    FROM (SELECT label, vec_id, mid, embedding,
+                 unnest(generate_series(1, {EMB_DIM})) AS i
+          FROM b)
+), m AS (
+    SELECT label, era, i0, sum(qx) AS s, count(*) AS n
+    FROM pos GROUP BY 1, 2, 3
+), p AS (
+    SELECT a.label, a.i0, a.s AS sa, a.n AS na, c.s AS sb, c.n AS nb
+    FROM m a JOIN m c ON a.label = c.label AND a.i0 = c.i0
+    WHERE a.era = 0 AND c.era = 1
+), d AS (
+    SELECT label, max(na) AS na, max(nb) AS nb,
+           sum(CAST(sa * nb - sb * na AS HUGEINT)
+               * CAST(sa * nb - sb * na AS HUGEINT)) AS ss
+    FROM p GROUP BY 1
+)
+SELECT label,
+       CAST(na AS BIGINT) AS n_era_a,
+       CAST(nb AS BIGINT) AS n_era_b,
+       round(sqrt(CAST(ss AS DOUBLE))
+             / (CAST(na AS DOUBLE) * nb * {_DRIFT_Q}), 6) + 0.0
+           AS centroid_shift_l2
+FROM d
+"""
+
+
+@op("embedding_centroid_drift", oracle=_DRIFT_ORACLE, tags=("llm", "embedding"))
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid L2 shift between the first and second half of
+    the corpus (by vec_id midpoint — ingestion order): the embedding
+    drift monitor. A re-trained or silently updated encoder moves every
+    label's centroid at once; a label whose data genuinely changed moves
+    alone — so the per-label table separates "the encoder changed"
+    (retrain/re-embed everything) from "this class drifted" (refresh its
+    training slice). Runs next to stats_psi_stability exactly as
+    embeddings run next to tabular features.
+
+    Exact (the outlier_distance discipline on two eras): per-(label,
+    era, dim) integer sums of 1e-4-quantized coordinates; the centroid
+    difference is carried UNDIVIDED as S_a·n_b − S_b·n_a (one common
+    denominator, no float division per dim) and squared/summed in
+    HUGEINT/decimal(38,0); one final fixed-shape sqrt + normalization,
+    rounded.
+
+    Scale: one posexplode → (label, era, dim) hash agg (2·64·|labels|
+    rows — dim-bounded) → a tiny self-join on (label, dim) → |labels|
+    rollup. Both linear passes are map-side partial-combined.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    mid = e.agg(F.expr("(min(vec_id) + max(vec_id)) div 2").alias("m")).collect()[0][
+        "m"
+    ]  # 1-row probe: the era boundary literal
+    pos = e.select(
+        "label",
+        F.when(F.col("vec_id") < F.lit(mid), F.lit(0)).otherwise(F.lit(1)).alias("era"),
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, x -> cast(floor(cast(x as double) * {_DRIFT_Q} + 0.5) as bigint))"
+            )
+        ).alias("i0", "qx"),
+    )
+    m = pos.groupBy("label", "era", "i0").agg(
+        F.sum("qx").alias("s"), F.count("*").alias("n")
+    )
+    a = m.filter(F.col("era") == 0).select(
+        "label", "i0", F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    c = m.filter(F.col("era") == 1).select(
+        "label", "i0", F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    diff = (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).cast(
+        "decimal(38,0)"
+    )
+    d = (
+        a.join(c, ["label", "i0"])
+        .groupBy("label")
+        .agg(
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+            F.sum(diff * diff).alias("ss"),
+        )
+    )
+    return d.select(
+        "label",
+        F.col("na").cast("bigint").alias("n_era_a"),
+        F.col("nb").cast("bigint").alias("n_era_b"),
+        (
+            F.round(
+                F.sqrt(F.col("ss").cast("double"))
+                / (F.col("na").cast("double") * F.col("nb") * _DRIFT_Q),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("centroid_shift_l2"),
+    )

@@ -1374,3 +1374,71 @@ def sim_margin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact radius (threshold) search: all neighbors with cosine >= tau
+# ---------------------------------------------------------------------------
+
+_RADIUS_TAU = 0.25  # fixture-informed: random-pair cos spans ~[-0.4, 0.4)
+
+_RADIUS_ORACLE = f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(
+               list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+               6) AS sim6
+    FROM embeddings q
+    JOIN embeddings c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id,
+       round(sim6, 4) + 0.0 AS sim,
+       CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_in_radius
+FROM scored WHERE sim6 >= {_RADIUS_TAU}
+"""
+
+
+@op("sim_search_radius", oracle=_RADIUS_ORACLE, tags=("llm", "similarity"))
+def sim_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact RADIUS search: every neighbor with cosine ≥ τ of each query
+    vector, plus the per-query match count — the other standard ANN API
+    next to top-k. Top-k always returns k rows whether or not anything
+    is actually close (sim_margin_profile measures how often that
+    matters); radius search is the semantics dedup, recommendation
+    cutoffs, and "is there anything like this?" checks really want —
+    variable result size, threshold in similarity units. This is the
+    exactness oracle tier; the LSH/IVF serving paths bound the same
+    query by candidate generation.
+
+    Exact: the shared fold-order cosine kernel rounded to 6 BEFORE the
+    threshold compare (the dedup_embedding discipline — a boundary sim
+    can't flip between engines), reported at the house 4-decimal grain.
+
+    Scale: brute force over the {N_QUERIES}-query literal broadcast —
+    the corpus is scanned once, never corpus × corpus; the per-query
+    count rides the result window (result-sized, not corpus-sized).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6).alias("sim6"),
+    )
+    hits = scored.filter(F.col("sim6") >= _RADIUS_TAU)
+    return hits.select(
+        "query_id",
+        "neighbor_id",
+        (F.round(F.col("sim6"), 4) + F.lit(0.0)).alias("sim"),
+        F.count("*")
+        .over(Window.partitionBy("query_id"))
+        .cast("bigint")
+        .alias("n_in_radius"),
+    )

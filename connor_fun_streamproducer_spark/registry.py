@@ -263,14 +263,14 @@ _WINDOW_PRIORITY = [
     "graph_rich_club_coefficient",
     "embedding_isotropy_pairs",
     "ts_seasonal_naive_error",
+    "embedding_centroid_drift",
+    "sim_search_radius",
     # (4) stale refresh: 16 of the 27 r1/r2/r3-vintage keys (the four
     #     rows-only streaming keys and both rows-only dedup keys kept;
     #     11 hash-proven stale keys ceded their slot to tier 3b and
     #     front the r12 rotation from the top of the behind-window list)
-    "fn_map_entries",
     "set_except",
     "set_intersect",
-    "enrich_region_grid",
     "sink_foreachbatch",
     "sink_kafka",
     "src_rate",
@@ -288,6 +288,8 @@ _WINDOW_PRIORITY = [
     "fn_array_explode",
     "fn_date_bucket",
     "fn_json_roundtrip",
+    "fn_map_entries",
+    "enrich_region_grid",
     "set_except_all",
     "set_intersect_all",
     "set_union_all",

@@ -133,6 +133,8 @@ SWEEP = [
     "graph_rich_club_coefficient",   # rank-pick club + integer edge counts (r11)
     "embedding_isotropy_pairs",    # md5-bucket pairs, integer micro-unit sums (r11)
     "ts_seasonal_naive_error",     # day-arithmetic lags, integral WMAPE (r11)
+    "embedding_centroid_drift",    # undivided common-denominator diffs (r11)
+    "sim_search_radius",           # rounded-cos threshold, count window (r11)
     "pipeline_repeat_buyers",      # two-level distinct-count rollup (r11)
     "text_word_length_profile",    # explode lengths, integral bands (r11)
     "sim_doc_topk_minhash",        # lane-bucket pairs, count-tie top-k (r11)

@@ -2774,3 +2774,31 @@ def test_dispersion_index_constructed(spark, tmp_path):
     build(100)
     r = fn(spark, str(tmp_path)).collect()[0]
     assert r["dispersion_index"] > 50 and bool(r["overdispersed"]) is True, r
+
+
+def test_centroid_drift_constructed_shift(spark, tmp_path):
+    """embedding_centroid_drift: a label whose second-half vectors shift
+    +0.5 in one dimension reads exactly 0.5; an unmoved label reads 0."""
+    import numpy as np
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    rows = []
+    for vec_id in range(40):
+        for label in (0, 1):
+            v = np.zeros(64, dtype=np.float32)
+            v[1] = 1.0
+            if label == 1 and vec_id >= 20:
+                v[0] = 0.5
+            rows.append(dict(vec_id=vec_id * 2 + label, embedding=v.tolist(),
+                             label=label))
+    pd.DataFrame(rows).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    out = {
+        r["label"]: r
+        for r in registry.OPS["embedding_centroid_drift"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["centroid_shift_l2"] == 0.0, out[0]
+    # era split is by vec_id midpoint (39): era B holds 21 label-1
+    # vectors of which 20 carry the +0.5 shift -> 0.5 * 20/21 exactly
+    assert abs(out[1]["centroid_shift_l2"] - 0.5 * 20 / 21) < 1e-4, out[1]

@@ -74,19 +74,19 @@ NEW_IN_ROUND_11 = [
     "graph_rich_club_coefficient",
     "embedding_isotropy_pairs",
     "ts_seasonal_naive_error",
+    "embedding_centroid_drift",
+    "sim_search_radius",
 ]
 
-# Stale refresh fills the remaining 11 slots. Every ROWS-ONLY stale key is
+# Stale refresh fills the remaining 9 slots. Every ROWS-ONLY stale key is
 # kept (the four r2 streaming keys the r10 verdict asked to re-run, plus
 # both rows-only dedup keys — these have no oracle, so the external
 # window is their only external signal); the hash-proven remainder keeps
 # one representative per module family, and the 16 displaced hash-proven
 # keys are pinned FIRST behind the window to front the r12 rotation.
 STALE_REFRESH = [
-    "fn_map_entries",
     "set_except",
     "set_intersect",
-    "enrich_region_grid",
     "sink_foreachbatch",
     "sink_kafka",
     "src_rate",
@@ -104,6 +104,8 @@ DISPLACED_FRONT_R12 = [
     "fn_array_explode",
     "fn_date_bucket",
     "fn_json_roundtrip",
+    "fn_map_entries",
+    "enrich_region_grid",
     "set_except_all",
     "set_intersect_all",
     "set_union_all",
@@ -151,7 +153,7 @@ def test_changed_tier_outranks_new_and_stale():
 
 
 def test_window_is_exactly_filled():
-    # 3 debt + 10 changed + 26 new + 11 stale = 50: the window carries no
+    # 3 debt + 10 changed + 28 new + 9 stale = 50: the window carries no
     # dead slots and no accidental extras.
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
