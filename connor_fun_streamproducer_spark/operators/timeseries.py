@@ -2748,11 +2748,16 @@ WITH d AS (
            CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
            sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
     FROM events GROUP BY 1, 2
+), l AS (
+    SELECT event_type, x,
+           max(x) OVER (PARTITION BY event_type ORDER BY day
+                        RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS x1,
+           max(x) OVER (PARTITION BY event_type ORDER BY day
+                        RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS x7
+    FROM d
 ), j AS (
-    SELECT c.event_type, c.x, p1.x AS x1, p7.x AS x7
-    FROM d c
-    JOIN d p1 ON p1.event_type = c.event_type AND p1.day = c.day - 1
-    JOIN d p7 ON p7.event_type = c.event_type AND p7.day = c.day - 7
+    SELECT event_type, x, x1, x7 FROM l
+    WHERE x1 IS NOT NULL AND x7 IS NOT NULL
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_days,
@@ -2778,12 +2783,14 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact: daily cents totals, integer absolute-error sums, integral
     basis-point division, integer comparison for the verdict — nothing
-    floats. Predictions join by DAY ARITHMETIC (day−1, day−7), not row
-    offsets, so observation gaps can't silently misalign the lags.
+    floats. Predictions index by DAY VALUE (RANGE frames at day−1 and
+    day−7), not row offsets, so observation gaps can't silently
+    misalign the lags.
 
-    Scale: one scan → (type, day) hash agg → two self-equi-joins on the
-    (type, day) key (same partitioning, day-grain inputs) → |types|
-    rollup with map-side partials.
+    Scale: one scan → (type, day) hash agg → ONE per-type window pass
+    (both lags are degenerate RANGE frames over the same ordering) →
+    |types| rollup with map-side partials. One exchange end-to-end
+    after the daily agg; the events scan happens once.
     """
     d = (
         load(spark, sf_dir, "events")
@@ -2795,10 +2802,20 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.sum("c").alias("x"))
     )
-    c = d.alias("c")
-    p1 = d.select("event_type", (F.col("day") + 1).alias("day"), F.col("x").alias("x1"))
-    p7 = d.select("event_type", (F.col("day") + 7).alias("day"), F.col("x").alias("x7"))
-    j = c.join(p1, ["event_type", "day"]).join(p7, ["event_type", "day"])
+    # day-VALUE lags as degenerate RANGE frames ([day-1, day-1] and
+    # [day-7, day-7]) over ONE window pass: one exchange, one sort, no
+    # triple re-aggregation of the daily frame (the self-join form
+    # scanned events three times), and gaps still can't misalign — an
+    # absent lag day is an empty frame, i.e. NULL, filtered like the
+    # inner join it replaces
+    wd = Window.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type",
+        "x",
+        F.max("x").over(wd.rangeBetween(-1, -1)).alias("x1"),
+        F.max("x").over(wd.rangeBetween(-7, -7)).alias("x7"),
+    )
+    j = l.filter(F.col("x1").isNotNull() & F.col("x7").isNotNull())
     return (
         j.groupBy("event_type")
         .agg(

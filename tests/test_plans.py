@@ -1906,3 +1906,23 @@ def test_pps_single_stratum_exchange(spark):
     three frames over ONE source-key partitioning — one exchange."""
     df = _q("sample_pps_systematic", spark)
     assert count_in_plan(df, "Exchange") == 1, formatted_plan(df)
+
+
+def test_seasonal_naive_single_window_pass(spark):
+    """ts_seasonal_naive_error: both day-value lags must come from ONE
+    window pass over the daily aggregate — no self-joins (the join form
+    scanned events three times) and exactly one file scan."""
+    df = _q("ts_seasonal_naive_error", spark)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert count_in_plan(df, "Scan parquet") == 1, plan
+    assert count_in_plan(df, "Window") == 1, plan  # both frames, one operator
+
+
+def test_centroid_drift_dim_bounded_join(spark):
+    """embedding_centroid_drift: the (label, dim) era self-join runs on
+    dim-bounded frames (2·64·|labels| rows) — broadcast, never a
+    corpus-sized shuffle join."""
+    df = _q("embedding_centroid_drift", spark)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
