@@ -233,6 +233,7 @@ EXTENDED = [
     "ts_seasonal_naive_error",
     "embedding_centroid_drift",
     "sim_search_radius",
+    "join_asof_forward",
 ]
 
 

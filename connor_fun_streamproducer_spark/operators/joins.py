@@ -735,3 +735,97 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("asof.o_orderkey")).alias("asof_orderkey"),
         F.when(fresh, F.col("asof.o_orderdate")).alias("asof_orderdate"),
     )
+
+
+@op(
+    "join_asof_forward",
+    oracle="""
+    SELECT o_orderkey, user_id, next_event_id, next_event_type,
+           gap_days
+    FROM (
+        SELECT o.o_orderkey, o.o_custkey AS user_id,
+               e.event_id   AS next_event_id,
+               e.event_type AS next_event_type,
+               (CAST(floor(epoch(e.ts)) AS BIGINT)
+                - CAST(floor(epoch(o.o_orderdate)) AS BIGINT)) // 86400
+                   AS gap_days,
+               row_number() OVER (PARTITION BY o.o_orderkey
+                                  ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        FROM orders o
+        JOIN events e ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ) WHERE rn = 1
+    """,
+    tags=("ext", "join", "scale"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each order, the EARLIEST event by the same
+    user at-or-after the order date, plus the gap in whole days — the
+    missing direction in the as-of family (backward = "state when it
+    happened": join_asof/_sorted/_left; forward = "what happened next":
+    next trade after a quote, next site activity after an order, time
+    to next conversion). pandas calls this merge_asof(direction=
+    'forward').
+
+    Same merge-sort tape as _asof_carry_tape run in the OTHER
+    direction: orders ∪ events in one (user) exchange, sorted by
+    (t, kind, event_id) with orders BEFORE events at equal time (the
+    >= bound: an event stamped exactly at the order time qualifies),
+    and a first(event-struct, ignorenulls) window over [current row,
+    unbounded following] carries the next event BACK onto each order.
+    Equal-time event ties resolve to the lowest event_id by sort
+    position — the backward tape's total-order discipline, mirrored.
+    Inner semantics: orders with no later event drop.
+
+    Scale: one shuffle of |events| + |orders| rows and a per-user
+    linear sweep — no candidate materialization, the same unbounded-
+    lookahead posture as join_asof_sorted's unbounded lookback.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        F.lit(0).alias("kind"),
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("timestamp_ntz").alias("e_ts"),
+    )
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ntz").alias("e_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tape = (
+        o.unionByName(e)
+        .withColumn(
+            "nxt",
+            F.first(
+                F.when(
+                    F.col("kind") == 1,
+                    F.struct("e_ts", "event_id", "event_type"),
+                ),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter((F.col("kind") == 0) & F.col("nxt").isNotNull())
+    )
+    return tape.select(
+        "o_orderkey",
+        "user_id",
+        F.col("nxt.event_id").alias("next_event_id"),
+        F.col("nxt.event_type").alias("next_event_type"),
+        F.expr(
+            "(cast(cast(nxt.e_ts as timestamp_ltz) as long)"
+            " - cast(cast(t as timestamp_ltz) as long)) div 86400"
+        )
+        .cast("bigint")
+        .alias("gap_days"),
+    )

@@ -265,13 +265,13 @@ _WINDOW_PRIORITY = [
     "ts_seasonal_naive_error",
     "embedding_centroid_drift",
     "sim_search_radius",
+    "join_asof_forward",
     # (4) stale refresh: 16 of the 27 r1/r2/r3-vintage keys (the four
     #     rows-only streaming keys and both rows-only dedup keys kept;
     #     11 hash-proven stale keys ceded their slot to tier 3b and
     #     front the r12 rotation from the top of the behind-window list)
     "set_except",
     "set_intersect",
-    "sink_foreachbatch",
     "sink_kafka",
     "src_rate",
     "src_stream_geo",
@@ -290,6 +290,7 @@ _WINDOW_PRIORITY = [
     "fn_json_roundtrip",
     "fn_map_entries",
     "enrich_region_grid",
+    "sink_foreachbatch",
     "set_except_all",
     "set_intersect_all",
     "set_union_all",

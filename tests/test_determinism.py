@@ -135,6 +135,7 @@ SWEEP = [
     "ts_seasonal_naive_error",     # day-arithmetic lags, integral WMAPE (r11)
     "embedding_centroid_drift",    # undivided common-denominator diffs (r11)
     "sim_search_radius",           # rounded-cos threshold, count window (r11)
+    "join_asof_forward",           # mirrored carry tape, total-order ties (r11)
     "pipeline_repeat_buyers",      # two-level distinct-count rollup (r11)
     "text_word_length_profile",    # explode lengths, integral bands (r11)
     "sim_doc_topk_minhash",        # lane-bucket pairs, count-tie top-k (r11)

@@ -2802,3 +2802,38 @@ def test_centroid_drift_constructed_shift(spark, tmp_path):
     # era split is by vec_id midpoint (39): era B holds 21 label-1
     # vectors of which 20 carry the +0.5 shift -> 0.5 * 20/21 exactly
     assert abs(out[1]["centroid_shift_l2"] - 0.5 * 20 / 21) < 1e-4, out[1]
+
+
+def test_asof_forward_constructed_direction(spark, tmp_path):
+    """join_asof_forward: the >= bound picks the event AT the order time
+    (not the nearest earlier one); an order with only earlier events
+    drops (inner semantics); equal-time ties resolve to the lowest
+    event_id."""
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    t0 = pd.Timestamp("2024-06-01 12:00:00")
+    pd.DataFrame([
+        dict(event_id=1, ts=t0 - pd.Timedelta(days=1), user_id=7,
+             event_type="before", value=1.0, props="{}"),
+        dict(event_id=3, ts=t0, user_id=7, event_type="at_tie_hi", value=1.0, props="{}"),
+        dict(event_id=2, ts=t0, user_id=7, event_type="at_tie_lo", value=1.0, props="{}"),
+        dict(event_id=4, ts=t0 + pd.Timedelta(days=3), user_id=7,
+             event_type="after", value=1.0, props="{}"),
+        dict(event_id=5, ts=t0 - pd.Timedelta(days=2), user_id=9,
+             event_type="only_before", value=1.0, props="{}"),
+    ]).to_parquet(tmp_path / "events.parquet", index=False)
+    pd.DataFrame([
+        dict(o_orderkey=100, o_custkey=7, o_orderstatus="O", o_totalprice=1.0,
+             o_orderdate=t0, o_orderpriority="1-URGENT"),
+        dict(o_orderkey=200, o_custkey=9, o_orderstatus="O", o_totalprice=1.0,
+             o_orderdate=t0, o_orderpriority="1-URGENT"),
+    ]).to_parquet(
+        tmp_path / "orders.parquet", index=False, coerce_timestamps="us"
+    )  # the real orders fixture is µs; ns would read as BIGINT (nanosAsLong)
+    rows = registry.OPS["join_asof_forward"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1, rows  # user 9's order has no later event
+    r = rows[0]
+    assert (r["o_orderkey"], r["next_event_id"], r["next_event_type"],
+            r["gap_days"]) == (100, 2, "at_tie_lo", 0), r
