@@ -234,6 +234,7 @@ EXTENDED = [
     "embedding_centroid_drift",
     "sim_search_radius",
     "join_asof_forward",
+    "stats_power_mde",
 ]
 
 

@@ -2877,3 +2877,114 @@ def stats_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimum detectable effect for the era mean test (experimental design)
+# ---------------------------------------------------------------------------
+
+# two-sided 5% + 80% power: z_{alpha/2} + z_{beta}
+_MDE_Z = 1.959964 + 0.841621
+
+_MDE_ORACLE = f"""
+WITH b AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS te,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), span AS (
+    SELECT (min(te) + max(te)) // 2 AS mid FROM b
+), m AS (
+    SELECT event_type,
+           CASE WHEN te < mid THEN 0 ELSE 1 END AS era,
+           count(*) AS n, sum(cents) AS s1, sum(cents * cents) AS s2
+    FROM b CROSS JOIN span GROUP BY 1, 2
+), p AS (
+    SELECT event_type,
+           max(CASE WHEN era = 0 THEN n END) AS na,
+           max(CASE WHEN era = 0 THEN s1 END) AS sa,
+           max(CASE WHEN era = 0 THEN s2 END) AS qa,
+           max(CASE WHEN era = 1 THEN n END) AS nb,
+           max(CASE WHEN era = 1 THEN s1 END) AS sb,
+           max(CASE WHEN era = 1 THEN s2 END) AS qb
+    FROM m GROUP BY 1
+    HAVING max(CASE WHEN era = 0 THEN n END) >= 2
+       AND max(CASE WHEN era = 1 THEN n END) >= 2
+), d AS (
+    SELECT event_type, na, nb,
+           sqrt((CAST(qa AS DOUBLE) / na
+                 - (CAST(sa AS DOUBLE) / na) * (CAST(sa AS DOUBLE) / na))
+                    / (na - 1)
+              + (CAST(qb AS DOUBLE) / nb
+                 - (CAST(sb AS DOUBLE) / nb) * (CAST(sb AS DOUBLE) / nb))
+                    / (nb - 1)) AS se
+    FROM p
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_era_a,
+       CAST(nb AS BIGINT) AS n_era_b,
+       round(se, 4) + 0.0 AS se_cents,
+       round({_MDE_Z} * se, 4) + 0.0 AS mde_cents
+FROM d
+"""
+
+
+@op("stats_power_mde", oracle=_MDE_ORACLE, tags=("ext", "stats"))
+def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the era mean comparison, per event
+    type: the smallest true mean shift (in cents) the welch test would
+    flag at two-sided 5% with 80% power, given the observed sample
+    sizes and per-era variances — the experimental-design table read
+    BEFORE trusting a quiet verdict. stats_welch_ttest saying "no move"
+    means nothing if the MDE is $40; this is the column that turns a
+    non-rejection into a statement ("any move bigger than X would have
+    been caught"). MDE = (z_{{α/2}} + z_β)·SE with the welch standard
+    error — the standard two-sample power inversion.
+
+    Exact: the same per-era integer cents moments as the welch op; SE
+    and MDE are fixed-shape float expressions over those integers (the
+    z-sum is a shared literal), rounded on both engines.
+
+    Scale: one scan → (type, era) hash agg with map-side partials +
+    the 1-row span probe; output is |types| rows.
+    """
+    b = load(spark, sf_dir, "events").select(
+        "event_type",
+        epoch_seconds("ts").alias("te"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    span = b.agg(F.expr("(min(te) + max(te)) div 2").alias("mid")).collect()[0][
+        "mid"
+    ]  # 1-row probe: the era boundary literal
+    m = b.select(
+        "event_type",
+        F.when(F.col("te") < F.lit(span), F.lit(0)).otherwise(F.lit(1)).alias("era"),
+        "cents",
+    ).groupBy("event_type", "era").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("s2"),
+    )
+    p = (
+        m.groupBy("event_type")
+        .agg(
+            *[
+                F.max(F.when(F.col("era") == e, F.col(c))).alias(f"{a}{t}")
+                for e, t in ((0, "a"), (1, "b"))
+                for c, a in (("n", "n"), ("s1", "s"), ("s2", "q"))
+            ]
+        )
+        .filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+    )
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    va = (F.col("qa").cast("double") / F.col("na") - ma * ma) / (F.col("na") - 1)
+    vb = (F.col("qb").cast("double") / F.col("nb") - mb * mb) / (F.col("nb") - 1)
+    se = F.sqrt(va + vb)
+    return p.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_era_a"),
+        F.col("nb").cast("bigint").alias("n_era_b"),
+        (F.round(se, 4) + F.lit(0.0)).alias("se_cents"),
+        (F.round(F.lit(_MDE_Z) * se, 4) + F.lit(0.0)).alias("mde_cents"),
+    )

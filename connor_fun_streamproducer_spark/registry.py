@@ -266,12 +266,12 @@ _WINDOW_PRIORITY = [
     "embedding_centroid_drift",
     "sim_search_radius",
     "join_asof_forward",
+    "stats_power_mde",
     # (4) stale refresh: 16 of the 27 r1/r2/r3-vintage keys (the four
     #     rows-only streaming keys and both rows-only dedup keys kept;
     #     11 hash-proven stale keys ceded their slot to tier 3b and
     #     front the r12 rotation from the top of the behind-window list)
     "set_except",
-    "set_intersect",
     "sink_kafka",
     "src_rate",
     "src_stream_geo",
@@ -291,6 +291,7 @@ _WINDOW_PRIORITY = [
     "fn_map_entries",
     "enrich_region_grid",
     "sink_foreachbatch",
+    "set_intersect",
     "set_except_all",
     "set_intersect_all",
     "set_union_all",

@@ -77,9 +77,10 @@ NEW_IN_ROUND_11 = [
     "embedding_centroid_drift",
     "sim_search_radius",
     "join_asof_forward",
+    "stats_power_mde",
 ]
 
-# Stale refresh fills the remaining 8 slots. Every ROWS-ONLY stale key is
+# Stale refresh fills the remaining 7 slots. Every ROWS-ONLY stale key is
 # kept (the four r2 streaming keys the r10 verdict asked to re-run, plus
 # both rows-only dedup keys — these have no oracle, so the external
 # window is their only external signal); the hash-proven remainder keeps
@@ -87,7 +88,6 @@ NEW_IN_ROUND_11 = [
 # keys are pinned FIRST behind the window to front the r12 rotation.
 STALE_REFRESH = [
     "set_except",
-    "set_intersect",
     "sink_kafka",
     "src_rate",
     "src_stream_geo",
@@ -107,6 +107,7 @@ DISPLACED_FRONT_R12 = [
     "fn_map_entries",
     "enrich_region_grid",
     "sink_foreachbatch",
+    "set_intersect",
     "set_except_all",
     "set_intersect_all",
     "set_union_all",
@@ -154,7 +155,7 @@ def test_changed_tier_outranks_new_and_stale():
 
 
 def test_window_is_exactly_filled():
-    # 3 debt + 10 changed + 29 new + 8 stale = 50: the window carries no
+    # 3 debt + 10 changed + 30 new + 7 stale = 50: the window carries no
     # dead slots and no accidental extras.
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
