@@ -235,6 +235,7 @@ EXTENDED = [
     "sim_search_radius",
     "join_asof_forward",
     "stats_power_mde",
+    "stats_kendall_tau_binned",
 ]
 
 

@@ -2988,3 +2988,147 @@ def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(se, 4) + F.lit(0.0)).alias("se_cents"),
         (F.round(F.lit(_MDE_Z) * se, 4) + F.lit(0.0)).alias("mde_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Kendall tau-b of quantity vs discount per brand (bounded domains)
+# ---------------------------------------------------------------------------
+
+_TAU_ORACLE = """
+WITH b AS (
+    SELECT p.p_brand,
+           CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT) AS x,
+           CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS y
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), c AS (
+    SELECT p_brand, x, y, count(*) AS n FROM b GROUP BY 1, 2, 3
+), pairs AS (
+    SELECT a.p_brand,
+           sum(CASE WHEN (a.x < o.x AND a.y < o.y)
+                      OR (a.x > o.x AND a.y > o.y)
+                    THEN a.n * o.n ELSE 0 END) AS c2,
+           sum(CASE WHEN (a.x < o.x AND a.y > o.y)
+                      OR (a.x > o.x AND a.y < o.y)
+                    THEN a.n * o.n ELSE 0 END) AS d2
+    FROM c a JOIN c o ON a.p_brand = o.p_brand GROUP BY 1
+), mx AS (
+    SELECT p_brand, sum(nx * nx) AS sxx, sum(nx) AS nn
+    FROM (SELECT p_brand, x, sum(n) AS nx FROM c GROUP BY 1, 2) GROUP BY 1
+), my AS (
+    SELECT p_brand, sum(ny * ny) AS syy
+    FROM (SELECT p_brand, y, sum(n) AS ny FROM c GROUP BY 1, 2) GROUP BY 1
+), f AS (
+    SELECT mx.p_brand, pairs.c2, pairs.d2, mx.nn,
+           mx.nn * mx.nn - mx.sxx AS denx,
+           mx.nn * mx.nn - my.syy AS deny
+    FROM pairs JOIN mx USING (p_brand) JOIN my USING (p_brand)
+    WHERE mx.nn >= 2
+)
+SELECT p_brand,
+       CAST(nn AS BIGINT) AS n_lines,
+       CAST(c2 // 2 AS BIGINT) AS n_concordant,
+       CAST(d2 // 2 AS BIGINT) AS n_discordant,
+       round(CAST(c2 - d2 AS DOUBLE)
+             / nullif(sqrt(CAST(denx AS DOUBLE) * deny), 0.0), 6) + 0.0
+           AS kendall_tau_b
+FROM f
+"""
+
+
+@op("stats_kendall_tau_binned", oracle=_TAU_ORACLE, tags=("ext", "stats"))
+def stats_kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Kendall tau-b between discount and quantity per brand — the
+    rank-based monotonic-association companion to
+    pipeline_discount_elasticity's OLS slope: the slope is leverage-
+    sensitive (one bulk order at a deep discount swings it) while tau
+    only asks "across all pairs of lines, does more discount come with
+    more quantity", which is the robust form of the promo question.
+    Usually approximated by sampling because concordant-pair counting
+    is O(n²) in rows; over BOUNDED domains (discount ≤ ~11 distinct bp
+    values, quantity ≤ 50 integers) it is exact and cheap from the
+    (x, y) contingency: pair counting over ≤550 cells per brand, never
+    over rows.
+
+    Exact: doubled pair counts c2/d2 (each unordered cell pair counted
+    both ways) and the tie-corrected denominators N² − Σnx², N² − Σny²
+    are pure integer aggregates; tau_b = (c2 − d2)/√(denx·deny)
+    (doubled numerator and doubled denominator factors cancel) is one
+    fixed-shape float expression, rounded.
+
+    Scale: fact scan → broadcast part join → (brand, x, y) contingency
+    hash agg (≤550·|brands| rows) → a cell self-join bounded by the
+    DOMAIN sizes, not the row count — the classic bounded-cardinality
+    rewrite of a quadratic statistic.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("bigint").alias("x"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    c = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "x", "y")
+        .agg(F.count("*").alias("n"))
+    )
+    a, o = c.alias("a"), c.alias("o")
+    conc = (
+        ((F.col("a.x") < F.col("o.x")) & (F.col("a.y") < F.col("o.y")))
+        | ((F.col("a.x") > F.col("o.x")) & (F.col("a.y") > F.col("o.y")))
+    )
+    disc = (
+        ((F.col("a.x") < F.col("o.x")) & (F.col("a.y") > F.col("o.y")))
+        | ((F.col("a.x") > F.col("o.x")) & (F.col("a.y") < F.col("o.y")))
+    )
+    pairs = (
+        a.join(o, F.col("a.p_brand") == F.col("o.p_brand"))
+        .groupBy(F.col("a.p_brand").alias("p_brand"))
+        .agg(
+            F.sum(F.when(conc, F.col("a.n") * F.col("o.n")).otherwise(0)).alias("c2"),
+            F.sum(F.when(disc, F.col("a.n") * F.col("o.n")).otherwise(0)).alias("d2"),
+        )
+    )
+    mx = (
+        c.groupBy("p_brand", "x")
+        .agg(F.sum("n").alias("nx"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("nx") * F.col("nx")).alias("sxx"),
+            F.sum("nx").alias("nn"),
+        )
+    )
+    my = (
+        c.groupBy("p_brand", "y")
+        .agg(F.sum("n").alias("ny"))
+        .groupBy("p_brand")
+        .agg(F.sum(F.col("ny") * F.col("ny")).alias("syy"))
+    )
+    f = (
+        pairs.join(mx, "p_brand")
+        .join(my, "p_brand")
+        .filter(F.col("nn") >= 2)
+        .select(
+            "p_brand",
+            "c2",
+            "d2",
+            "nn",
+            (F.col("nn") * F.col("nn") - F.col("sxx")).alias("denx"),
+            (F.col("nn") * F.col("nn") - F.col("syy")).alias("deny"),
+        )
+    )
+    return f.select(
+        "p_brand",
+        F.col("nn").cast("bigint").alias("n_lines"),
+        F.expr("c2 div 2").cast("bigint").alias("n_concordant"),
+        F.expr("d2 div 2").cast("bigint").alias("n_discordant"),
+        (
+            F.round(
+                (F.col("c2") - F.col("d2")).cast("double")
+                / F.nullif(
+                    F.sqrt(F.col("denx").cast("double") * F.col("deny")), F.lit(0.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("kendall_tau_b"),
+    )

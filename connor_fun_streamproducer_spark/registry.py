@@ -267,11 +267,11 @@ _WINDOW_PRIORITY = [
     "sim_search_radius",
     "join_asof_forward",
     "stats_power_mde",
+    "stats_kendall_tau_binned",
     # (4) stale refresh: 16 of the 27 r1/r2/r3-vintage keys (the four
     #     rows-only streaming keys and both rows-only dedup keys kept;
     #     11 hash-proven stale keys ceded their slot to tier 3b and
     #     front the r12 rotation from the top of the behind-window list)
-    "set_except",
     "sink_kafka",
     "src_rate",
     "src_stream_geo",
@@ -292,6 +292,7 @@ _WINDOW_PRIORITY = [
     "enrich_region_grid",
     "sink_foreachbatch",
     "set_intersect",
+    "set_except",
     "set_except_all",
     "set_intersect_all",
     "set_union_all",

@@ -137,6 +137,7 @@ SWEEP = [
     "sim_search_radius",           # rounded-cos threshold, count window (r11)
     "join_asof_forward",           # mirrored carry tape, total-order ties (r11)
     "stats_power_mde",             # era integer moments -> SE/MDE polynomial (r11)
+    "stats_kendall_tau_binned",    # contingency pair counting, integer C/D (r11)
     "pipeline_repeat_buyers",      # two-level distinct-count rollup (r11)
     "text_word_length_profile",    # explode lengths, integral bands (r11)
     "sim_doc_topk_minhash",        # lane-bucket pairs, count-tie top-k (r11)

@@ -78,16 +78,16 @@ NEW_IN_ROUND_11 = [
     "sim_search_radius",
     "join_asof_forward",
     "stats_power_mde",
+    "stats_kendall_tau_binned",
 ]
 
-# Stale refresh fills the remaining 7 slots. Every ROWS-ONLY stale key is
+# Stale refresh fills the remaining 6 slots (all ROWS-ONLY keys). Every ROWS-ONLY stale key is
 # kept (the four r2 streaming keys the r10 verdict asked to re-run, plus
 # both rows-only dedup keys — these have no oracle, so the external
 # window is their only external signal); the hash-proven remainder keeps
 # one representative per module family, and the 16 displaced hash-proven
 # keys are pinned FIRST behind the window to front the r12 rotation.
 STALE_REFRESH = [
-    "set_except",
     "sink_kafka",
     "src_rate",
     "src_stream_geo",
@@ -108,6 +108,7 @@ DISPLACED_FRONT_R12 = [
     "enrich_region_grid",
     "sink_foreachbatch",
     "set_intersect",
+    "set_except",
     "set_except_all",
     "set_intersect_all",
     "set_union_all",
@@ -155,7 +156,7 @@ def test_changed_tier_outranks_new_and_stale():
 
 
 def test_window_is_exactly_filled():
-    # 3 debt + 10 changed + 30 new + 7 stale = 50: the window carries no
+    # 3 debt + 10 changed + 31 new + 6 stale = 50: the window carries no
     # dead slots and no accidental extras.
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
