@@ -52,11 +52,21 @@ TARGETS = [
     ("dedup_minhash_banded", ("documents",), True),
     ("graph_hits", ("orders", "lineitem"), False),
     ("stats_mad_outliers", ("events",), False),
+    # round-11 additions: each probes a distinct scale claim —
+    # domain-bounded pair counting (tau: cell self-join must not grow
+    # with rows), per-token source fan-out (jaccard), one-exchange
+    # window algebra (pps), and the rank+tie single-exchange form (mw)
+    ("stats_kendall_tau_binned", ("lineitem", "part"), False),
+    ("corpus_source_overlap_jaccard", ("documents",), False),
+    ("sample_pps_systematic", ("documents",), False),
+    ("stats_mann_whitney", ("events",), False),
 ]
 
 
 def build_probe(spark) -> None:
-    if os.path.isfile(os.path.join(DST, "_PROBE_OK")):
+    if os.path.isfile(os.path.join(DST, "_PROBE_OK")) and os.path.exists(
+        os.path.join(DST, "part.parquet")
+    ):
         return
     shutil.rmtree(DST, ignore_errors=True)
     os.makedirs(DST, exist_ok=True)
@@ -110,6 +120,11 @@ def build_probe(spark) -> None:
             "event_type", "value", "props",
         ),
     )
+    # part is a DIMENSION: at 10x fact volume the realistic growth is
+    # more lines per part, not more parts — copy it fixed-size
+    spark.read.parquet(os.path.join(SRC, "part.parquet")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(DST, "part.parquet"))
     open(os.path.join(DST, "_PROBE_OK"), "w").write("ok")
 
 
@@ -133,7 +148,17 @@ def main() -> None:
         # (the first probe version warmed up on an unrelated op and read a
         # spurious 20x for the candidate-linear containment filter)
         fn(spark, "/root/testdata/sf0.001").collect()
-        base = timed(fn, spark, SRC)       # artifacts for SRC already exist
+        if has_artifact:
+            # cold means COLD on both sides: a previous bench/test run
+            # leaves warm artifacts for SRC (and a previous probe run for
+            # DST), which would time a parquet read against an index
+            # build and report a meaningless 30x "ratio"
+            for d in (".neardup_index", ".graph_index", ".kmeans_index",
+                      ".ivf_index"):
+                shutil.rmtree(os.path.join(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))), d),
+                    ignore_errors=True)
+        base = timed(fn, spark, SRC)       # cold build for artifact ops
         cold = timed(fn, spark, DST)       # 10x, artifact build included
         warm = timed(fn, spark, DST) if has_artifact else None
         ratio = round(cold / base, 2) if base else None
