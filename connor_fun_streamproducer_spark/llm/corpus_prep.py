@@ -738,9 +738,6 @@ def corpus_quality_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = Window.orderBy(F.col("band").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
     return b.select(
         F.col("band").cast("bigint").alias("quality_band"),
         F.col("n_docs").cast("bigint").alias("n_docs"),

@@ -1170,6 +1170,7 @@ _NDI_ROOT = os.path.join(
 _NDI_BANDS_V = "bands-v1"
 _NDI_CAND_V = "cand-v1"
 _NDI_CLOSURE_V = "closure-v1"
+_NDI_EVALTRUTH_V = "evaltruth-v1"
 
 _NDI_REV: str | None = None
 
@@ -1197,6 +1198,7 @@ def _ndi_rev() -> str:
             neardup_signatures,
             neardup_bucket_closure,
             neardup_simhash_fp,
+            neardup_eval_truth,
         )
     return _NDI_REV
 
@@ -1682,6 +1684,52 @@ def _simhash60_detected(d: DataFrame) -> DataFrame:
     )
 
 
+def _eval_slice_ids(d: DataFrame) -> DataFrame:
+    """The fixed-budget eval set: first _EVAL_SLICE doc_ids in md5 order
+    (the sample_reservoir idiom) — unbiased, reproducible, and it caps
+    the all-pairs truth at slice² FOREVER, independent of corpus size."""
+    return (
+        d.select("doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(_EVAL_SLICE)
+    )
+
+
+def neardup_eval_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id) truth-duplicate docs of the eval slice —
+    docs with at least one SMALLER-id partner above exact token-Jaccard
+    0.8 within the fixed md5-ordered _EVAL_SLICE budget. The slice²
+    all-pairs ground-truth pass (the one deliberately quadratic stage in
+    the repo, budget-bounded by construction) runs once per corpus
+    version; dedup_eval_tiers' two tier rows read ≤slice rows of parquet
+    (VERDICT r11 #2: the truth frame was re-derived every invocation
+    while everything it grades is artifact-served)."""
+
+    def build() -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        sliced = d.join(F.broadcast(_eval_slice_ids(d)), "doc_id")
+        toks = sliced.select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        )
+        a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+        b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+        inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+        union = (
+            F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
+        )
+        return (
+            a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .filter(inter / union > 0.8)
+            .select(F.col("doc_b").cast("bigint").alias("doc_id"))
+            .distinct()
+        )
+
+    return materialize_once(
+        spark, _ndi_path(sf_dir, _NDI_EVALTRUTH_V), build,
+        source=table_path(sf_dir, "documents"),
+    )
+
+
 @op("dedup_eval_tiers", oracle=_dedup_eval_oracle(), tags=("llm", "dedup", "eval"))
 def dedup_eval_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-quality evaluation harness: recall and precision of TWO
@@ -1718,36 +1766,14 @@ def dedup_eval_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     here is quadratic in the corpus.
     """
     d = load(spark, sf_dir, "documents")
-    # Fixed-budget eval set: the first _EVAL_SLICE docs in md5 order
-    # (the sample_reservoir idiom) — unbiased, reproducible, and it
-    # caps the all-pairs truth at slice² FOREVER, independent of corpus
-    # size; this is what makes an O(slice²) harness shippable next to
-    # 100 TB ops.
-    eval_ids = (
-        d.select("doc_id")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
-        .limit(_EVAL_SLICE)
-    )
-    # The slice stays a lazy frame (three consumers re-derive a cheap
+    # The slice stays a lazy frame (the detected tiers re-derive a cheap
     # broadcast-join of 500 ids) so the TakeOrdered budget cut remains
     # visible in the final plan — the scale argument tests pin it; the
-    # expensive subtree (all-pairs truth) is checkpointed below instead.
-    sliced = d.join(F.broadcast(eval_ids), "doc_id")
-    toks = sliced.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
-    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
-    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
-    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
-    union = F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
-    pairs = (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .filter(inter / union > 0.8)
-        .select("doc_a", "doc_b")
-    )
-    # Both tier rows read the truth set: checkpoint so the slice²
-    # all-pairs pass runs once, not per tier.
-    truth = pairs.select(F.col("doc_b").alias("doc_id")).distinct().localCheckpoint()
+    # expensive subtree (slice² all-pairs truth) is artifact-served via
+    # materialize_once (VERDICT r11 #2), rebuilt only when the fixture
+    # fingerprint or the construction revision changes.
+    sliced = d.join(F.broadcast(_eval_slice_ids(d)), "doc_id")
+    truth = neardup_eval_truth(spark, sf_dir)
 
     def tier_row(tier: str, detected: DataFrame) -> DataFrame:
         caught = detected.join(truth, "doc_id")

@@ -1016,9 +1016,13 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = m.filter(F.col("era") == 1).select(
         "label", "i0", F.col("s").alias("sb"), F.col("n").alias("nb")
     )
-    diff = (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).cast(
+    # promote BEFORE multiplying (mirrors the oracle's CAST(.. AS HUGEINT)
+    # placement): sa*nb in bigint could silently wrap at very large per-era
+    # counts under non-ANSI mode; decimal(38,0) operands make the products
+    # and their difference exact
+    diff = F.col("sa").cast("decimal(38,0)") * F.col("nb") - F.col("sb").cast(
         "decimal(38,0)"
-    )
+    ) * F.col("na")
     d = (
         a.join(c, ["label", "i0"])
         .groupBy("label")

@@ -1786,7 +1786,10 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = r.agg(
         F.count("*").alias("n"),
         F.sum("d").alias("sd"),
-        F.sum(F.col("i") * F.col("d")).alias("sid"),
+        # rank·degree ≤ n² wraps bigint near 9.2e18 on huge graphs while
+        # DuckDB's sum promotes to HUGEINT — promote the operand first (the
+        # cents-moments decimal discipline)
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("d")).alias("sid"),
         F.max("d").alias("dmax"),
     ).filter(F.col("sd") > 0)
     n, sd = F.col("n"), F.col("sd")

@@ -2567,6 +2567,11 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan → a per-type rank window + a (type, cents) tie
     window (same exchange — both key on event_type first) → hash agg
     with map-side partials; output is |types| rows.
+
+    Support floor: requires n_a ≥ 2 AND n_b ≥ 2 — the tie-corrected
+    variance (and hence z) is undefined/degenerate below that.
+    stats_cliff_delta deliberately uses n ≥ 1 instead: δ is a plain
+    probability difference, well-defined from a single observation.
     """
     b = load(spark, sf_dir, "events").select(
         "event_type",
@@ -2716,6 +2721,11 @@ def stats_cliff_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical exchange profile to stats_mann_whitney (per-type
     rank window + tie window + hash agg); output is |types| rows.
+
+    Support floor: n_a ≥ 1 and n_b ≥ 1 — deliberately LOOSER than
+    stats_mann_whitney's n ≥ 2: δ is a probability difference,
+    well-defined at a single observation, while the rank-sum z needs
+    a variance and is not. The asymmetry is a choice, not an oversight.
     """
     b = load(spark, sf_dir, "events").select(
         "event_type",
