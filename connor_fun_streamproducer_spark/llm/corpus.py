@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.catalog import dim_window, load
 from connor_fun_streamproducer_spark.registry import op
 
 # Sliding-window chunking parameters (tokens). Window > stride → overlap,
@@ -656,8 +656,11 @@ def corpus_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"tok * {_BUDGET_TOKENS} div total").alias("floor_alloc"),
         F.expr(f"tok * {_BUDGET_TOKENS} % total").alias("remainder"),
     )
-    wr = Window.orderBy(F.desc("remainder"), F.asc("source"))
-    wall = Window.partitionBy()
+    wr = dim_window(
+        Window.orderBy(F.desc("remainder"), F.asc("source")),
+        bound="|sources| remainder rows",
+    )
+    wall = dim_window(Window.partitionBy(), bound="|sources| remainder rows")
     r = q.select(
         "source",
         "tok",
@@ -879,7 +882,7 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     dtok = d.select("source", "doc_id", per_doc.alias("doc_tok"))
     toks = dtok.groupBy("source").agg(F.sum("doc_tok").cast("bigint").alias("tok"))
     k = toks.agg(F.count("*").alias("k"))
-    wsrc = Window.orderBy("source")
+    wsrc = dim_window(Window.orderBy("source"), bound="|sources| rows")
     tgt = toks.crossJoin(F.broadcast(k)).select(
         "source",
         "tok",
@@ -1027,8 +1030,11 @@ def sample_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"w * {_NEYMAN_BUDGET} div nullif(tw, 0)").alias("floor_alloc"),
         F.expr(f"w * {_NEYMAN_BUDGET} % nullif(tw, 0)").alias("remainder"),
     )
-    wr = Window.orderBy(F.desc("remainder"), F.asc("source"))
-    wall = Window.partitionBy()
+    wr = dim_window(
+        Window.orderBy(F.desc("remainder"), F.asc("source")),
+        bound="|sources| remainder rows",
+    )
+    wall = dim_window(Window.partitionBy(), bound="|sources| remainder rows")
     r = q.select(
         "source",
         "n_h",
@@ -1177,8 +1183,18 @@ def corpus_mix_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = d.select(
         "lang",
         "source",
-        F.row_number().over(Window.orderBy("doc_id")).alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.row_number()
+        .over(
+            dim_window(
+                Window.orderBy("doc_id"),
+                bound="entity-level era-split rank; docstring states the "
+                "ingest-date partition at production scale",
+            )
+        )
+        .alias("rk"),
+        F.count("*")
+        .over(dim_window(Window.partitionBy(), bound="global count scalar"))
+        .alias("n"),
     )
     cells = ranked.groupBy("lang", "source").agg(
         F.sum(F.when(F.col("rk") <= F.expr("n div 2"), 1).otherwise(0)).alias("c0"),

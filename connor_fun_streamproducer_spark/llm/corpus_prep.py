@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.catalog import dim_window, load
 from connor_fun_streamproducer_spark.registry import op
 
 # Token budget of one packed training sequence.
@@ -735,8 +735,11 @@ def corpus_quality_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = q.groupBy("band").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
     )
-    wc = Window.orderBy(F.col("band").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    wc = dim_window(
+        Window.orderBy(F.col("band").desc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        ),
+        bound="\u226421 quality bands",
     )
     return b.select(
         F.col("band").cast("bigint").alias("quality_band"),

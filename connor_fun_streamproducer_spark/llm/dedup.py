@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from connor_fun_streamproducer_spark.catalog import (
+    dim_window,
     fixture_fingerprint,
     load,
     materialize_once,
@@ -2141,8 +2142,11 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("jac_band_bp")
         .agg(F.count("*").alias("n_pairs"))
     )
-    w = Window.orderBy(F.desc("jac_band_bp")).rangeBetween(
-        Window.unboundedPreceding, Window.currentRow
+    w = dim_window(
+        Window.orderBy(F.desc("jac_band_bp")).rangeBetween(
+            Window.unboundedPreceding, Window.currentRow
+        ),
+        bound="\u226420 Jaccard survival bands",
     )
     return banded.select(
         F.col("jac_band_bp").cast("bigint").alias("jac_band_bp"),

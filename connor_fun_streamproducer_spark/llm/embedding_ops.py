@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.catalog import dim_window, load
 from connor_fun_streamproducer_spark.registry import op
 
 EMB_DIM = 64  # fixture embedding width (TESTDATA.md)
@@ -679,7 +679,10 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(var_raw, 6) + F.lit(0.0)).alias("variance"),
         (F.round(var_raw, 6) + F.lit(0.0)).alias("_vr"),
     )
-    w = Window.orderBy(F.desc("_vr"), F.asc("dim"))
+    w = dim_window(
+        Window.orderBy(F.desc("_vr"), F.asc("dim")),
+        bound="64 dim rows",
+    )
     return v.select(
         "dim", "n", "mean", "variance",
         F.row_number().over(w).cast("bigint").alias("var_rank"),

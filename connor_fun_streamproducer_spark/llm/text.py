@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import load
+from connor_fun_streamproducer_spark.catalog import dim_window, load
 from connor_fun_streamproducer_spark.registry import op
 
 # Tiny marker-word lists for the n-gram/stopword language heuristic.
@@ -896,7 +896,10 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_JSD_VOCAB_K)
     )
     vr = vocab.select(
-        "t", F.row_number().over(Window.orderBy("t")).alias("vid")
+        "t",
+        F.row_number()
+        .over(dim_window(Window.orderBy("t"), bound="top-K JSD vocab rows"))
+        .alias("vid"),
     )
     cnt = tok.join(vr, "t").groupBy("source", "vid").agg(F.count("*").alias("c"))
     srcs = d.select("source").distinct()

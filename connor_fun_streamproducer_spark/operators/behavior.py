@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import epoch_div, epoch_seconds, load
+from connor_fun_streamproducer_spark.catalog import (
+    dim_window,
+    epoch_div,
+    epoch_seconds,
+    load,
+)
 from connor_fun_streamproducer_spark.registry import op
 
 _WEEK_S = 604_800
@@ -980,7 +985,7 @@ def pipeline_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # most |types|^2 rows — explicitly bounded), not a crossJoin of a
     # re-aggregated subtree: the scalar-subquery form compiles the whole
     # hop ladder TWICE; this form scans it once.
-    tot = Window.partitionBy()
+    tot = dim_window(Window.partitionBy(), bound="\u2264|event_types|\u00b2 hop cells")
     return counts.select(
         "prev_type",
         "next_type",
@@ -1055,7 +1060,10 @@ def pipeline_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
-    wr = Window.orderBy(F.desc("n"), "e1", "e2", "e3")
+    wr = dim_window(
+        Window.orderBy(F.desc("n"), "e1", "e2", "e3"),
+        bound="\u2264|event_types|\u00b3 trigram cells",
+    )
     return (
         tri.select("e1", "e2", "e3", "n", F.row_number().over(wr).alias("rk"))
         .filter(F.col("rk") <= _TRIGRAM_TOPK)
@@ -1202,9 +1210,11 @@ def pipeline_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"),
     )
     pairs = s.select("cost_cents", "total_qty").distinct()
-    w = (
-        Window.orderBy(F.asc("cost_cents"), F.desc("total_qty"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    w = dim_window(
+        Window.orderBy(F.asc("cost_cents"), F.desc("total_qty")).rowsBetween(
+            Window.unboundedPreceding, -1
+        ),
+        bound="\u2264|suppliers| distinct (cost, qty) frontier points",
     )
     frontier = (
         pairs.select(

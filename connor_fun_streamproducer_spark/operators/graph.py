@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from connor_fun_streamproducer_spark.catalog import (
+    dim_window,
     epoch_seconds,
     fixture_fingerprint,
     load,
@@ -1503,7 +1504,10 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
         )
     m = a.agg(F.max("a").alias("mx"))
-    w = Window.orderBy(F.desc("a"), F.asc("s"))
+    w = dim_window(
+        Window.orderBy(F.desc("a"), F.asc("s")),
+        bound="|suppliers| authority rows (top-k pick)",
+    )
     return (
         a.crossJoin(F.broadcast(m))
         .withColumn("rk", F.row_number().over(w))
@@ -1780,7 +1784,12 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = deg.select(
         "d",
         F.row_number()
-        .over(Window.orderBy(F.col("d").asc(), F.col("node").asc()))
+        .over(
+            dim_window(
+                Window.orderBy(F.col("d").asc(), F.col("node").asc()),
+                bound="|nodes| scalar degree rows (win_lorenz_deciles posture)",
+            )
+        )
         .alias("i"),
     )
     s = r.agg(
@@ -1874,7 +1883,12 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.select(
             "node",
             F.row_number()
-            .over(Window.orderBy(F.col("d").desc(), F.col("node").asc()))
+            .over(
+                dim_window(
+                    Window.orderBy(F.col("d").desc(), F.col("node").asc()),
+                    bound="|nodes| scalar degree rows (club rank pick)",
+                )
+            )
             .alias("rk"),
         )
         .filter(F.col("rk") <= k)

@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import bounded_series, epoch_seconds, load
+from connor_fun_streamproducer_spark.catalog import (
+    bounded_series,
+    dim_window,
+    epoch_seconds,
+    load,
+)
 from connor_fun_streamproducer_spark.registry import op
 
 PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -207,7 +212,11 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    w = Window.orderBy("cents", "o_custkey")
+    w = dim_window(
+        Window.orderBy("cents", "o_custkey"),
+        bound="entity-level exact-rank sort over |customers|; docstring states "
+        "the honest cost — the KLL tier is the production approximation",
+    )
     ranked = cust.select("cents", F.row_number().over(w).alias("rk"))
     m = ranked.agg(
         F.count("*").cast("bigint").alias("n"),
@@ -364,14 +373,22 @@ def win_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    w = Window.orderBy("cents", "o_custkey")
+    w = dim_window(
+        Window.orderBy("cents", "o_custkey"),
+        bound="entity-level exact-decile sort over |customers| (see gini)",
+    )
     dec = cust.select("cents", F.ntile(10).over(w).alias("decile"))
     agg = dec.groupBy("decile").agg(
         F.count("*").cast("bigint").alias("n_cust"),
         F.sum("cents").cast("bigint").alias("decile_cents"),
     )
-    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    total = Window.partitionBy()
+    cum = dim_window(
+        Window.orderBy("decile").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        ),
+        bound="10 decile rows",
+    )
+    total = dim_window(Window.partitionBy(), bound="10 decile rows")
     # Integral `div` (not floor of a double quotient): cum*10000 passes
     # 2^53 around sf0.1, where floor(double) can disagree with the
     # oracle's exact `//` by 1.
@@ -913,7 +930,7 @@ def stats_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rather than an agg + cross join: the cells subtree is computed
     # once (no re-derived second scan of orders) and the window runs on
     # a dimension-bounded input.
-    wall = Window.partitionBy()
+    wall = dim_window(Window.partitionBy(), bound="|bins| PSI cells")
     c = cells.select(
         "bin",
         "c_a",
@@ -1284,7 +1301,11 @@ def stats_event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "event_id", epoch_seconds("ts").alias("s")
     )
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    w = dim_window(
+        Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0),
+        bound="exact global lateness frontier; docstring states the "
+        "per-source/shard partitioning at production scale",
+    )
     late = (F.max("s").over(w) - F.col("s")).alias("late")
     b = e.select(late).select(
         F.when(F.col("late") == 0, "on_time")

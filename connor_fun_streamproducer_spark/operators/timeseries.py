@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from connor_fun_streamproducer_spark.catalog import (
     bounded_series,
+    dim_window,
     epoch_div,
     epoch_seconds,
     load,
@@ -1281,7 +1282,10 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = opens.unionByName(closes).unionByName(sentinels)
     dd = pts.groupBy("d").agg(F.sum("delta").alias("ddelta"))
-    wcarry = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    wcarry = dim_window(
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1),
+        bound="|days| daily-delta rows",
+    )
     offs = dd.select(
         "d", F.coalesce(F.sum("ddelta").over(wcarry), F.lit(0)).alias("carry")
     )
