@@ -236,6 +236,12 @@ EXTENDED = [
     "join_asof_forward",
     "stats_power_mde",
     "stats_kendall_tau_binned",
+    # round-12 tier
+    "stats_anova_oneway",
+    "stats_jarque_bera",
+    "stats_cohens_h",
+    "stats_trend_proportions",
+    "stats_spearman_binned",
 ]
 
 

@@ -3163,3 +3163,653 @@ def stats_kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("kendall_tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across event types (the k-group generalization of welch)
+# ---------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH b AS (
+    SELECT event_type, CAST(floor(value * 100 + 0.5) AS HUGEINT) AS c
+    FROM events
+), g AS (
+    SELECT event_type, count(*) AS n, sum(c) AS s, sum(c * c) AS q
+    FROM b GROUP BY 1
+), l AS (
+    SELECT list_sort(list([s, n])) AS l,
+           sum(s) AS st, sum(q) AS qt, sum(n) AS nt, count(*) AS k
+    FROM g
+), f AS (
+    SELECT nt, k,
+           list_reduce(list_transform(l, p ->
+               CAST(p[1] AS DOUBLE) * p[1] / p[2]), (x, y) -> x + y)
+           - CAST(st AS DOUBLE) * st / nt AS ssb,
+           CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / nt AS sst
+    FROM l WHERE k >= 2 AND nt > k
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(nt AS BIGINT) AS n_total,
+       round(ssb / nullif(sst, 0.0), 6) + 0.0 AS eta_squared,
+       round((ssb / (k - 1)) / nullif((sst - ssb) / (nt - k), 0.0), 6) + 0.0
+           AS f_stat,
+       CASE WHEN round(ssb / nullif(sst, 0.0), 6) >= 0.14 THEN 'large'
+            WHEN round(ssb / nullif(sst, 0.0), 6) >= 0.06 THEN 'medium'
+            WHEN round(ssb / nullif(sst, 0.0), 6) >= 0.01 THEN 'small'
+            ELSE 'negligible' END AS magnitude
+FROM f
+"""
+
+
+@op("stats_anova_oneway", oracle=_ANOVA_ORACLE, tags=("ext", "stats"))
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event values ACROSS event types (one row) — the
+    k-group generalization the pairwise era suite can't express: welch
+    asks "did THIS type's mean move between eras", this asks "do the
+    types differ from each other AT ALL, and by how much". The headline
+    number is eta² = SSB/SST — the share of total value variance
+    explained by the type label — with Cohen's 0.01/0.06/0.14 bands;
+    F travels alongside for the classical test form (its critical value
+    depends on the data-driven df pair, so the BANDED effect size is
+    the verdict column, stated).
+
+    Exact: per-type moments (n, Σc, Σc²) are exact HUGEINT/decimal
+    integer aggregates of cents; the between-group sum Σ s_g²/n_g is a
+    LEFT FOLD over the per-type (s, n) pairs sorted lexicographically
+    (the stats_cramers_v discipline — identical float summation order
+    on both engines, over a |types|-bounded array); eta²/F are one
+    fixed-shape float expression each, rounded.
+
+    Scale: one scan → |types|-row hash agg with map-side partials →
+    a |types|-element array fold. Nothing after the agg sees row scale.
+    """
+    b = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("c"),
+    )
+    g = b.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    lst = g.agg(
+        bounded_series(
+            F.array_sort(F.collect_list(F.array(F.col("s"), F.col("n")))),
+            what="stats_anova_oneway per-type moment pairs",
+        ).alias("l"),
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+        F.sum("n").alias("nt"),
+        F.count("*").alias("k"),
+    ).filter((F.col("k") >= 2) & (F.col("nt") > F.col("k")))
+    ssb = (
+        F.expr(
+            "aggregate(l, CAST(0.0 AS DOUBLE), (x, p) ->"
+            " x + CAST(p[0] AS DOUBLE) * CAST(p[0] AS DOUBLE)"
+            " / CAST(p[1] AS DOUBLE))"
+        )
+        - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nt")
+    )
+    sst = (
+        F.col("qt").cast("double")
+        - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nt")
+    )
+    eta = F.round(ssb / F.nullif(sst, F.lit(0.0)), 6)
+    fstat = F.round(
+        (ssb / (F.col("k") - 1))
+        / F.nullif((sst - ssb) / (F.col("nt") - F.col("k")), F.lit(0.0)),
+        6,
+    )
+    return lst.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("nt").cast("bigint").alias("n_total"),
+        (eta + F.lit(0.0)).alias("eta_squared"),
+        (fstat + F.lit(0.0)).alias("f_stat"),
+        F.when(eta >= 0.14, F.lit("large"))
+        .when(eta >= 0.06, F.lit("medium"))
+        .when(eta >= 0.01, F.lit("small"))
+        .otherwise(F.lit("negligible"))
+        .alias("magnitude"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality screen per type (is the parametric tier trustworthy?)
+# ---------------------------------------------------------------------------
+
+_JB_CRIT = 5.991465  # chi-square(2 df) 95% critical value
+_JB_MIN_N = 8  # below this the chi2(2) approximation is meaningless
+
+_JB_ORACLE = f"""
+WITH b AS (
+    SELECT event_type, CAST(floor(value * 100 + 0.5) AS HUGEINT) AS c
+    FROM events
+), g AS (
+    SELECT event_type, count(*) AS n,
+           sum(c) AS s1, sum(c * c) AS s2,
+           sum(c * c * c) AS s3, sum(c * c * c * c) AS s4
+    FROM b GROUP BY 1 HAVING count(*) >= {_JB_MIN_N}
+), m AS (
+    SELECT event_type, n,
+           CAST(s1 AS DOUBLE) / n AS m1,
+           CAST(s2 AS DOUBLE) / n AS r2,
+           CAST(s3 AS DOUBLE) / n AS r3,
+           CAST(s4 AS DOUBLE) / n AS r4
+    FROM g
+), c AS (
+    SELECT event_type, n,
+           r2 - m1 * m1 AS m2,
+           r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS m3,
+           r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1 AS m4
+    FROM m
+), f AS (
+    SELECT event_type, n,
+           m3 / nullif(m2 * sqrt(m2), 0.0) AS skew,
+           m4 / nullif(m2 * m2, 0.0) - 3 AS kurt
+    FROM c WHERE m2 > 0
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round(skew, 6) + 0.0 AS skewness,
+       round(kurt, 6) + 0.0 AS kurtosis_excess,
+       round(n / 6.0 * (skew * skew + kurt * kurt / 4), 6) + 0.0 AS jb_stat,
+       round(n / 6.0 * (skew * skew + kurt * kurt / 4), 6) > {_JB_CRIT}
+           AS normal_rejected
+FROM f
+"""
+
+
+@op("stats_jarque_bera", oracle=_JB_ORACLE, tags=("ext", "stats"))
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality screen of event values per type — the
+    gate in FRONT of the parametric era suite: welch/cohens_d/anova
+    summarize by mean and variance, which is only a faithful summary
+    when the distribution is roughly normal. JB = n/6·(S² + K²/4)
+    aggregates skewness and excess kurtosis into one chi²(2) statistic;
+    a type that rejects here should be read through the rank tier
+    (mann_whitney/cliff_delta/mood) instead.
+
+    Exact: raw power sums Σc..Σc⁴ are exact decimal(38,0)/HUGEINT
+    integer aggregates (c⁴ ≈ 1e20 per row wraps bigint — the operand is
+    promoted BEFORE multiplying, the centroid-drift discipline);
+    central moments, S, K, JB are one fixed-shape float expression over
+    those integers, rounded before the chi²(2) 5% literal. Support
+    floor n ≥ {_JB_MIN_N} and m2 > 0, stated.
+
+    Scale: one scan → |types|-row hash agg with map-side partials;
+    everything after is per-row arithmetic on |types| rows.
+    """
+    b = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("c"),
+    )
+    c = F.col("c")
+    g = (
+        b.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(c).alias("s1"),
+            F.sum(c * c).alias("s2"),
+            F.sum(c * c * c).alias("s3"),
+            F.sum(c * c * c * c).alias("s4"),
+        )
+        .filter(F.col("n") >= _JB_MIN_N)
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - m1 * m1
+    m3 = r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1
+    m4 = r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1
+    skew = m3 / F.nullif(m2 * F.sqrt(m2), F.lit(0.0))
+    kurt = m4 / F.nullif(m2 * m2, F.lit(0.0)) - 3
+    jb = F.round(n / F.lit(6.0) * (skew * skew + kurt * kurt / 4), 6)
+    return g.filter(m2 > 0).select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        (F.round(skew, 6) + F.lit(0.0)).alias("skewness"),
+        (F.round(kurt, 6) + F.lit(0.0)).alias("kurtosis_excess"),
+        (jb + F.lit(0.0)).alias("jb_stat"),
+        (jb > F.lit(_JB_CRIT)).alias("normal_rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's h era effect size on the above-median proportion (sizes what mood
+# tests)
+# ---------------------------------------------------------------------------
+
+_H_SMALL, _H_MEDIUM, _H_LARGE = 0.2, 0.5, 0.8
+
+_COHENS_H_ORACLE = """
+WITH b AS (
+    SELECT event_type, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS te,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), span AS (
+    SELECT (min(te) + max(te)) // 2 AS mid FROM b
+), e AS (
+    SELECT event_type, event_id, cents,
+           CASE WHEN te < mid THEN 0 ELSE 1 END AS era
+    FROM b CROSS JOIN span
+), r AS (
+    SELECT event_type, era, cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cents, event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS nt
+    FROM e
+), cl AS (
+    SELECT event_type, era,
+           CASE WHEN cents > min(CASE WHEN rk = (nt + 1) // 2 THEN cents END)
+                            OVER (PARTITION BY event_type)
+                THEN 1 ELSE 0 END AS above
+    FROM r
+), c AS (
+    SELECT event_type,
+           sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS na,
+           sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS nb,
+           sum(CASE WHEN era = 0 THEN above ELSE 0 END) AS xa,
+           sum(CASE WHEN era = 1 THEN above ELSE 0 END) AS xb
+    FROM cl GROUP BY 1
+    HAVING sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) >= 1
+       AND sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) >= 1
+), f AS (
+    SELECT event_type, na, nb, xa, xb,
+           round(2 * asin(sqrt(CAST(xb AS DOUBLE) / nb))
+                 - 2 * asin(sqrt(CAST(xa AS DOUBLE) / na)), 6) + 0.0 AS h
+    FROM c
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_era_a,
+       CAST(nb AS BIGINT) AS n_era_b,
+       CAST(xa * 10000 // na AS BIGINT) AS p_above_a_bp,
+       CAST(xb * 10000 // nb AS BIGINT) AS p_above_b_bp,
+       h AS cohens_h,
+       CASE WHEN abs(h) >= 0.8 THEN 'large'
+            WHEN abs(h) >= 0.5 THEN 'medium'
+            WHEN abs(h) >= 0.2 THEN 'small'
+            ELSE 'negligible' END AS magnitude
+FROM f
+"""
+
+
+@op("stats_cohens_h", oracle=_COHENS_H_ORACLE, tags=("ext", "stats"))
+def stats_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's h effect size of the era shift in the ABOVE-POOLED-MEDIAN
+    proportion, per event type — it SIZES what stats_mood_median TESTS,
+    exactly as cohens_d sizes welch and cliff_delta sizes mann_whitney:
+    mood's chi² grows with n (at corpus scale every wobble is
+    "significant"), while h = 2·asin(√p_b) − 2·asin(√p_a) is the
+    n-free arcsine-stabilized gap between the two proportions, with
+    Cohen's 0.2/0.5/0.8 bands. Null p ≈ 0.5 by construction (the
+    indicator is the pooled median), so h reads directly as "how far
+    did the median mass shift".
+
+    Exact: the pooled lower median is the same rank-indexed pick as
+    mood (ties count as "not above", stated); the 2×2 era counts are
+    exact integers; h is one fixed-shape float expression (two asin,
+    two sqrt), rounded before the banded CASE; proportions travel as
+    integral basis points.
+
+    Scale: identical exchange profile to stats_mood_median (per-type
+    rank window, one exchange, |types| output rows).
+
+    Support floor: n ≥ 1 per era — h, like cliff's δ, is a plain
+    function of proportions and is well-defined from one observation.
+    """
+    b = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        epoch_seconds("ts").alias("te"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    span = b.agg(F.expr("(min(te) + max(te)) div 2").alias("mid")).collect()[0][
+        "mid"
+    ]  # 1-row probe: the era boundary literal
+    e = b.select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.when(F.col("te") < F.lit(span), F.lit(0)).otherwise(F.lit(1)).alias("era"),
+    )
+    wt = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "era",
+        "cents",
+        F.row_number()
+        .over(wt.orderBy(F.col("cents").asc(), F.col("event_id").asc()))
+        .alias("rk"),
+        F.count("*").over(wt).alias("nt"),
+    )
+    cl = r.select(
+        "event_type",
+        "era",
+        (
+            F.col("cents")
+            > F.min(
+                F.when(F.col("rk") == F.expr("(nt + 1) div 2"), F.col("cents"))
+            ).over(wt)
+        )
+        .cast("int")
+        .alias("above"),
+    )
+    c = (
+        cl.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("nb"),
+            F.sum(F.when(F.col("era") == 0, F.col("above")).otherwise(0)).alias("xa"),
+            F.sum(F.when(F.col("era") == 1, F.col("above")).otherwise(0)).alias("xb"),
+        )
+        .filter((F.col("na") >= 1) & (F.col("nb") >= 1))
+    )
+    h = F.round(
+        2 * F.asin(F.sqrt(F.col("xb").cast("double") / F.col("nb")))
+        - 2 * F.asin(F.sqrt(F.col("xa").cast("double") / F.col("na"))),
+        6,
+    ) + F.lit(0.0)
+    return c.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_era_a"),
+        F.col("nb").cast("bigint").alias("n_era_b"),
+        F.expr("xa * 10000 div na").cast("bigint").alias("p_above_a_bp"),
+        F.expr("xb * 10000 div nb").cast("bigint").alias("p_above_b_bp"),
+        h.alias("cohens_h"),
+        F.when(F.abs(h) >= _H_LARGE, F.lit("large"))
+        .when(F.abs(h) >= _H_MEDIUM, F.lit("medium"))
+        .when(F.abs(h) >= _H_SMALL, F.lit("small"))
+        .otherwise(F.lit("negligible"))
+        .alias("magnitude"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test across span quartiles (is the drift MONOTONE?)
+# ---------------------------------------------------------------------------
+
+_CA_CRIT = 1.959964  # two-sided 5% normal critical value
+
+_TREND_ORACLE = f"""
+WITH b AS (
+    SELECT event_type, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS te,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), span AS (
+    SELECT min(te) AS mn, max(te) AS mx FROM b
+), e AS (
+    SELECT event_type, event_id, cents,
+           least((te - mn) * 4 // (mx - mn + 1), 3) AS q
+    FROM b CROSS JOIN span
+), r AS (
+    SELECT event_type, q, cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cents, event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS nt
+    FROM e
+), cl AS (
+    SELECT event_type, q,
+           CASE WHEN cents > min(CASE WHEN rk = (nt + 1) // 2 THEN cents END)
+                            OVER (PARTITION BY event_type)
+                THEN 1 ELSE 0 END AS above
+    FROM r
+), g AS (
+    SELECT event_type, q, count(*) AS n, sum(above) AS r1
+    FROM cl GROUP BY 1, 2
+), m AS (
+    SELECT event_type,
+           count(*) AS n_quarters,
+           sum(n) AS nn, sum(r1) AS rr,
+           sum(q * r1) AS t1, sum(q * n) AS w1, sum(q * q * n) AS w2
+    FROM g GROUP BY 1
+    HAVING count(*) >= 2 AND sum(r1) > 0 AND sum(r1) < sum(n)
+), f AS (
+    SELECT event_type, n_quarters, nn,
+           (CAST(t1 AS DOUBLE) - CAST(rr AS DOUBLE) * w1 / nn)
+           / nullif(sqrt(CAST(rr AS DOUBLE) / nn * (1 - CAST(rr AS DOUBLE) / nn)
+                         * (w2 - CAST(w1 AS DOUBLE) * w1 / nn)), 0.0) AS z
+    FROM m
+)
+SELECT event_type,
+       CAST(n_quarters AS BIGINT) AS n_quarters,
+       CAST(nn AS BIGINT) AS n_total,
+       round(z, 6) + 0.0 AS trend_z,
+       abs(round(z, 6)) > {_CA_CRIT} AS reject_no_trend
+FROM f
+"""
+
+
+@op("stats_trend_proportions", oracle=_TREND_ORACLE, tags=("ext", "stats"))
+def stats_trend_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test of the above-pooled-median share
+    across the four span QUARTILES, per event type — the era suite's
+    two-bucket tests (welch/mood/mann-whitney) cannot tell a one-off
+    level change from steady drift; this scores the share against the
+    ordered quarter index 0..3 and asks "is the movement MONOTONE in
+    time". A type that rejects here but not on the two-era tests is
+    drifting slowly; the reverse is a step change.
+
+    Exact: quarter assignment is pure integer arithmetic on epoch
+    seconds ((te−mn)·4 div span, the epoch_div discipline); the pooled
+    median is the mood rank pick; per-(type, quarter) counts and the
+    score sums T=Σq·r, W=Σq·n, W2=Σq²·n are exact integer aggregates;
+    z = (T − p̄W)/√(p̄(1−p̄)(W2 − W²/N)) is one fixed-shape float
+    expression, rounded before the 5% literal. Degenerate shares
+    (all above / none above) are filtered, stated.
+
+    Scale: one scan → per-type rank window (one exchange) →
+    |types|·4-cell hash agg → |types| rows of scalar arithmetic.
+    """
+    b = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        epoch_seconds("ts").alias("te"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    sp = b.agg(F.min("te").alias("mn"), F.max("te").alias("mx")).collect()[0]
+    mn, mx = sp["mn"], sp["mx"]  # 1-row probe: the quarter boundaries
+    e = b.select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.least(
+            F.expr(f"(te - {mn}) * 4 div {mx - mn + 1}"), F.lit(3)
+        ).alias("q"),
+    )
+    wt = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "q",
+        "cents",
+        F.row_number()
+        .over(wt.orderBy(F.col("cents").asc(), F.col("event_id").asc()))
+        .alias("rk"),
+        F.count("*").over(wt).alias("nt"),
+    )
+    cl = r.select(
+        "event_type",
+        "q",
+        (
+            F.col("cents")
+            > F.min(
+                F.when(F.col("rk") == F.expr("(nt + 1) div 2"), F.col("cents"))
+            ).over(wt)
+        )
+        .cast("int")
+        .alias("above"),
+    )
+    g = cl.groupBy("event_type", "q").agg(
+        F.count("*").alias("n"), F.sum("above").alias("r1")
+    )
+    m = (
+        g.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_quarters"),
+            F.sum("n").alias("nn"),
+            F.sum("r1").alias("rr"),
+            F.sum(F.col("q") * F.col("r1")).alias("t1"),
+            F.sum(F.col("q") * F.col("n")).alias("w1"),
+            F.sum(F.col("q") * F.col("q") * F.col("n")).alias("w2"),
+        )
+        .filter(
+            (F.col("n_quarters") >= 2)
+            & (F.col("rr") > 0)
+            & (F.col("rr") < F.col("nn"))
+        )
+    )
+    nn, rr, w1 = F.col("nn"), F.col("rr"), F.col("w1")
+    pbar = rr.cast("double") / nn
+    z = (F.col("t1").cast("double") - rr.cast("double") * w1 / nn) / F.nullif(
+        F.sqrt(
+            pbar * (1 - pbar) * (F.col("w2") - w1.cast("double") * w1 / nn)
+        ),
+        F.lit(0.0),
+    )
+    rz = F.round(z, 6)
+    return m.select(
+        "event_type",
+        F.col("n_quarters").cast("bigint").alias("n_quarters"),
+        nn.cast("bigint").alias("n_total"),
+        (rz + F.lit(0.0)).alias("trend_z"),
+        (F.abs(rz) > F.lit(_CA_CRIT)).alias("reject_no_trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact tie-corrected Spearman rho over bounded domains (tau's rank sibling)
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+WITH li AS (
+    SELECT l_partkey,
+           CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x,
+           CAST(floor(l_quantity + 0.5) AS BIGINT) AS y
+    FROM lineitem
+), c AS (
+    SELECT p_brand, x, y, count(*) AS n
+    FROM li JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2, 3
+), xr AS (
+    SELECT p_brand, x,
+           2 * coalesce(sum(nx) OVER (PARTITION BY p_brand ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + nx + 1 AS rx2
+    FROM (SELECT p_brand, x, sum(n) AS nx FROM c GROUP BY 1, 2)
+), yr AS (
+    SELECT p_brand, y,
+           2 * coalesce(sum(ny) OVER (PARTITION BY p_brand ORDER BY y
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + ny + 1 AS ry2
+    FROM (SELECT p_brand, y, sum(n) AS ny FROM c GROUP BY 1, 2)
+), m AS (
+    SELECT c.p_brand,
+           sum(CAST(n AS HUGEINT)) AS nn,
+           sum(CAST(n AS HUGEINT) * rx2) AS sx,
+           sum(CAST(n AS HUGEINT) * ry2) AS sy,
+           sum(CAST(n AS HUGEINT) * rx2 * rx2) AS sxx,
+           sum(CAST(n AS HUGEINT) * ry2 * ry2) AS syy,
+           sum(CAST(n AS HUGEINT) * rx2 * ry2) AS sxy
+    FROM c JOIN xr USING (p_brand, x) JOIN yr USING (p_brand, y)
+    GROUP BY 1 HAVING sum(n) >= 2
+)
+SELECT p_brand,
+       CAST(nn AS BIGINT) AS n_lines,
+       round(CAST(nn * sxy - sx * sy AS DOUBLE)
+             / nullif(sqrt(CAST(nn * sxx - sx * sx AS DOUBLE)
+                           * CAST(nn * syy - sy * sy AS DOUBLE)), 0.0),
+             6) + 0.0 AS spearman_rho
+FROM m
+"""
+
+
+@op("stats_spearman_binned", oracle=_SPEARMAN_ORACLE, tags=("ext", "stats"))
+def stats_spearman_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT tie-corrected Spearman rho between discount and quantity
+    per brand — the rank-correlation sibling of stats_kendall_tau_binned
+    over the same bounded (discount ≤ ~11 values, quantity ≤ 50
+    integers) contingency: tau counts pair agreements, rho is the
+    Pearson correlation OF THE AVERAGE RANKS — more sensitive to large
+    rank displacements, and directly comparable to the raw-value
+    correlation a dashboard already shows. Usually approximated at
+    scale; over bounded domains it is exact from ≤550 cells per brand.
+
+    Exact: doubled average ranks are integers (2·avgrank of a tie
+    group = 2·cum_before + group_size + 1 — the mann_whitney doubled-
+    rank discipline applied per DISTINCT VALUE, not per row); the six
+    weighted moments Σn, Σn·r, Σn·r² are exact HUGEINT/decimal(38,0)
+    aggregates (N·Sxx ≈ 4N⁴ wraps bigint — operands promoted BEFORE
+    multiplying); rho is one fixed-shape float expression over them
+    (the doubled-rank factors cancel between numerator and
+    denominator), rounded.
+
+    Scale: fact scan → broadcast part join → (brand, x, y) contingency
+    hash agg; rank assignment is a per-brand window over ≤|domain|
+    DISTINCT-VALUE rows (never row scale); moments fold on the cell
+    frame.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("bigint").alias("x"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    c = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "x", "y")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def ranks(col: str, out: str) -> DataFrame:
+        per = c.groupBy("p_brand", col).agg(F.sum("n").alias("nv"))
+        w = (
+            Window.partitionBy("p_brand")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return per.select(
+            "p_brand",
+            col,
+            (
+                2 * F.coalesce(F.sum("nv").over(w), F.lit(0))
+                + F.col("nv")
+                + 1
+            ).alias(out),
+        )
+
+    d38 = "decimal(38,0)"
+    nC = F.col("n").cast(d38)
+    m = (
+        c.join(ranks("x", "rx2"), ["p_brand", "x"])
+        .join(ranks("y", "ry2"), ["p_brand", "y"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(nC).alias("nn"),
+            F.sum(nC * F.col("rx2")).alias("sx"),
+            F.sum(nC * F.col("ry2")).alias("sy"),
+            F.sum(nC * F.col("rx2") * F.col("rx2")).alias("sxx"),
+            F.sum(nC * F.col("ry2") * F.col("ry2")).alias("syy"),
+            F.sum(nC * F.col("rx2") * F.col("ry2")).alias("sxy"),
+        )
+        .filter(F.col("nn") >= 2)
+    )
+    nn = F.col("nn")
+    num = (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (nn * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        "p_brand",
+        nn.cast("bigint").alias("n_lines"),
+        (F.round(num / F.nullif(den, F.lit(0.0)), 6) + F.lit(0.0)).alias(
+            "spearman_rho"
+        ),
+    )

