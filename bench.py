@@ -242,6 +242,11 @@ EXTENDED = [
     "stats_cohens_h",
     "stats_trend_proportions",
     "stats_spearman_binned",
+    "ts_turning_points",
+    "ts_burstiness",
+    "ts_cross_correlation",
+    "ts_spectral_entropy",
+    "ts_records_count",
 ]
 
 

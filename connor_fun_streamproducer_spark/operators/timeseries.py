@@ -2837,3 +2837,645 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sae7") < F.col("sae1")).alias("weekly_naive_wins"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Turning-point randomness test per type (is the daily series serially
+# dependent at all?)
+# ---------------------------------------------------------------------------
+
+_TP_CRIT = 1.959964  # two-sided 5% normal critical value
+
+_TP_ORACLE = f"""
+WITH d AS (
+    SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+    FROM events GROUP BY 1, 2
+), l AS (
+    SELECT event_type, x,
+           lag(x)  OVER (PARTITION BY event_type ORDER BY day) AS xp,
+           lead(x) OVER (PARTITION BY event_type ORDER BY day) AS xn
+    FROM d
+), t AS (
+    SELECT event_type,
+           count(*) + 2 AS n,
+           sum(CASE WHEN (x > xp AND x > xn) OR (x < xp AND x < xn)
+                    THEN 1 ELSE 0 END) AS tp
+    FROM l WHERE xp IS NOT NULL AND xn IS NOT NULL
+    GROUP BY 1 HAVING count(*) >= 13
+), f AS (
+    SELECT event_type, n, tp,
+           (tp - 2.0 * (n - 2) / 3) / sqrt((16.0 * n - 29) / 90) AS z
+    FROM t
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(tp AS BIGINT) AS n_turning,
+       round(2.0 * (n - 2) / 3, 4) + 0.0 AS expected_turning,
+       round(z, 6) + 0.0 AS z,
+       abs(round(z, 6)) > {_TP_CRIT} AS reject_random
+FROM f
+"""
+
+
+@op("ts_turning_points", oracle=_TP_ORACLE, tags=("ext", "timeseries", "stats"))
+def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point test of the daily cents series per type — the
+    cheapest omnibus randomness screen: an i.i.d. series has E[T] =
+    2(n−2)/3 interior local extrema; too FEW turning points means trend
+    or strong positive autocorrelation (smooth drifts — what
+    ts_mann_kendall then quantifies), too MANY means alternation /
+    negative autocorrelation (overcorrecting control loops). Sits in
+    front of the ACF tier the way jarque_bera sits in front of the
+    parametric era tests.
+
+    Exact: daily cents totals are exact integers; a turning point is a
+    strict two-sided sign condition on integer lag/lead comparisons
+    (plateau ties count as NOT turning — stated); T and n are exact
+    integer aggregates and z = (T − 2(n−2)/3)/√((16n−29)/90) is one
+    fixed-shape float expression, rounded before the 5% literal.
+    Support floor n ≥ 15 (13 interior points), stated.
+
+    Scale: one scan → (type, day) hash agg → one per-type day window
+    (|days|-bounded partitions) → |types| rows.
+    """
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            epoch_div("ts", 86400).alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type",
+        "x",
+        F.lag("x").over(w).alias("xp"),
+        F.lead("x").over(w).alias("xn"),
+    ).filter(F.col("xp").isNotNull() & F.col("xn").isNotNull())
+    t = (
+        l.groupBy("event_type")
+        .agg(
+            (F.count("*") + 2).alias("n"),
+            F.sum(
+                F.when(
+                    ((F.col("x") > F.col("xp")) & (F.col("x") > F.col("xn")))
+                    | ((F.col("x") < F.col("xp")) & (F.col("x") < F.col("xn"))),
+                    1,
+                ).otherwise(0)
+            ).alias("tp"),
+        )
+        .filter(F.col("n") >= 15)
+    )
+    n, tp = F.col("n"), F.col("tp")
+    z = (tp - 2.0 * (n - 2) / 3) / F.sqrt((16.0 * n - 29) / 90)
+    rz = F.round(z, 6)
+    return t.select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        tp.cast("bigint").alias("n_turning"),
+        (F.round(2.0 * (n - 2) / 3, 4) + F.lit(0.0)).alias("expected_turning"),
+        (rz + F.lit(0.0)).alias("z"),
+        (F.abs(rz) > F.lit(_TP_CRIT)).alias("reject_random"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness of inter-event gaps per type (periodic ↔ Poisson ↔ bursty)
+# ---------------------------------------------------------------------------
+
+_BURST_BAND = 0.1  # |B| below this reads as Poisson-like, stated
+
+_BURSTINESS_ORACLE = f"""
+WITH e AS (
+    SELECT event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS te
+    FROM events
+), g AS (
+    SELECT event_type,
+           te - lag(te) OVER (PARTITION BY event_type
+                              ORDER BY te, event_id) AS gap
+    FROM e
+), m AS (
+    SELECT event_type, count(*) AS n,
+           sum(CAST(gap AS HUGEINT)) AS s,
+           sum(CAST(gap AS HUGEINT) * gap) AS q
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY 1 HAVING count(*) >= 2 AND sum(gap) > 0
+), f AS (
+    SELECT event_type, n, s,
+           sqrt(greatest(CAST(q AS DOUBLE) / n
+                         - CAST(s AS DOUBLE) * s / n / n, 0.0)) AS sd,
+           CAST(s AS DOUBLE) / n AS mu
+    FROM m
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_gaps,
+       round(mu, 4) + 0.0 AS mean_gap_s,
+       round(sd / mu, 6) + 0.0 AS cv,
+       round((sd - mu) / (sd + mu), 6) + 0.0 AS burstiness,
+       CASE WHEN round((sd - mu) / (sd + mu), 6) >= {_BURST_BAND} THEN 'bursty'
+            WHEN round((sd - mu) / (sd + mu), 6) <= -{_BURST_BAND} THEN 'regular'
+            ELSE 'poisson_like' END AS regime
+FROM f
+"""
+
+
+@op("ts_burstiness", oracle=_BURSTINESS_ORACLE, tags=("ext", "timeseries"))
+def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of INTER-EVENT gaps per
+    type — the arrival-process fingerprint at the single-event grain
+    that ts_dispersion_index reads at the daily grain: B → −1 is a
+    metronome (schedulers, heartbeats), B ≈ 0 memoryless Poisson,
+    B → 1 heavy-tailed bursts (human activity, incident storms). The
+    regime decides streaming provisioning: watermark slack and state
+    sizing follow peak-to-mean, which is exactly what B prices.
+
+    Exact: gaps are integer second differences under the (te,
+    event_id) total order; moments (n, Σg, Σg²) are exact
+    HUGEINT/decimal aggregates (population σ — stated); B and CV are
+    one fixed-shape float expression, rounded before the ±0.1 regime
+    bands (stated convention).
+
+    Scale: one scan → per-type lag window (one exchange) → |types|-row
+    hash agg with map-side partials.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", epoch_seconds("ts").alias("te")
+    )
+    w = Window.partitionBy("event_type").orderBy("te", "event_id")
+    g = e.select(
+        "event_type", (F.col("te") - F.lag("te").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    gd = F.col("gap").cast("decimal(38,0)")
+    m = (
+        g.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(gd).alias("s"),
+            F.sum(gd * F.col("gap")).alias("q"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("s") > 0))
+    )
+    n, s = F.col("n"), F.col("s")
+    mu = s.cast("double") / n
+    sd = F.sqrt(
+        F.greatest(
+            F.col("q").cast("double") / n - s.cast("double") * s.cast("double") / n / n,
+            F.lit(0.0),
+        )
+    )
+    b = F.round((sd - mu) / (sd + mu), 6)
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_gaps"),
+        (F.round(mu, 4) + F.lit(0.0)).alias("mean_gap_s"),
+        (F.round(sd / mu, 6) + F.lit(0.0)).alias("cv"),
+        (b + F.lit(0.0)).alias("burstiness"),
+        F.when(b >= _BURST_BAND, F.lit("bursty"))
+        .when(b <= -_BURST_BAND, F.lit("regular"))
+        .otherwise(F.lit("poisson_like"))
+        .alias("regime"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation between type pairs (who leads whom, by how much)
+# ---------------------------------------------------------------------------
+
+_CCF_MAX_LAG = 3  # days; output is |types|²·(lags+1) — dim-bounded
+
+_CCF_ORACLE = f"""
+WITH d AS (
+    SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+           count(*) AS c
+    FROM events GROUP BY 1, 2
+), span AS (
+    SELECT max(day) - min(day) + 1 AS dd FROM d
+), t AS (
+    SELECT event_type,
+           sum(CAST(c AS HUGEINT)) AS s,
+           sum(CAST(c AS HUGEINT) * c) AS q
+    FROM d GROUP BY 1
+), lags AS (SELECT unnest(generate_series(0, {_CCF_MAX_LAG})) AS lag),
+ab AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+           sum(CAST(a.c AS HUGEINT) * b.c) AS sab
+    FROM d a
+    CROSS JOIN lags l
+    JOIN d b ON b.event_type <> a.event_type AND b.day = a.day + l.lag
+    GROUP BY 1, 2, 3
+), f AS (
+    SELECT ab.type_a, ab.type_b, ab.lag, sp.dd,
+           (CAST(sp.dd AS DOUBLE) * ab.sab - CAST(ta.s AS DOUBLE) * tb.s)
+           / nullif(sqrt((CAST(sp.dd AS DOUBLE) * ta.q - CAST(ta.s AS DOUBLE) * ta.s)
+                       * (CAST(sp.dd AS DOUBLE) * tb.q - CAST(tb.s AS DOUBLE) * tb.s)),
+                    0.0) AS r
+    FROM ab
+    JOIN t ta ON ta.event_type = ab.type_a
+    JOIN t tb ON tb.event_type = ab.type_b
+    CROSS JOIN span sp
+)
+SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag_days,
+       CAST(dd AS BIGINT) AS n_grid_days,
+       round(r, 6) + 0.0 AS ccf
+FROM f
+"""
+
+
+@op("ts_cross_correlation", oracle=_CCF_ORACLE, tags=("ext", "timeseries", "stats"))
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation of DAILY COUNTS between every ordered
+    type pair at lags 0..{lags} days — the lead/lag map ts_autocorr
+    can't see (it is each series against itself): ccf(a, b, L) is the
+    correlation of a's count today with b's count L days LATER, so a
+    peak at L > 0 reads "a leads b by L" — checkout leading shipment,
+    signup leading churn. The |types|²·{lagsp} table is the input a
+    forecaster mines for usable covariates.
+
+    Exact: the zero-padded-grid convention, stated — both series live
+    on the full [min_day, max_day] grid with 0 off-support, so every
+    moment is an integer aggregate over OBSERVED cells only (zeros
+    contribute nothing) divided by the grid length D: Σab is a cell
+    equi-join on day+L, per-type Σc/Σc² are shared across pairs, and
+    r = (D·Σab − Σa·Σb)/√((D·Σaa − Σa²)(D·Σbb − Σb²)) is one
+    fixed-shape float expression over HUGEINT/decimal integers,
+    rounded. No dense grid is materialized.
+
+    Scale: one scan → (type, day) hash agg (|types|·|days| cells) →
+    a lag-exploded cell self-join on day (bounded by cells·lags, never
+    row scale) + a broadcast of the |types| moment frame.
+    """
+    d = (
+        load(spark, sf_dir, "events")
+        .select("event_type", epoch_div("ts", 86400).alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("c"))
+    )
+    sp = d.agg((F.max("day") - F.min("day") + 1).alias("dd")).collect()[0]
+    dd = int(sp["dd"])  # 1-row probe: the grid length literal
+    cd = F.col("c").cast("decimal(38,0)")
+    t = d.groupBy("event_type").agg(
+        F.sum(cd).alias("s"), F.sum(cd * F.col("c")).alias("q")
+    )
+    a = d.select(
+        F.col("event_type").alias("type_a"),
+        "day",
+        F.col("c").alias("ca"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_CCF_MAX_LAG + 1)])
+        ).alias("lag"),
+    )
+    b = d.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("day_b"),
+        F.col("c").alias("cb"),
+    )
+    ab = (
+        a.join(
+            b,
+            (F.col("type_b") != F.col("type_a"))
+            & (F.col("day_b") == F.col("day") + F.col("lag")),
+        )
+        .groupBy("type_a", "type_b", "lag")
+        .agg(F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb")).alias("sab"))
+    )
+    ta = t.select(
+        F.col("event_type").alias("type_a"),
+        F.col("s").alias("sa"),
+        F.col("q").alias("qa"),
+    )
+    tb = t.select(
+        F.col("event_type").alias("type_b"),
+        F.col("s").alias("sb"),
+        F.col("q").alias("qb"),
+    )
+    f = ab.join(F.broadcast(ta), "type_a").join(F.broadcast(tb), "type_b")
+    D = F.lit(float(dd))
+    r = (D * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb")) / F.nullif(
+        F.sqrt(
+            (D * F.col("qa").cast("double") - F.col("sa").cast("double") * F.col("sa"))
+            * (D * F.col("qb").cast("double") - F.col("sb").cast("double") * F.col("sb"))
+        ),
+        F.lit(0.0),
+    )
+    return f.select(
+        "type_a",
+        "type_b",
+        F.col("lag").cast("bigint").alias("lag_days"),
+        F.lit(dd).cast("bigint").alias("n_grid_days"),
+        (F.round(r, 6) + F.lit(0.0)).alias("ccf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running-record count per type vs the exchangeable-null expectation
+# ---------------------------------------------------------------------------
+
+_REC_CRIT = 1.644854  # one-sided 5% normal critical value (upper records)
+
+_RECORDS_ORACLE = f"""
+WITH d AS (
+    SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+    FROM events GROUP BY 1, 2
+), r AS (
+    SELECT event_type, x,
+           max(x) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prevmax
+    FROM d
+), t AS (
+    SELECT event_type, count(*) AS n,
+           sum(CASE WHEN prevmax IS NULL OR x > prevmax THEN 1 ELSE 0 END)
+               AS rec
+    FROM r GROUP BY 1 HAVING count(*) >= 10
+), h AS (
+    SELECT event_type, n, rec,
+           list_reduce(list_transform(range(1, n + 1),
+                       k -> 1.0 / k), (a, b) -> a + b) AS hn,
+           list_reduce(list_transform(range(1, n + 1),
+                       k -> 1.0 / k / k), (a, b) -> a + b) AS hn2
+    FROM t
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(rec AS BIGINT) AS n_records,
+       round(hn, 4) + 0.0 AS expected_records,
+       round((rec - hn) / sqrt(hn - hn2), 6) + 0.0 AS z,
+       round((rec - hn) / sqrt(hn - hn2), 6) > {_REC_CRIT} AS trend_detected
+FROM h
+"""
+
+
+@op("ts_records_count", oracle=_RECORDS_ORACLE, tags=("ext", "timeseries", "stats"))
+def ts_records_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-record count of the daily cents series per type, scored
+    against the exchangeable null — under any i.i.d. ordering the k-th
+    day is a new all-time high with probability 1/k, so E[R] = H_n
+    (harmonic) and Var[R] = H_n − H_n⁽²⁾: a series that keeps printing
+    "best day ever" far above ~ln(n) times is trending, and this test
+    prices exactly that intuition. The one-sided z complements
+    ts_mann_kendall (pair-sign trend) with an extreme-value view —
+    record floods fire here first when growth is concentrated in peaks.
+
+    Exact: daily cents totals are exact integers; a record is a strict
+    integer compare against the running max (day 1 counts — the H_n
+    convention); H_n and H_n⁽²⁾ are folds over range(1, n+1) — a
+    DETERMINISTIC ascending summation order on both engines (the
+    bounded-series discipline; n ≤ |days|); z is one fixed-shape float
+    expression, rounded before the one-sided 5% literal. Support floor
+    n ≥ 10, stated.
+
+    Scale: one scan → (type, day) hash agg → one per-type day window →
+    |types| rows, each folding an |days|-element arithmetic sequence.
+    """
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            epoch_div("ts", 86400).alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = d.select("event_type", "x", F.max("x").over(w).alias("prevmax"))
+    t = (
+        r.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("prevmax").isNull() | (F.col("x") > F.col("prevmax")), 1
+                ).otherwise(0)
+            ).alias("rec"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    hn = F.expr(
+        "aggregate(sequence(1, n), CAST(0.0 AS DOUBLE), (a, k) -> a + 1.0 / k)"
+    )
+    hn2 = F.expr(
+        "aggregate(sequence(1, n), CAST(0.0 AS DOUBLE),"
+        " (a, k) -> a + 1.0 / k / k)"
+    )
+    z = F.round((F.col("rec") - hn) / F.sqrt(hn - hn2), 6)
+    return t.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("rec").cast("bigint").alias("n_records"),
+        (F.round(hn, 4) + F.lit(0.0)).alias("expected_records"),
+        (z + F.lit(0.0)).alias("z"),
+        (z > F.lit(_REC_CRIT)).alias("trend_detected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spectral entropy over a fixed period bank (how concentrated is the cycle?)
+# ---------------------------------------------------------------------------
+
+_SPEC_PERIODS = (168, 24, 12, 8, 6, 4, 3, 2)  # hours: weekly + diurnal bank
+
+
+def _spec_tables() -> dict[int, tuple[list[int], list[int]]]:
+    """1e6-quantized cos/sin tables for the entropy period bank — the
+    _pgram_tables construction over a wider bank, generated once and
+    embedded as literals on BOTH engines (no libm trig in either plan)."""
+    import math
+
+    out = {}
+    for p in _SPEC_PERIODS:
+        out[p] = (
+            [math.floor(math.cos(2 * math.pi * m / p) * 1e6 + 0.5) for m in range(p)],
+            [math.floor(math.sin(2 * math.pi * m / p) * 1e6 + 0.5) for m in range(p)],
+        )
+    return out
+
+
+def _spec_oracle() -> str:
+    tabs = _spec_tables()
+    per_p = " UNION ALL ".join(
+        f"SELECT {p} AS period_h, [{', '.join(map(str, qc))}] AS qc,"
+        f" [{', '.join(map(str, qs))}] AS qs"
+        for p, (qc, qs) in tabs.items()
+    )
+    k = len(_SPEC_PERIODS)
+    return f"""
+WITH hrs AS (
+    SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+), span AS (
+    SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS mn,
+           max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS mx
+    FROM events
+), grid AS (
+    SELECT t.event_type, g.h
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN (SELECT unnest(generate_series(mn, mx)) AS h FROM span) g
+), dense AS (
+    SELECT g.event_type, g.h, coalesce(hrs.cnt, 0) AS c
+    FROM grid g LEFT JOIN hrs ON hrs.event_type = g.event_type AND hrs.h = g.h
+), tot AS (
+    SELECT event_type, count(*) AS n, sum(c) AS s FROM dense GROUP BY 1
+), tabs AS ({per_p}),
+ab AS (
+    SELECT d.event_type, p.period_h,
+           sum((t.n * d.c - t.s) * p.qc[CAST(d.h % p.period_h AS INTEGER) + 1]) AS a,
+           sum((t.n * d.c - t.s) * p.qs[CAST(d.h % p.period_h AS INTEGER) + 1]) AS b,
+           max(t.n) AS n
+    FROM dense d
+    JOIN tot t USING (event_type)
+    CROSS JOIN tabs p
+    GROUP BY 1, 2
+), sp AS (
+    SELECT event_type, period_h,
+           (a // (n * n // 2)) * (a // (n * n // 2))
+           + (b // (n * n // 2)) * (b // (n * n // 2)) AS s
+    FROM ab
+), dom AS (
+    SELECT event_type, period_h AS dominant_period_h
+    FROM (SELECT event_type, period_h,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY s DESC, period_h) AS rk
+          FROM sp)
+    WHERE rk = 1
+), lst AS (
+    SELECT event_type, list(s ORDER BY period_h) AS l, sum(s) AS t
+    FROM sp GROUP BY 1 HAVING sum(s) > 0
+)
+SELECT l.event_type,
+       CAST({k} AS BIGINT) AS n_periods,
+       CAST(l.t AS BIGINT) AS total_power_u2,
+       round(list_reduce(list_transform(l.l, s -> CASE WHEN s > 0 THEN
+                 -(CAST(s AS DOUBLE) / l.t) * ln(CAST(s AS DOUBLE) / l.t)
+                 ELSE 0.0 END), (a, b) -> a + b) / ln({k}.0), 6) + 0.0
+           AS spectral_entropy_norm,
+       CAST(d.dominant_period_h AS BIGINT) AS dominant_period_h
+FROM lst l JOIN dom d USING (event_type)
+"""
+
+
+@op(
+    "ts_spectral_entropy",
+    oracle=_spec_oracle(),
+    tags=("ext", "timeseries", "stats"),
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized spectral entropy of the hourly count series over a
+    fixed 8-period bank (weekly 168 h + the diurnal cascade 24..2 h)
+    per type — ONE number for "how cyclic is this stream":  entropy → 0
+    means the power concentrates in a single period (schedule-driven —
+    ts_periodogram_fixed then says which, ts_seasonal_index profiles
+    its shape), entropy → 1 means no period in the bank dominates
+    (demand-driven / aperiodic). The dominant period rides along as the
+    argmax for free.
+
+    Exact: the _pgram_tables construction widened to the bank —
+    quantized trig literals shared verbatim by both engines, integer
+    amplitudes via integral div, per-period power S = a_u² + b_u² as
+    exact integers; the entropy is a fold over the 8 powers in FIXED
+    ascending-period order (the sorted-cell fold discipline) with one
+    ln per term, normalized by ln(8), rounded. Dominant period is an
+    exact integer argmax with the smaller-period tie rule, stated.
+
+    Scale: |types| × span-hours dense grid (calendar-bounded, the
+    croston/periodogram posture) → one hash agg per (type, period) →
+    |types|·8 rows → |types| folds.
+    """
+    tabs = _spec_tables()
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", epoch_div("ts", 3600).alias("h")
+    )
+    hrs = ev.groupBy("event_type", "h").agg(F.count("*").alias("cnt"))
+    span = ev.agg(F.min("h").alias("mn"), F.max("h").alias("mx")).collect()[0]
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                hrs.sparkSession.range(span["mn"], span["mx"] + 1).select(
+                    F.col("id").alias("h")
+                )
+            )
+        )
+    )
+    dense = grid.join(hrs, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("cnt", F.lit(0)).alias("c")
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("c").alias("s")
+    )
+    ptab = dense.sparkSession.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("period_h"),
+                        F.array(*[F.lit(v) for v in qc]).alias("qc"),
+                        F.array(*[F.lit(v) for v in qs]).alias("qs"),
+                    )
+                    for p, (qc, qs) in tabs.items()
+                ]
+            )
+        ).alias("t")
+    ).select("t.period_h", "t.qc", "t.qs")
+    dev = (F.col("n") * F.col("c") - F.col("s")).cast("decimal(38,0)")
+    m1 = (F.col("h") % F.col("period_h")).cast("int") + 1
+    ab = (
+        dense.join(tot, "event_type")
+        .crossJoin(F.broadcast(ptab))
+        .groupBy("event_type", "period_h")
+        .agg(
+            F.sum(dev * F.element_at("qc", m1).cast("decimal(38,0)")).alias("a"),
+            F.sum(dev * F.element_at("qs", m1).cast("decimal(38,0)")).alias("b"),
+            F.max("n").alias("n"),
+        )
+    )
+    amp_c = F.expr("CAST(a AS DECIMAL(38,0)) div CAST(n * n div 2 AS DECIMAL(38,0))")
+    amp_s = F.expr("CAST(b AS DECIMAL(38,0)) div CAST(n * n div 2 AS DECIMAL(38,0))")
+    sp = ab.select(
+        "event_type",
+        "period_h",
+        (amp_c * amp_c + amp_s * amp_s).cast("decimal(38,0)").alias("s"),
+    )
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("s").desc(), F.col("period_h").asc()
+    )
+    dom = (
+        sp.select(
+            "event_type", "period_h", F.row_number().over(wd).alias("rk")
+        )
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("period_h").alias("dominant_period_h"))
+    )
+    k = len(_SPEC_PERIODS)
+    lst = (
+        sp.groupBy("event_type")
+        .agg(
+            F.expr("sort_array(collect_list(struct(period_h, s)))").alias("ps"),
+            F.sum("s").alias("t"),
+        )
+        .filter(F.col("t") > 0)
+    )
+    ent = F.expr(
+        "aggregate(ps, CAST(0.0 AS DOUBLE), (a, p) -> a + CASE WHEN p.s > 0"
+        " THEN -(CAST(p.s AS DOUBLE) / CAST(t AS DOUBLE))"
+        " * ln(CAST(p.s AS DOUBLE) / CAST(t AS DOUBLE)) ELSE 0.0 END)"
+        f" / ln({k}.0)"
+    )
+    return lst.join(dom, "event_type").select(
+        "event_type",
+        F.lit(k).cast("bigint").alias("n_periods"),
+        F.col("t").cast("bigint").alias("total_power_u2"),
+        (F.round(ent, 6) + F.lit(0.0)).alias("spectral_entropy_norm"),
+        F.col("dominant_period_h").cast("bigint").alias("dominant_period_h"),
+    )

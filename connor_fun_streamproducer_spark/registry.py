@@ -255,6 +255,11 @@ _WINDOW_PRIORITY = [
     "stats_cohens_h",
     "stats_trend_proportions",
     "stats_spearman_binned",
+    "ts_turning_points",
+    "ts_burstiness",
+    "ts_cross_correlation",
+    "ts_spectral_entropy",
+    "ts_records_count",
     # -- behind the window: staleness-ordered (latest external check
     #    ascending — r4-vintage keys first, the freshly-r11-checked
     #    former window last) so the r13 rotation input is pinned --

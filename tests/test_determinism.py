@@ -150,6 +150,11 @@ SWEEP = [
     "stats_cohens_h",              # pooled-median rank pick + asin gap (r12)
     "stats_trend_proportions",     # quarter scores + rank-pick median (r12)
     "stats_spearman_binned",       # doubled-rank contingency moments (r12)
+    "ts_turning_points",           # integer lag/lead sign compares (r12)
+    "ts_burstiness",               # gap moments under total order (r12)
+    "ts_cross_correlation",        # zero-padded integer CCF moments (r12)
+    "ts_spectral_entropy",         # quantized trig sums + ordered fold (r12)
+    "ts_records_count",            # running-max records + harmonic fold (r12)
 ]
 
 

@@ -2966,3 +2966,125 @@ def test_spearman_binned_monotone_and_known_value(spark, tmp_path):
     write([(0.00, 1), (0.02, 9), (0.04, 5), (0.06, 12)])  # one swap
     r = fn(spark, str(tmp_path)).collect()[0]
     assert 0 < r["spearman_rho"] < 1, r
+
+
+def test_r12_ts_suite_constructed_calibration(spark, tmp_path):
+    """Calibration of the r12 timeseries additions on constructed
+    fixtures (the era-suite template): each diagnostic must FIRE on the
+    structure it exists for and stay QUIET on its null."""
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    tp = registry.OPS["ts_turning_points"].fn
+    burst = registry.OPS["ts_burstiness"].fn
+    rec = registry.OPS["ts_records_count"].fn
+
+    def daily(cents_seq, typ="t"):
+        return [
+            dict(event_id=i, ts=pd.Timestamp("2024-01-01") + pd.Timedelta(days=i),
+                 user_id=1, event_type=typ, value=c / 100.0, props="{}")
+            for i, c in enumerate(cents_seq)
+        ]
+
+    def write(rows):
+        pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+
+    # turning points: monotone -> T=0 fires low; alternation -> T=n-2
+    # fires high; an up-up-down comb sits at ~2n/3 ≈ E[T] and is quiet
+    write(daily([1000 + 10 * i for i in range(30)]))
+    r = tp(spark, str(tmp_path)).collect()[0]
+    assert r["n_turning"] == 0 and bool(r["reject_random"]) and r["z"] < 0, r
+    write(daily([1000 + (100 if i % 2 == 0 else -100) for i in range(30)]))
+    r = tp(spark, str(tmp_path)).collect()[0]
+    assert r["n_turning"] == 28 and bool(r["reject_random"]) and r["z"] > 0, r
+    write(daily([1000 + (i % 3) * 100 for i in range(30)]))
+    r = tp(spark, str(tmp_path)).collect()[0]
+    assert bool(r["reject_random"]) is False, r
+
+    # records: strict growth -> every day a record; flat -> only day 1
+    write(daily([1000 + 10 * i for i in range(30)]))
+    r = rec(spark, str(tmp_path)).collect()[0]
+    assert r["n_records"] == 30 and bool(r["trend_detected"]), r
+    write(daily([1000] * 30))
+    r = rec(spark, str(tmp_path)).collect()[0]
+    assert r["n_records"] == 1 and not bool(r["trend_detected"]), r
+
+    # burstiness: metronome -> B = -1 (regular); rare huge gaps -> bursty
+    write([
+        dict(event_id=i, ts=pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=60 * i),
+             user_id=1, event_type="m", value=1.0, props="{}")
+        for i in range(50)
+    ])
+    r = burst(spark, str(tmp_path)).collect()[0]
+    assert r["burstiness"] == -1.0 and r["regime"] == "regular", r
+    secs, t = [], 0
+    for i in range(50):
+        t += 10000 if i % 10 == 9 else 1
+        secs.append(t)
+    write([
+        dict(event_id=i, ts=pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s),
+             user_id=1, event_type="b", value=1.0, props="{}")
+        for i, s in enumerate(secs)
+    ])
+    r = burst(spark, str(tmp_path)).collect()[0]
+    assert r["regime"] == "bursty" and r["burstiness"] > 0.4, r
+
+
+def test_cross_correlation_shifted_twin_peaks_at_its_lag(spark, tmp_path):
+    """ts_cross_correlation: type b = type a delayed by exactly 2 days
+    → ccf(a, b, lag=2) = 1.0 exactly (zero-padded grid convention makes
+    the aligned moments identical), and the lag-0 value is strictly
+    smaller."""
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    rows, eid = [], 0
+    counts = [1, 3, 2, 5, 1, 4, 2, 6, 3, 1]
+    for day, c in enumerate(counts):
+        for typ, off in (("a", 0), ("b", 2)):
+            for _ in range(c):
+                rows.append(
+                    dict(event_id=eid,
+                         ts=pd.Timestamp("2024-01-01") + pd.Timedelta(days=day + off),
+                         user_id=1, event_type=typ, value=1.0, props="{}")
+                )
+                eid += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    df = registry.OPS["ts_cross_correlation"].fn(spark, str(tmp_path)).collect()
+    by = {(r["type_a"], r["type_b"], r["lag_days"]): r["ccf"] for r in df}
+    assert by[("a", "b", 2)] == 1.0, by
+    assert by[("a", "b", 0)] < 1.0, by
+
+
+def test_spectral_entropy_pure_tone_vs_flat(spark, tmp_path):
+    """ts_spectral_entropy: an hourly count series tracing one 24 h
+    cosine concentrates its power at the 24 h bank entry (dominant
+    period 24, entropy well below 1); a FLAT series has zero deviation
+    power everywhere and emits no row (total power 0 is filtered —
+    stated)."""
+    import math
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    fn = registry.OPS["ts_spectral_entropy"].fn
+
+    def write(counts_fn):
+        rows, eid = [], 0
+        for h in range(24 * 14):
+            for _ in range(counts_fn(h)):
+                rows.append(
+                    dict(event_id=eid,
+                         ts=pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h),
+                         user_id=1, event_type="x", value=1.0, props="{}")
+                )
+                eid += 1
+        pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+
+    write(lambda h: 10 + round(5 * math.cos(2 * math.pi * h / 24)))
+    r = fn(spark, str(tmp_path)).collect()[0]
+    assert r["dominant_period_h"] == 24 and r["spectral_entropy_norm"] < 0.6, r
+    write(lambda h: 7)
+    assert fn(spark, str(tmp_path)).count() == 0

@@ -63,6 +63,11 @@ NEW_IN_ROUND_12 = [
     "stats_cohens_h",
     "stats_trend_proportions",
     "stats_spearman_binned",
+    "ts_turning_points",
+    "ts_burstiness",
+    "ts_cross_correlation",
+    "ts_spectral_entropy",
+    "ts_records_count",
 ]
 
 # First in line behind the window: the stalest externally-green tier
