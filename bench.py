@@ -247,6 +247,10 @@ EXTENDED = [
     "ts_cross_correlation",
     "ts_spectral_entropy",
     "ts_records_count",
+    "pipeline_backlog_burndown",
+    "pipeline_nation_trade_balance",
+    "pipeline_fill_rate",
+    "pipeline_brand_supplier_hhi",
 ]
 
 

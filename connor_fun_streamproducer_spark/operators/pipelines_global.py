@@ -15,7 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from connor_fun_streamproducer_spark.catalog import epoch_div, epoch_seconds, load
+from pyspark.sql.window import Window
+
+from connor_fun_streamproducer_spark.catalog import (
+    dim_window,
+    epoch_div,
+    epoch_seconds,
+    load,
+)
 from connor_fun_streamproducer_spark.registry import op
 
 
@@ -1070,4 +1077,384 @@ def pipeline_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(sy.cast("double") / n, 4) + F.lit(0.0)).alias("mean_qty"),
         (rs + F.lit(0.0)).alias("slope_qty_per_pct"),
         (rs > 0).alias("demand_responds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly order backlog burndown (opened vs fully-shipped, cumulative)
+# ---------------------------------------------------------------------------
+
+_BACKLOG_ORACLE = """
+WITH op AS (
+    SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 604800 AS wk,
+           count(*) AS n_opened,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS opened_cents
+    FROM orders GROUP BY 1
+), cl AS (
+    SELECT wk, count(*) AS n_closed, sum(cents) AS closed_cents
+    FROM (
+        SELECT l_orderkey,
+               max(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 604800) AS wk,
+               max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY 1
+    ) GROUP BY 1
+), wks AS (
+    SELECT coalesce(op.wk, cl.wk) AS wk,
+           coalesce(n_opened, 0) AS n_opened,
+           coalesce(n_closed, 0) AS n_closed,
+           coalesce(opened_cents, 0) AS opened_cents,
+           coalesce(closed_cents, 0) AS closed_cents
+    FROM op FULL JOIN cl ON op.wk = cl.wk
+)
+SELECT CAST(wk AS BIGINT) AS week,
+       CAST(n_opened AS BIGINT) AS n_opened,
+       CAST(n_closed AS BIGINT) AS n_closed,
+       CAST(sum(n_opened - n_closed) OVER (ORDER BY wk
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog_orders,
+       CAST(sum(opened_cents - closed_cents) OVER (ORDER BY wk
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog_cents
+FROM wks
+"""
+
+
+@op("pipeline_backlog_burndown", oracle=_BACKLOG_ORACLE, tags=("ext", "pipeline"))
+def pipeline_backlog_burndown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly order-backlog burndown: per week, orders OPENED (by order
+    date) vs orders FULLY SHIPPED (the week of the order's LAST line
+    shipment), and the running backlog in both order count and cents —
+    the operations view that order_lead_time's latency percentiles
+    summarize away: lead time says "how slow", the backlog curve says
+    "how far behind, trending which way", which is what capacity
+    planning actually consumes. An order closes in its max-shipdate
+    week; orders with no lines never close, stated.
+
+    Exact: week = epoch div 604800 (the integer-div bucketing
+    discipline); counts and cents (order totalprice at open AND close —
+    the same order contributes equal and opposite cents, so the
+    cumulative nets to the open-value backlog) are exact integer
+    aggregates; the running sums are integer window folds. No floats
+    anywhere.
+
+    Scale: orders scan → |weeks| agg; lineitem⋈orders shuffle on
+    orderkey (fact×fact, AQE) → per-order max agg → |weeks| agg; the
+    cumulative window runs on the |weeks|-bounded union frame.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        epoch_div("o_orderdate", 604800).alias("owk"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    opened = o.groupBy(F.col("owk").alias("wk")).agg(
+        F.count("*").alias("n_opened"), F.sum("cents").alias("opened_cents")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", epoch_div("l_shipdate", 604800).alias("swk")
+    )
+    closed = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.max("swk").alias("wk"), F.max("cents").alias("cents"))
+        .groupBy("wk")
+        .agg(F.count("*").alias("n_closed"), F.sum("cents").alias("closed_cents"))
+    )
+    wks = (
+        opened.join(closed, "wk", "full")
+        .select(
+            "wk",
+            F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+            F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+            F.coalesce("opened_cents", F.lit(0)).alias("opened_cents"),
+            F.coalesce("closed_cents", F.lit(0)).alias("closed_cents"),
+        )
+    )
+    wc = dim_window(
+        Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, 0),
+        bound="|weeks| rows (calendar-bounded)",
+    )
+    return wks.select(
+        F.col("wk").cast("bigint").alias("week"),
+        F.col("n_opened").cast("bigint").alias("n_opened"),
+        F.col("n_closed").cast("bigint").alias("n_closed"),
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(wc)
+        .cast("bigint")
+        .alias("backlog_orders"),
+        F.sum(F.col("opened_cents") - F.col("closed_cents"))
+        .over(wc)
+        .cast("bigint")
+        .alias("backlog_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nation trade balance (export vs import revenue per nation)
+# ---------------------------------------------------------------------------
+
+_TRADE_ORACLE = """
+WITH r AS (
+    SELECT s_nationkey AS exp_nk, c_nationkey AS imp_nk,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT) AS cents
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+), ex AS (
+    SELECT exp_nk AS nk, sum(cents) AS export_cents, count(*) AS n_export_items
+    FROM r GROUP BY 1
+), im AS (
+    SELECT imp_nk AS nk, sum(cents) AS import_cents, count(*) AS n_import_items
+    FROM r GROUP BY 1
+)
+SELECT n_name,
+       CAST(coalesce(n_export_items, 0) AS BIGINT) AS n_export_items,
+       CAST(coalesce(n_import_items, 0) AS BIGINT) AS n_import_items,
+       CAST(coalesce(export_cents, 0) AS BIGINT) AS export_cents,
+       CAST(coalesce(import_cents, 0) AS BIGINT) AS import_cents,
+       CAST(coalesce(export_cents, 0) - coalesce(import_cents, 0) AS BIGINT)
+           AS balance_cents
+FROM nation
+LEFT JOIN ex ON ex.nk = n_nationkey
+LEFT JOIN im ON im.nk = n_nationkey
+"""
+
+
+@op("pipeline_nation_trade_balance", oracle=_TRADE_ORACLE, tags=("ext", "pipeline", "join"))
+def pipeline_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance over the supplier→customer flow: a
+    nation EXPORTS a line's revenue when its supplier ships it and
+    IMPORTS when its customer buys it; the balance nets the two. The
+    symmetric rollup of pipeline_nation_volume's (supplier, customer)
+    matrix — Q7 tells you which corridors are big, this tells you who
+    runs a surplus, including nations with zero flow (LEFT join from
+    the nation dim keeps them at 0, stated).
+
+    Exact: revenue in integer cents (per-line round then exact BIGINT
+    sums); one shared fact-join subtree feeds BOTH rollups (export by
+    supplier nation, import by customer nation), so the corpus-scale
+    joins run once.
+
+    Scale: lineitem⋈orders shuffle (fact×fact, AQE) + two key lookups;
+    both rollups are 25-row aggs with map-side partials; the final
+    joins are broadcasts against the nation dim.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    r = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("s_nationkey").alias("exp_nk"),
+            F.col("c_nationkey").alias("imp_nk"),
+            cents.alias("cents"),
+        )
+    )
+    ex = r.groupBy(F.col("exp_nk").alias("nk")).agg(
+        F.sum("cents").alias("export_cents"),
+        F.count("*").alias("n_export_items"),
+    )
+    im = r.groupBy(F.col("imp_nk").alias("nk")).agg(
+        F.sum("cents").alias("import_cents"),
+        F.count("*").alias("n_import_items"),
+    )
+    return (
+        n.join(ex, n.n_nationkey == ex.nk, "left")
+        .join(im, n.n_nationkey == im.nk, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_export_items", F.lit(0))
+            .cast("bigint")
+            .alias("n_export_items"),
+            F.coalesce("n_import_items", F.lit(0))
+            .cast("bigint")
+            .alias("n_import_items"),
+            F.coalesce("export_cents", F.lit(0))
+            .cast("bigint")
+            .alias("export_cents"),
+            F.coalesce("import_cents", F.lit(0))
+            .cast("bigint")
+            .alias("import_cents"),
+            (
+                F.coalesce("export_cents", F.lit(0))
+                - F.coalesce("import_cents", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("balance_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monthly fill rate (service level: quantity shipped within 30 days)
+# ---------------------------------------------------------------------------
+
+_FILL_DAYS = 30  # service-level promise window, stated
+
+_FILL_ORACLE = f"""
+WITH j AS (
+    SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 // 30 AS m30,
+           CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+           CASE WHEN CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400
+                     - CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+                     <= {_FILL_DAYS} THEN 1 ELSE 0 END AS on_time
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT CAST(m30 AS BIGINT) AS month_bucket,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(qty) AS BIGINT) AS total_qty,
+       CAST(sum(on_time * qty) AS BIGINT) AS on_time_qty,
+       CAST(sum(on_time * qty) * 10000 // sum(qty) AS BIGINT) AS fill_rate_bp
+FROM j GROUP BY 1 HAVING sum(qty) > 0
+"""
+
+
+@op("pipeline_fill_rate", oracle=_FILL_ORACLE, tags=("ext", "pipeline"))
+def pipeline_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly fill rate: the share of ordered QUANTITY shipped within
+    the {days}-day service window, per 30-day order-date bucket — the
+    service-level number an ops review tracks, where
+    pipeline_order_lead_time reports the latency distribution and
+    pipeline_late_shipment_priority the worst offenders: lead time says
+    how slow shipments are, fill rate says how much PROMISED VOLUME the
+    promise actually covered. Quantity weighting is the difference —
+    one late bulk line hurts more than ten late samples.
+
+    Exact: day arithmetic is integer epoch div; the on-time indicator
+    is an integer day-difference compare; quantities and the rate are
+    exact integer sums with integral basis-point division.
+
+    Scale: one fact×fact shuffle on orderkey (AQE), then a
+    |month-buckets| hash agg with map-side partials.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        epoch_div("o_orderdate", 86400).alias("oday"),
+        F.expr("cast(cast(o_orderdate as timestamp_ltz) as long) div 86400 div 30")
+        .alias("m30"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        epoch_div("l_shipdate", 86400).alias("sday"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("qty"),
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "m30",
+        "qty",
+        F.when(F.col("sday") - F.col("oday") <= _FILL_DAYS, 1)
+        .otherwise(0)
+        .alias("on_time"),
+    )
+    g = (
+        j.groupBy("m30")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("qty").alias("total_qty"),
+            F.sum(F.col("on_time") * F.col("qty")).alias("on_time_qty"),
+        )
+        .filter(F.col("total_qty") > 0)
+    )
+    return g.select(
+        F.col("m30").cast("bigint").alias("month_bucket"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("total_qty").cast("bigint").alias("total_qty"),
+        F.col("on_time_qty").cast("bigint").alias("on_time_qty"),
+        F.expr("on_time_qty * 10000 div total_qty")
+        .cast("bigint")
+        .alias("fill_rate_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supplier concentration per brand (sourcing-risk HHI)
+# ---------------------------------------------------------------------------
+
+_BRAND_HHI_ORACLE = """
+WITH r AS (
+    SELECT p_brand, l_suppkey,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS cents
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY 1, 2
+), t AS (
+    SELECT p_brand, sum(cents) AS total, count(*) AS n_suppliers,
+           max(cents) AS top_cents
+    FROM r GROUP BY 1 HAVING sum(cents) > 0
+)
+SELECT t.p_brand,
+       CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(t.total AS BIGINT) AS total_cents,
+       CAST(t.top_cents * 10000 // t.total AS BIGINT) AS top_share_bp,
+       CAST(sum((r.cents * 10000 // t.total)
+                * (r.cents * 10000 // t.total)) AS BIGINT) AS hhi_bp2
+FROM r JOIN t USING (p_brand)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@op("pipeline_brand_supplier_hhi", oracle=_BRAND_HHI_ORACLE, tags=("ext", "pipeline"))
+def pipeline_brand_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration HHI per brand: Herfindahl over each
+    supplier's revenue share of the brand (integral bp, squared and
+    summed) plus the top supplier's share — the SOURCING-RISK axis of
+    the concentration family: pipeline_revenue_hhi asks "do few
+    customers dominate revenue", this asks "does one supplier own a
+    brand's supply" — the number that decides dual-sourcing. 10000²
+    means single-sourced; ~10000²/k means k balanced suppliers.
+
+    Exact: per-(brand, supplier) cents are exact integer sums; shares
+    are integral basis points (div — floor shares, stated: HHI from
+    floored shares is deterministic and engine-identical, the
+    pipeline_revenue_hhi convention); the square-sum stays in BIGINT
+    (≤ 10⁸ per term, ≤|suppliers|·10⁸ per brand).
+
+    Scale: fact scan → broadcast part join → (brand, supplier) hash
+    agg → |brands| rollup; the share join is against the |brands|-row
+    totals frame, broadcast.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    r = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    t = (
+        r.groupBy("p_brand")
+        .agg(
+            F.sum("cents").alias("total"),
+            F.count("*").alias("n_suppliers"),
+            F.max("cents").alias("top_cents"),
+        )
+        .filter(F.col("total") > 0)
+    )
+    share = F.expr("cents * 10000 div total")
+    return (
+        r.join(F.broadcast(t), "p_brand")
+        .groupBy("p_brand", "n_suppliers", "total", "top_cents")
+        .agg(F.sum(share * share).alias("hhi_bp2"))
+        .select(
+            "p_brand",
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.col("total").cast("bigint").alias("total_cents"),
+            F.expr("top_cents * 10000 div total")
+            .cast("bigint")
+            .alias("top_share_bp"),
+            F.col("hhi_bp2").cast("bigint").alias("hhi_bp2"),
+        )
     )

@@ -260,6 +260,10 @@ _WINDOW_PRIORITY = [
     "ts_cross_correlation",
     "ts_spectral_entropy",
     "ts_records_count",
+    "pipeline_backlog_burndown",
+    "pipeline_nation_trade_balance",
+    "pipeline_fill_rate",
+    "pipeline_brand_supplier_hhi",
     # -- behind the window: staleness-ordered (latest external check
     #    ascending — r4-vintage keys first, the freshly-r11-checked
     #    former window last) so the r13 rotation input is pinned --

@@ -155,6 +155,10 @@ SWEEP = [
     "ts_cross_correlation",        # zero-padded integer CCF moments (r12)
     "ts_spectral_entropy",         # quantized trig sums + ordered fold (r12)
     "ts_records_count",            # running-max records + harmonic fold (r12)
+    "pipeline_backlog_burndown",   # full-join week union + integer cumsum (r12)
+    "pipeline_nation_trade_balance",  # shared fact subtree, two rollups (r12)
+    "pipeline_fill_rate",          # integer day-diff indicator shares (r12)
+    "pipeline_brand_supplier_hhi", # floored integral shares squared (r12)
 ]
 
 

@@ -3088,3 +3088,31 @@ def test_spectral_entropy_pure_tone_vs_flat(spark, tmp_path):
     assert r["dominant_period_h"] == 24 and r["spectral_entropy_norm"] < 0.6, r
     write(lambda h: 7)
     assert fn(spark, str(tmp_path)).count() == 0
+
+
+def test_r12_pipeline_invariants(spark):
+    """Structural invariants of the r12 pipeline additions on the real
+    fixture: trade balances sum to zero globally (every line is exactly
+    one nation's export and one's import), the final backlog equals
+    opened-minus-closed totals, fill rate is a valid share, and brand
+    HHI is bounded by [top_share², 10000²]."""
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    tb = registry.OPS["pipeline_nation_trade_balance"].fn(spark, SF_DIR).toPandas()
+    assert tb["balance_cents"].sum() == 0
+    assert tb["export_cents"].sum() == tb["import_cents"].sum()
+
+    bl = registry.OPS["pipeline_backlog_burndown"].fn(spark, SF_DIR).toPandas()
+    bl = bl.sort_values("week")
+    assert (bl["backlog_orders"].iloc[-1]
+            == bl["n_opened"].sum() - bl["n_closed"].sum())
+    assert (bl["backlog_orders"] >= 0).all()
+
+    fr = registry.OPS["pipeline_fill_rate"].fn(spark, SF_DIR).toPandas()
+    assert (fr["on_time_qty"] <= fr["total_qty"]).all()
+    assert (fr["fill_rate_bp"] <= 10000).all() and (fr["fill_rate_bp"] >= 0).all()
+
+    hh = registry.OPS["pipeline_brand_supplier_hhi"].fn(spark, SF_DIR).toPandas()
+    assert (hh["hhi_bp2"] <= 10000 * 10000).all()
+    assert (hh["hhi_bp2"] >= hh["top_share_bp"] ** 2).all()

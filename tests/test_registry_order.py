@@ -68,6 +68,10 @@ NEW_IN_ROUND_12 = [
     "ts_cross_correlation",
     "ts_spectral_entropy",
     "ts_records_count",
+    "pipeline_backlog_burndown",
+    "pipeline_nation_trade_balance",
+    "pipeline_fill_rate",
+    "pipeline_brand_supplier_hhi",
 ]
 
 # First in line behind the window: the stalest externally-green tier
