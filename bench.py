@@ -251,6 +251,12 @@ EXTENDED = [
     "pipeline_nation_trade_balance",
     "pipeline_fill_rate",
     "pipeline_brand_supplier_hhi",
+    "sample_balanced_downsample",
+    "sample_horvitz_thompson",
+    "embedding_triplet_violation",
+    "corpus_doc_length_gini",
+    "text_prefix_template_rate",
+    "dedup_band_occupancy",
 ]
 
 

@@ -1457,3 +1457,276 @@ def corpus_source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("jaccard_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced downsample (cap every language at the minority class size)
+# ---------------------------------------------------------------------------
+
+_BAL_ORACLE = """
+WITH n AS (
+    SELECT lang, count(*) AS class_n FROM documents GROUP BY 1
+), cap AS (
+    SELECT min(class_n) AS cap_n FROM n
+), r AS (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+    FROM documents
+)
+SELECT r.lang, r.doc_id,
+       CAST(n.class_n AS BIGINT) AS class_n,
+       CAST(cap.cap_n AS BIGINT) AS cap_n
+FROM r JOIN n USING (lang) CROSS JOIN cap
+WHERE r.rk <= cap.cap_n
+"""
+
+
+@op("sample_balanced_downsample", oracle=_BAL_ORACLE, tags=("llm", "sampling"))
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample: cap every language at the MINORITY
+    class's document count, drawing each class's keepers in md5(doc_id)
+    order — the classifier-training rebalance (a 4:1 language skew
+    trains a biased lang-ID head; equalized classes are the standard
+    fix when upweighting is off the table). Deterministic twin of
+    sklearn-style RandomUnderSampler: the md5 order IS the shuffle
+    (the sample_reservoir idiom), so reruns and engines agree exactly.
+
+    Exact: class counts and the min-cap are integer aggregates; the
+    per-class rank runs under the (md5, doc_id) total order; the keep
+    rule is an integer rank compare. Output carries class_n and cap_n
+    so the achieved ratio is auditable per row.
+
+    Scale: one exchange on lang serves both the class counts and the
+    rank window; the cap is a broadcast 1-row frame. Output is
+    |langs|·cap rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    wl = Window.partitionBy("lang")
+    r = d.select(
+        "lang",
+        "doc_id",
+        F.row_number()
+        .over(wl.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id")))
+        .alias("rk"),
+        F.count("*").over(wl).alias("class_n"),
+    )
+    cap = r.groupBy("lang").agg(F.max("class_n").alias("cn")).agg(
+        F.min("cn").alias("cap_n")
+    )
+    return (
+        r.crossJoin(F.broadcast(cap))
+        .filter(F.col("rk") <= F.col("cap_n"))
+        .select(
+            "lang",
+            "doc_id",
+            F.col("class_n").cast("bigint").alias("class_n"),
+            F.col("cap_n").cast("bigint").alias("cap_n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hansen-Hurwitz estimator audit of the PPS design (does the sample
+# estimate totals it was NOT drawn on?)
+# ---------------------------------------------------------------------------
+
+_HH_SCALE = 1_000_000  # micro-units for the integral estimator terms
+
+_HH_ORACLE = f"""
+WITH w AS (
+    SELECT source, doc_id, n_chars,
+           len(string_split(text, ' ')) AS tok,
+           sum(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum,
+           sum(n_chars) OVER (PARTITION BY source) AS tot,
+           greatest(1, count(*) OVER (PARTITION BY source)
+                        // {_PPS_DIVISOR}) AS q
+    FROM documents
+), m AS (
+    SELECT source, tok, n_chars, tot, q,
+           (cum * q) // tot - ((cum - n_chars) * q) // tot AS n_draws
+    FROM w
+), est AS (
+    SELECT source, max(q) AS q,
+           sum(CASE WHEN n_draws >= 1 THEN n_draws ELSE 0 END) AS n_draws,
+           sum(CASE WHEN n_draws >= 1 THEN
+               (CAST(n_draws AS HUGEINT) * tok * tot * {_HH_SCALE})
+               // (CAST(q AS HUGEINT) * n_chars) ELSE 0 END) AS est_u
+    FROM m GROUP BY 1
+), truth AS (
+    SELECT source, sum(CAST(len(string_split(text, ' ')) AS HUGEINT)) AS tt
+    FROM documents GROUP BY 1
+)
+SELECT e.source,
+       CAST(e.q AS BIGINT) AS stratum_quota,
+       CAST(e.n_draws AS BIGINT) AS n_draws,
+       CAST(t.tt AS BIGINT) AS true_tokens,
+       CAST(e.est_u // {_HH_SCALE} AS BIGINT) AS est_tokens,
+       CAST((e.est_u - t.tt * {_HH_SCALE}) * 10000
+            // (t.tt * {_HH_SCALE}) AS BIGINT) AS err_bp
+FROM est e JOIN truth t USING (source)
+WHERE t.tt > 0
+"""
+
+
+@op("sample_horvitz_thompson", oracle=_HH_ORACLE, tags=("llm", "sampling"))
+def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hansen-Hurwitz estimator audit of the PPS design: estimate each
+    source's TOKEN total from the size-biased (n_chars-weighted)
+    systematic sample and report the signed error vs ground truth —
+    sample_pps_systematic is the SAMPLER, this grades the ESTIMATES the
+    sample exists to produce (the dedup_minhash_estimate relationship,
+    applied to sampling): est = (1/q)·Σ draws·y_i·W/w_i, which is exact
+    for the weight variable itself (Σ draws = q telescopes) and tight
+    for any y correlated with it — tokens per char is nearly constant,
+    so err_bp here reads as the design's achievable accuracy, while a
+    large error on some future y means size-bias is the wrong design
+    for that y.
+
+    Exact: the selection replays sample_pps_systematic's integral rule
+    verbatim; estimator terms are per-term integral micro-units
+    (draws·tok·W·1e6) div (q·w) in HUGEINT/decimal — stated floor-form
+    of the HH estimator, deterministic on both engines; the signed
+    error is integral basis points.
+
+    Scale: the same single stratum-key exchange as the sampler; the
+    audit adds one |sources| truth agg and a broadcast join.
+    """
+    d = load(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source")
+    wo = ws.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    w = d.select(
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("tok"),
+        F.sum("n_chars")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("n_chars").over(ws).alias("tot"),
+        F.greatest(
+            F.lit(1),
+            F.expr(f"count(*) OVER (PARTITION BY source) div {_PPS_DIVISOR}"),
+        ).alias("q"),
+    )
+    m = w.select(
+        "source",
+        "tok",
+        "n_chars",
+        "tot",
+        "q",
+        (
+            F.expr("(cum * q) div tot") - F.expr("((cum - n_chars) * q) div tot")
+        ).alias("n_draws"),
+    )
+    term = F.expr(
+        f"(cast(n_draws as decimal(38,0)) * tok * tot * {_HH_SCALE})"
+        " div (cast(q as decimal(38,0)) * n_chars)"
+    )
+    est = m.groupBy("source").agg(
+        F.max("q").alias("q"),
+        F.sum(F.when(F.col("n_draws") >= 1, F.col("n_draws")).otherwise(0)).alias(
+            "n_draws"
+        ),
+        F.sum(F.when(F.col("n_draws") >= 1, term).otherwise(0)).alias("est_u"),
+    )
+    truth = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("tt")
+    ).filter(F.col("tt") > 0)
+    return est.join(truth, "source").select(
+        "source",
+        F.col("q").cast("bigint").alias("stratum_quota"),
+        F.col("n_draws").cast("bigint").alias("n_draws"),
+        F.col("tt").cast("bigint").alias("true_tokens"),
+        F.expr(f"est_u div {_HH_SCALE}").cast("bigint").alias("est_tokens"),
+        F.expr(f"(est_u - tt * {_HH_SCALE}) * 10000 div (tt * {_HH_SCALE})")
+        .cast("bigint")
+        .alias("err_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document-length inequality per source (who hides mega-docs?)
+# ---------------------------------------------------------------------------
+
+_LEN_GINI_ORACLE = """
+WITH t AS (
+    SELECT source, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+    FROM documents
+), r AS (
+    SELECT source, x,
+           row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS i
+    FROM t
+), m AS (
+    SELECT source, count(*) AS n, sum(x) AS sx,
+           sum(CAST(i AS HUGEINT) * x) AS six
+    FROM r GROUP BY 1 HAVING sum(x) > 0
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(sx AS BIGINT) AS total_tokens,
+       round(CAST(sx AS DOUBLE) / n, 4) + 0.0 AS mean_tokens,
+       round((2.0 * six - (n + 1.0) * sx) / (CAST(n AS DOUBLE) * sx), 6) + 0.0
+           AS length_gini
+FROM m
+"""
+
+
+@op("corpus_doc_length_gini", oracle=_LEN_GINI_ORACLE, tags=("llm", "corpus"))
+def corpus_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of document TOKEN LENGTHS per source — the
+    length-inequality axis corpus_stats' p50/p90 snapshots can't
+    summarize: Gini → 0 means uniform doc sizes (chunked exports,
+    templates), high Gini means a few mega-docs own the source's token
+    mass — which skews packing (corpus_pack), makes equal-probability
+    sampling misleading (the PPS design exists for exactly this), and
+    concentrates dedup risk. One number per source, comparable across
+    sources and over ingests.
+
+    Exact: token counts are exact integers; G = (2·Σi·xᵢ − (n+1)·Σx)/
+    (n·Σx) over lengths ranked ascending under the (x, doc_id) total
+    order — Σi·xᵢ is tie-invariant, accumulated in HUGEINT/decimal
+    (rank·length wraps bigint at extreme scale — the degree-gini
+    discipline); one rounded division at the end.
+
+    Scale: one scan → per-source rank window (the entity-level
+    exact-rank sort, partitioned by source) → |sources| moment agg.
+    """
+    t = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("x"),
+    )
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    r = t.select("source", "x", F.row_number().over(w).alias("i"))
+    m = (
+        r.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("six"),
+        )
+        .filter(F.col("sx") > 0)
+    )
+    n, sx = F.col("n"), F.col("sx")
+    return m.select(
+        "source",
+        n.cast("bigint").alias("n_docs"),
+        sx.cast("bigint").alias("total_tokens"),
+        (F.round(sx.cast("double") / n, 4) + F.lit(0.0)).alias("mean_tokens"),
+        (
+            F.round(
+                (2.0 * F.col("six").cast("double") - (n + F.lit(1.0)) * sx)
+                / (n.cast("double") * sx),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("length_gini"),
+    )

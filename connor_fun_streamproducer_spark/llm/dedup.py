@@ -2673,3 +2673,75 @@ def sim_doc_topk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band/bucket occupancy profile (the skew-safety gauge for the cap)
+# ---------------------------------------------------------------------------
+
+def _band_occupancy_oracle() -> str:
+    return _mhb_ctes() + """
+, occ AS (
+    SELECT band, bucket, count(*) AS s FROM bands GROUP BY 1, 2
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(s) AS BIGINT) AS n_docs,
+       CAST(max(s) AS BIGINT) AS max_bucket_size,
+       CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS singleton_buckets,
+       CAST(sum(CAST(s AS HUGEINT) * (s - 1) // 2) AS BIGINT)
+           AS candidate_pairs
+FROM occ GROUP BY 1
+"""
+
+
+@op(
+    "dedup_band_occupancy",
+    oracle=_band_occupancy_oracle(),
+    tags=("llm", "dedup", "scale"),
+)
+def dedup_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy profile of the banded MinHash LSH, per band:
+    bucket count, max bucket size, singleton share, and the implied
+    candidate-pair mass Σ s(s−1)/2 — the OPERATIONAL safety gauge for
+    every consumer of the bands artifact: sim_doc_topk_minhash's
+    256-doc bucket cap and the keeper-star join's cost are both
+    functions of exactly this skew, and a drifting corpus (one viral
+    template) shows up here as one exploding bucket long before a
+    dedup run times out. The dedup-tier twin of stats_join_cardinality:
+    measure the join size BEFORE paying for it.
+
+    Exact: served from the materialized bands artifact (doc_id, band,
+    bucket — the same frame every dedup consumer reads, so the audited
+    occupancy is BY CONSTRUCTION the deployed one); counts and the
+    pair mass are exact integer aggregates (s(s−1)/2 in HUGEINT/
+    decimal — one hot bucket of 10⁹ docs squares past bigint).
+
+    Scale: one hash agg over the linear band stream → |bands| (4) rows.
+    """
+    bands = neardup_bands(spark, sf_dir)
+    occ = bands.groupBy("band", "bucket").agg(F.count("*").alias("s"))
+    sd = F.col("s").cast("decimal(38,0)")
+    return (
+        occ.groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("s").alias("n_docs"),
+            F.max("s").alias("max_bucket_size"),
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias(
+                "singleton_buckets"
+            ),
+            F.sum(F.expr("cast(s as decimal(38,0)) * (s - 1) div 2")).alias(
+                "candidate_pairs"
+            ),
+        )
+        .select(
+            F.col("band").cast("bigint").alias("band"),
+            F.col("n_buckets").cast("bigint").alias("n_buckets"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("max_bucket_size").cast("bigint").alias("max_bucket_size"),
+            F.col("singleton_buckets").cast("bigint").alias("singleton_buckets"),
+            F.col("candidate_pairs").cast("bigint").alias("candidate_pairs"),
+        )
+    )

@@ -1048,3 +1048,155 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("centroid_shift_l2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triplet-violation rate per label (is the metric space label-consistent?)
+# ---------------------------------------------------------------------------
+
+_TRIP_K = 8       # triplets per label — md5-budgeted, fixed at ANY corpus size
+_TRIP_Q = 10_000  # 1e-4 quantization (the repo-wide exact-distance scale)
+
+_TRIPLET_ORACLE = f"""
+WITH q AS (
+    SELECT label, vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_TRIP_Q} + 0.5) AS BIGINT))
+               AS qv,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS rk,
+           count(*) OVER (PARTITION BY label) AS nl
+    FROM embeddings
+), idx AS (
+    SELECT label,
+           row_number() OVER (ORDER BY label) AS j,
+           count(*) OVER () AS nlab
+    FROM (SELECT DISTINCT label FROM embeddings)
+), nm AS (
+    SELECT a.label, b.label AS neg_label
+    FROM idx a JOIN idx b ON b.j = a.j % a.nlab + 1
+), tri AS (
+    SELECT a.label, a.rk AS i, a.qv AS va, p.qv AS vp, n.qv AS vn
+    FROM q a
+    JOIN q p ON p.label = a.label AND p.rk = a.rk + {_TRIP_K}
+    JOIN nm  ON nm.label = a.label
+    JOIN q n ON n.label = nm.neg_label AND n.rk = a.rk
+    WHERE a.rk <= {_TRIP_K} AND a.nl >= 2 * {_TRIP_K} AND n.nl >= {_TRIP_K}
+), d AS (
+    SELECT label,
+           list_sum(list_transform(range(1, 65),
+               k -> (va[k] - vp[k]) * (va[k] - vp[k]))) AS d2_ap,
+           list_sum(list_transform(range(1, 65),
+               k -> (va[k] - vn[k]) * (va[k] - vn[k]))) AS d2_an
+    FROM tri
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_triplets,
+       CAST(sum(CASE WHEN d2_ap >= d2_an THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+       CAST(sum(CASE WHEN d2_ap >= d2_an THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS violation_bp
+FROM d GROUP BY 1
+"""
+
+
+@op("embedding_triplet_violation", oracle=_TRIPLET_ORACLE, tags=("llm", "embedding"))
+def embedding_triplet_violation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-violation rate per label: for {k} md5-budgeted triplets
+    (anchor, same-label positive, next-label negative), how often is the
+    anchor CLOSER to the negative than to its positive (d²(a,p) ≥
+    d²(a,n), ties violate — stated)? The metric-learning QA number:
+    embedding_knn_label_purity asks "is the neighborhood majority
+    right", this asks the relative-margin question a triplet/contrastive
+    loss optimizes — a high rate on a label means its region overlaps
+    the next class and ANN label filtering there is unreliable.
+
+    Exact: anchors are ranks 1..{k} and positives ranks {k}+1..2·{k}
+    per label under the (md5, vec_id) total order; the negative label
+    is the cyclic successor in label order (a fixed, stated pairing);
+    distances are exact integer sums of squared 1e-4-quantized
+    differences (the isotropy-pairs discipline); the verdict is an
+    integer compare and an integral bp. Labels with fewer than 2·{k}
+    members are skipped, stated.
+
+    Scale: the triplet set is {k}·|labels| rows at ANY corpus size
+    (the md5-budget posture); the rank windows are the only corpus-
+    touching stage, one exchange on label.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.expr(
+        f"transform(embedding, x -> cast(floor(cast(x as double) * {_TRIP_Q}"
+        " + 0.5) as bigint))"
+    )
+    wl = Window.partitionBy("label")
+    q = e.select(
+        "label",
+        "vec_id",
+        qv.alias("qv"),
+        F.row_number()
+        .over(wl.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id")))
+        .alias("rk"),
+        F.count("*").over(wl).alias("nl"),
+    )
+    labs = e.select("label").distinct()
+    idx = labs.select(
+        "label",
+        F.row_number()
+        .over(dim_window(Window.orderBy("label"), bound="|labels| rows"))
+        .alias("j"),
+        F.count("*")
+        .over(dim_window(Window.partitionBy(), bound="|labels| rows"))
+        .alias("nlab"),
+    )
+    nm = (
+        idx.alias("a")
+        .join(
+            idx.alias("b"),
+            F.col("b.j") == F.col("a.j") % F.col("a.nlab") + 1,
+        )
+        .select(F.col("a.label").alias("label"), F.col("b.label").alias("neg_label"))
+    )
+    a = q.filter((F.col("rk") <= _TRIP_K) & (F.col("nl") >= 2 * _TRIP_K)).select(
+        "label", F.col("rk").alias("i"), F.col("qv").alias("va")
+    )
+    p = q.select(
+        F.col("label").alias("p_label"),
+        (F.col("rk") - _TRIP_K).alias("p_i"),
+        F.col("qv").alias("vp"),
+    )
+    n = q.filter(F.col("nl") >= _TRIP_K).select(
+        F.col("label").alias("n_label"),
+        F.col("rk").alias("n_i"),
+        F.col("qv").alias("vn"),
+    )
+    tri = (
+        a.join(F.broadcast(nm), "label")
+        .join(p, (F.col("p_label") == F.col("label")) & (F.col("p_i") == F.col("i")))
+        .join(
+            n,
+            (F.col("n_label") == F.col("neg_label")) & (F.col("n_i") == F.col("i")),
+        )
+    )
+
+    def d2(x: str, y: str):
+        return F.expr(
+            f"aggregate(zip_with({x}, {y}, (a, b) -> (a - b) * (a - b)),"
+            " cast(0 as bigint), (acc, v) -> acc + v)"
+        )
+
+    d = tri.select("label", d2("va", "vp").alias("d2_ap"), d2("va", "vn").alias("d2_an"))
+    g = d.groupBy("label").agg(
+        F.count("*").alias("n_triplets"),
+        F.sum(F.when(F.col("d2_ap") >= F.col("d2_an"), 1).otherwise(0)).alias(
+            "n_violations"
+        ),
+    )
+    return g.select(
+        "label",
+        F.col("n_triplets").cast("bigint").alias("n_triplets"),
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        F.expr("n_violations * 10000 div n_triplets")
+        .cast("bigint")
+        .alias("violation_bp"),
+    )

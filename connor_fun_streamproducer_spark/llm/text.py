@@ -1201,3 +1201,86 @@ def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hapax_share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared-opening template rate per source (boilerplate at position zero)
+# ---------------------------------------------------------------------------
+
+_PREFIX_TOKENS = 8  # opening-window length, stated
+
+_PREFIX_ORACLE = f"""
+WITH p AS (
+    SELECT source, doc_id,
+           md5(array_to_string(list_slice(string_split(text, ' '),
+                                          1, {_PREFIX_TOKENS}), ' ')) AS pfx
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {_PREFIX_TOKENS}
+), g AS (
+    SELECT pfx, count(*) AS s FROM p GROUP BY 1
+)
+SELECT p.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT p.pfx) AS BIGINT) AS n_distinct_prefixes,
+       CAST(sum(CASE WHEN g.s >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_templated,
+       CAST(sum(CASE WHEN g.s >= 2 THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS templated_bp
+FROM p JOIN g USING (pfx)
+GROUP BY 1
+"""
+
+
+@op("text_prefix_template_rate", oracle=_PREFIX_ORACLE, tags=("llm", "text", "quality"))
+def text_prefix_template_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-opening template rate per source: the share of documents
+    whose first {k} tokens are byte-identical to some OTHER document's
+    opening (corpus-wide digest groups of size ≥ 2) — boilerplate
+    detection at position zero, where crawled templates actually live:
+    text_boilerplate finds frequent n-grams ANYWHERE, dedup_chunk_exact
+    finds shared fixed-offset chunks; this isolates the "every page
+    starts with the same header" signal that inflates n-gram novelty
+    for models trained on document starts. Docs shorter than {k}
+    tokens are skipped, stated.
+
+    Exact: the opening window is a deterministic token slice; digests
+    are md5 over the joined slice (identical construction both
+    engines); group sizes, the ≥2 membership test, and the basis-point
+    share are exact integer aggregates.
+
+    Scale: map-side slice+digest (16-byte keys shuffle, never text) →
+    digest hash agg → one digest equi-join back → |sources| rollup —
+    the dedup_exact shuffle posture.
+    """
+    p = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "doc_id",
+            F.split("text", " ").alias("toks"),
+        )
+        .filter(F.size("toks") >= _PREFIX_TOKENS)
+        .select(
+            "source",
+            "doc_id",
+            F.md5(
+                F.array_join(F.slice("toks", 1, _PREFIX_TOKENS), " ")
+            ).alias("pfx"),
+        )
+    )
+    g = p.groupBy("pfx").agg(F.count("*").alias("s"))
+    j = p.join(g, "pfx")
+    out = j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("pfx").alias("n_distinct_prefixes"),
+        F.sum(F.when(F.col("s") >= 2, 1).otherwise(0)).alias("n_templated"),
+    )
+    return out.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_distinct_prefixes").cast("bigint").alias("n_distinct_prefixes"),
+        F.col("n_templated").cast("bigint").alias("n_templated"),
+        F.expr("n_templated * 10000 div n_docs")
+        .cast("bigint")
+        .alias("templated_bp"),
+    )

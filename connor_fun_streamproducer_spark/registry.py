@@ -264,6 +264,12 @@ _WINDOW_PRIORITY = [
     "pipeline_nation_trade_balance",
     "pipeline_fill_rate",
     "pipeline_brand_supplier_hhi",
+    "sample_balanced_downsample",
+    "sample_horvitz_thompson",
+    "embedding_triplet_violation",
+    "corpus_doc_length_gini",
+    "text_prefix_template_rate",
+    "dedup_band_occupancy",
     # -- behind the window: staleness-ordered (latest external check
     #    ascending — r4-vintage keys first, the freshly-r11-checked
     #    former window last) so the r13 rotation input is pinned --

@@ -159,6 +159,12 @@ SWEEP = [
     "pipeline_nation_trade_balance",  # shared fact subtree, two rollups (r12)
     "pipeline_fill_rate",          # integer day-diff indicator shares (r12)
     "pipeline_brand_supplier_hhi", # floored integral shares squared (r12)
+    "sample_balanced_downsample",  # md5-rank class caps (r12)
+    "sample_horvitz_thompson",     # integral HH estimator replay (r12)
+    "embedding_triplet_violation", # md5-budgeted triplets, integer d2 (r12)
+    "corpus_doc_length_gini",      # per-source rank-weighted length sum (r12)
+    "text_prefix_template_rate",   # opening-slice digest groups (r12)
+    "dedup_band_occupancy",        # bands-artifact bucket histogram (r12)
 ]
 
 

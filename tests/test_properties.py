@@ -3116,3 +3116,58 @@ def test_r12_pipeline_invariants(spark):
     hh = registry.OPS["pipeline_brand_supplier_hhi"].fn(spark, SF_DIR).toPandas()
     assert (hh["hhi_bp2"] <= 10000 * 10000).all()
     assert (hh["hhi_bp2"] >= hh["top_share_bp"] ** 2).all()
+
+
+def test_r12_llm_batch_invariants(spark, tmp_path):
+    """Structural invariants + constructed calibration for the r12
+    LLM-tier additions."""
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+
+    # balanced downsample: every class is cut to EXACTLY the min size
+    bal = registry.OPS["sample_balanced_downsample"].fn(spark, SF_DIR).toPandas()
+    per = bal.groupby("lang").size()
+    assert per.nunique() == 1 and per.iloc[0] == bal["cap_n"].iloc[0]
+
+    # HH estimator: tokens/char is near-constant on the fixture, so the
+    # size-biased design must estimate token totals within a few percent
+    hh = registry.OPS["sample_horvitz_thompson"].fn(spark, SF_DIR).toPandas()
+    # quota is only ~2 draws/stratum at this sf — 8% is the loose bound
+    assert (hh["err_bp"].abs() <= 800).all(), hh
+
+    # triplets: full budget per label on the fixture; rate is a valid bp
+    tv = registry.OPS["embedding_triplet_violation"].fn(spark, SF_DIR).toPandas()
+    assert (tv["n_triplets"] == 8).all()
+    assert (tv["violation_bp"] <= 10000).all()
+
+    # band occupancy: every doc appears once per band; pair mass and
+    # singleton counts are internally consistent
+    oc = registry.OPS["dedup_band_occupancy"].fn(spark, SF_DIR).toPandas()
+    assert oc["n_docs"].nunique() == 1
+    assert (oc["singleton_buckets"] <= oc["n_buckets"]).all()
+    assert ((oc["max_bucket_size"] > 1) | (oc["candidate_pairs"] == 0)).all()
+
+    # doc-length gini: equal lengths -> exactly 0
+    pd.DataFrame([
+        dict(doc_id=i, text="a b c d e f g h", lang="en", source="s0", n_chars=15)
+        for i in range(20)
+    ]).to_parquet(tmp_path / "documents.parquet", index=False)
+    g = registry.OPS["corpus_doc_length_gini"].fn(spark, str(tmp_path)).collect()[0]
+    assert g["length_gini"] == 0.0, g
+
+    # prefix template rate: 3 docs share an 8-token opening, 2 are
+    # unique, 1 is too short to qualify
+    docs = (
+        [dict(doc_id=i, text="the quick brown fox jumps over lazy dog tail " + "x" * i,
+              lang="en", source="s0", n_chars=50) for i in range(3)]
+        + [dict(doc_id=10, text="one unique opening sentence goes right here now ok",
+                lang="en", source="s0", n_chars=50),
+           dict(doc_id=11, text="another unique opening sentence goes right here now",
+                lang="en", source="s0", n_chars=50),
+           dict(doc_id=12, text="too short", lang="en", source="s0", n_chars=9)]
+    )
+    pd.DataFrame(docs).to_parquet(tmp_path / "documents.parquet", index=False)
+    r = registry.OPS["text_prefix_template_rate"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_docs"], r["n_templated"], r["n_distinct_prefixes"]) == (5, 3, 3), r

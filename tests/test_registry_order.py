@@ -72,6 +72,12 @@ NEW_IN_ROUND_12 = [
     "pipeline_nation_trade_balance",
     "pipeline_fill_rate",
     "pipeline_brand_supplier_hhi",
+    "sample_balanced_downsample",
+    "sample_horvitz_thompson",
+    "embedding_triplet_violation",
+    "corpus_doc_length_gini",
+    "text_prefix_template_rate",
+    "dedup_band_occupancy",
 ]
 
 # First in line behind the window: the stalest externally-green tier
