@@ -257,6 +257,11 @@ EXTENDED = [
     "corpus_doc_length_gini",
     "text_prefix_template_rate",
     "dedup_band_occupancy",
+    "fn_binary_codec",
+    "fn_struct_ops",
+    "agg_geometric_mean",
+    "graph_edge_locality",
+    "graph_knn_degree_curve",
 ]
 
 

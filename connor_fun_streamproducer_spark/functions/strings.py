@@ -112,3 +112,128 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sk_uuid"),
         F.conv(F.substring("hx", 1, 15), 16, 10).cast("bigint").alias("sk_int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary codec surface (base64 / hex roundtrips over binary payloads)
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "fn_binary_codec",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               encode(substring(text, 1, 24)) AS payload
+        FROM documents
+    )
+    SELECT doc_id,
+           to_base64(payload) AS b64,
+           decode(from_base64(to_base64(payload))) AS b64_roundtrip,
+           lower(hex(payload)) AS hx,
+           decode(unhex(hex(payload))) AS hex_roundtrip,
+           CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+           md5(decode(payload)) AS payload_md5
+    FROM s
+    """,
+    tags=("ext", "fn"),
+)
+def fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec surface: base64 and hex encode/decode roundtrips,
+    byte length, and digesting over a BINARY payload — the functions a
+    multimodal pipeline leans on when image/audio bytes travel through
+    text-typed transports (JSON envelopes, Kafka headers, REST
+    ingests). The multimodal tier stores opaque binary columns; this
+    pins the codec algebra (decode∘encode = id, both codecs) that
+    makes those columns portable.
+
+    Both engines emit RFC-4648 base64 without line wrapping and
+    lowercase hex over the identical UTF-8 payload bytes, so every
+    column — including the roundtrips, which must equal the original
+    text — hash-compares exactly.
+
+    Scale: map-only codegen'd expressions fused into the scan; no
+    shuffle, no Python.
+    """
+    d = load(spark, sf_dir, "documents")
+    payload = F.substring("text", 1, 24).cast("binary")
+    return d.select(
+        "doc_id",
+        F.base64(payload).alias("b64"),
+        F.unbase64(F.base64(payload)).cast("string").alias("b64_roundtrip"),
+        F.lower(F.hex(payload)).alias("hx"),
+        F.unhex(F.hex(payload)).cast("string").alias("hex_roundtrip"),
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Struct algebra surface (pack / field access / lexicographic compare)
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "fn_struct_ops",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS field_roundtrip,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS nested_cents,
+           (o_orderpriority, o_orderkey) >
+               ('3-MEDIUM', CAST(4000 AS BIGINT)) AS after_pivot,
+           CASE WHEN o_orderstatus <= o_orderpriority
+                THEN o_orderstatus ELSE o_orderpriority END AS lex_min_field
+    FROM orders
+    """,
+    tags=("ext", "fn"),
+)
+def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct algebra surface: named-struct packing, nested field
+    access, and LEXICOGRAPHIC struct comparison — the row-type calculus
+    behind every argmin/argmax-by-struct idiom in the repo
+    (agg_extremal_by, ts_ohlc_candles tie-breaks): struct ordering
+    compares fields left to right, so packing (key, tiebreak) into a
+    struct is the deterministic-ties primitive, and this op pins that
+    semantics cross-engine (DuckDB row-value comparison agrees with
+    Spark struct ordering on same-typed fields).
+
+    Columns: a field roundtrip through a two-level nested struct
+    (extract = original, the identity law), exact cents pulled from a
+    nested numeric field, a struct-vs-literal-struct comparison (the
+    "after pivot row" predicate of keyset pagination), and the lesser
+    of two single-field structs.
+
+    Scale: map-only codegen'd projections; structs never materialize
+    off-heap — Tungsten keeps them unwrapped in the row format.
+    """
+    o = load(spark, sf_dir, "orders")
+    nested = F.struct(
+        F.col("o_orderstatus").alias("st"),
+        F.struct(
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+            F.col("o_orderpriority").alias("prio"),
+        ).alias("inner"),
+    )
+    pivot = F.struct(
+        F.lit("3-MEDIUM").alias("prio"), F.lit(4000).cast("bigint").alias("k")
+    )
+    return o.select(
+        "o_orderkey",
+        nested.getField("st").alias("field_roundtrip"),
+        nested.getField("inner").getField("cents").alias("nested_cents"),
+        (
+            F.struct(
+                F.col("o_orderpriority").alias("prio"),
+                F.col("o_orderkey").alias("k"),
+            )
+            > pivot
+        ).alias("after_pivot"),
+        F.least(
+            F.struct(F.col("o_orderstatus").alias("f")),
+            F.struct(F.col("o_orderpriority").alias("f")),
+        )
+        .getField("f")
+        .alias("lex_min_field"),
+    )

@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import load, register_views
+from connor_fun_streamproducer_spark.catalog import (
+    bounded_series,
+    epoch_div,
+    load,
+    register_views,
+)
 from connor_fun_streamproducer_spark.registry import op
 
 
@@ -575,4 +580,85 @@ def agg_extremal_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").cast("bigint").alias("best_cents"),
         F.min_by("o_orderkey", worst_key).cast("bigint").alias("worst_orderkey"),
         F.min("cents").cast("bigint").alias("worst_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geometric mean of daily revenue per type (the growth-friendly center)
+# ---------------------------------------------------------------------------
+
+_GEO_ORACLE = """
+WITH d AS (
+    SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+    FROM events GROUP BY 1, 2
+), l AS (
+    SELECT event_type,
+           list(x ORDER BY x, day) AS xs,
+           count(*) AS n, sum(x) AS s
+    FROM d WHERE x > 0
+    GROUP BY 1 HAVING count(*) >= 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days_pos,
+       round(CAST(s AS DOUBLE) / n, 4) + 0.0 AS arith_mean_cents,
+       round(exp(list_reduce(list_transform(xs,
+                 x -> ln(CAST(x AS DOUBLE))), (a, b) -> a + b) / n), 4) + 0.0
+           AS geo_mean_cents
+FROM l
+"""
+
+
+@op("agg_geometric_mean", oracle=_GEO_ORACLE, tags=("ext", "agg", "stats"))
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of POSITIVE daily revenue per type, next to the
+    arithmetic mean — the multiplicative center SQL has no aggregate
+    for: when a series compounds (daily revenue under growth, latency
+    under multiplicative noise), the geometric mean is the
+    representative day and the arithmetic mean overstates it by
+    exactly the inequality AM ≥ GM that the output exposes per type
+    (their ratio is a one-number skew gauge). Zero/negative days are
+    excluded, stated — ln is the mechanism, and a single zero day
+    would collapse the product to zero anyway.
+
+    Exact where it matters: daily cents are exact integer aggregates;
+    Σ ln(x) is a LEFT FOLD over the per-type daily values sorted by
+    (value, day) — identical float summation order on both engines
+    over a calendar-bounded array (the bounded-series contract,
+    enforced); exp and round(4) finish fixed-shape.
+
+    Scale: one scan → (type, day) hash agg → |types| bounded-array
+    folds. The fold never sees row scale.
+    """
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            epoch_div("ts", 86400).alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("x"))
+        .filter(F.col("x") > 0)
+    )
+    l = d.groupBy("event_type").agg(
+        bounded_series(
+            F.array_sort(F.collect_list(F.array("x", "day"))),
+            what="agg_geometric_mean daily values",
+        ).alias("xs"),
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+    )
+    lnsum = F.expr(
+        "aggregate(xs, CAST(0.0 AS DOUBLE),"
+        " (a, p) -> a + ln(CAST(p[0] AS DOUBLE)))"
+    )
+    n = F.col("n")
+    return l.select(
+        "event_type",
+        n.cast("bigint").alias("n_days_pos"),
+        (F.round(F.col("s").cast("double") / n, 4) + F.lit(0.0)).alias(
+            "arith_mean_cents"
+        ),
+        (F.round(F.exp(lnsum / n), 4) + F.lit(0.0)).alias("geo_mean_cents"),
     )

@@ -1911,3 +1911,174 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(2.0 * F.col("m") / (float(n) * (n - 1)), 6) + F.lit(0.0)
         ).alias("graph_density"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edge locality by customer nation (homophily: do same-nation users co-buy?)
+# ---------------------------------------------------------------------------
+
+_EDGE_LOCALITY_ORACLE = "WITH " + _PAIR_EDGES_SQL + """,
+ccn AS (SELECT c_custkey, c_nationkey FROM customer),
+en AS (
+    SELECT e.a, e.c, x.c_nationkey AS na, y.c_nationkey AS nc
+    FROM e JOIN ccn x ON e.a = x.c_custkey JOIN ccn y ON e.c = y.c_custkey
+), nodes AS (
+    SELECT c_nationkey AS nk, count(*) AS n_nodes
+    FROM (SELECT DISTINCT u FROM (SELECT a AS u FROM e UNION SELECT c FROM e))
+    JOIN ccn ON u = c_custkey GROUP BY 1
+), inc AS (
+    SELECT nk, count(*) AS n_incident,
+           sum(CASE WHEN na = nc THEN 1 ELSE 0 END) AS n_intra
+    FROM (
+        SELECT na AS nk, na, nc FROM en
+        UNION ALL
+        SELECT nc AS nk, na, nc FROM en WHERE na <> nc
+    ) GROUP BY 1
+)
+SELECT n_name,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_incident AS BIGINT) AS n_incident_edges,
+       CAST(n_intra AS BIGINT) AS n_intra_edges,
+       CAST(n_intra * 10000 // n_incident AS BIGINT) AS homophily_bp
+FROM inc
+JOIN nodes USING (nk)
+JOIN nation ON n_nationkey = nk
+"""
+
+
+@op("graph_edge_locality", oracle=_EDGE_LOCALITY_ORACLE, tags=("ext", "graph"))
+def graph_edge_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge locality of the shared-purchase user graph by customer
+    nation: per nation, how many of its users' co-purchase edges stay
+    INSIDE the nation vs cross a border (homophily in basis points) —
+    the attribute-level mixing question graph_assortativity asks about
+    DEGREE, asked about a real dimension: high homophily means
+    community detection will largely rediscover geography (and a
+    nation-partitioned layout co-locates most wedge-join traffic);
+    low homophily means the graph carries non-geographic structure
+    worth mining.
+
+    Exact: edges come from the shared materialized pair-edges artifact
+    (same frame as triangles/jaccard/gini — the audited graph IS the
+    deployed one); nation labels join through the customer dim; an
+    intra edge counts once for its nation, a cross edge once for EACH
+    endpoint nation (incident convention, stated); shares are integral
+    basis points.
+
+    Scale: artifact scan → two broadcast customer-key lookups → 25-row
+    aggs. Nothing corpus-sized shuffles.
+    """
+    e = _pair_edges(spark, sf_dir)
+    ccn = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    en = (
+        e.join(
+            ccn.select(
+                F.col("c_custkey").alias("a"), F.col("c_nationkey").alias("na")
+            ),
+            "a",
+        ).join(
+            ccn.select(
+                F.col("c_custkey").alias("c"), F.col("c_nationkey").alias("nc")
+            ),
+            "c",
+        )
+    )
+    inc = (
+        en.select(F.col("na").alias("nk"), "na", "nc")
+        .unionAll(
+            en.filter(F.col("na") != F.col("nc")).select(
+                F.col("nc").alias("nk"), "na", "nc"
+            )
+        )
+        .groupBy("nk")
+        .agg(
+            F.count("*").alias("n_incident"),
+            F.sum(F.when(F.col("na") == F.col("nc"), 1).otherwise(0)).alias(
+                "n_intra"
+            ),
+        )
+    )
+    nodes = (
+        e.select(F.col("a").alias("u"))
+        .union(e.select(F.col("c").alias("u")))
+        .distinct()
+        .join(ccn, F.col("u") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    return (
+        inc.join(nodes, "nk")
+        .join(F.broadcast(n), F.col("nk") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_incident").cast("bigint").alias("n_incident_edges"),
+            F.col("n_intra").cast("bigint").alias("n_intra_edges"),
+            F.expr("n_intra * 10000 div n_incident")
+            .cast("bigint")
+            .alias("homophily_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Average-neighbor-degree curve knn(k) (the assortativity PROFILE)
+# ---------------------------------------------------------------------------
+
+_KNN_CURVE_ORACLE = "WITH " + _PAIR_EDGES_SQL + """,
+und AS (SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e),
+deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY 1),
+j AS (
+    SELECT du.d AS k, dv.d AS dn
+    FROM und JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node
+)
+SELECT CAST(k AS BIGINT) AS degree,
+       CAST(count(*) // max(k) AS BIGINT) AS n_nodes,
+       CAST(sum(CAST(dn AS HUGEINT)) AS BIGINT) AS sum_neighbor_degree,
+       round(CAST(sum(CAST(dn AS HUGEINT)) AS DOUBLE) / count(*), 4) + 0.0
+           AS avg_neighbor_degree
+FROM j GROUP BY 1
+"""
+
+
+@op("graph_knn_degree_curve", oracle=_KNN_CURVE_ORACLE, tags=("ext", "graph"))
+def graph_knn_degree_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-neighbor-degree curve knn(k) over the shared-purchase
+    user graph: for each degree k, the mean degree of the neighbors of
+    degree-k nodes — the PROFILE behind graph_assortativity's single
+    correlation number: a falling curve (hubs befriend leaves) is the
+    disassortative shape where hub-cap mitigations pay off; a rising
+    curve (hubs cluster) is where wedge joins explode and salting is
+    mandatory. Read together with graph_degree_distribution, it prices
+    the wedge-join cost model per degree class.
+
+    Exact: knn(k) = (Σ over degree-k endpoints of neighbor degree) /
+    (k · |degree-k nodes|) — numerator and denominator are exact
+    integer aggregates over the directed edge list (each undirected
+    edge contributes both directions, stated); one rounded division.
+    n_nodes = slots/k exactly (every degree-k node has k slots).
+
+    Scale: artifact scan → degree hash agg → two broadcast-able degree
+    lookups on the edge list → |degree-classes| rows.
+    """
+    e = _pair_edges(spark, sf_dir)
+    und = e.select(F.col("a").alias("u"), F.col("c").alias("v")).unionAll(
+        e.select(F.col("c").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    j = und.join(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("k")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("d").alias("dn")), "v")
+    g = j.groupBy("k").agg(
+        F.count("*").alias("slots"),
+        F.sum(F.col("dn").cast("decimal(38,0)")).alias("snd"),
+    )
+    return g.select(
+        F.col("k").cast("bigint").alias("degree"),
+        F.expr("slots div k").cast("bigint").alias("n_nodes"),
+        F.col("snd").cast("bigint").alias("sum_neighbor_degree"),
+        (
+            F.round(F.col("snd").cast("double") / F.col("slots"), 4) + F.lit(0.0)
+        ).alias("avg_neighbor_degree"),
+    )

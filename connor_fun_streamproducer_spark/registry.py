@@ -270,6 +270,11 @@ _WINDOW_PRIORITY = [
     "corpus_doc_length_gini",
     "text_prefix_template_rate",
     "dedup_band_occupancy",
+    "fn_binary_codec",
+    "fn_struct_ops",
+    "agg_geometric_mean",
+    "graph_edge_locality",
+    "graph_knn_degree_curve",
     # -- behind the window: staleness-ordered (latest external check
     #    ascending — r4-vintage keys first, the freshly-r11-checked
     #    former window last) so the r13 rotation input is pinned --

@@ -165,6 +165,11 @@ SWEEP = [
     "corpus_doc_length_gini",      # per-source rank-weighted length sum (r12)
     "text_prefix_template_rate",   # opening-slice digest groups (r12)
     "dedup_band_occupancy",        # bands-artifact bucket histogram (r12)
+    "fn_binary_codec",             # codec roundtrip identities (r12)
+    "fn_struct_ops",               # struct lexicographic compares (r12)
+    "agg_geometric_mean",          # sorted daily-value ln fold (r12)
+    "graph_edge_locality",         # artifact edges + nation lookups (r12)
+    "graph_knn_degree_curve",      # integer slot/degree sums (r12)
 ]
 
 

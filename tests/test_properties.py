@@ -3171,3 +3171,23 @@ def test_r12_llm_batch_invariants(spark, tmp_path):
     pd.DataFrame(docs).to_parquet(tmp_path / "documents.parquet", index=False)
     r = registry.OPS["text_prefix_template_rate"].fn(spark, str(tmp_path)).collect()[0]
     assert (r["n_docs"], r["n_templated"], r["n_distinct_prefixes"]) == (5, 3, 3), r
+
+
+def test_r12_batch5_invariants(spark):
+    """AM >= GM per type (the inequality agg_geometric_mean exposes);
+    homophily and knn-curve internal consistency on the real fixture."""
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    gm = registry.OPS["agg_geometric_mean"].fn(spark, SF_DIR).toPandas()
+    assert (gm["arith_mean_cents"] >= gm["geo_mean_cents"]).all()
+
+    el = registry.OPS["graph_edge_locality"].fn(spark, SF_DIR).toPandas()
+    assert (el["n_intra_edges"] <= el["n_incident_edges"]).all()
+    assert (el["homophily_bp"] <= 10000).all()
+
+    kc = registry.OPS["graph_knn_degree_curve"].fn(spark, SF_DIR).toPandas()
+    # slots = k * n_nodes exactly; avg neighbor degree is >= 1 on any
+    # non-empty graph (every neighbor has at least the shared edge)
+    assert (kc["sum_neighbor_degree"] >= kc["degree"] * kc["n_nodes"]).all()
+    assert (kc["avg_neighbor_degree"] >= 1).all()

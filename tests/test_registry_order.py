@@ -78,6 +78,11 @@ NEW_IN_ROUND_12 = [
     "corpus_doc_length_gini",
     "text_prefix_template_rate",
     "dedup_band_occupancy",
+    "fn_binary_codec",
+    "fn_struct_ops",
+    "agg_geometric_mean",
+    "graph_edge_locality",
+    "graph_knn_degree_curve",
 ]
 
 # First in line behind the window: the stalest externally-green tier
@@ -128,9 +133,7 @@ def test_changed_tier_outranks_new():
 
 def test_window_is_exactly_filled():
     # 21 fronted + 4 changed + 25 new = 50: no dead slots, no extras.
-    # (≤ while the round's new-op batches land; the final batch brings
-    # this to exactly 50 — see NEW_IN_ROUND_12.)
-    assert len(MUST_BE_IN_WINDOW) <= WINDOW
+    assert len(MUST_BE_IN_WINDOW) == WINDOW
 
 
 def test_stalest_tier_leads_the_behind_window_order():
