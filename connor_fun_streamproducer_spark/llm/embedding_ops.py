@@ -1139,7 +1139,14 @@ def embedding_triplet_violation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rk"),
         F.count("*").over(wl).alias("nl"),
     )
-    labs = e.select("label").distinct()
+    # only ranks <= 2K matter for any branch: cut the corpus ONCE and
+    # checkpoint the 2K·|labels|-row budget frame so the anchor /
+    # positive / negative derivations don't re-run the corpus rank
+    # window three times
+    q = q.filter(F.col("rk") <= 2 * _TRIP_K).localCheckpoint()
+    # every label keeps its rk=1 row through the cut — derive the label
+    # universe from the checkpointed budget frame, not a second scan
+    labs = q.select("label").distinct()
     idx = labs.select(
         "label",
         F.row_number()

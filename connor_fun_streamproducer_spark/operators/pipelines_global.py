@@ -1259,17 +1259,26 @@ def pipeline_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame
             cents.alias("cents"),
         )
     )
-    ex = r.groupBy(F.col("exp_nk").alias("nk")).agg(
-        F.sum("cents").alias("export_cents"),
-        F.count("*").alias("n_export_items"),
-    )
-    im = r.groupBy(F.col("imp_nk").alias("nk")).agg(
-        F.sum("cents").alias("import_cents"),
-        F.count("*").alias("n_import_items"),
+    # role-explode each line into (export, s_nation) + (import, c_nation)
+    # rows so ONE pass over the joined fact feeds one hash agg — two
+    # separate rollups would compile (and scan) the join subtree twice
+    per = r.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("is_ex"), F.col("exp_nk").alias("nk")),
+                F.struct(F.lit(0).alias("is_ex"), F.col("imp_nk").alias("nk")),
+            )
+        ).alias("x"),
+        "cents",
+    ).select("x.is_ex", "x.nk", "cents")
+    both = per.groupBy("nk").agg(
+        F.sum(F.when(F.col("is_ex") == 1, F.col("cents"))).alias("export_cents"),
+        F.sum(F.when(F.col("is_ex") == 1, 1).otherwise(0)).alias("n_export_items"),
+        F.sum(F.when(F.col("is_ex") == 0, F.col("cents"))).alias("import_cents"),
+        F.sum(F.when(F.col("is_ex") == 0, 1).otherwise(0)).alias("n_import_items"),
     )
     return (
-        n.join(ex, n.n_nationkey == ex.nk, "left")
-        .join(im, n.n_nationkey == im.nk, "left")
+        n.join(both, n.n_nationkey == both.nk, "left")
         .select(
             "n_name",
             F.coalesce("n_export_items", F.lit(0))

@@ -3113,6 +3113,10 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", epoch_div("ts", 86400).alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count("*").alias("c"))
+        # the |types|·|days| cell frame feeds FOUR consumers (span probe,
+        # per-type moments, both join sides): checkpoint it so events is
+        # scanned once, not once per branch
+        .localCheckpoint()
     )
     sp = d.agg((F.max("day") - F.min("day") + 1).alias("dd")).collect()[0]
     dd = int(sp["dd"])  # 1-row probe: the grid length literal

@@ -76,6 +76,14 @@ SNAPSHOT_KEYS = [
     "sim_doc_topk_minhash",
     "embedding_cluster_separation",
     "graph_two_hop_reach",
+    # round-12 tier: the artifact-served occupancy profile, the shared
+    # trade-balance subtree, the lag-exploded CCF join, the dense-grid
+    # spectral bank, and the budgeted triplet joins
+    "dedup_band_occupancy",
+    "pipeline_nation_trade_balance",
+    "ts_cross_correlation",
+    "ts_spectral_entropy",
+    "embedding_triplet_violation",
 ]
 
 
