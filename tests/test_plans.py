@@ -1475,12 +1475,31 @@ def test_cramers_v_single_cell_agg(spark):
 def test_dedup_eval_truth_only_on_slice(spark):
     """dedup_eval_tiers: the all-pairs ground truth (a deliberate
     budget² cartesian) is sanctioned ONLY because every input is first
-    cut to the fixed 500-doc eval budget — the plan must show the
-    TakeOrdered budget cut feeding the pair join, which is the entire
-    scale argument for an O(budget²) harness."""
-    df = _q("dedup_eval_tiers", spark)
-    plan = formatted_plan(df)
+    cut to the fixed 500-doc eval budget. Since r12 the op itself serves
+    three artifacts (truth + both detected tiers), so the budget cut is
+    asserted on the BUILDER subtree (the frame materialize_once writes):
+    its plan must show the TakeOrdered budget cut feeding the pair join —
+    the entire scale argument for an O(budget²) harness — and the op's
+    own plan must be artifact scans, no corpus-sized joins left."""
+    import pyspark.sql.functions as F
+
+    from connor_fun_streamproducer_spark.catalog import load
+    from connor_fun_streamproducer_spark.llm import dedup as D
+    from tests.conftest import SF_DIR
+
+    d = load(spark, SF_DIR, "documents")
+    sliced = d.join(F.broadcast(D._eval_slice_ids(d)), "doc_id")
+    toks = sliced.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    plan = formatted_plan(pairs)
     assert "TakeOrderedAndProject" in plan, plan
+
+    served = formatted_plan(_q("dedup_eval_tiers", spark))
+    assert "SortMergeJoin" not in served and "CartesianProduct" not in served, served
 
 
 def test_backfill_broadcast_affected_set(spark):
