@@ -3101,6 +3101,10 @@ def stats_kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "x", "y")
         .agg(F.count("*").alias("n"))
+        # the ≤550·|brands| cell frame feeds THREE consumers (pair join,
+        # x-marginals, y-marginals): checkpoint it so the fact scan +
+        # broadcast join run once, not once per consumer
+        .localCheckpoint()
     )
     a, o = c.alias("a"), c.alias("o")
     conc = (
@@ -3765,6 +3769,8 @@ def stats_spearman_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "x", "y")
         .agg(F.count("*").alias("n"))
+        # bounded cell frame, three consumers — one fact scan (see tau)
+        .localCheckpoint()
     )
 
     def ranks(col: str, out: str) -> DataFrame:

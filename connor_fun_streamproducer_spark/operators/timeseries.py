@@ -3399,10 +3399,17 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_type", epoch_div("ts", 3600).alias("h")
     )
-    hrs = ev.groupBy("event_type", "h").agg(F.count("*").alias("cnt"))
-    span = ev.agg(F.min("h").alias("mn"), F.max("h").alias("mx")).collect()[0]
+    # the |types|·|hours| count frame feeds the type universe, the span
+    # probe, and the dense grid's join side (which itself feeds two
+    # consumers): checkpoint so events is scanned ONCE
+    hrs = (
+        ev.groupBy("event_type", "h")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
+    span = hrs.agg(F.min("h").alias("mn"), F.max("h").alias("mx")).collect()[0]
     grid = (
-        ev.select("event_type")
+        hrs.select("event_type")
         .distinct()
         .crossJoin(
             F.broadcast(
@@ -3450,7 +3457,8 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "period_h",
         (amp_c * amp_c + amp_s * amp_s).cast("decimal(38,0)").alias("s"),
-    )
+        # |types|·8 rows, two consumers (argmax rank + entropy fold)
+    ).localCheckpoint()
     wd = Window.partitionBy("event_type").orderBy(
         F.col("s").desc(), F.col("period_h").asc()
     )
