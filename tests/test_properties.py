@@ -3191,3 +3191,101 @@ def test_r12_batch5_invariants(spark):
     # non-empty graph (every neighbor has at least the shared edge)
     assert (kc["sum_neighbor_degree"] >= kc["degree"] * kc["n_nodes"]).all()
     assert (kc["avg_neighbor_degree"] >= 1).all()
+
+
+def test_spearman_binned_matches_python_reference(spark, tmp_path):
+    """stats_spearman_binned vs a pure-Python average-rank Spearman on
+    deterministic tie-heavy fixtures — the engine-independent
+    cross-check (the same defense-in-depth class as the era-suite
+    constructed shifts: a shared oracle error can't survive a third
+    implementation)."""
+    import hashlib
+
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    fn = registry.OPS["stats_spearman_binned"].fn
+
+    def h(seed, i, mod):
+        return int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8], 16) % mod
+
+    def py_spearman(pairs):
+        def avg_ranks(vals):
+            sv = sorted(range(len(vals)), key=lambda i: vals[i])
+            ranks = [0.0] * len(vals)
+            i = 0
+            while i < len(sv):
+                j = i
+                while j + 1 < len(sv) and vals[sv[j + 1]] == vals[sv[i]]:
+                    j += 1
+                r = (i + j) / 2 + 1
+                for k in range(i, j + 1):
+                    ranks[sv[k]] = r
+                i = j + 1
+            return ranks
+
+        xs = [p[0] for p in pairs]
+        ys = [p[1] for p in pairs]
+        rx, ry = avg_ranks(xs), avg_ranks(ys)
+        n = len(pairs)
+        mx, my = sum(rx) / n, sum(ry) / n
+        num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        den = (
+            sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+        ) ** 0.5
+        return num / den if den else None
+
+    for seed in range(4):
+        pairs = [
+            (h(seed, i, 6), 1 + h(seed * 7 + 1, i, 8)) for i in range(30)
+        ]
+        pd.DataFrame([
+            dict(l_orderkey=i, l_partkey=1, l_suppkey=1, l_linenumber=1,
+                 l_quantity=float(q), l_extendedprice=1.0, l_discount=d / 100.0,
+                 l_tax=0.0, l_returnflag="N", l_linestatus="O",
+                 l_shipdate=pd.Timestamp("2024-01-01"))
+            for i, (d, q) in enumerate(pairs)
+        ]).to_parquet(tmp_path / "lineitem.parquet", index=False,
+                      coerce_timestamps="us")
+        pd.DataFrame([
+            dict(p_partkey=1, p_name="p", p_brand="B1", p_type="t",
+                 p_size=1, p_retailprice=1.0)
+        ]).to_parquet(tmp_path / "part.parquet", index=False)
+        got = fn(spark, str(tmp_path)).collect()[0]["spearman_rho"]
+        ref = py_spearman(pairs)
+        assert ref is not None and abs(got - ref) < 2e-6, (seed, got, ref)
+
+
+def test_jarque_bera_matches_python_reference(spark, tmp_path):
+    """stats_jarque_bera vs pure-Python population moments on a
+    deterministic skewed fixture."""
+    import hashlib
+
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    fn = registry.OPS["stats_jarque_bera"].fn
+    cents = [
+        1000 + int(hashlib.md5(f"x{i}".encode()).hexdigest()[:4], 16) % 700
+        + (5000 if i % 37 == 0 else 0)
+        for i in range(400)
+    ]
+    pd.DataFrame([
+        dict(event_id=i, ts=pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+             user_id=1, event_type="t", value=c / 100.0, props="{}")
+        for i, c in enumerate(cents)
+    ]).to_parquet(tmp_path / "events.parquet", index=False)
+    n = len(cents)
+    m1 = sum(cents) / n
+    m2 = sum((c - m1) ** 2 for c in cents) / n
+    m3 = sum((c - m1) ** 3 for c in cents) / n
+    m4 = sum((c - m1) ** 4 for c in cents) / n
+    skew = m3 / m2**1.5
+    kurt = m4 / m2**2 - 3
+    jb = n / 6 * (skew**2 + kurt**2 / 4)
+    r = fn(spark, str(tmp_path)).collect()[0]
+    assert abs(r["skewness"] - skew) < 1e-4, (r["skewness"], skew)
+    assert abs(r["kurtosis_excess"] - kurt) < 1e-4, (r["kurtosis_excess"], kurt)
+    assert abs(r["jb_stat"] - jb) < 0.05, (r["jb_stat"], jb)
