@@ -701,14 +701,16 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: first-seen is min(doc_id) per gram — a total order, no
     hashes, no floats; novelty is integral basis points.
 
-    Scale: one explode into (doc, gram) distinct pairs, one
-    (gram)-keyed min agg with map-side combine, one join back on the
-    same gram key (co-partitioned, no second shuffle shape) — linear in
-    corpus gram mass, the same exchange budget as dedup_exact. At
-    100 TB, grams would carry a 64-bit hash instead of the string
-    (collision-safe at corpus scale) to shrink the shuffle 10x —
-    deliberately NOT done here so the oracle hashes the literal
-    strings.
+    Scale: one explode into (doc, gram) distinct pairs, then ONE
+    (gram)-keyed window carries min(doc_id) to every pair — r12
+    rewrite: the former agg-then-join-back compiled the corpus-sized
+    distinct-gram subtree TWICE (build and probe sides); the window
+    form is a single subtree, one gram exchange, no join. Per-gram
+    partitions are tiny (a gram's doc list), so the window never sees
+    a hot partition. At 100 TB, grams would carry a 64-bit hash
+    instead of the string (collision-safe at corpus scale) to shrink
+    the shuffle 10x — deliberately NOT done here so the oracle hashes
+    the literal strings.
     """
     toks = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
@@ -726,9 +728,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    wg = Window.partitionBy("g")
     per_doc = (
-        grams.join(first_seen, "g")
+        grams.select("doc_id", F.min("doc_id").over(wg).alias("first_doc"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
