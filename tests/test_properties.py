@@ -3289,3 +3289,83 @@ def test_jarque_bera_matches_python_reference(spark, tmp_path):
     assert abs(r["skewness"] - skew) < 1e-4, (r["skewness"], skew)
     assert abs(r["kurtosis_excess"] - kurt) < 1e-4, (r["kurtosis_excess"], kurt)
     assert abs(r["jb_stat"] - jb) < 0.05, (r["jb_stat"], jb)
+
+
+def test_anova_and_ccf_match_python_references(spark, tmp_path):
+    """stats_anova_oneway and ts_cross_correlation vs direct NumPy /
+    pure-Python computation on deterministic fixtures (third-
+    implementation defense, as for spearman/jarque-bera)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+
+    def h(tag, i, mod):
+        return int(hashlib.md5(f"{tag}|{i}".encode()).hexdigest()[:8], 16) % mod
+
+    # --- anova: 3 groups, deterministic cents -----------------------
+    groups = {
+        "a": [1000 + h("a", i, 400) for i in range(60)],
+        "b": [1200 + h("b", i, 300) for i in range(50)],
+        "c": [900 + h("c", i, 500) for i in range(70)],
+    }
+    rows, eid = [], 0
+    for typ, cs in groups.items():
+        for c in cs:
+            rows.append(
+                dict(event_id=eid, ts=pd.Timestamp("2024-01-01")
+                     + pd.Timedelta(seconds=eid), user_id=1,
+                     event_type=typ, value=c / 100.0, props="{}")
+            )
+            eid += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    allv = np.array([c for cs in groups.values() for c in cs], dtype=float)
+    sst = ((allv - allv.mean()) ** 2).sum()
+    ssb = sum(
+        len(cs) * (np.mean(cs) - allv.mean()) ** 2 for cs in groups.values()
+    )
+    k, n = len(groups), len(allv)
+    f_ref = (ssb / (k - 1)) / ((sst - ssb) / (n - k))
+    eta_ref = ssb / sst
+    r = registry.OPS["stats_anova_oneway"].fn(spark, str(tmp_path)).collect()[0]
+    assert abs(r["eta_squared"] - eta_ref) < 1e-5, (r["eta_squared"], eta_ref)
+    assert abs(r["f_stat"] - f_ref) < 1e-3, (r["f_stat"], f_ref)
+
+    # --- ccf: two series on a 12-day grid, zero-padded convention ---
+    ca = [h("x", i, 7) + 1 for i in range(10)]  # days 0..9
+    cb = [h("y", i, 5) + 1 for i in range(9)]   # days 1..9 (offset 1)
+    rows, eid = [], 0
+    for day, c in enumerate(ca):
+        for _ in range(c):
+            rows.append(dict(event_id=eid, ts=pd.Timestamp("2024-01-01")
+                             + pd.Timedelta(days=day), user_id=1,
+                             event_type="p", value=1.0, props="{}"))
+            eid += 1
+    for day, c in enumerate(cb):
+        for _ in range(c):
+            rows.append(dict(event_id=eid, ts=pd.Timestamp("2024-01-01")
+                             + pd.Timedelta(days=day + 1), user_id=1,
+                             event_type="q", value=1.0, props="{}"))
+            eid += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    D = 10  # union span: days 0..9
+    a = np.zeros(D + 3)
+    b = np.zeros(D + 3)
+    a[:10] = ca
+    b[1:10] = cb
+    out = registry.OPS["ts_cross_correlation"].fn(spark, str(tmp_path)).collect()
+    got = {(r["type_a"], r["type_b"], r["lag_days"]): r["ccf"] for r in out}
+    for lag in range(4):
+        # reference on the zero-padded grid: corr(a_t, b_{t+lag}) with
+        # means/variances over the D-day grid
+        sab = float((a[:D] * b[lag:D + lag]).sum())
+        sa, sb = a[:D].sum(), b[:D].sum()
+        qa = float((a[:D] ** 2).sum())
+        qb = float((b[:D] ** 2).sum())
+        num = D * sab - sa * sb
+        den = ((D * qa - sa * sa) * (D * qb - sb * sb)) ** 0.5
+        ref = num / den
+        assert abs(got[("p", "q", lag)] - ref) < 2e-6, (lag, got[("p", "q", lag)], ref)
