@@ -3369,3 +3369,89 @@ def test_anova_and_ccf_match_python_references(spark, tmp_path):
         den = ((D * qa - sa * sa) * (D * qb - sb * sb)) ** 0.5
         ref = num / den
         assert abs(got[("p", "q", lag)] - ref) < 2e-6, (lag, got[("p", "q", lag)], ref)
+
+
+def test_trend_h_burstiness_records_match_python_references(spark, tmp_path):
+    """Cochran-Armitage z, Cohen's h, burstiness B, and the record-count
+    z vs direct Python computation on one deterministic drifting fixture
+    (third-implementation defense, completing the r12 suite)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+
+    def h32(tag, i, mod):
+        return int(hashlib.md5(f"{tag}|{i}".encode()).hexdigest()[:8], 16) % mod
+
+    n = 200
+    cents = [1000 + (i * 4 // n) * 150 + h32("c", i, 100) for i in range(n)]
+    secs = []
+    t = 0
+    for i in range(n):
+        t += (1 + h32("g", i, 50)) * 400  # span ~23 days, bursty gaps
+        secs.append(t)
+    pd.DataFrame([
+        dict(event_id=i, ts=pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s),
+             user_id=1, event_type="d", value=c / 100.0, props="{}")
+        for i, (s, c) in enumerate(zip(secs, cents))
+    ]).to_parquet(tmp_path / "events.parquet", index=False)
+
+    # --- shared era machinery in Python -----------------------------
+    te = secs
+    mid = (min(te) + max(te)) // 2
+    order = sorted(range(n), key=lambda i: (cents[i], i))
+    lower_median = cents[order[(n + 1) // 2 - 1]]
+    above = [1 if c > lower_median else 0 for c in cents]
+
+    # Cohen's h over the two halves
+    era = [0 if s < mid else 1 for s in te]
+    na = era.count(0); nb = era.count(1)
+    xa = sum(a for a, e in zip(above, era) if e == 0)
+    xb = sum(a for a, e in zip(above, era) if e == 1)
+    h_ref = 2 * math.asin(math.sqrt(xb / nb)) - 2 * math.asin(math.sqrt(xa / na))
+    rh = registry.OPS["stats_cohens_h"].fn(spark, str(tmp_path)).collect()[0]
+    assert abs(rh["cohens_h"] - h_ref) < 2e-6, (rh["cohens_h"], h_ref)
+
+    # Cochran-Armitage over span quartiles
+    mn, mx = min(te), max(te)
+    q = [min((s - mn) * 4 // (mx - mn + 1), 3) for s in te]
+    nq = [q.count(j) for j in range(4)]
+    rq = [sum(a for a, qq in zip(above, q) if qq == j) for j in range(4)]
+    N = sum(nq); R = sum(rq)
+    T = sum(j * rq[j] for j in range(4))
+    W = sum(j * nq[j] for j in range(4))
+    W2 = sum(j * j * nq[j] for j in range(4))
+    pbar = R / N
+    z_ref = (T - pbar * W) / math.sqrt(pbar * (1 - pbar) * (W2 - W * W / N))
+    rt = registry.OPS["stats_trend_proportions"].fn(spark, str(tmp_path)).collect()[0]
+    assert abs(rt["trend_z"] - z_ref) < 2e-6, (rt["trend_z"], z_ref)
+
+    # Burstiness over inter-event gaps (population sd)
+    gaps = [b - a for a, b in zip(te, te[1:])]
+    mu = sum(gaps) / len(gaps)
+    sd = math.sqrt(sum(g * g for g in gaps) / len(gaps) - mu * mu)
+    b_ref = (sd - mu) / (sd + mu)
+    rb = registry.OPS["ts_burstiness"].fn(spark, str(tmp_path)).collect()[0]
+    assert abs(rb["burstiness"] - b_ref) < 2e-6, (rb["burstiness"], b_ref)
+
+    # Record count z over daily totals
+    daily = {}
+    epoch0 = int(pd.Timestamp("2024-01-01").timestamp())
+    for s, c in zip(te, cents):
+        daily.setdefault((epoch0 + s) // 86400, 0)
+        daily[(epoch0 + s) // 86400] += c
+    xs = [daily[d] for d in sorted(daily)]
+    recs, mx_run = 0, None
+    for x in xs:
+        if mx_run is None or x > mx_run:
+            recs += 1
+            mx_run = x
+    nd = len(xs)
+    hn = sum(1.0 / k for k in range(1, nd + 1))
+    hn2 = sum(1.0 / k / k for k in range(1, nd + 1))
+    z_rec = (recs - hn) / math.sqrt(hn - hn2)
+    rr = registry.OPS["ts_records_count"].fn(spark, str(tmp_path)).collect()[0]
+    assert rr["n_records"] == recs and abs(rr["z"] - z_rec) < 2e-6, (rr, recs, z_rec)
