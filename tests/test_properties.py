@@ -3455,3 +3455,49 @@ def test_trend_h_burstiness_records_match_python_references(spark, tmp_path):
     z_rec = (recs - hn) / math.sqrt(hn - hn2)
     rr = registry.OPS["ts_records_count"].fn(spark, str(tmp_path)).collect()[0]
     assert rr["n_records"] == recs and abs(rr["z"] - z_rec) < 2e-6, (rr, recs, z_rec)
+
+
+def test_horvitz_thompson_matches_python_replay(spark):
+    """sample_horvitz_thompson vs a pure-Python replay of the PPS
+    systematic selection and the integral floor-form HH estimator on the
+    real fixture — every intermediate (md5 order, cumulative weights,
+    threshold crossings, per-term floors) recomputed outside both
+    engines."""
+    import hashlib
+
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    docs = pd.read_parquet(SF_DIR + "/documents.parquet")
+    got = {
+        r["source"]: r
+        for r in registry.OPS["sample_horvitz_thompson"].fn(spark, SF_DIR).collect()
+    }
+    SCALE = 1_000_000
+    for src, grp in docs.groupby("source"):
+        rows = sorted(
+            grp.itertuples(),
+            key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id),
+        )
+        tot = sum(r.n_chars for r in rows)
+        q = max(1, len(rows) // 10)
+        cum, est_u, n_draws = 0, 0, 0
+        true_tok = 0
+        for r in rows:
+            tok = len(r.text.split(" "))
+            true_tok += tok
+            cum += r.n_chars
+            draws = (cum * q) // tot - ((cum - r.n_chars) * q) // tot
+            if draws >= 1:
+                n_draws += draws
+                est_u += (draws * tok * tot * SCALE) // (q * r.n_chars)
+        g = got[src]
+        assert g["stratum_quota"] == q and g["n_draws"] == n_draws, (src, g)
+        assert g["true_tokens"] == true_tok, (src, g)
+        assert g["est_tokens"] == est_u // SCALE, (src, g)
+        err_bp = (est_u - true_tok * SCALE) * 10000 // (true_tok * SCALE)
+        # Python // floors while the engines' div truncates toward zero:
+        # reconcile on the truncated form
+        err_tr = int((est_u - true_tok * SCALE) * 10000 / (true_tok * SCALE))
+        assert g["err_bp"] in (err_bp, err_tr), (src, g["err_bp"], err_bp, err_tr)
