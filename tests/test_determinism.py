@@ -218,6 +218,9 @@ SWEEP_SF001 = [
     "sample_negative_pairs",
     "agg_heavy_hitters",
     "corpus_shuffle_shard",
+    "embedding_triplet_violation",  # md5-budget picks differ by scale (r12)
+    "sample_balanced_downsample",   # md5-rank class caps differ by scale (r12)
+    "sample_horvitz_thompson",      # threshold crossings differ by scale (r12)
 ]
 
 
