@@ -3606,3 +3606,56 @@ def test_era_suite_matches_python_references(spark, tmp_path):
     assert abs(got["stats_mann_whitney"]["z_stat"] - z_ref) < 2e-6
     assert abs(got["stats_cliff_delta"]["cliff_delta"] - delta_ref) < 2e-6
     assert abs(got["stats_brown_forsythe"]["bf_stat"] - f_ref) < 2e-6
+
+
+def test_kendall_tau_matches_python_pair_counting(spark, tmp_path):
+    """stats_kendall_tau_binned vs the direct O(n²) pair-counting tau-b
+    on tie-heavy fixtures — validates the bounded-contingency rewrite
+    against the definition it optimizes."""
+    import hashlib
+    import math
+
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    fn = registry.OPS["stats_kendall_tau_binned"].fn
+
+    def h(seed, i, mod):
+        return int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8], 16) % mod
+
+    for seed in range(3):
+        pairs = [(h(seed, i, 5), 1 + h(seed * 3 + 1, i, 6)) for i in range(40)]
+        pd.DataFrame([
+            dict(l_orderkey=i, l_partkey=1, l_suppkey=1, l_linenumber=1,
+                 l_quantity=float(q), l_extendedprice=1.0, l_discount=d / 100.0,
+                 l_tax=0.0, l_returnflag="N", l_linestatus="O",
+                 l_shipdate=pd.Timestamp("2024-01-01"))
+            for i, (d, q) in enumerate(pairs)
+        ]).to_parquet(tmp_path / "lineitem.parquet", index=False,
+                      coerce_timestamps="us")
+        pd.DataFrame([
+            dict(p_partkey=1, p_name="p", p_brand="B1", p_type="t",
+                 p_size=1, p_retailprice=1.0)
+        ]).to_parquet(tmp_path / "part.parquet", index=False)
+        nn = len(pairs)
+        conc = disc = 0
+        for i in range(nn):
+            for j in range(i + 1, nn):
+                dx = (pairs[i][0] > pairs[j][0]) - (pairs[i][0] < pairs[j][0])
+                dy = (pairs[i][1] > pairs[j][1]) - (pairs[i][1] < pairs[j][1])
+                if dx * dy > 0:
+                    conc += 1
+                elif dx * dy < 0:
+                    disc += 1
+        from collections import Counter
+
+        tx = Counter(p[0] for p in pairs)
+        ty = Counter(p[1] for p in pairs)
+        n0 = nn * (nn - 1) / 2
+        n1 = sum(t * (t - 1) / 2 for t in tx.values())
+        n2 = sum(t * (t - 1) / 2 for t in ty.values())
+        tau_ref = (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
+        r = fn(spark, str(tmp_path)).collect()[0]
+        assert r["n_concordant"] == conc and r["n_discordant"] == disc, (seed, r)
+        assert abs(r["kendall_tau_b"] - tau_ref) < 2e-6, (seed, r, tau_ref)
