@@ -3727,3 +3727,47 @@ def test_mk_mde_quantile_ci_match_python_references(spark, tmp_path):
     assert (r["median_cents"], r["ci_lo_cents"], r["ci_hi_cents"]) == (
         med, srt[lo - 1], srt[hi - 1],
     ), (r, med, srt[lo - 1], srt[hi - 1])
+
+
+def test_ks_eras_matches_python_reference(spark, tmp_path):
+    """stats_ks_eras vs a direct Python two-sample KS over a
+    constructed two-priority orders fixture straddling the era cut —
+    the scaled-integer D against the max-|ΔECDF| definition."""
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    rows, ok = [], 0
+    data = {}
+    for prio, shift in (("1-URGENT", 0), ("3-MEDIUM", 700)):
+        vals_a = [10.00 + (i % 9) * 1.25 for i in range(40)]
+        vals_b = [10.00 + shift / 100.0 + (i % 7) * 1.10 for i in range(35)]
+        data[prio] = (vals_a, vals_b)
+        for v in vals_a:
+            rows.append(dict(o_orderkey=ok, o_custkey=1, o_orderstatus="F",
+                             o_totalprice=v,
+                             o_orderdate=pd.Timestamp("1995-06-01"),
+                             o_orderpriority=prio)); ok += 1
+        for v in vals_b:
+            rows.append(dict(o_orderkey=ok, o_custkey=1, o_orderstatus="O",
+                             o_totalprice=v,
+                             o_orderdate=pd.Timestamp("1998-06-01"),
+                             o_orderpriority=prio)); ok += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "orders.parquet", index=False,
+                                  coerce_timestamps="us")
+    got = {
+        r["grp"]: r
+        for r in registry.OPS["stats_ks_eras"].fn(spark, str(tmp_path)).collect()
+    }
+    for prio, (va, vb) in data.items():
+        ca = [round(v * 100) for v in va]
+        cb = [round(v * 100) for v in vb]
+        n1, n2 = len(ca), len(cb)
+        pts = sorted(set(ca) | set(cb))
+        d_scaled = max(
+            abs(n2 * sum(1 for c in ca if c <= p) - n1 * sum(1 for c in cb if c <= p))
+            for p in pts
+        )
+        g = got[prio]
+        assert (g["n1"], g["n2"], g["d_scaled"]) == (n1, n2, d_scaled), (prio, g)
+        assert g["d_bp"] == d_scaled * 10000 // (n1 * n2), g
