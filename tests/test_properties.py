@@ -3771,3 +3771,69 @@ def test_ks_eras_matches_python_reference(spark, tmp_path):
         g = got[prio]
         assert (g["n1"], g["n2"], g["d_scaled"]) == (n1, n2, d_scaled), (prio, g)
         assert g["d_bp"] == d_scaled * 10000 // (n1 * n2), g
+
+
+def test_theil_sen_runs_gini_match_python_references(spark, tmp_path):
+    """ts_theil_sen (lower-median of pairwise slopes), stats_runs_test
+    (Wald-Wolfowitz on daily diff signs), and agg_gini_concentration
+    (customer-revenue Gini) vs direct Python computation."""
+    import math
+
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+
+    # --- events fixture: 20 daily values with a kink + flats ---------
+    daily = [1000, 1040, 1040, 990, 1100, 1150, 1150, 1120, 1210, 1260,
+             1230, 1310, 1310, 1290, 1400, 1450, 1420, 1500, 1500, 1560]
+    pd.DataFrame([
+        dict(event_id=i, ts=pd.Timestamp("2024-01-01") + pd.Timedelta(days=i),
+             user_id=1, event_type="t", value=c / 100.0, props="{}")
+        for i, c in enumerate(daily)
+    ]).to_parquet(tmp_path / "events.parquet", index=False)
+
+    # theil-sen: lower median of pairwise slopes under (slope, d1, d2)
+    nd = len(daily)
+    slopes = sorted(
+        ((daily[j] - daily[i]) / (j - i), i, j)
+        for i in range(nd) for j in range(i + 1, nd)
+    )
+    sen_ref = slopes[(len(slopes) + 1) // 2 - 1][0]
+    r = registry.OPS["ts_theil_sen"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_pairs"] == len(slopes), r
+    assert abs(r["sen_slope_cents_per_day"] - sen_ref) < 2e-6, (r, sen_ref)
+
+    # runs test: signs of nonzero daily diffs
+    sgns = [1 if b > a else -1 for a, b in zip(daily, daily[1:]) if b != a]
+    n_pos = sgns.count(1); n_neg = sgns.count(-1); n = len(sgns)
+    runs = 1 + sum(1 for a, b in zip(sgns, sgns[1:]) if a != b)
+    mu = 1 + 2 * n_pos * n_neg / n
+    var = 2 * n_pos * n_neg * (2 * n_pos * n_neg - n) / (n * n * (n - 1))
+    z_ref = (runs - mu) / math.sqrt(var)
+    rr = registry.OPS["stats_runs_test"].fn(spark, str(tmp_path)).collect()[0]
+    assert (rr["n_pos"], rr["n_neg"], rr["n_runs"]) == (n_pos, n_neg, runs), rr
+    assert abs(rr["z_score"] - z_ref) < 2e-6, (rr["z_score"], z_ref)
+
+    # --- orders fixture: skewed customer revenue for the Gini --------
+    cust_rev = {c: 100 * (c + 1) ** 3 for c in range(12)}  # heavy skew
+    rows, ok = [], 0
+    for c, cents in cust_rev.items():
+        for part in (0.25, 0.75):  # two orders per customer
+            rows.append(dict(o_orderkey=ok, o_custkey=c, o_orderstatus="F",
+                             o_totalprice=cents * part / 100.0,
+                             o_orderdate=pd.Timestamp("1996-01-01"),
+                             o_orderpriority="1-URGENT")); ok += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "orders.parquet", index=False,
+                                  coerce_timestamps="us")
+    totals = sorted(
+        (round(cents * 0.25) + round(cents * 0.75), c)
+        for c, cents in cust_rev.items()
+    )
+    n = len(totals)
+    tot = sum(t for t, _ in totals)
+    weighted = sum((i + 1) * t for i, (t, _) in enumerate(totals))
+    gini_ref = 2 * weighted / (n * tot) - (n + 1) / n
+    rg = registry.OPS["agg_gini_concentration"].fn(spark, str(tmp_path)).collect()[0]
+    assert rg["n"] == n and rg["total"] == tot, rg
+    assert abs(rg["gini"] - gini_ref) < 2e-6, (rg["gini"], gini_ref)
