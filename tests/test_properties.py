@@ -3837,3 +3837,79 @@ def test_theil_sen_runs_gini_match_python_references(spark, tmp_path):
     rg = registry.OPS["agg_gini_concentration"].fn(spark, str(tmp_path)).collect()[0]
     assert rg["n"] == n and rg["total"] == tot, rg
     assert abs(rg["gini"] - gini_ref) < 2e-6, (rg["gini"], gini_ref)
+
+
+def test_psi_and_cramers_v_match_python_references(spark, tmp_path):
+    """stats_psi_stability (Laplace-smoothed per-bin PSI) and
+    stats_cramers_v (fold-deterministic chi²) vs direct Python on
+    constructed fixtures."""
+    import math
+
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+
+    # --- PSI: two shifted price eras over $50k bins ------------------
+    rows, ok = [], 0
+    prices_a = [20000 + (i % 8) * 40000 for i in range(60)]   # era A
+    prices_b = [60000 + (i % 6) * 50000 for i in range(45)]   # era B (shifted)
+    for p, dt in [(p, "1996-03-01") for p in prices_a] + [
+        (p, "1998-09-01") for p in prices_b
+    ]:
+        rows.append(dict(o_orderkey=ok, o_custkey=1, o_orderstatus="F",
+                         o_totalprice=float(p), o_orderdate=pd.Timestamp(dt),
+                         o_orderpriority="1-URGENT")); ok += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "orders.parquet", index=False,
+                                  coerce_timestamps="us")
+    bins = {}
+    for p in prices_a:
+        bins.setdefault(p // 50000, [0, 0])[0] += 1
+    for p in prices_b:
+        bins.setdefault(p // 50000, [0, 0])[1] += 1
+    n_a, n_b, nbins = len(prices_a), len(prices_b), len(bins)
+    got = {
+        r["bin"]: r
+        for r in registry.OPS["stats_psi_stability"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(bins)
+    for bn, (ca, cb) in bins.items():
+        p = (ca + 1) / (n_a + nbins)
+        q = (cb + 1) / (n_b + nbins)
+        ref = (p - q) * math.log(p / q)
+        g = got[bn]
+        assert (g["c_a"], g["c_b"]) == (ca, cb), (bn, g)
+        assert abs(g["psi_contrib"] - ref) < 2e-6, (bn, g["psi_contrib"], ref)
+
+    # --- Cramér's V over (type × day-part) ---------------------------
+    rows = []
+    eid = 0
+    for typ, hshift in (("x", 0), ("y", 6), ("z", 12)):
+        for i in range(70):
+            rows.append(dict(event_id=eid,
+                             ts=pd.Timestamp("2024-01-01")
+                             + pd.Timedelta(hours=(hshift + i * 5) % 24,
+                                            days=i),
+                             user_id=1, event_type=typ, value=1.0, props="{}"))
+            eid += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    cells = {}
+    for r0 in rows:
+        key = (r0["event_type"], r0["ts"].hour // 6)
+        cells[key] = cells.get(key, 0) + 1
+    N = sum(cells.values())
+    ra = {}
+    cb2 = {}
+    for (a, b), obs in cells.items():
+        ra[a] = ra.get(a, 0) + obs
+        cb2[b] = cb2.get(b, 0) + obs
+    chi2 = sum(
+        (obs * N - ra[a] * cb2[b]) ** 2 / (ra[a] * cb2[b] * N)
+        for (a, b), obs in cells.items()
+    )
+    dfm = min(len(ra) - 1, len(cb2) - 1)
+    v_ref = math.sqrt(chi2 / (N * dfm))
+    rc = registry.OPS["stats_cramers_v"].fn(spark, str(tmp_path)).collect()[0]
+    assert rc["n_total"] == N and rc["df_min"] == dfm, rc
+    assert abs(rc["chi2"] - chi2) < 1e-4, (rc["chi2"], chi2)
+    assert abs(rc["cramers_v"] - v_ref) < 1e-5, (rc["cramers_v"], v_ref)
