@@ -3913,3 +3913,55 @@ def test_psi_and_cramers_v_match_python_references(spark, tmp_path):
     assert rc["n_total"] == N and rc["df_min"] == dfm, rc
     assert abs(rc["chi2"] - chi2) < 1e-4, (rc["chi2"], chi2)
     assert abs(rc["cramers_v"] - v_ref) < 1e-5, (rc["cramers_v"], v_ref)
+
+
+def test_acf_and_ljung_box_match_python_references(spark, tmp_path):
+    """ts_autocorr (lag-pair Pearson in integral bp) and stats_ljung_box
+    (global-mean ACF → Q) vs direct Python on a short deterministic
+    series with real autocorrelation."""
+    import math
+
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    cents = []
+    x = 1000
+    for i in range(60):
+        x = x + (37 if i % 4 < 2 else -35) + (i % 3) * 4  # sticky up/down
+        cents.append(x)
+    pd.DataFrame([
+        dict(event_id=i, ts=pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+             user_id=1, event_type="t", value=c / 100.0, props="{}")
+        for i, c in enumerate(cents)
+    ]).to_parquet(tmp_path / "events.parquet", index=False)
+
+    n = len(cents)
+    # ts_autocorr: plain Pearson over the lag-k pair set, floored bp
+    got = {
+        r["lag"]: r
+        for r in registry.OPS["ts_autocorr"].fn(spark, str(tmp_path)).collect()
+    }
+    for k in (1, 2, 3):
+        xs = cents[:-k]
+        ys = cents[k:]
+        m = len(xs)
+        num = m * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+        den = math.sqrt(m * sum(a * a for a in xs) - sum(xs) ** 2) * math.sqrt(
+            m * sum(b * b for b in ys) - sum(ys) ** 2
+        )
+        ref_bp = math.floor(num * 10000 / den)
+        assert got[k]["n_pairs"] == m and got[k]["r_bp"] == ref_bp, (k, got[k], ref_bp)
+
+    # ljung-box: global-mean ACF and the Q statistic
+    xbar = sum(cents) / n
+    denom = sum((c - xbar) ** 2 for c in cents)
+    q = 0.0
+    for k in (1, 2, 3):
+        rho = sum(
+            (cents[t] - xbar) * (cents[t + k] - xbar) for t in range(n - k)
+        ) / denom
+        q += rho * rho / (n - k)
+    q_ref = n * (n + 2) * q
+    r = registry.OPS["stats_ljung_box"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["n"] == n and abs(r["q_stat"] - q_ref) < 1e-3, (r, q_ref)
