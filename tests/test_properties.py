@@ -3965,3 +3965,35 @@ def test_acf_and_ljung_box_match_python_references(spark, tmp_path):
     q_ref = n * (n + 2) * q
     r = registry.OPS["stats_ljung_box"].fn(spark, str(tmp_path)).collect()[0]
     assert r["n"] == n and abs(r["q_stat"] - q_ref) < 1e-3, (r, q_ref)
+
+
+def test_zipf_alpha_matches_python_reference(spark, tmp_path):
+    """text_zipf_alpha vs a direct Python log-log OLS over the same
+    (count desc, token) ranking on a constructed skewed vocabulary."""
+    import math
+
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    # vocabulary with a clean power-ish profile + ties
+    words = []
+    freq = {"alpha": 64, "beta": 32, "gamma": 16, "delta": 16, "eps": 8,
+            "zeta": 6, "eta": 4, "theta": 3, "iota": 2, "kappa": 1}
+    for w, c in freq.items():
+        words += [w] * c
+    text = " ".join(words)
+    pd.DataFrame([
+        dict(doc_id=1, text=text, lang="en", source="s0", n_chars=len(text))
+    ]).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.log(r + 1) for r in range(len(ranked))]
+    ys = [math.log(c) for _, c in ranked]
+    n = len(xs)
+    slope_ref = (n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)) / (
+        n * sum(a * a for a in xs) - sum(xs) ** 2
+    )
+    r = registry.OPS["text_zipf_alpha"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_ranks"] == n and r["top_count"] == 64, r
+    assert abs(r["zipf_slope"] - slope_ref) < 2e-6, (r["zipf_slope"], slope_ref)
