@@ -3997,3 +3997,56 @@ def test_zipf_alpha_matches_python_reference(spark, tmp_path):
     r = registry.OPS["text_zipf_alpha"].fn(spark, str(tmp_path)).collect()[0]
     assert r["n_ranks"] == n and r["top_count"] == 64, r
     assert abs(r["zipf_slope"] - slope_ref) < 2e-6, (r["zipf_slope"], slope_ref)
+
+
+def test_dispersion_and_trimmed_mean_match_python_references(spark, tmp_path):
+    """ts_dispersion_index (daily-count variance/mean + chi²-approx
+    verdict) and stats_trimmed_mean (10% rank trim / winsorize) vs
+    direct Python on deterministic fixtures."""
+    import math
+
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+
+    # dispersion: bursty daily counts (2 quiet days then a spike)
+    counts = [(3 if i % 3 else 24) for i in range(30)]
+    rows, eid = [], 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(dict(event_id=eid,
+                             ts=pd.Timestamp("2024-01-01") + pd.Timedelta(days=day),
+                             user_id=1, event_type="t", value=1.0, props="{}"))
+            eid += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    n = len(counts)
+    s = sum(counts)
+    q = sum(c * c for c in counts)
+    var = (q - s * s / n) / (n - 1)
+    mean = s / n
+    d_ref = var / mean
+    thresh = 1 + 1.644854 * math.sqrt(2 / (n - 1))
+    r = registry.OPS["ts_dispersion_index"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == n and abs(r["dispersion_index"] - d_ref) < 2e-6, (r, d_ref)
+    assert bool(r["overdispersed"]) == (round(d_ref, 6) > thresh), r
+
+    # trimmed/winsorized mean: tail-heavy values, ties at the cut
+    cents = sorted(
+        [900] * 5 + [1000 + 7 * i for i in range(40)] + [5000, 9000, 12000]
+    )
+    pd.DataFrame([
+        dict(event_id=i, ts=pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+             user_id=1, event_type="t", value=c / 100.0, props="{}")
+        for i, c in enumerate(cents)
+    ]).to_parquet(tmp_path / "events.parquet", index=False)
+    m = len(cents)
+    k = m * 1000 // 10000
+    core = cents[k : m - k]
+    lo, hi = cents[k], cents[m - k - 1]
+    trimmed = sum(core) / len(core) / 100
+    win = (sum(core) + k * lo + k * hi) / m / 100
+    r = registry.OPS["stats_trimmed_mean"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_trim_each"] == k, r
+    assert abs(r["trimmed_mean"] - trimmed) < 2e-6, (r["trimmed_mean"], trimmed)
+    assert abs(r["winsorized_mean"] - win) < 2e-6, (r["winsorized_mean"], win)
