@@ -4050,3 +4050,38 @@ def test_dispersion_and_trimmed_mean_match_python_references(spark, tmp_path):
     assert r["n_trim_each"] == k, r
     assert abs(r["trimmed_mean"] - trimmed) < 2e-6, (r["trimmed_mean"], trimmed)
     assert abs(r["winsorized_mean"] - win) < 2e-6, (r["winsorized_mean"], win)
+
+
+def test_capture_recapture_matches_python_replay(spark, tmp_path):
+    """stats_capture_recapture vs a pure-Python replay of the md5 doc
+    split and the Chapman estimator on a constructed vocabulary with
+    known half overlaps."""
+    import hashlib
+
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    docs = []
+    vocab = [f"w{i:03d}" for i in range(60)]
+    for d in range(24):
+        toks = [vocab[(d * 7 + j) % 60] for j in range(18)]  # overlapping slices
+        docs.append(dict(doc_id=d, text=" ".join(toks), lang="en",
+                         source="s0", n_chars=len(" ".join(toks))))
+    pd.DataFrame(docs).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    seen_a, seen_b = set(), set()
+    for d in docs:
+        half_a = hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[0] in "01234567"
+        for t in set(d["text"].split(" ")):
+            (seen_a if half_a else seen_b).add(t)
+    n_a, n_b = len(seen_a), len(seen_b)
+    n_both = len(seen_a & seen_b)
+    n_true = len(seen_a | seen_b)
+    est = (n_a + 1) * (n_b + 1) // (n_both + 1) - 1
+    r = registry.OPS["stats_capture_recapture"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_both"], r["n_true"]) == (
+        n_a, n_b, n_both, n_true,
+    ), r
+    assert r["est_total"] == est, (r["est_total"], est)
+    assert r["err_bp"] == (est - n_true) * 10000 // n_true, r
