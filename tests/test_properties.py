@@ -4085,3 +4085,63 @@ def test_capture_recapture_matches_python_replay(spark, tmp_path):
     ), r
     assert r["est_total"] == est, (r["est_total"], est)
     assert r["err_bp"] == (est - n_true) * 10000 // n_true, r
+
+
+def test_srm_and_chi2_cells_match_python_replay(spark, tmp_path):
+    """stats_srm_check (md5 arm assignment + 50/50 chi²) and
+    stats_chi2_independence (per-cell N-scaled integral contributions)
+    vs pure-Python replays."""
+    import hashlib
+
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    rows = []
+    for i in range(300):
+        rows.append(dict(event_id=i,
+                         ts=pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(hours=(i * 5) % 24, days=i % 9),
+                         user_id=i % 97, event_type="t" if i % 3 else "u",
+                         value=1.0, props="{}"))
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+
+    # srm: replay the md5 arm hash per event row
+    arms = {}
+    for r0 in rows:
+        h8 = hashlib.md5(f"srm:{r0['user_id']}".encode()).hexdigest()[:8]
+        arm = int(h8, 16) % 2
+        k = r0["event_type"]
+        arms.setdefault(k, [0, 0])[arm] += 1
+    got = {
+        r["event_type"]: r
+        for r in registry.OPS["stats_srm_check"].fn(spark, str(tmp_path)).collect()
+    }
+    for k, (na, nb) in arms.items():
+        g = got[k]
+        chi = round((na - nb) ** 2 / (na + nb), 6)
+        assert (g["n_arm_a"], g["n_arm_b"]) == (na, nb), (k, g)
+        assert g["chi2_stat"] == chi and bool(g["srm_detected"]) == (chi > 3.841459)
+
+    # chi2 independence: per (type, day-part) cell contributions
+    cells = {}
+    for r0 in rows:
+        key = (r0["event_type"], r0["ts"].hour // 6)
+        cells[key] = cells.get(key, 0) + 1
+    N = sum(cells.values())
+    ra, cb = {}, {}
+    for (a, b), obs in cells.items():
+        ra[a] = ra.get(a, 0) + obs
+        cb[b] = cb.get(b, 0) + obs
+    got = {
+        (r["a"], r["b"]): r
+        for r in registry.OPS["stats_chi2_independence"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(cells)
+    for (a, b), obs in cells.items():
+        g = got[(a, b)]
+        exp_floor = ra[a] * cb[b] // N
+        scaled = (obs * N - ra[a] * cb[b]) ** 2 // (ra[a] * cb[b] * N)
+        assert (g["obs"], g["expected_floor"], g["chi2_n_scaled"]) == (
+            obs, exp_floor, scaled,
+        ), (a, b, g)
