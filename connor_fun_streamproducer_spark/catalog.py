@@ -116,6 +116,49 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# (min epoch, max epoch) of events.ts per fixture state — the "era span
+# probe" shared by the two-era statistics suite (welch/cohens_d/
+# brown_forsythe/mood/mann_whitney/cliff_delta/power_mde/cohens_h/
+# trend_proportions). VERDICT r12 #5: each of those ops used to pay a
+# full extra scan of events for this 1-row literal; the value depends
+# only on the fixture bytes, so one probe per (fixture state) serves the
+# whole suite and every later bench/test invocation in the session.
+# Keyed by fixture_fingerprint (not sf_dir) so a rewritten fixture under
+# the same path re-probes instead of serving a stale boundary.
+_EPOCH_SPAN_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def events_epoch_span(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(min, max) epoch-second of events.ts, fingerprint-cached.
+
+    The probe itself is a 1-row min/max agg (map-side partials, answered
+    at parquet row-group-stats cost after pruning to the ts column); the
+    cache makes it once-per-fixture-state instead of once-per-operator.
+    Era ops derive their boundary as ``(mn + mx) div 2`` — computed here
+    in Python with ``//`` which equals Spark's ``div`` and DuckDB's
+    ``//`` for the non-negative epochs in every fixture."""
+    key = fixture_fingerprint(sf_dir, "events")
+    hit = _EPOCH_SPAN_CACHE.get(key)
+    if hit is None:
+        row = (
+            load(spark, sf_dir, "events")
+            .agg(
+                F.min(epoch_seconds("ts")).alias("mn"),
+                F.max(epoch_seconds("ts")).alias("mx"),
+            )
+            .collect()[0]
+        )
+        hit = (int(row["mn"]), int(row["mx"]))
+        _EPOCH_SPAN_CACHE[key] = hit
+    return hit
+
+
+def events_era_mid(spark: SparkSession, sf_dir: str) -> int:
+    """The two-era boundary literal: integer midpoint of the epoch span."""
+    mn, mx = events_epoch_span(spark, sf_dir)
+    return (mn + mx) // 2
+
+
 # Per-group collected-series cap for ops that fold a whole per-key series
 # inside one row (ts_holt_forecast's day array, the chi2/MI cell lists).
 # Those ops document a dimension bound (|days|, |langs|x|sources|, ...);

@@ -1696,16 +1696,26 @@ def corpus_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank·length wraps bigint at extreme scale — the degree-gini
     discipline); one rounded division at the end.
 
-    Scale: one scan → per-source rank window (the entity-level
-    exact-rank sort, partitioned by source) → |sources| moment agg.
+    Scale (r13, VERDICT r12 #4): a source is NOT a bounded partition —
+    one source can own most of a 100 TB corpus, so the per-source rank
+    comes from scale_patterns.distributed_rank partitioned by source:
+    length-quantile literal shards inside each source, rank within
+    (source, shard), broadcast prefix offsets over the ≤RANK_PARTS
+    shard rows per source. No task sorts more than one shard of one
+    source. Then the |sources| moment agg.
     """
+    from connor_fun_streamproducer_spark.operators.scale_patterns import (
+        distributed_rank,
+    )
+
     t = load(spark, sf_dir, "documents").select(
         "source",
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("x"),
     )
-    w = Window.partitionBy("source").orderBy("x", "doc_id")
-    r = t.select("source", "x", F.row_number().over(w).alias("i"))
+    r = distributed_rank(t, "x", ["doc_id"], partition_cols=["source"]).select(
+        "source", "x", F.col("rk").alias("i")
+    )
     m = (
         r.groupBy("source")
         .agg(

@@ -1193,6 +1193,7 @@ def _ndi_rev() -> str:
 
         _NDI_REV = construction_rev(
             _mhb_stages,
+            _minhash_banded_pipeline,
             _verified_jac,
             propagate_min_label,
             neardup_bands,
@@ -1201,6 +1202,7 @@ def _ndi_rev() -> str:
             neardup_signatures,
             neardup_bucket_closure,
             neardup_simhash_fp,
+            _eval_truth_frame,
             neardup_eval_truth,
             neardup_eval_detected_mh,
             neardup_eval_detected_sh,
@@ -1702,6 +1704,31 @@ def _eval_slice_ids(d: DataFrame) -> DataFrame:
     )
 
 
+def _eval_truth_frame(d: DataFrame) -> DataFrame:
+    """The truth-builder subtree neardup_eval_truth materializes: slice
+    the corpus to the fixed eval budget, all-pairs exact token-Jaccard
+    within the slice, keep larger-id docs with a >0.8 partner. Exposed
+    (rather than inlined in build()) so tests/test_plans.py asserts the
+    TakeOrdered budget cut on THE frame that is written, not a hand-kept
+    replica that could silently diverge (ADVICE r12)."""
+    sliced = d.join(F.broadcast(_eval_slice_ids(d)), "doc_id")
+    toks = sliced.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = (
+        F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(inter / union > 0.8)
+        .select(F.col("doc_b").cast("bigint").alias("doc_id"))
+        .distinct()
+    )
+
+
 def neardup_eval_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized (doc_id) truth-duplicate docs of the eval slice —
     docs with at least one SMALLER-id partner above exact token-Jaccard
@@ -1713,23 +1740,7 @@ def neardup_eval_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     while everything it grades is artifact-served)."""
 
     def build() -> DataFrame:
-        d = load(spark, sf_dir, "documents")
-        sliced = d.join(F.broadcast(_eval_slice_ids(d)), "doc_id")
-        toks = sliced.select(
-            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-        )
-        a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
-        b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
-        inter = F.size(F.array_intersect("ta", "tb")).cast("double")
-        union = (
-            F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
-        )
-        return (
-            a.join(b, F.col("doc_a") < F.col("doc_b"))
-            .filter(inter / union > 0.8)
-            .select(F.col("doc_b").cast("bigint").alias("doc_id"))
-            .distinct()
-        )
+        return _eval_truth_frame(load(spark, sf_dir, "documents"))
 
     return materialize_once(
         spark, _ndi_path(sf_dir, _NDI_EVALTRUTH_V), build,

@@ -30,6 +30,8 @@ scale (only the in-batch matmul is int64, bounded by batch size).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -122,29 +124,226 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _covariance_frame(spark, sf_dir)
 
 
-@op("embedding_pca_project", oracle=None, tags=("llm", "embedding", "iterative"))
+# Fixed round budget for the deflated power iteration. The op is DEFINED
+# as the T-round iteration (not "the eigenvectors"): with the fixtures'
+# near-degenerate spectra (lambda2/lambda1 ~ 0.95-0.985) no fixed budget
+# converges to eigh's vectors, but any mix inside the near-degenerate
+# top subspace captures essentially the same variance — and a fixed-round
+# integer-quantized recurrence is something BOTH engines can replay
+# bit-for-bit, which eigh is not. tests/test_properties.py pins the
+# captured variance (Rayleigh quotient) against the true eigenvalues.
+PI_ROUNDS = 32
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — DuckDB's ``//`` on
+    integers and Spark's ``div`` both truncate; Python's ``//`` floors,
+    so the driver-side replay must not use it on negatives."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def _power_iterate(cq: dict, rounds: int) -> list[int]:
+    """``rounds`` integer-quantized power-iteration steps on the 16x16
+    quantized covariance ``cq[(i, j)]`` (1-based), starting from the
+    all-ones vector scaled to _Q. Every step: exact int64 matvec, a
+    norm from the SCALED sum of squares (|w| div _Q, squared — keeps the
+    sum under 2^53 so the int->double conversion is exact in both
+    engines; DuckDB's HUGEINT->DOUBLE cast is NOT correctly rounded
+    above 2^53, measured this round), then re-quantize to the _Q grid.
+    Float ops are a fixed sequence over exactly-representable integers,
+    so DuckDB replays this bit-for-bit as unrolled CTE rounds."""
+    v = [_Q] * D_SEL
+    for _ in range(rounds):
+        w = [
+            sum(cq[(i, j)] * v[j - 1] for j in range(1, D_SEL + 1))
+            for i in range(1, D_SEL + 1)
+        ]
+        ssq = sum((abs(x) // _Q) ** 2 for x in w)
+        nrm = math.sqrt(float(ssq)) * float(_Q)
+        v = [math.floor(x / nrm * float(_Q) + 0.5) for x in w]
+    return v
+
+
+def _sign_fix(v: list[int]) -> list[int]:
+    """Largest-|component| entry positive; lowest index wins ties."""
+    piv = max(range(D_SEL), key=lambda i: (abs(v[i]), -i))
+    return [-x for x in v] if v[piv] < 0 else v
+
+
+def _pca_components(cov_rows, rounds: int = PI_ROUNDS):
+    """Top-2 quantized directions by deflated fixed-round power
+    iteration over the collected covq rows. Pure-Python exact-int +
+    fixed-IEEE-sequence arithmetic; mirrors the oracle CTEs 1:1."""
+    cq1 = {(r["i"], r["j"]): int(r["cq"]) for r in cov_rows}
+    v1 = _power_iterate(cq1, rounds)
+    # Rayleigh quotient of v1 in scaled space: num div-scales each
+    # va*cq product by _Q so the 256-term sum stays exactly
+    # double-representable; den = |v1|^2 fits int64 outright.
+    num_s = sum(
+        _tdiv(v1[i - 1] * cq1[(i, j)], _Q) * v1[j - 1]
+        for i in range(1, D_SEL + 1)
+        for j in range(1, D_SEL + 1)
+    )
+    den = sum(x * x for x in v1)
+    lam = float(num_s) / float(den) * float(_Q)
+    # Hotelling deflation, re-quantized to the covq grid.
+    cq2 = {
+        (i, j): math.floor(
+            float(cq1[(i, j)]) - lam * (float(v1[i - 1] * v1[j - 1]) / 1e12) + 0.5
+        )
+        for i in range(1, D_SEL + 1)
+        for j in range(1, D_SEL + 1)
+    }
+    v2 = _power_iterate(cq2, rounds)
+    return _sign_fix(v1), _sign_fix(v2)
+
+
+def _covq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantized covariance (i, j, cq): the SAME distributed Gramian
+    aggregation as embedding_covariance, quantized to the _Q grid with
+    floor-half-up instead of round(.., 6) (floor over identical doubles
+    is engine-stable; decimal round is not at scaled-half boundaries)."""
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+    partials = emb.mapInPandas(_gram_partials, schema=_GRAM_SCHEMA)
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)")).cast("double")  # noqa: E731
+    agg = partials.groupBy("i", "j").agg(
+        dec("sxy").alias("sxy"),
+        dec("si").alias("si"),
+        dec("sj").alias("sj"),
+        dec("n").alias("n"),
+    )
+    cov = (
+        F.col("sxy") / F.col("n")
+        - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
+    ) / F.lit(float(_Q) ** 2)
+    return agg.select(
+        "i", "j", F.floor(cov * F.lit(float(_Q)) + F.lit(0.5)).cast("long").alias("cq")
+    )
+
+
+def _pca_oracle(rounds: int = PI_ROUNDS) -> str:
+    """The DuckDB twin: quantized covariance + the full power iteration
+    unrolled as MATERIALIZED CTE rounds (the kmeans/PQ fold discipline —
+    the oracle replays the ALGORITHM, it does not trust the engine).
+    Integer-exact matvecs; every int that meets a double is first cast
+    through BIGINT (exact hardware conversion — HUGEINT->DOUBLE double-
+    rounds above 2^53) and every scaled div is DuckDB ``//`` (truncating,
+    mirrored by _tdiv)."""
+    q, d = _Q, D_SEL
+    parts = [
+        f"""WITH u AS MATERIALIZED (
+  SELECT vec_id, i, CAST(floor(x * {q} + 0.5) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+  WHERE i <= {d}
+), stat AS MATERIALIZED (
+  SELECT i, SUM(q) AS sd FROM u GROUP BY i
+), nn AS MATERIALIZED (
+  SELECT COUNT(*) AS n FROM embeddings
+), covagg AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         CAST(SUM(a.q * b.q) AS DOUBLE) AS sxy,
+         CAST(SUM(a.q) AS DOUBLE) AS si,
+         CAST(SUM(b.q) AS DOUBLE) AS sj,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2
+), cov1 AS MATERIALIZED (
+  SELECT i, j,
+         CAST(floor((sxy / n - (si / n) * (sj / n)) / 1e12 * {q} + 0.5) AS BIGINT) AS cq
+  FROM covagg
+), v1_0 AS MATERIALIZED (SELECT i, CAST({q} AS BIGINT) AS vq FROM stat)"""
+    ]
+    for e in (1, 2):
+        for t in range(1, rounds + 1):
+            parts.append(
+                f""", w{e}_{t} AS MATERIALIZED (
+  SELECT c.i AS i, SUM(c.cq * v.vq) AS w
+  FROM cov{e} c JOIN v{e}_{t - 1} v ON c.j = v.i GROUP BY c.i
+), v{e}_{t} AS MATERIALIZED (
+  SELECT i, CAST(floor(CAST(CAST(w AS BIGINT) AS DOUBLE)
+        / (SELECT sqrt(CAST(CAST(SUM((abs(CAST(w AS BIGINT)) // {q})
+                 * (abs(CAST(w AS BIGINT)) // {q})) AS BIGINT) AS DOUBLE)) * {q}
+           FROM w{e}_{t})
+        * {q} + 0.5) AS BIGINT) AS vq
+  FROM w{e}_{t}
+)"""
+            )
+        if e == 1:
+            parts.append(
+                f""", lam1 AS MATERIALIZED (
+  SELECT CAST(CAST((SELECT SUM(((va.vq * c.cq) // {q}) * vb.vq)
+               FROM cov1 c JOIN v1_{rounds} va ON c.i = va.i
+                           JOIN v1_{rounds} vb ON c.j = vb.i) AS BIGINT) AS DOUBLE)
+       / CAST(CAST((SELECT SUM(vq * vq) FROM v1_{rounds}) AS BIGINT) AS DOUBLE)
+       * {q} AS lam
+), cov2 AS MATERIALIZED (
+  SELECT c.i AS i, c.j AS j,
+         CAST(floor(CAST(c.cq AS DOUBLE)
+              - (SELECT lam FROM lam1) * (CAST(va.vq * vb.vq AS DOUBLE) / 1e12)
+              + 0.5) AS BIGINT) AS cq
+  FROM cov1 c JOIN v1_{rounds} va ON c.i = va.i JOIN v1_{rounds} vb ON c.j = vb.i
+), v2_0 AS MATERIALIZED (SELECT i, CAST({q} AS BIGINT) AS vq FROM stat)"""
+            )
+    for e in (1, 2):
+        parts.append(
+            f""", e{e} AS MATERIALIZED (
+  SELECT v.i AS i,
+         CASE WHEN (SELECT vq FROM v{e}_{rounds}
+                    WHERE i = (SELECT i FROM v{e}_{rounds}
+                               ORDER BY abs(vq) DESC, i LIMIT 1)) < 0
+              THEN -v.vq ELSE v.vq END AS vq
+  FROM v{e}_{rounds} v
+)"""
+        )
+    parts.append(
+        f"""
+SELECT u.vec_id AS vec_id, emb.label AS label,
+  CAST(floor(CAST(CAST(SUM(CAST(u.q * (SELECT n FROM nn) - st.sd AS HUGEINT)
+                           * e1.vq) AS BIGINT) AS DOUBLE)
+        / (CAST((SELECT n FROM nn) AS DOUBLE) * 1e12) * 10000 + 0.5) AS BIGINT)
+        / 10000.0 AS pc1,
+  CAST(floor(CAST(CAST(SUM(CAST(u.q * (SELECT n FROM nn) - st.sd AS HUGEINT)
+                           * e2.vq) AS BIGINT) AS DOUBLE)
+        / (CAST((SELECT n FROM nn) AS DOUBLE) * 1e12) * 10000 + 0.5) AS BIGINT)
+        / 10000.0 AS pc2
+FROM u
+JOIN stat st ON u.i = st.i
+JOIN e1 ON u.i = e1.i
+JOIN e2 ON u.i = e2.i
+JOIN embeddings emb ON emb.vec_id = u.vec_id
+GROUP BY u.vec_id, emb.label"""
+    )
+    return "".join(parts)
+
+
+@op("embedding_pca_project", oracle=_pca_oracle(), tags=("llm", "embedding", "iterative"))
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Project every embedding onto its corpus's top-2 principal
-    components (dims 1..16): (vec_id, label, pc1, pc2).
+    """Project every embedding onto its corpus's top-2 quantized
+    principal directions (dims 1..16): (vec_id, label, pc1, pc2).
 
-    Phase 1 reuses the one-pass covariance above plus the quantized
-    column means (same exact-integer sums). Phase 2 collects the 16x16
-    matrix — bounded d^2 driver work, NOT a data collect — and
-    eigendecomposes with numpy (``eigh``; symmetric by construction).
-    Sign is fixed deterministically (largest-|loading| entry positive,
-    lowest index on ties) so reruns are bit-stable. Phase 3 projects
-    map-only with a pure JVM expression: pc_k = sum_d (x_d - mu_d) *
-    w_kd over 16 literal terms — whole-stage codegen, no Python, no
-    shuffle.
+    Promoted off rows-only in r13 (VERDICT r12 #2): the driver ``eigh``
+    is replaced by a PI_ROUNDS-round deflated power iteration on the
+    1e-6-quantized 16x16 covariance, every step exact-int + fixed-IEEE,
+    so the full algorithm unrolls into the DuckDB oracle as CTE rounds
+    and the key is hash-checked end to end.
 
-    Eigendecomposition is not ANSI-SQL-expressible, so this key is the
-    sanctioned rows-only class; tests/test_llm.py pins the projection
-    against a full numpy PCA recompute at sf0.001 instead.
+    Phase 1 (distributed): the one-pass integer Gramian covariance
+    (same mapInPandas kernel as embedding_covariance) and the exact
+    quantized column sums. Phase 2 (driver, bounded): collect the d^2 =
+    256 covq rows — never data — and run the deflated power iteration
+    in pure Python (_pca_components). Phase 3 (distributed, map-only):
+    pc_k = floor(sum_d (q_d*n - s_d)*vq_kd / (n*1e12) * 1e4 + .5)/1e4
+    as one JVM decimal/double expression per component — whole-stage
+    codegen, no Python, no shuffle; the numerator is an exact decimal
+    sum so the engines cannot diverge on summation order.
+
+    Scale: identical to before the promotion — the corpus is touched by
+    exactly one covariance pass, one sums pass, and one map-only
+    projection; the iteration itself is O(d^2 * rounds) driver work.
     """
-    cov_rows = _covariance_frame(spark, sf_dir).collect()  # d^2 = 256 rows
-    cov = np.zeros((D_SEL, D_SEL))
-    for r in cov_rows:
-        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
+    cov_rows = _covq_frame(spark, sf_dir).collect()  # d^2 = 256 rows
+    e1, e2 = _pca_components(cov_rows)
 
     emb = load(spark, sf_dir, "embeddings")
     mean_aggs = [
@@ -156,26 +355,25 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in range(1, D_SEL + 1)
     ]
     mean_row = emb.agg(F.count("*").alias("n"), *mean_aggs).collect()[0]
-    n = mean_row["n"]
-    mu = np.array([float(mean_row[f"s{d}"]) / n / _Q for d in range(1, D_SEL + 1)])
+    n = int(mean_row["n"])
+    s = [int(mean_row[f"s{d}"]) for d in range(1, D_SEL + 1)]
 
-    vals, vecs = np.linalg.eigh(cov)
-    order = np.argsort(vals)[::-1]
-    comps = vecs[:, order[:2]].T  # (2, d)
-    for k in range(2):
-        pivot = int(np.argmax(np.abs(comps[k])))
-        if comps[k, pivot] < 0:
-            comps[k] = -comps[k]
-
-    def proj(k: int) -> F.Column:
+    def proj(vq: list[int]) -> F.Column:
         terms = [
-            (F.element_at("embedding", d + 1).cast("double") - F.lit(float(mu[d])))
-            * F.lit(float(comps[k, d]))
+            (
+                F.floor(
+                    F.element_at("embedding", d + 1).cast("double") * _Q + F.lit(0.5)
+                ).cast("decimal(38,0)")
+                * F.lit(n)
+                - F.lit(s[d]).cast("decimal(38,0)")
+            )
+            * F.lit(vq[d])
             for d in range(D_SEL)
         ]
-        out = terms[0]
+        tot = terms[0]
         for t in terms[1:]:
-            out = out + t
-        return F.round(out, 4)
+            tot = tot + t
+        x = tot.cast("double") / F.lit(float(n) * 1e12)
+        return (F.floor(x * F.lit(10000) + F.lit(0.5)).cast("long") / F.lit(10000.0))
 
-    return emb.select("vec_id", "label", proj(0).alias("pc1"), proj(1).alias("pc2"))
+    return emb.select("vec_id", "label", proj(e1).alias("pc1"), proj(e2).alias("pc2"))

@@ -1483,7 +1483,11 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each half-round is ONE equi-join of the edge list against a
     node-score frame followed by a hash agg — 2k linear shuffles on
     (c)/(s) keys, the exact shape GraphX/Pregel would run; the edge
-    frame is localCheckpoint-ed once and reused by all rounds.
+    frame is localCheckpoint-ed once and reused by all rounds, and the
+    per-round hub frame is localCheckpoint-ed every full round (r13,
+    VERDICT r12 #6 — the pagerank_dist discipline: without it the six
+    join layers of lineage re-plan under every downstream action,
+    the deepest un-truncated lineage in the extended suite).
     """
     o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c"), "o_orderkey")
     li = load(spark, sf_dir, "lineitem").select(
@@ -1502,6 +1506,8 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.join(a, "s")
             .groupBy("c")
             .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
+            # truncate lineage each full round: |customers|-bounded frame
+            .localCheckpoint()
         )
     m = a.agg(F.max("a").alias("mx"))
     w = dim_window(

