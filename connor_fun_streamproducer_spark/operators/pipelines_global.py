@@ -1467,3 +1467,186 @@ def pipeline_brand_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hhi_bp2").cast("bigint").alias("hhi_bp2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-supplier unit-price dispersion per part (round 13)
+# ---------------------------------------------------------------------------
+
+_DISPERSION_TOPK = 20
+_DISPERSION_MIN_SUPPLIERS = 3
+
+_PRICE_DISPERSION_ORACLE = f"""
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents,
+           sum(CAST(l_quantity AS BIGINT)) AS qty
+    FROM lineitem
+    GROUP BY 1, 2
+), u AS (
+    SELECT l_partkey, l_suppkey,
+           cents * 1000 // qty AS unit_mil
+    FROM ps WHERE qty > 0
+), d AS (
+    SELECT l_partkey,
+           count(*) AS n_suppliers,
+           min(unit_mil) AS min_unit_mil,
+           max(unit_mil) AS max_unit_mil,
+           sum(unit_mil) AS sum_unit_mil
+    FROM u GROUP BY 1
+    HAVING count(*) >= {_DISPERSION_MIN_SUPPLIERS}
+)
+SELECT CAST(l_partkey AS BIGINT) AS partkey,
+       CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(min_unit_mil AS BIGINT) AS min_unit_mil,
+       CAST(max_unit_mil AS BIGINT) AS max_unit_mil,
+       CAST((max_unit_mil - min_unit_mil) * 10000
+            // nullif(sum_unit_mil // n_suppliers, 0) AS BIGINT) AS spread_bp
+FROM d
+ORDER BY (max_unit_mil - min_unit_mil) * 10000
+         // nullif(sum_unit_mil // n_suppliers, 0) DESC, partkey
+LIMIT {_DISPERSION_TOPK}
+"""
+
+
+@op(
+    "pipeline_price_dispersion",
+    oracle=_PRICE_DISPERSION_ORACLE,
+    tags=("ext", "pipeline", "global"),
+)
+def pipeline_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-supplier unit-price dispersion: for every part sold by ≥3
+    suppliers, the spread between the cheapest and dearest average
+    unit price as basis points of the mean — the procurement
+    arbitrage screen ("which parts are we buying at wildly different
+    prices depending on supplier?"), ranked by spread, top-20. The
+    per-part sibling of pipeline_brand_supplier_hhi (which grades
+    CONCENTRATION; this grades PRICE disagreement).
+
+    Exact: unit prices are integral milli-cents (cents·1000 div qty —
+    integral division, no floats anywhere); the spread share is one
+    more integral division against the integral mean. Total-order
+    ranked (spread, partkey).
+
+    Scale: one (part, supplier) hash agg with map-side partials — the
+    natural pre-aggregation that keeps the per-part fan-in at
+    |suppliers-per-part|, then a |parts|-bounded agg and a top-k. No
+    joins at all.
+    """
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        )
+    )
+    u = ps.filter(F.col("qty") > 0).select(
+        "l_partkey", F.expr("cents * 1000 div qty").alias("unit_mil")
+    )
+    d = (
+        u.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.min("unit_mil").alias("min_unit_mil"),
+            F.max("unit_mil").alias("max_unit_mil"),
+            F.sum("unit_mil").alias("sum_unit_mil"),
+        )
+        .filter(F.col("n_suppliers") >= _DISPERSION_MIN_SUPPLIERS)
+    )
+    spread = F.expr(
+        "(max_unit_mil - min_unit_mil) * 10000"
+        " div nullif(sum_unit_mil div n_suppliers, 0)"
+    )
+    return (
+        d.select(
+            F.col("l_partkey").cast("bigint").alias("partkey"),
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.col("min_unit_mil").cast("bigint").alias("min_unit_mil"),
+            F.col("max_unit_mil").cast("bigint").alias("max_unit_mil"),
+            spread.cast("bigint").alias("spread_bp"),
+        )
+        .orderBy(F.desc("spread_bp"), "partkey")
+        .limit(_DISPERSION_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# New-vs-repeat revenue split per order year (round 13)
+# ---------------------------------------------------------------------------
+
+_NEW_REPEAT_ORACLE = """
+WITH o AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           min(o_orderdate) OVER (PARTITION BY o_custkey) AS first_dt,
+           o_orderdate
+    FROM orders
+), tag AS (
+    SELECT yr, cents,
+           CASE WHEN o_orderdate = first_dt THEN 1 ELSE 0 END AS is_first
+    FROM o
+)
+SELECT yr,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(is_first) AS BIGINT) AS n_first_orders,
+       CAST(sum(CASE WHEN is_first = 1 THEN cents ELSE 0 END) AS BIGINT)
+           AS first_order_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN is_first = 1 THEN cents ELSE 0 END) * 10000
+            // nullif(sum(cents), 0) AS BIGINT) AS new_revenue_bp
+FROM tag GROUP BY yr
+"""
+
+
+@op(
+    "pipeline_new_vs_repeat_revenue",
+    oracle=_NEW_REPEAT_ORACLE,
+    tags=("ext", "pipeline", "global"),
+)
+def pipeline_new_vs_repeat_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue split between customers' FIRST-ever orders and repeat
+    orders, per order year — the acquisition-vs-retention mix that
+    pipeline_new_returning_users counts in heads, here weighted in
+    money: a falling new_revenue_bp with flat totals means the
+    business is compounding on its installed base. First order = the
+    customer's minimum order DATE (all same-day orders count as first
+    — the standard day-grain acquisition definition, identical on
+    both engines).
+
+    Exact: integer cents, integral basis-point division.
+
+    Scale: the first-date tag is a per-customer window (one keyed
+    exchange on the entity key — bounded per-customer order counts),
+    then one |years| hash agg. At 100 TB this is the canonical
+    "enrich facts with an entity-level min" shape; no joins.
+    """
+    w = Window.partitionBy("o_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        ),
+        F.when(
+            F.col("o_orderdate") == F.min("o_orderdate").over(w), 1
+        )
+        .otherwise(0)
+        .alias("is_first"),
+    )
+    return o.groupBy("yr").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("is_first").cast("bigint").alias("n_first_orders"),
+        F.sum(F.when(F.col("is_first") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("first_order_cents"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.expr(
+            "sum(CASE WHEN is_first = 1 THEN cents ELSE 0 END) * 10000"
+            " div nullif(sum(cents), 0)"
+        )
+        .cast("bigint")
+        .alias("new_revenue_bp"),
+    )

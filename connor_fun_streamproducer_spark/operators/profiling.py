@@ -3988,3 +3988,431 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.expr(_CHI2_CRIT_BY_DOF.replace("CASE dof", "CASE k_groups - 1"))
         ).alias("reject_equal_location"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil's uncertainty coefficient U (entropy-based association, round 13)
+# ---------------------------------------------------------------------------
+
+_THEIL_ORACLE = """
+WITH o AS (
+    SELECT lang AS a, source AS b, count(*) AS obs
+    FROM documents GROUP BY 1, 2
+), tot AS (SELECT sum(obs) AS n FROM o),
+ha AS (
+    SELECT list_sort(list(r)) AS l
+    FROM (SELECT sum(obs) AS r FROM o GROUP BY a)
+), hb AS (
+    SELECT list_sort(list(c)) AS l
+    FROM (SELECT sum(obs) AS c FROM o GROUP BY b)
+), hj AS (SELECT list_sort(list(obs)) AS l FROM o),
+ents AS (
+    SELECT
+      list_reduce(list_transform(ha.l, p ->
+          -(CAST(p AS DOUBLE) / t.n) * ln(CAST(p AS DOUBLE) / t.n)),
+          (x, y) -> x + y) AS h_a,
+      list_reduce(list_transform(hb.l, p ->
+          -(CAST(p AS DOUBLE) / t.n) * ln(CAST(p AS DOUBLE) / t.n)),
+          (x, y) -> x + y) AS h_b,
+      list_reduce(list_transform(hj.l, p ->
+          -(CAST(p AS DOUBLE) / t.n) * ln(CAST(p AS DOUBLE) / t.n)),
+          (x, y) -> x + y) AS h_ab,
+      t.n AS n
+    FROM ha, hb, hj, tot t
+)
+SELECT CAST(n AS BIGINT) AS n_total,
+       round(h_a, 6) + 0.0 AS h_lang,
+       round(h_b, 6) + 0.0 AS h_source,
+       round(h_ab, 6) + 0.0 AS h_joint,
+       round((h_a + h_b - h_ab) / nullif(h_a, 0.0), 6) + 0.0
+           AS u_lang_given_source,
+       round((h_a + h_b - h_ab) / nullif(h_b, 0.0), 6) + 0.0
+           AS u_source_given_lang
+FROM ents
+"""
+
+
+@op("stats_theil_u", oracle=_THEIL_ORACLE, tags=("ext", "stats", "profile"))
+def stats_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U between documents' lang and
+    source — the ASYMMETRIC companion to stats_cramers_v (symmetric
+    effect size) and stats_mutual_info_cat (symmetric information):
+    U(lang|source) = MI/H(lang) answers "what fraction of language
+    uncertainty does knowing the source remove?", and the reverse
+    direction answers the converse — the two directions differ exactly
+    when one column is a refinement of the other, which V and MI both
+    hide. The corpus-governance read: U(lang|source) → 1 means sources
+    are language-siloed and per-source sampling IS language sampling.
+
+    Exact: one (lang, source) cell aggregation; all three entropies
+    fold over SORTED integer count arrays (the stats_cramers_v
+    discipline — identical fold order on both engines), and U is a
+    fixed float expression over them.
+
+    Scale: one scan → |langs|x|sources| bounded cell frame; everything
+    after is dimension-bounded. Output is 1 row.
+    """
+    o = (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.col("lang").alias("a"), F.col("source").alias("b"))
+        .agg(F.count("*").alias("obs"))
+    )
+    ra = o.groupBy("a").agg(F.sum("obs").alias("r"))
+    cb = o.groupBy("b").agg(F.sum("obs").alias("c"))
+    fold = (
+        o.agg(
+            bounded_series(
+                F.array_sort(F.collect_list("obs")),
+                what="stats_theil_u joint cells",
+            ).alias("lj"),
+            F.sum("obs").alias("n"),
+        )
+        .crossJoin(
+            F.broadcast(
+                ra.agg(
+                    bounded_series(
+                        F.array_sort(F.collect_list("r")),
+                        what="stats_theil_u lang marginal",
+                    ).alias("la")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                cb.agg(
+                    bounded_series(
+                        F.array_sort(F.collect_list("c")),
+                        what="stats_theil_u source marginal",
+                    ).alias("lb")
+                )
+            )
+        )
+    )
+
+    def ent(col: str) -> F.Column:
+        return F.expr(
+            f"aggregate({col}, CAST(0.0 AS DOUBLE), (x, p) -> x"
+            " - (CAST(p AS DOUBLE) / n) * ln(CAST(p AS DOUBLE) / n))"
+        )
+
+    ha, hb, hj = ent("la"), ent("lb"), ent("lj")
+    return fold.select(
+        F.col("n").cast("bigint").alias("n_total"),
+        (F.round(ha, 6) + F.lit(0.0)).alias("h_lang"),
+        (F.round(hb, 6) + F.lit(0.0)).alias("h_source"),
+        (F.round(hj, 6) + F.lit(0.0)).alias("h_joint"),
+        (F.round((ha + hb - hj) / F.nullif(ha, F.lit(0.0)), 6) + F.lit(0.0)).alias(
+            "u_lang_given_source"
+        ),
+        (F.round((ha + hb - hj) / F.nullif(hb, F.lit(0.0)), 6) + F.lit(0.0)).alias(
+            "u_source_given_lang"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Goodman–Kruskal lambda (all-integer predictive association, round 13)
+# ---------------------------------------------------------------------------
+
+_GK_ORACLE = """
+WITH o AS (
+    SELECT lang AS a, source AS b, count(*) AS obs
+    FROM documents GROUP BY 1, 2
+), n AS (SELECT sum(obs) AS n FROM o),
+maxa AS (SELECT max(r) AS m FROM (SELECT sum(obs) AS r FROM o GROUP BY a)),
+maxb AS (SELECT max(c) AS m FROM (SELECT sum(obs) AS c FROM o GROUP BY b)),
+rowmax AS (SELECT sum(m) AS s FROM (SELECT max(obs) AS m FROM o GROUP BY b)),
+colmax AS (SELECT sum(m) AS s FROM (SELECT max(obs) AS m FROM o GROUP BY a))
+SELECT CAST(n.n AS BIGINT) AS n_total,
+       CAST(rowmax.s AS BIGINT) AS sum_colwise_modal,
+       CAST(colmax.s AS BIGINT) AS sum_rowwise_modal,
+       CAST(maxa.m AS BIGINT) AS modal_lang,
+       CAST(maxb.m AS BIGINT) AS modal_source,
+       CAST((rowmax.s - maxa.m) * 10000 // nullif(n.n - maxa.m, 0) AS BIGINT)
+           AS lambda_lang_given_source_bp,
+       CAST((colmax.s - maxb.m) * 10000 // nullif(n.n - maxb.m, 0) AS BIGINT)
+           AS lambda_source_given_lang_bp
+FROM n, maxa, maxb, rowmax, colmax
+"""
+
+
+@op("stats_gk_lambda", oracle=_GK_ORACLE, tags=("ext", "stats", "profile"))
+def stats_gk_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman–Kruskal lambda between documents' lang and source: the
+    proportional-reduction-in-error measure — "guessing the modal
+    language per source instead of the global modal language cuts
+    errors by λ". The fully INTEGER member of the association suite
+    (V needs chi-square floats, U and MI need logs; λ is counts and
+    one integral division), so it is the one that stays exact at any
+    scale, and like U it is asymmetric — both directions reported in
+    basis points.
+
+    Scale: one scan → bounded cell frame → four bounded aggregations.
+    Output is 1 row.
+    """
+    o = (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.col("lang").alias("a"), F.col("source").alias("b"))
+        .agg(F.count("*").alias("obs"))
+    )
+    n = o.agg(F.sum("obs").alias("n"))
+    maxa = o.groupBy("a").agg(F.sum("obs").alias("r")).agg(F.max("r").alias("ma"))
+    maxb = o.groupBy("b").agg(F.sum("obs").alias("c")).agg(F.max("c").alias("mb"))
+    rowmax = o.groupBy("b").agg(F.max("obs").alias("m")).agg(F.sum("m").alias("sr"))
+    colmax = o.groupBy("a").agg(F.max("obs").alias("m")).agg(F.sum("m").alias("sc"))
+    j = (
+        n.crossJoin(F.broadcast(maxa))
+        .crossJoin(F.broadcast(maxb))
+        .crossJoin(F.broadcast(rowmax))
+        .crossJoin(F.broadcast(colmax))
+    )
+    return j.select(
+        F.col("n").cast("bigint").alias("n_total"),
+        F.col("sr").cast("bigint").alias("sum_colwise_modal"),
+        F.col("sc").cast("bigint").alias("sum_rowwise_modal"),
+        F.col("ma").cast("bigint").alias("modal_lang"),
+        F.col("mb").cast("bigint").alias("modal_source"),
+        F.expr("(sr - ma) * 10000 div nullif(n - ma, 0)")
+        .cast("bigint")
+        .alias("lambda_lang_given_source_bp"),
+        F.expr("(sc - mb) * 10000 div nullif(n - mb, 0)")
+        .cast("bigint")
+        .alias("lambda_source_given_lang_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired-eras activity test (per event type, round 13)
+# ---------------------------------------------------------------------------
+
+_MCNEMAR_CRIT = 3.841459  # chi-square(1) 95%
+
+_MCNEMAR_ORACLE = f"""
+WITH b AS (
+    SELECT event_type, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS te
+    FROM events
+), span AS (
+    SELECT (min(te) + max(te)) // 2 AS mid FROM b
+), uni AS (
+    SELECT count(DISTINCT user_id) AS n_users FROM b
+), flags AS (
+    SELECT event_type, user_id,
+           max(CASE WHEN te <  mid THEN 1 ELSE 0 END) AS fa,
+           max(CASE WHEN te >= mid THEN 1 ELSE 0 END) AS fb
+    FROM b CROSS JOIN span
+    GROUP BY event_type, user_id
+), d AS (
+    SELECT event_type,
+           sum(CASE WHEN fa = 1 AND fb = 0 THEN 1 ELSE 0 END) AS n10,
+           sum(CASE WHEN fa = 0 AND fb = 1 THEN 1 ELSE 0 END) AS n01,
+           sum(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END) AS n11
+    FROM flags GROUP BY event_type
+)
+SELECT event_type,
+       CAST(u.n_users AS BIGINT) AS n_users,
+       CAST(n10 AS BIGINT) AS n_active_a_only,
+       CAST(n01 AS BIGINT) AS n_active_b_only,
+       CAST(n11 AS BIGINT) AS n_active_both,
+       round(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+             / nullif(n10 + n01, 0), 6) + 0.0 AS chi2,
+       round(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+             / nullif(n10 + n01, 0), 6) > {_MCNEMAR_CRIT}
+           AS reject_symmetric_change
+FROM d CROSS JOIN uni u
+"""
+
+
+@op("stats_mcnemar", oracle=_MCNEMAR_ORACLE, tags=("ext", "stats"))
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test of PAIRED activity change per event type: each
+    user is their own control — was the user active in era A, in era
+    B? Off-diagonal discordant counts (active-then-quiet vs
+    quiet-then-active) drive chi2 = (b−c)²/(b+c); the marginal tests
+    (welch/mann-whitney on values) cannot see this because they ignore
+    the pairing — churn and acquisition can cancel in the marginals
+    while McNemar flags the asymmetry. The standard before/after test
+    for feature launches on the same population.
+
+    Exact: presence flags and discordant counts are integers; chi2 is
+    one float division (no continuity correction on either engine),
+    rounded before the chi-square(1) 5% verdict.
+
+    Scale: one scan → (type, user) presence agg with map-side partials
+    → |types| rows; the user universe is a 1-row companion aggregate.
+    """
+    b = load(spark, sf_dir, "events").select(
+        "event_type", "user_id", epoch_seconds("ts").alias("te")
+    )
+    span = events_era_mid(spark, sf_dir)  # fingerprint-cached 1-row probe
+    flags = b.groupBy("event_type", "user_id").agg(
+        F.max(F.when(F.col("te") < F.lit(span), 1).otherwise(0)).alias("fa"),
+        F.max(F.when(F.col("te") >= F.lit(span), 1).otherwise(0)).alias("fb"),
+    )
+    uni = b.agg(F.countDistinct("user_id").alias("n_users"))
+    d = flags.groupBy("event_type").agg(
+        F.sum(F.when((F.col("fa") == 1) & (F.col("fb") == 0), 1).otherwise(0)).alias(
+            "n10"
+        ),
+        F.sum(F.when((F.col("fa") == 0) & (F.col("fb") == 1), 1).otherwise(0)).alias(
+            "n01"
+        ),
+        F.sum(F.when((F.col("fa") == 1) & (F.col("fb") == 1), 1).otherwise(0)).alias(
+            "n11"
+        ),
+    )
+    chi2 = F.round(
+        ((F.col("n10") - F.col("n01")) * (F.col("n10") - F.col("n01"))).cast(
+            "double"
+        )
+        / F.nullif(F.col("n10") + F.col("n01"), F.lit(0)),
+        6,
+    )
+    return d.crossJoin(F.broadcast(uni)).select(
+        "event_type",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n10").cast("bigint").alias("n_active_a_only"),
+        F.col("n01").cast("bigint").alias("n_active_b_only"),
+        F.col("n11").cast("bigint").alias("n_active_both"),
+        (chi2 + F.lit(0.0)).alias("chi2"),
+        (chi2 > F.lit(_MCNEMAR_CRIT)).alias("reject_symmetric_change"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test on paired per-user era totals (round 13)
+# ---------------------------------------------------------------------------
+
+_WSR_CRIT = 1.959964  # standard normal 95% two-sided
+
+_WSR_ORACLE = f"""
+WITH b AS (
+    SELECT event_type, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS te,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), span AS (
+    SELECT (min(te) + max(te)) // 2 AS mid FROM b
+), pair AS (
+    SELECT event_type, user_id,
+           sum(CASE WHEN te >= mid THEN cents ELSE 0 END)
+         - sum(CASE WHEN te <  mid THEN cents ELSE 0 END) AS d
+    FROM b CROSS JOIN span
+    GROUP BY event_type, user_id
+), nz AS (
+    SELECT event_type, user_id, d, abs(d) AS ad
+    FROM pair WHERE d <> 0
+), rk AS (
+    SELECT event_type, d,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ad, user_id) AS r,
+           ad
+    FROM nz
+), tg AS (
+    SELECT event_type, d,
+           min(r) OVER (PARTITION BY event_type, ad)
+         + max(r) OVER (PARTITION BY event_type, ad) AS r2,
+           count(*) OVER (PARTITION BY event_type, ad) AS t
+    FROM rk
+), g AS (
+    SELECT event_type,
+           count(*) AS n,
+           sum(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS w2p,
+           sum(t * t - 1) AS tie3
+    FROM tg GROUP BY event_type
+    HAVING count(*) >= 2
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_nonzero,
+       CAST(w2p AS BIGINT) AS w_plus_doubled,
+       round((CAST(w2p AS DOUBLE) / 2 - CAST(n AS DOUBLE) * (n + 1) / 4)
+             / nullif(sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+                           - CAST(tie3 AS DOUBLE) / 48), 0.0), 6) + 0.0
+           AS z_stat,
+       abs(round((CAST(w2p AS DOUBLE) / 2 - CAST(n AS DOUBLE) * (n + 1) / 4)
+             / nullif(sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+                           - CAST(tie3 AS DOUBLE) / 48), 0.0), 6))
+           > {_WSR_CRIT} AS reject_no_shift
+FROM g
+"""
+
+
+@op("stats_wilcoxon_signed_rank", oracle=_WSR_ORACLE, tags=("ext", "stats"))
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-user era totals, per
+    event type: each user's era-B cents total minus their era-A total
+    is one paired difference; ranks of |d| (zeros dropped, the
+    standard Wilcoxon zero policy) test whether the typical user
+    SHIFTED — the nonparametric paired companion to stats_mcnemar
+    (which only sees presence flips) and the paired counterpart of
+    stats_mann_whitney (which treats the eras as independent samples
+    and loses the per-user pairing).
+
+    Exact: paired differences are integer cents; doubled tie-group
+    ranks (min+max over the |d| peer group under the (|d|, user_id)
+    total order) make the doubled W⁺ an exact integer; the tie term
+    folds per-row as t²−1; z is one fixed-shape float expression with
+    the tie-corrected variance, rounded before the 5% verdict.
+
+    Scale: one scan → (type, user) paired agg → per-type rank + tie
+    windows (one exchange, both key on event_type first) → |types|
+    rows. Support floor n ≥ 2 (variance degenerate below).
+    """
+    b = load(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        epoch_seconds("ts").alias("te"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    span = events_era_mid(spark, sf_dir)  # fingerprint-cached 1-row probe
+    pair = b.groupBy("event_type", "user_id").agg(
+        (
+            F.sum(F.when(F.col("te") >= F.lit(span), F.col("cents")).otherwise(0))
+            - F.sum(F.when(F.col("te") < F.lit(span), F.col("cents")).otherwise(0))
+        ).alias("d")
+    )
+    nz = pair.filter(F.col("d") != 0).select(
+        "event_type", "user_id", "d", F.abs("d").alias("ad")
+    )
+    wt = Window.partitionBy("event_type")
+    rk = nz.select(
+        "event_type",
+        "d",
+        "ad",
+        F.row_number().over(wt.orderBy("ad", "user_id")).alias("r"),
+    )
+    wg = wt.orderBy("ad").rangeBetween(Window.currentRow, Window.currentRow)
+    tg = rk.select(
+        "event_type",
+        "d",
+        (F.min("r").over(wg) + F.max("r").over(wg)).alias("r2"),
+        F.count("*").over(wg).alias("t"),
+    )
+    g = (
+        tg.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("d") > 0, F.col("r2")).otherwise(0)).alias("w2p"),
+            F.sum(F.col("t") * F.col("t") - 1).alias("tie3"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    z = F.round(
+        (F.col("w2p").cast("double") / 2 - nd * (F.col("n") + 1) / 4)
+        / F.nullif(
+            F.sqrt(
+                nd * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24
+                - F.col("tie3").cast("double") / 48
+            ),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_nonzero"),
+        F.col("w2p").cast("bigint").alias("w_plus_doubled"),
+        (z + F.lit(0.0)).alias("z_stat"),
+        (F.abs(z) > F.lit(_WSR_CRIT)).alias("reject_no_shift"),
+    )

@@ -3491,3 +3491,493 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(ent, 6) + F.lit(0.0)).alias("spectral_entropy_norm"),
         F.col("dominant_period_h").cast("bigint").alias("dominant_period_h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Page–Hinkley drift detector over daily revenue (round 13)
+# ---------------------------------------------------------------------------
+
+
+def _ph_step(idx, x: str, suffix: str) -> str:
+    """One Page–Hinkley fold step as an engine-neutral expression
+    string. ``idx(k)`` renders the k-th accumulator slot (0-based
+    semantics; DuckDB passes a 1-based renderer), ``x`` the new
+    observation, ``suffix`` the double-literal suffix ('D' for Spark).
+    State: [i, S, g, gmin, dmax, darg, g2, gmin2, dmax2, darg2] — the
+    running count/sum, the increase-side PH statistic with its running
+    min / max drift / argmax day, and the mirrored decrease side."""
+    a = idx
+    one = f"1.0{suffix}"
+    mean = f"(({a(1)} + {x}) / ({a(0)} + {one}))"
+    ng = f"({a(2)} + ({x} - {mean}))"
+    ngmin = f"least({a(3)}, {ng})"
+    nd = f"({ng} - {ngmin})"
+    ng2 = f"({a(6)} + ({mean} - {x}))"
+    ngmin2 = f"least({a(7)}, {ng2})"
+    nd2 = f"({ng2} - {ngmin2})"
+    return (
+        f"{a(0)} + {one}, {a(1)} + {x}, {ng}, {ngmin},"
+        f" CASE WHEN {nd} > {a(4)} THEN {nd} ELSE {a(4)} END,"
+        f" CASE WHEN {nd} > {a(4)} THEN ({a(0)} + {one}) ELSE {a(5)} END,"
+        f" {ng2}, {ngmin2},"
+        f" CASE WHEN {nd2} > {a(8)} THEN {nd2} ELSE {a(8)} END,"
+        f" CASE WHEN {nd2} > {a(8)} THEN ({a(0)} + {one}) ELSE {a(9)} END"
+    )
+
+
+_PH_SPARK_FOLD = (
+    "aggregate(slice(v, 2, size(v) - 1),"
+    " array(1.0D, v[0], 0.0D, 0.0D, 0.0D, 1.0D, 0.0D, 0.0D, 0.0D, 1.0D),"
+    " (acc, x) -> array("
+    + _ph_step(lambda k: f"acc[{k}]", "x", "D")
+    + "))"
+)
+
+# DuckDB list_reduce seeds from the FIRST element, so each element is the
+# would-be state-after-first-observation [1, cents, 0, 0, 0, 1, 0, 0, 0, 1]
+# and the lambda reads the observation from slot 2 (the holt twin trick).
+_PH_DUCK_FOLD = (
+    "list_reduce(v, (acc, p) -> ["
+    + _ph_step(lambda k: f"acc[{k + 1}]", "p[2]", "")
+    + "])"
+)
+
+_PH_ORACLE = f"""
+WITH d AS (
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+    FROM events GROUP BY 1, 2
+), s AS (
+    SELECT event_type, count(*) AS n_days,
+           list([1.0, CAST(cents AS DOUBLE), 0.0, 0.0, 0.0, 1.0,
+                 0.0, 0.0, 0.0, 1.0] ORDER BY day) AS v
+    FROM d GROUP BY 1
+), f AS (
+    SELECT event_type, n_days, {_PH_DUCK_FOLD} AS st FROM s
+)
+SELECT event_type,
+       CAST(n_days AS BIGINT) AS n_days,
+       round(st[5], 4) + 0.0 AS ph_drift_inc,
+       CAST(st[6] AS BIGINT) AS drift_inc_day,
+       round(st[9], 4) + 0.0 AS ph_drift_dec,
+       CAST(st[10] AS BIGINT) AS drift_dec_day
+FROM f
+"""
+
+
+@op("ts_page_hinkley", oracle=_PH_ORACLE, tags=("ext", "timeseries", "stats"))
+def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley drift statistics per event-type daily-revenue
+    series: the SEQUENTIAL mean-shift detector (the online form of
+    what ts_changepoint_cusum scans in batch) — g_t accumulates each
+    day's deviation from the RUNNING mean; the maximum of g above its
+    running minimum is the PH drift, and the day that maximum is
+    reached is the change candidate. Both directions reported (an
+    upward demand shift and a collapse are different incidents). This
+    is the recurrence a monitoring job evaluates per micro-batch; here
+    it folds over the day-ordered series so both engines replay it
+    bit-for-bit.
+
+    Exact: daily cents are exact integers that stay ≪2^53 as doubles;
+    the fold is one fixed sequence of IEEE ops (running mean by
+    division, adds, least/greatest comparisons) over the sorted array
+    — the ts_holt_forecast fold discipline with a 10-slot state.
+    Argmax ties resolve to the FIRST maximum on both engines (strict
+    >). δ = 0: the detector reports raw drift; thresholding is the
+    monitor's policy choice, not the statistic's.
+
+    Scale: one hash agg to |types|·|days| cells, one bounded fold per
+    type; output is |types| rows.
+    """
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    s = d.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.transform(
+            bounded_series(
+                F.expr("array_sort(collect_list(struct(day, cents)))"),
+                what="ts_page_hinkley per-type day series",
+            ),
+            lambda p: p.getField("cents").cast("double"),
+        ).alias("v"),
+    )
+    f = s.select("event_type", "n_days", F.expr(_PH_SPARK_FOLD).alias("st"))
+    return f.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        (F.round(F.col("st")[4], 4) + F.lit(0.0)).alias("ph_drift_inc"),
+        F.col("st")[5].cast("bigint").alias("drift_inc_day"),
+        (F.round(F.col("st")[8], 4) + F.lit(0.0)).alias("ph_drift_dec"),
+        F.col("st")[9].cast("bigint").alias("drift_dec_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sample entropy of the daily revenue series (regularity screen, round 13)
+# ---------------------------------------------------------------------------
+
+_SAMPEN_ORACLE = """
+WITH d AS (
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+    FROM events GROUP BY 1, 2
+), idx AS (
+    SELECT event_type, cents,
+           row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+           lead(cents, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+           lead(cents, 2) OVER (PARTITION BY event_type ORDER BY day) AS x2
+    FROM d
+), rr AS (
+    SELECT event_type,
+           count(*) AS n_days,
+           CAST(floor(0.2 * sqrt(CAST(sum(cents * cents) AS DOUBLE) / count(*)
+                    - (CAST(sum(cents) AS DOUBLE) / count(*))
+                    * (CAST(sum(cents) AS DOUBLE) / count(*))) + 0.5) AS BIGINT)
+               AS r_cents
+    FROM d GROUP BY event_type
+), tmpl AS (
+    SELECT event_type, i, cents AS x0, x1, x2 FROM idx WHERE x2 IS NOT NULL
+), pairs AS (
+    SELECT a.event_type,
+           CASE WHEN greatest(abs(a.x0 - b.x0), abs(a.x1 - b.x1)) <= r.r_cents
+                THEN 1 ELSE 0 END AS m2,
+           CASE WHEN greatest(abs(a.x0 - b.x0), abs(a.x1 - b.x1),
+                              abs(a.x2 - b.x2)) <= r.r_cents
+                THEN 1 ELSE 0 END AS m3
+    FROM tmpl a
+    JOIN tmpl b ON a.event_type = b.event_type AND a.i < b.i
+    JOIN rr r ON r.event_type = a.event_type
+)
+SELECT p.event_type,
+       CAST(r.n_days AS BIGINT) AS n_days,
+       CAST(r.r_cents AS BIGINT) AS r_cents,
+       CAST(sum(p.m2) AS BIGINT) AS matches_m2,
+       CAST(sum(p.m3) AS BIGINT) AS matches_m3,
+       round(-ln(CAST(nullif(sum(p.m3), 0) AS DOUBLE)
+                 / nullif(sum(p.m2), 0)), 6) + 0.0 AS sample_entropy
+FROM pairs p JOIN rr r ON r.event_type = p.event_type
+GROUP BY p.event_type, r.n_days, r.r_cents
+"""
+
+
+@op("ts_sample_entropy", oracle=_SAMPEN_ORACLE, tags=("ext", "timeseries", "stats"))
+def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy (m = 2, r = 0.2σ) of each event type's daily
+    revenue series — the regularity/complexity screen: low SampEn
+    means repeating day-to-day patterns (template matches persist when
+    extended one day), high SampEn means the series is
+    pattern-free at tolerance r. Complements ts_spectral_entropy
+    (frequency-domain flatness) with the time-domain, phase-aware
+    measure; the operational read is "how predictable is tomorrow
+    given two matching days".
+
+    Exact: the tolerance r quantizes to integer cents via one fixed
+    float expression over exact moments (floor + 0.5); every template
+    comparison after that is INTEGER Chebyshev distance, so both match
+    counts are exact integers and SampEn = −ln(A/B) is one float.
+    Self-matches are excluded by i < j (each unordered pair counted
+    once — the factor cancels in A/B); both counts use templates with
+    a full m+1 = 3-day extension so A and B range over identical i.
+
+    Scale: the pair join is |days|²-bounded PER TYPE (366² ≈ 134 k
+    pairs/type-year — a dimension bound, not a corpus bound; the
+    |days| window and the join never touch event-level rows after the
+    daily rollup). Output is |types| rows.
+    """
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    idx = d.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wt).alias("i"),
+        F.lead("cents", 1).over(wt).alias("x1"),
+        F.lead("cents", 2).over(wt).alias("x2"),
+    )
+    nd = F.count("*")
+    rr = d.groupBy("event_type").agg(
+        nd.alias("n_days"),
+        F.floor(
+            F.lit(0.2)
+            * F.sqrt(
+                F.sum(F.col("cents") * F.col("cents")).cast("double") / nd
+                - (F.sum("cents").cast("double") / nd)
+                * (F.sum("cents").cast("double") / nd)
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("r_cents"),
+    )
+    tmpl = idx.filter(F.col("x2").isNotNull()).select(
+        "event_type", "i", F.col("cents").alias("x0"), "x1", "x2"
+    )
+    a, b = tmpl.alias("a"), tmpl.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.i") < F.col("b.i")),
+        )
+        .join(
+            F.broadcast(rr.alias("r")),
+            F.col("r.event_type") == F.col("a.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.when(
+                F.greatest(
+                    F.abs(F.col("a.x0") - F.col("b.x0")),
+                    F.abs(F.col("a.x1") - F.col("b.x1")),
+                )
+                <= F.col("r.r_cents"),
+                1,
+            )
+            .otherwise(0)
+            .alias("m2"),
+            F.when(
+                F.greatest(
+                    F.abs(F.col("a.x0") - F.col("b.x0")),
+                    F.abs(F.col("a.x1") - F.col("b.x1")),
+                    F.abs(F.col("a.x2") - F.col("b.x2")),
+                )
+                <= F.col("r.r_cents"),
+                1,
+            )
+            .otherwise(0)
+            .alias("m3"),
+        )
+    )
+    g = pairs.groupBy("event_type").agg(
+        F.sum("m2").alias("matches_m2"), F.sum("m3").alias("matches_m3")
+    )
+    return g.join(F.broadcast(rr), "event_type").select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("r_cents").cast("bigint").alias("r_cents"),
+        F.col("matches_m2").cast("bigint").alias("matches_m2"),
+        F.col("matches_m3").cast("bigint").alias("matches_m3"),
+        (
+            F.round(
+                -F.log(
+                    F.nullif(F.col("matches_m3"), F.lit(0)).cast("double")
+                    / F.nullif(F.col("matches_m2"), F.lit(0))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("sample_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent by rescaled-range analysis (long-memory screen, round 13)
+# ---------------------------------------------------------------------------
+
+_HURST_SCALES = (8, 16, 32, 64)
+
+_HURST_ORACLE = f"""
+WITH d AS (
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+    FROM events GROUP BY 1, 2
+), idx AS (
+    SELECT event_type, cents,
+           row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+    FROM d
+), ex AS (
+    SELECT x.event_type, x.cents, x.i, s.sz,
+           (x.i - 1) // s.sz AS blk
+    FROM idx x CROSS JOIN (SELECT unnest([{', '.join(map(str, _HURST_SCALES))}]) AS sz) s
+), cum AS (
+    SELECT event_type, sz, blk, cents,
+           sum(cents) OVER (PARTITION BY event_type, sz, blk ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS cumx,
+           row_number() OVER (PARTITION BY event_type, sz, blk ORDER BY i) AS k,
+           sum(cents) OVER (PARTITION BY event_type, sz, blk) AS bs1
+    FROM ex
+), bstat AS (
+    SELECT event_type, sz, blk,
+           count(*) AS m,
+           sum(cents) AS s1, sum(cents * cents) AS s2,
+           max(CAST(cumx AS DOUBLE) - k * (CAST(bs1 AS DOUBLE) / sz)) AS dev_hi,
+           min(CAST(cumx AS DOUBLE) - k * (CAST(bs1 AS DOUBLE) / sz)) AS dev_lo
+    FROM cum
+    GROUP BY event_type, sz, blk, bs1
+), rs AS (
+    SELECT event_type, sz,
+           sum(CAST(floor((dev_hi - dev_lo)
+               / sqrt(CAST(s2 AS DOUBLE) / sz
+                      - (CAST(s1 AS DOUBLE) / sz) * (CAST(s1 AS DOUBLE) / sz))
+               * 1000000 + 0.5) AS BIGINT)) AS rs_q,
+           count(*) AS n_blocks
+    FROM bstat
+    WHERE m = sz
+      AND CAST(s2 AS DOUBLE) / sz
+          - (CAST(s1 AS DOUBLE) / sz) * (CAST(s1 AS DOUBLE) / sz) > 0
+    GROUP BY event_type, sz
+), pts AS (
+    SELECT event_type,
+           count(*) AS n_scales,
+           list_sort(list([CAST(sz AS DOUBLE),
+                           CAST(rs_q AS DOUBLE) / n_blocks / 1000000])) AS l
+    FROM rs GROUP BY event_type
+), ols AS (
+    SELECT event_type, n_scales,
+           list_reduce(list_prepend([0.0, 0.0, 0.0, 0.0, 0.0], list_transform(l,
+               p -> [1.0, ln(p[1]), ln(p[2]), ln(p[1]) * ln(p[2]),
+                     ln(p[1]) * ln(p[1])])),
+               (a, p) -> [a[1] + p[1], a[2] + p[2], a[3] + p[3],
+                          a[4] + p[4], a[5] + p[5]]) AS s
+    FROM pts
+)
+SELECT event_type,
+       CAST(n_scales AS BIGINT) AS n_scales,
+       round((s[1] * s[4] - s[2] * s[3])
+             / nullif(s[1] * s[5] - s[2] * s[2], 0.0), 6) + 0.0 AS hurst
+FROM ols
+WHERE n_scales >= 2
+"""
+
+
+@op("ts_hurst_rs", oracle=_HURST_ORACLE, tags=("ext", "timeseries", "stats"))
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by classical rescaled-range (R/S) analysis of
+    each event type's daily revenue: split the day series into
+    complete blocks of 8/16/32/64 days, per block take R = range of
+    the mean-adjusted cumulative sums and S = the population std, and
+    fit log(mean R/S) against log(block size) — H ≈ 0.5 is memoryless,
+    H > 0.5 long-range persistent (trends compound; capacity planning
+    must buffer more than √t scaling suggests), H < 0.5 mean-
+    reverting. The long-memory companion to ts_autocorr (one lag at a
+    time) and ts_seasonality_strength (fixed period).
+
+    Exact: block moments and cumulative sums are exact integers;
+    per-block R/S is one fixed float expression QUANTIZED to 1e-6
+    before the cross-block mean (integer sum — block order cannot
+    desync the engines); the final OLS folds over the ≤4 sorted
+    (scale, mean-R/S) points. Zero-variance blocks are excluded on
+    both engines; scales with no complete block drop out (n_scales
+    reported).
+
+    Scale: one hash agg to |types|·|days| cells, a ×|scales| explode
+    of the DAY frame (not events), per-(type, scale, block) bounded
+    windows (≤64 rows each), then dimension-bounded folds. Output is
+    |types| rows.
+    """
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    idx = d.select("event_type", "cents", F.row_number().over(wt).alias("i"))
+    ex = idx.crossJoin(
+        F.broadcast(
+            idx.sparkSession.range(1)
+            .select(
+                F.explode(
+                    F.array(*[F.lit(s) for s in _HURST_SCALES])
+                ).alias("sz")
+            )
+        )
+    ).withColumn("blk", F.expr("(i - 1) div sz"))
+    wb = Window.partitionBy("event_type", "sz", "blk")
+    cum = ex.select(
+        "event_type",
+        "sz",
+        "blk",
+        "cents",
+        F.sum("cents").over(wb.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)).alias("cumx"),
+        F.row_number().over(wb.orderBy("i")).alias("k"),
+        F.sum("cents").over(wb).alias("bs1"),
+    )
+    dev = F.col("cumx").cast("double") - F.col("k") * (
+        F.col("bs1").cast("double") / F.col("sz")
+    )
+    bstat = cum.groupBy("event_type", "sz", "blk", "bs1").agg(
+        F.count("*").alias("m"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        F.max(dev).alias("dev_hi"),
+        F.min(dev).alias("dev_lo"),
+    )
+    var = F.col("s2").cast("double") / F.col("sz") - (
+        F.col("s1").cast("double") / F.col("sz")
+    ) * (F.col("s1").cast("double") / F.col("sz"))
+    rs = (
+        bstat.filter((F.col("m") == F.col("sz")) & (var > 0))
+        .select(
+            "event_type",
+            "sz",
+            F.floor(
+                (F.col("dev_hi") - F.col("dev_lo")) / F.sqrt(var) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("rsq"),
+        )
+        .groupBy("event_type", "sz")
+        .agg(F.sum("rsq").alias("rs_q"), F.count("*").alias("n_blocks"))
+    )
+    pts = rs.groupBy("event_type").agg(
+        F.count("*").alias("n_scales"),
+        bounded_series(
+            F.array_sort(
+                F.collect_list(
+                    F.array(
+                        F.col("sz").cast("double"),
+                        F.col("rs_q").cast("double") / F.col("n_blocks") / 1000000,
+                    )
+                )
+            ),
+            what="ts_hurst_rs per-scale points",
+        ).alias("l"),
+    )
+    s = F.expr(
+        "aggregate(l, array(0.0D, 0.0D, 0.0D, 0.0D, 0.0D),"
+        " (a, p) -> array(a[0] + 1.0D, a[1] + ln(p[0]), a[2] + ln(p[1]),"
+        "  a[3] + ln(p[0]) * ln(p[1]), a[4] + ln(p[0]) * ln(p[0])))"
+    )
+    f = pts.select("event_type", "n_scales", s.alias("s")).filter(
+        F.col("n_scales") >= 2
+    )
+    return f.select(
+        "event_type",
+        F.col("n_scales").cast("bigint").alias("n_scales"),
+        (
+            F.round(
+                (F.col("s")[0] * F.col("s")[3] - F.col("s")[1] * F.col("s")[2])
+                / F.nullif(
+                    F.col("s")[0] * F.col("s")[4] - F.col("s")[1] * F.col("s")[1],
+                    F.lit(0.0),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("hurst"),
+    )
