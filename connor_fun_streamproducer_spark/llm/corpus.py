@@ -1740,3 +1740,77 @@ def corpus_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("length_gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis–Spirakis weighted top-k sample (one-pass, mergeable, round 13)
+# ---------------------------------------------------------------------------
+
+_ES_K = 200
+
+_ES_ORACLE = f"""
+WITH k AS (
+    SELECT doc_id, source, n_chars,
+           ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) + 1) / 4294967296.0)
+           / n_chars AS es_key
+    FROM documents WHERE n_chars > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       source,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       round(es_key, 6) + 0.0 AS es_key
+FROM k
+ORDER BY es_key DESC, doc_id
+LIMIT {_ES_K}
+"""
+
+
+@op(
+    "sample_weighted_topk_es",
+    oracle=_ES_ORACLE,
+    tags=("llm", "sampling", "scale"),
+)
+def sample_weighted_topk_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    priority keys: each document draws u from its md5 (uniform on
+    (0, 1]) and competes with key ln(u)/w, w = n_chars; the k largest
+    keys ARE a weighted sample without replacement — the one-pass,
+    mergeable replacement for sequential weighted reservoirs, exactly
+    as sample_reservoir replaces the uniform one. Every partition
+    keeps a local top-k, the merge is k rows per partition
+    (TakeOrderedAndProject) — no global sort, no rejection loop, and
+    the same k documents on any partitioning.
+
+    Derandomized: u = (first-8-hex of md5(doc_id) + 1) / 2^32 — exact
+    integers into one fixed float expression (ln then divide), so both
+    engines order identically; ties broken by doc_id. The +1 keeps u
+    strictly positive (ln(0) guard) with bias 2^-32.
+
+    Scale: map-only key computation fused into the scan + a top-k.
+    The per-item weight can be any positive column (tokens, quality
+    scores, inverse duplication counts — sample_downweight_duplicates
+    composes here).
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    k = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("es_key_raw"),
+    )
+    return (
+        k.orderBy(F.desc("es_key_raw"), "doc_id")
+        .limit(_ES_K)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            (F.round("es_key_raw", 6) + F.lit(0.0)).alias("es_key"),
+        )
+    )

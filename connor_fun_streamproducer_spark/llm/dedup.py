@@ -2793,3 +2793,83 @@ def dedup_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("candidate_pairs").cast("bigint").alias("candidate_pairs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source purity of near-dup clusters (round 13)
+# ---------------------------------------------------------------------------
+
+
+def _purity_oracle() -> str:
+    return _cluster_comp_ctes() + """,
+mem AS (
+    SELECT c.canonical_id, d.source
+    FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+), per AS (
+    SELECT canonical_id,
+           count(*) AS sz,
+           count(DISTINCT source) AS n_sources,
+           max(src_n) AS modal_n
+    FROM (SELECT canonical_id, source,
+                 count(*) OVER (PARTITION BY canonical_id, source) AS src_n
+          FROM mem)
+    GROUP BY canonical_id
+)
+SELECT CAST(n_sources AS BIGINT) AS n_sources,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(modal_n) * 10000 // sum(sz) AS BIGINT) AS modal_share_bp
+FROM per GROUP BY n_sources
+"""
+
+
+@op(
+    "dedup_cluster_source_purity",
+    oracle=_purity_oracle(),
+    tags=("llm", "dedup"),
+)
+def dedup_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source purity of the verified near-dup clusters: per
+    source-spread (how many distinct sources a cluster touches), the
+    cluster count, member docs, and the modal-source share of those
+    docs in basis points. Single-source clusters are ordinary
+    re-uploads; CROSS-source clusters are the contamination signal —
+    the same text arriving through supposedly independent feeds, which
+    breaks per-source dedup budgets (corpus_dup_rate_by_source
+    under-counts them) and leaks between mixture strata
+    (corpus_cross_source_dup lists the pairs; this grades how pure the
+    clusters themselves are).
+
+    Exact: clusters from the shared closure artifact (the identical
+    _cluster_comp_ctes components every consumer sees); purity is pure
+    integer counting with an integral bp division.
+
+    Scale: the closure frame is candidate-set-linear; one join onto
+    documents by doc_id (broadcastable — the closure holds only
+    clustered docs), per-cluster counting, and a |spreads|-row output.
+    """
+    mem = neardup_closure(spark, sf_dir).join(
+        load(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id"
+    )
+    per = (
+        mem.groupBy("canonical_id", "source")
+        .agg(F.count("*").alias("src_n"))
+        .groupBy("canonical_id")
+        .agg(
+            F.sum("src_n").alias("sz"),
+            F.count("*").alias("n_sources"),
+            F.max("src_n").alias("modal_n"),
+        )
+    )
+    return per.groupBy("n_sources").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.expr("sum(modal_n) * 10000 div sum(sz)")
+        .cast("bigint")
+        .alias("modal_share_bp"),
+    ).select(
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        "n_clusters",
+        "n_docs",
+        "modal_share_bp",
+    )

@@ -557,3 +557,122 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phash",
         F.count("*").over(w).cast("bigint").alias("n_same_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Silence-run segmentation (VAD plumbing, round 13)
+
+SIL_FRAME = 16    # samples per VAD frame (finer than the energy windows)
+SIL_THRESH = 32   # a frame is silent iff every |sample| < this
+
+
+def _audio_vad(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """Arrow-batched per-frame peak amplitude at VAD granularity —
+    the same decode swap-point as _audio_energy, finer frames."""
+    import numpy as np
+
+    for pdf in batches:
+        out_doc, out_fid, out_peak = [], [], []
+        for doc_id in pdf["doc_id"]:
+            pcm = np.frombuffer(synth_pcm(int(doc_id)), dtype=np.uint8)
+            samples = pcm.astype(np.int64) - 128
+            frames = samples.reshape(-1, SIL_FRAME)
+            peaks = np.abs(frames).max(axis=1)
+            for fid, pk in enumerate(peaks):
+                out_doc.append(int(doc_id))
+                out_fid.append(fid)
+                out_peak.append(int(pk))
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "frame_id": out_fid, "peak": out_peak},
+            dtype="int64" if out_doc else None,
+        )
+
+
+@op(
+    "multimodal_silence_runs",
+    oracle=f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+fr AS (
+    SELECT doc_id, f.fid,
+           max(abs((doc_id * 31 + (f.fid * {SIL_FRAME} + s.k) * 17) % 256
+                   - 128)) AS peak
+    FROM ids
+    CROSS JOIN (SELECT unnest(generate_series(0,
+                    {AUDIO_SAMPLES // SIL_FRAME - 1})) AS fid) f
+    CROSS JOIN (SELECT unnest(generate_series(0, {SIL_FRAME - 1})) AS k) s
+    GROUP BY doc_id, f.fid
+), sil AS (
+    SELECT doc_id, fid,
+           fid - row_number() OVER (PARTITION BY doc_id ORDER BY fid) AS grp
+    FROM fr WHERE peak < {SIL_THRESH}
+), runs AS (
+    SELECT doc_id, count(*) AS run_len FROM sil GROUP BY doc_id, grp
+)
+SELECT f.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN f.peak < {SIL_THRESH} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_silent,
+       CAST(coalesce(r.n_runs, 0) AS BIGINT) AS n_runs,
+       CAST(coalesce(r.longest, 0) AS BIGINT) AS longest_run
+FROM fr f
+LEFT JOIN (SELECT doc_id, count(*) AS n_runs, max(run_len) AS longest
+           FROM runs GROUP BY doc_id) r ON r.doc_id = f.doc_id
+GROUP BY f.doc_id, r.n_runs, r.longest
+""",
+    tags=("llm", "multimodal"),
+)
+def multimodal_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-run segmentation over decoded audio — the VAD (voice
+    activity detection) bookkeeping a speech-data pipeline runs before
+    cutting clips: per clip, how many VAD frames are silent (peak
+    amplitude under threshold), how many CONTIGUOUS silent runs, and
+    the longest run — long runs mean trim points; many short runs mean
+    choppy, low-quality audio. Works on every 20th document's clip
+    (the framesample fan-out discipline: the op grades plumbing, not
+    the whole fixture).
+
+    The gaps-and-islands run detection (frame_id − row_number over
+    silent frames) happens in the DATAFRAME layer over the kernel's
+    (doc, frame, peak) output — decode stays in the Arrow kernel
+    (synth_pcm is the codec swap-point, multimodal_audio_energy's
+    contract), segmentation stays declarative where Catalyst can see
+    it. All integer arithmetic; the oracle regenerates every PCM
+    sample in SQL.
+
+    Scale: map-only kernel at scan bandwidth → per-clip bounded
+    windows (16 frames/clip — dimension-bounded, no corpus window).
+    Output is one row per sampled clip.
+    """
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    ).select("doc_id")
+    fr = d.mapInPandas(
+        _audio_vad, schema="doc_id bigint, frame_id bigint, peak bigint"
+    )
+    wd = Window.partitionBy("doc_id").orderBy("frame_id")
+    sil = fr.filter(F.col("peak") < SIL_THRESH).select(
+        "doc_id",
+        "frame_id",
+        (F.col("frame_id") - F.row_number().over(wd)).alias("grp"),
+    )
+    runs = (
+        sil.groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_runs"), F.max("run_len").alias("longest"))
+    )
+    per = fr.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.when(F.col("peak") < SIL_THRESH, 1).otherwise(0)).alias(
+            "n_silent"
+        ),
+    )
+    return per.join(runs, "doc_id", "left").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("n_silent").cast("bigint").alias("n_silent"),
+        F.coalesce(F.col("n_runs"), F.lit(0)).cast("bigint").alias("n_runs"),
+        F.coalesce(F.col("longest"), F.lit(0))
+        .cast("bigint")
+        .alias("longest_run"),
+    )

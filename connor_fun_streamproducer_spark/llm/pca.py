@@ -377,3 +377,103 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (F.floor(x * F.lit(10000) + F.lit(0.5)).cast("long") / F.lit(10000.0))
 
     return emb.select("vec_id", "label", proj(e1).alias("pc1"), proj(e2).alias("pc2"))
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style prefix variance curve (round 13)
+# ---------------------------------------------------------------------------
+
+_PREFIX_VAR_ORACLE = f"""
+WITH u AS (
+    SELECT vec_id, i, CAST(floor(x * {_Q} + 0.5) AS BIGINT) AS q
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i FROM embeddings)
+    WHERE i <= {D_SEL}
+), covd AS (
+    SELECT i,
+           CAST(floor((CAST(sum(q * q) AS DOUBLE) / count(*)
+                 - (CAST(sum(q) AS DOUBLE) / count(*))
+                 * (CAST(sum(q) AS DOUBLE) / count(*))) / 1e12 * {_Q} + 0.5)
+                AS BIGINT) AS var_q
+    FROM u GROUP BY i
+), tot AS (SELECT sum(var_q) AS t FROM covd)
+SELECT CAST(i AS BIGINT) AS dim,
+       CAST(var_q AS BIGINT) AS var_q,
+       CAST(sum(var_q) OVER (ORDER BY i) * 10000 // t.t AS BIGINT)
+           AS cum_var_share_bp
+FROM covd CROSS JOIN tot t
+"""
+
+
+@op(
+    "embedding_prefix_variance",
+    oracle=_PREFIX_VAR_ORACLE,
+    tags=("llm", "embedding"),
+)
+def embedding_prefix_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative variance captured by each PREFIX of the embedding
+    dimensions (dims 1..16) — the Matryoshka/MRL question: "if we
+    truncate every vector to its first k dims to cut index cost 4×,
+    what share of total variance survives?" A flat early curve means
+    truncation is safe; mass concentrated in late dims means the
+    embedding was not trained nested and truncation will crater
+    recall (sim_search_* at a shorter D_SEL). Reads the same quantized
+    per-dimension variances as embedding_covariance's diagonal.
+
+    Exact: per-dim variance quantized to the 1e-6 grid with
+    floor-half-up over exact integer moments (the covq discipline);
+    cumulative shares are integral basis-point division over a 16-row
+    frame.
+
+    Scale: one scan → 16 variance cells (map-side partials; the
+    mapInPandas Gramian kernel's diagonal would serve equally) →
+    16-row window. Output is D_SEL rows.
+    """
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+    cells = emb.select(
+        F.posexplode(F.slice("embedding", 1, D_SEL)).alias("i0", "x")
+    ).select(
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * _Q + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    nd = F.count("*")
+    covd = cells.groupBy("i").agg(
+        F.floor(
+            (
+                F.sum(F.col("q") * F.col("q")).cast("double") / nd
+                - (F.sum("q").cast("double") / nd)
+                * (F.sum("q").cast("double") / nd)
+            )
+            / F.lit(1e12)
+            * F.lit(float(_Q))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("var_q")
+    )
+    tot = covd.agg(F.sum("var_q").alias("t"))
+    from pyspark.sql.window import Window
+
+    from connor_fun_streamproducer_spark.catalog import dim_window
+
+    wc = dim_window(
+        Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0),
+        bound=f"{D_SEL} dimension rows",
+    )
+    cum = (F.sum("var_q").over(wc) * 10000).alias("_cum10k")
+    return (
+        covd.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("i").cast("bigint").alias("dim"),
+            F.col("var_q").cast("bigint").alias("var_q"),
+            cum,
+            "t",
+        )
+        .select(
+            "dim",
+            "var_q",
+            F.expr("_cum10k div t").cast("bigint").alias("cum_var_share_bp"),
+        )
+    )

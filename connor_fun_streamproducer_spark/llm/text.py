@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connor_fun_streamproducer_spark.catalog import dim_window, load
+from connor_fun_streamproducer_spark.catalog import bounded_series, dim_window, load
 from connor_fun_streamproducer_spark.registry import op
 
 # Tiny marker-word lists for the n-gram/stopword language heuristic.
@@ -1285,4 +1285,259 @@ def text_prefix_template_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_templated * 10000 div n_docs")
         .cast("bigint")
         .alias("templated_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional next-token entropy rate per source (round 13)
+# ---------------------------------------------------------------------------
+
+_NGRAM_RATE_ORACLE = """
+WITH toks AS (
+    SELECT source, doc_id, string_split(text, ' ') AS t FROM documents
+), uni AS (
+    SELECT source, t[i] AS w
+    FROM (SELECT source, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+), bg AS (
+    SELECT source, t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT source, t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM toks)
+), h1 AS (
+    SELECT source,
+           sum(c) AS n_uni,
+           count(*) AS n_types,
+           log2(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+               / sum(c) AS h_uni
+    FROM (SELECT source, w, count(*) AS c FROM uni GROUP BY 1, 2)
+    GROUP BY source
+), h2 AS (
+    SELECT source,
+           sum(c) AS n_big,
+           count(*) AS n_bigram_types,
+           log2(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+               / sum(c) AS h_big
+    FROM (SELECT source, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3)
+    GROUP BY source
+)
+SELECT h1.source AS source,
+       CAST(h1.n_uni AS BIGINT) AS n_tokens,
+       CAST(h1.n_types AS BIGINT) AS n_types,
+       CAST(h2.n_bigram_types AS BIGINT) AS n_bigram_types,
+       round(h1.h_uni, 6) + 0.0 AS h_unigram_bits,
+       round(h2.h_big, 6) + 0.0 AS h_bigram_bits,
+       round(h2.h_big - h1.h_uni, 6) + 0.0 AS entropy_rate_bits
+FROM h1 JOIN h2 ON h1.source = h2.source
+"""
+
+
+@op(
+    "text_ngram_entropy_rate",
+    oracle=_NGRAM_RATE_ORACLE,
+    tags=("llm", "text", "corpus"),
+)
+def text_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-token entropy rate per source: H(bigram) −
+    H(unigram) ≈ H(next | current) — how many bits the NEXT token
+    carries once you know the current one. text_entropy_source grades
+    the static token distribution; this grades the SEQUENCE: templated
+    or boilerplate-heavy sources collapse the conditional entropy
+    (every token determines its successor) long before the unigram
+    entropy moves — the cheap sequence-health companion to
+    text_perplexity_proxy, with no model needed.
+
+    Exact: both entropies use the sufficient-statistics identity
+    H = log2(N) − Σ c·log2 c / N over exact integer counts (the
+    text_entropy_source discipline); the rate is their difference.
+
+    Scale: one explode for unigrams, one per-doc lead-free slice for
+    bigrams; two (source, gram) hash aggs with map-side partials —
+    the same shape every corpus pipeline already pays for token
+    counting. Output is |sources| rows.
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.split("text", " ").alias("t")
+    )
+    uni = toks.select("source", F.explode("t").alias("w"))
+    bg = toks.select(
+        "source",
+        F.posexplode(F.expr("slice(t, 1, size(t) - 1)")).alias("pos", "w1"),
+        F.col("t"),
+    ).select(
+        "source",
+        F.concat_ws(" ", F.col("w1"), F.expr("t[pos + 1]")).alias("w12"),
+    )
+
+    def ent(counts, gram):
+        n = F.sum("c")
+        return counts.groupBy("source").agg(
+            n.cast("bigint").alias(f"n_{gram}"),
+            F.count("*").cast("bigint").alias(f"n_{gram}_types"),
+            (
+                F.log2(n.cast("double"))
+                - F.sum(
+                    F.col("c").cast("double") * F.log2(F.col("c").cast("double"))
+                )
+                / n
+            ).alias(f"h_{gram}"),
+        )
+
+    h1 = ent(uni.groupBy("source", "w").agg(F.count("*").alias("c")), "uni")
+    h2 = ent(bg.groupBy("source", "w12").agg(F.count("*").alias("c")), "big")
+    return h1.join(h2, "source").select(
+        "source",
+        F.col("n_uni").alias("n_tokens"),
+        F.col("n_uni_types").alias("n_types"),
+        F.col("n_big_types").alias("n_bigram_types"),
+        (F.round("h_uni", 6) + F.lit(0.0)).alias("h_unigram_bits"),
+        (F.round("h_big", 6) + F.lit(0.0)).alias("h_bigram_bits"),
+        (F.round(F.col("h_big") - F.col("h_uni"), 6) + F.lit(0.0)).alias(
+            "entropy_rate_bits"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth exponent per source (round 13)
+# ---------------------------------------------------------------------------
+
+_HEAPS_LEVELS = 8
+
+_HEAPS_ORACLE = f"""
+WITH d AS (
+    SELECT source, doc_id, string_split(text, ' ') AS t,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               * {_HEAPS_LEVELS} // 4294967296 AS lvl
+    FROM documents
+), tok AS (
+    SELECT source, lvl, t[i] AS w, len(t) AS n_toks
+    FROM (SELECT source, lvl, t, unnest(generate_series(1, len(t))) AS i FROM d)
+), toklvl AS (
+    SELECT source, lvl, sum(n) AS toks_at
+    FROM (SELECT source, lvl, doc_id, len(t) AS n FROM d) GROUP BY 1, 2
+), wmin AS (
+    SELECT source, w, min(lvl) AS mlvl FROM tok GROUP BY 1, 2
+), pts AS (
+    SELECT l.source, l.lvl,
+           sum(t.toks_at) OVER (PARTITION BY l.source ORDER BY l.lvl) AS n_toks,
+           sum(l.v) OVER (PARTITION BY l.source ORDER BY l.lvl) AS n_vocab
+    FROM (SELECT source, mlvl AS lvl, count(*) AS v
+          FROM wmin GROUP BY 1, 2) l
+    JOIN (SELECT source, lvl, sum(toks_at) AS toks_at
+          FROM toklvl GROUP BY 1, 2) t USING (source, lvl)
+), fold AS (
+    SELECT source, count(*) AS n_levels,
+           list_sort(list([CAST(n_toks AS DOUBLE),
+                           CAST(n_vocab AS DOUBLE)])) AS l
+    FROM pts WHERE n_toks > 0 GROUP BY source
+), ols AS (
+    SELECT source, n_levels,
+           list_reduce(list_prepend([0.0, 0.0, 0.0, 0.0, 0.0],
+               list_transform(l, p -> [1.0, ln(p[1]), ln(p[2]),
+                                       ln(p[1]) * ln(p[2]),
+                                       ln(p[1]) * ln(p[1])])),
+               (a, p) -> [a[1] + p[1], a[2] + p[2], a[3] + p[3],
+                          a[4] + p[4], a[5] + p[5]]) AS s
+    FROM fold
+)
+SELECT source,
+       CAST(n_levels AS BIGINT) AS n_levels,
+       round((s[1] * s[4] - s[2] * s[3])
+             / nullif(s[1] * s[5] - s[2] * s[2], 0.0), 6) + 0.0
+           AS heaps_beta
+FROM ols WHERE n_levels >= 2
+"""
+
+
+@op("text_vocab_growth_heaps", oracle=_HEAPS_ORACLE, tags=("llm", "text", "scale"))
+def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth exponent β per source (V ≈ K·nᵝ):
+    how fast NEW types appear as the corpus grows — natural prose sits
+    near β ≈ 0.5; β → 0 flags a closed vocabulary (templates, logs,
+    generated spam), β → 1 flags unbounded token churn (IDs,
+    hashes, OCR noise). The growth-curve companion to text_zipf_alpha
+    (the static rank law) and text_hapax_rate (one point of this
+    curve).
+
+    The distributed trick: instead of re-scanning per corpus prefix,
+    each doc gets a deterministic md5 LEVEL in 0..7 (nested subsets:
+    level ≤ L is a uniform ~((L+1)/8) sample); a token's vocabulary
+    entry time is its MINIMUM doc level — so ONE (source, token)
+    aggregation yields the full 8-point growth curve (cumulative
+    vocab = tokens with min-level ≤ L, cumulative size = token mass at
+    levels ≤ L), and β is the log-log OLS slope folded over ≤8 sorted
+    points. No prefix windows, no repeated scans.
+
+    Scale: one explode + one (source, token) hash agg (the token-count
+    pass again) + |sources|·8 bookkeeping rows. Output is |sources|
+    rows.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.expr(
+            f"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            f" AS BIGINT) * {_HEAPS_LEVELS} div 4294967296"
+        ).alias("lvl"),
+    )
+    tok = d.select("source", "lvl", F.explode("t").alias("w"))
+    toklvl = d.groupBy("source", "lvl").agg(F.sum(F.size("t")).alias("toks_at"))
+    wmin = tok.groupBy("source", "w").agg(F.min("lvl").alias("mlvl"))
+    vat = wmin.groupBy("source", F.col("mlvl").alias("lvl")).agg(
+        F.count("*").alias("v")
+    )
+    wl = dim_window(
+        Window.partitionBy("source").orderBy("lvl").rowsBetween(
+            Window.unboundedPreceding, 0
+        ),
+        bound=f"{_HEAPS_LEVELS} level rows per source",
+    )
+    pts = (
+        vat.join(toklvl, ["source", "lvl"])
+        .select(
+            "source",
+            "lvl",
+            F.sum("toks_at").over(wl).alias("n_toks"),
+            F.sum("v").over(wl).alias("n_vocab"),
+        )
+        .filter(F.col("n_toks") > 0)
+    )
+    fold = pts.groupBy("source").agg(
+        F.count("*").alias("n_levels"),
+        bounded_series(
+            F.array_sort(
+                F.collect_list(
+                    F.array(
+                        F.col("n_toks").cast("double"),
+                        F.col("n_vocab").cast("double"),
+                    )
+                )
+            ),
+            what="text_vocab_growth_heaps level points",
+        ).alias("l"),
+    )
+    s = F.expr(
+        "aggregate(l, array(0.0D, 0.0D, 0.0D, 0.0D, 0.0D),"
+        " (a, p) -> array(a[0] + 1.0D, a[1] + ln(p[0]), a[2] + ln(p[1]),"
+        "  a[3] + ln(p[0]) * ln(p[1]), a[4] + ln(p[0]) * ln(p[0])))"
+    )
+    f = fold.select("source", "n_levels", s.alias("s")).filter(
+        F.col("n_levels") >= 2
+    )
+    return f.select(
+        "source",
+        F.col("n_levels").cast("bigint").alias("n_levels"),
+        (
+            F.round(
+                (F.col("s")[0] * F.col("s")[3] - F.col("s")[1] * F.col("s")[2])
+                / F.nullif(
+                    F.col("s")[0] * F.col("s")[4] - F.col("s")[1] * F.col("s")[1],
+                    F.lit(0.0),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("heaps_beta"),
     )

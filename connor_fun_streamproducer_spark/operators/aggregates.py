@@ -662,3 +662,70 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.round(F.exp(lnsum / n), 4) + F.lit(0.0)).alias("geo_mean_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact global median via the distributed rank (round 13)
+# ---------------------------------------------------------------------------
+
+_MEDIAN_ORACLE = """
+WITH c AS (
+    SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+), r AS (
+    SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rk,
+           count(*) OVER () AS n
+    FROM c
+), mid AS (
+    SELECT n, cents, rk FROM r
+    WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+)
+SELECT CAST(max(n) AS BIGINT) AS n_orders,
+       CAST(CASE WHEN count(*) = 1 THEN sum(cents) * 2 ELSE sum(cents) END
+            AS BIGINT) AS median_doubled_cents
+FROM mid
+"""
+
+
+@op("agg_median_distributed", oracle=_MEDIAN_ORACLE, tags=("ext", "agg", "scale"))
+def agg_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median of order value — as the doubled integer
+    (lower + upper middle cents, so odd/even corpora share one integer
+    contract) — computed with scale_patterns.distributed_rank instead
+    of a global sort: quantile-literal shards, rank within shard,
+    broadcast prefix offsets, then ONE filter keeps the two middle
+    ranks. agg_percentile is the exact PER-GROUP twin (sorts each
+    group) and agg_kll_quantile the sketched approximation; this is
+    the exact GLOBAL form that still runs when the column no longer
+    fits one partition — the canonical "exact median at scale"
+    building block (selection by rank, not sort).
+
+    Exact: integer cents, integer ranks; no floats anywhere.
+
+    Scale: two linear shuffles (the rank), then a filter to ≤2 rows.
+    """
+    from connor_fun_streamproducer_spark.operators.scale_patterns import (
+        distributed_rank,
+    )
+
+    c = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    ranked = distributed_rank(c, "cents", ["o_orderkey"])
+    n = ranked.agg(F.count("*").alias("n"))
+    mid = ranked.crossJoin(F.broadcast(n)).filter(
+        (F.col("rk") == F.expr("(n + 1) div 2"))
+        | (F.col("rk") == F.expr("(n + 2) div 2"))
+    )
+    return mid.agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.when(
+            F.count("*") == 1, (F.sum("cents") * 2)
+        )
+        .otherwise(F.sum("cents"))
+        .cast("bigint")
+        .alias("median_doubled_cents"),
+    )

@@ -2088,3 +2088,207 @@ def graph_knn_degree_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("snd").cast("double") / F.col("slots"), 4) + F.lit(0.0)
         ).alias("avg_neighbor_degree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic–Adar link prediction over the pair-edge artifact (round 13)
+# ---------------------------------------------------------------------------
+
+_AA_TOPK = 20
+
+_AA_ORACLE = "WITH " + _PAIR_EDGES_SQL + """,
+und AS (SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+contrib AS (
+    SELECT u, CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)) + 0.5) AS BIGINT)
+              AS aaq
+    FROM deg WHERE d >= 2
+), wedge AS (
+    SELECT x.u AS p, y.v AS q, c.aaq
+    FROM und x JOIN und y ON x.v = y.u AND x.u < y.v
+    JOIN contrib c ON c.u = x.v
+), cand AS (
+    SELECT p, q, sum(aaq) AS aa_q, count(*) AS n_common
+    FROM wedge GROUP BY p, q
+), nonedge AS (
+    SELECT cand.* FROM cand
+    LEFT JOIN e ON e.a = cand.p AND e.c = cand.q
+    WHERE e.a IS NULL
+)
+SELECT CAST(p AS BIGINT) AS user_a,
+       CAST(q AS BIGINT) AS user_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(aa_q AS BIGINT) AS adamic_adar_q
+FROM nonedge
+ORDER BY aa_q DESC, p, q
+LIMIT """ + str(_AA_TOPK)
+
+
+@op("graph_adamic_adar", oracle=_AA_ORACLE, tags=("ext", "graph"))
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction: for NON-adjacent user pairs, score
+    Σ 1/ln(deg z) over common neighbors z — common neighbors weighted
+    by how selective they are (a shared niche contact says more than a
+    shared hub), the classic "people you may know" ranking.
+    graph_jaccard_neighbors grades EXISTING edges; this ranks MISSING
+    ones — top-20 candidate links.
+
+    Exact: each wedge center contributes floor(1e6/ln(deg z) + .5) —
+    one fixed float expression quantized to an integer BEFORE the
+    per-pair sum, so cross-engine summation order cannot matter (the
+    graph_degree_gini quantize-then-sum discipline). Wedge centers
+    need deg ≥ 2 so ln is never 0. Total-order ranked.
+
+    Scale: one wedge equi-join on the artifact edge list (Σ deg²
+    fan-out, already capped by the artifact's bucket size band), an
+    anti-join against direct edges, one hash agg, one top-k. Same
+    budget class as graph_two_hop_reach.
+    """
+    e = _pair_edges(spark, sf_dir)
+    und = (
+        e.select(F.col("a").alias("u"), F.col("c").alias("v"))
+        .unionAll(e.select(F.col("c").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    contrib = deg.filter(F.col("d") >= 2).select(
+        "u",
+        F.floor(F.lit(1000000.0) / F.log(F.col("d").cast("double")) + F.lit(0.5))
+        .cast("bigint")
+        .alias("aaq"),
+    )
+    wedge = (
+        und.alias("x")
+        .join(und.alias("y"), (F.col("x.v") == F.col("y.u")) & (F.col("x.u") < F.col("y.v")))
+        .join(contrib.alias("c"), F.col("c.u") == F.col("x.v"))
+        .select(F.col("x.u").alias("p"), F.col("y.v").alias("q"), "aaq")
+    )
+    cand = wedge.groupBy("p", "q").agg(
+        F.sum("aaq").alias("aa_q"), F.count("*").alias("n_common")
+    )
+    nonedge = cand.join(
+        e,
+        (F.col("a") == F.col("p")) & (F.col("c") == F.col("q")),
+        "left_anti",
+    )
+    return (
+        nonedge.orderBy(F.desc("aa_q"), "p", "q")
+        .limit(_AA_TOPK)
+        .select(
+            F.col("p").cast("bigint").alias("user_a"),
+            F.col("q").cast("bigint").alias("user_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("aa_q").cast("bigint").alias("adamic_adar_q"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Truncated harmonic centrality from md5-pinned sources (round 13)
+# ---------------------------------------------------------------------------
+
+_HC_SOURCES = 4
+_HC_HOPS = 4
+_HC_LCM = 840  # lcm(1..8): 840/d is an exact integer for any hop count ≤ 8
+
+
+def _hc_oracle() -> str:
+    ctes = [
+        _PAIR_EDGES_SQL
+        + f""",
+und AS (SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e),
+seeds AS (
+    SELECT user_id AS s
+    FROM (SELECT a AS user_id FROM e UNION SELECT c FROM e)
+    ORDER BY md5(CAST(user_id AS VARCHAR)), user_id
+    LIMIT {_HC_SOURCES}
+),
+d0 AS (SELECT s, s AS node FROM seeds),
+v0 AS (SELECT * FROM d0)"""
+    ]
+    for k in range(1, _HC_HOPS + 1):
+        ctes.append(
+            f""",
+n{k} AS (
+    SELECT DISTINCT p.s, e.v AS node
+    FROM d{k - 1} p JOIN und e ON e.u = p.node
+),
+d{k} AS (SELECT s, node FROM n{k} EXCEPT SELECT s, node FROM v{k - 1}),
+v{k} AS (SELECT * FROM v{k - 1} UNION SELECT * FROM d{k})"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT s, node, {k} AS dist FROM d{k}" for k in range(1, _HC_HOPS + 1)
+    )
+    return (
+        "WITH "
+        + "".join(ctes)
+        + f""",
+alls AS ({unions})
+SELECT CAST(s AS BIGINT) AS source_user,
+       CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum({_HC_LCM} // dist) AS BIGINT) AS harmonic_{_HC_LCM}
+FROM alls GROUP BY s"""
+    )
+
+
+@op("graph_harmonic_centrality", oracle=_hc_oracle(), tags=("ext", "graph", "iterative"))
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality Σ 1/d(s, ·) within 4 hops for 4
+    md5-pinned source users — the influence measure that rewards being
+    CLOSE to many nodes, robust to disconnected graphs where closeness
+    centrality is undefined (unreached nodes contribute 0, not ∞).
+    graph_bfs_distance walks one source and reports levels; this runs
+    the multi-source BFS frontier and folds distances into one score
+    per source — the exact-landmark form of the sampled-centrality
+    estimators used at scale (more landmarks = tighter estimates; the
+    source count is the budget knob).
+
+    Exact: multi-source BFS over the pair-edge artifact with
+    set-difference frontiers (distance = first round reached);
+    harmonic mass in exact 1/840 units (840 = lcm(1..8), so 840/d is
+    an INTEGER for every hop — no float accumulation at all).
+
+    Scale: per hop ONE frontier⋈edges equi-join + distinct + anti-join
+    against visited, localCheckpoint-ed per round (the
+    graph_bfs_distance discipline) — 4·|sources| linear passes, the
+    Pregel shape; no all-pairs anything.
+    """
+    e = _pair_edges(spark, sf_dir)
+    und = (
+        e.select(F.col("a").alias("u"), F.col("c").alias("v"))
+        .unionAll(e.select(F.col("c").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("a").alias("user_id")).union(
+        e.select(F.col("c").alias("user_id"))
+    ).distinct()
+    seeds = (
+        nodes.orderBy(F.md5(F.col("user_id").cast("string")), "user_id")
+        .limit(_HC_SOURCES)
+        .select(F.col("user_id").alias("s"))
+    )
+    frontier = seeds.select("s", F.col("s").alias("node")).localCheckpoint()
+    visited = frontier
+    levels = []
+    for k in range(1, _HC_HOPS + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["u"])
+            .select("s", F.col("v").alias("node"))
+            .distinct()
+        )
+        frontier = nxt.join(visited, ["s", "node"], "left_anti").localCheckpoint()
+        visited = visited.unionAll(frontier).localCheckpoint()
+        levels.append(frontier.select("s", "node", F.lit(k).alias("dist")))
+    alls = levels[0]
+    for lvl in levels[1:]:
+        alls = alls.unionAll(lvl)
+    return alls.groupBy("s").agg(
+        F.count("*").cast("bigint").alias("n_reached"),
+        F.sum(F.expr(f"{_HC_LCM} div dist")).cast("bigint").alias(
+            f"harmonic_{_HC_LCM}"
+        ),
+    ).select(
+        F.col("s").cast("bigint").alias("source_user"),
+        "n_reached",
+        f"harmonic_{_HC_LCM}",
+    )

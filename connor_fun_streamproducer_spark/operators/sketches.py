@@ -463,3 +463,137 @@ def agg_count_min(spark: SparkSession, sf_dir: str, with_exact: bool = True) -> 
         )
         .orderBy("l_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hand-rolled HyperLogLog (md5-derandomized, hash-checkable, round 13)
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P  # 256 registers
+# alpha_m * m^2 for m = 256 (Flajolet et al. 2007), spliced as one literal
+# so both engines use the identical constant
+_HLL_ALPHA_M2 = repr(0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M)
+# bit length of the 56-bit suffix as a SUM of integer comparisons — no
+# float log2 anywhere near a power-of-two boundary
+_HLL_BITLEN = " + ".join(
+    f"(CASE WHEN s >= {1 << k} THEN 1 ELSE 0 END)" for k in range(56)
+)
+
+_HLL_ORACLE = f"""
+WITH h AS (
+    SELECT event_type,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT)
+               AS bucket,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 14)) AS BIGINT)
+               AS s
+    FROM events
+), rho AS (
+    SELECT event_type, bucket, 57 - ({_HLL_BITLEN}) AS r FROM h
+), reg AS (
+    SELECT event_type, bucket, max(r) AS m FROM rho GROUP BY 1, 2
+), z AS (
+    SELECT event_type,
+           count(*) AS used,
+           {_HLL_M} - count(*) AS zeros,
+           list_sort(list(m)) AS l
+    FROM reg GROUP BY event_type
+), est AS (
+    SELECT event_type, used, zeros,
+           {_HLL_ALPHA_M2} / (CAST(zeros AS DOUBLE)
+               + list_reduce(list_prepend(0.0,
+                     list_transform(l, p -> pow(0.5, p))),
+                     (x, y) -> x + y)) AS e_raw
+    FROM z
+), ex AS (
+    SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+), fin AS (
+    SELECT est.event_type, ex.n_exact, est.used, est.zeros,
+           CASE WHEN est.e_raw <= {2.5 * _HLL_M} AND est.zeros > 0
+                THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / est.zeros)
+                ELSE est.e_raw END AS e
+    FROM est JOIN ex ON ex.event_type = est.event_type
+)
+SELECT event_type,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(used AS BIGINT) AS registers_used,
+       round(e, 4) + 0.0 AS hll_estimate,
+       CAST(floor(abs(e - n_exact) * 10000 / n_exact + 0.5) AS BIGINT)
+           AS err_bp
+FROM fin
+"""
+
+
+@op("agg_hll_manual", oracle=_HLL_ORACLE, tags=("ext", "agg", "sketch", "scale"))
+def agg_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type, built BY HAND
+    from md5 so every register value is reproducible cross-engine —
+    unlike approx_count_distinct (agg_approx), whose sketch is
+    engine-internal and only rows-checkable, this one is hash-checked
+    end to end and doubles as an executable spec of the algorithm:
+    bucket = first 8 hash bits, rho = leading-zero count of the 56-bit
+    suffix + 1, register = max rho per bucket, estimate = alpha·m²
+    divided by the harmonic sum, with the linear-counting small-range
+    correction. The measured err_bp column IS the point: HLL's ~1.04/√m
+    ≈ 6.5% error bound at m = 256 becomes an observable, not a claim.
+
+    Exact determinism: rho comes from a SUM of 56 integer comparisons
+    (no float log2 at power-of-two boundaries); each harmonic term
+    pow(0.5, rho) is an exact power of two folded in sorted register
+    order; alpha·m² is one shared literal.
+
+    Scale: registers are a (type, bucket) hash agg with map-side MAX
+    partials — 256 rows per type no matter the corpus; this is the
+    mergeable-sketch shape (union = elementwise max) that makes HLL
+    THE distributed distinct counter. The exact countDistinct rides
+    along only as the audit column.
+    """
+    md5 = F.md5(F.col("user_id").cast("string"))
+    h = load(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.conv(F.substring(md5, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring(md5, 3, 14), 16, 10).cast("bigint").alias("s"),
+    )
+    rho = h.select(
+        "event_type",
+        "user_id",
+        "bucket",
+        (F.lit(57) - F.expr(_HLL_BITLEN)).alias("r"),
+    )
+    reg = rho.groupBy("event_type", "bucket").agg(F.max("r").alias("m"))
+    z = reg.groupBy("event_type").agg(
+        F.count("*").alias("used"),
+        (F.lit(_HLL_M) - F.count("*")).alias("zeros"),
+        F.array_sort(F.collect_list("m")).alias("l"),
+    )
+    e_raw = F.lit(float(_HLL_ALPHA_M2)) / (
+        F.col("zeros").cast("double")
+        + F.expr("aggregate(l, CAST(0.0 AS DOUBLE), (x, p) -> x + pow(0.5D, p))")
+    )
+    ex = h.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    est = z.select("event_type", "used", "zeros", e_raw.alias("e_raw"))
+    fin = est.join(ex, "event_type").select(
+        "event_type",
+        "n_exact",
+        "used",
+        F.when(
+            (F.col("e_raw") <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
+            F.lit(float(_HLL_M))
+            * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
+        )
+        .otherwise(F.col("e_raw"))
+        .alias("e"),
+    )
+    return fin.select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("used").cast("bigint").alias("registers_used"),
+        (F.round("e", 4) + F.lit(0.0)).alias("hll_estimate"),
+        F.floor(
+            F.abs(F.col("e") - F.col("n_exact")) * 10000 / F.col("n_exact")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("err_bp"),
+    )
