@@ -262,6 +262,27 @@ EXTENDED = [
     "agg_geometric_mean",
     "graph_edge_locality",
     "graph_knn_degree_curve",
+    # round-13 tier
+    "stats_kruskal_wallis",
+    "stats_theil_u",
+    "stats_gk_lambda",
+    "stats_mcnemar",
+    "stats_wilcoxon_signed_rank",
+    "ts_page_hinkley",
+    "ts_sample_entropy",
+    "ts_hurst_rs",
+    "pipeline_price_dispersion",
+    "pipeline_new_vs_repeat_revenue",
+    "sample_weighted_topk_es",
+    "agg_hll_manual",
+    "embedding_prefix_variance",
+    "text_ngram_entropy_rate",
+    "text_vocab_growth_heaps",
+    "dedup_cluster_source_purity",
+    "multimodal_silence_runs",
+    "graph_adamic_adar",
+    "graph_harmonic_centrality",
+    "agg_median_distributed",
 ]
 
 

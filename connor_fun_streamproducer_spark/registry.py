@@ -194,90 +194,23 @@ def _ensure_loaded() -> None:
 
 
 # Explicit registration-order priority for the external driver's bounded
-# (first-50) correctness window. Same freshness rule as always, applied at
-# KEY level (module import order alone cannot front never-verified keys
-# living in already-verified modules).
+# (first-50) correctness window. The rotation rule (stable since r10,
+# restated for r13 — this replaces the historical r10 arithmetic that an
+# r12 ADVICE item flagged as stale): each round the window carries, in
+# order, (1) the STALEST externally-green keys (the head of the previous
+# round's behind-window order — external evidence ages out oldest-first),
+# (2) keys whose build CHANGED this round (the external check re-proves
+# the refactor), (3) keys NEW this round (no external row yet). Behind
+# the window the order is staleness-ascending (latest external check,
+# oldest first) so the next rotation's input is pinned, never
+# import-order luck; tests/test_registry_order.py pins each tier.
 #
-# Round 10 front-of-window, in order:
-#   (1) the 20 round-9 registrations with no external CORRECTNESS row —
-#       closing this debt makes every registered key externally proven
-#       at least once (VERDICT r9 top_next);
-#   (2) ops externally green before but CHANGED in round 10: the five
-#       near-dup/k-means materialization consumers now serving from the
-#       write-once artifacts (oracles unchanged; the window re-verifies
-#       the serving-path refactor);
-#   (3) ops NEW in round 10, placed INSIDE the window so they gain an
-#       external row this round instead of carrying debt to r11 (the
-#       structural fix for the debt shape flagged in r8 and r9);
-#   (4) the stalest externally-green tier: the r01-vintage set ops and
-#       r03/r04-vintage window/stream/scan keys.
-# 20 + 9 + 21 = 50 (the stale-refresh tier ceded every slot to the
-# changed and new tiers this round — it is the lowest rung of the rule).
+# Round-13 window: 14 stalest (the r4-vintage tier: scan_orc ... corpus_pack)
+# + 16 changed (the pca promotion, the sharded frontier, the three
+# distributed-rank Gini ops, the HITS checkpoint, the eval-rev fix, and
+# the nine era ops that now share the cached span probe) + 20 new = 50.
 _WINDOW_PRIORITY = [
-    # -- r12 front-of-window (the driver checks the first 50 keys) --
-    # (1) STALE-DEBT FRONTED (VERDICT r11 'What's missing' #2 / next-
-    #     round #1): the 21 r1-r3-vintage hash-proven keys displaced by
-    #     the r11 tier-3b additions — pinned first so the external check
-    #     clears the repo's only staleness debt before anything else
-    "pipeline_local_supplier_volume",
-    "pipeline_returned_items",
-    "fn_array_explode",
-    "fn_date_bucket",
-    "fn_json_roundtrip",
-    "fn_map_entries",
-    "enrich_region_grid",
-    "sink_foreachbatch",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
-    "set_intersect_all",
-    "set_union_all",
-    "pipeline_shipping_priority_bucketed",
-    "rate_stagger",
-    "stream_stateful",
-    "stream_stateful_tws",
-    "win_analytic",
-    "win_frame",
-    "win_rank",
-    "join_stream_stream",
-    # (2) changed this round: the eval-tiers truth-slice materialization
-    #     and the two decimal-widening fixes + unused-window cleanup
-    #     (ADVICE r11)
-    "embedding_centroid_drift",
-    "graph_degree_gini",
-    "corpus_quality_token_curve",
-    "dedup_eval_tiers",
-    # (3) NEW this round (inside the window the round they land — the
-    #     standing policy since r10; budget ≤25 so the window still
-    #     clears the fronted debt)
-    "stats_anova_oneway",
-    "stats_jarque_bera",
-    "stats_cohens_h",
-    "stats_trend_proportions",
-    "stats_spearman_binned",
-    "ts_turning_points",
-    "ts_burstiness",
-    "ts_cross_correlation",
-    "ts_spectral_entropy",
-    "ts_records_count",
-    "pipeline_backlog_burndown",
-    "pipeline_nation_trade_balance",
-    "pipeline_fill_rate",
-    "pipeline_brand_supplier_hhi",
-    "sample_balanced_downsample",
-    "sample_horvitz_thompson",
-    "embedding_triplet_violation",
-    "corpus_doc_length_gini",
-    "text_prefix_template_rate",
-    "dedup_band_occupancy",
-    "fn_binary_codec",
-    "fn_struct_ops",
-    "agg_geometric_mean",
-    "graph_edge_locality",
-    "graph_knn_degree_curve",
-    # -- behind the window: staleness-ordered (latest external check
-    #    ascending — r4-vintage keys first, the freshly-r11-checked
-    #    former window last) so the r13 rotation input is pinned --
+    # -- (1) stalest externally-green tier (r4 vintage) --
     "scan_orc",
     "sql_api",
     "sim_search_topk_arrow",
@@ -292,6 +225,45 @@ _WINDOW_PRIORITY = [
     "corpus_stats",
     "tfidf_top_terms",
     "corpus_pack",
+    # -- (2) changed this round --
+    "embedding_pca_project",
+    "stats_event_lateness",
+    "agg_gini_concentration",
+    "win_lorenz_deciles",
+    "corpus_doc_length_gini",
+    "graph_hits",
+    "dedup_eval_tiers",
+    "stats_welch_ttest",
+    "stats_cohens_d_eras",
+    "stats_brown_forsythe",
+    "stats_mood_median",
+    "stats_mann_whitney",
+    "stats_cliff_delta",
+    "stats_power_mde",
+    "stats_cohens_h",
+    "stats_trend_proportions",
+    # -- (3) new this round --
+    "stats_kruskal_wallis",
+    "stats_theil_u",
+    "stats_gk_lambda",
+    "stats_mcnemar",
+    "stats_wilcoxon_signed_rank",
+    "ts_page_hinkley",
+    "ts_sample_entropy",
+    "ts_hurst_rs",
+    "pipeline_price_dispersion",
+    "pipeline_new_vs_repeat_revenue",
+    "sample_weighted_topk_es",
+    "agg_hll_manual",
+    "embedding_prefix_variance",
+    "text_ngram_entropy_rate",
+    "text_vocab_growth_heaps",
+    "dedup_cluster_source_purity",
+    "multimodal_silence_runs",
+    "graph_adamic_adar",
+    "graph_harmonic_centrality",
+    "agg_median_distributed",
+    # -- behind the window: staleness-ascending (the r14 rotation input) --
     "text_pii_scrub",
     "text_boilerplate",
     "text_normalize",
@@ -355,7 +327,6 @@ _WINDOW_PRIORITY = [
     "agg_heavy_hitters",
     "pipeline_funnel_conversion",
     "embedding_covariance",
-    "embedding_pca_project",
     "pipeline_basket_affinity",
     "graph_triangle_count",
     "graph_bfs_distance",
@@ -395,11 +366,9 @@ _WINDOW_PRIORITY = [
     "text_entropy_source",
     "pipeline_event_transitions",
     "graph_kcore",
-    "agg_gini_concentration",
     "fn_surrogate_key",
     "scan_json_multiline",
     "stats_join_cardinality",
-    "win_lorenz_deciles",
     "text_syllable_density",
     "scan_parquet",
     "scan_json",
@@ -502,10 +471,8 @@ _WINDOW_PRIORITY = [
     "stats_key_integrity",
     "agg_count_min",
     "sample_kcenter_coreset",
-    "stats_event_lateness",
     "corpus_epoch_plan",
     "stats_mutual_info_cat",
-    "graph_hits",
     "ts_holt_forecast",
     "sample_neyman_alloc",
     "stats_capture_recapture",
@@ -596,7 +563,6 @@ _WINDOW_PRIORITY = [
     "text_readability_fk",
     "ts_outage_windows",
     "dedup_vector_exact",
-    "stats_welch_ttest",
     "dedup_containment_prefix",
     "sink_socket_roundtrip",
     "ts_periodogram_fixed",
@@ -606,9 +572,6 @@ _WINDOW_PRIORITY = [
     "pipeline_retention_cohort",
     "win_islands_consecutive",
     "join_interval_overlap",
-    "stats_cohens_d_eras",
-    "stats_brown_forsythe",
-    "stats_mood_median",
     "pipeline_repeat_buyers",
     "text_word_length_profile",
     "sim_doc_topk_minhash",
@@ -616,8 +579,6 @@ _WINDOW_PRIORITY = [
     "win_active_streak_latest",
     "ts_hour_of_week_profile",
     "graph_two_hop_reach",
-    "stats_mann_whitney",
-    "stats_cliff_delta",
     "ts_bollinger_breakout",
     "sample_pps_systematic",
     "text_hapax_rate",
@@ -632,7 +593,6 @@ _WINDOW_PRIORITY = [
     "ts_seasonal_naive_error",
     "sim_search_radius",
     "join_asof_forward",
-    "stats_power_mde",
     "stats_kendall_tau_binned",
     "sink_kafka",
     "src_rate",
@@ -640,6 +600,52 @@ _WINDOW_PRIORITY = [
     "stream_health_monitor",
     "dedup_near_minhash",
     "dedup_simhash",
+    "pipeline_local_supplier_volume",
+    "pipeline_returned_items",
+    "fn_array_explode",
+    "fn_date_bucket",
+    "fn_json_roundtrip",
+    "fn_map_entries",
+    "enrich_region_grid",
+    "sink_foreachbatch",
+    "set_intersect",
+    "set_except",
+    "set_except_all",
+    "set_intersect_all",
+    "set_union_all",
+    "pipeline_shipping_priority_bucketed",
+    "rate_stagger",
+    "stream_stateful",
+    "stream_stateful_tws",
+    "win_analytic",
+    "win_frame",
+    "win_rank",
+    "join_stream_stream",
+    "embedding_centroid_drift",
+    "graph_degree_gini",
+    "corpus_quality_token_curve",
+    "stats_anova_oneway",
+    "stats_jarque_bera",
+    "stats_spearman_binned",
+    "ts_turning_points",
+    "ts_burstiness",
+    "ts_cross_correlation",
+    "ts_spectral_entropy",
+    "ts_records_count",
+    "pipeline_backlog_burndown",
+    "pipeline_nation_trade_balance",
+    "pipeline_fill_rate",
+    "pipeline_brand_supplier_hhi",
+    "sample_balanced_downsample",
+    "sample_horvitz_thompson",
+    "embedding_triplet_violation",
+    "text_prefix_template_rate",
+    "dedup_band_occupancy",
+    "fn_binary_codec",
+    "fn_struct_ops",
+    "agg_geometric_mean",
+    "graph_edge_locality",
+    "graph_knn_degree_curve",
 ]
 
 

@@ -170,6 +170,30 @@ SWEEP = [
     "agg_geometric_mean",          # sorted daily-value ln fold (r12)
     "graph_edge_locality",         # artifact edges + nation lookups (r12)
     "graph_knn_degree_curve",      # integer slot/degree sums (r12)
+    "stats_kruskal_wallis",        # distributed pooled rank + tie fold (r13)
+    "stats_theil_u",               # sorted entropy folds (r13)
+    "stats_gk_lambda",             # all-integer modal counts (r13)
+    "stats_mcnemar",               # paired presence flips (r13)
+    "stats_wilcoxon_signed_rank",  # per-type |d| ranks, doubled ties (r13)
+    "ts_page_hinkley",             # 10-slot sequential IEEE fold (r13)
+    "ts_sample_entropy",           # integer Chebyshev template pairs (r13)
+    "ts_hurst_rs",                 # quantized block R/S + OLS fold (r13)
+    "pipeline_price_dispersion",   # integral milli-cent unit prices (r13)
+    "pipeline_new_vs_repeat_revenue",  # per-customer min-date window (r13)
+    "sample_weighted_topk_es",     # md5-u priority keys, top-k merge (r13)
+    "agg_hll_manual",              # md5 registers, sorted harmonic fold (r13)
+    "embedding_prefix_variance",   # quantized variance prefix shares (r13)
+    "text_ngram_entropy_rate",     # sufficient-statistic entropies (r13)
+    "text_vocab_growth_heaps",     # md5 level curve + OLS fold (r13)
+    "dedup_cluster_source_purity", # closure artifact + integer purity (r13)
+    "multimodal_silence_runs",     # kernel peaks + islands runs (r13)
+    "graph_adamic_adar",           # quantized wedge contributions (r13)
+    "graph_harmonic_centrality",   # md5-pinned multi-source BFS (r13)
+    "agg_median_distributed",      # rank-selection median (r13)
+    "embedding_pca_project",       # fixed-round deflated power iteration (r13)
+    "stats_event_lateness",        # sharded two-pass frontier (r13)
+    "agg_gini_concentration",      # distributed rank moments (r13)
+    "win_lorenz_deciles",          # arithmetic NTILE from ranks (r13)
 ]
 
 
@@ -221,6 +245,10 @@ SWEEP_SF001 = [
     "embedding_triplet_violation",  # md5-budget picks differ by scale (r12)
     "sample_balanced_downsample",   # md5-rank class caps differ by scale (r12)
     "sample_horvitz_thompson",      # threshold crossings differ by scale (r12)
+    "stats_kruskal_wallis",         # shard cuts differ by scale (r13)
+    "agg_median_distributed",       # rank selection across shards (r13)
+    "graph_harmonic_centrality",    # frontier rounds differ by scale (r13)
+    "embedding_pca_project",        # iteration inputs differ by scale (r13)
 ]
 
 

@@ -84,6 +84,15 @@ SNAPSHOT_KEYS = [
     "ts_cross_correlation",
     "ts_spectral_entropy",
     "embedding_triplet_violation",
+    # round-13 tier: the sharded exact frontier, the distributed-rank
+    # selection shapes, the promoted PCA projection, and the wedge-scored
+    # link predictor — the plans that ARE this round's scale claims
+    "stats_event_lateness",
+    "agg_gini_concentration",
+    "agg_median_distributed",
+    "stats_kruskal_wallis",
+    "graph_adamic_adar",
+    "embedding_pca_project",
 ]
 
 

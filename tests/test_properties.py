@@ -4177,3 +4177,383 @@ def test_srm_and_chi2_cells_match_python_replay(spark, tmp_path):
         assert (g["obs"], g["expected_floor"], g["chi2_n_scaled"]) == (
             obs, exp_floor, scaled,
         ), (a, b, g)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 third-implementation references (kruskal/theil/lambda/mcnemar/
+# wilcoxon/page-hinkley/sampen/hurst/hll) — pure-Python replays on
+# deterministic fixtures, independent of both Spark and DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _md5i(tag, mod):
+    import hashlib
+
+    return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16) % mod
+
+
+def _write_events(tmp_path, rows):
+    import pandas as pd
+
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+
+
+def test_kruskal_wallis_matches_python_reference(spark, tmp_path):
+    """stats_kruskal_wallis vs a textbook average-rank H with tie
+    correction (the op carries doubled min+max ranks; avg ranks here —
+    algebraically identical, independently coded)."""
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    groups = {"a": [], "b": [], "c": []}
+    rows = []
+    i = 0
+    for g in groups:
+        for k in range(120):
+            c = 1000 + _md5i(f"kw|{g}|{k}", 40) * 10  # heavy ties
+            if g == "c":
+                c += 60  # shifted group
+            groups[g].append(c)
+            rows.append(
+                dict(
+                    event_id=i,
+                    ts=pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+                    user_id=1,
+                    event_type=g,
+                    value=c / 100.0,
+                    props="{}",
+                )
+            )
+            i += 1
+    _write_events(tmp_path, rows)
+    pooled = sorted(
+        (v, g, j) for g, vs in groups.items() for j, v in enumerate(vs)
+    )
+    n = len(pooled)
+    # average ranks with ties
+    ranks = {}
+    pos = 0
+    while pos < n:
+        q = pos
+        while q < n and pooled[q][0] == pooled[pos][0]:
+            q += 1
+        avg = (pos + 1 + q) / 2
+        for t in range(pos, q):
+            ranks[(pooled[t][1], pooled[t][2])] = avg
+        pos = q
+    rsum = {g: sum(ranks[(g, j)] for j in range(len(vs))) for g, vs in groups.items()}
+    h = 12 / (n * (n + 1)) * sum(
+        rsum[g] ** 2 / len(vs) for g, vs in groups.items()
+    ) - 3 * (n + 1)
+    ties = {}
+    for v, _, _ in pooled:
+        ties[v] = ties.get(v, 0) + 1
+    corr = 1 - sum(t**3 - t for t in ties.values()) / (n**3 - n)
+    expected = h / corr
+    r = registry.OPS["stats_kruskal_wallis"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_total"] == n and r["k_groups"] == 3
+    assert abs(r["h_stat"] - expected) < 1e-4, (r["h_stat"], expected)
+
+
+def test_theil_u_and_gk_lambda_match_python_reference(spark, tmp_path):
+    """stats_theil_u and stats_gk_lambda vs direct contingency-table
+    computation on a deterministic (lang, source) fixture."""
+    import math
+
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    rows = []
+    cells = {}
+    for i in range(600):
+        lang = ["en", "de", "fr"][_md5i(f"tl|{i}", 3)]
+        # source correlated with lang: refine en into two sources
+        if lang == "en":
+            src = ["web", "wiki"][_md5i(f"ts|{i}", 2)]
+        else:
+            src = {"de": "news", "fr": "books"}[lang]
+        cells[(lang, src)] = cells.get((lang, src), 0) + 1
+        rows.append(
+            dict(doc_id=i, text="w x", lang=lang, source=src, n_chars=3)
+        )
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    n = sum(cells.values())
+
+    def ent(counts):
+        return -sum(c / n * math.log(c / n) for c in counts)
+
+    la = {}
+    sb = {}
+    for (a, b), c in cells.items():
+        la[a] = la.get(a, 0) + c
+        sb[b] = sb.get(b, 0) + c
+    h_a, h_b, h_ab = ent(la.values()), ent(sb.values()), ent(cells.values())
+    u_ab = (h_a + h_b - h_ab) / h_a
+    u_ba = (h_a + h_b - h_ab) / h_b
+    r = registry.OPS["stats_theil_u"].fn(spark, str(tmp_path)).collect()[0]
+    assert abs(r["u_lang_given_source"] - u_ab) < 1e-5
+    assert abs(r["u_source_given_lang"] - u_ba) < 1e-5
+
+    rowmax = sum(max(c for (a, b2), c in cells.items() if b2 == b) for b in sb)
+    colmax = sum(max(c for (a2, b), c in cells.items() if a2 == a) for a in la)
+    lam_ab = (rowmax - max(la.values())) * 10000 // (n - max(la.values()))
+    lam_ba = (colmax - max(sb.values())) * 10000 // (n - max(sb.values()))
+    g = registry.OPS["stats_gk_lambda"].fn(spark, str(tmp_path)).collect()[0]
+    assert g["lambda_lang_given_source_bp"] == lam_ab
+    assert g["lambda_source_given_lang_bp"] == lam_ba
+
+
+def test_mcnemar_and_wilcoxon_match_python_reference(spark, tmp_path):
+    """stats_mcnemar and stats_wilcoxon_signed_rank vs direct paired
+    computation: one event type, users with known era activity."""
+    import math
+
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    rows = []
+    i = 0
+    per_user = {}
+    # era A: seconds 0..999, era B: 1000..1999 (mid = ~1000)
+    for u in range(80):
+        ca = _md5i(f"wa|{u}", 2000) if u % 5 != 0 else 0  # some A-silent
+        cb = _md5i(f"wb|{u}", 2000) if u % 7 != 0 else 0  # some B-silent
+        per_user[u] = (ca, cb)
+        for era, c in ((0, ca), (1, cb)):
+            if c:
+                rows.append(
+                    dict(
+                        event_id=i,
+                        ts=pd.Timestamp("2024-01-01")
+                        + pd.Timedelta(seconds=era * 1000 + u),
+                        user_id=u,
+                        event_type="t",
+                        value=c / 100.0,
+                        props="{}",
+                    )
+                )
+                i += 1
+    # anchor rows pinning the span so mid splits at 1000 exactly
+    rows.append(dict(event_id=i, ts=pd.Timestamp("2024-01-01"),
+                     user_id=999, event_type="t", value=1.0, props="{}"))
+    rows.append(dict(event_id=i + 1,
+                     ts=pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=2000),
+                     user_id=999, event_type="t", value=1.0, props="{}"))
+    per_user[999] = (100, 100)
+    _write_events(tmp_path, rows)
+
+    b10 = sum(1 for ca, cb in per_user.values() if ca and not cb)
+    b01 = sum(1 for ca, cb in per_user.values() if cb and not ca)
+    chi2 = (b10 - b01) ** 2 / (b10 + b01)
+    r = registry.OPS["stats_mcnemar"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_active_a_only"] == b10 and r["n_active_b_only"] == b01
+    assert abs(r["chi2"] - chi2) < 1e-6
+
+    diffs = [cb - ca for ca, cb in per_user.values() if cb != ca]
+    diffs_abs = sorted((abs(d), d) for d in diffs)
+    nW = len(diffs)
+    # average ranks of |d| with ties
+    wplus = 0.0
+    pos = 0
+    tie3 = 0
+    while pos < nW:
+        q = pos
+        while q < nW and diffs_abs[q][0] == diffs_abs[pos][0]:
+            q += 1
+        avg = (pos + 1 + q) / 2
+        t = q - pos
+        tie3 += t**3 - t
+        for k in range(pos, q):
+            if diffs_abs[k][1] > 0:
+                wplus += avg
+        pos = q
+    z = (wplus - nW * (nW + 1) / 4) / math.sqrt(
+        nW * (nW + 1) * (2 * nW + 1) / 24 - tie3 / 48
+    )
+    w = registry.OPS["stats_wilcoxon_signed_rank"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert w["n_nonzero"] == nW
+    assert abs(w["z_stat"] - z) < 1e-4, (w["z_stat"], z)
+
+
+def test_page_hinkley_matches_python_reference(spark, tmp_path):
+    """ts_page_hinkley vs a sequential pure-Python replay with a
+    planted level shift."""
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    days = [1000 + _md5i(f"ph|{k}", 200) for k in range(40)]
+    days += [2500 + _md5i(f"ph2|{k}", 200) for k in range(40)]  # shift up
+    rows = [
+        dict(
+            event_id=k,
+            ts=pd.Timestamp("2024-01-01") + pd.Timedelta(days=k),
+            user_id=1,
+            event_type="t",
+            value=c / 100.0,
+            props="{}",
+        )
+        for k, c in enumerate(days)
+    ]
+    _write_events(tmp_path, rows)
+    i = s = g = gmin = dmax = 0.0
+    darg = 1.0
+    g2 = gmin2 = dmax2 = 0.0
+    darg2 = 1.0
+    for x in [float(c) for c in days]:
+        i += 1
+        s += x
+        mean = s / i
+        g += x - mean
+        gmin = min(gmin, g)
+        d = g - gmin
+        if d > dmax:
+            dmax, darg = d, i
+        g2 += mean - x
+        gmin2 = min(gmin2, g2)
+        d2 = g2 - gmin2
+        if d2 > dmax2:
+            dmax2, darg2 = d2, i
+    r = registry.OPS["ts_page_hinkley"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == len(days)
+    assert abs(r["ph_drift_inc"] - dmax) < 1e-3
+    assert r["drift_inc_day"] == int(darg)
+    assert abs(r["ph_drift_dec"] - dmax2) < 1e-3
+    # the planted upward shift must dominate and be detected after day 40
+    assert r["ph_drift_inc"] > r["ph_drift_dec"]
+    assert r["drift_inc_day"] > 40
+
+
+def test_sample_entropy_matches_python_reference(spark, tmp_path):
+    """ts_sample_entropy vs a direct O(n^2) template-matching replay."""
+    import math
+
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    days = [1500 + _md5i(f"se|{k}", 300) for k in range(60)]
+    rows = [
+        dict(
+            event_id=k,
+            ts=pd.Timestamp("2024-01-01") + pd.Timedelta(days=k),
+            user_id=1,
+            event_type="t",
+            value=c / 100.0,
+            props="{}",
+        )
+        for k, c in enumerate(days)
+    ]
+    _write_events(tmp_path, rows)
+    n = len(days)
+    mu = sum(days) / n
+    var = sum(c * c for c in days) / n - mu * mu
+    r_c = math.floor(0.2 * math.sqrt(var) + 0.5)
+    t = [(days[k], days[k + 1], days[k + 2]) for k in range(n - 2)]
+    b = a = 0
+    for x in range(len(t)):
+        for y in range(x + 1, len(t)):
+            if max(abs(t[x][0] - t[y][0]), abs(t[x][1] - t[y][1])) <= r_c:
+                b += 1
+                if abs(t[x][2] - t[y][2]) <= r_c:
+                    a += 1
+    r = registry.OPS["ts_sample_entropy"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["r_cents"] == r_c
+    assert r["matches_m2"] == b and r["matches_m3"] == a
+    assert abs(r["sample_entropy"] - (-math.log(a / b))) < 1e-5
+
+
+def test_hurst_rs_matches_python_reference(spark, tmp_path):
+    """ts_hurst_rs vs a direct numpy block R/S computation (without the
+    op's 1e-6 cross-block quantization — tolerance covers it)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    days = [2000 + _md5i(f"hu|{k}", 500) for k in range(128)]
+    rows = [
+        dict(
+            event_id=k,
+            ts=pd.Timestamp("2024-01-01") + pd.Timedelta(days=k),
+            user_id=1,
+            event_type="t",
+            value=c / 100.0,
+            props="{}",
+        )
+        for k, c in enumerate(days)
+    ]
+    _write_events(tmp_path, rows)
+    x = np.array(days, dtype=float)
+    pts = []
+    for sz in (8, 16, 32, 64):
+        rss = []
+        for b in range(len(x) // sz):
+            blk = x[b * sz : (b + 1) * sz]
+            dev = np.cumsum(blk) - np.arange(1, sz + 1) * blk.mean()
+            s = math.sqrt((blk**2).mean() - blk.mean() ** 2)
+            if s > 0:
+                rss.append((dev.max() - dev.min()) / s)
+        if rss:
+            pts.append((math.log(sz), math.log(sum(rss) / len(rss))))
+    k = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    r = registry.OPS["ts_hurst_rs"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_scales"] == k
+    assert abs(r["hurst"] - slope) < 1e-3, (r["hurst"], slope)
+    assert 0.0 < r["hurst"] < 1.0
+
+
+def test_hll_manual_matches_python_reference(spark, tmp_path):
+    """agg_hll_manual vs an independent hashlib/bit_length HLL replay,
+    and the estimate must sit within the theoretical error band."""
+    import hashlib
+    import math
+
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    users = [_md5i(f"hl|{k}", 100_000) for k in range(3000)]
+    rows = [
+        dict(
+            event_id=k,
+            ts=pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=k),
+            user_id=u,
+            event_type="t",
+            value=1.0,
+            props="{}",
+        )
+        for k, u in enumerate(users)
+    ]
+    _write_events(tmp_path, rows)
+    regs = {}
+    for u in set(users):
+        h = hashlib.md5(str(u).encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        s = int(h[2:16], 16)
+        rho = 57 - s.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    zeros = 256 - len(regs)
+    zsum = zeros + sum(2.0 ** -m for m in sorted(regs.values()))
+    alpha_m2 = 0.7213 / (1 + 1.079 / 256) * 256 * 256
+    e = alpha_m2 / zsum
+    if e <= 2.5 * 256 and zeros > 0:
+        e = 256 * math.log(256 / zeros)
+    exact = len(set(users))
+    r = registry.OPS["agg_hll_manual"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_exact"] == exact
+    assert abs(r["hll_estimate"] - e) < 1e-2, (r["hll_estimate"], e)
+    # 1.04/sqrt(256) = 6.5% standard error; allow 3 sigma
+    assert abs(e - exact) / exact < 0.195

@@ -6,88 +6,20 @@ ever unguarded locally, whatever an external harness samples.
 
 Separately, the external driver verifies ops in registration order with a
 bounded window (each round covers the first 50 keys). The registration
-order is freshness-priority, applied the same rule each round: (1) ops
-never externally checked / stalest externally-green debt the verdict
-fronted; (2) ops changed this round; (3) ops NEW this round (inside the
-window since round 10, so new work is externally proven the round it
-lands instead of carrying one round of debt). This test pins round 12's
-resulting window.
+order is freshness-priority, applied the same rule each round: (1) the
+stalest externally-green keys (the head of the previous round's
+behind-window order); (2) ops changed this round; (3) ops NEW this round
+(inside the window since round 10, so new work is externally proven the
+round it lands instead of carrying one round of debt). This test pins
+round 13's resulting window.
 """
 
 from connor_fun_streamproducer_spark import registry
 
-# (1) The 21 r1-r3-vintage hash-proven keys displaced by round 11's new
-# ops — VERDICT r11 pinned them as the round's structural debt and asked
-# the r12 window to front them (next-round item #1).
-DISPLACED_FRONTED_R12 = [
-    "pipeline_local_supplier_volume",
-    "pipeline_returned_items",
-    "fn_array_explode",
-    "fn_date_bucket",
-    "fn_json_roundtrip",
-    "fn_map_entries",
-    "enrich_region_grid",
-    "sink_foreachbatch",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
-    "set_intersect_all",
-    "set_union_all",
-    "pipeline_shipping_priority_bucketed",
-    "rate_stagger",
-    "stream_stateful",
-    "stream_stateful_tws",
-    "win_analytic",
-    "win_frame",
-    "win_rank",
-    "join_stream_stream",
-]
-
-# (2) Externally green before, but changed in round 12: the eval-tiers
-# truth-slice materialization (VERDICT r11 #2) and the ADVICE r11 fixes
-# (decimal widening before the centroid-drift/gini products, unused
-# window removed from the quality-token curve).
-CHANGED_IN_ROUND_12 = [
-    "embedding_centroid_drift",
-    "graph_degree_gini",
-    "corpus_quality_token_curve",
-    "dedup_eval_tiers",
-]
-
-# (3) NEW in round 12 — inside the window so they gain an external row
-# THIS round (standing policy since r10), budgeted ≤25 so the fronted
-# stale debt still clears.
-NEW_IN_ROUND_12 = [
-    "stats_anova_oneway",
-    "stats_jarque_bera",
-    "stats_cohens_h",
-    "stats_trend_proportions",
-    "stats_spearman_binned",
-    "ts_turning_points",
-    "ts_burstiness",
-    "ts_cross_correlation",
-    "ts_spectral_entropy",
-    "ts_records_count",
-    "pipeline_backlog_burndown",
-    "pipeline_nation_trade_balance",
-    "pipeline_fill_rate",
-    "pipeline_brand_supplier_hhi",
-    "sample_balanced_downsample",
-    "sample_horvitz_thompson",
-    "embedding_triplet_violation",
-    "corpus_doc_length_gini",
-    "text_prefix_template_rate",
-    "dedup_band_occupancy",
-    "fn_binary_codec",
-    "fn_struct_ops",
-    "agg_geometric_mean",
-    "graph_edge_locality",
-    "graph_knn_degree_curve",
-]
-
-# First in line behind the window: the stalest externally-green tier
-# (r4-vintage) — the r13 rotation's input, pinned.
-STALEST_FRONT_R13 = [
+# (1) The stalest externally-green tier — the r4-vintage keys VERDICT r12
+# pinned as STALEST_FRONT_R13 (its first 10) plus the next 4 of the same
+# vintage, since this round's window had 14 free slots for stale refresh.
+STALEST_FRONTED_R13 = [
     "scan_orc",
     "sql_api",
     "sim_search_topk_arrow",
@@ -98,14 +30,85 @@ STALEST_FRONT_R13 = [
     "text_chunk",
     "text_repetition",
     "sample_split",
+    "sample_stratified",
+    "corpus_stats",
+    "tfidf_top_terms",
+    "corpus_pack",
 ]
 
-MUST_BE_IN_WINDOW = DISPLACED_FRONTED_R12 + CHANGED_IN_ROUND_12 + NEW_IN_ROUND_12
+# (2) Externally green before, but changed in round 13: the PCA
+# power-iteration promotion (VERDICT r12 #2), the sharded lateness
+# frontier (#3), the three distributed-rank Gini ops (#4), the HITS
+# per-round checkpoint (#6), the eval-artifact construction-rev fix
+# (ADVICE r12), and the nine era-suite ops that now share the
+# fingerprint-cached span probe (#5).
+CHANGED_IN_ROUND_13 = [
+    "embedding_pca_project",
+    "stats_event_lateness",
+    "agg_gini_concentration",
+    "win_lorenz_deciles",
+    "corpus_doc_length_gini",
+    "graph_hits",
+    "dedup_eval_tiers",
+    "stats_welch_ttest",
+    "stats_cohens_d_eras",
+    "stats_brown_forsythe",
+    "stats_mood_median",
+    "stats_mann_whitney",
+    "stats_cliff_delta",
+    "stats_power_mde",
+    "stats_cohens_h",
+    "stats_trend_proportions",
+]
+
+# (3) NEW in round 13 — inside the window so they gain an external row
+# THIS round (standing policy since r10), budgeted at 20 so the stale and
+# changed tiers both clear.
+NEW_IN_ROUND_13 = [
+    "stats_kruskal_wallis",
+    "stats_theil_u",
+    "stats_gk_lambda",
+    "stats_mcnemar",
+    "stats_wilcoxon_signed_rank",
+    "ts_page_hinkley",
+    "ts_sample_entropy",
+    "ts_hurst_rs",
+    "pipeline_price_dispersion",
+    "pipeline_new_vs_repeat_revenue",
+    "sample_weighted_topk_es",
+    "agg_hll_manual",
+    "embedding_prefix_variance",
+    "text_ngram_entropy_rate",
+    "text_vocab_growth_heaps",
+    "dedup_cluster_source_purity",
+    "multimodal_silence_runs",
+    "graph_adamic_adar",
+    "graph_harmonic_centrality",
+    "agg_median_distributed",
+]
+
+# First in line behind the window: the stalest externally-green tier
+# after this round's refresh (r4/r5-vintage) — the r14 rotation's input,
+# pinned.
+STALEST_FRONT_R14 = [
+    "text_pii_scrub",
+    "text_boilerplate",
+    "text_normalize",
+    "embedding_pool",
+    "embedding_quantize",
+    "fn_url",
+    "graph_pagerank",
+    "win_range_interval",
+    "win_sessionize",
+    "merge_upsert",
+]
+
+MUST_BE_IN_WINDOW = STALEST_FRONTED_R13 + CHANGED_IN_ROUND_13 + NEW_IN_ROUND_13
 
 WINDOW = 50
 
 
-def test_round12_priority_ops_register_inside_driver_window():
+def test_round13_priority_ops_register_inside_driver_window():
     keys = list(registry.queries())
     window = set(keys[:WINDOW])
     missing = [k for k in MUST_BE_IN_WINDOW if k not in window]
@@ -115,32 +118,32 @@ def test_round12_priority_ops_register_inside_driver_window():
     )
 
 
-def test_displaced_debt_leads_the_window():
-    # The fronted stale-debt keys must come FIRST (before this round's
-    # changes and additions), so even a driver window narrower than 50
-    # covers as many of them as possible — they are the round's ask.
+def test_stalest_debt_leads_the_window():
+    # The fronted stale keys must come FIRST (before this round's changes
+    # and additions), so even a driver window narrower than 50 covers as
+    # many of them as possible — they are the round's refresh ask.
     keys = list(registry.queries())
-    assert keys[: len(DISPLACED_FRONTED_R12)] == DISPLACED_FRONTED_R12
+    assert keys[: len(STALEST_FRONTED_R13)] == STALEST_FRONTED_R13
 
 
 def test_changed_tier_outranks_new():
     keys = list(registry.queries())
-    n = len(DISPLACED_FRONTED_R12)
-    assert keys[n : n + len(CHANGED_IN_ROUND_12)] == CHANGED_IN_ROUND_12
-    m = n + len(CHANGED_IN_ROUND_12)
-    assert keys[m : m + len(NEW_IN_ROUND_12)] == NEW_IN_ROUND_12
+    n = len(STALEST_FRONTED_R13)
+    assert keys[n : n + len(CHANGED_IN_ROUND_13)] == CHANGED_IN_ROUND_13
+    m = n + len(CHANGED_IN_ROUND_13)
+    assert keys[m : m + len(NEW_IN_ROUND_13)] == NEW_IN_ROUND_13
 
 
 def test_window_is_exactly_filled():
-    # 21 fronted + 4 changed + 25 new = 50: no dead slots, no extras.
+    # 14 stale + 16 changed + 20 new = 50: no dead slots, no extras.
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
 
 def test_stalest_tier_leads_the_behind_window_order():
     keys = list(registry.queries())
     n = len(MUST_BE_IN_WINDOW)
-    behind = keys[n : n + len(STALEST_FRONT_R13)]
-    assert behind == STALEST_FRONT_R13, behind
+    behind = keys[n : n + len(STALEST_FRONT_R14)]
+    assert behind == STALEST_FRONT_R14, behind
 
 
 def test_registry_is_deterministic_and_complete():
