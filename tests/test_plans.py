@@ -1711,12 +1711,14 @@ def test_lsh_recall_join_is_broadcast(spark):
 
 def test_hits_rounds_are_linear_joins(spark):
     """graph_hits: 3 unrolled rounds = edge-list equi-joins + hash aggs
-    on a checkpointed edge frame — no cartesian, and the edge build
-    (orders x lineitem) materializes once (ExistingRDD in every round's
-    subtree, not a re-derived join)."""
+    on the ARTIFACT edge frame (r13: _hits_edges, a write-once parquet)
+    — no cartesian, and no round may re-derive the orders x lineitem
+    edge build from the raw fixtures."""
     plan = formatted_plan(_q("graph_hits", spark))
     assert "CartesianProduct" not in plan
-    assert "ExistingRDD" in plan, plan
+    assert ".graph_index" in plan, plan
+    assert "orders.parquet" not in plan, plan
+    assert "lineitem.parquet" not in plan, plan
 
 
 def test_holt_single_scan_bounded_fold(spark):
