@@ -283,6 +283,10 @@ EXTENDED = [
     "graph_adamic_adar",
     "graph_harmonic_centrality",
     "agg_median_distributed",
+    "graph_ego_density",
+    "pipeline_vendor_consolidation_savings",
+    "stats_permutation_shift",
+    "agg_quantiles_distributed",
 ]
 
 

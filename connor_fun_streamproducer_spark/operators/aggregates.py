@@ -729,3 +729,80 @@ def agg_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("median_doubled_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantile vector by rank selection (round 13, wave 2)
+# ---------------------------------------------------------------------------
+
+_QDIST_PCTS = (25, 50, 75, 90, 99)
+
+_QDIST_ORACLE = f"""
+WITH c AS (
+    SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+), r AS (
+    SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rk,
+           count(*) OVER () AS n
+    FROM c
+), p AS (
+    SELECT unnest([{', '.join(map(str, _QDIST_PCTS))}]) AS pct
+)
+SELECT CAST(p.pct AS BIGINT) AS pct,
+       CAST(max(r.n) AS BIGINT) AS n_orders,
+       CAST((p.pct * max(r.n) + 99) // 100 AS BIGINT) AS sel_rank,
+       CAST(sum(CASE WHEN r.rk = (p.pct * r.n + 99) // 100
+                     THEN r.cents ELSE 0 END) AS BIGINT) AS value_cents
+FROM r CROSS JOIN p
+GROUP BY p.pct
+"""
+
+
+@op("agg_quantiles_distributed", oracle=_QDIST_ORACLE, tags=("ext", "agg", "scale"))
+def agg_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p25/p50/p75/p90/p99 of order value by nearest-rank
+    SELECTION on the distributed rank (ceil(p·n) — the type-1 quantile
+    definition both engines share as pure integer arithmetic): one rank
+    pass, then one filter keeps the five selected rows. The quantile
+    VECTOR companion of agg_median_distributed, and the exact
+    ground-truth tier the KLL sketch (agg_kll_quantile) is graded
+    against — at 100 TB you run the sketch daily and this selection
+    weekly to pin its drift.
+
+    Exact: integer cents, integer ranks, integral rank arithmetic — no
+    interpolation, no floats.
+
+    Scale: two linear shuffles (the rank), a broadcast 5-row percentile
+    frame, a filter to 5 rows. Selection by rank replaces the global
+    sort exactly as in the median op.
+    """
+    from connor_fun_streamproducer_spark.operators.scale_patterns import (
+        distributed_rank,
+    )
+
+    c = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    ranked = distributed_rank(c, "cents", ["o_orderkey"])
+    n = ranked.agg(F.count("*").alias("n"))
+    pcts = c.sparkSession.createDataFrame(
+        [(p,) for p in _QDIST_PCTS], "pct int"
+    )
+    sel = (
+        ranked.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(pcts))
+        .filter(F.col("rk") == F.expr("(pct * n + 99) div 100"))
+    )
+    return sel.groupBy("pct").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.expr("(pct * max(n) + 99) div 100").cast("bigint").alias("sel_rank"),
+        F.sum("cents").cast("bigint").alias("value_cents"),
+    ).select(
+        F.col("pct").cast("bigint").alias("pct"),
+        "n_orders",
+        "sel_rank",
+        "value_cents",
+    )

@@ -2326,3 +2326,83 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_reached",
         f"harmonic_{_HC_LCM}",
     )
+
+
+# ---------------------------------------------------------------------------
+# Ego-network density (round 13, wave 2)
+# ---------------------------------------------------------------------------
+
+_EGO_ORACLE = "WITH " + _PAIR_EDGES_SQL + """,
+tri AS (
+    SELECT e1.a AS a, e1.c AS b, e2.c AS c
+    FROM e e1
+    JOIN e e2 ON e1.c = e2.a
+    JOIN e e3 ON e3.a = e1.a AND e3.c = e2.c
+),
+corners AS (
+    SELECT a AS user_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+),
+tcnt AS (SELECT user_id, count(*) AS t FROM corners GROUP BY 1),
+und AS (SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e),
+deg AS (SELECT u AS user_id, count(*) AS d FROM und GROUP BY 1)
+SELECT CAST(deg.user_id AS BIGINT) AS user_id,
+       CAST(deg.d AS BIGINT) AS n_neighbors,
+       CAST(coalesce(tcnt.t, 0) AS BIGINT) AS triangles,
+       CAST(coalesce(tcnt.t, 0) * 2 * 10000
+            // (deg.d * (deg.d - 1)) AS BIGINT) AS ego_density_bp
+FROM deg LEFT JOIN tcnt ON tcnt.user_id = deg.user_id
+WHERE deg.d >= 2
+"""
+
+
+@op("graph_ego_density", oracle=_EGO_ORACLE, tags=("ext", "graph"))
+def graph_ego_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ego-network density per node (degree ≥ 2): how many of the
+    possible edges AMONG a node's neighbors exist = 2·triangles(v) /
+    (deg(v)·(deg(v)−1)) in basis points — the per-node form of the
+    clustering coefficient, read as a community-tightness feature:
+    density → 1 means the ego sits inside a clique (redundant ties,
+    closed community), density → 0 a star hub bridging strangers (the
+    brokerage position). graph_clustering_coefficient reports the
+    graph-level average; this emits the per-node feature column a
+    downstream model would join on.
+
+    Exact: triangle corners and degrees are the same integer counts
+    graph_triangle_count / graph_degree_distribution produce over the
+    shared pair-edge artifact; the density is one integral bp division.
+
+    Scale: one wedge equi-join (the artifact's size-band caps the
+    fan-out) + two hash aggs + a broadcastable left join. Output is
+    |nodes with degree ≥ 2| rows.
+    """
+    e = _pair_edges(spark, sf_dir)
+    e1 = e.select(F.col("a").alias("a"), F.col("c").alias("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("c").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e.select(F.col("a").alias("a"), F.col("c").alias("c")), ["a", "c"])
+    )
+    corners = (
+        tri.select(F.col("a").alias("user_id"))
+        .unionAll(tri.select(F.col("b").alias("user_id")))
+        .unionAll(tri.select(F.col("c").alias("user_id")))
+    )
+    tcnt = corners.groupBy("user_id").agg(F.count("*").alias("t"))
+    und = e.select(F.col("a").alias("u"), F.col("c").alias("v")).unionAll(
+        e.select(F.col("c").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("user_id")).agg(F.count("*").alias("d"))
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tcnt, "user_id", "left")
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("d").cast("bigint").alias("n_neighbors"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("triangles"),
+            F.expr("coalesce(t, 0) * 2 * 10000 div (d * (d - 1))")
+            .cast("bigint")
+            .alias("ego_density_bp"),
+        )
+    )

@@ -1650,3 +1650,101 @@ def pipeline_new_vs_repeat_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("new_revenue_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vendor-consolidation what-if savings (round 13, wave 2)
+# ---------------------------------------------------------------------------
+
+_CONSOLIDATION_ORACLE = """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents,
+           sum(CAST(l_quantity AS BIGINT)) AS qty
+    FROM lineitem GROUP BY 1, 2
+), u AS (
+    SELECT l_partkey, cents, qty, cents * 1000 // qty AS unit_mil
+    FROM ps WHERE qty > 0
+), d AS (
+    SELECT l_partkey,
+           count(*) AS n_suppliers,
+           sum(cents) AS actual_cents,
+           sum(qty) AS total_qty,
+           min(unit_mil) AS best_unit_mil
+    FROM u GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN n_suppliers > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_multi_supplier_parts,
+       CAST(sum(actual_cents) AS BIGINT) AS actual_cents,
+       CAST(sum(total_qty * best_unit_mil) // 1000 AS BIGINT)
+           AS consolidated_cents,
+       CAST((sum(actual_cents) - sum(total_qty * best_unit_mil) // 1000)
+            * 10000 // sum(actual_cents) AS BIGINT) AS savings_bp
+FROM d
+"""
+
+
+@op(
+    "pipeline_vendor_consolidation_savings",
+    oracle=_CONSOLIDATION_ORACLE,
+    tags=("ext", "pipeline", "global"),
+)
+def pipeline_vendor_consolidation_savings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vendor-consolidation what-if: if every part's volume were routed
+    to its CHEAPEST observed supplier (by average unit price), how much
+    of the actual spend disappears? One row: part counts, actual vs
+    consolidated cents, savings in basis points — the action number
+    pipeline_price_dispersion's spread table motivates (dispersion says
+    where prices disagree; this prices the disagreement). The classic
+    caveat — best-supplier capacity is assumed elastic — is the
+    standard reading of the upper-bound form.
+
+    Exact: integral milli-cent unit prices (the dispersion op's
+    discipline); the counterfactual spend is qty·best_unit integral
+    arithmetic with one final ``div 1000`` descale and one integral bp
+    division.
+
+    Scale: one (part, supplier) hash agg → one |parts| agg → one row.
+    No joins.
+    """
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        )
+    )
+    u = ps.filter(F.col("qty") > 0).select(
+        "l_partkey",
+        "cents",
+        "qty",
+        F.expr("cents * 1000 div qty").alias("unit_mil"),
+    )
+    d = u.groupBy("l_partkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("cents").alias("actual_cents"),
+        F.sum("qty").alias("total_qty"),
+        F.min("unit_mil").alias("best_unit_mil"),
+    )
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum(F.when(F.col("n_suppliers") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_multi_supplier_parts"),
+        F.sum("actual_cents").cast("bigint").alias("actual_cents"),
+        F.expr("sum(total_qty * best_unit_mil) div 1000")
+        .cast("bigint")
+        .alias("consolidated_cents"),
+        F.expr(
+            "(sum(actual_cents) - sum(total_qty * best_unit_mil) div 1000)"
+            " * 10000 div sum(actual_cents)"
+        )
+        .cast("bigint")
+        .alias("savings_bp"),
+    )

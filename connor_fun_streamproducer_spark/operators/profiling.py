@@ -4416,3 +4416,148 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (z + F.lit(0.0)).alias("z_stat"),
         (F.abs(z) > F.lit(_WSR_CRIT)).alias("reject_no_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Derandomized sign-flip permutation test of the era shift (round 13 wave 2)
+# ---------------------------------------------------------------------------
+
+_PERM_FLIPS = 64
+
+_PERM_ORACLE = f"""
+WITH b AS (
+    SELECT event_type, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS te,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), span AS (
+    SELECT (min(te) + max(te)) // 2 AS mid FROM b
+), pair AS (
+    SELECT event_type, user_id,
+           sum(CASE WHEN te >= mid THEN cents ELSE 0 END)
+         - sum(CASE WHEN te <  mid THEN cents ELSE 0 END) AS d
+    FROM b CROSS JOIN span
+    GROUP BY event_type, user_id
+), nz AS (SELECT * FROM pair WHERE d <> 0),
+obs AS (
+    SELECT event_type, count(*) AS n_users, sum(d) AS t_obs
+    FROM nz GROUP BY event_type
+), flips AS (
+    SELECT nz.event_type, f.bb,
+           sum(CASE WHEN substr(md5(CAST(nz.user_id AS VARCHAR) || '_'
+                                  || CAST(f.bb AS VARCHAR)), 1, 1) < '8'
+                    THEN nz.d ELSE -nz.d END) AS t_b
+    FROM nz CROSS JOIN (SELECT unnest(generate_series(0, {_PERM_FLIPS - 1}))
+                        AS bb) f
+    GROUP BY nz.event_type, f.bb
+), ext AS (
+    SELECT f.event_type,
+           sum(CASE WHEN abs(f.t_b) >= abs(o.t_obs) THEN 1 ELSE 0 END)
+               AS n_extreme
+    FROM flips f JOIN obs o ON o.event_type = f.event_type
+    GROUP BY f.event_type
+)
+SELECT o.event_type AS event_type,
+       CAST(o.n_users AS BIGINT) AS n_users,
+       CAST(o.t_obs AS BIGINT) AS t_obs_cents,
+       CAST({_PERM_FLIPS} AS BIGINT) AS n_flips,
+       CAST(e.n_extreme AS BIGINT) AS n_extreme,
+       CAST((1 + e.n_extreme) * 1000 // ({_PERM_FLIPS} + 1) AS BIGINT)
+           AS p_value_milli
+FROM obs o JOIN ext e ON e.event_type = o.event_type
+"""
+
+
+@op("stats_permutation_shift", oracle=_PERM_ORACLE, tags=("ext", "stats", "scale"))
+def stats_permutation_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derandomized sign-flip permutation test of the paired era shift
+    per event type: under the null that each user's era difference d_u
+    is symmetric around zero, the signs are exchangeable — so the
+    observed total shift T = Σd_u is compared against {_PERM_FLIPS}
+    md5-derandomized sign-flip replicas, and the p-value is the rank of
+    |T| among them (the +1/(B+1) unbiased form). This is the
+    assumption-free companion to stats_wilcoxon_signed_rank (which
+    normal-approximates) — the permutation distribution IS the null,
+    no asymptotics; md5 flips make it reproducible across engines,
+    partitionings, and reruns, which rand()-based resampling is not.
+
+    Exact: per-user diffs are integer cents; every replica total is an
+    exact integer sum; the p-value is integral milli division. The flip
+    sign is one md5 hex-digit comparison, identical on both engines.
+
+    Scale: the flip explode runs on the ENTITY-level pair frame
+    (|users|·|types| rows), never events — ×{_PERM_FLIPS} of a bounded
+    frame, one hash agg with map-side partials; output is |types| rows.
+    """
+    b = load(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        epoch_seconds("ts").alias("te"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    span = events_era_mid(spark, sf_dir)  # fingerprint-cached 1-row probe
+    nz = (
+        b.groupBy("event_type", "user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("te") >= F.lit(span), F.col("cents")).otherwise(0)
+                )
+                - F.sum(
+                    F.when(F.col("te") < F.lit(span), F.col("cents")).otherwise(0)
+                )
+            ).alias("d")
+        )
+        .filter(F.col("d") != 0)
+    )
+    obs = nz.groupBy("event_type").agg(
+        F.count("*").alias("n_users"), F.sum("d").alias("t_obs")
+    )
+    flips = (
+        nz.crossJoin(
+            F.broadcast(
+                nz.sparkSession.range(_PERM_FLIPS).select(
+                    F.col("id").cast("int").alias("bb")
+                )
+            )
+        )
+        .groupBy("event_type", "bb")
+        .agg(
+            F.sum(
+                F.when(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                F.col("user_id").cast("string"),
+                                F.col("bb").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    )
+                    < "8",
+                    F.col("d"),
+                ).otherwise(-F.col("d"))
+            ).alias("t_b")
+        )
+    )
+    ext = (
+        flips.join(F.broadcast(obs), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("t_b")) >= F.abs(F.col("t_obs")), 1).otherwise(0)
+            ).alias("n_extreme")
+        )
+    )
+    return obs.join(ext, "event_type").select(
+        "event_type",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("t_obs").cast("bigint").alias("t_obs_cents"),
+        F.lit(_PERM_FLIPS).cast("bigint").alias("n_flips"),
+        F.col("n_extreme").cast("bigint").alias("n_extreme"),
+        F.expr(f"(1 + n_extreme) * 1000 div ({_PERM_FLIPS} + 1)")
+        .cast("bigint")
+        .alias("p_value_milli"),
+    )

@@ -205,10 +205,12 @@ def _ensure_loaded() -> None:
 # oldest first) so the next rotation's input is pinned, never
 # import-order luck; tests/test_registry_order.py pins each tier.
 #
-# Round-13 window: 14 stalest (the r4-vintage tier: scan_orc ... corpus_pack)
-# + 16 changed (the pca promotion, the sharded frontier, the three
-# distributed-rank Gini ops, the HITS checkpoint, the eval-rev fix, and
-# the nine era ops that now share the cached span probe) + 20 new = 50.
+# Round-13 window: 10 stalest (the r4-vintage tier VERDICT r12 pinned as
+# STALEST_FRONT_R13) + 16 changed (the pca promotion, the sharded
+# frontier, the three distributed-rank Gini ops, the HITS edge artifact,
+# the eval-rev fix, and the nine era ops that now share the cached span
+# probe) + 24 new = 50. The next four r4-vintage keys (sample_stratified
+# ... corpus_pack) lead the behind-window order instead.
 _WINDOW_PRIORITY = [
     # -- (1) stalest externally-green tier (r4 vintage) --
     "scan_orc",
@@ -221,10 +223,6 @@ _WINDOW_PRIORITY = [
     "text_chunk",
     "text_repetition",
     "sample_split",
-    "sample_stratified",
-    "corpus_stats",
-    "tfidf_top_terms",
-    "corpus_pack",
     # -- (2) changed this round --
     "embedding_pca_project",
     "stats_event_lateness",
@@ -263,7 +261,15 @@ _WINDOW_PRIORITY = [
     "graph_adamic_adar",
     "graph_harmonic_centrality",
     "agg_median_distributed",
+    "graph_ego_density",
+    "pipeline_vendor_consolidation_savings",
+    "stats_permutation_shift",
+    "agg_quantiles_distributed",
     # -- behind the window: staleness-ascending (the r14 rotation input) --
+    "sample_stratified",
+    "corpus_stats",
+    "tfidf_top_terms",
+    "corpus_pack",
     "text_pii_scrub",
     "text_boilerplate",
     "text_normalize",

@@ -194,6 +194,10 @@ SWEEP = [
     "stats_event_lateness",        # sharded two-pass frontier (r13)
     "agg_gini_concentration",      # distributed rank moments (r13)
     "win_lorenz_deciles",          # arithmetic NTILE from ranks (r13)
+    "graph_ego_density",           # artifact wedge/degree counts (r13)
+    "pipeline_vendor_consolidation_savings",  # integral what-if spend (r13)
+    "stats_permutation_shift",     # md5 sign-flip replicas (r13)
+    "agg_quantiles_distributed",   # rank-selection quantile vector (r13)
 ]
 
 
@@ -249,6 +253,7 @@ SWEEP_SF001 = [
     "agg_median_distributed",       # rank selection across shards (r13)
     "graph_harmonic_centrality",    # frontier rounds differ by scale (r13)
     "embedding_pca_project",        # iteration inputs differ by scale (r13)
+    "agg_quantiles_distributed",    # shard cuts differ by scale (r13)
 ]
 
 

@@ -4557,3 +4557,78 @@ def test_hll_manual_matches_python_reference(spark, tmp_path):
     assert abs(r["hll_estimate"] - e) < 1e-2, (r["hll_estimate"], e)
     # 1.04/sqrt(256) = 6.5% standard error; allow 3 sigma
     assert abs(e - exact) / exact < 0.195
+
+
+def test_permutation_shift_matches_python_reference(spark, tmp_path):
+    """stats_permutation_shift vs an independent hashlib replay of the
+    md5 sign-flip replicas on a deterministic paired fixture."""
+    import hashlib
+
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    rows = []
+    diffs = {}
+    i = 0
+    for u in range(60):
+        ca = 500 + _md5i(f"pa|{u}", 900)
+        cb = 700 + _md5i(f"pb|{u}", 900)  # planted upward shift
+        diffs[u] = cb - ca
+        for era, c in ((0, ca), (1, cb)):
+            rows.append(
+                dict(
+                    event_id=i,
+                    ts=pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(seconds=era * 1000 + u),
+                    user_id=u,
+                    event_type="t",
+                    value=c / 100.0,
+                    props="{}",
+                )
+            )
+            i += 1
+    rows.append(dict(event_id=i, ts=pd.Timestamp("2024-01-01"),
+                     user_id=999, event_type="t", value=1.0, props="{}"))
+    rows.append(dict(event_id=i + 1,
+                     ts=pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=2000),
+                     user_id=999, event_type="t", value=1.0, props="{}"))
+    diffs[999] = 0  # zero diff -> dropped
+    _write_events(tmp_path, rows)
+
+    nz = {u: d for u, d in diffs.items() if d != 0}
+    t_obs = sum(nz.values())
+    n_extreme = 0
+    for b in range(64):
+        tb = 0
+        for u, d in nz.items():
+            hx = hashlib.md5(f"{u}_{b}".encode()).hexdigest()
+            tb += d if hx[0] < "8" else -d
+        if abs(tb) >= abs(t_obs):
+            n_extreme += 1
+    r = registry.OPS["stats_permutation_shift"].fn(spark, str(tmp_path)).collect()
+    row = next(x for x in r if x["event_type"] == "t")
+    assert row["n_users"] == len(nz)
+    assert row["t_obs_cents"] == t_obs
+    assert row["n_extreme"] == n_extreme
+    assert row["p_value_milli"] == (1 + n_extreme) * 1000 // 65
+    # the planted +200-cent mean shift over 60 users must be significant
+    assert row["p_value_milli"] <= 50
+
+
+def test_ego_density_consistent_with_triangles_and_degrees(spark):
+    """graph_ego_density must agree row-for-row with the independently
+    computed graph_triangle_count and graph_degree_distribution ops on
+    the shared artifact (cross-operator identity, not a replay)."""
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    sf = "/root/testdata/sf0.01"
+    ego = {r["user_id"]: r for r in registry.OPS["graph_ego_density"].fn(spark, sf).collect()}
+    tri = {r["user_id"]: r["triangles"] for r in registry.OPS["graph_triangle_count"].fn(spark, sf).collect()}
+    assert ego, "fixture graph should have degree>=2 nodes"
+    for uid, r in ego.items():
+        assert r["triangles"] == tri.get(uid, 0), uid
+        d = r["n_neighbors"]
+        assert r["ego_density_bp"] == r["triangles"] * 2 * 10000 // (d * (d - 1))
+        assert 0 <= r["ego_density_bp"] <= 10000

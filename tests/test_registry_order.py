@@ -16,9 +16,8 @@ round 13's resulting window.
 
 from connor_fun_streamproducer_spark import registry
 
-# (1) The stalest externally-green tier — the r4-vintage keys VERDICT r12
-# pinned as STALEST_FRONT_R13 (its first 10) plus the next 4 of the same
-# vintage, since this round's window had 14 free slots for stale refresh.
+# (1) The stalest externally-green tier — exactly the r4-vintage keys
+# VERDICT r12 pinned as STALEST_FRONT_R13.
 STALEST_FRONTED_R13 = [
     "scan_orc",
     "sql_api",
@@ -30,16 +29,12 @@ STALEST_FRONTED_R13 = [
     "text_chunk",
     "text_repetition",
     "sample_split",
-    "sample_stratified",
-    "corpus_stats",
-    "tfidf_top_terms",
-    "corpus_pack",
 ]
 
 # (2) Externally green before, but changed in round 13: the PCA
 # power-iteration promotion (VERDICT r12 #2), the sharded lateness
 # frontier (#3), the three distributed-rank Gini ops (#4), the HITS
-# per-round checkpoint (#6), the eval-artifact construction-rev fix
+# edge-artifact refactor (#6), the eval-artifact construction-rev fix
 # (ADVICE r12), and the nine era-suite ops that now share the
 # fingerprint-cached span probe (#5).
 CHANGED_IN_ROUND_13 = [
@@ -62,8 +57,8 @@ CHANGED_IN_ROUND_13 = [
 ]
 
 # (3) NEW in round 13 — inside the window so they gain an external row
-# THIS round (standing policy since r10), budgeted at 20 so the stale and
-# changed tiers both clear.
+# THIS round (standing policy since r10), budgeted at 24 so the pinned
+# stale tier and the changed tier both clear.
 NEW_IN_ROUND_13 = [
     "stats_kruskal_wallis",
     "stats_theil_u",
@@ -85,12 +80,20 @@ NEW_IN_ROUND_13 = [
     "graph_adamic_adar",
     "graph_harmonic_centrality",
     "agg_median_distributed",
+    "graph_ego_density",
+    "pipeline_vendor_consolidation_savings",
+    "stats_permutation_shift",
+    "agg_quantiles_distributed",
 ]
 
 # First in line behind the window: the stalest externally-green tier
 # after this round's refresh (r4/r5-vintage) — the r14 rotation's input,
 # pinned.
 STALEST_FRONT_R14 = [
+    "sample_stratified",
+    "corpus_stats",
+    "tfidf_top_terms",
+    "corpus_pack",
     "text_pii_scrub",
     "text_boilerplate",
     "text_normalize",
@@ -135,7 +138,7 @@ def test_changed_tier_outranks_new():
 
 
 def test_window_is_exactly_filled():
-    # 14 stale + 16 changed + 20 new = 50: no dead slots, no extras.
+    # 10 stale + 16 changed + 24 new = 50: no dead slots, no extras.
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
 
