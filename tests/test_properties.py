@@ -4632,3 +4632,52 @@ def test_ego_density_consistent_with_triangles_and_degrees(spark):
         d = r["n_neighbors"]
         assert r["ego_density_bp"] == r["triangles"] * 2 * 10000 // (d * (d - 1))
         assert 0 <= r["ego_density_bp"] <= 10000
+
+
+def test_distributed_rank_is_exact_permutation_under_adversarial_keys(spark):
+    """scale_patterns.distributed_rank invariants, directly (the r13
+    flakiness class): for constant keys, two-value keys, heavy-skew
+    keys, and distinct keys — with and without partition_cols — the
+    produced rk must be EXACTLY the ranks row_number would assign under
+    the total order: a permutation of 1..n per group, matching a
+    driver-side sort. Run twice per shape (the failure mode was
+    plan-to-plan divergence)."""
+    from connor_fun_streamproducer_spark.operators.scale_patterns import (
+        distributed_rank,
+    )
+
+    def check(rows, partition_cols):
+        df = spark.createDataFrame(rows, "g string, k bigint, id bigint")
+        for _ in range(2):
+            got = {
+                (r["g"], r["id"]): r["rk"]
+                for r in distributed_rank(
+                    df, "k", ["id"], partition_cols=partition_cols
+                ).collect()
+            }
+            groups = {}
+            for g, k, i in rows:
+                groups.setdefault(g if partition_cols else "", []).append((k, i, g))
+            for members in groups.values():
+                members.sort()
+                for rank, (k, i, g) in enumerate(members, start=1):
+                    assert got[(g, i)] == rank, (g, i, got[(g, i)], rank)
+
+    import hashlib
+
+    def h(t, m):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % m
+
+    n = 500
+    shapes = {
+        "constant": [("a", 7, i) for i in range(n)],
+        "two-values": [("a", h(f"t|{i}", 2), i) for i in range(n)],
+        "heavy-skew": [("a", 0 if i % 10 else h(f"s|{i}", 1000), i) for i in range(n)],
+        "distinct": [("a", h(f"d|{i}", 10**9) * n + i, i) for i in range(n)],
+    }
+    for rows in shapes.values():
+        check(rows, None)
+    mixed = [
+        (["x", "y", "z"][h(f"g|{i}", 3)], h(f"k|{i}", 5), i) for i in range(n)
+    ]
+    check(mixed, ["g"])
