@@ -160,6 +160,14 @@ def _power_iterate(cq: dict, rounds: int) -> list[int]:
             for i in range(1, D_SEL + 1)
         ]
         ssq = sum((abs(x) // _Q) ** 2 for x in w)
+        if ssq == 0:
+            # degenerate direction (zero or sub-quantum image — e.g. a
+            # constant-embedding corpus has an all-zero covariance):
+            # collapse to the zero vector, which is a FIXPOINT of every
+            # later round and projects every doc to 0 — defined and
+            # identical on both engines, instead of a 0/0 crash.
+            v = [0] * D_SEL
+            continue
         nrm = math.sqrt(float(ssq)) * float(_Q)
         v = [math.floor(x / nrm * float(_Q) + 0.5) for x in w]
     return v
@@ -186,7 +194,8 @@ def _pca_components(cov_rows, rounds: int = PI_ROUNDS):
         for j in range(1, D_SEL + 1)
     )
     den = sum(x * x for x in v1)
-    lam = float(num_s) / float(den) * float(_Q)
+    # zero v1 (the degenerate fixpoint above) deflates nothing: lam = 0
+    lam = 0.0 if den == 0 else float(num_s) / float(den) * float(_Q)
     # Hotelling deflation, re-quantized to the covq grid.
     cq2 = {
         (i, j): math.floor(
@@ -261,22 +270,26 @@ def _pca_oracle(rounds: int = PI_ROUNDS) -> str:
   SELECT c.i AS i, SUM(c.cq * v.vq) AS w
   FROM cov{e} c JOIN v{e}_{t - 1} v ON c.j = v.i GROUP BY c.i
 ), v{e}_{t} AS MATERIALIZED (
-  SELECT i, CAST(floor(CAST(CAST(w AS BIGINT) AS DOUBLE)
+  SELECT i, CASE WHEN (SELECT SUM((abs(CAST(w AS BIGINT)) // {q})
+                           * (abs(CAST(w AS BIGINT)) // {q}))
+                       FROM w{e}_{t}) = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(floor(CAST(CAST(w AS BIGINT) AS DOUBLE)
         / (SELECT sqrt(CAST(CAST(SUM((abs(CAST(w AS BIGINT)) // {q})
                  * (abs(CAST(w AS BIGINT)) // {q})) AS BIGINT) AS DOUBLE)) * {q}
            FROM w{e}_{t})
-        * {q} + 0.5) AS BIGINT) AS vq
+        * {q} + 0.5) AS BIGINT) END AS vq
   FROM w{e}_{t}
 )"""
             )
         if e == 1:
             parts.append(
                 f""", lam1 AS MATERIALIZED (
-  SELECT CAST(CAST((SELECT SUM(((va.vq * c.cq) // {q}) * vb.vq)
+  SELECT CASE WHEN (SELECT SUM(vq * vq) FROM v1_{rounds}) = 0 THEN 0.0
+       ELSE CAST(CAST((SELECT SUM(((va.vq * c.cq) // {q}) * vb.vq)
                FROM cov1 c JOIN v1_{rounds} va ON c.i = va.i
                            JOIN v1_{rounds} vb ON c.j = vb.i) AS BIGINT) AS DOUBLE)
        / CAST(CAST((SELECT SUM(vq * vq) FROM v1_{rounds}) AS BIGINT) AS DOUBLE)
-       * {q} AS lam
+       * {q} END AS lam
 ), cov2 AS MATERIALIZED (
   SELECT c.i AS i, c.j AS j,
          CAST(floor(CAST(c.cq AS DOUBLE)

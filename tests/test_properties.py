@@ -4681,3 +4681,52 @@ def test_distributed_rank_is_exact_permutation_under_adversarial_keys(spark):
         (["x", "y", "z"][h(f"g|{i}", 3)], h(f"k|{i}", 5), i) for i in range(n)
     ]
     check(mixed, ["g"])
+
+
+def test_pca_degenerate_and_tiny_fixtures_cross_engine(spark, tmp_path):
+    """embedding_pca_project on a CONSTANT-embedding corpus (all-zero
+    covariance — the r13 guard: the power iteration collapses to the
+    zero direction instead of a 0/0 crash, projecting every doc to 0)
+    and on a 3-vector corpus, each compared directly against the DuckDB
+    oracle — the hash gate exercised on spectra the fixtures never
+    produce."""
+    import duckdb
+    import pandas as pd
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    o = registry.OPS["embedding_pca_project"]
+
+    def run(dirname, vecs):
+        d = tmp_path / dirname
+        d.mkdir()
+        pd.DataFrame(
+            [
+                dict(vec_id=i, embedding=v, label=i % 2)
+                for i, v in enumerate(vecs)
+            ]
+        ).to_parquet(d / "embeddings.parquet", index=False)
+        got = sorted(
+            (r["vec_id"], r["label"], r["pc1"], r["pc2"])
+            for r in o.fn(spark, str(d)).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet')"
+        )
+        want = sorted(map(tuple, con.sql(o.oracle).fetchall()))
+        assert got == want, (dirname, got[:3], want[:3])
+        return got
+
+    const = run("const", [[0.25] * 16 for _ in range(6)])
+    assert all(r[2] == 0.0 and r[3] == 0.0 for r in const)
+
+    tiny = run(
+        "tiny",
+        [
+            [0.1 * ((i * 7 + j * 3) % 11 - 5) for j in range(16)]
+            for i in range(3)
+        ],
+    )
+    assert len(tiny) == 3
