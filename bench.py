@@ -287,6 +287,11 @@ EXTENDED = [
     "pipeline_vendor_consolidation_savings",
     "stats_permutation_shift",
     "agg_quantiles_distributed",
+    # round-14 tier
+    "text_gopher_rules",
+    "text_vocab_chao1",
+    "stats_dunn_posthoc",
+    "corpus_perplexity_buckets",
 ]
 
 

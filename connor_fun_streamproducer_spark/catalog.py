@@ -159,6 +159,44 @@ def events_era_mid(spark: SparkSession, sf_dir: str) -> int:
     return (mn + mx) // 2
 
 
+# The documents-table twin of events_era_mid: the doc_id that CLOSES era
+# 0 when the corpus is split in doc_id-rank halves (VERDICT r13 #2 — the
+# last corpus-scale single-partition sort lived in corpus_mix_kl_drift's
+# global row_number era split; this probe replaces it with a cached
+# literal). doc_id is the documents table's unique key in every fixture,
+# so ``rank <= n div 2``  ⟺  ``doc_id <= boundary`` exactly — the
+# rank-based DuckDB oracle and the boundary-based Spark plan compute the
+# same split by construction.
+_DOCID_BOUNDARY_CACHE: dict[str, int] = {}
+
+
+def documents_era_boundary(spark: SparkSession, sf_dir: str) -> int:
+    """The (n div 2)-th smallest doc_id, fingerprint-cached.
+
+    Exact selection without a single-partition sort: one count, then one
+    ``distributed_rank`` pass (quantile-literal shards, per-shard local
+    sorts, broadcast prefix offsets) filtered to rank n div 2. Runs once
+    per fixture state per session; at production scale the era split is
+    the ingest-date partition and this probe is partition metadata."""
+    key = fixture_fingerprint(sf_dir, "documents")
+    hit = _DOCID_BOUNDARY_CACHE.get(key)
+    if hit is None:
+        from connor_fun_streamproducer_spark.operators.scale_patterns import (
+            distributed_rank,
+        )
+
+        d = load(spark, sf_dir, "documents").select("doc_id")
+        n = d.count()
+        if n < 2:
+            # era 0 is empty: a boundary below every doc_id.
+            hit = -(1 << 62)
+        else:
+            r = distributed_rank(d, "doc_id", [])
+            hit = int(r.filter(F.col("rk") == n // 2).collect()[0]["doc_id"])
+        _DOCID_BOUNDARY_CACHE[key] = hit
+    return hit
+
+
 # Per-group collected-series cap for ops that fold a whole per-key series
 # inside one row (ts_holt_forecast's day array, the chi2/MI cell lists).
 # Those ops document a dimension bound (|days|, |langs|x|sources|, ...);

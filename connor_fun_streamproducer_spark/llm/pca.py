@@ -100,9 +100,9 @@ WITH u AS (
     WHERE i <= {D_SEL}
 )
 SELECT a.i AS i, b.i AS j,
-       round((CAST(sum(a.q * b.q) AS DOUBLE) / count(*)
-              - (CAST(sum(a.q) AS DOUBLE) / count(*))
-              * (CAST(sum(b.q) AS DOUBLE) / count(*))) / 1e12, 6) + 0.0 AS cov
+       round((CAST(CAST(sum(a.q * b.q) AS BIGINT) AS DOUBLE) / count(*)
+              - (CAST(CAST(sum(a.q) AS BIGINT) AS DOUBLE) / count(*))
+              * (CAST(CAST(sum(b.q) AS BIGINT) AS DOUBLE) / count(*))) / 1e12, 6) + 0.0 AS cov
 FROM u a JOIN u b ON a.vec_id = b.vec_id
 GROUP BY 1, 2
 """
@@ -252,9 +252,9 @@ def _pca_oracle(rounds: int = PI_ROUNDS) -> str:
   SELECT COUNT(*) AS n FROM embeddings
 ), covagg AS MATERIALIZED (
   SELECT a.i AS i, b.i AS j,
-         CAST(SUM(a.q * b.q) AS DOUBLE) AS sxy,
-         CAST(SUM(a.q) AS DOUBLE) AS si,
-         CAST(SUM(b.q) AS DOUBLE) AS sj,
+         CAST(CAST(SUM(a.q * b.q) AS BIGINT) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(a.q) AS BIGINT) AS DOUBLE) AS si,
+         CAST(CAST(SUM(b.q) AS BIGINT) AS DOUBLE) AS sj,
          CAST(COUNT(*) AS DOUBLE) AS n
   FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2
 ), cov1 AS MATERIALIZED (
@@ -404,9 +404,9 @@ WITH u AS (
     WHERE i <= {D_SEL}
 ), covd AS (
     SELECT i,
-           CAST(floor((CAST(sum(q * q) AS DOUBLE) / count(*)
-                 - (CAST(sum(q) AS DOUBLE) / count(*))
-                 * (CAST(sum(q) AS DOUBLE) / count(*))) / 1e12 * {_Q} + 0.5)
+           CAST(floor((CAST(CAST(sum(q * q) AS BIGINT) AS DOUBLE) / count(*)
+                 - (CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*))
+                 * (CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*))) / 1e12 * {_Q} + 0.5)
                 AS BIGINT) AS var_q
     FROM u GROUP BY i
 ), tot AS (SELECT sum(var_q) AS t FROM covd)

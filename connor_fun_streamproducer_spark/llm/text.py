@@ -1292,7 +1292,9 @@ def text_prefix_template_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Conditional next-token entropy rate per source (round 13)
 # ---------------------------------------------------------------------------
 
-_NGRAM_RATE_ORACLE = """
+_ENT_GRID = 1 << 20  # c*log2(c) quantization grid: order-free integer sums
+
+_NGRAM_RATE_ORACLE = f"""
 WITH toks AS (
     SELECT source, doc_id, string_split(text, ' ') AS t FROM documents
 ), uni AS (
@@ -1306,18 +1308,22 @@ WITH toks AS (
     SELECT source,
            sum(c) AS n_uni,
            count(*) AS n_types,
-           log2(CAST(sum(c) AS DOUBLE))
-             - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
-               / sum(c) AS h_uni
+           log2(CAST(CAST(sum(c) AS BIGINT) AS DOUBLE))
+             - (CAST(CAST(sum(CAST(floor(CAST(c AS DOUBLE)
+                    * log2(CAST(c AS DOUBLE)) * {_ENT_GRID} + 0.5) AS BIGINT))
+                  AS BIGINT) AS DOUBLE) / {_ENT_GRID})
+               / CAST(sum(c) AS BIGINT) AS h_uni
     FROM (SELECT source, w, count(*) AS c FROM uni GROUP BY 1, 2)
     GROUP BY source
 ), h2 AS (
     SELECT source,
            sum(c) AS n_big,
            count(*) AS n_bigram_types,
-           log2(CAST(sum(c) AS DOUBLE))
-             - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
-               / sum(c) AS h_big
+           log2(CAST(CAST(sum(c) AS BIGINT) AS DOUBLE))
+             - (CAST(CAST(sum(CAST(floor(CAST(c AS DOUBLE)
+                    * log2(CAST(c AS DOUBLE)) * {_ENT_GRID} + 0.5) AS BIGINT))
+                  AS BIGINT) AS DOUBLE) / {_ENT_GRID})
+               / CAST(sum(c) AS BIGINT) AS h_big
     FROM (SELECT source, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3)
     GROUP BY source
 )
@@ -1370,16 +1376,28 @@ def text_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ent(counts, gram):
+        # Each cell's c*log2(c) is quantized to the _ENT_GRID integer
+        # lattice BEFORE summing, so the per-source sum is an exact
+        # integer fold — identical under any aggregation order on either
+        # engine (ADVICE r13: the raw float sum was the one
+        # order-nondeterministic cell fold left in the repo). Grid error
+        # on H is ≤ 0.5/_ENT_GRID ≈ 4.8e-7 < the 1e-6 output round;
+        # the decimal(38,0) sum holds N·log2(N)·2^20 for any per-source
+        # token mass below ~2e11 (documented bound).
         n = F.sum("c")
+        qt = F.floor(
+            F.col("c").cast("double")
+            * F.log2(F.col("c").cast("double"))
+            * F.lit(float(_ENT_GRID))
+            + F.lit(0.5)
+        ).cast("decimal(38,0)")
         return counts.groupBy("source").agg(
             n.cast("bigint").alias(f"n_{gram}"),
             F.count("*").cast("bigint").alias(f"n_{gram}_types"),
             (
-                F.log2(n.cast("double"))
-                - F.sum(
-                    F.col("c").cast("double") * F.log2(F.col("c").cast("double"))
-                )
-                / n
+                F.log2(n.cast("bigint").cast("double"))
+                - (F.sum(qt).cast("double") / F.lit(float(_ENT_GRID)))
+                / n.cast("bigint")
             ).alias(f"h_{gram}"),
         )
 
@@ -1419,13 +1437,13 @@ WITH d AS (
 ), wmin AS (
     SELECT source, w, min(lvl) AS mlvl FROM tok GROUP BY 1, 2
 ), pts AS (
-    SELECT l.source, l.lvl,
-           sum(t.toks_at) OVER (PARTITION BY l.source ORDER BY l.lvl) AS n_toks,
-           sum(l.v) OVER (PARTITION BY l.source ORDER BY l.lvl) AS n_vocab
-    FROM (SELECT source, mlvl AS lvl, count(*) AS v
-          FROM wmin GROUP BY 1, 2) l
-    JOIN (SELECT source, lvl, sum(toks_at) AS toks_at
-          FROM toklvl GROUP BY 1, 2) t USING (source, lvl)
+    SELECT t.source, t.lvl,
+           sum(t.toks_at) OVER (PARTITION BY t.source ORDER BY t.lvl) AS n_toks,
+           sum(coalesce(l.v, 0)) OVER (PARTITION BY t.source ORDER BY t.lvl)
+               AS n_vocab
+    FROM toklvl t
+    LEFT JOIN (SELECT source, mlvl AS lvl, count(*) AS v
+          FROM wmin GROUP BY 1, 2) l USING (source, lvl)
 ), fold AS (
     SELECT source, count(*) AS n_levels,
            list_sort(list([CAST(n_toks AS DOUBLE),
@@ -1495,12 +1513,12 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         bound=f"{_HEAPS_LEVELS} level rows per source",
     )
     pts = (
-        vat.join(toklvl, ["source", "lvl"])
+        toklvl.join(vat, ["source", "lvl"], "left")
         .select(
             "source",
             "lvl",
             F.sum("toks_at").over(wl).alias("n_toks"),
-            F.sum("v").over(wl).alias("n_vocab"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0))).over(wl).alias("n_vocab"),
         )
         .filter(F.col("n_toks") > 0)
     )
@@ -1540,4 +1558,231 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)
         ).alias("heaps_beta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule battery per source (round 14)
+# ---------------------------------------------------------------------------
+
+# The required-marker set is fixture-appropriate (the synthetic vocabulary
+# carries "the"/"a"/no punctuation); production swaps in the Gopher
+# paper's {the, be, to, of, and, that, have, with} verbatim.
+_GOPHER_STOPS = ("the", "a", "of", "to", "and")
+
+_GOPHER_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, source, string_split(text, ' ') AS t,
+           len(replace(text, ' ', '')) AS sum_chars
+    FROM documents
+), tok AS (
+    SELECT doc_id, t[i] AS w
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM d)
+), md AS (
+    SELECT doc_id, max(c) AS max_c
+    FROM (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2)
+    GROUP BY doc_id
+), sig AS (
+    SELECT d.source,
+           len(d.t) AS n_tok,
+           d.sum_chars,
+           m.max_c,
+           len(list_intersect(list_distinct(d.t),
+               ['{"','".join(_GOPHER_STOPS)}'])) AS n_stopdis,
+           len(list_filter(d.t, x -> len(x) <= 2)) AS n_short
+    FROM d JOIN md m USING (doc_id)
+), gates AS (
+    SELECT source,
+           CASE WHEN 3 * n_tok <= sum_chars AND sum_chars <= 10 * n_tok
+                THEN 1 ELSE 0 END AS ok_wordlen,
+           CASE WHEN max_c * 5 <= n_tok THEN 1 ELSE 0 END AS ok_topword,
+           CASE WHEN n_stopdis >= 2 THEN 1 ELSE 0 END AS ok_stopword,
+           CASE WHEN n_short * 10 <= n_tok * 3 THEN 1 ELSE 0 END AS ok_short
+    FROM sig
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(1 - ok_wordlen) AS BIGINT) AS fail_word_length,
+       CAST(sum(1 - ok_topword) AS BIGINT) AS fail_top_word_mass,
+       CAST(sum(1 - ok_stopword) AS BIGINT) AS fail_stopword_markers,
+       CAST(sum(1 - ok_short) AS BIGINT) AS fail_short_word_ratio,
+       CAST(sum(ok_wordlen * ok_topword * ok_stopword * ok_short)
+            AS BIGINT) AS n_pass,
+       CAST(sum(ok_wordlen * ok_topword * ok_stopword * ok_short) * 10000
+            // count(*) AS BIGINT) AS pass_bp
+FROM gates
+GROUP BY source
+"""
+
+
+@op("text_gopher_rules", oracle=_GOPHER_ORACLE, tags=("llm", "text", "quality"))
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, table A1) quality rule battery,
+    counted INDEPENDENTLY per rule per source — the threshold-tuning
+    view a corpus owner reads before wiring rules into a cascade
+    (corpus_quality_gate is the assembled first-fail cascade of a
+    DIFFERENT rule set; this op answers "which rule would remove how
+    much, per source" with no rule shadowing another):
+
+    - word-length band: mean token length in [3, 10] chars, as integer
+      cross-multiplication 3·n_tok ≤ Σchars ≤ 10·n_tok;
+    - top-word dominance: most frequent token carries ≤ 20 % of the
+      doc's tokens (max_c·5 ≤ n_tok) — templated/spam screen;
+    - required markers: ≥ 2 DISTINCT tokens from the stop-marker set —
+      the "reads like prose" floor;
+    - short-word ratio: tokens of ≤ 2 chars are ≤ 30 % of the doc.
+
+    Exact: every gate is integer arithmetic over exact token counts —
+    no floats anywhere until the final pass_bp integral division.
+
+    Scale: one scan + one (doc, token) hash agg for the per-doc mode
+    (map-side combine; the token-count pass every pipeline already
+    pays) + per-doc HOF projections fused into the scan; output is
+    |sources| rows.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("t"),
+        F.length(F.regexp_replace("text", " ", "")).alias("sum_chars"),
+    )
+    tok = d.select("doc_id", F.explode("t").alias("w"))
+    md = (
+        tok.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"))
+    )
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    sig = d.join(md, "doc_id").select(
+        "source",
+        F.size("t").alias("n_tok"),
+        "sum_chars",
+        "max_c",
+        F.size(F.array_intersect(F.array_distinct("t"), stops)).alias(
+            "n_stopdis"
+        ),
+        F.size(F.filter("t", lambda x: F.length(x) <= 2)).alias("n_short"),
+    )
+    g = sig.select(
+        "source",
+        F.when(
+            (3 * F.col("n_tok") <= F.col("sum_chars"))
+            & (F.col("sum_chars") <= 10 * F.col("n_tok")),
+            1,
+        )
+        .otherwise(0)
+        .alias("ok_wordlen"),
+        F.when(F.col("max_c") * 5 <= F.col("n_tok"), 1).otherwise(0).alias(
+            "ok_topword"
+        ),
+        F.when(F.col("n_stopdis") >= 2, 1).otherwise(0).alias("ok_stopword"),
+        F.when(F.col("n_short") * 10 <= F.col("n_tok") * 3, 1)
+        .otherwise(0)
+        .alias("ok_short"),
+    )
+    allok = (
+        F.col("ok_wordlen")
+        * F.col("ok_topword")
+        * F.col("ok_stopword")
+        * F.col("ok_short")
+    )
+    return g.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(1 - F.col("ok_wordlen")).cast("bigint").alias("fail_word_length"),
+        F.sum(1 - F.col("ok_topword")).cast("bigint").alias("fail_top_word_mass"),
+        F.sum(1 - F.col("ok_stopword"))
+        .cast("bigint")
+        .alias("fail_stopword_markers"),
+        F.sum(1 - F.col("ok_short")).cast("bigint").alias("fail_short_word_ratio"),
+        F.sum(allok).cast("bigint").alias("n_pass"),
+        F.expr(
+            "CAST(sum(ok_wordlen * ok_topword * ok_stopword * ok_short) * 10000"
+            " div count(*) AS BIGINT)"
+        ).alias("pass_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chao1 vocabulary richness + Good-Turing coverage per source (round 14)
+# ---------------------------------------------------------------------------
+
+_CHAO1_ORACLE = """
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+), c AS (
+    SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2
+), s AS (
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+    FROM c GROUP BY source
+)
+SELECT source,
+       n_tokens,
+       n_types,
+       f1 AS f1_hapax,
+       f2 AS f2_doubleton,
+       round(n_types + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 4) + 0.0
+           AS chao1_types,
+       CAST((n_tokens - f1) * 10000 // n_tokens AS BIGINT) AS coverage_bp
+FROM s
+"""
+
+
+@op("text_vocab_chao1", oracle=_CHAO1_ORACLE, tags=("llm", "text", "stats"))
+def text_vocab_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate + Good-Turing coverage per
+    source — "how many distinct types does this source REALLY have,
+    and what fraction of its token mass comes from types we've already
+    seen?" The unseen-species answer tokenizer-vocabulary planning
+    needs BEFORE scaling a crawl: Chao1 (bias-corrected,
+    V + f1·(f1−1)/(2·(f2+1))) lower-bounds the true type count from
+    the observed hapax/doubleton profile, and the Good–Turing coverage
+    1 − f1/N says how much of the next shard will be novel.
+    stats_capture_recapture estimates the same population with a
+    two-half Chapman design; this is the abundance-profile route (one
+    pass, no split), and text_vocab_growth_heaps is the growth-CURVE
+    view of the same question.
+
+    Exact: f1/f2/V/N are exact integers from one hash agg; chao1 is
+    one fixed float expression over them (integer product f1·(f1−1)
+    stays exact; the ÷(2.0·(f2+1)) promotes once), coverage is an
+    integral basis-point division.
+
+    Scale: one explode + one (source, token) hash agg with map-side
+    combine — the token-count pass again; |sources| output rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    c = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    s = c.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.col("f1").alias("f1_hapax"),
+        F.col("f2").alias("f2_doubleton"),
+        (
+            F.round(
+                F.col("n_types")
+                + F.col("f1") * (F.col("f1") - 1) / (2.0 * (F.col("f2") + 1)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("chao1_types"),
+        F.expr("CAST((n_tokens - f1) * 10000 div n_tokens AS BIGINT)").alias(
+            "coverage_bp"
+        ),
     )

@@ -43,6 +43,7 @@ from connor_fun_streamproducer_spark.catalog import (
     dim_window,
     epoch_div,
     epoch_seconds,
+    events_epoch_span,
     load,
 )
 from connor_fun_streamproducer_spark.registry import op
@@ -1829,13 +1830,18 @@ def ts_periodogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", epoch_div("ts", 3600).alias("h")
     )
     hrs = ev.groupBy("event_type", "h").agg(F.count("*").alias("cnt"))
-    span = ev.agg(F.min("h").alias("mn"), F.max("h").alias("mx")).collect()[0]
+    # hour span from the fingerprint-cached epoch-span probe (VERDICT
+    # r13 #4): hour = epoch div 3600 is monotone on the non-negative
+    # fixture epochs, so min/max commute with the division — no extra
+    # events scan for the grid bounds.
+    mn_e, mx_e = events_epoch_span(spark, sf_dir)
+    mn_h, mx_h = mn_e // 3600, mx_e // 3600
     grid = (
         ev.select("event_type")
         .distinct()
         .crossJoin(
             F.broadcast(
-                hrs.sparkSession.range(span["mn"], span["mx"] + 1).select(
+                hrs.sparkSession.range(mn_h, mx_h + 1).select(
                     F.col("id").alias("h")
                 )
             )
@@ -3113,13 +3119,16 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", epoch_div("ts", 86400).alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count("*").alias("c"))
-        # the |types|·|days| cell frame feeds FOUR consumers (span probe,
-        # per-type moments, both join sides): checkpoint it so events is
-        # scanned once, not once per branch
+        # the |types|·|days| cell frame feeds THREE consumers (per-type
+        # moments, both join sides): checkpoint it so events is scanned
+        # once, not once per branch
         .localCheckpoint()
     )
-    sp = d.agg((F.max("day") - F.min("day") + 1).alias("dd")).collect()[0]
-    dd = int(sp["dd"])  # 1-row probe: the grid length literal
+    # grid length from the fingerprint-cached epoch-span probe (VERDICT
+    # r13 #4): day = epoch div 86400 is monotone on non-negative epochs,
+    # so the span literal needs no scan of the cell frame.
+    mn_e, mx_e = events_epoch_span(spark, sf_dir)
+    dd = mx_e // 86400 - mn_e // 86400 + 1
     cd = F.col("c").cast("decimal(38,0)")
     t = d.groupBy("event_type").agg(
         F.sum(cd).alias("s"), F.sum(cd * F.col("c")).alias("q")
@@ -3399,21 +3408,24 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_type", epoch_div("ts", 3600).alias("h")
     )
-    # the |types|·|hours| count frame feeds the type universe, the span
-    # probe, and the dense grid's join side (which itself feeds two
-    # consumers): checkpoint so events is scanned ONCE
+    # the |types|·|hours| count frame feeds the type universe and the
+    # dense grid's join side (which itself feeds two consumers):
+    # checkpoint so events is scanned ONCE
     hrs = (
         ev.groupBy("event_type", "h")
         .agg(F.count("*").alias("cnt"))
         .localCheckpoint()
     )
-    span = hrs.agg(F.min("h").alias("mn"), F.max("h").alias("mx")).collect()[0]
+    # hour span via the fingerprint-cached epoch-span probe (VERDICT r13
+    # #4): hour = epoch div 3600 is monotone on non-negative epochs.
+    mn_e, mx_e = events_epoch_span(spark, sf_dir)
+    mn_h, mx_h = mn_e // 3600, mx_e // 3600
     grid = (
         hrs.select("event_type")
         .distinct()
         .crossJoin(
             F.broadcast(
-                hrs.sparkSession.range(span["mn"], span["mx"] + 1).select(
+                hrs.sparkSession.range(mn_h, mx_h + 1).select(
                     F.col("id").alias("h")
                 )
             )

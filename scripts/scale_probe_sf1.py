@@ -71,6 +71,14 @@ TARGETS = [
     ("sample_kcenter_coreset", ("embeddings",), False),
     ("sim_search_lsh", ("embeddings",), False),
     ("sim_doc_topk_minhash", ("documents",), True),
+    # round-14 additions (VERDICT r13 #5): the distributed_rank two-pass
+    # rank family — exact global selection (median, quantile vector) and
+    # the pooled-rank H test carry measured decade bars like the other
+    # heavy ops (expected ~linear-in-data at worst: two linear shuffles
+    # per rank, constant-size prefix frames)
+    ("agg_median_distributed", ("orders",), False),
+    ("agg_quantiles_distributed", ("orders",), False),
+    ("stats_kruskal_wallis", ("events",), False),
 ]
 
 # Ops whose OUTPUT is expected to grow with the corpus (verified pairs,

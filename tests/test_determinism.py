@@ -198,6 +198,10 @@ SWEEP = [
     "pipeline_vendor_consolidation_savings",  # integral what-if spend (r13)
     "stats_permutation_shift",     # md5 sign-flip replicas (r13)
     "agg_quantiles_distributed",   # rank-selection quantile vector (r13)
+    "text_gopher_rules",           # integer rule gates + per-doc mode (r14)
+    "text_vocab_chao1",            # abundance-profile richness ints (r14)
+    "stats_dunn_posthoc",          # pooled-rank pairwise z + crit table (r14)
+    "corpus_perplexity_buckets",   # quantized NLL rank terciles (r14)
 ]
 
 
@@ -254,6 +258,8 @@ SWEEP_SF001 = [
     "graph_harmonic_centrality",    # frontier rounds differ by scale (r13)
     "embedding_pca_project",        # iteration inputs differ by scale (r13)
     "agg_quantiles_distributed",    # shard cuts differ by scale (r13)
+    "stats_dunn_posthoc",           # pooled-rank shard cuts differ by scale (r14)
+    "corpus_perplexity_buckets",    # per-lang rank shard cuts differ by scale (r14)
 ]
 
 

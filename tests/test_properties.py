@@ -4730,3 +4730,184 @@ def test_pca_degenerate_and_tiny_fixtures_cross_engine(spark, tmp_path):
         ],
     )
     assert len(tiny) == 3
+
+
+def _write_documents(tmp_path, rows):
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    df[["doc_id", "text", "lang", "source", "n_chars"]].to_parquet(
+        tmp_path / "documents.parquet", index=False
+    )
+
+
+def test_dunn_posthoc_matches_python_reference(spark, tmp_path):
+    """stats_dunn_posthoc vs a textbook average-rank Dunn z with tie
+    correction (the op carries doubled min+max ranks; plain average
+    ranks here — algebraically identical, independently coded)."""
+    import math
+
+    import pandas as pd
+
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    groups = {"a": [], "b": [], "c": []}
+    rows = []
+    i = 0
+    for g in groups:
+        for k in range(120):
+            c = 1000 + _md5i(f"dunn|{g}|{k}", 40) * 10  # heavy ties
+            if g == "c":
+                c += 120  # shifted group: at least one pair should reject
+            groups[g].append(c)
+            rows.append(
+                dict(
+                    event_id=i,
+                    ts=pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+                    user_id=1,
+                    event_type=g,
+                    value=c / 100.0,
+                    props="{}",
+                )
+            )
+            i += 1
+    _write_events(tmp_path, rows)
+    pooled = sorted((v, g, j) for g, vs in groups.items() for j, v in enumerate(vs))
+    n = len(pooled)
+    ranks = {}
+    pos = 0
+    while pos < n:
+        q = pos
+        while q < n and pooled[q][0] == pooled[pos][0]:
+            q += 1
+        avg = (pos + 1 + q) / 2
+        for t in range(pos, q):
+            ranks[(pooled[t][1], pooled[t][2])] = avg
+        pos = q
+    ties = {}
+    for v, _, _ in pooled:
+        ties[v] = ties.get(v, 0) + 1
+    tie_term = sum(t**3 - t for t in ties.values())
+    mean_rank = {
+        g: sum(ranks[(g, j)] for j in range(len(vs))) / len(vs)
+        for g, vs in groups.items()
+    }
+    base = n * (n + 1) / 12 - tie_term / (12 * (n - 1))
+    expected = {}
+    names = sorted(groups)
+    for x in range(len(names)):
+        for y in range(x + 1, len(names)):
+            ga, gb = names[x], names[y]
+            z = (mean_rank[ga] - mean_rank[gb]) / math.sqrt(
+                base * (1 / len(groups[ga]) + 1 / len(groups[gb]))
+            )
+            expected[(ga, gb)] = z
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in registry.OPS["stats_dunn_posthoc"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(expected)
+    crit = 2.39398  # m = 3 pairs, two-sided Bonferroni alpha = 0.05
+    any_reject = False
+    for pair, z in expected.items():
+        got = out[pair]
+        assert abs(got["z_dunn"] - z) < 1e-4, (pair, got["z_dunn"], z)
+        assert got["reject_bonferroni"] == (abs(round(z, 6)) > crit), pair
+        any_reject = any_reject or got["reject_bonferroni"]
+    assert any_reject, "shifted group c should reject at least one pair"
+
+
+def test_vocab_chao1_matches_python_replay(spark, tmp_path):
+    """text_vocab_chao1 vs direct abundance-profile computation on a
+    fixture with controlled hapax/doubleton counts."""
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    # source s0: words w0..w9 with abundance k+1 (1,2,3,...,10)
+    # source s1: five hapaxes, zero doubletons (f2+1 smoothing path)
+    rows = []
+    toks0 = []
+    for k in range(10):
+        toks0.extend([f"w{k}"] * (k + 1))
+    rows.append(dict(doc_id=0, text=" ".join(toks0), lang="en", source="s0"))
+    rows.append(dict(doc_id=1, text="u0 u1 u2 u3 u4", lang="en", source="s1"))
+    _write_documents(tmp_path, rows)
+    out = {
+        r["source"]: r
+        for r in registry.OPS["text_vocab_chao1"].fn(spark, str(tmp_path)).collect()
+    }
+    # s0: N=55, V=10, f1=1, f2=1 -> chao1 = 10 + 1*0/(2*2) = 10.0,
+    # coverage = (55-1)*10000//55 = 9818
+    assert out["s0"]["n_tokens"] == 55 and out["s0"]["n_types"] == 10
+    assert out["s0"]["f1_hapax"] == 1 and out["s0"]["f2_doubleton"] == 1
+    assert out["s0"]["chao1_types"] == 10.0
+    assert out["s0"]["coverage_bp"] == (55 - 1) * 10000 // 55
+    # s1: N=5, V=5, f1=5, f2=0 -> chao1 = 5 + 5*4/2 = 15.0, coverage 0
+    assert out["s1"]["chao1_types"] == 15.0
+    assert out["s1"]["coverage_bp"] == 0
+
+
+def test_perplexity_buckets_matches_python_replay(spark, tmp_path):
+    """corpus_perplexity_buckets vs a pure-Python replay of the
+    quantized-NLL scoring, per-lang tercile split, and bucket sums."""
+    import math
+    from collections import Counter, defaultdict
+
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    vocab = [f"t{j}" for j in range(12)]
+    rows = []
+    for d in range(30):
+        n = 5 + _md5i(f"pplb|len|{d}", 6)
+        words = [vocab[_md5i(f"pplb|{d}|{j}", 1 + _md5i(f"sk|{d}", 12))] for j in range(n)]
+        rows.append(
+            dict(
+                doc_id=d,
+                text=" ".join(words),
+                lang="en" if d % 2 == 0 else "de",
+                source="s0",
+            )
+        )
+    _write_documents(tmp_path, rows)
+    grid = 1 << 20
+    docs = {r["doc_id"]: r for r in rows}
+    counts = Counter()
+    for r in rows:
+        counts.update(r["text"].split(" "))
+    nt = sum(counts.values())
+    per_doc = {}
+    for did, r in docs.items():
+        toks = r["text"].split(" ")
+        sq = sum(
+            math.floor((math.log(nt) - math.log(counts[w])) * grid + 0.5)
+            for w in toks
+        )
+        per_doc[did] = (r["lang"], len(toks), sq)
+    expected = defaultdict(lambda: [0, 0, 0])  # (lang,bucket) -> docs, toks, sq
+    by_lang = defaultdict(list)
+    for did, (lang, ntok, sq) in per_doc.items():
+        by_lang[lang].append((sq / ntok, did, ntok, sq))
+    for lang, lst in by_lang.items():
+        lst.sort()
+        n = len(lst)
+        for r0, (_, did, ntok, sq) in enumerate(lst, start=1):
+            b = "head" if r0 <= n // 3 else ("middle" if r0 <= 2 * n // 3 else "tail")
+            e = expected[(lang, b)]
+            e[0] += 1
+            e[1] += ntok
+            e[2] += sq
+    out = {
+        (r["lang"], r["bucket"]): r
+        for r in registry.OPS["corpus_perplexity_buckets"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == set(expected)
+    for key, (ndocs, ntoks, sq) in expected.items():
+        got = out[key]
+        assert got["n_docs"] == ndocs and got["n_tokens"] == ntoks, key
+        assert abs(got["nll_mean"] - round(sq / grid / ntoks, 6)) < 2e-6, key
