@@ -292,6 +292,8 @@ EXTENDED = [
     "text_vocab_chao1",
     "stats_dunn_posthoc",
     "corpus_perplexity_buckets",
+    "stats_cvm_eras",
+    "multimodal_gain_normalize",
 ]
 
 

@@ -676,3 +676,104 @@ def multimodal_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("longest_run"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gain normalization (peak-normalize) stage for audio clips (round 14)
+# ---------------------------------------------------------------------------
+
+GAIN_TARGET = 120   # post-gain peak target on the int8 scale
+GAIN_MILLI = 1000   # integer gain is expressed in milli-units
+
+
+def _gain_normalize(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """Arrow-batched: synth/decode PCM, integer peak-normalize, summarize.
+
+    numpy does the per-clip work as a handful of vector ops (abs, max,
+    scaled multiply, truncating div, clip) — the gain staging a real
+    loudness normalizer applies before feature extraction. The gain and
+    every normalized sample are pure integer arithmetic (sign·(|s|·g
+    div 1000), truncation on NON-NEGATIVE magnitudes so numpy's floor
+    division equals DuckDB's truncating `//`), so the oracle regenerates
+    the whole stage in SQL.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        rows = {k: [] for k in
+                ("doc_id", "peak_before", "gain_milli", "n_clipped",
+                 "peak_after", "checksum_abs")}
+        for doc_id in pdf["doc_id"]:
+            pcm = np.frombuffer(synth_pcm(int(doc_id)), dtype=np.uint8)
+            s = pcm.astype(np.int64) - 128
+            a = np.abs(s)
+            peak = int(a.max())
+            g = (GAIN_TARGET * GAIN_MILLI) // max(peak, 1)
+            pre = (a * g) // GAIN_MILLI
+            capped = np.minimum(pre, 127)
+            rows["doc_id"].append(int(doc_id))
+            rows["peak_before"].append(peak)
+            rows["gain_milli"].append(int(g))
+            rows["n_clipped"].append(int((pre > 127).sum()))
+            rows["peak_after"].append(int(capped.max()))
+            rows["checksum_abs"].append(int(capped.sum()))
+        yield pd.DataFrame(rows, dtype="int64" if rows["doc_id"] else None)
+
+
+@op(
+    "multimodal_gain_normalize",
+    oracle=f"""
+    WITH s AS (
+        SELECT d.doc_id,
+               abs(((d.doc_id * 31 + i.i * 17) % 256) - 128) AS a
+        FROM documents d
+        JOIN (SELECT unnest(generate_series(0, {AUDIO_SAMPLES - 1})) AS i) i
+          ON TRUE
+    ), pk AS (
+        SELECT doc_id, max(a) AS peak,
+               ({GAIN_TARGET} * {GAIN_MILLI}) // greatest(max(a), 1) AS g
+        FROM s GROUP BY doc_id
+    ), n AS (
+        SELECT s.doc_id, pk.peak, pk.g,
+               (s.a * pk.g) // {GAIN_MILLI} AS pre
+        FROM s JOIN pk USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(max(peak) AS BIGINT)                        AS peak_before,
+           CAST(max(g) AS BIGINT)                           AS gain_milli,
+           CAST(sum(CASE WHEN pre > 127 THEN 1 ELSE 0 END)
+                AS BIGINT)                                  AS n_clipped,
+           CAST(max(least(pre, 127)) AS BIGINT)             AS peak_after,
+           CAST(sum(least(pre, 127)) AS BIGINT)             AS checksum_abs
+    FROM n
+    GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_gain_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-normalization (gain staging) for audio clips: per clip,
+    compute the int8 peak, derive an integer milli-gain toward a
+    {GAIN_TARGET}/127 target, rescale every sample, cap at full scale,
+    and report peak-before/after, clip count, and the normalized
+    |sample| checksum — the loudness-leveling stage a speech pipeline
+    runs BEFORE multimodal_audio_energy's feature windows, with the
+    clip counter as its distortion audit.
+
+    Decode is the same honestly-stubbed deterministic int8 PCM as the
+    energy/VAD ops (synth_pcm is the soundfile/ffmpeg swap point); the
+    normalize math is all integer (sign·(|s|·g div 1000) with
+    truncation on non-negative magnitudes), so the DuckDB oracle
+    regenerates every sample arithmetically and hash-matches.
+
+    Scale: map-only over Arrow batches, numpy vector math per clip, no
+    shuffle until the |docs|-row summary — the gain stage runs at scan
+    bandwidth like every other decode-side kernel in this module.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _gain_normalize,
+        schema=(
+            "doc_id bigint, peak_before bigint, gain_milli bigint,"
+            " n_clipped bigint, peak_after bigint, checksum_abs bigint"
+        ),
+    )

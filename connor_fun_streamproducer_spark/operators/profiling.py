@@ -4717,3 +4717,160 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rz + F.lit(0.0)).alias("z_dunn"),
         (F.abs(rz) > F.expr(_DUNN_CRIT_CASE)).alias("reject_bonferroni"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Cramér–von Mises test between time eras (round 14)
+# ---------------------------------------------------------------------------
+
+# Asymptotic 5% critical value of the two-sample CvM statistic T
+# (Anderson 1962: T converges to the one-sample omega^2 limiting
+# distribution; P(T > 0.461) ~= 0.05).
+_CVM_CRIT = 0.461
+
+_CVM_ORACLE = f"""
+WITH b AS (
+    SELECT event_type, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS te,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), span AS (
+    SELECT (min(te) + max(te)) // 2 AS mid FROM b
+), e AS (
+    SELECT event_type, event_id, cents,
+           CASE WHEN te < mid THEN 0 ELSE 1 END AS era
+    FROM b CROSS JOIN span
+), rk AS (
+    SELECT event_type, era, cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cents, event_id) AS r,
+           row_number() OVER (PARTITION BY event_type, era
+                              ORDER BY cents, event_id) AS i
+    FROM e
+), r AS (
+    SELECT event_type, era, i,
+           min(r) OVER (PARTITION BY event_type ORDER BY cents
+                        RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+         + max(r) OVER (PARTITION BY event_type ORDER BY cents
+                        RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS r2
+    FROM rk
+), g AS (
+    SELECT event_type,
+           sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS na,
+           sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS nb,
+           CAST(sum(CASE WHEN era = 0
+                    THEN (r2 - 2 * i) * (r2 - 2 * i) ELSE 0 END)
+                AS BIGINT) AS s0,
+           CAST(sum(CASE WHEN era = 1
+                    THEN (r2 - 2 * i) * (r2 - 2 * i) ELSE 0 END)
+                AS BIGINT) AS s1
+    FROM r GROUP BY 1
+    HAVING sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) >= 2
+       AND sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) >= 2
+), tv AS (
+    SELECT event_type, na, nb,
+           CAST(s0 AS DOUBLE) / (4.0 * nb * (na + nb))
+         + CAST(s1 AS DOUBLE) / (4.0 * na * (na + nb))
+         - (4.0 * na * nb - 1) / (6.0 * (na + nb)) AS t_stat
+    FROM g
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_era_a,
+       CAST(nb AS BIGINT) AS n_era_b,
+       round(t_stat, 6) + 0.0 AS t_cvm,
+       round(t_stat, 6) > {_CVM_CRIT} AS reject_equal_dist
+FROM tv
+"""
+
+
+@op("stats_cvm_eras", oracle=_CVM_ORACLE, tags=("ext", "stats"))
+def stats_cvm_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises test of event values between the
+    first and second half of the observed span, per event type — the
+    INTEGRAL-distance member of the era battery: stats_ks_eras reacts
+    to the single worst CDF gap, Mann–Whitney to a location shift;
+    CvM integrates the squared CDF distance over the whole support, so
+    it keeps power against shape changes (variance, tails, bimodality)
+    that move no single quantile far and leave the rank sum centered.
+
+    Exact: Anderson's rank form — T = U/(nmN) − (4nm−1)/(6N) with
+    U = n·Σ(Rᵢ−i)² + m·Σ(Sⱼ−j)² over pooled vs within-sample ranks —
+    evaluated on DOUBLED midranks (tie groups get min+max of the
+    pooled (cents, event_id) row_number — the era battery's midrank
+    convention, stated since values are discretized cents), so every
+    squared deviation (r2−2i)² is an exact integer; Σ stays < 2⁶³ for
+    any per-type era size below ~1.3 M (4N³ bound, documented); T is
+    one fixed float expression over the two integer sums, restructured
+    as S₀/(4mN) + S₁/(4nN) − (4nm−1)/(6N) so no n·S product ever
+    leaves 64-bit range. Rounded before the Anderson 5% literal.
+
+    Scale: one scan → ONE per-type exchange carrying all three window
+    passes (the within-(type, era) index re-sorts within partitions —
+    hash(type) co-clusters (type, era) by the prefix rule) → hash agg
+    with map-side partials; output is |types| rows.
+
+    Support floor: n, m ≥ 2 per era (the MW convention; T is defined
+    but uninformative below that).
+    """
+    b = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        epoch_seconds("ts").alias("te"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    span = events_era_mid(spark, sf_dir)  # fingerprint-cached 1-row probe
+    e = b.select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.when(F.col("te") < F.lit(span), F.lit(0)).otherwise(F.lit(1)).alias("era"),
+    )
+    wt = Window.partitionBy("event_type")
+    we = Window.partitionBy("event_type", "era")
+    rk = e.select(
+        "event_type",
+        "era",
+        "cents",
+        F.row_number()
+        .over(wt.orderBy(F.col("cents").asc(), F.col("event_id").asc()))
+        .alias("r"),
+        F.row_number()
+        .over(we.orderBy(F.col("cents").asc(), F.col("event_id").asc()))
+        .alias("i"),
+    )
+    wg = wt.orderBy("cents").rangeBetween(Window.currentRow, Window.currentRow)
+    r = rk.select(
+        "event_type",
+        "era",
+        "i",
+        (F.min("r").over(wg) + F.max("r").over(wg)).alias("r2"),
+    )
+    dev2 = (F.col("r2") - 2 * F.col("i")) * (F.col("r2") - 2 * F.col("i"))
+    g = (
+        r.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("nb"),
+            F.sum(F.when(F.col("era") == 0, dev2).otherwise(0))
+            .cast("bigint")
+            .alias("s0"),
+            F.sum(F.when(F.col("era") == 1, dev2).otherwise(0))
+            .cast("bigint")
+            .alias("s1"),
+        )
+        .filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+    )
+    na, nb = F.col("na"), F.col("nb")
+    t_stat = (
+        F.col("s0").cast("double") / (F.lit(4.0) * nb * (na + nb))
+        + F.col("s1").cast("double") / (F.lit(4.0) * na * (na + nb))
+        - (F.lit(4.0) * na * nb - 1) / (F.lit(6.0) * (na + nb))
+    )
+    rt = F.round(t_stat, 6)
+    return g.select(
+        "event_type",
+        na.cast("bigint").alias("n_era_a"),
+        nb.cast("bigint").alias("n_era_b"),
+        (rt + F.lit(0.0)).alias("t_cvm"),
+        (rt > F.lit(_CVM_CRIT)).alias("reject_equal_dist"),
+    )

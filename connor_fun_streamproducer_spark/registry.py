@@ -212,60 +212,8 @@ def _ensure_loaded() -> None:
 # probe) + 24 new = 50. The next four r4-vintage keys (sample_stratified
 # ... corpus_pack) lead the behind-window order instead.
 _WINDOW_PRIORITY = [
-    # -- (1) stalest externally-green tier (r4 vintage) --
-    "scan_orc",
-    "sql_api",
-    "sim_search_topk_arrow",
-    "join_skew_salted",
-    "multimodal_framesample",
-    "multimodal_resize",
-    "fn_xml_roundtrip",
-    "text_chunk",
-    "text_repetition",
-    "sample_split",
-    # -- (2) changed this round --
-    "embedding_pca_project",
-    "stats_event_lateness",
-    "agg_gini_concentration",
-    "win_lorenz_deciles",
-    "corpus_doc_length_gini",
-    "graph_hits",
-    "dedup_eval_tiers",
-    "stats_welch_ttest",
-    "stats_cohens_d_eras",
-    "stats_brown_forsythe",
-    "stats_mood_median",
-    "stats_mann_whitney",
-    "stats_cliff_delta",
-    "stats_power_mde",
-    "stats_cohens_h",
-    "stats_trend_proportions",
-    # -- (3) new this round --
-    "stats_kruskal_wallis",
-    "stats_theil_u",
-    "stats_gk_lambda",
-    "stats_mcnemar",
-    "stats_wilcoxon_signed_rank",
-    "ts_page_hinkley",
-    "ts_sample_entropy",
-    "ts_hurst_rs",
-    "pipeline_price_dispersion",
-    "pipeline_new_vs_repeat_revenue",
-    "sample_weighted_topk_es",
-    "agg_hll_manual",
-    "embedding_prefix_variance",
-    "text_ngram_entropy_rate",
-    "text_vocab_growth_heaps",
-    "dedup_cluster_source_purity",
-    "multimodal_silence_runs",
-    "graph_adamic_adar",
-    "graph_harmonic_centrality",
-    "agg_median_distributed",
-    "graph_ego_density",
-    "pipeline_vendor_consolidation_savings",
-    "stats_permutation_shift",
-    "agg_quantiles_distributed",
-    # -- behind the window: staleness-ascending (the r14 rotation input) --
+    # -- (1) stalest externally-green tier: the pinned r14 rotation input
+    #    (STALEST_FRONT_R14, r4 vintage) plus the next-stalest fill --
     "sample_stratified",
     "corpus_stats",
     "tfidf_top_terms",
@@ -300,6 +248,26 @@ _WINDOW_PRIORITY = [
     "join_asof_sorted",
     "stream_topk_windows",
     "corpus_decontaminate",
+    # -- (2) changed this round (r13 ADVICE fixes + probe reroutes) --
+    "sample_weighted_topk_es",
+    "embedding_pca_project",
+    "embedding_covariance",
+    "embedding_prefix_variance",
+    "text_vocab_growth_heaps",
+    "text_ngram_entropy_rate",
+    "corpus_mix_kl_drift",
+    "ts_periodogram_fixed",
+    "ts_cross_correlation",
+    "ts_spectral_entropy",
+    # -- (3) new this round --
+    "text_gopher_rules",
+    "text_vocab_chao1",
+    "stats_dunn_posthoc",
+    "corpus_perplexity_buckets",
+    "stats_cvm_eras",
+    "multimodal_gain_normalize",
+    # -- behind the window: staleness-ascending (head = the r15
+    #    rotation input); the freshest (r13/r14-checked) keys last --
     "text_perplexity_proxy",
     "sample_mix_target",
     "join_asof_left",
@@ -332,7 +300,6 @@ _WINDOW_PRIORITY = [
     "fn_bitwise",
     "agg_heavy_hitters",
     "pipeline_funnel_conversion",
-    "embedding_covariance",
     "pipeline_basket_affinity",
     "graph_triangle_count",
     "graph_bfs_distance",
@@ -536,7 +503,6 @@ _WINDOW_PRIORITY = [
     "embedding_cluster_label_mix",
     "ts_theil_sen",
     "ts_forecast_backtest",
-    "corpus_mix_kl_drift",
     "text_js_divergence_sources",
     "sample_downweight_duplicates",
     "dedup_minhash_banded",
@@ -571,7 +537,6 @@ _WINDOW_PRIORITY = [
     "dedup_vector_exact",
     "dedup_containment_prefix",
     "sink_socket_roundtrip",
-    "ts_periodogram_fixed",
     "pipeline_order_aging",
     "pipeline_dau_mau_stickiness",
     "pipeline_cohort_ltv",
@@ -635,8 +600,6 @@ _WINDOW_PRIORITY = [
     "stats_spearman_binned",
     "ts_turning_points",
     "ts_burstiness",
-    "ts_cross_correlation",
-    "ts_spectral_entropy",
     "ts_records_count",
     "pipeline_backlog_burndown",
     "pipeline_nation_trade_balance",
@@ -652,6 +615,51 @@ _WINDOW_PRIORITY = [
     "agg_geometric_mean",
     "graph_edge_locality",
     "graph_knn_degree_curve",
+    "scan_orc",
+    "sql_api",
+    "sim_search_topk_arrow",
+    "join_skew_salted",
+    "multimodal_framesample",
+    "multimodal_resize",
+    "fn_xml_roundtrip",
+    "text_chunk",
+    "text_repetition",
+    "sample_split",
+    "stats_event_lateness",
+    "agg_gini_concentration",
+    "win_lorenz_deciles",
+    "corpus_doc_length_gini",
+    "graph_hits",
+    "dedup_eval_tiers",
+    "stats_welch_ttest",
+    "stats_cohens_d_eras",
+    "stats_brown_forsythe",
+    "stats_mood_median",
+    "stats_mann_whitney",
+    "stats_cliff_delta",
+    "stats_power_mde",
+    "stats_cohens_h",
+    "stats_trend_proportions",
+    "stats_kruskal_wallis",
+    "stats_theil_u",
+    "stats_gk_lambda",
+    "stats_mcnemar",
+    "stats_wilcoxon_signed_rank",
+    "ts_page_hinkley",
+    "ts_sample_entropy",
+    "ts_hurst_rs",
+    "pipeline_price_dispersion",
+    "pipeline_new_vs_repeat_revenue",
+    "agg_hll_manual",
+    "dedup_cluster_source_purity",
+    "multimodal_silence_runs",
+    "graph_adamic_adar",
+    "graph_harmonic_centrality",
+    "agg_median_distributed",
+    "graph_ego_density",
+    "pipeline_vendor_consolidation_savings",
+    "stats_permutation_shift",
+    "agg_quantiles_distributed",
 ]
 
 

@@ -202,6 +202,8 @@ SWEEP = [
     "text_vocab_chao1",            # abundance-profile richness ints (r14)
     "stats_dunn_posthoc",          # pooled-rank pairwise z + crit table (r14)
     "corpus_perplexity_buckets",   # quantized NLL rank terciles (r14)
+    "stats_cvm_eras",              # doubled-midrank integral distance (r14)
+    "multimodal_gain_normalize",   # integer gain staging checksums (r14)
 ]
 
 

@@ -4911,3 +4911,66 @@ def test_perplexity_buckets_matches_python_replay(spark, tmp_path):
         got = out[key]
         assert got["n_docs"] == ndocs and got["n_tokens"] == ntoks, key
         assert abs(got["nll_mean"] - round(sq / grid / ntoks, 6)) < 2e-6, key
+
+
+def test_cvm_eras_matches_python_reference(spark, tmp_path):
+    """stats_cvm_eras vs Anderson's rank formula computed directly with
+    plain average midranks (the op carries doubled min+max ranks;
+    algebraically identical, independently coded)."""
+    import pandas as pd
+
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    rows = []
+    samples = {0: [], 1: []}
+    i = 0
+    for era in (0, 1):
+        for k in range(150):
+            c = 1000 + _md5i(f"cvm|{era}|{k}", 50) * 10  # heavy ties
+            if era == 1:
+                # variance change, roughly centered: CvM should see it
+                c += (-200, 200)[_md5i(f"cvm|sgn|{k}", 2)]
+            samples[era].append(c)
+            rows.append(
+                dict(
+                    event_id=i,
+                    ts=pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(hours=12 * era, seconds=i),
+                    user_id=1,
+                    event_type="t",
+                    value=c / 100.0,
+                    props="{}",
+                )
+            )
+            i += 1
+    _write_events(tmp_path, rows)
+    pooled = sorted(
+        (v, era, j) for era, vs in samples.items() for j, v in enumerate(vs)
+    )
+    n_all = len(pooled)
+    ranks = {}
+    pos = 0
+    while pos < n_all:
+        q = pos
+        while q < n_all and pooled[q][0] == pooled[pos][0]:
+            q += 1
+        avg = (pos + 1 + q) / 2
+        for t in range(pos, q):
+            ranks[(pooled[t][1], pooled[t][2])] = avg
+        pos = q
+    n, m = len(samples[0]), len(samples[1])
+    big_n = n + m
+    u = 0.0
+    for era, cnt in ((0, n), (1, m)):
+        own = sorted(
+            (samples[era][j], j) for j in range(len(samples[era]))
+        )
+        # within-sample index by the same (value, insertion) order
+        for idx, (_, j) in enumerate(own, start=1):
+            u += (n if era == 0 else m) * (ranks[(era, j)] - idx) ** 2
+    expected = u / (n * m * big_n) - (4 * n * m - 1) / (6 * big_n)
+    r = registry.OPS["stats_cvm_eras"].fn(spark, str(tmp_path)).collect()
+    assert len(r) == 1 and r[0]["n_era_a"] == n and r[0]["n_era_b"] == m
+    assert abs(r[0]["t_cvm"] - expected) < 1e-4, (r[0]["t_cvm"], expected)
+    assert r[0]["reject_equal_dist"] == (round(r[0]["t_cvm"], 6) > 0.461)

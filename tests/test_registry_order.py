@@ -11,85 +11,17 @@ stalest externally-green keys (the head of the previous round's
 behind-window order); (2) ops changed this round; (3) ops NEW this round
 (inside the window since round 10, so new work is externally proven the
 round it lands instead of carrying one round of debt). This test pins
-round 13's resulting window.
+round 14's resulting window.
 """
 
 from connor_fun_streamproducer_spark import registry
 
-# (1) The stalest externally-green tier — exactly the r4-vintage keys
-# VERDICT r12 pinned as STALEST_FRONT_R13.
-STALEST_FRONTED_R13 = [
-    "scan_orc",
-    "sql_api",
-    "sim_search_topk_arrow",
-    "join_skew_salted",
-    "multimodal_framesample",
-    "multimodal_resize",
-    "fn_xml_roundtrip",
-    "text_chunk",
-    "text_repetition",
-    "sample_split",
-]
-
-# (2) Externally green before, but changed in round 13: the PCA
-# power-iteration promotion (VERDICT r12 #2), the sharded lateness
-# frontier (#3), the three distributed-rank Gini ops (#4), the HITS
-# edge-artifact refactor (#6), the eval-artifact construction-rev fix
-# (ADVICE r12), and the nine era-suite ops that now share the
-# fingerprint-cached span probe (#5).
-CHANGED_IN_ROUND_13 = [
-    "embedding_pca_project",
-    "stats_event_lateness",
-    "agg_gini_concentration",
-    "win_lorenz_deciles",
-    "corpus_doc_length_gini",
-    "graph_hits",
-    "dedup_eval_tiers",
-    "stats_welch_ttest",
-    "stats_cohens_d_eras",
-    "stats_brown_forsythe",
-    "stats_mood_median",
-    "stats_mann_whitney",
-    "stats_cliff_delta",
-    "stats_power_mde",
-    "stats_cohens_h",
-    "stats_trend_proportions",
-]
-
-# (3) NEW in round 13 — inside the window so they gain an external row
-# THIS round (standing policy since r10), budgeted at 24 so the pinned
-# stale tier and the changed tier both clear.
-NEW_IN_ROUND_13 = [
-    "stats_kruskal_wallis",
-    "stats_theil_u",
-    "stats_gk_lambda",
-    "stats_mcnemar",
-    "stats_wilcoxon_signed_rank",
-    "ts_page_hinkley",
-    "ts_sample_entropy",
-    "ts_hurst_rs",
-    "pipeline_price_dispersion",
-    "pipeline_new_vs_repeat_revenue",
-    "sample_weighted_topk_es",
-    "agg_hll_manual",
-    "embedding_prefix_variance",
-    "text_ngram_entropy_rate",
-    "text_vocab_growth_heaps",
-    "dedup_cluster_source_purity",
-    "multimodal_silence_runs",
-    "graph_adamic_adar",
-    "graph_harmonic_centrality",
-    "agg_median_distributed",
-    "graph_ego_density",
-    "pipeline_vendor_consolidation_savings",
-    "stats_permutation_shift",
-    "agg_quantiles_distributed",
-]
-
-# First in line behind the window: the stalest externally-green tier
-# after this round's refresh (r4/r5-vintage) — the r14 rotation's input,
-# pinned.
-STALEST_FRONT_R14 = [
+# (1) The stalest externally-green tier — the pinned r14 rotation input
+# (VERDICT r13 #1 / the r13 STALEST_FRONT_R14 list), then the
+# next-stalest fill so every r4-vintage key drains this round (the
+# remaining 20 slots take all other r4 keys plus the head of the r5
+# tier).
+STALEST_FRONTED_R14 = [
     "sample_stratified",
     "corpus_stats",
     "tfidf_top_terms",
@@ -104,14 +36,85 @@ STALEST_FRONT_R14 = [
     "win_range_interval",
     "win_sessionize",
     "merge_upsert",
+    "stream_cdc_merge",
+    "agg_histogram",
+    "join_runtime_filter",
+    "pipeline_nation_volume",
+    "pipeline_promo_share",
+    "pipeline_large_volume_orders",
+    "pipeline_dormant_accounts",
+    "pipeline_late_shipment_priority",
+    "dedup_ngram_jaccard",
+    "graph_pagerank_dist",
+    "pipeline_product_profit",
+    "pipeline_disjunctive_revenue",
+    "merge_scd2",
+    "pipeline_top_supplier",
+    "win_distribution",
+    "agg_stats_moments",
+    "fn_conditional",
+    "join_asof_sorted",
+    "stream_topk_windows",
+    "corpus_decontaminate",
 ]
 
-MUST_BE_IN_WINDOW = STALEST_FRONTED_R13 + CHANGED_IN_ROUND_13 + NEW_IN_ROUND_13
+# (2) Externally green before, but changed in round 14: the four r13
+# ADVICE fixes (ES-key oracle ordering, PCA BIGINT-cast discipline —
+# which touches the covariance/prefix-variance oracles too —, the
+# Heaps-curve left join, the quantized entropy fold), the kl-drift
+# era-boundary probe (VERDICT r13 #2), and the three ts ops rerouted
+# through the cached epoch-span probe (#4).
+CHANGED_IN_ROUND_14 = [
+    "sample_weighted_topk_es",
+    "embedding_pca_project",
+    "embedding_covariance",
+    "embedding_prefix_variance",
+    "text_vocab_growth_heaps",
+    "text_ngram_entropy_rate",
+    "corpus_mix_kl_drift",
+    "ts_periodogram_fixed",
+    "ts_cross_correlation",
+    "ts_spectral_entropy",
+]
+
+# (3) NEW in round 14 — inside the window so they gain an external row
+# THIS round (standing policy since r10); budgeted at 6 so the stale
+# tier drains the whole r4 vintage.
+NEW_IN_ROUND_14 = [
+    "text_gopher_rules",
+    "text_vocab_chao1",
+    "stats_dunn_posthoc",
+    "corpus_perplexity_buckets",
+    "stats_cvm_eras",
+    "multimodal_gain_normalize",
+]
+
+# First in line behind the window: the stalest externally-green tier
+# after this round's refresh (r5-vintage — no r4 evidence remains) —
+# the r15 rotation's input, pinned.
+STALEST_FRONT_R15 = [
+    "text_perplexity_proxy",
+    "sample_mix_target",
+    "join_asof_left",
+    "agg_bitmap_distinct",
+    "win_fill_forward",
+    "fn_geo_haversine",
+    "sink_compaction",
+    "ivm_delta_agg",
+    "agg_mode_per_key",
+    "join_null_safe",
+    "pipeline_customer_distribution",
+    "pipeline_mincost_supplier",
+    "pipeline_important_part_share",
+    "pipeline_supplier_part_counts",
+]
+
+MUST_BE_IN_WINDOW = STALEST_FRONTED_R14 + CHANGED_IN_ROUND_14 + NEW_IN_ROUND_14
 
 WINDOW = 50
 
 
-def test_round13_priority_ops_register_inside_driver_window():
+def test_round14_priority_ops_register_inside_driver_window():
     keys = list(registry.queries())
     window = set(keys[:WINDOW])
     missing = [k for k in MUST_BE_IN_WINDOW if k not in window]
@@ -126,27 +129,27 @@ def test_stalest_debt_leads_the_window():
     # and additions), so even a driver window narrower than 50 covers as
     # many of them as possible — they are the round's refresh ask.
     keys = list(registry.queries())
-    assert keys[: len(STALEST_FRONTED_R13)] == STALEST_FRONTED_R13
+    assert keys[: len(STALEST_FRONTED_R14)] == STALEST_FRONTED_R14
 
 
 def test_changed_tier_outranks_new():
     keys = list(registry.queries())
-    n = len(STALEST_FRONTED_R13)
-    assert keys[n : n + len(CHANGED_IN_ROUND_13)] == CHANGED_IN_ROUND_13
-    m = n + len(CHANGED_IN_ROUND_13)
-    assert keys[m : m + len(NEW_IN_ROUND_13)] == NEW_IN_ROUND_13
+    n = len(STALEST_FRONTED_R14)
+    assert keys[n : n + len(CHANGED_IN_ROUND_14)] == CHANGED_IN_ROUND_14
+    m = n + len(CHANGED_IN_ROUND_14)
+    assert keys[m : m + len(NEW_IN_ROUND_14)] == NEW_IN_ROUND_14
 
 
 def test_window_is_exactly_filled():
-    # 10 stale + 16 changed + 24 new = 50: no dead slots, no extras.
+    # 34 stale + 10 changed + 6 new = 50: no dead slots, no extras.
     assert len(MUST_BE_IN_WINDOW) == WINDOW
 
 
 def test_stalest_tier_leads_the_behind_window_order():
     keys = list(registry.queries())
     n = len(MUST_BE_IN_WINDOW)
-    behind = keys[n : n + len(STALEST_FRONT_R14)]
-    assert behind == STALEST_FRONT_R14, behind
+    behind = keys[n : n + len(STALEST_FRONT_R15)]
+    assert behind == STALEST_FRONT_R15, behind
 
 
 def test_registry_is_deterministic_and_complete():
