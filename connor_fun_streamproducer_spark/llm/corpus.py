@@ -1905,8 +1905,16 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qt"),
         )
     )
-    pd = q.groupBy("doc_id", "lang").agg(
-        F.count("*").alias("n_tok"), F.sum("qt").cast("bigint").alias("sq")
+    # The per-doc frame feeds FOUR consumers (distributed_rank's quantile
+    # probe, its local-rank and shard-count branches, and the per-lang
+    # count); without a checkpoint each one re-derives the explode +
+    # broadcast-join + agg subtree — measured 2.1 s vs 1.4 s at sf0.1.
+    # |docs| rows (one per document), not token-scale: the bounded-
+    # relative-to-input checkpoint the r12 discipline allows.
+    pd = (
+        q.groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_tok"), F.sum("qt").cast("bigint").alias("sq"))
+        .localCheckpoint()
     )
     keyed = pd.withColumn("k", F.col("sq").cast("double") / F.col("n_tok"))
     ranked = distributed_rank(keyed, "k", ["doc_id"], partition_cols=["lang"])

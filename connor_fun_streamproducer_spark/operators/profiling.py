@@ -4673,12 +4673,26 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("rk").over(wg) + F.max("rk").over(wg)).alias("r2"),
         F.count("*").over(wg).alias("t"),
     )
-    per = r.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.sum("r2").cast("bigint").alias("sr2")
+    # ONE derivation of the rank tape: the tie term folds per type inside
+    # the same agg (tie groups span types, so Σ_type Σ_rows(t²−1) is the
+    # global Σ(t³−t)), and the |types|-bounded result checkpoints before
+    # feeding its FOUR consumers (a, b, tot, kf) — the r12 bounded-frame
+    # rule; without it each consumer re-derived the whole rank
+    # (measured 1.9 s vs 1.7 s warm at sf0.1 — the tape's two shuffles
+    # dominate; the checkpoint mainly removes the three extra derivations
+    # the 100 TB plan could not afford).
+    per = (
+        r.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("r2").cast("bigint").alias("sr2"),
+            F.sum(F.col("t") * F.col("t") - 1).cast("bigint").alias("tie3_t"),
+        )
+        .localCheckpoint()
     )
-    tot = r.agg(
-        F.count("*").alias("n_total"),
-        F.sum(F.col("t") * F.col("t") - 1).cast("bigint").alias("tie3"),
+    tot = per.agg(
+        F.sum("n").alias("n_total"),
+        F.sum("tie3_t").cast("bigint").alias("tie3"),
     )
     kf = per.agg(
         F.count("*").alias("k_groups"),
