@@ -294,6 +294,9 @@ EXTENDED = [
     "corpus_perplexity_buckets",
     "stats_cvm_eras",
     "multimodal_gain_normalize",
+    "stats_friedman",
+    "stats_page_trend",
+    "stats_jonckheere_terpstra",
 ]
 
 

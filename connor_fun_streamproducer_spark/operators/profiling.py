@@ -4888,3 +4888,542 @@ def stats_cvm_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rt + F.lit(0.0)).alias("t_cvm"),
         (rt > F.lit(_CVM_CRIT)).alias("reject_equal_dist"),
     )
+
+# ---------------------------------------------------------------------------
+# Friedman test over (day block x event-type treatment) cells (round 14)
+# ---------------------------------------------------------------------------
+
+_FRIEDMAN_ORACLE = f"""
+WITH e AS (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), cells AS (
+    SELECT day, event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sc
+    FROM e GROUP BY 1, 2
+), kg AS (SELECT count(DISTINCT event_type) AS k FROM cells),
+daycnt AS (SELECT day, count(*) AS ct FROM cells GROUP BY 1),
+keep AS (
+    SELECT c.day, c.event_type, CAST(c.sc AS DOUBLE) / c.n AS mval
+    FROM cells c JOIN daycnt d ON c.day = d.day CROSS JOIN kg
+    WHERE d.ct = kg.k
+), rk AS (
+    SELECT day, event_type, mval,
+           row_number() OVER (PARTITION BY day
+                              ORDER BY mval, event_type) AS rn
+    FROM keep
+), r2t AS (
+    SELECT day, event_type,
+           min(rn) OVER (PARTITION BY day, mval)
+         + max(rn) OVER (PARTITION BY day, mval) AS r2
+    FROM rk
+), per AS (
+    SELECT event_type, CAST(sum(r2) AS BIGINT) AS d2 FROM r2t GROUP BY 1
+), gl AS (
+    SELECT CAST(sum(r2 * r2) AS BIGINT) AS a2,
+           count(DISTINCT day) AS b
+    FROM r2t
+), sd AS (SELECT CAST(sum(d2 * d2) AS BIGINT) AS sd2 FROM per),
+stat AS (
+    SELECT g.b, kg.k,
+           (kg.k - 1) * CAST(s.sd2 - g.b * g.b * kg.k * (kg.k + 1)
+                             * (kg.k + 1) AS DOUBLE)
+           / nullif(CAST(g.a2 - g.b * kg.k * (kg.k + 1) * (kg.k + 1)
+                         AS DOUBLE), 0.0) AS chi2
+    FROM gl g CROSS JOIN sd s CROSS JOIN kg
+)
+SELECT CAST(b AS BIGINT) AS b_blocks,
+       CAST(k AS BIGINT) AS k_treatments,
+       CAST(k - 1 AS BIGINT) AS dof,
+       round(chi2, 6) + 0.0 AS chi2_friedman,
+       round(chi2, 6) > (SELECT {_CHI2_CRIT_BY_DOF}
+                         FROM (SELECT CAST(k - 1 AS BIGINT) AS dof FROM kg))
+           AS reject_equal_treatments
+FROM stat
+"""
+
+
+@op("stats_friedman", oracle=_FRIEDMAN_ORACLE, tags=("ext", "stats"))
+def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test on the (epoch-day block x event-type treatment)
+    design: do the k event types keep the same value LEVEL once every
+    day's common shocks (traffic, seasonality, incidents) are blocked
+    out? stats_kruskal_wallis pools all rows and so mixes between-day
+    variation into the between-type comparison; Friedman ranks the k
+    per-day cell means WITHIN each day, so a day that lifts every type
+    together contributes nothing — the repeated-measures companion the
+    era battery lacked.
+
+    Exact: cell value = sum(cents)/n, a single division of two exact
+    integers (bit-identical both engines); within-block ranks are
+    doubled tie-group midranks (min+max of the (day, mval) peer group),
+    so every rank is an exact integer. Conover's tie-corrected form
+    chi2 = (k-1)(SUM_j R_j^2 - b^2 k(k+1)^2/4)/(SUM r^2 - b k(k+1)^2/4)
+    evaluated on doubled ranks (the factor 4 cancels):
+    (k-1)(SD2 - b^2 k(k+1)^2)/(A2 - b k(k+1)^2) - an ALL-INTEGER
+    numerator and denominator, one float division, rounded before the
+    chi-square(k-1) 5% literal table. (The first cut of this op dropped
+    the b on the numerator's centering term; the pure-Python
+    permutation replay in tests/test_properties.py caught it because
+    the shared error deflated chi-square b-fold - kept as the standing
+    example of why every statistic ships with a third implementation.) Incomplete blocks (a day missing a type's cell)
+    drop whole, the classical complete-block requirement - deterministic
+    because completeness is an integer count, not a float cut.
+
+    Scale: ONE corpus-scale hash aggregation (map-side partials) into
+    the <= days x types cell frame; everything after is bounded by the
+    design dims (the r12 rule: the cell frame feeds three consumers, so
+    it checkpoints). Windows partition by day with <= k rows per frame.
+
+    Reference parity: the reference emits one stream per region on a
+    shared 30 s clock (regionSpout.go:94-103), so its downstream
+    comparisons are implicitly time-blocked; this is that design made
+    explicit as a test.
+    """
+    b0 = load(spark, sf_dir, "events").select(
+        epoch_seconds("ts").alias("te"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    cells = (
+        b0.select(
+            F.expr("te div 86400").alias("day"), "event_type", "cents"
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("sc"))
+        .localCheckpoint()
+    )
+    kg = cells.agg(F.countDistinct("event_type").alias("k"))
+    daycnt = cells.groupBy("day").agg(F.count("*").alias("ct"))
+    keep = (
+        cells.join(F.broadcast(daycnt), "day")
+        .crossJoin(F.broadcast(kg))
+        .filter(F.col("ct") == F.col("k"))
+        .select(
+            "day",
+            "event_type",
+            (F.col("sc").cast("double") / F.col("n")).alias("mval"),
+        )
+    )
+    w_day = dim_window(
+        Window.partitionBy("day").orderBy("mval", "event_type"),
+        bound="<= k treatments per day block (design constant)",
+    )
+    rk = keep.select(
+        "day",
+        "event_type",
+        "mval",
+        F.row_number().over(w_day).alias("rn"),
+    )
+    w_peer = dim_window(
+        Window.partitionBy("day", "mval"),
+        bound="<= k tied cells per (day, mval) peer group",
+    )
+    r2t = rk.select(
+        "day",
+        "event_type",
+        (F.min("rn").over(w_peer) + F.max("rn").over(w_peer)).alias("r2"),
+    )
+    per = r2t.groupBy("event_type").agg(
+        F.sum("r2").cast("bigint").alias("d2")
+    )
+    glob = r2t.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("bigint").alias("a2"),
+        F.countDistinct("day").alias("b"),
+    )
+    sd = per.agg(F.sum(F.col("d2") * F.col("d2")).cast("bigint").alias("sd2"))
+    s = glob.crossJoin(F.broadcast(sd)).crossJoin(F.broadcast(kg))
+    kk = F.col("k")
+    cterm = F.col("b") * kk * (kk + 1) * (kk + 1)
+    chi2 = (
+        (kk - 1)
+        * (F.col("sd2") - F.col("b") * cterm).cast("double")
+        / F.nullif((F.col("a2") - cterm).cast("double"), F.lit(0.0))
+    )
+    rc = F.round(chi2, 6)
+    return s.select(
+        F.col("b").cast("bigint").alias("b_blocks"),
+        kk.cast("bigint").alias("k_treatments"),
+        (kk - 1).cast("bigint").alias("dof"),
+        (rc + F.lit(0.0)).alias("chi2_friedman"),
+        (
+            rc > F.expr(_CHI2_CRIT_BY_DOF.replace("CASE dof", "CASE k - 1"))
+        ).alias("reject_equal_treatments"),
+    )
+
+# ---------------------------------------------------------------------------
+# Page's trend test across intraday time-of-day slots (round 14)
+# ---------------------------------------------------------------------------
+
+# One-sided 5% normal critical value (Phi^-1(0.95), stdlib NormalDist).
+_Z_ONE_SIDED_05 = 1.644854
+
+_PAGE_ORACLE = f"""
+WITH e AS (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+           (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 14400 AS slot,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), cells AS (
+    SELECT day, slot, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sc
+    FROM e GROUP BY 1, 2
+), kg AS (SELECT count(DISTINCT slot) AS k FROM cells),
+wts AS (
+    SELECT slot, row_number() OVER (ORDER BY slot) AS w
+    FROM (SELECT DISTINCT slot FROM cells)
+), daycnt AS (SELECT day, count(*) AS ct FROM cells GROUP BY 1),
+keep AS (
+    SELECT c.day, c.slot, CAST(c.sc AS DOUBLE) / c.n AS mval
+    FROM cells c JOIN daycnt d ON c.day = d.day CROSS JOIN kg
+    WHERE d.ct = kg.k
+), rk AS (
+    SELECT day, slot, mval,
+           row_number() OVER (PARTITION BY day ORDER BY mval, slot) AS rn
+    FROM keep
+), r2t AS (
+    SELECT day, slot,
+           min(rn) OVER (PARTITION BY day, mval)
+         + max(rn) OVER (PARTITION BY day, mval) AS r2
+    FROM rk
+), gl AS (
+    SELECT CAST(sum(w.w * t.r2) AS BIGINT) AS l2,
+           count(DISTINCT t.day) AS b
+    FROM r2t t JOIN wts w ON t.slot = w.slot
+), stat AS (
+    SELECT g.b, kg.k, g.l2,
+           CAST(g.b * kg.k * (kg.k + 1) * (kg.k + 1) AS BIGINT) // 2 AS e2l,
+           CAST(g.b AS DOUBLE) * kg.k * kg.k * (kg.k + 1) * (kg.k + 1)
+               * (kg.k - 1) / 144.0 AS varl
+    FROM gl g CROSS JOIN kg
+)
+SELECT CAST(b AS BIGINT) AS b_blocks,
+       CAST(k AS BIGINT) AS k_slots,
+       CAST(l2 AS BIGINT) AS l2_stat,
+       round(CAST(l2 - e2l AS DOUBLE) / nullif(2.0 * sqrt(varl), 0.0), 6)
+           + 0.0 AS z_page,
+       round(CAST(l2 - e2l AS DOUBLE) / nullif(2.0 * sqrt(varl), 0.0), 6)
+           > {_Z_ONE_SIDED_05} AS reject_increasing_trend
+FROM stat
+"""
+
+
+@op("stats_page_trend", oracle=_PAGE_ORACLE, tags=("ext", "stats"))
+def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for an ORDERED intraday trend: does the event value
+    level rise monotonically across the day's six 4-hour slots, judged
+    within each epoch-day block? stats_friedman (same block design)
+    only answers "are the slots different at all"; Page weights each
+    slot's rank sum by its time order (L = sum_j j*R_j), so power
+    concentrates on the monotone alternative - the diurnal-drift
+    question a load forecaster actually asks. One-sided by construction
+    (the increasing alternative); an inverted trend drives z negative.
+
+    Exact: the stats_friedman machinery verbatim - integer cell means
+    via sum(cents)/n, doubled midranks within complete day blocks, slot
+    weights 1..k from a dense rank over the global distinct slots (NOT
+    slot+1: a slot absent from the whole fixture must not leave a hole
+    in the weight ladder). 2L = sum w*r2 is an exact integer;
+    E[2L] = b*k(k+1)^2/2 is an exact integer (k or (k+1)^2 is even);
+    Var[L] = b*k^2(k+1)^2(k-1)/144 enters as one float product (the
+    untied null variance - derived from Var(rank)=(k^2-1)/12 and
+    Cov=-(k+1)/12; the pure-Python test re-proves it by exhaustive
+    permutation enumeration). Ties across slot means get midranks for
+    determinism; the untied variance then slightly over-states sigma -
+    conservative, documented.
+
+    Scale: identical to stats_friedman - one corpus-scale hash agg,
+    then design-bounded frames (checkpointed cell frame, <= k-row day
+    windows), 1 output row.
+
+    Reference parity: regionSpout.go:94-103's shared 30 s emission
+    clock is the reference's only time structure; this op grades the
+    intraday cycle that clock samples.
+    """
+    b0 = load(spark, sf_dir, "events").select(
+        epoch_seconds("ts").alias("te"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    cells = (
+        b0.select(
+            F.expr("te div 86400").alias("day"),
+            F.expr("(te % 86400) div 14400").alias("slot"),
+            "cents",
+        )
+        .groupBy("day", "slot")
+        .agg(F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("sc"))
+        .localCheckpoint()
+    )
+    kg = cells.agg(F.countDistinct("slot").alias("k"))
+    wts = (
+        cells.select("slot")
+        .distinct()
+        .select(
+            "slot",
+            F.row_number()
+            .over(
+                dim_window(
+                    Window.partitionBy().orderBy("slot"),
+                    bound="<= k distinct slots (design constant 6)",
+                )
+            )
+            .alias("w"),
+        )
+    )
+    daycnt = cells.groupBy("day").agg(F.count("*").alias("ct"))
+    keep = (
+        cells.join(F.broadcast(daycnt), "day")
+        .crossJoin(F.broadcast(kg))
+        .filter(F.col("ct") == F.col("k"))
+        .select(
+            "day",
+            "slot",
+            (F.col("sc").cast("double") / F.col("n")).alias("mval"),
+        )
+    )
+    w_day = dim_window(
+        Window.partitionBy("day").orderBy("mval", "slot"),
+        bound="<= k slots per day block (design constant)",
+    )
+    rk = keep.select(
+        "day", "slot", "mval", F.row_number().over(w_day).alias("rn")
+    )
+    w_peer = dim_window(
+        Window.partitionBy("day", "mval"),
+        bound="<= k tied cells per (day, mval) peer group",
+    )
+    r2t = rk.select(
+        "day",
+        "slot",
+        (F.min("rn").over(w_peer) + F.max("rn").over(w_peer)).alias("r2"),
+    )
+    gl = (
+        r2t.join(F.broadcast(wts), "slot")
+        .agg(
+            F.sum(F.col("w") * F.col("r2")).cast("bigint").alias("l2"),
+            F.countDistinct("day").alias("b"),
+        )
+    )
+    s = gl.crossJoin(F.broadcast(kg))
+    kk = F.col("k")
+    e2l = F.expr("CAST(b * k * (k + 1) * (k + 1) AS BIGINT) div 2")
+    varl = (
+        F.col("b").cast("double")
+        * kk
+        * kk
+        * (kk + 1)
+        * (kk + 1)
+        * (kk - 1)
+        / F.lit(144.0)
+    )
+    z = (F.col("l2") - e2l).cast("double") / F.nullif(
+        F.lit(2.0) * F.sqrt(varl), F.lit(0.0)
+    )
+    rz = F.round(z, 6)
+    return s.select(
+        F.col("b").cast("bigint").alias("b_blocks"),
+        kk.cast("bigint").alias("k_slots"),
+        F.col("l2").cast("bigint").alias("l2_stat"),
+        (rz + F.lit(0.0)).alias("z_page"),
+        (rz > F.lit(_Z_ONE_SIDED_05)).alias("reject_increasing_trend"),
+    )
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered-alternative test across epoch weeks (round 14)
+# ---------------------------------------------------------------------------
+
+_JT_ORACLE = f"""
+WITH e AS (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), pv AS (
+    SELECT wk, cents, count(*) AS c FROM e GROUP BY 1, 2
+), vals AS (
+    SELECT cents, CAST(sum(c) AS BIGINT) AS t FROM pv GROUP BY 1
+), wks AS (SELECT DISTINCT wk FROM pv),
+grid AS (
+    SELECT w.wk, v.cents, COALESCE(p.c, 0) AS c
+    FROM wks w CROSS JOIN vals v
+    LEFT JOIN pv p ON p.wk = w.wk AND p.cents = v.cents
+), gcum AS (
+    SELECT wk, cents, c,
+           COALESCE(sum(c) OVER (PARTITION BY wk ORDER BY cents
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS below
+    FROM grid
+), u AS (
+    SELECT COALESCE(CAST(sum(2 * h.c * g.below + g.c * h.c) AS BIGINT), 0)
+               AS u2
+    FROM gcum g JOIN gcum h ON g.cents = h.cents AND g.wk < h.wk
+), ng AS (
+    SELECT CAST(count(*) AS BIGINT) AS k_groups,
+           CAST(sum(n) AS BIGINT) AS n_total,
+           CAST(sum(n * n) AS BIGINT) AS sn2,
+           CAST(sum(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS an,
+           CAST(sum(n * (n - 1) * (n - 2)) AS BIGINT) AS bn,
+           CAST(sum(n * (n - 1)) AS BIGINT) AS cn
+    FROM (SELECT wk, CAST(sum(c) AS BIGINT) AS n FROM pv GROUP BY wk)
+), tt AS (
+    SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS at_,
+           CAST(sum(t * (t - 1) * (t - 2)) AS BIGINT) AS bt,
+           CAST(sum(t * (t - 1)) AS BIGINT) AS ct_
+    FROM vals
+), stat AS (
+    SELECT n.k_groups, n.n_total, u.u2,
+           (n.n_total * n.n_total - n.sn2) // 2 AS e2u,
+           (CAST(n.n_total AS DOUBLE) * (n.n_total - 1) * (2 * n.n_total + 5)
+            - CAST(n.an AS DOUBLE) - CAST(t.at_ AS DOUBLE)) / 72.0
+           + CAST(n.bn AS DOUBLE) * CAST(t.bt AS DOUBLE)
+             / nullif(36.0 * n.n_total * (n.n_total - 1.0)
+                      * (n.n_total - 2.0), 0.0)
+           + CAST(n.cn AS DOUBLE) * CAST(t.ct_ AS DOUBLE)
+             / nullif(8.0 * n.n_total * (n.n_total - 1.0), 0.0) AS varu
+    FROM ng n CROSS JOIN tt t CROSS JOIN u
+)
+SELECT CAST(k_groups AS BIGINT) AS k_groups,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(u2 AS BIGINT) AS u2_stat,
+       round(CAST(u2 - e2u AS DOUBLE) / nullif(2.0 * sqrt(varu), 0.0), 6)
+           + 0.0 AS z_jt,
+       round(CAST(u2 - e2u AS DOUBLE) / nullif(2.0 * sqrt(varu), 0.0), 6)
+           > {_Z_ONE_SIDED_05} AS reject_increasing_trend
+FROM stat
+"""
+
+
+@op("stats_jonckheere_terpstra", oracle=_JT_ORACLE, tags=("ext", "stats"))
+def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED shift across the span's
+    epoch weeks: is the event value distribution drifting upward week
+    over week? stats_kruskal_wallis treats the k groups as unordered
+    (any permutation of weeks gives the same H); JT sums the pairwise
+    Mann-Whitney "later beats earlier" counts over all week pairs
+    g < h, so a monotone drift that moves each week only slightly -
+    invisible to H and to the two-era stats_mann_whitney split -
+    accumulates across the k(k-1)/2 ordered pairs.
+
+    Exact, with no per-pair rank pass: U is computed from per-(week,
+    cents) COUNTS alone. 2*U_gh = sum_v [2*c_h(v)*B_g(v) + c_g(v)*c_h(v)]
+    (B_g = strictly-below prefix count; the c*c term is the tied-pair
+    half credit, doubled to stay integer), so one dense (week x distinct
+    cents) grid with a per-week prefix sum replaces k(k-1)/2 rank scans.
+    The tie-corrected null variance (Lehmann) enters as one fixed float
+    expression over seven BIGINT component sums (group sizes n_g, pooled
+    per-value tie counts t_v); every component stays < 2^63 for
+    N < ~1.6e6 per its leading n^3 term - beyond that the components
+    shift to decimal, documented, not silent. z one-sided against the
+    increasing alternative (Phi^-1(0.95) literal).
+
+    Scale: one corpus-scale hash agg to the (week, cents) count frame
+    - the only pass over the data. The frame is bounded by the cents
+    DOMAIN (value range x 100, a generator constant ~5.6e4) times the
+    week count, so the prefix-sum window partitions are domain-bounded,
+    not corpus-sized; the pair join fans out <= k rows per grid row.
+
+    Reference parity: the reference's per-region streams accumulate
+    counters over the run (regionSpout.go:151-163); JT is the ordered
+    drift question those counters raise at week granularity.
+    """
+    b0 = load(spark, sf_dir, "events").select(
+        epoch_seconds("ts").alias("te"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    pv = (
+        b0.select(F.expr("te div 604800").alias("wk"), "cents")
+        .groupBy("wk", "cents")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    vals = pv.groupBy("cents").agg(F.sum("c").cast("bigint").alias("t"))
+    wks = pv.select("wk").distinct()
+    grid = (
+        wks.crossJoin(vals.select("cents"))
+        .join(pv, ["wk", "cents"], "left")
+        .select("wk", "cents", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w_cum = dim_window(
+        Window.partitionBy("wk")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1),
+        bound="<= cents domain (~5.6e4 generator constant) rows per week",
+    )
+    gcum = grid.select(
+        "wk",
+        "cents",
+        "c",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("below"),
+    ).localCheckpoint()
+    g = gcum.select(
+        F.col("wk").alias("wk_g"),
+        "cents",
+        F.col("c").alias("c_g"),
+        F.col("below").alias("below_g"),
+    )
+    h = gcum.select(
+        F.col("wk").alias("wk_h"),
+        "cents",
+        F.col("c").alias("c_h"),
+    )
+    u = (
+        g.join(h, ["cents"])
+        .filter(F.col("wk_g") < F.col("wk_h"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    2 * F.col("c_h") * F.col("below_g")
+                    + F.col("c_g") * F.col("c_h")
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("u2")
+        )
+    )
+    ngrp = pv.groupBy("wk").agg(F.sum("c").cast("bigint").alias("n"))
+    nn = F.col("n")
+    ng = ngrp.agg(
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum(nn).cast("bigint").alias("n_total"),
+        F.sum(nn * nn).cast("bigint").alias("sn2"),
+        F.sum(nn * (nn - 1) * (2 * nn + 5)).cast("bigint").alias("an"),
+        F.sum(nn * (nn - 1) * (nn - 2)).cast("bigint").alias("bn"),
+        F.sum(nn * (nn - 1)).cast("bigint").alias("cn"),
+    )
+    tcol = F.col("t")
+    tt = vals.agg(
+        F.sum(tcol * (tcol - 1) * (2 * tcol + 5)).cast("bigint").alias("at_"),
+        F.sum(tcol * (tcol - 1) * (tcol - 2)).cast("bigint").alias("bt"),
+        F.sum(tcol * (tcol - 1)).cast("bigint").alias("ct_"),
+    )
+    s = ng.crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(u))
+    nt = F.col("n_total")
+    e2u = F.expr("(n_total * n_total - sn2) div 2")
+    ndd = nt.cast("double")
+    varu = (
+        (
+            ndd * (nt - 1) * (2 * nt + 5)
+            - F.col("an").cast("double")
+            - F.col("at_").cast("double")
+        )
+        / F.lit(72.0)
+        + F.col("bn").cast("double")
+        * F.col("bt").cast("double")
+        / F.nullif(
+            F.lit(36.0) * nt * (nt - F.lit(1.0)) * (nt - F.lit(2.0)),
+            F.lit(0.0),
+        )
+        + F.col("cn").cast("double")
+        * F.col("ct_").cast("double")
+        / F.nullif(F.lit(8.0) * nt * (nt - F.lit(1.0)), F.lit(0.0))
+    )
+    z = (F.col("u2") - e2u).cast("double") / F.nullif(
+        F.lit(2.0) * F.sqrt(varu), F.lit(0.0)
+    )
+    rz = F.round(z, 6)
+    return s.select(
+        F.col("k_groups").cast("bigint").alias("k_groups"),
+        nt.cast("bigint").alias("n_total"),
+        F.col("u2").cast("bigint").alias("u2_stat"),
+        (rz + F.lit(0.0)).alias("z_jt"),
+        (rz > F.lit(_Z_ONE_SIDED_05)).alias("reject_increasing_trend"),
+    )

@@ -660,6 +660,11 @@ _WINDOW_PRIORITY = [
     "pipeline_vendor_consolidation_savings",
     "stats_permutation_shift",
     "agg_quantiles_distributed",
+    # NEW in round 14 after the window sealed: behind-window this round
+    # (oracle-proven locally every run); front r15 as never-checked tier-1.
+    "stats_friedman",
+    "stats_page_trend",
+    "stats_jonckheere_terpstra",
 ]
 
 

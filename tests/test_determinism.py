@@ -204,6 +204,9 @@ SWEEP = [
     "corpus_perplexity_buckets",   # quantized NLL rank terciles (r14)
     "stats_cvm_eras",              # doubled-midrank integral distance (r14)
     "multimodal_gain_normalize",   # integer gain staging checksums (r14)
+    "stats_friedman",              # blocked midrank chi2, integer terms (r14)
+    "stats_page_trend",            # slot-weighted blocked ranks (r14)
+    "stats_jonckheere_terpstra",   # count-grid pairwise U + tie var (r14)
 ]
 
 

@@ -4974,3 +4974,219 @@ def test_cvm_eras_matches_python_reference(spark, tmp_path):
     assert len(r) == 1 and r[0]["n_era_a"] == n and r[0]["n_era_b"] == m
     assert abs(r[0]["t_cvm"] - expected) < 1e-4, (r[0]["t_cvm"], expected)
     assert r[0]["reject_equal_dist"] == (round(r[0]["t_cvm"], 6) > 0.461)
+
+
+def test_friedman_matches_python_reference(spark, tmp_path):
+    """stats_friedman vs a textbook Conover tie-corrected chi2 computed
+    with plain average ranks over the per-(day, type) cell means (the op
+    carries doubled min+max ranks — algebraically identical, coded
+    independently here)."""
+    import pandas as pd
+
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    types = ["a", "b", "c", "d"]
+    shift = {"a": 0, "b": 0, "c": 0, "d": 900}  # type d lifted -> reject
+    rows = []
+    i = 0
+    cells = {}
+    for day in range(8):
+        for g in types:
+            vs = []
+            for r in range(5):
+                c = 1000 + _md5i(f"fr|{day}|{g}|{r}", 30) * 10 + shift[g]
+                vs.append(c)
+                rows.append(
+                    dict(
+                        event_id=i,
+                        ts=pd.Timestamp("2024-03-01")
+                        + pd.Timedelta(days=day, seconds=i % 3600),
+                        user_id=1,
+                        event_type=g,
+                        value=c / 100.0,
+                        props="{}",
+                    )
+                )
+                i += 1
+            cells[(day, g)] = sum(vs) / len(vs)
+    _write_events(tmp_path, rows)
+    b, k = 8, len(types)
+    # average ranks of cell means within each day
+    a_sum = 0.0  # sum of squared ranks
+    rank_sums = {g: 0.0 for g in types}
+    for day in range(b):
+        vals = sorted((cells[(day, g)], g) for g in types)
+        j = 0
+        while j < k:
+            q = j
+            while q < k and vals[q][0] == vals[j][0]:
+                q += 1
+            avg = (j + 1 + q) / 2
+            for t in range(j, q):
+                rank_sums[vals[t][1]] += avg
+                a_sum += avg * avg
+            j = q
+    # textbook Conover T1, coded in the centered-deviation form (the op
+    # uses the expanded sum-of-squares form; agreeing across the two
+    # algebraic routes is the point of this replay)
+    c_term = b * k * (k + 1) ** 2 / 4
+    dev = sum((r - b * (k + 1) / 2) ** 2 for r in rank_sums.values())
+    chi2 = (k - 1) * dev / (a_sum - c_term)
+    out = registry.OPS["stats_friedman"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r0 = out[0]
+    assert r0["b_blocks"] == b and r0["k_treatments"] == k
+    assert abs(r0["chi2_friedman"] - chi2) < 1e-4, (r0["chi2_friedman"], chi2)
+    crit = 7.814728  # chi2(3) at 5%
+    assert r0["reject_equal_treatments"] == (round(chi2, 6) > crit)
+    assert r0["reject_equal_treatments"], "lifted type d should reject"
+
+
+def test_page_trend_matches_python_and_exact_null_moments(spark, tmp_path):
+    """stats_page_trend vs an independent L/z computation on a fixture
+    with a built-in intraday rise, PLUS an exhaustive k=4 permutation
+    enumeration proving the E[L] and Var[L] literals the op uses
+    (b*k(k+1)^2/4 and b*k^2(k+1)^2(k-1)/144)."""
+    import itertools
+    import math
+
+    import pandas as pd
+
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    # exact null moments for one block, k = 4: enumerate all 4! rank
+    # permutations of L_block = sum_j j * r_j.
+    k = 4
+    ls = [
+        sum((j + 1) * r for j, r in enumerate(perm))
+        for perm in itertools.permutations(range(1, k + 1))
+    ]
+    mean_l = sum(ls) / len(ls)
+    var_l = sum((x - mean_l) ** 2 for x in ls) / len(ls)
+    assert mean_l == k * (k + 1) ** 2 / 4
+    assert abs(var_l - k * k * (k + 1) ** 2 * (k - 1) / 144) < 1e-12
+    # fixture: 6 slots x 10 days, values rising with slot
+    rows = []
+    i = 0
+    cells = {}
+    for day in range(10):
+        for slot in range(6):
+            vs = []
+            for r in range(4):
+                c = 1000 + _md5i(f"pg|{day}|{slot}|{r}", 200) * 10 + slot * 300
+                vs.append(c)
+                rows.append(
+                    dict(
+                        event_id=i,
+                        ts=pd.Timestamp("2024-03-01")
+                        + pd.Timedelta(
+                            days=day, seconds=slot * 14400 + 60 + (i % 600)
+                        ),
+                        user_id=1,
+                        event_type="x",
+                        value=c / 100.0,
+                        props="{}",
+                    )
+                )
+                i += 1
+            cells[(day, slot)] = sum(vs) / len(vs)
+    _write_events(tmp_path, rows)
+    b, kk = 10, 6
+    l_stat = 0.0
+    for day in range(b):
+        vals = sorted((cells[(day, s)], s) for s in range(kk))
+        j = 0
+        while j < kk:
+            q = j
+            while q < kk and vals[q][0] == vals[j][0]:
+                q += 1
+            avg = (j + 1 + q) / 2
+            for t in range(j, q):
+                l_stat += (vals[t][1] + 1) * avg
+            j = q
+    e_l = b * kk * (kk + 1) ** 2 / 4
+    v_l = b * kk * kk * (kk + 1) ** 2 * (kk - 1) / 144
+    z = (l_stat - e_l) / math.sqrt(v_l)
+    out = registry.OPS["stats_page_trend"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r0 = out[0]
+    assert r0["b_blocks"] == b and r0["k_slots"] == kk
+    assert r0["l2_stat"] == int(round(2 * l_stat))
+    assert abs(r0["z_page"] - z) < 1e-4, (r0["z_page"], z)
+    assert r0["reject_increasing_trend"], "built-in rise should reject"
+
+
+def test_jonckheere_matches_bruteforce(spark, tmp_path):
+    """stats_jonckheere_terpstra vs the O(n^2) definition: 2U = number
+    of (earlier-week, later-week) pairs with later > earlier, twice,
+    plus ties once; variance via Lehmann's tie-corrected formula coded
+    directly from group lists."""
+    import math
+
+    import pandas as pd
+
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    groups = []  # per-week value lists, drifting upward
+    rows = []
+    i = 0
+    base = pd.Timestamp("2024-03-04")  # Monday, epoch-week aligned enough
+    for wki in range(4):
+        vs = []
+        for r in range(60):
+            c = 1000 + _md5i(f"jt|{wki}|{r}", 25) * 20 + wki * 60  # ties + drift
+            vs.append(c)
+            rows.append(
+                dict(
+                    event_id=i,
+                    ts=base + pd.Timedelta(days=7 * wki, seconds=i % 86400),
+                    user_id=1,
+                    event_type="x",
+                    value=c / 100.0,
+                    props="{}",
+                )
+            )
+            i += 1
+        groups.append(vs)
+    _write_events(tmp_path, rows)
+    u2 = 0
+    for gi in range(len(groups)):
+        for hi in range(gi + 1, len(groups)):
+            for x in groups[gi]:
+                for y in groups[hi]:
+                    u2 += 2 if y > x else (1 if y == x else 0)
+    ns = [len(g) for g in groups]
+    n = sum(ns)
+    pooled = {}
+    for g in groups:
+        for v in g:
+            pooled[v] = pooled.get(v, 0) + 1
+    ties = list(pooled.values())
+    e2u = (n * n - sum(x * x for x in ns)) // 2
+    varu = (
+        (
+            n * (n - 1) * (2 * n + 5)
+            - sum(x * (x - 1) * (2 * x + 5) for x in ns)
+            - sum(t * (t - 1) * (2 * t + 5) for t in ties)
+        )
+        / 72
+        + sum(x * (x - 1) * (x - 2) for x in ns)
+        * sum(t * (t - 1) * (t - 2) for t in ties)
+        / (36 * n * (n - 1) * (n - 2))
+        + sum(x * (x - 1) for x in ns)
+        * sum(t * (t - 1) for t in ties)
+        / (8 * n * (n - 1))
+    )
+    z = (u2 - e2u) / (2 * math.sqrt(varu))
+    out = (
+        registry.OPS["stats_jonckheere_terpstra"].fn(spark, str(tmp_path)).collect()
+    )
+    assert len(out) == 1
+    r0 = out[0]
+    assert r0["k_groups"] == len(groups) and r0["n_total"] == n
+    assert r0["u2_stat"] == u2, (r0["u2_stat"], u2)
+    assert abs(r0["z_jt"] - z) < 1e-4, (r0["z_jt"], z)
+    assert r0["reject_increasing_trend"], "built-in weekly drift should reject"

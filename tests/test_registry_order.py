@@ -109,6 +109,19 @@ STALEST_FRONT_R15 = [
     "pipeline_supplier_part_counts",
 ]
 
+# NEW in round 14 AFTER the window was sealed: the r14 window's 50
+# slots were already fully allocated to the r4-vintage drain (34) +
+# changed (10) + the first new tier (6), so these register BEHIND the
+# window this round (the pre-r10 policy) and front the r15 rotation as
+# never-externally-checked tier-1 keys -- rule (1) outranks the stale
+# tier, so they go AHEAD of STALEST_FRONT_R15 when r15 re-splices.
+# They are oracle-proven locally on every test run (test_oracle.py).
+NEW_R14_BEHIND_WINDOW = [
+    "stats_friedman",
+    "stats_page_trend",
+    "stats_jonckheere_terpstra",
+]
+
 MUST_BE_IN_WINDOW = STALEST_FRONTED_R14 + CHANGED_IN_ROUND_14 + NEW_IN_ROUND_14
 
 WINDOW = 50
@@ -177,3 +190,14 @@ def test_window_priority_covers_every_registered_key():
     (the next rotation's input) is fully pinned, not import-order luck."""
     registry._ensure_loaded()
     assert sorted(registry._WINDOW_PRIORITY) == sorted(registry.OPS)
+
+
+def test_behind_window_new_ops_are_registered_outside_the_window():
+    keys = list(registry.queries())
+    window = set(keys[:WINDOW])
+    for k in NEW_R14_BEHIND_WINDOW:
+        assert k in keys, f"{k} not registered"
+        assert k not in window, (
+            f"{k} must stay behind the sealed r14 window (the 50 slots "
+            "are allocated to the r4 drain; see NEW_R14_BEHIND_WINDOW)"
+        )
