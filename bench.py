@@ -297,6 +297,8 @@ EXTENDED = [
     "stats_friedman",
     "stats_page_trend",
     "stats_jonckheere_terpstra",
+    "corpus_kn_bigram_xent",
+    "multimodal_shot_boundary",
 ]
 
 

@@ -1941,3 +1941,184 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("nll_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM cross-entropy per source (round 14)
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount (the standard KN fixed discount)
+_KN_GRID = 1 << 20  # per-bigram NLL quantization lattice (order-free sums)
+
+_KN_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), bound AS (
+    SELECT CASE WHEN count(*) < 2 THEN {-(1 << 62)}
+           ELSE (SELECT doc_id FROM (
+                     SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r
+                     FROM documents)
+                 WHERE r = (SELECT count(*) // 2 FROM documents))
+           END AS b
+    FROM documents
+), bg AS (
+    SELECT d.doc_id, d.source, u.s.v AS v, u.s.w AS w
+    FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(toks[1:len(toks)-1],
+                      (x, i) -> {{'v': x, 'w': toks[i+1]}})) AS s
+        FROM docs) u
+    JOIN docs d USING (doc_id)
+), bc AS (
+    SELECT v, w, count(*) AS cvw FROM bg, bound WHERE doc_id < b GROUP BY 1, 2
+), ctx AS (
+    SELECT v, CAST(sum(cvw) AS BIGINT) AS cv, count(*) AS n1v
+    FROM bc GROUP BY 1
+), cw AS (SELECT w, count(*) AS n1w FROM bc GROUP BY 1),
+nbt AS (SELECT count(*) AS nb FROM bc),
+vocab AS (
+    SELECT count(DISTINCT u.w) AS vsz
+    FROM (SELECT doc_id, unnest(toks) AS w FROM docs) u, bound
+    WHERE u.doc_id < bound.b
+), hb AS (
+    SELECT source, v, w, count(*) AS ch
+    FROM bg, bound WHERE doc_id >= b GROUP BY 1, 2, 3
+), scored AS (
+    SELECT h.source, h.ch,
+           CASE WHEN COALESCE(c.cv, 0) = 0 THEN 1 ELSE 0 END AS ctx_unseen,
+           CAST(floor(-log2(
+               CASE WHEN COALESCE(c.cv, 0) > 0 THEN
+                   (greatest(COALESCE(b.cvw, 0) - {_KN_D}, 0.0)
+                    + {_KN_D} * c.n1v
+                      * (CAST(COALESCE(g.n1w, 0) + 1 AS DOUBLE)
+                         / (t.nb + o.vsz)))
+                   / c.cv
+               ELSE CAST(COALESCE(g.n1w, 0) + 1 AS DOUBLE) / (t.nb + o.vsz)
+               END) * {_KN_GRID} + 0.5) AS BIGINT) AS qt
+    FROM hb h
+    LEFT JOIN bc b ON h.v = b.v AND h.w = b.w
+    LEFT JOIN ctx c ON h.v = c.v
+    LEFT JOIN cw g ON h.w = g.w
+    CROSS JOIN nbt t CROSS JOIN vocab o
+)
+SELECT source,
+       CAST(sum(ch) AS BIGINT) AS n_held_bigrams,
+       round(CAST(CAST(sum(ch * qt) AS BIGINT) AS DOUBLE) / {_KN_GRID}
+             / CAST(sum(ch) AS BIGINT), 6) + 0.0 AS h_bits,
+       CAST(sum(ch * ctx_unseen) AS BIGINT) * 10000
+           // CAST(sum(ch) AS BIGINT) AS ctx_unseen_bp
+FROM scored GROUP BY 1
+"""
+
+
+@op("corpus_kn_bigram_xent", oracle=_KN_ORACLE, tags=("llm", "corpus", "scale"))
+def corpus_kn_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram cross-entropy per source, trained
+    on the first doc_id half and scored on the held second half - the
+    LM-quality signal one tier above corpus_perplexity_buckets' unigram
+    NLL: a source whose held text the train half's BIGRAM model predicts
+    poorly is either out-of-domain or novel, and the continuation-count
+    backbone (Kneser-Ney's distinct-context counts, not raw frequency)
+    is what keeps "the the"-style high-frequency junk from looking
+    fluent. P(w|v) = (max(c(vw)-d, 0) + d*N1+(v.)*Pcont(w)) / c(v.),
+    Pcont(w) = (N1+(.w)+1) / (|bigram types| + |vocab|) (add-one on the
+    continuation space absorbs OOV mass, so every held bigram scores
+    finite); unseen contexts back off to Pcont alone and are reported
+    as ctx_unseen_bp.
+
+    Exact: every model input is an integer COUNT (cvw, cv, N1+ counts,
+    type totals); P is one fixed-shape double expression over them, and
+    each held bigram's NLL is quantized to the 2^20 lattice BEFORE the
+    per-source sum (the r14 order-free-fold discipline), so the
+    cross-entropy is a ratio of exact integers. The train/held split is
+    the fingerprint-cached doc_id-midpoint literal
+    (catalog.documents_era_boundary) - rank-free on both engines.
+
+    Scale: two corpus-scale passes (bigram explode -> train-cell and
+    held-cell hash aggs with map-side partials); every join after is
+    TYPE-level (held cells x train cells on token keys - hash joins
+    whose skew AQE handles; nothing row-level crosses). The train cell
+    frame is bounded by input size and feeds four consumers, so it
+    checkpoints (the bounded-relative-to-input rule).
+
+    Reference parity: the reference scores regions by a per-message
+    sentiment lexicon (regionSpout.go:151-163 hands tweets to the
+    analyzer topic); this is the corpus-level language-model upgrade of
+    that per-source quality read.
+    """
+    from connor_fun_streamproducer_spark.catalog import documents_era_boundary
+
+    bnd = documents_era_boundary(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    bg = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (x, i) -> struct(x AS v, toks[i + 1] AS w))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "source", F.col("s.v").alias("v"), F.col("s.w").alias("w"))
+    train = bg.filter(F.col("doc_id") < F.lit(bnd))
+    held = bg.filter(F.col("doc_id") >= F.lit(bnd))
+    # |bigram types| rows - bounded relative to input, four consumers
+    # (ctx, cw, nbt, the scoring join): the write-once checkpoint beats
+    # four re-derivations of the explode+agg subtree.
+    bc = (
+        train.groupBy("v", "w").agg(F.count("*").alias("cvw")).localCheckpoint()
+    )
+    ctx = bc.groupBy("v").agg(
+        F.sum("cvw").cast("bigint").alias("cv"), F.count("*").alias("n1v")
+    )
+    cw = bc.groupBy("w").agg(F.count("*").alias("n1w"))
+    nbt = bc.agg(F.count("*").alias("nb"))
+    vocab = (
+        d.filter(F.col("doc_id") < F.lit(bnd))
+        .select(F.explode("toks").alias("w"))
+        .agg(F.countDistinct("w").alias("vsz"))
+    )
+    hb = held.groupBy("source", "v", "w").agg(F.count("*").alias("ch"))
+    j = (
+        hb.join(bc, ["v", "w"], "left")
+        .join(ctx, ["v"], "left")
+        .join(cw, ["w"], "left")
+        .crossJoin(F.broadcast(nbt))
+        .crossJoin(F.broadcast(vocab))
+    )
+    pc = (F.coalesce(F.col("n1w"), F.lit(0)) + 1).cast("double") / (
+        F.col("nb") + F.col("vsz")
+    )
+    cv0 = F.coalesce(F.col("cv"), F.lit(0))
+    p_seen = (
+        F.greatest(
+            F.coalesce(F.col("cvw"), F.lit(0)) - F.lit(_KN_D), F.lit(0.0)
+        )
+        + F.lit(_KN_D) * F.col("n1v") * pc
+    ) / F.col("cv")
+    p = F.when(cv0 > 0, p_seen).otherwise(pc)
+    qt = F.floor(-F.log2(p) * F.lit(_KN_GRID) + F.lit(0.5)).cast("bigint")
+    scored = j.select(
+        "source",
+        "ch",
+        F.when(cv0 == 0, F.lit(1)).otherwise(F.lit(0)).alias("ctx_unseen"),
+        qt.alias("qt"),
+    )
+    return scored.groupBy("source").agg(
+        F.sum("ch").cast("bigint").alias("n_held_bigrams"),
+        (
+            F.round(
+                F.sum(F.col("ch") * F.col("qt")).cast("bigint").cast("double")
+                / F.lit(_KN_GRID)
+                / F.sum("ch").cast("bigint"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("h_bits"),
+        F.expr(
+            "CAST(sum(ch * ctx_unseen) AS BIGINT) * 10000"
+            " div CAST(sum(ch) AS BIGINT)"
+        ).alias("ctx_unseen_bp"),
+    )

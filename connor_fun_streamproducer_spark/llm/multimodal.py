@@ -777,3 +777,109 @@ def multimodal_gain_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_clipped bigint, peak_after bigint, checksum_abs bigint"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shot-boundary segmentation over framed payloads (round 14)
+# ---------------------------------------------------------------------------
+
+SHOT_DIFF_THRESH = 96  # abs frame-feature jump that opens a new shot
+
+
+def _shot_boundaries(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """Arrow-batched shot segmentation: per-frame features (byte sums of
+    FRAME_BYTES windows), then a sequential cut detector — a new shot
+    opens where the absolute feature jump between adjacent frames
+    exceeds SHOT_DIFF_THRESH. One pandas pass per Arrow batch; the
+    per-doc sequential scan is the real shot-detector shape (a
+    production pipeline swaps the byte-sum feature for a frame
+    histogram/SSIM delta from the demuxed video, same batch contract).
+    """
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "shot_id", "start_frame",
+                               "end_frame", "n_frames")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            nf = len(payload) // FRAME_BYTES
+            if nf == 0:
+                continue
+            sums = [
+                int(sum(payload[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]))
+                for f in range(nf)
+            ]
+            start = 0
+            shot = 0
+            for f in range(1, nf + 1):
+                if f == nf or abs(sums[f] - sums[f - 1]) > SHOT_DIFF_THRESH:
+                    out["doc_id"].append(doc_id)
+                    out["shot_id"].append(shot)
+                    out["start_frame"].append(start)
+                    out["end_frame"].append(f - 1)
+                    out["n_frames"].append(f - start)
+                    start = f
+                    shot += 1
+        yield pd.DataFrame(out, dtype="int64" if out["doc_id"] else None)
+
+
+@op(
+    "multimodal_shot_boundary",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, text,
+               CAST(floor(octet_length(encode(text)) / {{FRAME_BYTES}}) AS BIGINT)
+                   AS n_frames
+        FROM documents
+    ), idx AS (SELECT unnest(generate_series(0, 63)) AS fi),
+    sums AS (
+        SELECT f.doc_id, idx.fi,
+               CAST(list_sum(list_transform(range(1, {{FRAME_BYTES}} + 1),
+                    i -> ascii(substring(f.text,
+                         CAST(idx.fi * {{FRAME_BYTES}} AS INTEGER) + i, 1))))
+                   AS BIGINT) AS s
+        FROM f JOIN idx ON idx.fi < f.n_frames
+    ), cuts AS (
+        SELECT doc_id, fi,
+               CASE WHEN fi > 0 AND abs(s - lag(s) OVER (
+                        PARTITION BY doc_id ORDER BY fi))
+                    > {{SHOT_DIFF_THRESH}} THEN 1 ELSE 0 END AS cut
+        FROM sums
+    ), seg AS (
+        SELECT doc_id, fi,
+               CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY fi)
+                    AS BIGINT) AS shot_id
+        FROM cuts
+    )
+    SELECT doc_id, shot_id,
+           CAST(min(fi) AS BIGINT) AS start_frame,
+           CAST(max(fi) AS BIGINT) AS end_frame,
+           CAST(count(*) AS BIGINT) AS n_frames
+    FROM seg GROUP BY 1, 2
+    """.replace("{FRAME_BYTES}", str(FRAME_BYTES))
+       .replace("{SHOT_DIFF_THRESH}", str(SHOT_DIFF_THRESH)),
+    tags=("llm", "multimodal"),
+)
+def multimodal_shot_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary segmentation over framed binary payloads — the
+    video-curation stage between multimodal_framesample (fixed-stride
+    frames) and a clip-level training set: contiguous frame runs whose
+    adjacent-frame feature delta stays under SHOT_DIFF_THRESH collapse
+    into one shot row (doc_id, shot_id, start/end frame, length), the
+    unit a video pipeline dedups, captions and samples from. The
+    per-frame feature is the deterministic byte-sum stand-in (the
+    honestly-stubbed decode slot, see decode_image); the sequential cut
+    scan is the real detector shape and runs INSIDE the Arrow batch.
+
+    Scale: map-only over Arrow batches — the whole segmentation is
+    per-payload sequential work with no shuffle and no Python row
+    objects; output partitioning inherits from the scan, fan-out is
+    |shots| <= |frames| per doc. The oracle replays frame sums from the
+    source text (ASCII corpus: byte i == ascii(char i)) and segments
+    with lag + running-sum windows over a bounded frame series
+    (fixture docs <= 63 full frames).
+    """
+    d = load(spark, sf_dir, "documents")
+    framed = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return framed.mapInPandas(
+        _shot_boundaries,
+        schema="doc_id bigint, shot_id bigint, start_frame bigint,"
+        " end_frame bigint, n_frames bigint",
+    )

@@ -665,6 +665,8 @@ _WINDOW_PRIORITY = [
     "stats_friedman",
     "stats_page_trend",
     "stats_jonckheere_terpstra",
+    "corpus_kn_bigram_xent",
+    "multimodal_shot_boundary",
 ]
 
 

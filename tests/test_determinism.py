@@ -207,6 +207,8 @@ SWEEP = [
     "stats_friedman",              # blocked midrank chi2, integer terms (r14)
     "stats_page_trend",            # slot-weighted blocked ranks (r14)
     "stats_jonckheere_terpstra",   # count-grid pairwise U + tie var (r14)
+    "corpus_kn_bigram_xent",       # integer-count KN, quantized NLL fold (r14)
+    "multimodal_shot_boundary",    # sequential cut scan inside Arrow batch (r14)
 ]
 
 
@@ -265,6 +267,7 @@ SWEEP_SF001 = [
     "agg_quantiles_distributed",    # shard cuts differ by scale (r13)
     "stats_dunn_posthoc",           # pooled-rank shard cuts differ by scale (r14)
     "corpus_perplexity_buckets",    # per-lang rank shard cuts differ by scale (r14)
+    "corpus_kn_bigram_xent",        # doc_id-midpoint split differs by scale (r14)
 ]
 
 

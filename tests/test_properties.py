@@ -5190,3 +5190,86 @@ def test_jonckheere_matches_bruteforce(spark, tmp_path):
     assert r0["u2_stat"] == u2, (r0["u2_stat"], u2)
     assert abs(r0["z_jt"] - z) < 1e-4, (r0["z_jt"], z)
     assert r0["reject_increasing_trend"], "built-in weekly drift should reject"
+
+
+def test_kn_bigram_xent_matches_python_reference(spark, tmp_path):
+    """corpus_kn_bigram_xent vs a from-scratch dict-based interpolated
+    Kneser-Ney implementation (same discount, same add-one continuation
+    smoothing, same doc_id-midpoint split), plus the directional sanity
+    check: a held source emitting the train half's bigram chains must
+    score lower cross-entropy than one emitting scrambled text."""
+    import math
+
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    vocab = [f"w{j}" for j in range(12)]
+
+    def chain(tag, n):
+        # deterministic Markov-ish chain: next word = hash of current
+        out = [vocab[_md5i(f"seed|{tag}", 12)]]
+        for t in range(n - 1):
+            cur = out[-1]
+            out.append(vocab[(vocab.index(cur) * 7 + _md5i(f"{tag}|{t}", 3)) % 12])
+        return " ".join(out)
+
+    def scramble(tag, n):
+        return " ".join(vocab[_md5i(f"scr|{tag}|{t}", 12)] for t in range(n))
+
+    rows = []
+    did = 0
+    for k in range(12):  # train half: chain text, two sources
+        rows.append(dict(doc_id=did, text=chain(f"tr{k}", 30),
+                         lang="en", source="nat"))
+        did += 1
+    for k in range(6):  # held half: 3 chain docs, 3 scrambled docs
+        rows.append(dict(doc_id=did, text=chain(f"he{k}", 30),
+                         lang="en", source="nat"))
+        did += 1
+        rows.append(dict(doc_id=did, text=scramble(f"he{k}", 30),
+                         lang="en", source="rnd"))
+        did += 1
+    _write_documents(tmp_path, rows)
+    ids = sorted(r["doc_id"] for r in rows)
+    bound = ids[len(ids) // 2 - 1]  # (n//2)-th smallest
+    train_docs = [r for r in rows if r["doc_id"] < bound]
+    held_docs = [r for r in rows if r["doc_id"] >= bound]
+    bc, ctx_cv, ctx_n1, cw_n1 = {}, {}, {}, {}
+    tr_vocab = set()
+    for r in train_docs:
+        toks = r["text"].split(" ")
+        tr_vocab.update(toks)
+        for v, w in zip(toks, toks[1:]):
+            bc[(v, w)] = bc.get((v, w), 0) + 1
+    for (v, w), c in bc.items():
+        ctx_cv[v] = ctx_cv.get(v, 0) + c
+        ctx_n1[v] = ctx_n1.get(v, 0) + 1
+        cw_n1[w] = cw_n1.get(w, 0) + 1
+    nb, vsz, d0 = len(bc), len(tr_vocab), 0.75
+    exp = {}
+    for r in held_docs:
+        toks = r["text"].split(" ")
+        s = exp.setdefault(r["source"], dict(n=0, h=0.0, unseen=0))
+        for v, w in zip(toks, toks[1:]):
+            pc = (cw_n1.get(w, 0) + 1) / (nb + vsz)
+            if ctx_cv.get(v, 0) > 0:
+                p = (max(bc.get((v, w), 0) - d0, 0.0)
+                     + d0 * ctx_n1[v] * pc) / ctx_cv[v]
+            else:
+                p = pc
+                s["unseen"] += 1
+            s["n"] += 1
+            s["h"] += -math.log2(p)
+    out = {
+        r["source"]: r
+        for r in registry.OPS["corpus_kn_bigram_xent"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(exp)
+    for src, e in exp.items():
+        got = out[src]
+        assert got["n_held_bigrams"] == e["n"]
+        assert abs(got["h_bits"] - e["h"] / e["n"]) < 1e-4, (
+            src, got["h_bits"], e["h"] / e["n"])
+        assert got["ctx_unseen_bp"] == e["unseen"] * 10000 // e["n"]
+    assert out["nat"]["h_bits"] < out["rnd"]["h_bits"], (
+        "train-matched chains must score below scrambled text")

@@ -120,6 +120,8 @@ NEW_R14_BEHIND_WINDOW = [
     "stats_friedman",
     "stats_page_trend",
     "stats_jonckheere_terpstra",
+    "corpus_kn_bigram_xent",
+    "multimodal_shot_boundary",
 ]
 
 MUST_BE_IN_WINDOW = STALEST_FRONTED_R14 + CHANGED_IN_ROUND_14 + NEW_IN_ROUND_14
