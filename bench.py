@@ -299,6 +299,8 @@ EXTENDED = [
     "stats_jonckheere_terpstra",
     "corpus_kn_bigram_xent",
     "multimodal_shot_boundary",
+    "stats_cochran_q",
+    "embedding_whiten",
 ]
 
 

@@ -288,7 +288,7 @@ _LBL_Q = 1000  # quantization: exact integer per-dim sums
 
 _LABEL_DIST_ORACLE = f"""
 WITH u AS (
-    SELECT label, i, CAST(floor(x * {_LBL_Q} + 0.5) AS BIGINT) AS q
+    SELECT label, i, CAST(floor(CAST(x AS DOUBLE) * {_LBL_Q} + 0.5) AS BIGINT) AS q
     FROM (SELECT label, unnest(embedding) AS x,
                  generate_subscripts(embedding, 1) AS i FROM embeddings)
 ), n AS (
@@ -342,7 +342,9 @@ def embedding_label_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         (F.col("i") + 1).alias("i"),  # 1-based to mirror generate_subscripts
-        F.floor(F.col("x") * _LBL_Q + F.lit(0.5)).cast("bigint").alias("q"),
+        F.floor(F.col("x").cast("double") * _LBL_Q + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
     )
     s = u.groupBy("label", "i").agg(F.sum("q").alias("s"))
     a = s.select(F.col("label").alias("label_a"), "i", F.col("s").alias("sa"))
@@ -384,7 +386,7 @@ WITH eval_ids AS (
 ), e AS (
     SELECT m.vec_id, m.label,
            list_transform(m.embedding,
-                          x -> CAST(floor(x * {_KNN_Q} + 0.5) AS BIGINT)) AS q
+                          x -> CAST(floor(CAST(x AS DOUBLE) * {_KNN_Q} + 0.5) AS BIGINT)) AS q
     FROM embeddings m JOIN eval_ids USING (vec_id)
 ), pair AS (
     SELECT a.vec_id AS va, a.label AS la, b.vec_id AS vb, b.label AS lb,
@@ -439,7 +441,7 @@ def embedding_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.expr(
-            f"transform(embedding, x -> CAST(floor(x * {_KNN_Q} + 0.5) AS BIGINT))"
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_KNN_Q} + 0.5) AS BIGINT))"
         ).alias("q"),
     )
     a = e.select(

@@ -26,6 +26,19 @@ Scale shape (the classic tall-skinny pattern):
 At ~10^9+ rows the int64 partial sums would need widening; the groupBy
 re-aggregates in decimal(38,0) precisely so the design survives that
 scale (only the in-batch matmul is int64, bounded by batch size).
+
+FLOAT32 promotion trap (found round 14, via embedding_whiten): the
+embedding column is float32, and DuckDB evaluates ``x * 1000000 + 0.5``
+ENTIRELY in single precision when the multiplier is an INTEGER literal
+(FLOAT x INTEGER stays FLOAT, and even ``+ 0.5`` stays FLOAT), while
+Spark widens through the double ``0.5`` literal and numpy kernels use
+float64 — so the two engines can quantize a boundary element to
+ADJACENT integers (568 of 128k elements at sf0.1 for Q=1e6). The
+divergence hid under round(…, 6)/1e-4 grids for a full round of green
+hashes until whitening amplified it. Rule: every quantization of a
+float32 column spells ``CAST(x AS DOUBLE)`` in the oracle and
+``.cast("double")`` (or a double literal like ``1e6``) on the Spark
+side BEFORE the multiply.
 """
 
 from __future__ import annotations
@@ -94,7 +107,7 @@ def _covariance_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COV_ORACLE = f"""
 WITH u AS (
-    SELECT vec_id, i, CAST(floor(x * {_Q} + 0.5) AS BIGINT) AS q
+    SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * {_Q} + 0.5) AS BIGINT) AS q
     FROM (SELECT vec_id, unnest(embedding) AS x,
                  generate_subscripts(embedding, 1) AS i FROM embeddings)
     WHERE i <= {D_SEL}
@@ -179,23 +192,29 @@ def _sign_fix(v: list[int]) -> list[int]:
     return [-x for x in v] if v[piv] < 0 else v
 
 
-def _pca_components(cov_rows, rounds: int = PI_ROUNDS):
-    """Top-2 quantized directions by deflated fixed-round power
-    iteration over the collected covq rows. Pure-Python exact-int +
-    fixed-IEEE-sequence arithmetic; mirrors the oracle CTEs 1:1."""
-    cq1 = {(r["i"], r["j"]): int(r["cq"]) for r in cov_rows}
-    v1 = _power_iterate(cq1, rounds)
-    # Rayleigh quotient of v1 in scaled space: num div-scales each
-    # va*cq product by _Q so the 256-term sum stays exactly
-    # double-representable; den = |v1|^2 fits int64 outright.
+def _rayleigh(cq: dict, v: list[int]) -> float:
+    """Rayleigh quotient of quantized v on quantized cov, in cq units.
+    num div-scales each va*cq product by _Q so the 256-term sum stays
+    exactly double-representable; den = |v|^2 fits int64 outright."""
     num_s = sum(
-        _tdiv(v1[i - 1] * cq1[(i, j)], _Q) * v1[j - 1]
+        _tdiv(v[i - 1] * cq[(i, j)], _Q) * v[j - 1]
         for i in range(1, D_SEL + 1)
         for j in range(1, D_SEL + 1)
     )
-    den = sum(x * x for x in v1)
-    # zero v1 (the degenerate fixpoint above) deflates nothing: lam = 0
-    lam = 0.0 if den == 0 else float(num_s) / float(den) * float(_Q)
+    den = sum(x * x for x in v)
+    # zero v (the degenerate fixpoint above): lam = 0
+    return 0.0 if den == 0 else float(num_s) / float(den) * float(_Q)
+
+
+def _pca_components(cov_rows, rounds: int = PI_ROUNDS):
+    """Top-2 quantized directions AND their Rayleigh eigenvalues (cq
+    units, i.e. covariance * _Q) by deflated fixed-round power
+    iteration over the collected covq rows. Pure-Python exact-int +
+    fixed-IEEE-sequence arithmetic; mirrors the oracle CTEs 1:1.
+    Returns (v1, v2, lam1, lam2); lam1 is also the deflation weight."""
+    cq1 = {(r["i"], r["j"]): int(r["cq"]) for r in cov_rows}
+    v1 = _power_iterate(cq1, rounds)
+    lam = _rayleigh(cq1, v1)
     # Hotelling deflation, re-quantized to the covq grid.
     cq2 = {
         (i, j): math.floor(
@@ -205,7 +224,8 @@ def _pca_components(cov_rows, rounds: int = PI_ROUNDS):
         for j in range(1, D_SEL + 1)
     }
     v2 = _power_iterate(cq2, rounds)
-    return _sign_fix(v1), _sign_fix(v2)
+    lam2 = _rayleigh(cq2, v2)
+    return _sign_fix(v1), _sign_fix(v2), lam, lam2
 
 
 def _covq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,18 +251,19 @@ def _covq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_oracle(rounds: int = PI_ROUNDS) -> str:
-    """The DuckDB twin: quantized covariance + the full power iteration
-    unrolled as MATERIALIZED CTE rounds (the kmeans/PQ fold discipline —
-    the oracle replays the ALGORITHM, it does not trust the engine).
-    Integer-exact matvecs; every int that meets a double is first cast
-    through BIGINT (exact hardware conversion — HUGEINT->DOUBLE double-
-    rounds above 2^53) and every scaled div is DuckDB ``//`` (truncating,
-    mirrored by _tdiv)."""
+def _pca_cte_parts(rounds: int = PI_ROUNDS) -> list[str]:
+    """The shared DuckDB CTE prefix: quantized covariance + the full
+    power iteration unrolled as MATERIALIZED CTE rounds (the kmeans/PQ
+    fold discipline — the oracle replays the ALGORITHM, it does not
+    trust the engine). Integer-exact matvecs; every int that meets a
+    double is first cast through BIGINT (exact hardware conversion —
+    HUGEINT->DOUBLE double-rounds above 2^53) and every scaled div is
+    DuckDB ``//`` (truncating, mirrored by _tdiv). ``_pca_oracle`` and
+    ``_whiten_oracle`` append their own final SELECTs."""
     q, d = _Q, D_SEL
     parts = [
         f"""WITH u AS MATERIALIZED (
-  SELECT vec_id, i, CAST(floor(x * {q} + 0.5) AS BIGINT) AS q
+  SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * {q} + 0.5) AS BIGINT) AS q
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i FROM embeddings)
   WHERE i <= {d}
@@ -310,6 +331,21 @@ def _pca_oracle(rounds: int = PI_ROUNDS) -> str:
 )"""
         )
     parts.append(
+        f""", lam2 AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT SUM(vq * vq) FROM v2_{rounds}) = 0 THEN 0.0
+       ELSE CAST(CAST((SELECT SUM(((va.vq * c.cq) // {q}) * vb.vq)
+               FROM cov2 c JOIN v2_{rounds} va ON c.i = va.i
+                           JOIN v2_{rounds} vb ON c.j = vb.i) AS BIGINT) AS DOUBLE)
+       / CAST(CAST((SELECT SUM(vq * vq) FROM v2_{rounds}) AS BIGINT) AS DOUBLE)
+       * {q} END AS lam
+)"""
+    )
+    return parts
+
+
+def _pca_oracle(rounds: int = PI_ROUNDS) -> str:
+    parts = list(_pca_cte_parts(rounds))
+    parts.append(
         f"""
 SELECT u.vec_id AS vec_id, emb.label AS label,
   CAST(floor(CAST(CAST(SUM(CAST(u.q * (SELECT n FROM nn) - st.sd AS HUGEINT)
@@ -356,7 +392,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection; the iteration itself is O(d^2 * rounds) driver work.
     """
     cov_rows = _covq_frame(spark, sf_dir).collect()  # d^2 = 256 rows
-    e1, e2 = _pca_components(cov_rows)
+    e1, e2, _lam1, _lam2 = _pca_components(cov_rows)
 
     emb = load(spark, sf_dir, "embeddings")
     mean_aggs = [
@@ -393,12 +429,120 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PCA whitening of the top-2 subspace (round 14)
+# ---------------------------------------------------------------------------
+
+
+def _whiten_oracle(rounds: int = PI_ROUNDS) -> str:
+    """_pca_cte_parts + the whitened final SELECT: each centered
+    projection divides by sqrt(lam_k / 1e6) (its component's Rayleigh
+    eigenvalue in ORIGINAL units) before the 1e-4 grid floor; a
+    non-positive eigenvalue (degenerate spectrum) whitens to 0.0 by
+    definition on both engines."""
+    parts = list(_pca_cte_parts(rounds))
+    raw = (
+        "CAST(CAST(SUM(CAST(u.q * (SELECT n FROM nn) - st.sd AS HUGEINT)"
+        " * e{e}.vq) AS BIGINT) AS DOUBLE)"
+        " / (CAST((SELECT n FROM nn) AS DOUBLE) * 1e12)"
+    )
+    col = (
+        "CASE WHEN (SELECT lam FROM lam{e}) <= 0.0 THEN 0.0"
+        " ELSE CAST(floor(" + raw + " / sqrt((SELECT lam FROM lam{e}) / 1e6)"
+        " * 10000 + 0.5) AS BIGINT) / 10000.0 END AS w{e}"
+    )
+    parts.append(
+        "\nSELECT u.vec_id AS vec_id, emb.label AS label,\n  "
+        + col.replace("{e}", "1")
+        + ",\n  "
+        + col.replace("{e}", "2")
+        + """
+FROM u
+JOIN stat st ON u.i = st.i
+JOIN e1 ON u.i = e1.i
+JOIN e2 ON u.i = e2.i
+JOIN embeddings emb ON emb.vec_id = u.vec_id
+GROUP BY u.vec_id, emb.label"""
+    )
+    return "".join(parts)
+
+
+@op("embedding_whiten", oracle=_whiten_oracle(), tags=("llm", "embedding", "iterative"))
+def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitened top-2 coordinates per embedding: (vec_id, label,
+    w1, w2) with w_k = pc_k / sqrt(lambda_k) — the retrieval
+    post-processing step (Jegou et al.'s whitening) that equalizes the
+    dominant directions' variance so downstream cosine/L2 comparisons
+    stop being ruled by the top component; embedding_pca_project gives
+    the raw rotated coordinates, this divides each by its component's
+    energy, and embedding_isotropy_pairs measures the anisotropy this
+    op removes.
+
+    Exact: the SAME collected 256-row quantized covariance and deflated
+    fixed-round power iteration as embedding_pca_project (shared
+    _pca_components — ONE driver solve returns directions AND Rayleigh
+    eigenvalues); lambda_k enters the plan as a python-float literal
+    both engines reproduce from their own replay of the identical
+    integer recurrence, the division is one extra fixed-shape float op
+    before the 1e-4 grid floor, and a non-positive lambda (degenerate
+    spectrum) defines w_k = 0.0 outright instead of dividing by a
+    garbage root.
+
+    Scale: identical to embedding_pca_project — one covariance pass,
+    one sums pass, one map-only JVM projection; the whitening itself is
+    two scalar multiplies per row.
+    """
+    cov_rows = _covq_frame(spark, sf_dir).collect()  # d^2 = 256 rows
+    e1, e2, lam1, lam2 = _pca_components(cov_rows)
+
+    emb = load(spark, sf_dir, "embeddings")
+    mean_aggs = [
+        F.sum(
+            F.floor(F.element_at("embedding", d).cast("double") * _Q + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        ).alias(f"s{d}")
+        for d in range(1, D_SEL + 1)
+    ]
+    mean_row = emb.agg(F.count("*").alias("n"), *mean_aggs).collect()[0]
+    n = int(mean_row["n"])
+    s = [int(mean_row[f"s{d}"]) for d in range(1, D_SEL + 1)]
+
+    def white(vq: list[int], lam: float) -> F.Column:
+        if lam <= 0.0:
+            return F.lit(0.0)
+        terms = [
+            (
+                F.floor(
+                    F.element_at("embedding", d + 1).cast("double") * _Q + F.lit(0.5)
+                ).cast("decimal(38,0)")
+                * F.lit(n)
+                - F.lit(s[d]).cast("decimal(38,0)")
+            )
+            * F.lit(vq[d])
+            for d in range(D_SEL)
+        ]
+        tot = terms[0]
+        for t in terms[1:]:
+            tot = tot + t
+        x = tot.cast("double") / F.lit(float(n) * 1e12)
+        x = x / F.sqrt(F.lit(lam) / F.lit(1e6))
+        return (F.floor(x * F.lit(10000) + F.lit(0.5)).cast("long") / F.lit(10000.0))
+
+    return emb.select(
+        "vec_id",
+        "label",
+        white(e1, lam1).alias("w1"),
+        white(e2, lam2).alias("w2"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Matryoshka-style prefix variance curve (round 13)
 # ---------------------------------------------------------------------------
 
 _PREFIX_VAR_ORACLE = f"""
 WITH u AS (
-    SELECT vec_id, i, CAST(floor(x * {_Q} + 0.5) AS BIGINT) AS q
+    SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * {_Q} + 0.5) AS BIGINT) AS q
     FROM (SELECT vec_id, unnest(embedding) AS x,
                  generate_subscripts(embedding, 1) AS i FROM embeddings)
     WHERE i <= {D_SEL}

@@ -5427,3 +5427,117 @@ def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rz + F.lit(0.0)).alias("z_jt"),
         (rz > F.lit(_Z_ONE_SIDED_05)).alias("reject_increasing_trend"),
     )
+
+# ---------------------------------------------------------------------------
+# Cochran's Q over (user block x epoch-week condition) activity (round 14)
+# ---------------------------------------------------------------------------
+
+_COCHRAN_ORACLE = f"""
+WITH e AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+    FROM events WHERE event_type = 'purchase'
+), kg AS (SELECT count(DISTINCT wk) AS k FROM e),
+r AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS ri FROM e GROUP BY 1
+), rs AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(ri) AS BIGINT) AS n,
+           CAST(sum(ri * ri) AS BIGINT) AS sr2
+    FROM r
+), c AS (
+    SELECT wk, CAST(count(*) AS BIGINT) AS cj FROM e GROUP BY 1
+), cs AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS sc2 FROM c),
+stat AS (
+    SELECT kg.k, rs.n_users, rs.n,
+           (kg.k - 1) * CAST(kg.k * cs.sc2 - rs.n * rs.n AS DOUBLE)
+           / nullif(CAST(kg.k * rs.n - rs.sr2 AS DOUBLE), 0.0) AS q
+    FROM kg CROSS JOIN rs CROSS JOIN cs
+)
+SELECT CAST(k AS BIGINT) AS k_weeks,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n AS BIGINT) AS n_active_cells,
+       CAST(k - 1 AS BIGINT) AS dof,
+       round(q, 6) + 0.0 AS q_cochran,
+       round(q, 6) > (SELECT {_CHI2_CRIT_BY_DOF}
+                      FROM (SELECT CAST(k - 1 AS BIGINT) AS dof FROM kg))
+           AS reject_equal_weeks
+FROM stat
+"""
+
+
+@op("stats_cochran_q", oracle=_COCHRAN_ORACLE, tags=("ext", "stats", "scale"))
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q on the (user block x epoch-week condition) conversion
+    matrix (active = logged at least one 'purchase' event): is a user's
+    propensity to CONVERT the same in every week
+    of the span? The BINARY member of the blocked battery - Friedman
+    compares per-block value levels, Q compares per-block yes/no
+    outcomes, the retention question (week-over-week cohort stickiness)
+    a continuous test cannot ask. stats_mcnemar is its k = 2 special
+    case; like there, each user serves as their own control, so
+    population mix shifts between weeks don't confound.
+
+    Exact and ALL-integer until the final division:
+    Q = (k-1)(k*SUM C_j^2 - N^2) / (k*N - SUM R_i^2) with C_j = users
+    active in week j, R_i = weeks user i was active, N = SUM C = SUM R.
+    All-yes and all-no users cancel algebraically (k*R - R^2 = 0 at
+    R = 0 and R = k), so no row filtering is needed - the classical
+    "drop constant rows" step changes nothing here, by construction.
+    Verdict vs the chi-square(k-1) 5% literal table.
+
+    Note the exposure semantics: a calendar-truncated final week has
+    genuinely fewer conversion opportunities, and Q reads that as a
+    real between-week difference - it tests the observed panel, it
+    does not normalize exposure (that is ts_seasonal_index's job).
+
+    Scale: one DISTINCT (user, week) exchange (map-side partial
+    distinct), then a corpus-scale per-user count whose square sums in
+    the same agg; the per-week totals are k-bounded. Output is 1 row.
+    No window, no sort, no grid.
+
+    Reference parity: the reference's per-region running counters
+    (regionSpout.go:151-163) are presence streams per time slice; Q is
+    the paired test over exactly that presence matrix.
+    """
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", epoch_seconds("ts").alias("te"))
+        .select("user_id", F.expr("te div 604800").alias("wk"))
+        .distinct()
+        .localCheckpoint()
+    )
+    kg = e.agg(F.countDistinct("wk").alias("k"))
+    rs = (
+        e.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("ri"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("ri").cast("bigint").alias("n"),
+            F.sum(F.col("ri") * F.col("ri")).cast("bigint").alias("sr2"),
+        )
+    )
+    cs = (
+        e.groupBy("wk")
+        .agg(F.count("*").cast("bigint").alias("cj"))
+        .agg(F.sum(F.col("cj") * F.col("cj")).cast("bigint").alias("sc2"))
+    )
+    s = kg.crossJoin(F.broadcast(rs)).crossJoin(F.broadcast(cs))
+    kk = F.col("k")
+    q = (
+        (kk - 1)
+        * (kk * F.col("sc2") - F.col("n") * F.col("n")).cast("double")
+        / F.nullif((kk * F.col("n") - F.col("sr2")).cast("double"), F.lit(0.0))
+    )
+    rq = F.round(q, 6)
+    return s.select(
+        kk.cast("bigint").alias("k_weeks"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n").cast("bigint").alias("n_active_cells"),
+        (kk - 1).cast("bigint").alias("dof"),
+        (rq + F.lit(0.0)).alias("q_cochran"),
+        (
+            rq > F.expr(_CHI2_CRIT_BY_DOF.replace("CASE dof", "CASE k - 1"))
+        ).alias("reject_equal_weeks"),
+    )

@@ -667,6 +667,8 @@ _WINDOW_PRIORITY = [
     "stats_jonckheere_terpstra",
     "corpus_kn_bigram_xent",
     "multimodal_shot_boundary",
+    "stats_cochran_q",
+    "embedding_whiten",
 ]
 
 

@@ -209,6 +209,8 @@ SWEEP = [
     "stats_jonckheere_terpstra",   # count-grid pairwise U + tie var (r14)
     "corpus_kn_bigram_xent",       # integer-count KN, quantized NLL fold (r14)
     "multimodal_shot_boundary",    # sequential cut scan inside Arrow batch (r14)
+    "stats_cochran_q",             # integer presence-matrix chi2 (r14)
+    "embedding_whiten",            # shared PCA solve + eigenvalue literals (r14)
 ]
 
 
@@ -268,6 +270,7 @@ SWEEP_SF001 = [
     "stats_dunn_posthoc",           # pooled-rank shard cuts differ by scale (r14)
     "corpus_perplexity_buckets",    # per-lang rank shard cuts differ by scale (r14)
     "corpus_kn_bigram_xent",        # doc_id-midpoint split differs by scale (r14)
+    "embedding_whiten",             # iteration inputs differ by scale (r14)
 ]
 
 

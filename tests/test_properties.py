@@ -592,7 +592,7 @@ def test_pca_projection_matches_numpy_reference(spark):
         for i in range(D_SEL)
         for j in range(D_SEL)
     ]
-    e1, e2 = _pca_components(cov_rows)
+    e1, e2, _lam1, _lam2 = _pca_components(cov_rows)
 
     # independent matrix-algebra projection (the op sums 16 scalar terms)
     qn = q.astype("int64") * n - sd  # exact in int64 at this scale
@@ -5273,3 +5273,96 @@ def test_kn_bigram_xent_matches_python_reference(spark, tmp_path):
         assert got["ctx_unseen_bp"] == e["unseen"] * 10000 // e["n"]
     assert out["nat"]["h_bits"] < out["rnd"]["h_bits"], (
         "train-matched chains must score below scrambled text")
+
+
+def test_cochran_q_matches_python_reference(spark, tmp_path):
+    """stats_cochran_q vs the textbook row/column-total formula computed
+    from an explicit 0/1 matrix, on a fixture where one week's
+    conversion propensity is deliberately cut."""
+    import pandas as pd
+
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    users, weeks = 40, 4
+    base = pd.Timestamp("2024-03-04")  # epoch-week aligned Monday
+    rows, mat = [], {}
+    i = 0
+    for u in range(users):
+        for wk in range(weeks):
+            # week 2 converts rarely; others usually
+            thr = 3 if wk == 2 else 24
+            active = _md5i(f"cq|{u}|{wk}", 30) < thr
+            mat[(u, wk)] = 1 if active else 0
+            # every user logs a click each week (must not count as
+            # conversion); converters add a purchase event
+            rows.append(dict(
+                event_id=i, ts=base + pd.Timedelta(days=7 * wk, hours=u % 24),
+                user_id=u, event_type="click", value=1.0, props="{}"))
+            i += 1
+            if active:
+                rows.append(dict(
+                    event_id=i,
+                    ts=base + pd.Timedelta(days=7 * wk + 1, hours=u % 24),
+                    user_id=u, event_type="purchase", value=1.0, props="{}"))
+                i += 1
+    _write_events(tmp_path, rows)
+    # python replay over users with >= 1 conversion (others never enter
+    # the events-derived panel; all-zero rows cancel anyway)
+    cj = [sum(mat[(u, wk)] for u in range(users)) for wk in range(weeks)]
+    ri = [sum(mat[(u, wk)] for wk in range(weeks)) for u in range(users)]
+    n = sum(cj)
+    k = weeks
+    q = (k - 1) * (k * sum(c * c for c in cj) - n * n) / (
+        k * n - sum(r * r for r in ri)
+    )
+    out = registry.OPS["stats_cochran_q"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r0 = out[0]
+    assert r0["k_weeks"] == k
+    assert r0["n_users"] == sum(1 for r in ri if r > 0)
+    assert r0["n_active_cells"] == n
+    assert abs(r0["q_cochran"] - q) < 1e-4, (r0["q_cochran"], q)
+    crit = 7.814728  # chi2(3) 5%
+    assert r0["reject_equal_weeks"] == (round(q, 6) > crit)
+    assert r0["reject_equal_weeks"], "suppressed week 2 should reject"
+
+
+def test_whiten_unit_variance_and_degenerate_fixture(spark, tmp_path):
+    """embedding_whiten: on a well-conditioned anisotropic fixture the
+    whitened coordinates have ~unit variance along both components
+    (that IS the definition of whitening); a constant-embedding corpus
+    (zero covariance -> degenerate spectrum) whitens to exact 0.0."""
+    import pandas as pd
+
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+
+    def run(dirname, vecs):
+        d = tmp_path / dirname
+        d.mkdir()
+        pd.DataFrame(
+            [dict(vec_id=i, embedding=v, label=i % 2) for i, v in enumerate(vecs)]
+        ).to_parquet(d / "embeddings.parquet", index=False)
+        return registry.OPS["embedding_whiten"].fn(spark, str(d)).collect()
+
+    const = run("const", [[0.25] * 16 for _ in range(6)])
+    assert all(r["w1"] == 0.0 and r["w2"] == 0.0 for r in const)
+
+    # anisotropic: dim0 swings +-0.4, dim1 +-0.05, rest tiny hash noise
+    n = 240
+    vecs = []
+    for i in range(n):
+        v = [0.0] * 16
+        v[0] = 0.4 if i % 2 == 0 else -0.4
+        v[1] = 0.05 if (i // 2) % 2 == 0 else -0.05
+        for j in range(2, 16):
+            v[j] = (_md5i(f"wh|{i}|{j}", 21) - 10) * 1e-3
+        vecs.append(v)
+    out = run("aniso", vecs)
+    for col in ("w1", "w2"):
+        xs = [r[col] for r in out]
+        m = sum(xs) / len(xs)
+        var = sum((x - m) ** 2 for x in xs) / len(xs)
+        assert 0.8 < var < 1.2, (col, var)

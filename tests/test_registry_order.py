@@ -122,6 +122,8 @@ NEW_R14_BEHIND_WINDOW = [
     "stats_jonckheere_terpstra",
     "corpus_kn_bigram_xent",
     "multimodal_shot_boundary",
+    "stats_cochran_q",
+    "embedding_whiten",
 ]
 
 MUST_BE_IN_WINDOW = STALEST_FRONTED_R14 + CHANGED_IN_ROUND_14 + NEW_IN_ROUND_14
