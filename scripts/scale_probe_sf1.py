@@ -79,6 +79,14 @@ TARGETS = [
     ("agg_median_distributed", ("orders",), False),
     ("agg_quantiles_distributed", ("orders",), False),
     ("stats_kruskal_wallis", ("events",), False),
+    # round-14 wave additions: the KN bigram LM (two corpus-scale
+    # bigram aggs + type-level joins; replicas have disjoint vocab so
+    # the type frames scale ~linearly — the honest growth) and the
+    # count-grid JT test (the grid is cents-domain-bounded, so 10× the
+    # rows should fatten counts, not the grid: expect strongly
+    # sublinear)
+    ("corpus_kn_bigram_xent", ("documents",), False),
+    ("stats_jonckheere_terpstra", ("events",), False),
 ]
 
 # Ops whose OUTPUT is expected to grow with the corpus (verified pairs,

@@ -93,6 +93,15 @@ SNAPSHOT_KEYS = [
     "stats_kruskal_wallis",
     "graph_adamic_adar",
     "embedding_pca_project",
+    # round-14 tier: the blocked/ordered rank batteries' one-corpus-agg
+    # shape, the KN bigram LM's two-pass + type-level-join shape, the
+    # map-only Arrow segmentation, and the shared-solve whitening
+    # projection — this round's scale claims as plans
+    "stats_friedman",
+    "stats_jonckheere_terpstra",
+    "corpus_kn_bigram_xent",
+    "multimodal_shot_boundary",
+    "embedding_whiten",
 ]
 
 
