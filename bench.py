@@ -301,6 +301,7 @@ EXTENDED = [
     "multimodal_shot_boundary",
     "stats_cochran_q",
     "embedding_whiten",
+    "graph_betweenness_sampled",
 ]
 
 

@@ -2406,3 +2406,210 @@ def graph_ego_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ego_density_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampled truncated-Brandes betweenness (round 14)
+# ---------------------------------------------------------------------------
+
+_BW_SOURCES = 3
+_BW_HOPS = 3
+_BW_GRID = 1 << 20  # dependency quantization grid (delta * 2^20 integers)
+_BW_TOPK = 20
+
+
+def _bw_oracle() -> str:
+    """Unrolled Brandes: forward BFS with path counts (sigma), then the
+    dependency back-propagation delta_u = sum_w (sigma_u*(GRID+delta_w))
+    div sigma_w as EXACT truncating integer arithmetic per level."""
+    g = _BW_GRID
+    ctes = [
+        _PAIR_EDGES_SQL
+        + f""",
+und AS (SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e),
+seeds AS (
+    SELECT user_id AS s
+    FROM (SELECT a AS user_id FROM e UNION SELECT c FROM e)
+    ORDER BY md5('bw|' || CAST(user_id AS VARCHAR)), user_id
+    LIMIT {_BW_SOURCES}
+),
+d0 AS (SELECT s, s AS node, CAST(1 AS BIGINT) AS sig FROM seeds),
+v0 AS (SELECT s, node FROM d0)"""
+    ]
+    for k in range(1, _BW_HOPS + 1):
+        ctes.append(
+            f""",
+c{k} AS (
+    SELECT p.s, e.v AS node, CAST(sum(p.sig) AS BIGINT) AS sig
+    FROM d{k - 1} p JOIN und e ON e.u = p.node
+    GROUP BY 1, 2
+),
+d{k} AS (
+    SELECT c.s, c.node, c.sig FROM c{k} c
+    LEFT JOIN v{k - 1} w ON w.s = c.s AND w.node = c.node
+    WHERE w.node IS NULL
+),
+v{k} AS (SELECT s, node FROM v{k - 1} UNION ALL SELECT s, node FROM d{k}),
+p{k} AS (
+    SELECT a.s, a.node AS u, a.sig AS sig_u, b.node AS w, b.sig AS sig_w
+    FROM d{k - 1} a JOIN und e ON e.u = a.node
+    JOIN d{k} b ON b.s = a.s AND b.node = e.v
+)"""
+        )
+    # reverse: delta at the deepest level is 0; walk back to level 1
+    ctes.append(f""",
+del{_BW_HOPS} AS (SELECT s, node, CAST(0 AS BIGINT) AS dq FROM d{_BW_HOPS})""")
+    for k in range(_BW_HOPS, 0, -1):
+        ctes.append(
+            f""",
+del{k - 1} AS (
+    SELECT p.s, p.u AS node,
+           CAST(sum((p.sig_u * ({g} + COALESCE(d.dq, 0))) // p.sig_w)
+                AS BIGINT) AS dq
+    FROM p{k} p LEFT JOIN del{k} d ON d.s = p.s AND d.node = p.w
+    GROUP BY 1, 2
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT s, node, dq FROM del{k}" for k in range(1, _BW_HOPS)
+    )
+    return (
+        "WITH "
+        + "".join(ctes)
+        + f""",
+alls AS ({unions}),
+bc AS (
+    SELECT node AS user_id, CAST(sum(dq) AS BIGINT) AS bc_grid
+    FROM alls GROUP BY 1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, bc_grid,
+       round(CAST(bc_grid AS DOUBLE) / {g}, 6) + 0.0 AS bc_approx
+FROM bc
+ORDER BY bc_grid DESC, user_id
+LIMIT {_BW_TOPK}"""
+    )
+
+
+@op("graph_betweenness_sampled", oracle=_bw_oracle(), tags=("ext", "graph", "iterative"))
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled truncated-Brandes betweenness on the shared-purchase
+    graph: which users sit ON the shortest paths between others — the
+    broker/bridge measure the rest of the centrality suite misses
+    (degree counts neighbors, harmonic rewards being close, PageRank
+    rewards being endorsed; betweenness rewards being UNAVOIDABLE).
+    Exact Brandes is O(V·E); the scale form is source-sampled and
+    hop-truncated (Riondato–Kornaropoulos style budgeting): here
+    {_BW_SOURCES} md5-pinned seeds (an independent salt from
+    harmonic's), paths truncated at {_BW_HOPS} hops, top-{_BW_TOPK}
+    brokers reported. More seeds = tighter estimate; the knob is the
+    budget, the per-seed cost is the same Pregel shape as
+    graph_harmonic_centrality.
+
+    Exact: forward BFS carries integer path counts (sigma(v) = sum of
+    predecessor sigmas — level-frontier grouping makes each sigma a
+    one-pass integer agg); the backward dependency pass keeps Brandes'
+    delta_u = sum_w sigma_u/sigma_w * (1 + delta_w) on the 2^20
+    integer grid — each term quantizes via one truncating integer
+    division (div here, // in DuckDB, both truncate toward zero on
+    these positive values) BEFORE the sum, so accumulation order
+    cannot matter. The oracle unrolls both sweeps as per-level CTEs.
+
+    Scale: per hop ONE frontier-edges equi-join + per-(s, node) agg +
+    anti-join against visited (checkpointed), then the SAME per-level
+    joins replayed backward over the saved level/pred frames — 2·hops
+    linear passes per seed batch, never all-pairs; the top-K is a
+    TakeOrdered, not a global sort.
+
+    Reference parity: the reference fans regions out as independent
+    streams (regionSpout.go:85-99); betweenness is the cross-region
+    broker question its per-region counters cannot ask.
+    """
+    e = _pair_edges(spark, sf_dir)
+    und = (
+        e.select(F.col("a").alias("u"), F.col("c").alias("v"))
+        .unionAll(e.select(F.col("c").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("a").alias("user_id")).union(
+        e.select(F.col("c").alias("user_id"))
+    ).distinct()
+    seeds = (
+        nodes.orderBy(
+            F.md5(F.concat(F.lit("bw|"), F.col("user_id").cast("string"))),
+            "user_id",
+        )
+        .limit(_BW_SOURCES)
+        .select(F.col("user_id").alias("s"))
+    )
+    d = [
+        seeds.select(
+            "s", F.col("s").alias("node"), F.lit(1).cast("bigint").alias("sig")
+        ).localCheckpoint()
+    ]
+    visited = d[0].select("s", "node")
+    preds = []
+    for _k in range(1, _BW_HOPS + 1):
+        cand = (
+            d[-1]
+            .join(und, d[-1]["node"] == und["u"])
+            .select("s", F.col("v").alias("node"), "sig")
+            .groupBy("s", "node")
+            .agg(F.sum("sig").cast("bigint").alias("sig"))
+        )
+        nxt = cand.join(visited, ["s", "node"], "left_anti").localCheckpoint()
+        visited = visited.unionAll(nxt.select("s", "node")).localCheckpoint()
+        eu = und.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+        pk = (
+            d[-1]
+            .select("s", F.col("node").alias("u"), F.col("sig").alias("sig_u"))
+            .join(eu, F.col("u") == F.col("eu"))
+            .select("s", "u", "sig_u", F.col("ev").alias("w"))
+            .join(
+                nxt.select(
+                    "s", F.col("node").alias("w"), F.col("sig").alias("sig_w")
+                ),
+                ["s", "w"],
+            )
+            .select("s", "u", "sig_u", "w", "sig_w")
+            .localCheckpoint()
+        )
+        preds.append(pk)
+        d.append(nxt)
+    delta = d[_BW_HOPS].select("s", "node", F.lit(0).cast("bigint").alias("dq"))
+    deltas = []
+    for k in range(_BW_HOPS, 0, -1):
+        pk = preds[k - 1]
+        delta = (
+            pk.join(
+                delta.select("s", F.col("node").alias("w"), "dq"),
+                ["s", "w"],
+                "left",
+            )
+            .select(
+                "s",
+                F.col("u").alias("node"),
+                F.expr(
+                    f"(sig_u * ({_BW_GRID} + coalesce(dq, 0))) div sig_w"
+                ).alias("t"),
+            )
+            .groupBy("s", "node")
+            .agg(F.sum("t").cast("bigint").alias("dq"))
+            .localCheckpoint()
+        )
+        if k > 1:  # levels 1..hops-1 accumulate; level 0 is the seed
+            deltas.append(delta)
+    alls = deltas[0]
+    for x in deltas[1:]:
+        alls = alls.unionAll(x)
+    bc = alls.groupBy("node").agg(F.sum("dq").cast("bigint").alias("bc_grid"))
+    return (
+        bc.select(
+            F.col("node").cast("bigint").alias("user_id"),
+            "bc_grid",
+            (F.round(F.col("bc_grid").cast("double") / F.lit(_BW_GRID), 6) + F.lit(0.0)).alias(
+                "bc_approx"
+            ),
+        )
+        .orderBy(F.desc("bc_grid"), "user_id")
+        .limit(_BW_TOPK)
+    )

@@ -669,6 +669,7 @@ _WINDOW_PRIORITY = [
     "multimodal_shot_boundary",
     "stats_cochran_q",
     "embedding_whiten",
+    "graph_betweenness_sampled",
 ]
 
 

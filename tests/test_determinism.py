@@ -211,6 +211,7 @@ SWEEP = [
     "multimodal_shot_boundary",    # sequential cut scan inside Arrow batch (r14)
     "stats_cochran_q",             # integer presence-matrix chi2 (r14)
     "embedding_whiten",            # shared PCA solve + eigenvalue literals (r14)
+    "graph_betweenness_sampled",   # md5 seeds, quantized dependency pass (r14)
 ]
 
 
@@ -271,6 +272,7 @@ SWEEP_SF001 = [
     "corpus_perplexity_buckets",    # per-lang rank shard cuts differ by scale (r14)
     "corpus_kn_bigram_xent",        # doc_id-midpoint split differs by scale (r14)
     "embedding_whiten",             # iteration inputs differ by scale (r14)
+    "graph_betweenness_sampled",    # seed picks + frontier shapes differ by scale (r14)
 ]
 
 

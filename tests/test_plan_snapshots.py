@@ -102,6 +102,7 @@ SNAPSHOT_KEYS = [
     "corpus_kn_bigram_xent",
     "multimodal_shot_boundary",
     "embedding_whiten",
+    "graph_betweenness_sampled",
 ]
 
 

@@ -5366,3 +5366,162 @@ def test_whiten_unit_variance_and_degenerate_fixture(spark, tmp_path):
         m = sum(xs) / len(xs)
         var = sum((x - m) ** 2 for x in xs) / len(xs)
         assert 0.8 < var < 1.2, (col, var)
+
+
+def _oracle_agree(spark, tmp_path, key):
+    """Exact op-vs-oracle agreement on the fixture in tmp_path (the
+    driver's compare, inlined: row count + sorted columns + 6-decimal
+    values, order-insensitive)."""
+    import duckdb
+
+    from connor_fun_streamproducer_spark import registry
+
+    o = registry.OPS[key]
+    sdf = o.fn(spark, str(tmp_path))
+    srows = sdf.collect()
+    con = duckdb.connect()
+    for t in ("events", "documents", "embeddings"):
+        f = tmp_path / f"{t}.parquet"
+        if f.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{f}')")
+    res = con.sql(o.oracle)
+    drows = res.fetchall()
+
+    def norm(rows, cols):
+        idx = [cols.index(c) for c in sorted(cols)]
+        out = []
+        for r in rows:
+            out.append(tuple(
+                f"{round(r[i], 6):.6f}" if isinstance(r[i], float) else str(r[i])
+                for i in idx
+            ))
+        return sorted(out)
+
+    assert sorted(sdf.columns) == sorted(res.columns), key
+    assert norm(srows, sdf.columns) == norm(drows, res.columns), (
+        key, norm(srows, sdf.columns)[:3], norm(drows, res.columns)[:3])
+    return srows
+
+
+def test_blocked_battery_degenerate_fixtures(spark, tmp_path):
+    """The round-14 blocked/ordered battery on degenerate designs must
+    agree with its oracles INSTEAD of crashing or diverging: a single
+    treatment (k=1 -> chi2 0/0 -> NULL verdict), a single ordered group
+    (JT variance collapses to EXACTLY zero through the tie-corrected
+    formula -- the three terms cancel algebraically -- so z is NULL),
+    and a zero-conversion panel (Cochran k=0)."""
+    import pandas as pd
+
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+
+    # one event type, one week, clicks only (no purchases)
+    d = tmp_path / "deg1"
+    d.mkdir()
+    rows = []
+    for i in range(40):
+        rows.append(dict(
+            event_id=i,
+            ts=pd.Timestamp("2024-03-04") + pd.Timedelta(hours=i),
+            user_id=i % 7,
+            event_type="click",
+            value=(1000 + _md5i(f"dg|{i}", 500)) / 100.0,
+            props="{}",
+        ))
+    _write_events(d, rows)
+    r = _oracle_agree(spark, d, "stats_friedman")
+    assert len(r) == 1 and r[0]["k_treatments"] == 1
+    assert r[0]["chi2_friedman"] is None  # 0/0 is NULL, not a crash
+    r = _oracle_agree(spark, d, "stats_jonckheere_terpstra")
+    assert len(r) == 1 and r[0]["k_groups"] == 1
+    assert r[0]["u2_stat"] == 0 and r[0]["z_jt"] is None
+    r = _oracle_agree(spark, d, "stats_cochran_q")
+    assert len(r) == 1 and r[0]["k_weeks"] == 0
+    assert r[0]["q_cochran"] is None
+    r = _oracle_agree(spark, d, "stats_page_trend")
+    assert len(r) == 1  # 2-hourly events cover all 6 slots; z defined
+
+
+def test_betweenness_sampled_matches_python_brandes(spark, tmp_path):
+    """graph_betweenness_sampled vs an independently coded truncated
+    Brandes (dict BFS + grid-quantized dependency pass) on a designed
+    two-cluster-plus-bridge topology: the bridge user must out-rank
+    everyone, and every score must agree exactly."""
+    import hashlib
+
+    import pandas as pd
+
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+    # two 5-cliques bridged through user 100: 0-4 clique, 10-14 clique,
+    # bridge edges 4-100 and 100-10
+    edges = []
+    for base in (0, 10):
+        ids = [base + j for j in range(5)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    edges += [(4, 100), (100, 10)]
+    rows = []
+    i = 0
+    for (u, v) in edges:
+        c = 10000 + i * 7  # one distinct cents bucket per edge (size 2)
+        for uid in (u, v):
+            rows.append(dict(
+                event_id=len(rows),
+                ts=pd.Timestamp("2024-03-04") + pd.Timedelta(minutes=len(rows)),
+                user_id=uid,
+                event_type="purchase",
+                value=c / 100.0,
+                props="{}",
+            ))
+        i += 1
+    _write_events(tmp_path, rows)
+    adj = {}
+    for (u, v) in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = sorted(adj)
+    seeds = sorted(
+        nodes,
+        key=lambda n: (hashlib.md5(f"bw|{n}".encode()).hexdigest(), n),
+    )[:3]
+    GRID, HOPS = 1 << 20, 3
+    bc = {}
+    for s in seeds:
+        level = {s: 0}
+        sig = {s: 1}
+        frontier = [s]
+        levels = [[s]]
+        for k in range(1, HOPS + 1):
+            nxt = {}
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in level:
+                        nxt[v] = nxt.get(v, 0) + sig[u]
+            for v, sg in nxt.items():
+                level[v] = k
+                sig[v] = sg
+            frontier = sorted(nxt)
+            levels.append(frontier)
+        dq = {v: 0 for v in levels[HOPS]}
+        for k in range(HOPS, 0, -1):
+            ndq = {}
+            for u in levels[k - 1]:
+                t = 0
+                for w in adj[u]:
+                    if level.get(w) == k:
+                        t += (sig[u] * (GRID + dq.get(w, 0))) // sig[w]
+                if t:
+                    ndq[u] = t
+            for u, val in ndq.items():
+                if k > 1:  # levels 1..HOPS-1 accumulate; seeds excluded
+                    bc[u] = bc.get(u, 0) + val
+            dq = ndq
+    want = sorted(bc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["user_id"], r["bc_grid"])
+        for r in registry.OPS["graph_betweenness_sampled"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert got == want, (got[:5], want[:5])
+    assert got and got[0][0] == 100, "the bridge user must rank first"
