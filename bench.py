@@ -302,6 +302,7 @@ EXTENDED = [
     "stats_cochran_q",
     "embedding_whiten",
     "graph_betweenness_sampled",
+    "stats_mantel_haenszel",
 ]
 
 

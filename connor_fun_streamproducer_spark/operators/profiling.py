@@ -5541,3 +5541,182 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             rq > F.expr(_CHI2_CRIT_BY_DOF.replace("CASE dof", "CASE k - 1"))
         ).alias("reject_equal_weeks"),
     )
+
+# ---------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel stratified association (round 14)
+# ---------------------------------------------------------------------------
+
+_MH_BIG_CENTS = 10_000  # outcome: "large event" = value >= 100.00
+
+_MH_ORACLE = f"""
+WITH b AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS te,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), span AS (
+    SELECT (min(te) + max(te)) // 2 AS mid FROM b
+), e AS (
+    SELECT event_type,
+           CASE WHEN te < mid THEN 0 ELSE 1 END AS era,
+           CASE WHEN cents >= {_MH_BIG_CENTS} THEN 1 ELSE 0 END AS big
+    FROM b CROSS JOIN span
+), cell AS (
+    SELECT event_type,
+           CAST(sum(CASE WHEN era = 0 AND big = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(sum(CASE WHEN era = 0 AND big = 0 THEN 1 ELSE 0 END) AS BIGINT) AS bb,
+           CAST(sum(CASE WHEN era = 1 AND big = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN era = 1 AND big = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM e GROUP BY 1
+), fold AS (
+    SELECT count(*) AS k_strata,
+           CAST(sum(a) AS BIGINT) AS sa,
+           list_sort(list([a, bb, c, d])) AS l
+    FROM cell
+), s AS (
+    SELECT k_strata, sa,
+           list_reduce(list_transform(l, p ->
+               CAST(p[1] + p[2] AS DOUBLE) * CAST(p[1] + p[3] AS DOUBLE)
+               / CAST(p[1] + p[2] + p[3] + p[4] AS DOUBLE)),
+               (x, y) -> x + y) AS se,
+           list_reduce(list_transform(l, p ->
+               CAST(p[1] + p[2] AS DOUBLE) * CAST(p[3] + p[4] AS DOUBLE)
+               * CAST(p[1] + p[3] AS DOUBLE) * CAST(p[2] + p[4] AS DOUBLE)
+               / (CAST(p[1] + p[2] + p[3] + p[4] AS DOUBLE)
+                  * CAST(p[1] + p[2] + p[3] + p[4] AS DOUBLE)
+                  * CAST(p[1] + p[2] + p[3] + p[4] - 1 AS DOUBLE))),
+               (x, y) -> x + y) AS sv,
+           list_reduce(list_transform(l, p ->
+               CAST(p[1] AS DOUBLE) * CAST(p[4] AS DOUBLE)
+               / CAST(p[1] + p[2] + p[3] + p[4] AS DOUBLE)),
+               (x, y) -> x + y) AS sad,
+           list_reduce(list_transform(l, p ->
+               CAST(p[2] AS DOUBLE) * CAST(p[3] AS DOUBLE)
+               / CAST(p[1] + p[2] + p[3] + p[4] AS DOUBLE)),
+               (x, y) -> x + y) AS sbc
+    FROM fold
+)
+SELECT CAST(k_strata AS BIGINT) AS k_strata,
+       CAST(sa AS BIGINT) AS sum_exposed_large,
+       round(greatest(abs(CAST(sa AS DOUBLE) - se) - 0.5, 0.0)
+             * greatest(abs(CAST(sa AS DOUBLE) - se) - 0.5, 0.0)
+             / nullif(sv, 0.0), 6) + 0.0 AS cmh_chi2,
+       round(greatest(abs(CAST(sa AS DOUBLE) - se) - 0.5, 0.0)
+             * greatest(abs(CAST(sa AS DOUBLE) - se) - 0.5, 0.0)
+             / nullif(sv, 0.0), 6) > 3.841459 AS reject_no_association,
+       round(sad / nullif(sbc, 0.0), 6) + 0.0 AS or_mh
+FROM s
+"""
+
+
+@op("stats_mantel_haenszel", oracle=_MH_ORACLE, tags=("ext", "stats"))
+def stats_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of the (era x large-event) 2x2
+    association STRATIFIED by event type, plus the MH common odds
+    ratio: did the rate of large events (value >= 100.00) shift between
+    the span's halves, once the type mix is held fixed? The raw pooled
+    chi2 (stats_chi2_independence's shape) is Simpson-vulnerable: a
+    type-mix drift between eras can manufacture or mask a pooled
+    association; CMH compares within each type and pools the evidence
+    - the confounder-adjusted association test the battery lacked, and
+    stats_cochran_q's natural companion (paired users there, stratified
+    cells here).
+
+    Exact: each stratum's 2x2 cell counts are one integer hash agg; the
+    per-stratum E[a] = (a+b)(a+c)/n, Var[a] (product-over-n^2(n-1)) and
+    the ad/n, bc/n Mantel-Haenszel terms are fixed-shape double
+    expressions over those integers, folded over the |types|-bounded
+    SORTED cell array (the stats_cramers_v discipline) so both engines
+    add in the same order. Continuity-corrected CMH = (|SUM a - SUM E|
+    - 0.5)^2 / SUM Var (clamped at zero) vs the chi-square(1) 5%
+    literal; era is the fingerprint-cached midpoint literal.
+
+    Scale: ONE corpus-scale hash aggregation with map-side partials
+    into |types| cells; everything after is a bounded fold. 1 output
+    row.
+
+    Reference parity: the reference tags every message with its region
+    (regionSpout.go:151-163); CMH is the region-adjusted comparison
+    its per-region counters imply but never compute.
+    """
+    span = events_era_mid(spark, sf_dir)  # fingerprint-cached 1-row probe
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        epoch_seconds("ts").alias("te"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    cell = (
+        e.select(
+            "event_type",
+            F.when(F.col("te") < F.lit(span), 0).otherwise(1).alias("era"),
+            F.when(F.col("cents") >= _MH_BIG_CENTS, 1).otherwise(0).alias("big"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when((F.col("era") == 0) & (F.col("big") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.when((F.col("era") == 0) & (F.col("big") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("bb"),
+            F.sum(F.when((F.col("era") == 1) & (F.col("big") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c"),
+            F.sum(F.when((F.col("era") == 1) & (F.col("big") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    fold = cell.agg(
+        F.count("*").alias("k_strata"),
+        F.sum("a").cast("bigint").alias("sa"),
+        bounded_series(
+            F.array_sort(F.collect_list(F.array("a", "bb", "c", "d"))),
+            what="stats_mantel_haenszel per-stratum 2x2 cells",
+        ).alias("l"),
+    )
+    se = F.expr(
+        "aggregate(l, CAST(0.0 AS DOUBLE), (x, p) -> x +"
+        " CAST(p[0] + p[1] AS DOUBLE) * CAST(p[0] + p[2] AS DOUBLE)"
+        " / CAST(p[0] + p[1] + p[2] + p[3] AS DOUBLE))"
+    )
+    sv = F.expr(
+        "aggregate(l, CAST(0.0 AS DOUBLE), (x, p) -> x +"
+        " CAST(p[0] + p[1] AS DOUBLE) * CAST(p[2] + p[3] AS DOUBLE)"
+        " * CAST(p[0] + p[2] AS DOUBLE) * CAST(p[1] + p[3] AS DOUBLE)"
+        " / (CAST(p[0] + p[1] + p[2] + p[3] AS DOUBLE)"
+        "    * CAST(p[0] + p[1] + p[2] + p[3] AS DOUBLE)"
+        "    * CAST(p[0] + p[1] + p[2] + p[3] - 1 AS DOUBLE)))"
+    )
+    sad = F.expr(
+        "aggregate(l, CAST(0.0 AS DOUBLE), (x, p) -> x +"
+        " CAST(p[0] AS DOUBLE) * CAST(p[3] AS DOUBLE)"
+        " / CAST(p[0] + p[1] + p[2] + p[3] AS DOUBLE))"
+    )
+    sbc = F.expr(
+        "aggregate(l, CAST(0.0 AS DOUBLE), (x, p) -> x +"
+        " CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)"
+        " / CAST(p[0] + p[1] + p[2] + p[3] AS DOUBLE))"
+    )
+    s = fold.select(
+        "k_strata",
+        "sa",
+        se.alias("se"),
+        sv.alias("sv"),
+        sad.alias("sad"),
+        sbc.alias("sbc"),
+    )
+    dev = F.greatest(
+        F.abs(F.col("sa").cast("double") - F.col("se")) - F.lit(0.5), F.lit(0.0)
+    )
+    chi = dev * dev / F.nullif(F.col("sv"), F.lit(0.0))
+    rc = F.round(chi, 6)
+    return s.select(
+        F.col("k_strata").cast("bigint").alias("k_strata"),
+        F.col("sa").cast("bigint").alias("sum_exposed_large"),
+        (rc + F.lit(0.0)).alias("cmh_chi2"),
+        (rc > F.lit(3.841459)).alias("reject_no_association"),
+        (F.round(F.col("sad") / F.nullif(F.col("sbc"), F.lit(0.0)), 6) + F.lit(0.0)).alias(
+            "or_mh"
+        ),
+    )

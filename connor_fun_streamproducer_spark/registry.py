@@ -670,6 +670,7 @@ _WINDOW_PRIORITY = [
     "stats_cochran_q",
     "embedding_whiten",
     "graph_betweenness_sampled",
+    "stats_mantel_haenszel",
 ]
 
 

@@ -212,6 +212,7 @@ SWEEP = [
     "stats_cochran_q",             # integer presence-matrix chi2 (r14)
     "embedding_whiten",            # shared PCA solve + eigenvalue literals (r14)
     "graph_betweenness_sampled",   # md5 seeds, quantized dependency pass (r14)
+    "stats_mantel_haenszel",       # stratified 2x2 sorted fold (r14)
 ]
 
 

@@ -5525,3 +5525,73 @@ def test_betweenness_sampled_matches_python_brandes(spark, tmp_path):
     ]
     assert got == want, (got[:5], want[:5])
     assert got and got[0][0] == 100, "the bridge user must rank first"
+
+
+def test_mantel_haenszel_matches_python_and_defeats_simpson(spark, tmp_path):
+    """stats_mantel_haenszel vs the textbook stratified formula, on two
+    fixtures: (1) a Simpson construction — zero within-stratum
+    association but era-skewed stratum sizes with different base rates,
+    where the POOLED 2x2 would scream association and CMH must stay
+    quiet; (2) a genuine within-stratum era shift that must reject."""
+    import pandas as pd
+
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+
+    def build(dirname, strata):
+        # strata: list of (type, era, n_large, n_small)
+        d = tmp_path / dirname
+        d.mkdir()
+        rows = []
+        base = pd.Timestamp("2024-01-01")
+        late = pd.Timestamp("2024-01-29")
+        for (et, era, nl, ns) in strata:
+            t0 = base if era == 0 else late
+            for j in range(nl):
+                rows.append(dict(
+                    event_id=len(rows), ts=t0 + pd.Timedelta(seconds=len(rows)),
+                    user_id=1, event_type=et, value=150.0, props="{}"))
+            for j in range(ns):
+                rows.append(dict(
+                    event_id=len(rows), ts=t0 + pd.Timedelta(seconds=len(rows)),
+                    user_id=1, event_type=et, value=50.0, props="{}"))
+        # anchor the span so the midpoint separates the two bursts
+        _write_events(d, rows)
+        return d
+
+    def cmh_py(strata_cells):
+        # strata_cells: per type: (a, b, c, d)
+        sa = sum(a for a, _, _, _ in strata_cells)
+        se = sum((a + b) * (a + c) / (a + b + c + d) for a, b, c, d in strata_cells)
+        sv = sum(
+            (a + b) * (c + d) * (a + c) * (b + d)
+            / ((a + b + c + d) ** 2 * (a + b + c + d - 1))
+            for a, b, c, d in strata_cells
+        )
+        dev = max(abs(sa - se) - 0.5, 0.0)
+        return dev * dev / sv
+
+    # (1) Simpson: type X mostly era0 with high large-rate in BOTH eras;
+    # type Y mostly era1 with low large-rate in both eras. No
+    # within-stratum shift, big pooled shift.
+    d1 = build("simpson", [
+        ("X", 0, 160, 240), ("X", 1, 40, 60),    # 40% large both eras
+        ("Y", 0, 10, 90),  ("Y", 1, 40, 360),    # 10% large both eras
+    ])
+    cells1 = [(160, 240, 40, 60), (10, 90, 40, 360)]
+    out1 = registry.OPS["stats_mantel_haenszel"].fn(spark, str(d1)).collect()[0]
+    assert abs(out1["cmh_chi2"] - cmh_py(cells1)) < 1e-4
+    assert not out1["reject_no_association"], "CMH must not buy Simpson's paradox"
+    # pooled table WOULD reject: era0 large-rate 170/500 vs era1 80/500
+    pooled = cmh_py([(170, 330, 80, 420)])
+    assert pooled > 3.841459, "sanity: the pooled test is fooled"
+    # (2) genuine within-stratum shift in both strata
+    d2 = build("shift", [
+        ("X", 0, 120, 280), ("X", 1, 40, 160),   # 30% -> 20%
+        ("Y", 0, 150, 350), ("Y", 1, 50, 200),   # 30% -> 20%
+    ])
+    cells2 = [(120, 280, 40, 160), (150, 350, 50, 200)]
+    out2 = registry.OPS["stats_mantel_haenszel"].fn(spark, str(d2)).collect()[0]
+    assert abs(out2["cmh_chi2"] - cmh_py(cells2)) < 1e-4
+    assert out2["reject_no_association"], "a real within-stratum shift must reject"

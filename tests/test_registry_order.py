@@ -125,6 +125,7 @@ NEW_R14_BEHIND_WINDOW = [
     "stats_cochran_q",
     "embedding_whiten",
     "graph_betweenness_sampled",
+    "stats_mantel_haenszel",
 ]
 
 MUST_BE_IN_WINDOW = STALEST_FRONTED_R14 + CHANGED_IN_ROUND_14 + NEW_IN_ROUND_14
