@@ -303,6 +303,7 @@ EXTENDED = [
     "embedding_whiten",
     "graph_betweenness_sampled",
     "stats_mantel_haenszel",
+    "stats_cohens_kappa",
 ]
 
 

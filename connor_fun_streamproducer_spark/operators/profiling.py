@@ -5720,3 +5720,99 @@ def stats_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "or_mh"
         ),
     )
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa between two document quality gates (round 14)
+# ---------------------------------------------------------------------------
+
+_KAPPA_LEN_MIN = 300  # gate A: document length floor (chars)
+# gate B: chars-per-token (incl. separators) >= 5.5, as the INTEGER
+# predicate 2*n_chars >= 11*n_tokens -- no float threshold to jitter.
+
+_KAPPA_ORACLE = f"""
+WITH d AS (
+    SELECT CASE WHEN n_chars >= {_KAPPA_LEN_MIN} THEN 1 ELSE 0 END AS ga,
+           CASE WHEN 2 * n_chars >= 11 * len(string_split(text, ' '))
+                THEN 1 ELSE 0 END AS gb
+    FROM documents
+), c AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ga * gb) AS BIGINT) AS n11,
+           CAST(sum(ga * (1 - gb)) AS BIGINT) AS n10,
+           CAST(sum((1 - ga) * gb) AS BIGINT) AS n01,
+           CAST(sum((1 - ga) * (1 - gb)) AS BIGINT) AS n00
+    FROM d
+), s AS (
+    SELECT n, n11, n10, n01, n00,
+           CAST(n11 + n00 AS DOUBLE) / n AS po,
+           (CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+           + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n)
+               AS pe
+    FROM c
+)
+SELECT n AS n_docs, n11 AS both_pass, n00 AS both_fail,
+       n10 AS only_length, n01 AS only_wordlen,
+       (n11 + n00) * 10000 // n AS agreement_bp,
+       round((po - pe) / nullif(1.0 - pe, 0.0), 6) + 0.0 AS kappa
+FROM s
+"""
+
+
+@op("stats_cohens_kappa", oracle=_KAPPA_ORACLE, tags=("ext", "stats", "llm"))
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document quality gates -
+    the length floor (n_chars >= 300, _KAPPA_LEN_MIN) and the
+    chars-per-token floor (>= 5.5, evaluated as the integer predicate
+    2*n_chars >= 11*n_tokens) - i.e. chance-corrected agreement on
+    WHICH documents to keep. Raw agreement_bp overstates consensus
+    whenever both gates pass most documents; kappa subtracts the
+    agreement two independent coins with these marginals would reach.
+    The curation read: kappa ~ 0 (the fixture's measured state) means
+    the gates prune DIFFERENT documents - stacking them is nearly
+    multiplicative; kappa ~ 1 would mean the second gate is redundant.
+    The agreement companion to stats_mcnemar, which tests the DIRECTION
+    of the gates' disagreement rather than its size.
+
+    Exact: both gate predicates are pure integer comparisons, the 2x2
+    confusion is ONE corpus-scale hash aggregation of indicator
+    products (map-side partials), and kappa = (po - pe)/(1 - pe) is a
+    fixed-shape float expression over five exact BIGINTs; the
+    degenerate all-agree-by-marginals case (pe = 1) yields NULL via
+    nullif on both engines. 1 output row.
+
+    Reference parity: the reference forwards every tweet unfiltered
+    (regionSpout.go:151-163); this is the meta-measurement a pipeline
+    adds the day it runs TWO quality filters.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") >= _KAPPA_LEN_MIN, 1).otherwise(0).alias("ga"),
+        F.when(
+            2 * F.col("n_chars") >= 11 * F.size(F.split("text", " ")), 1
+        ).otherwise(0).alias("gb"),
+    )
+    c = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("ga") * F.col("gb")).cast("bigint").alias("n11"),
+        F.sum(F.col("ga") * (1 - F.col("gb"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("ga")) * F.col("gb")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("ga")) * (1 - F.col("gb"))).cast("bigint").alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = ((F.col("n11") + F.col("n10")).cast("double") / F.col("n")) * (
+        (F.col("n11") + F.col("n01")).cast("double") / F.col("n")
+    ) + ((F.col("n01") + F.col("n00")).cast("double") / F.col("n")) * (
+        (F.col("n10") + F.col("n00")).cast("double") / F.col("n")
+    )
+    return c.select(
+        F.col("n").alias("n_docs"),
+        F.col("n11").alias("both_pass"),
+        F.col("n00").alias("both_fail"),
+        F.col("n10").alias("only_length"),
+        F.col("n01").alias("only_wordlen"),
+        F.expr("(n11 + n00) * 10000 div n").alias("agreement_bp"),
+        (
+            F.round((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 6)
+            + F.lit(0.0)
+        ).alias("kappa"),
+    )

@@ -671,6 +671,7 @@ _WINDOW_PRIORITY = [
     "embedding_whiten",
     "graph_betweenness_sampled",
     "stats_mantel_haenszel",
+    "stats_cohens_kappa",
 ]
 
 

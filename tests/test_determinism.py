@@ -213,6 +213,7 @@ SWEEP = [
     "embedding_whiten",            # shared PCA solve + eigenvalue literals (r14)
     "graph_betweenness_sampled",   # md5 seeds, quantized dependency pass (r14)
     "stats_mantel_haenszel",       # stratified 2x2 sorted fold (r14)
+    "stats_cohens_kappa",          # integer-gate 2x2 agreement (r14)
 ]
 
 

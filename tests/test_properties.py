@@ -5595,3 +5595,55 @@ def test_mantel_haenszel_matches_python_and_defeats_simpson(spark, tmp_path):
     out2 = registry.OPS["stats_mantel_haenszel"].fn(spark, str(d2)).collect()[0]
     assert abs(out2["cmh_chi2"] - cmh_py(cells2)) < 1e-4
     assert out2["reject_no_association"], "a real within-stratum shift must reject"
+
+
+def test_cohens_kappa_matches_python_reference(spark, tmp_path):
+    """stats_cohens_kappa vs the textbook formula on engineered
+    fixtures: perfectly agreeing gates (kappa = 1), perfectly
+    anti-agreeing gates with balanced marginals (kappa = -1), and a
+    mixed fixture compared cell-by-cell."""
+    from connor_fun_streamproducer_spark import registry
+
+    registry._ensure_loaded()
+
+    def doc(i, long, wordy):
+        # long: n_chars >= 300; wordy: 2*n_chars >= 11*n_tokens
+        if wordy:
+            word = "abcdefghijk"  # 11 chars + separator >= 5.5 avg easily
+        else:
+            word = "abc"  # 4 chars per token incl. separator < 5.5
+        n = 40 if long else 10
+        text = " ".join(word for _ in range(n))
+        while long and len(text) < 300:
+            text += " " + word
+        return dict(doc_id=i, text=text, lang="en", source="s")
+
+    def run(dirname, flags):
+        d = tmp_path / dirname
+        d.mkdir()
+        _write_documents(d, [doc(i, lg, wd) for i, (lg, wd) in enumerate(flags)])
+        return registry.OPS["stats_cohens_kappa"].fn(spark, str(d)).collect()[0]
+
+    def kappa_py(cells):
+        n11, n10, n01, n00 = cells
+        n = n11 + n10 + n01 + n00
+        po = (n11 + n00) / n
+        pe = ((n11 + n10) / n) * ((n11 + n01) / n) + ((n01 + n00) / n) * (
+            (n10 + n00) / n
+        )
+        return (po - pe) / (1 - pe)
+
+    # perfect agreement, mixed marginals
+    r = run("agree", [(True, True)] * 6 + [(False, False)] * 4)
+    assert r["kappa"] == 1.0 and r["agreement_bp"] == 10000
+    # perfect anti-agreement, balanced marginals
+    r = run("anti", [(True, False)] * 5 + [(False, True)] * 5)
+    assert r["kappa"] == -1.0 and r["agreement_bp"] == 0
+    # mixed
+    flags = [(True, True)] * 5 + [(True, False)] * 3 + [(False, True)] * 2 + [
+        (False, False)
+    ] * 6
+    r = run("mixed", flags)
+    assert (r["both_pass"], r["only_length"], r["only_wordlen"], r["both_fail"]) == (
+        5, 3, 2, 6)
+    assert abs(r["kappa"] - round(kappa_py((5, 3, 2, 6)), 6)) < 1e-9

@@ -126,6 +126,7 @@ NEW_R14_BEHIND_WINDOW = [
     "embedding_whiten",
     "graph_betweenness_sampled",
     "stats_mantel_haenszel",
+    "stats_cohens_kappa",
 ]
 
 MUST_BE_IN_WINDOW = STALEST_FRONTED_R14 + CHANGED_IN_ROUND_14 + NEW_IN_ROUND_14
