@@ -39,6 +39,10 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# events.ts physical-encoding probe results, keyed by (path, mtime, size)
+# — see load().
+_TS_FLAVOR_CACHE: dict[tuple[str, int, int], str] = {}
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -57,9 +61,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
+        # The ts physical-encoding probe (df.dtypes — a schema fetch over
+        # py4j) depends only on the file bytes: cache it per fixture
+        # state so the thousands of load() calls a bench/test session
+        # makes pay it once per fixture, not once per call
+        # (OPTIMIZATION_r14 driver-side rule).
+        try:
+            st = os.stat(path)
+            key = (path, st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = None
+        ts_type = _TS_FLAVOR_CACHE.get(key) if key is not None else None
+        if ts_type is None:
+            ts_type = dict(df.dtypes).get("ts") or "none"
+            if key is not None:
+                _TS_FLAVOR_CACHE[key] = ts_type
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":

@@ -190,27 +190,25 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     document size. xxhash64 is Spark-native (JVM, codegen'd).
     """
     tok = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    # SQL-text aggregates (OPTIMIZATION_r14 driver-side rule) — identical
+    # parsed plan, one round-trip instead of ~10 per hash stream.
     aggs = [
-        F.min(F.xxhash64(F.lit(k), F.col("tok"))).alias(f"mh_{k}") for k in range(N_HASHES)
+        F.expr(f"min(xxhash64({k}, tok))").alias(f"mh_{k}") for k in range(N_HASHES)
     ]
     return tok.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame) -> DataFrame:
     """(doc_id, band, bucket): one 64-bit bucket per band of 4 minhashes."""
+    band_structs = ", ".join(
+        f"struct({b} as band, xxhash64("
+        + ", ".join(f"mh_{b * 4 + r}" for r in range(4))
+        + ") as bucket)"
+        for b in range(N_BANDS)
+    )
     return sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col(f"mh_{b * 4 + r}") for r in range(4)]).alias("bucket"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
@@ -277,22 +275,15 @@ def simhash_candidate_pairs(fp: DataFrame) -> DataFrame:
     distinct (doc_a, doc_b, fp_a, fp_b) with doc_a < doc_b. Guarantee: any
     pair with hamming(fp_a, fp_b) ≤ 6 shares at least one exact band.
     """
+    band_structs = ", ".join(
+        f"struct({i} as band,"
+        f" shiftright(fingerprint, {off}) & {(1 << width) - 1} as chunk)"
+        for i, (off, width) in enumerate(SIMHASH_BAND_BITS)
+    )
     bands = fp.select(
         "doc_id",
         "fingerprint",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("fingerprint", off)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("chunk"),
-                    )
-                    for i, (off, width) in enumerate(SIMHASH_BAND_BITS)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
     ).select("doc_id", "fingerprint", "bb.band", "bb.chunk")
     return (
         bands.alias("x")
@@ -327,20 +318,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
-    h = F.xxhash64("tok")
+    # 64 conditional-sum aggregates + the 63-term bit pack, built as SQL
+    # text (OPTIMIZATION_r14 driver-side rule): the Column-DSL form paid
+    # ~800 py4j round-trips (~1.5 s) to CONSTRUCT this expression on
+    # every call; the parsed plan is identical term for term.
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(xxhash64(tok), {b}) & 1) = 1"
+            f" THEN 1 ELSE -1 END)"
         ).alias(f"b{b}")
         for b in range(64)
     ]
     sums = tok.groupBy("doc_id").agg(*bit_sums)
+    pack = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2**b}L ELSE 0L END)" for b in range(63)
+    )
     fp = sums.select(
         "doc_id",
-        sum(
-            [F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(0) for b in range(63)],
-            F.lit(0).cast("long"),
-        ).alias("fingerprint"),  # bit 63 left clear: keeps the value in signed-long range
+        # bit 63 left clear: keeps the value in signed-long range
+        F.expr(f"0L + {pack}").alias("fingerprint"),
     )
     pairs = simhash_candidate_pairs(fp)
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
@@ -403,7 +399,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dot / precomputed fold norms — the exact expression the oracle's
     # cellmap carries (cosine_expr would re-fold the same norms; using
     # the stored ones keeps serving cost at one dot per pair)
-    sim = dot_expr(F.col("x.embedding"), F.col("y.embedding")) / (
+    sim = dot_expr("x.embedding", "y.embedding") / (
         F.col("x.norm") * F.col("y.norm")
     )
     return (
@@ -1066,42 +1062,35 @@ def _mhb_stages(d: DataFrame):
     # Four salted digests per token; each contributes four 32-bit hex
     # lanes → the 16 min-hash streams (see _mhb_oracle, which replays
     # the identical lane construction).
+    # SQL-text builds below (OPTIMIZATION_r14 driver-side rule): the
+    # 16 lane-min aggregates and the band structs cost hundreds of py4j
+    # round-trips per construction in Column-DSL form; the parsed plan
+    # is identical expression for expression.
     dig = tok.select(
         "doc_id",
         *[
-            F.md5(F.concat(F.lit(f"{g}:"), F.col("t"))).alias(f"h{g}")
+            F.expr(f"md5(concat('{g}:', t))").alias(f"h{g}")
             for g in range(_MHB_HASHES // 4)
         ],
     )
     sig = dig.groupBy("doc_id").agg(
         *[
-            F.min(
-                F.conv(
-                    F.substring(F.col(f"h{k // 4}"), (k % 4) * 8 + 1, 8),
-                    16,
-                    10,
-                ).cast("long")
+            F.expr(
+                f"min(cast(conv(substring(h{k // 4}, {(k % 4) * 8 + 1}, 8),"
+                f" 16, 10) as long))"
             ).alias(f"mh_{k}")
             for k in range(_MHB_HASHES)
         ]
     )
+    band_structs = ", ".join(
+        f"struct({b} as band, md5(concat_ws('_', "
+        + ", ".join(f"mh_{b * 4 + r}" for r in range(4))
+        + ")) as bucket)"
+        for b in range(_MHB_BANDS)
+    )
     bands = sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "_", *[F.col(f"mh_{b * 4 + r}") for r in range(4)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(_MHB_BANDS)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
     bmin = bands.groupBy("band", "bucket").agg(F.min("doc_id").alias("bucket_keeper"))
     cand = (
@@ -1483,12 +1472,12 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"mh_{k}").alias(f"k_{k}") for k in range(_MHB_HASHES)],
     )
     j = cand.join(sa, "doc_id").join(sk, "keeper_doc_id")
-    match_lanes = sum(
-        [
-            F.when(F.col(f"a_{k}") == F.col(f"k_{k}"), 1).otherwise(0)
+    match_lanes = F.expr(
+        "0 + "
+        + " + ".join(
+            f"(CASE WHEN a_{k} = k_{k} THEN 1 ELSE 0 END)"
             for k in range(_MHB_HASHES)
-        ],
-        F.lit(0),
+        )
     )
     jac_bp = F.expr("n_inter * 10000 div n_union")
     return j.select(
@@ -2691,9 +2680,11 @@ def sim_doc_topk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("da"), "db")
         .distinct()
     )
-    shared = sum(
-        F.when(F.col(f"a.mh_{k}") == F.col(f"b.mh_{k}"), 1).otherwise(0)
-        for k in range(_MHB_HASHES)
+    shared = F.expr(
+        " + ".join(
+            f"(CASE WHEN a.mh_{k} = b.mh_{k} THEN 1 ELSE 0 END)"
+            for k in range(_MHB_HASHES)
+        )
     )
     pairs = (
         cp.join(sig.alias("a"), F.col("da") == F.col("a.doc_id"))

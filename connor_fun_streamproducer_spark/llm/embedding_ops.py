@@ -568,11 +568,13 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def d2_to(sel_qv: list) -> "F.Column":
-        lit = F.array(*[F.lit(int(x)).cast("long") for x in sel_qv])
-        return F.aggregate(
-            F.zip_with(F.col("qv"), lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+        # Single-parse SQL text instead of 64 py4j literal round-trips +
+        # two lambda HOFs per round (OPTIMIZATION_r14 driver-side rule —
+        # this built ~8 such expressions per call, ~0.2 s each).
+        arr = "array(" + ", ".join(f"{int(x)}L" for x in sel_qv) + ")"
+        return F.expr(
+            f"aggregate(zip_with(qv, {arr}, (a, b) -> (a - b) * (a - b)),"
+            f" 0L, (acc, v) -> acc + v)"
         )
 
     seed = e.orderBy("vec_id").limit(1).collect()[0]
@@ -583,7 +585,19 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     # least() over every selected vector but keeps the per-round
     # expression (and its codegen) constant-size instead of growing
     # linearly with k (quadratic total work in expression evaluation).
+    #
+    # Materialization cadence (OPTIMIZATION_r14, guide §1.2): a
+    # checkpoint per ROUND paid k-2 full frame materializations just to
+    # keep the chain length at 1 — one extra job and one full write of
+    # the frontier each round, dominating the op's wall time (the
+    # per-round argmax is a cheap TakeOrdered). Letting ≤3 least()/d2
+    # terms chain between checkpoints keeps the recompute bounded (each
+    # argmax re-evaluates at most 3 constant-size folds over the last
+    # checkpoint) while cutting the job count per round from 2 to 1 for
+    # 3 of every 4 rounds. Trajectory unchanged: least() chains evaluate
+    # the identical integers whether materialized or not.
     cur = e.select("vec_id", "qv", d2_to(list(seed["qv"])).alias("mind")).localCheckpoint()
+    pending = 0
     for rnd in range(1, _KC_K):
         far = cur.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()[0]
         picked.append((rnd, int(far["vec_id"]), int(far["mind"])))
@@ -592,7 +606,11 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
                 "qv",
                 F.least(F.col("mind"), d2_to(list(far["qv"]))).alias("mind"),
-            ).localCheckpoint()
+            )
+            pending += 1
+            if pending == 3:
+                cur = cur.localCheckpoint()
+                pending = 0
     return spark.createDataFrame(
         picked, "sel_round bigint, vec_id bigint, dist2 bigint"
     )
@@ -922,7 +940,7 @@ def embedding_isotropy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         y,
         (F.col("x.bkt") == F.col("y.bkt")) & (F.col("x.vec_id") < F.col("y.vec_id")),
     ).select(
-        F.round(cosine_expr(F.col("x.embedding"), F.col("y.embedding")), 6).alias("cos")
+        F.round(cosine_expr("x.embedding", "y.embedding"), 6).alias("cos")
     )
     return p.groupBy(
         F.floor(F.col("cos") * 10).cast("bigint").alias("cos_band")

@@ -429,26 +429,31 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e1, e2, _lam1, _lam2, n, s = _pca_solution(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr(_proj_sql(e1, n, s)).alias("pc1"),
+        F.expr(_proj_sql(e2, n, s)).alias("pc2"),
+    )
 
-    def proj(vq: list[int]) -> F.Column:
-        terms = [
-            (
-                F.floor(
-                    F.element_at("embedding", d + 1).cast("double") * _Q + F.lit(0.5)
-                ).cast("decimal(38,0)")
-                * F.lit(n)
-                - F.lit(s[d]).cast("decimal(38,0)")
-            )
-            * F.lit(vq[d])
-            for d in range(D_SEL)
-        ]
-        tot = terms[0]
-        for t in terms[1:]:
-            tot = tot + t
-        x = tot.cast("double") / F.lit(float(n) * 1e12)
-        return (F.floor(x * F.lit(10000) + F.lit(0.5)).cast("long") / F.lit(10000.0))
 
-    return emb.select("vec_id", "label", proj(e1).alias("pc1"), proj(e2).alias("pc2"))
+def _proj_sql(vq: list[int], n: int, s: list[int], lam: float | None = None) -> str:
+    """The map-only projection (optionally whitened) as ONE SQL fragment
+    (OPTIMIZATION_r14 driver-side rule: the Column-DSL build paid ~2 600
+    py4j round-trips per component per call). Term for term the same
+    expression tree as before: an exact decimal centered dot product in
+    left-fold order, cast to double, optionally divided by
+    sqrt(lam/1e6), then floored onto the 1e-4 grid."""
+    terms = " + ".join(
+        f"(CAST(FLOOR(CAST(embedding[{d}] AS DOUBLE) * {int(_Q)} + 0.5D)"
+        f" AS DECIMAL(38,0)) * {n} - CAST({int(s[d])} AS DECIMAL(38,0)))"
+        f" * {int(vq[d])}"
+        for d in range(D_SEL)
+    )
+    x = f"CAST({terms} AS DOUBLE) / {float(n) * 1e12!r}D"
+    if lam is not None:
+        x = f"({x}) / sqrt({lam!r}D / {float(1e6)!r}D)"
+    return f"CAST(FLOOR(({x}) * 10000 + 0.5D) AS BIGINT) / 10000.0D"
 
 
 # ---------------------------------------------------------------------------
@@ -520,23 +525,9 @@ def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     def white(vq: list[int], lam: float) -> F.Column:
         if lam <= 0.0:
             return F.lit(0.0)
-        terms = [
-            (
-                F.floor(
-                    F.element_at("embedding", d + 1).cast("double") * _Q + F.lit(0.5)
-                ).cast("decimal(38,0)")
-                * F.lit(n)
-                - F.lit(s[d]).cast("decimal(38,0)")
-            )
-            * F.lit(vq[d])
-            for d in range(D_SEL)
-        ]
-        tot = terms[0]
-        for t in terms[1:]:
-            tot = tot + t
-        x = tot.cast("double") / F.lit(float(n) * 1e12)
-        x = x / F.sqrt(F.lit(lam) / F.lit(1e6))
-        return (F.floor(x * F.lit(10000) + F.lit(0.5)).cast("long") / F.lit(10000.0))
+        # shared single-parse projection fragment (see _proj_sql) with
+        # the whitening division spliced before the grid floor
+        return F.expr(_proj_sql(vq, n, s, lam=lam))
 
     return emb.select(
         "vec_id",

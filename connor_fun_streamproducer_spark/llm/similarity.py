@@ -64,23 +64,84 @@ _EXACT_TOPK_CTE = f"""exact AS (
 )"""
 
 
-def _dbl(col: Column) -> Column:
-    return F.transform(col, lambda x: x.cast("double"))
+# The cosine/fold kernels build their expression trees from SQL TEXT, not
+# the Column DSL (OPTIMIZATION_r14, guide §7.3 driver-side work): every
+# pyspark lambda-HOF (``F.aggregate``/``F.zip_with``/``F.transform``) costs
+# ~60 ms of py4j round-trips to CONSTRUCT — per query build, every bench
+# rep — while ``F.expr`` hands the whole fragment to the SQL parser in one
+# call (~4 ms, measured). The parsed plan is identical expression for
+# expression (same fold, same operand order), so results are bit-equal;
+# the inputs are SQL column fragments (possibly alias-qualified), which is
+# why these helpers take ``str`` rather than ``Column``.
 
 
-def dot_expr(a: Column, b: Column) -> Column:
+def _dbl_sql(col: str) -> str:
+    return f"transform({col}, x -> cast(x as double))"
+
+
+def _dbl(col: str) -> Column:
+    return F.expr(_dbl_sql(col))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Σ aᵢ·bᵢ over pre-cast double arrays, left-to-right fold."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+
+
+def dot_expr(a: str, b: str) -> Column:
     """Σ aᵢ·bᵢ in double, elementwise left-to-right (oracle-parity order)."""
-    return F.aggregate(
-        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    return F.expr(_dot_sql(_dbl_sql(a), _dbl_sql(b)))
+
+
+def dot_pre(a: str, b: str) -> Column:
+    """``dot_expr`` over ALREADY double-cast arrays — same fold, same op
+    order, minus the per-pair element casts (pair them with ``_dbl``
+    hoisted to the per-SIDE projection; see ``_brute_pairs``)."""
+    return F.expr(_dot_sql(a, b))
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(aggregate({_dbl_sql(a)}, 0.0D, (acc, x) -> acc + x * x))"
+
+
+def norm_expr(a: str) -> Column:
+    return F.expr(_norm_sql(a))
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return F.expr(
+        f"{_dot_sql(_dbl_sql(a), _dbl_sql(b))} / ({_norm_sql(a)} * {_norm_sql(b)})"
     )
 
 
-def norm_expr(a: Column) -> Column:
-    return F.sqrt(F.aggregate(_dbl(a), F.lit(0.0), lambda acc, x: acc + x * x))
-
-
-def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+def _brute_pairs(e: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, sim) for corpus × broadcast-query exact
+    cosine — the shared prologue of sim_search_topk / sim_margin_profile
+    / sim_search_radius, with per-SIDE hoisting (OPTIMIZATION_r14, guide
+    §1.2 "per-task work"): ``cosine_expr`` on the joined pair re-folds
+    both vector norms and re-casts both arrays PER PAIR (~5 interpreted
+    64-element passes per candidate row, |corpus|×|queries| times).
+    Casting and norm-folding once per SIDE leaves only the dot fold on
+    the pair. Float-identical to the oracle: the hoisted expressions are
+    the same subtrees evaluated on the same doubles in the same order —
+    sim = dot/(q_norm · c_norm) with unchanged operand order."""
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        _dbl("embedding").alias("qd"),
+        norm_expr("embedding").alias("q_norm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _dbl("embedding").alias("cd"),
+        norm_expr("embedding").alias("c_norm"),
+    )
+    return c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (dot_pre("qd", "cd") / (F.col("q_norm") * F.col("c_norm"))).alias("sim"),
+    )
 
 
 @op(
@@ -110,15 +171,7 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are broken on (round(sim,6), neighbor_id) so both engines order
     identically despite last-ulp float drift.
     """
-    e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine_expr(F.col("q_emb"), F.col("c_emb")))
-    )
+    scored = _brute_pairs(load(spark, sf_dir, "embeddings"))
     w = Window.partitionBy("query_id").orderBy(F.desc(F.round("sim", 6)), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -335,15 +388,8 @@ def _cell_sims(cents: list[list[float]]) -> Column:
     tie) is a total order a SQL oracle replays exactly."""
     sims = []
     for i, c in enumerate(cents):
-        d = F.aggregate(
-            F.zip_with(
-                _dbl(F.col("embedding")),
-                F.array(*[F.lit(v) for v in c]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        arr = "array(" + ", ".join(f"{v!r}D" for v in c) + ")"
+        d = F.expr(_dot_sql(_dbl_sql("embedding"), arr))
         sims.append(F.struct(F.round(d, 6).alias("sim"), F.lit(i).alias("cell")))
     return F.array(*sims)
 
@@ -390,7 +436,7 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 e.withColumn("cell", F.array_max(_cell_sims(cents)).getField("cell"))
                 # precomputed L2 norm: serving divides by it instead of
                 # re-aggregating 64 squares per candidate per query
-                .withColumn("norm", norm_expr(F.col("embedding")))
+                .withColumn("norm", norm_expr("embedding"))
                 # one output file per cell at fixture scale (at 100 TB: drop
                 # this and let each cell hold many executor-sized files)
                 .repartition("cell")
@@ -660,7 +706,7 @@ def sim_search_ivf(
         )
         .withColumn(
             "sim",
-            dot_expr(F.col("qq.q_emb"), F.col("c.c_emb"))
+            dot_expr("qq.q_emb", "c.c_emb")
             / (F.col("qq.q_norm") * F.col("c.c_norm")),
         )
     )
@@ -764,44 +810,49 @@ def sim_search_lsh(
     ``with_recall=False`` is the production serving path: same bucketed
     retrieval, no exact-truth join (see sim_search_ivf).
     """
-    e = load(spark, sf_dir, "embeddings")
+    # Per-side hoisting (OPTIMIZATION_r14, same discipline as
+    # _brute_pairs): the double-cast array is computed ONCE per vector —
+    # the 16 plane projections below each used to re-cast it — and the
+    # vector norm rides along so the re-rank pays only the dot fold per
+    # candidate pair. Same doubles, same fold order, float-identical.
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _dbl("embedding").alias("ed"),
+        norm_expr("embedding").alias("nrm"),
+    )
     planes = _hyperplanes()
     # sign bit per plane, packed 4 planes → one 4-bit bucket per group;
     # the sign is taken on round(proj, 6) so a last-ulp projection drift
-    # between engines can never flip a bucket (see _lsh_oracle)
-    def bucket(group: int) -> Column:
+    # between engines can never flip a bucket (see _lsh_oracle). The
+    # whole 4-group struct array is ONE parsed SQL fragment
+    # (OPTIMIZATION_r14 driver-side rule).
+    def bucket_sql(group: int) -> str:
         bits = []
         for r in range(4):
             p = planes[group * 4 + r]
-            proj = F.aggregate(
-                F.zip_with(
-                    _dbl(F.col("embedding")),
-                    F.array(*[F.lit(v) for v in p]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+            arr = "array(" + ", ".join(f"{v!r}D" for v in p) + ")"
             bits.append(
-                F.when(F.round(proj, 6) > 0, F.lit(1 << r)).otherwise(F.lit(0))
+                f"(CASE WHEN round({_dot_sql('ed', arr)}, 6) > 0"
+                f" THEN {1 << r} ELSE 0 END)"
             )
-        return sum(bits[1:], bits[0])
+        return " + ".join(bits)
 
+    group_structs = ", ".join(
+        f"struct({g} as grp, {bucket_sql(g)} as bucket)" for g in range(4)
+    )
     bucketed = e.select(
         "vec_id",
-        "embedding",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(g).alias("grp"), bucket(g).alias("bucket"))
-                    for g in range(4)
-                ]
-            )
-        ).alias("gb"),
-    ).select("vec_id", "embedding", "gb.grp", "gb.bucket")
+        "ed",
+        "nrm",
+        F.explode(F.expr(f"array({group_structs})")).alias("gb"),
+    ).select("vec_id", "ed", "nrm", "gb.grp", "gb.bucket")
 
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "grp", "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("ed").alias("qd"),
+        F.col("nrm").alias("q_norm"),
+        "grp",
+        "bucket",
     )
     cand = (
         bucketed.alias("c")
@@ -814,12 +865,17 @@ def sim_search_lsh(
         .select(
             F.col("qq.query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            F.col("qq.q_emb"),
-            F.col("c.embedding").alias("c_emb"),
+            F.col("qq.qd"),
+            F.col("qq.q_norm"),
+            F.col("c.ed").alias("cd"),
+            F.col("c.nrm").alias("c_norm"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("sim", cosine_expr(F.col("q_emb"), F.col("c_emb")))
+    scored = cand.withColumn(
+        "sim",
+        dot_pre("qd", "cd") / (F.col("q_norm") * F.col("c_norm")),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc(F.round("sim", 6)), F.asc("neighbor_id"))
     retrieved = (
         scored.withColumn("rn", F.row_number().over(w))
@@ -1161,7 +1217,10 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col(f"t{m}"), F.col(f"m{m}") + 1) for m in range(PQ_M)
     )
     adc_norm2 = sum(
-        F.element_at(F.array(*[F.lit(v) for v in self_norm[m]]), F.col(f"m{m}") + 1)
+        F.element_at(
+            F.expr("array(" + ", ".join(f"{v!r}D" for v in self_norm[m]) + ")"),
+            F.col(f"m{m}") + 1,
+        )
         for m in range(PQ_M)
     )
     scored = (
@@ -1184,7 +1243,7 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         ce.join(F.broadcast(shortlist), "neighbor_id")
         .join(F.broadcast(qe), "query_id")
-        .withColumn("sim", cosine_expr(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("sim", cosine_expr("q_emb", "c_emb"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc(F.round("sim", 6)), F.asc("neighbor_id"))
     return (
@@ -1203,14 +1262,12 @@ def _sign_word_expr(w: int) -> Column:
     """32-bit sign word w of the embedding: bit b set iff dimension
     32·w + b is positive after round(·, 6) — the LSH sign discipline
     (a last-ulp negative zero can never flip a bit cross-engine)."""
-    bits = [
-        F.when(
-            F.round(F.element_at(_dbl(F.col("embedding")), 32 * w + b + 1), 6) > 0,
-            F.lit(1 << b),
-        ).otherwise(F.lit(0))
+    word = " + ".join(
+        f"(CASE WHEN round(cast(embedding[{32 * w + b}] AS DOUBLE), 6) > 0"
+        f" THEN {1 << b} ELSE 0 END)"
         for b in range(32)
-    ]
-    return sum(bits[1:], bits[0]).cast("long")
+    )
+    return F.expr(f"CAST({word} AS BIGINT)")
 
 
 def _hamming_oracle() -> str:
@@ -1345,15 +1402,8 @@ def sim_margin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: corpus scan × broadcast query set (the sim_search_topk
     plan) + one rank window per query — |queries| rows out.
     """
-    e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6).alias("sim6"),
+    scored = _brute_pairs(load(spark, sf_dir, "embeddings")).select(
+        "query_id", "neighbor_id", F.round("sim", 6).alias("sim6")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim6"), F.asc("neighbor_id"))
     r = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
@@ -1420,17 +1470,8 @@ def sim_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is scanned once, never corpus × corpus; the per-query
     count rides the result window (result-sized, not corpus-sized).
     """
-    e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    scored = c.join(
-        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6).alias("sim6"),
+    scored = _brute_pairs(load(spark, sf_dir, "embeddings")).select(
+        "query_id", "neighbor_id", F.round("sim", 6).alias("sim6")
     )
     hits = scored.filter(F.col("sim6") >= _RADIUS_TAU)
     return hits.select(

@@ -626,7 +626,11 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
         if nxt_v.isEmpty():
             break
-        visited = visited.unionByName(nxt_v).localCheckpoint()
+        # visited stays a LAZY union of checkpointed rounds (lineage is
+        # bounded by the depth cap and every leg is materialized) — the
+        # per-round visited checkpoint was a second full materialization
+        # per hop (OPTIMIZATION_r14, same cut as graph_harmonic_centrality).
+        visited = visited.unionByName(nxt_v)
         frontier = nxt_v.select("node")
     return visited.select(F.col("node").alias("user_id"), "dist")
 
@@ -2311,7 +2315,11 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         frontier = nxt.join(visited, ["s", "node"], "left_anti").localCheckpoint()
-        visited = visited.unionAll(frontier).localCheckpoint()
+        # visited stays a LAZY union of the checkpointed frontiers: its
+        # lineage is bounded by the hop count and every leg is already
+        # materialized, so checkpointing it too only paid an extra full
+        # materialization per hop (OPTIMIZATION_r14 — half this op's jobs).
+        visited = visited.unionAll(frontier)
         levels.append(frontier.select("s", "node", F.lit(k).alias("dist")))
     alls = levels[0]
     for lvl in levels[1:]:
@@ -2557,7 +2565,10 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("sig").cast("bigint").alias("sig"))
         )
         nxt = cand.join(visited, ["s", "node"], "left_anti").localCheckpoint()
-        visited = visited.unionAll(nxt.select("s", "node")).localCheckpoint()
+        # lazy union of checkpointed frontiers (bounded by the hop cap) —
+        # the per-hop visited checkpoint was a redundant materialization
+        # (OPTIMIZATION_r14, the graph_harmonic_centrality cut).
+        visited = visited.unionAll(nxt.select("s", "node"))
         eu = und.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
         pk = (
             d[-1]

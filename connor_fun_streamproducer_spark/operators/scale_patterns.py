@@ -74,9 +74,22 @@ def distributed_rank(
         F.percentile_approx(key, probes, 10_000).alias("q")
     ).collect()[0]["q"]
     cuts = sorted(set(row or []))
-    shard = F.lit(0)
-    for c in cuts:
-        shard = shard + F.when(F.col(key) > F.lit(c), 1).otherwise(0)
+    # One parsed SQL fragment instead of ~70 py4j round-trips per cut
+    # (OPTIMIZATION_r14 driver-side rule: the chained F.when build cost
+    # ~2 200 commands ≈ 2.5 s per construction, shared by every rank
+    # consumer). Same Σ (key > cut_i) expression term for term.
+    def cut_lit(c) -> str:
+        return f"{c!r}D" if isinstance(c, float) else f"{int(c)}L"
+
+    if cuts:
+        shard = F.expr(
+            " + ".join(
+                f"(CASE WHEN `{key}` > {cut_lit(c)} THEN 1 ELSE 0 END)"
+                for c in cuts
+            )
+        )
+    else:
+        shard = F.lit(0)
     s = df.withColumn("_rank_shard", shard)
     w_in = Window.partitionBy(*pc, "_rank_shard").orderBy(key, *tiebreak)
     local = s.withColumn("_lrk", F.row_number().over(w_in))

@@ -1853,17 +1853,16 @@ def ts_periodogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = dense.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("c").alias("s")
     )
-    rows = []
-    for p, (qc, qs) in tabs.items():
-        rows.append(
-            F.struct(
-                F.lit(p).alias("period_h"),
-                F.array(*[F.lit(v) for v in qc]).alias("qc"),
-                F.array(*[F.lit(v) for v in qs]).alias("qs"),
-            )
-        )
+    # Single-parse literal bank (OPTIMIZATION_r14 driver-side rule; see
+    # ts_spectral_entropy) — equivalent literal for literal.
+    structs = ", ".join(
+        f"struct({p} as period_h, "
+        f"array({', '.join(str(v) for v in qc)}) as qc, "
+        f"array({', '.join(str(v) for v in qs)}) as qs)"
+        for p, (qc, qs) in tabs.items()
+    )
     ptab = dense.sparkSession.range(1).select(
-        F.explode(F.array(*rows)).alias("t")
+        F.explode(F.expr(f"array({structs})")).alias("t")
     ).select("t.period_h", "t.qc", "t.qs")
     dev = (F.col("n") * F.col("c") - F.col("s")).cast("decimal(38,0)")
     m1 = (F.col("h") % F.col("period_h")).cast("int") + 1
@@ -3138,7 +3137,7 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.col("c").alias("ca"),
         F.explode(
-            F.array(*[F.lit(i) for i in range(_CCF_MAX_LAG + 1)])
+            F.expr(f"array({', '.join(str(i) for i in range(_CCF_MAX_LAG + 1))})")
         ).alias("lag"),
     )
     b = d.select(
@@ -3437,19 +3436,18 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = dense.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("c").alias("s")
     )
+    # Single-parse literal bank (OPTIMIZATION_r14 driver-side rule): the
+    # F.array(*[F.lit(v) ...]) form paid one py4j round-trip per trig
+    # table entry on every query build; one F.expr string is equivalent
+    # literal for literal.
+    structs = ", ".join(
+        f"struct({p} as period_h, "
+        f"array({', '.join(str(v) for v in qc)}) as qc, "
+        f"array({', '.join(str(v) for v in qs)}) as qs)"
+        for p, (qc, qs) in tabs.items()
+    )
     ptab = dense.sparkSession.range(1).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(p).alias("period_h"),
-                        F.array(*[F.lit(v) for v in qc]).alias("qc"),
-                        F.array(*[F.lit(v) for v in qs]).alias("qs"),
-                    )
-                    for p, (qc, qs) in tabs.items()
-                ]
-            )
-        ).alias("t")
+        F.explode(F.expr(f"array({structs})")).alias("t")
     ).select("t.period_h", "t.qc", "t.qs")
     dev = (F.col("n") * F.col("c") - F.col("s")).cast("decimal(38,0)")
     m1 = (F.col("h") % F.col("period_h")).cast("int") + 1

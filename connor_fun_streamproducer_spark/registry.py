@@ -59,13 +59,28 @@ _REQUIRED_CONFS = {
 }
 
 
+# Sessions already pinned (a WeakSet so a stopped session's slot can
+# never alias a new one) — the probe itself is 2 py4j round-trips per
+# conf per OP CALL (OPTIMIZATION_r14 driver-side rule: ~10 commands ×
+# every op × every bench rep for values that never change after the
+# first pin). A test that deliberately perturbs one of these confs
+# restores it afterwards (tests/test_determinism.py), and result
+# determinism never depends on the runtime-tunable ones.
+import weakref
+
+_PINNED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
+    if spark in _PINNED_SESSIONS:
+        return
     for k, v in _REQUIRED_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
         except Exception:
             pass  # unknown/static conf on some Spark build — op may still work
+    _PINNED_SESSIONS.add(spark)
 
 
 def op(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> Callable[[QueryFn], QueryFn]:
