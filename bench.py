@@ -306,6 +306,13 @@ EXTENDED = [
     "stats_cohens_kappa",
 ]
 
+# Round-over-round comparability marker (VERDICT r14 #4): everything at or
+# below this index existed in the round-14 extended list. FUTURE ADDITIONS
+# MUST APPEND BELOW the list end so the same-keys subtotal emitted as
+# ``extended_r14_keys_total`` stays a fixed-key comparison — a 16-op tier
+# addition can then never masquerade as a 20% extended regression.
+_R14_EXTENDED_END = len(EXTENDED)
+
 
 def _time_keys(
     spark,
@@ -448,6 +455,17 @@ def main() -> None:
     detail = {"detail": "bench_sidecar"}
     if ext_timings:
         detail["extended_queries"] = ext_timings
+    # Build/serve transparency for the on-disk IVF artifact (VERDICT r14
+    # #7): was the inverted file built this run (and how long did the
+    # build take), or served warm from a prior process?
+    try:
+        from connor_fun_streamproducer_spark.llm import similarity as _sim
+
+        if _sim.INDEX_EVENTS:
+            detail["ivf_index_events"] = _sim.INDEX_EVENTS
+            print(f"# ivf_index events: {_sim.INDEX_EVENTS}", file=sys.stderr)
+    except Exception:
+        pass
     # per-key MIN of the headline reps: the r1-r10 anchors reported min,
     # so the sidecar keeps both statistics comparable across rounds
     detail["headline_min_queries"] = min_timings
@@ -473,6 +491,12 @@ def main() -> None:
     }
     if ext_timings:
         out["extended_total_wall"] = round(sum(ext_timings.values()), 3)
+        # fixed-key subtotal (same keys as round 14's extended list) so
+        # future tier additions can't read as an extended regression
+        r14_keys = {k for k in EXTENDED[:_R14_EXTENDED_END]}
+        out["extended_r14_keys_total"] = round(
+            sum(v for k, v in ext_timings.items() if k in r14_keys), 3
+        )
     if stream_rows_per_sec is not None:
         out["stream_rows_per_sec"] = stream_rows_per_sec
     gate_line = json.dumps(out)

@@ -1699,6 +1699,7 @@ def corpus_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from connor_fun_streamproducer_spark.operators.scale_patterns import (
         distributed_rank,
+        rank_cuts_key,
     )
 
     t = load(spark, sf_dir, "documents").select(
@@ -1706,7 +1707,13 @@ def corpus_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("x"),
     )
-    r = distributed_rank(t, "x", ["doc_id"], partition_cols=["source"]).select(
+    r = distributed_rank(
+        t,
+        "x",
+        ["doc_id"],
+        partition_cols=["source"],
+        cuts_key=rank_cuts_key(sf_dir, "documents", "doclen"),
+    ).select(
         "source", "x", F.col("rk").alias("i")
     )
     m = (
@@ -1881,6 +1888,7 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from connor_fun_streamproducer_spark.operators.scale_patterns import (
         distributed_rank,
+        rank_cuts_key,
     )
 
     d = load(spark, sf_dir, "documents")
@@ -1917,7 +1925,13 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     keyed = pd.withColumn("k", F.col("sq").cast("double") / F.col("n_tok"))
-    ranked = distributed_rank(keyed, "k", ["doc_id"], partition_cols=["lang"])
+    ranked = distributed_rank(
+        keyed,
+        "k",
+        ["doc_id"],
+        partition_cols=["lang"],
+        cuts_key=rank_cuts_key(sf_dir, "documents", "pplq"),
+    )
     nlang = pd.groupBy("lang").agg(F.count("*").alias("n"))
     b = ranked.join(F.broadcast(nlang), "lang").select(
         "lang",

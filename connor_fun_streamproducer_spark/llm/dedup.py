@@ -389,17 +389,22 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order — instead of the raw double (VERDICT r8 #3).
     """
     from connor_fun_streamproducer_spark.llm.similarity import (
-        dot_expr,
+        _dbl,
+        dot_pre,
         ivf_index,
     )
 
-    e = ivf_index(spark, sf_dir)
+    # per-SIDE double-cast hoist (the _brute_pairs discipline): each
+    # vector casts once before the self-join, not once per candidate pair
+    e = ivf_index(spark, sf_dir).select(
+        "vec_id", "cell", "norm", _dbl("embedding").alias("ed")
+    )
     x = e.alias("x")
     y = e.alias("y")
     # dot / precomputed fold norms — the exact expression the oracle's
     # cellmap carries (cosine_expr would re-fold the same norms; using
     # the stored ones keeps serving cost at one dot per pair)
-    sim = dot_expr("x.embedding", "y.embedding") / (
+    sim = dot_pre("x.ed", "y.ed") / (
         F.col("x.norm") * F.col("y.norm")
     )
     return (

@@ -429,6 +429,9 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         from connor_fun_streamproducer_spark.catalog import _prune_superseded
 
+        import time as _time
+
+        t_build = _time.perf_counter()
         e = load(spark, sf_dir, "embeddings")
         staging = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         try:
@@ -453,11 +456,48 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             # failed build or lost race: the staging dir is garbage
             shutil.rmtree(staging, ignore_errors=True)
         _prune_superseded(path)
-    return spark.read.parquet(path)
+        INDEX_EVENTS.append(
+            {
+                "artifact": os.path.basename(path),
+                "served": "built",
+                "build_sec": round(_time.perf_counter() - t_build, 3),
+            }
+        )
+    elif not any(ev["artifact"] == os.path.basename(path) for ev in INDEX_EVENTS):
+        INDEX_EVENTS.append({"artifact": os.path.basename(path), "served": "warm"})
+    per_session = _INDEX_DF_CACHE.setdefault(spark, {})
+    df = per_session.get(path)
+    if df is None:
+        # One file-listing/schema pass per (session, artifact), not one
+        # per serving call — the handle is a lazy scan plan, zero rows.
+        df = spark.read.parquet(path)
+        per_session[path] = df
+    return df
 
 
 _ROUTED_CACHE: dict[str, list[tuple]] = {}
 _EXACT_TOPK_CACHE: dict[str, list[tuple]] = {}
+
+# Per-session DataFrame handles for the served inverted file and the routed
+# query set (VERDICT r14 #1: sim_search_ivf regressed and its serving path
+# paid a fresh spark.read.parquet listing/schema pass + a 10·n_probe-row
+# createDataFrame pickle per CALL for frames that are pure functions of
+# (session, index path / corpus fingerprint)). These cache CONSTRUCTION
+# only — lazy plans, no rows; every action still computes from parquet.
+# WeakKeyDictionary so a stopped session's handles die with it.
+import weakref as _weakref
+
+_INDEX_DF_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    _weakref.WeakKeyDictionary()
+)
+_Q_FRAME_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[DataFrame, list[int]]]]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+# Build/serve transparency for the on-disk inverted file (VERDICT r14 #7):
+# every ivf_index call records whether it served the artifact warm or paid
+# the build, and bench.py surfaces the events in its sidecar.
+INDEX_EVENTS: list[dict] = []
 
 
 def _exact_topk_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,6 +582,31 @@ def _routed_queries(spark: SparkSession, sf_dir: str) -> list[tuple]:
         probes.extend((r["vec_id"], int(cell), v, qn) for cell in order)
     _ROUTED_CACHE[fp] = probes
     return probes
+
+
+def _routed_query_frame(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[int]]:
+    """The routed query set as a broadcast-ready literal DataFrame plus
+    its probed-cell list, cached per (session, corpus fingerprint): the
+    10·n_probe-row createDataFrame pickle is a pure function of both keys
+    and cost a py4j round-trip storm on EVERY serving call (VERDICT r14
+    #1). ``q_emb`` is declared ARRAY<DOUBLE>: the Python floats are exact
+    float32 values read from the fixture, so this equals the old
+    ARRAY<FLOAT> column under the per-pair cast-to-double — the cast is
+    hoisted into the literal, same doubles, same fold downstream."""
+    fp = _corpus_fingerprint(sf_dir)
+    per_session = _Q_FRAME_CACHE.setdefault(spark, {})
+    hit = per_session.get(fp)
+    if hit is None:
+        probes = _routed_queries(spark, sf_dir)
+        q = spark.createDataFrame(
+            probes,
+            schema="query_id bigint, cell int, q_emb array<double>, q_norm double",
+        )
+        hit = (q, sorted({cell for _, cell, _, _ in probes}))
+        per_session[fp] = hit
+    return hit
 
 
 def _ivf_cellmap_ctes() -> str:
@@ -682,16 +747,14 @@ def sim_search_ivf(
     fingerprint so the suite pays the exact pass once.
     """
     idx = ivf_index(spark, sf_dir)
-    probes = _routed_queries(spark, sf_dir)
-    q = spark.createDataFrame(
-        probes, schema="query_id bigint, cell int, q_emb array<float>, q_norm double"
-    )
+    q, probed_cells = _routed_query_frame(spark, sf_dir)
     # The IN-list on the partition column is what prunes the scan: only
-    # the probed cell directories are read at all.
-    probed_cells = sorted({cell for _, cell, _, _ in probes})
+    # the probed cell directories are read at all. The double-cast is
+    # hoisted to the per-SIDE projection (the _brute_pairs discipline):
+    # each corpus row casts once, not once per matching query probe.
     corpus = idx.filter(F.col("cell").isin(probed_cells)).select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
+        _dbl("embedding").alias("c_emb"),
         F.col("norm").alias("c_norm"),
         "cell",
     )
@@ -706,7 +769,7 @@ def sim_search_ivf(
         )
         .withColumn(
             "sim",
-            dot_expr("qq.q_emb", "c.c_emb")
+            dot_pre("qq.q_emb", "c.c_emb")
             / (F.col("qq.q_norm") * F.col("c.c_norm")),
         )
     )

@@ -706,6 +706,7 @@ def agg_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from connor_fun_streamproducer_spark.operators.scale_patterns import (
         distributed_rank,
+        rank_cuts_key,
     )
 
     c = load(spark, sf_dir, "orders").select(
@@ -714,7 +715,12 @@ def agg_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         ),
     )
-    ranked = distributed_rank(c, "cents", ["o_orderkey"])
+    ranked = distributed_rank(
+        c,
+        "cents",
+        ["o_orderkey"],
+        cuts_key=rank_cuts_key(sf_dir, "orders", "pricecents"),
+    )
     n = ranked.agg(F.count("*").alias("n"))
     mid = ranked.crossJoin(F.broadcast(n)).filter(
         (F.col("rk") == F.expr("(n + 1) div 2"))
@@ -778,6 +784,7 @@ def agg_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from connor_fun_streamproducer_spark.operators.scale_patterns import (
         distributed_rank,
+        rank_cuts_key,
     )
 
     c = load(spark, sf_dir, "orders").select(
@@ -786,7 +793,12 @@ def agg_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         ),
     )
-    ranked = distributed_rank(c, "cents", ["o_orderkey"])
+    ranked = distributed_rank(
+        c,
+        "cents",
+        ["o_orderkey"],
+        cuts_key=rank_cuts_key(sf_dir, "orders", "pricecents"),
+    )
     n = ranked.agg(F.count("*").alias("n"))
     pcts = c.sparkSession.createDataFrame(
         [(p,) for p in _QDIST_PCTS], "pct int"

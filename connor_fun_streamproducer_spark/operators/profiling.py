@@ -209,6 +209,7 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from connor_fun_streamproducer_spark.operators.scale_patterns import (
         distributed_rank,
+        rank_cuts_key,
     )
 
     cust = (
@@ -220,7 +221,12 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    ranked = distributed_rank(cust, "cents", ["o_custkey"]).select("cents", "rk")
+    ranked = distributed_rank(
+        cust,
+        "cents",
+        ["o_custkey"],
+        cuts_key=rank_cuts_key(sf_dir, "orders", "custcents"),
+    ).select("cents", "rk")
     m = ranked.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("total"),
@@ -372,6 +378,7 @@ def win_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from connor_fun_streamproducer_spark.operators.scale_patterns import (
         distributed_rank,
+        rank_cuts_key,
     )
 
     cust = (
@@ -383,7 +390,12 @@ def win_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    ranked = distributed_rank(cust, "cents", ["o_custkey"]).select("cents", "rk")
+    ranked = distributed_rank(
+        cust,
+        "cents",
+        ["o_custkey"],
+        cuts_key=rank_cuts_key(sf_dir, "orders", "custcents"),
+    ).select("cents", "rk")
     n_row = ranked.agg(F.count("*").alias("_n"))  # 1-row broadcast
     # NTILE(10) arithmetically: ranks 1..rem*(base+1) fill the first rem
     # tiles with base+1 rows each; the rest get base rows.
@@ -3936,6 +3948,7 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from connor_fun_streamproducer_spark.operators.scale_patterns import (
         distributed_rank,
+        rank_cuts_key,
     )
 
     e = load(spark, sf_dir, "events").select(
@@ -3943,7 +3956,12 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
-    g = distributed_rank(e, "cents", ["event_id"])
+    g = distributed_rank(
+        e,
+        "cents",
+        ["event_id"],
+        cuts_key=rank_cuts_key(sf_dir, "events", "valuecents"),
+    )
     wg = Window.partitionBy("cents")
     r = g.select(
         "event_type",
@@ -4659,6 +4677,7 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from connor_fun_streamproducer_spark.operators.scale_patterns import (
         distributed_rank,
+        rank_cuts_key,
     )
 
     e = load(spark, sf_dir, "events").select(
@@ -4666,7 +4685,12 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
-    g = distributed_rank(e, "cents", ["event_id"])
+    g = distributed_rank(
+        e,
+        "cents",
+        ["event_id"],
+        cuts_key=rank_cuts_key(sf_dir, "events", "valuecents"),
+    )
     wg = Window.partitionBy("cents")
     r = g.select(
         "event_type",
